@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: reads the parquet
+dumps written by graft.Verify, runs each oracle_sql.json query in
+DuckDB over the same sf dir, and compares (columns sorted by name,
+rows sorted, values stringified). Usage:
+    python3 tools/check.py <verifyOutDir> <sfDir>
+"""
+import json, os, sys, math
+import duckdb
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v): vals.append("nan")
+                else: vals.append(repr(round(v, 9)))
+            elif isinstance(v, bytes): vals.append(v.hex())
+            elif isinstance(v, list): vals.append(json.dumps(v, default=str))
+            else: vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out), [cols[i] for i in order]
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(os.listdir(outdir)):
+        d = os.path.join(outdir, name)
+        if not os.path.isdir(d): continue
+        got = con.execute(f"SELECT * FROM '{d}/*.parquet'")
+        grows, gcols = got.fetchall(), [c[0] for c in got.description]
+        if name not in oracles:
+            print(f"  {name:24s} rows-only: {len(grows)} rows "
+                  f"{'OK' if len(grows) > 0 else 'EMPTY!'}")
+            continue
+        try:
+            exp = con.execute(oracles[name])
+            erows, ecols = exp.fetchall(), [c[0] for c in exp.description]
+        except Exception as e:
+            print(f"  {name:24s} ORACLE SQL ERROR: {e}"); n_bad += 1; continue
+        g, gc = canon(grows, gcols)
+        e, ec = canon(erows, ecols)
+        if gc != ec:
+            print(f"  {name:24s} SCHEMA MISMATCH spark={gc} duck={ec}"); n_bad += 1
+        elif g != e:
+            n_bad += 1
+            print(f"  {name:24s} VALUE MISMATCH ({len(g)} vs {len(e)} rows)")
+            sg, se = set(g), set(e)
+            for x in list(sg - se)[:3]: print(f"    spark-only: {x}")
+            for x in list(se - sg)[:3]: print(f"    duck-only : {x}")
+        else:
+            n_ok += 1
+            print(f"  {name:24s} OK ({len(g)} rows)")
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
