@@ -1,24 +1,54 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main (SURVEY §6). Runs the headline query set at
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line on stdout (and writes
+  * the same line to bench_out.json so the driver never has to fish it
+  * out of sbt log noise — VERDICT r1 "what's wrong" #4).
+  *
+  * Each query executes its FULL plan via a noop-format write (a
+  * .count() would let Spark elide final projections — VERDICT r1 #3).
+  * A warmup job first absorbs session/codegen startup cost so q1's
+  * time is the query, not the JVM.
+  */
 object Bench {
+  private val headline = Seq(
+    "q1_agg", "q4_shuffle_join", "q5_multijoin", "q10_window_rank",
+    "t_minute_task_cnt", "t_time_bucket_shard", "t_time_window_slice",
+    "t_cron_expand", "t_bloom_filter",
+    "d_exact_dedup", "d_minhash_lsh", "d_simhash",
+    "s_ann_bruteforce", "s_ann_lsh",
+    "x_lang_id", "x_quality_score", "x_token_count",
+    "m_json_extract")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = Sessions.build("graft-bench", cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // Warmup: trigger codegen + executor spin-up outside any timing.
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    val toRun = headline.filter(SparkEntry.queries.contains) ++
+      SparkEntry.queries.keys.filterNot(headline.contains)
+    val results = toRun.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = f"${results.map(_._2).sum}%.3f"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    Files.writeString(Paths.get(out), line + "\n")
     spark.stop()
   }
 }

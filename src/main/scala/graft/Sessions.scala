@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for session defaults so Verify, Bench, and the test
+  * suite run with identical semantics:
+  *  - UTC session timezone → timestamp literals are timezone-free,
+  *    matching DuckDB's naive TIMESTAMP (ADVICE r1).
+  *  - nanosAsLong → the events table's TIMESTAMP(NANOS) parquet is
+  *    readable (Tables.events converts back to TimestampType).
+  *  - shuffle.partitions sized to the local core count, not 200 —
+  *    on a real cluster this would be executors×cores×2-3.
+  *  - AQE on (default) → runtime coalescing + skew-join splitting.
+  */
+object Sessions {
+  def build(appName: String, cpus: String): SparkSession =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "8g"))
+      .getOrCreate()
+}

@@ -19,7 +19,19 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame    = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = load(s, dir, "lineitem")
-  def events(s: SparkSession, dir: String): DataFrame    = load(s, dir, "events")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as
+    * a nanos long (spark.sql.legacy.parquet.nanosAsLong, set by
+    * Sessions.build) — convert to a microsecond timestamp here so
+    * every operator sees a plain TimestampType, matching DuckDB's
+    * ns→µs truncating read. `DIV` keeps the arithmetic integral
+    * (a double division would lose precision above 2^53 ns). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = load(s, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else raw
+  }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 }

@@ -33,14 +33,19 @@ def main(outdir, sfdir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    dumped = set()
     for name in sorted(os.listdir(outdir)):
         d = os.path.join(outdir, name)
         if not os.path.isdir(d): continue
+        dumped.add(name)
         got = con.execute(f"SELECT * FROM '{d}/*.parquet'")
         grows, gcols = got.fetchall(), [c[0] for c in got.description]
         if name not in oracles:
+            ok = len(grows) > 0
+            if ok: n_ok += 1
+            else: n_bad += 1
             print(f"  {name:24s} rows-only: {len(grows)} rows "
-                  f"{'OK' if len(grows) > 0 else 'EMPTY!'}")
+                  f"{'OK' if ok else 'EMPTY!'}")
             continue
         try:
             exp = con.execute(oracles[name])
@@ -60,6 +65,10 @@ def main(outdir, sfdir):
         else:
             n_ok += 1
             print(f"  {name:24s} OK ({len(g)} rows)")
+    missing = set(oracles) - dumped
+    for name in sorted(missing):
+        print(f"  {name:24s} NO DUMP (query crashed before writing output)")
+        n_bad += 1
     print(f"== {n_ok} ok, {n_bad} bad ==")
     return 1 if n_bad else 0
 
