@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.NextCronTimes
+import graft.functions.{BloomMightContain, NextCronTimes}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * Catalyst expressions as SQL functions. Wired into every session by
@@ -20,6 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 3, "cron_times(cron, start, end)")
         NextCronTimes(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "bloom_might_contain(bloom, p1, p2)")
+        BloomMightContain(children(0), children(1), children(2))
       }))
   }
 }

@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap.empty[String, (SparkSession, String) => DataFrame] ++
-      RelationalOps.queries ++ TimerOps.queries ++ CronOps.queries
+      RelationalOps.queries ++ TimerOps.queries ++ CronOps.queries ++
+      BloomOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     ListMap.empty[String, String] ++
-      RelationalOps.oracles ++ TimerOps.oracles ++ CronOps.oracles
+      RelationalOps.oracles ++ TimerOps.oracles ++ CronOps.oracles ++
+      BloomOps.oracles
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.BloomFunctions
+
+/** §2a t_bloom_filter: the executor's per-day idempotency bloom
+  * (gotimer_executor/pkg/bloom/filter.go) as a distributed build +
+  * probe. Build: one bitset per day, bitset-OR aggregated (partial
+  * agg map-side, 512 KB per day). Probe: the day's bloom broadcast
+  * against a probe set of real union keys plus 1 ms-shifted fakes.
+  *
+  * The filter is sized so FP ≈ 0 at test scale (m=2^22, n≈10^3/day
+  * → FP ≈ 2.5e-8), making the exact-membership join a valid oracle —
+  * the reference sizes m=2^31 for n=10^6/day the same way
+  * (filter.go header math).
+  */
+object BloomOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val M = 1 << 22
+  private val ProbeDay = "2024-01-10"
+
+  private def unionKey(): Column =
+    concat_ws("_", col("user_id"), unix_millis(col("ts")))
+
+  def tBloomFilter(s: SparkSession, dir: String): DataFrame = {
+    val agg = BloomFunctions.bloomAgg(M)
+    val keyed = Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), unionKey().as("k"))
+
+    val blooms = keyed
+      .groupBy(col("day"))
+      .agg(agg(BloomFunctions.bloomPos1(col("k"), M),
+        BloomFunctions.bloomPos2(col("k"), M)).as("bloom"))
+      .filter(col("day") === ProbeDay)
+
+    val dayEvents = Tables.events(s, dir)
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === ProbeDay)
+    val probes = dayEvents.select(unionKey().as("probe_key"))
+      .union(dayEvents.select(
+        concat_ws("_", col("user_id"), unix_millis(col("ts")) + 1).as("probe_key")))
+      .distinct()
+      .withColumn("day", lit(ProbeDay))
+
+    probes.join(broadcast(blooms), "day")
+      .select(col("probe_key"),
+        expr(s"bloom_might_contain(bloom, " +
+          s"pmod(cast(conv(substring(sha1(cast(probe_key as binary)), 1, 15), 16, 10) as bigint), ${M}L), " +
+          s"pmod(cast(hash(probe_key) as bigint), ${M}L))").as("bloom_hit"))
+      .orderBy(col("probe_key"))
+  }
+
+  val queries: ListMap[String, Q] = ListMap(
+    "t_bloom_filter" -> (tBloomFilter _),
+  )
+
+  val oracles: ListMap[String, String] = ListMap(
+    "t_bloom_filter" ->
+      s"""WITH keys AS (
+         |  SELECT DISTINCT CAST(user_id AS VARCHAR) || '_' || CAST(epoch_ms(ts) AS VARCHAR) AS k
+         |  FROM events WHERE strftime(ts, '%Y-%m-%d') = '$ProbeDay'),
+         |shifted AS (
+         |  SELECT DISTINCT CAST(user_id AS VARCHAR) || '_' || CAST(epoch_ms(ts) + 1 AS VARCHAR) AS k
+         |  FROM events WHERE strftime(ts, '%Y-%m-%d') = '$ProbeDay'),
+         |probes AS (SELECT k FROM keys UNION SELECT k FROM shifted)
+         |SELECT p.k AS probe_key, p.k IN (SELECT k FROM keys) AS bloom_hit
+         |FROM probes p
+         |ORDER BY probe_key""".stripMargin,
+  )
+}
