@@ -21,12 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap.empty[String, (SparkSession, String) => DataFrame] ++
       RelationalOps.queries ++ TimerOps.queries ++ CronOps.queries ++
-      BloomOps.queries
+      BloomOps.queries ++ TextOps.queries ++ MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     ListMap.empty[String, String] ++
       RelationalOps.oracles ++ TimerOps.oracles ++ CronOps.oracles ++
-      BloomOps.oracles
+      BloomOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles
 }

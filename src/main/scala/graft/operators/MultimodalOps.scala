@@ -1,0 +1,88 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** §2f multimodal columns.
+  *
+  * m_json_extract: typed metadata out of the events props JSON — the
+  * NotifyHTTPParam payload analog (gotimer_web/app/webserver API
+  * params are JSON blobs on the timer row).
+  *
+  * m_binary_pipeline: an opaque binary payload column pushed through
+  * distributed per-partition processing — the Spark-side plumbing
+  * (schema, typed Encoder, partition-local state, batch shape) is
+  * real; the media DECODE step is a deterministic STUB (this
+  * container has no image/audio codecs), clearly marked below.
+  */
+/** Encoder row types for the binary pipeline (top-level: Spark's
+  * generated deserializer code can't reach private nested classes). */
+case class Payload(doc_id: Long, text: String)
+case class Decoded(doc_id: Long, byte_len: Int, payload_md5: String,
+    width: Int, height: Int)
+
+object MultimodalOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Typed extraction from the props JSON column: get_json_object is
+    * codegen'd; no UDF, no shuffle — then a small rollup per type. */
+  def mJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .withColumn("k_bucket", pmod(col("k"), lit(10)))
+      .orderBy(col("event_id"))
+
+  /** Binary payload pipeline via mapPartitions over a typed Dataset:
+    * one MessageDigest per partition (not per row), rows streamed.
+    * byte_len/md5 are real; width/height are the STUBBED "decode"
+    * (deterministic fake dims derived from byte length — a real
+    * deployment swaps in the codec here, the distributed shape is
+    * unchanged). */
+  def mBinaryPipeline(s: SparkSession, dir: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[Payload]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.map { p =>
+          val bytes = p.text.getBytes(StandardCharsets.UTF_8)
+          md.reset()
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          // STUB decode: fake dims stand in for image width/height
+          Decoded(p.doc_id, bytes.length, hex, bytes.length % 640, bytes.length % 480)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: ListMap[String, Q] = ListMap(
+    "m_json_extract" -> (mJsonExtract _),
+    "m_binary_pipeline" -> (mBinaryPipeline _),
+  )
+
+  val oracles: ListMap[String, String] = ListMap(
+    "m_json_extract" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "m_binary_pipeline" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS payload_md5,
+        |  octet_length(encode(text)) % 640 AS width,
+        |  octet_length(encode(text)) % 480 AS height
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** §2e text analysis over the documents table — the language-ID /
+  * quality / token-count / fingerprint stages of a training-data
+  * pipeline. Everything is per-row array/regex built-ins (whole-stage
+  * codegen, zero UDFs, zero shuffles until the final rollups), so the
+  * plans scale linearly with document count.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Marker lexicons per language (drawn from the corpus vocabulary;
+    * the operator contract is the deterministic argmax scoring, not a
+    * linguistic claim). */
+  private val Markers: ListMap[String, Seq[String]] = ListMap(
+    "de" -> Seq("row", "batch", "scan"),
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("table", "data", "value"),
+    "fr" -> Seq("join", "hash", "merge"),
+    "zh" -> Seq("stream", "window", "query"))
+
+  private def tokens: Column = split(col("text"), " ")
+
+  private def markerScore(words: Seq[String]): Column =
+    size(filter(tokens, t => t.isInCollection(words)))
+
+  /** Marker-word language ID: per-language token-occurrence score,
+    * argmax with lexicographic tie-break (explode + row_number so the
+    * tie rule is explicit and identical in the oracle). */
+  def xLangId(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir).select(
+      col("doc_id") +: Markers.toSeq.map { case (l, ws) => markerScore(ws).as(s"s_$l") }: _*)
+    val stackArgs = Markers.keys.map(l => s"'$l', s_$l").mkString(", ")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand_lang"))
+    scored
+      .select(col("doc_id"),
+        expr(s"stack(${Markers.size}, $stackArgs)").as(Seq("cand_lang", "score")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality features + composite score: token count, stopword ratio,
+    * punctuation ratio, mean word length. All ratios computed in
+    * explicit double arithmetic so Spark and DuckDB agree bit-for-bit
+    * after 4dp rounding. */
+  def xQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens).cast("double")
+    val stopRatio = size(filter(tokens, t => t.isInCollection(Seq("the", "a")))).cast("double") / nTok
+    val punctRatio = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double") /
+      length(col("text")).cast("double")
+    val meanWordLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+    val quality = least(nTok, lit(100.0)) / lit(100.0) *
+      (lit(1.0) - stopRatio) * (lit(1.0) - punctRatio)
+    Tables.documents(s, dir).select(
+      col("doc_id"), size(tokens).as("n_tokens"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(meanWordLen, 4).as("mean_word_len"),
+      round(quality, 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Whitespace + BPE-ish regex token counts, rolled up per language. */
+  def xTokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), size(tokens).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("re_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("re_tokens")).as("total_re_tokens"),
+        round(avg(col("ws_tokens")), 4).as("avg_ws_tokens"))
+      .orderBy(col("lang"))
+
+  /** Canonicalization fingerprint: md5 of lowercased,
+    * whitespace-collapsed text → dup groups (keep min doc_id). */
+  def xFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("keep_id"))
+
+  /** Winnowing document sketches (Schleimer et al., MOSS): char
+    * 8-gram hashes, window-4 minima, distinct — all per-row array
+    * ops; the sketch explodes to (doc_id, sketch_hash) rows.
+    * Rows-only oracle; containment properties pinned in TextSpec. */
+  def xWinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val w = 4
+    Tables.documents(s, dir)
+      .withColumn("grams", expr(
+        s"transform(sequence(1, greatest(length(text) - $k + 1, 1)), " +
+          s"i -> xxhash64(substring(text, i, $k)))"))
+      .withColumn("sketch", expr(
+        s"array_distinct(transform(sequence(1, greatest(size(grams) - $w + 1, 1)), " +
+          s"j -> array_min(slice(grams, j, $w))))"))
+      .select(col("doc_id"), explode(col("sketch")).as("sketch_hash"))
+      .orderBy(col("doc_id"), col("sketch_hash"))
+  }
+
+  val queries: ListMap[String, Q] = ListMap(
+    "x_lang_id" -> (xLangId _),
+    "x_quality_score" -> (xQualityScore _),
+    "x_token_count" -> (xTokenCount _),
+    "x_fingerprint" -> (xFingerprint _),
+    "x_winnow_fingerprint" -> (xWinnowFingerprint _),
+  )
+
+  private def scoreSql(l: String): String = {
+    val list = Markers(l).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), w -> w IN ($list))) AS s_$l"
+  }
+
+  val oracles: ListMap[String, String] = ListMap(
+    "x_lang_id" -> {
+      val scores = Markers.keys.map(scoreSql).mkString(",\n  ")
+      val unions = Markers.keys.map(l =>
+        s"SELECT doc_id, '$l' AS cand_lang, s_$l AS score FROM s").mkString("\n  UNION ALL ")
+      s"""WITH s AS (SELECT doc_id,
+         |  $scores
+         |FROM documents),
+         |u AS (
+         |  $unions),
+         |r AS (SELECT doc_id, cand_lang, score,
+         |        row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY score DESC, cand_lang) AS rn
+         |      FROM u)
+         |SELECT doc_id, cand_lang AS pred_lang, score FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin
+    },
+    "x_quality_score" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  round(CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |  round(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+        |    / length(text), 4) AS punct_ratio,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 4) AS mean_word_len,
+        |  round(least(CAST(len(string_split(text, ' ')) AS DOUBLE), 100.0) / 100.0
+        |    * (1.0 - CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')))
+        |    * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+        |        / length(text)), 4) AS quality
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "x_token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' '))) AS total_ws_tokens,
+        |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS total_re_tokens,
+        |  round(avg(len(string_split(text, ' '))), 4) AS avg_ws_tokens
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "x_fingerprint" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY keep_id""".stripMargin,
+    // x_winnow_fingerprint: rows-only (hash-seeded sketch; properties
+    // asserted in TextSpec instead).
+  )
+}
