@@ -2,31 +2,51 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{BloomMightContain, NextCronTimes}
+import graft.functions._
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * Catalyst expressions as SQL functions. Wired into every session by
   * Sessions.build via spark.sql.extensions, so operators can use them
-  * through expr("cron_times(...)") — the idiomatic extension route,
-  * no function-registry poking per call site.
+  * through expr("...") — the idiomatic extension route, no
+  * function-registry poking per call site.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cron_times"),
-      new ExpressionInfo(classOf[NextCronTimes].getName, "cron_times"),
-      (children: Seq[Expression]) => {
-        require(children.length == 3, "cron_times(cron, start, end)")
-        NextCronTimes(children(0), children(1), children(2))
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("bloom_might_contain"),
-      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
-      (children: Seq[Expression]) => {
-        require(children.length == 3, "bloom_might_contain(bloom, p1, p2)")
-        BloomMightContain(children(0), children(1), children(2))
-      }))
+    def register(name: String, clazz: Class[_])(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), builder))
+
+    register("cron_times", classOf[NextCronTimes]) { c =>
+      require(c.length == 3, "cron_times(cron, start, end)")
+      NextCronTimes(c(0), c(1), c(2))
+    }
+    register("bloom_might_contain", classOf[BloomMightContain]) { c =>
+      require(c.length == 3, "bloom_might_contain(bloom, p1, p2)")
+      BloomMightContain(c(0), c(1), c(2))
+    }
+    register("cosine_similarity", classOf[CosineSimilarity]) { c =>
+      require(c.length == 2, "cosine_similarity(a, b)")
+      CosineSimilarity(c(0), c(1))
+    }
+    register("hyperplane_lsh", classOf[HyperplaneLsh]) { c =>
+      require(c.length == 3, "hyperplane_lsh(vec, seed, bits)")
+      HyperplaneLsh(c(0), litInt(c(1), "seed"), litInt(c(2), "bits"))
+    }
+    register("minhash_signature", classOf[MinHashSignature]) { c =>
+      require(c.length == 3, "minhash_signature(hashes, numPerms, seed)")
+      MinHashSignature(c(0), litInt(c(1), "numPerms"), litInt(c(2), "seed"))
+    }
+    register("simhash64", classOf[SimHash64]) { c =>
+      require(c.length == 1, "simhash64(tokens)")
+      SimHash64(c(0))
+    }
   }
 }

@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap.empty[String, (SparkSession, String) => DataFrame] ++
       RelationalOps.queries ++ TimerOps.queries ++ CronOps.queries ++
-      BloomOps.queries ++ TextOps.queries ++ MultimodalOps.queries
+      BloomOps.queries ++ TextOps.queries ++ MultimodalOps.queries ++
+      DedupOps.queries ++ SimilarityOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     ListMap.empty[String, String] ++
       RelationalOps.oracles ++ TimerOps.oracles ++ CronOps.oracles ++
-      BloomOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles
+      BloomOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles ++
+      DedupOps.oracles ++ SimilarityOps.oracles
 }

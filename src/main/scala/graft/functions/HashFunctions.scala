@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** minhash_signature(hashes) → array<long>: NumPerms-permutation
+  * MinHash signature from an array of 32-bit-ish element hashes.
+  * Permutation p is h ↦ (a_p·h + b_p) mod M31 with M31 = 2^31−1
+  * (products of two sub-2^31 values stay inside a long), (a_p, b_p)
+  * generated deterministically from the fixed seed — every executor
+  * derives identical permutations. One pass over the input per
+  * signature: O(|shingles|·perms) with zero allocation beyond the
+  * 64-long output.
+  */
+case class MinHashSignature(child: Expression, numPerms: Int, seed: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val M31 = 2147483647L // 2^31 - 1, prime
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType | IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_signature expects array<long|int>, got $t")
+  }
+
+  @transient private[this] lazy val ab: (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(seed)
+    val a = Array.fill(numPerms)(1L + (rnd.nextLong().abs % (M31 - 1)))
+    val b = Array.fill(numPerms)(rnd.nextLong().abs % M31)
+    (a, b)
+  }
+
+  private val isInt = child.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val (a, b) = ab
+    val sig = Array.fill(numPerms)(M31)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val raw = if (isInt) hs.getInt(i).toLong else hs.getLong(i)
+      val h = java.lang.Math.floorMod(raw, M31)
+      var p = 0
+      while (p < numPerms) {
+        val v = (a(p) * h + b(p)) % M31
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** simhash64(tokens) → long: 64-bit SimHash over an array of string
+  * tokens (Charikar). Each token is hashed to 64 bits (FNV-1a — pure
+  * public-domain arithmetic, identical on every JVM); bit j of the
+  * result is the sign of the ±1 vote sum over tokens. Unigram
+  * multiset → order-invariant, robust to permutation near-dups.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string>, got $t")
+  }
+
+  private def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xff)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val h = fnv1a64(toks.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** §2c deduplication family over the documents table — the exact and
+  * near-dup stages of a training-data pipeline.
+  *
+  * Scale design (SURVEY §5): nothing here is all-pairs except the
+  * ngram-Jaccard ORACLE (bounded to oracle scale by design —
+  * SURVEY.md:202). Exact dedup is a hash groupBy; MinHash-LSH
+  * compares only band-bucket collisions (shuffle on band key);
+  * SimHash blocks on rotated 16-bit bands — both stay
+  * candidates ∝ collisions, not n².
+  */
+object DedupOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Word 3-gram shingle strings per doc (distinct). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"))
+
+  /** Exact dedup: md5 hash-groupBy, keep min doc_id. One shuffle on
+    * the 128-bit fingerprint; at 100 TB this is the canonical
+    * first-pass dedup. */
+  def dExactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("keep_id"))
+
+  /** Exact word-3-gram Jaccard ≥ 0.5 pairs: shingle explode +
+    * self-join on shingle + group-count, J = |∩|/(|A|+|B|−|∩|).
+    * The exact (quadratic-ish) oracle for the LSH operators —
+    * production path is d_minhash_lsh. */
+  def dNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash(64 perms) + banded LSH (8 bands × 8 rows) candidate
+    * pairs, exact-Jaccard verified ≥ 0.5. Candidates come ONLY from
+    * band-bucket collisions (join on band key) — never all-pairs.
+    * Rows-only oracle; recall vs d_ngram_jaccard pinned in DedupSpec. */
+  def dMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val bands = 8
+    val rows = 8
+    val sigs = shingled(s, dir)
+      .withColumn("hashes", expr("transform(shingles, x -> xxhash64(x))"))
+      .withColumn("sig", expr(s"minhash_signature(hashes, ${bands * rows}, 42)"))
+      .select(col("doc_id"), col("hashes"), col("sig"))
+
+    val banded = sigs.select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> struct(b as band_idx, xxhash64(concat_ws(',', slice(sig, b * $rows + 1, $rows))) as band_key))"))
+          .as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    cands
+      .join(sigs.select(col("doc_id").as("id_a"), col("hashes").as("h_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("hashes").as("h_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
+          size(array_union(col("h_a"), col("h_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** 64-bit SimHash, hamming ≤ 3 near-dup pairs via 16-bit
+    * rotate-band blocking: a pair within hamming 3 must agree exactly
+    * on ≥1 of the 4 bands (pigeonhole), so candidates are only
+    * band-value collisions. */
+  def dSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(s, dir)
+      .withColumn("sig", expr("simhash64(split(text, ' '))"))
+      .select(col("doc_id"), col("sig"))
+
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(expr("transform(sequence(0, 3), " +
+          "b -> struct(b as band_idx, shiftright(sig, b * 16) & 65535 as band_val))"))
+          .as("band"))
+      .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_val"))
+
+    banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding near-dup pairs, cosine ≥ 0.4 (exact; the vectors table
+    * is the small side — at 100 TB the LSH-bucketed s_ann_lsh shape
+    * replaces the pairwise scan). cosine_similarity is the codegen'd
+    * graft expression. */
+  def dEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", expr("cosine_similarity(a.embedding, b.embedding)"))
+      .filter(col("cos") >= 0.4)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val queries: ListMap[String, Q] = ListMap(
+    "d_exact_dedup" -> (dExactDedup _),
+    "d_ngram_jaccard" -> (dNgramJaccard _),
+    "d_minhash_lsh" -> (dMinhashLsh _),
+    "d_simhash" -> (dSimhash _),
+    "d_embed_cosine" -> (dEmbedCosine _),
+  )
+
+  val oracles: ListMap[String, String] = ListMap(
+    "d_exact_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY keep_id""".stripMargin,
+    "d_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, greatest(len(w) - 1, 2)),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |       FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b,
+        |  round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON i.id_a = sa.doc_id
+        |JOIN sizes sb ON i.id_b = sb.doc_id
+        |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // d_minhash_lsh, d_simhash: rows-only (hash-seeded); recall vs the
+    // exact oracle asserted in DedupSpec.
+    "d_embed_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+  )
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Correctness of the approximate dedup paths against their exact
+  * counterparts — the verification SURVEY §2c promises for the
+  * rows-only operators. */
+class DedupSpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val exact: Set[(Long, Long)] = pairs(DedupOps.dNgramJaccard(spark, sfDir))
+
+  test("minhash-lsh recall vs exact ngram-jaccard >= 0.9, no false positives") {
+    val lsh = pairs(DedupOps.dMinhashLsh(spark, sfDir))
+    assert(exact.nonEmpty, "corpus has no near-dup pairs — test data assumption broken")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
+    // candidates are exact-Jaccard verified, so no false positives
+    assert((lsh -- exact).isEmpty, s"unexpected pairs: ${(lsh -- exact).take(5)}")
+  }
+
+  test("simhash hamming<=3 pairs are high-jaccard near-dups") {
+    val sim = pairs(DedupOps.dSimhash(spark, sfDir))
+    assert(sim.nonEmpty, "simhash found no near-dup pairs")
+    // every simhash pair should be a real near-dup (precision vs exact)
+    val precision = (sim & exact).size.toDouble / sim.size
+    assert(precision >= 0.8, s"simhash precision $precision (${sim.size} pairs)")
+    // and it should recover a reasonable share of the exact pairs
+    val recall = (sim & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"simhash recall $recall")
+  }
+
+  test("exact dedup groups cover all docs exactly once") {
+    val out = DedupOps.dExactDedup(spark, sfDir).collect()
+    val total = out.map(_.getLong(2)).sum
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(total == nDocs, s"group sizes sum $total != $nDocs docs")
+  }
+}

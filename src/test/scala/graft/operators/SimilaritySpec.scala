@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** LSH-ANN quality vs the exact brute-force baseline (SURVEY §2d:
+  * recall ≥ 0.6 asserted). */
+class SimilaritySpec extends SparkSpec {
+
+  private def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  test("lsh ANN recall@10 >= 0.6 vs bruteforce") {
+    val exact = topk(SimilarityOps.sAnnBruteforce(spark, sfDir))
+    val approx = topk(SimilarityOps.sAnnLsh(spark, sfDir))
+    assert(exact.size == 5)
+    val recalls = exact.map { case (q, e) =>
+      val a = approx.getOrElse(q, Set.empty)
+      (e & a).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@10 $mean (per-query: ${recalls.toSeq.sorted})")
+  }
+
+  test("bruteforce ranks are dense 1..10 per query, cosine non-increasing") {
+    val rows = SimilarityOps.sAnnBruteforce(spark, sfDir)
+      .select("q_id", "rank", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 10), s"ranks not dense for q=$q")
+      assert(sorted.sliding(2).forall(p => p(0)._3 >= p(1)._3 - 1e-9),
+        s"cosine not non-increasing for q=$q")
+    }
+  }
+}
