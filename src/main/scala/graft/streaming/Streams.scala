@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** §2g Structured Streaming: the continuous half of the reference —
+  * Pulsar topics (gotimer_scheduler/mq/client.go producer/consumer)
+  * re-expressed as unbounded Datasets. A file/memory source stands in
+  * for the broker: same at-least-once, resume-from-offset semantics
+  * via checkpointing, no broker internals.
+  *
+  * Each job here has a batch twin verified against the DuckDB oracle
+  * (t_stream_window_agg, t_sessionize), and the streaming versions
+  * are spec-tested with MemoryStream (StreamingSpec).
+  */
+
+/** One event off the stream — the task message on the trigger topic. */
+case class TaskEvent(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** A fired task emitted by TimerFiring. */
+case class TaskFiring(timer_id: Long, minute_start: Timestamp, n_suppressed: Int)
+
+/** A closed session emitted by Sessionizer. */
+case class Session(timer_id: Long, session_start: Timestamp, session_end: Timestamp,
+    n_events: Long, total_value: Double)
+
+private case class FiringState(firedMinutes: Set[Long])
+private case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+
+object Streams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** MQ-consumer analog: an unbounded stream of task events from a
+    * directory of parquet/json drops (the scheduler-topic). Schema is
+    * pinned — streaming sources never infer. */
+  def eventStream(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
+    spark.readStream.schema(eventSchema).format(format).load(dir)
+
+  /** Watermarked tumbling-window counts — the trigger's per-minute
+    * shard aggregation, continuously. 10-min watermark bounds state;
+    * partial aggregation applies exactly as in batch. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Per-timer idempotent firing — the executor's dedup-then-fire
+    * (bloom + unique index) as keyed state: first event of a
+    * (timer, minute) fires, repeats are counted as suppressed.
+    * State is the set of fired minute-stamps per timer (bounded in
+    * production by watermark-driven eviction; capped here). */
+  def timerFiring(events: Dataset[TaskEvent]): Dataset[TaskFiring] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (timerId: Long, it: Iterator[TaskEvent], state: GroupState[FiringState]) => {
+          val prev = state.getOption.getOrElse(FiringState(Set.empty))
+          var fired = prev.firedMinutes
+          val out = scala.collection.mutable.ArrayBuffer.empty[TaskFiring]
+          val byMinute = it.toSeq.groupBy(e => e.ts.getTime / 60000L)
+          byMinute.toSeq.sortBy(_._1).foreach { case (minute, evs) =>
+            if (!fired.contains(minute)) {
+              fired += minute
+              out += TaskFiring(timerId, new Timestamp(minute * 60000L), evs.size - 1)
+            } else {
+              out += TaskFiring(timerId, new Timestamp(minute * 60000L), evs.size)
+            }
+          }
+          // cap state (production: evict below watermark)
+          state.update(FiringState(fired.toSeq.sorted.takeRight(10000).toSet))
+          out.iterator
+        })
+  }
+
+  /** Gap-based sessionization (30-min) with per-timer state — the
+    * stateful twin of TimerOps.tSessionize. A session closes when a
+    * later event arrives past the gap (or on event-time timeout). */
+  def sessionizer(events: Dataset[TaskEvent],
+      gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (timerId: Long, it: Iterator[TaskEvent], state: GroupState[SessionState]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          if (state.hasTimedOut) {
+            state.getOption.foreach { s =>
+              out += Session(timerId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
+            }
+            state.remove()
+          } else {
+            var cur = state.getOption
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end > gapMs =>
+                  out += Session(timerId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+          }
+          out.iterator
+        })
+  }
+}

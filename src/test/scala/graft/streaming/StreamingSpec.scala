@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** §2g streaming jobs driven through MemoryStream — the unbounded
+  * path is exercised for real (triggers, state, watermarks), and
+  * WindowedCounts is cross-checked against its batch twin. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, uid: Long, typ: String = "click",
+      v: Double = 1.0): TaskEvent = TaskEvent(id, ts(t), uid, typ, v)
+
+  test("windowedCounts matches its batch twin on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      ev(1, "2024-01-15 00:01:00", 1), ev(2, "2024-01-15 00:02:00", 1),
+      ev(3, "2024-01-15 00:06:00", 2, "view"), ev(4, "2024-01-15 00:13:00", 1),
+      ev(5, "2024-01-15 00:14:30", 2, "view"))
+
+    val mem = MemoryStream[TaskEvent]
+    val q = Streams.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("update").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("wc")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = events.toDF()
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("window.start"), col("event_type"), col("n"), col("v"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
+  test("timerFiring: first event per (timer, minute) fires, repeats suppressed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TaskEvent]
+    val q = Streams.timerFiring(mem.toDS())
+      .writeStream.format("memory").queryName("tf").outputMode("append").start()
+    // same minute twice for timer 1, one for timer 2
+    mem.addData(ev(1, "2024-01-15 00:01:10", 1), ev(2, "2024-01-15 00:01:40", 1),
+      ev(3, "2024-01-15 00:02:00", 2))
+    q.processAllAvailable()
+    // replay of the same minute for timer 1 in a later batch → suppressed
+    mem.addData(ev(4, "2024-01-15 00:01:55", 1))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("tf")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(2)))
+    val t1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(t1.length == 2, s"$t1")
+    assert(t1(0) == ((1L, "2024-01-15 00:01:00.0", 1)), s"first firing: ${t1(0)}")
+    assert(t1(1) == ((1L, "2024-01-15 00:01:00.0", 1)), s"replay suppressed: ${t1(1)}")
+    assert(rows.count(_._1 == 2L) == 1)
+  }
+
+  test("sessionizer: 30-min gap closes a session; next event opens a new one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TaskEvent]
+    val q = Streams.sessionizer(mem.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    mem.addData(ev(1, "2024-01-15 00:00:00", 7, v = 2.0),
+      ev(2, "2024-01-15 00:05:00", 7, v = 3.0))
+    q.processAllAvailable()
+    // 40 minutes later → closes the first session
+    mem.addData(ev(3, "2024-01-15 00:45:00", 7, v = 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sess").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(3), r.getDouble(4)))
+    assert(sessions.contains(
+      (7L, "2024-01-15 00:00:00.0", "2024-01-15 00:05:00.0", 2L, 5.0)),
+      s"closed session missing from ${sessions.toSeq}")
+  }
+
+  test("eventStream reads a parquet drop directory with the pinned schema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    Seq(ev(1, "2024-01-15 00:01:00", 1), ev(2, "2024-01-15 00:02:00", 2))
+      .toDS().write.mode("overwrite").parquet(dir)
+    val q = Streams.eventStream(spark, dir)
+      .writeStream.format("memory").queryName("es")
+      .option("checkpointLocation", ck).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("es").count() == 2)
+    assert(spark.table("es").schema == Streams.eventSchema)
+  }
+}
