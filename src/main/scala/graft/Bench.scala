@@ -31,8 +31,11 @@ object Bench {
     // Warmup: trigger codegen + executor spin-up outside any timing.
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
-    val toRun = headline.filter(SparkEntry.queries.contains) ++
-      SparkEntry.queries.keys.filterNot(headline.contains)
+    // Headline set only (SURVEY §6): the full inventory runs under the
+    // sf0.01 correctness gate; the bench excludes the one deliberately
+    // oracle-scale-only operator (d_ngram_jaccard — quadratic-ish by
+    // design, production path is d_minhash_lsh).
+    val toRun = headline.filter(SparkEntry.queries.contains)
     val results = toRun.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -34,11 +34,22 @@ object BloomOps {
     val keyed = Tables.events(s, dir)
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), unionKey().as("k"))
 
+    // day filter BEFORE the aggregate: only the probed day's bitset is
+    // built (one 512 KB buffer per partition, not one per day×partition)
+    // and the ts predicate pushes down to the parquet scan.
     val blooms = keyed
+      .filter(col("day") === ProbeDay)
       .groupBy(col("day"))
       .agg(agg(BloomFunctions.bloomPos1(col("k"), M),
         BloomFunctions.bloomPos2(col("k"), M)).as("bloom"))
-      .filter(col("day") === ProbeDay)
+
+    // The day's bloom is ONE aggregated row — collect it and probe
+    // against a binary literal. Joining it as a column would copy the
+    // 512 KB bitset into every probe's UnsafeRow (gigabytes of memcpy
+    // at bench scale); as a literal it is referenced once per task,
+    // the exact shape of the reference's centralized Redis bitmap
+    // probed per task (filter.go Exist).
+    val bloomBytes = blooms.select(col("bloom")).head().getAs[Array[Byte]](0)
 
     val dayEvents = Tables.events(s, dir)
       .filter(date_format(col("ts"), "yyyy-MM-dd") === ProbeDay)
@@ -46,9 +57,9 @@ object BloomOps {
       .union(dayEvents.select(
         concat_ws("_", col("user_id"), unix_millis(col("ts")) + 1).as("probe_key")))
       .distinct()
-      .withColumn("day", lit(ProbeDay))
 
-    probes.join(broadcast(blooms), "day")
+    probes
+      .select(col("probe_key"), lit(bloomBytes).as("bloom"))
       .select(col("probe_key"),
         expr(s"bloom_might_contain(bloom, " +
           s"pmod(cast(conv(substring(sha1(cast(probe_key as binary)), 1, 15), 16, 10) as bigint), ${M}L), " +

@@ -69,10 +69,14 @@ object DedupOps {
   def dMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val bands = 8
     val rows = 8
+    // cache: the shingle→hash→signature projection feeds the band
+    // explode AND both sides of the verify join — without it the
+    // dominant compute runs 3× (at 100 TB: persist to disk/checkpoint)
     val sigs = shingled(s, dir)
       .withColumn("hashes", expr("transform(shingles, x -> xxhash64(x))"))
       .withColumn("sig", expr(s"minhash_signature(hashes, ${bands * rows}, 42)"))
       .select(col("doc_id"), col("hashes"), col("sig"))
+      .cache()
 
     val banded = sigs.select(col("doc_id"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), " +
