@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // derive pushable raw-nanos bounds through the events-table
+    // timestamp reconstruction (see NanosTimestampPushdown doc)
+    ext.injectOptimizerRule(_ => graft.plans.NanosTimestampPushdown)
+
     def register(name: String, clazz: Class[_])(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(clazz.getName, name), builder))

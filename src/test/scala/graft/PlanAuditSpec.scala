@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+import graft.operators._
+
+/** Physical-plan audit (SURVEY §6): the properties that make these
+  * operators scale are asserted on the actual plans, so a regression
+  * that silently de-optimizes (lost pushdown, broadcast degrading to
+  * shuffle, top-k degrading to global sort) fails CI.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Static physical plan (pre-AQE) — join strategies + scans. */
+  private def plan(df: DataFrame): String = df.queryExecution.sparkPlan.toString
+
+  /** Full pushed-filter metadata of every parquet scan in the plan
+    * (the toString rendering truncates it). */
+  private def pushed(df: DataFrame): String =
+    df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f.metadata.getOrElse("PushedFilters", "")
+    }.mkString(";")
+
+  /** Columns actually read from parquet. */
+  private def readSchema(df: DataFrame): String =
+    df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f.metadata.getOrElse("ReadSchema", "")
+    }.mkString(";")
+
+  test("q1: shipdate predicate pushed to parquet scan; partial aggregation; pruned columns") {
+    val df = RelationalOps.q1Agg(spark, sfDir)
+    assert(pushed(df).contains("LessThanOrEqual(l_shipdate"), pushed(df))
+    assert(plan(df).contains("partial_sum"), plan(df))
+    // projection pruning: 16-column table, only the 7 used reach the scan
+    assert(!readSchema(df).contains("l_orderkey"), readSchema(df))
+  }
+
+  test("q2: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(plan(RelationalOps.q2Topk(spark, sfDir)).contains("TakeOrderedAndProject"))
+  }
+
+  test("q3: dimension joins are broadcast, not shuffled") {
+    assert(plan(RelationalOps.q3BroadcastJoin(spark, sfDir)).contains("BroadcastHashJoin"))
+  }
+
+  test("q6: all three predicates reach the scan") {
+    val p = pushed(RelationalOps.q6FilterAgg(spark, sfDir))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount"), p)
+    assert(p.contains("LessThan(l_quantity"), p)
+  }
+
+  test("q7/q8: semi and anti joins plan as semi/anti, not inner+dedup") {
+    assert(plan(RelationalOps.q7SemiJoin(spark, sfDir)).contains("LeftSemi"))
+    assert(plan(RelationalOps.q8AntiJoin(spark, sfDir)).contains("LeftAnti"))
+  }
+
+  test("q10: per-group top-N uses WindowGroupLimit (rank pushdown), one shuffle") {
+    val p = plan(RelationalOps.q10WindowRank(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("t_minute: partial-agg pipeline, minimal shuffles") {
+    val p = plan(TimerOps.tMinuteTaskCnt(spark, sfDir))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.split("Exchange").length - 1 <= 2, p) // agg + final sort only
+  }
+
+  test("t_pending_overdue: paged scan is a top-k; raw-nanos time bound pushed") {
+    val df = TimerOps.tPendingOverdue(spark, sfDir)
+    assert(plan(df).contains("TakeOrderedAndProject"), plan(df))
+    // NanosTimestampPushdown derives ns < 1000·C on the raw long column
+    assert(pushed(df).contains("LessThan(ts"), pushed(df))
+  }
+
+  test("t_time_window_slice: both range bounds pushed to the events scan as raw nanos") {
+    val df = TimerOps.tTimeWindowSlice(spark, sfDir)
+    val p = pushed(df)
+    assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"), p)
+  }
+
+  test("s_ann_bruteforce: query set broadcast; cosine inside whole-stage codegen") {
+    val df = SimilarityOps.sAnnBruteforce(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("cosine_similarity"), p)
+    df.collect() // finalize AQE
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+    assert(finalPlan.contains("*("), "no WholeStageCodegen stage markers:\n" + finalPlan)
+  }
+
+  test("d_minhash_lsh: candidates from an equi-join on band keys, never cartesian") {
+    val p = plan(DedupOps.dMinhashLsh(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("band_idx") && p.contains("band_key"), p)
+  }
+
+  test("d_simhash: banded blocking equi-join, never cartesian") {
+    assert(!plan(DedupOps.dSimhash(spark, sfDir)).contains("CartesianProduct"))
+  }
+
+  test("m_json_extract: no shuffle except the deterministic output sort") {
+    val p = plan(MultimodalOps.mJsonExtract(spark, sfDir))
+    assert(p.split("Exchange").length - 1 <= 1, p)
+  }
+}
