@@ -41,10 +41,17 @@ object NanosTimestampPushdown extends Rule[LogicalPlan] {
 
   private def micros(l: Literal): Long = l.value.asInstanceOf[Long]
 
+  /** Top-level conjuncts only — deriving from inside an OR / NOT
+    * branch and conjoining it would strengthen the filter incorrectly. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
   private def derive(cond: Expression): Seq[Expression] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Expression]
     def nsLit(v: Long): Literal = Literal(v, LongType)
-    cond.foreach {
+    conjuncts(cond).foreach {
       case LessThan(NanosToTs(a), l @ Literal(_, TimestampType)) =>
         out += LessThan(a, nsLit(micros(l) * 1000L))
       case GreaterThanOrEqual(NanosToTs(a), l @ Literal(_, TimestampType)) =>

@@ -85,12 +85,25 @@ object Streams {
         })
   }
 
+  // Session state tracks MICROSECONDS — Timestamp.getTime is
+  // millis-only and would silently truncate the event table's µs
+  // precision, diverging from the batch twin (caught by
+  // TwinConsistencySpec).
+  private def toMicros(t: Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Gap-based sessionization (30-min) with per-timer state — the
     * stateful twin of TimerOps.tSessionize. A session closes when a
     * later event arrives past the gap (or on event-time timeout). */
   def sessionizer(events: Dataset[TaskEvent],
       gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
@@ -99,16 +112,16 @@ object Streams {
           val out = scala.collection.mutable.ArrayBuffer.empty[Session]
           if (state.hasTimedOut) {
             state.getOption.foreach { s =>
-              out += Session(timerId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
+              out += Session(timerId, fromMicros(s.start), fromMicros(s.end), s.n, s.sum)
             }
             state.remove()
           } else {
             var cur = state.getOption
-            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
+            it.toSeq.sortBy(e => toMicros(e.ts)).foreach { e =>
+              val t = toMicros(e.ts)
               cur match {
-                case Some(s) if t - s.end > gapMs =>
-                  out += Session(timerId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
+                case Some(s) if t - s.end > gapUs =>
+                  out += Session(timerId, fromMicros(s.start), fromMicros(s.end), s.n, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(s) =>
                   cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
@@ -118,7 +131,7 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+              state.setTimeoutTimestamp((s.end + gapUs) / 1000L)
             }
           }
           out.iterator

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.operators.TimerOps
+
+/** SURVEY §2g contract: each streaming job has a batch twin verified
+  * against the DuckDB oracle. Here the streaming jobs run over the
+  * REAL sf0.001 events table (via MemoryStream) and must agree with
+  * their oracle-verified batch twins. */
+class TwinConsistencySpec extends SparkSpec {
+
+  private lazy val events: Seq[TaskEvent] = {
+    Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => TaskEvent(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .toSeq
+  }
+
+  test("streaming windowedCounts == batch t_stream_window_agg on sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TaskEvent]
+    val q = Streams.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("twin_wc").outputMode("update").start()
+    events.grouped(300).foreach(b => mem.addData(b: _*))
+    q.processAllAvailable()
+    q.stop()
+
+    // update mode re-emits a window per trigger with its cumulative
+    // state — the final (= max, counts only grow) emit is the total
+    val streamed = spark.table("twin_wc")
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(max(col("n_events")).as("n"), round(max(col("total_value")), 4).as("v"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val batch = TimerOps.tStreamWindowAgg(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
+  test("streaming sessionizer closed sessions ⊂ batch t_sessionize on sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TaskEvent]
+    val q = Streams.sessionizer(mem.toDS())
+      .writeStream.format("memory").queryName("twin_sess").outputMode("append").start()
+    events.sortBy(_.ts.getTime).grouped(300).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = spark.table("twin_sess").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val batch = TimerOps.tSessionize(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4)))
+      .toSet
+
+    // the stream only emits CLOSED sessions (tail sessions are still in
+    // state / pending timeout) — every emitted session must be a batch
+    // session, and most batch sessions must have been emitted
+    val missing = streamed -- batch
+    assert(missing.isEmpty, s"streamed sessions not in batch: ${missing.take(3)}")
+    assert(streamed.size >= batch.size / 2,
+      s"only ${streamed.size} of ${batch.size} sessions closed")
+  }
+}
