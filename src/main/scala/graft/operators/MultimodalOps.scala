@@ -79,9 +79,10 @@ object MultimodalOps {
         |FROM events
         |ORDER BY event_id""".stripMargin,
     "m_binary_pipeline" ->
-      """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS payload_md5,
-        |  octet_length(encode(text)) % 640 AS width,
-        |  octet_length(encode(text)) % 480 AS height
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  md5(text) AS payload_md5,
+        |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |  CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
   )

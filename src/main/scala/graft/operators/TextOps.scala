@@ -159,8 +159,8 @@ object TextOps {
         |ORDER BY doc_id""".stripMargin,
     "x_token_count" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(len(string_split(text, ' '))) AS total_ws_tokens,
-        |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS total_re_tokens,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_re_tokens,
         |  round(avg(len(string_split(text, ' '))), 4) AS avg_ws_tokens
         |FROM documents
         |GROUP BY lang
