@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** winnow_sketch(text) → array<long>: winnowing document sketch
+  * (Schleimer, Wilkerson, Aiken — the MOSS fingerprinting paper):
+  * Karp-Rabin rolling hash over char k-grams, minimum per sliding
+  * window of w hashes, distinct minima.
+  *
+  * Single O(n) pass: the rolling hash updates in O(1) per char and a
+  * monotonic deque yields each window minimum in amortized O(1). The
+  * array-built-ins formulation of the same sketch
+  * (transform+slice+array_min) turned quadratic once Catalyst
+  * collapsed the gram array into the window lambda — recomputing
+  * every gram per window — which is why this is a native expression.
+  */
+case class WinnowSketch(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"winnow_sketch expects string, got $t")
+  }
+
+  private val Base = 1000003L
+  // Base^(k-1) for removing the outgoing char (wraparound arithmetic)
+  private val BasePowK1: Long = {
+    var p = 1L
+    var i = 0
+    while (i < k - 1) { p *= Base; i += 1 }
+    p
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+
+    val nGrams = n - k + 1
+    val hashes = new Array[Long](nGrams)
+    // Karp-Rabin: h_0 = Σ b_i·Base^(k-1-i); h_{j+1} = (h_j − b_j·Base^(k-1))·Base + b_{j+k}
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * Base + (bytes(i) & 0xff); i += 1 }
+    hashes(0) = h
+    var j = 1
+    while (j < nGrams) {
+      h = (h - (bytes(j - 1) & 0xff) * BasePowK1) * Base + (bytes(j + k - 1) & 0xff)
+      hashes(j) = h
+      j += 1
+    }
+
+    // sliding-window minimum via monotonic index deque
+    val nWin = math.max(nGrams - w + 1, 1)
+    val winW = math.min(w, nGrams)
+    val out = new java.util.LinkedHashSet[Long]()
+    val deque = new java.util.ArrayDeque[Int]()
+    var idx = 0
+    while (idx < nGrams) {
+      while (!deque.isEmpty && hashes(deque.peekLast()) >= hashes(idx)) deque.pollLast()
+      deque.addLast(idx)
+      if (deque.peekFirst() <= idx - winW) deque.pollFirst()
+      if (idx >= winW - 1) out.add(hashes(deque.peekFirst()))
+      idx += 1
+    }
+
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var o = 0
+    while (it.hasNext) { arr(o) = it.next(); o += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -94,22 +94,15 @@ object TextOps {
       .orderBy(col("keep_id"))
 
   /** Winnowing document sketches (Schleimer et al., MOSS): char
-    * 8-gram hashes, window-4 minima, distinct — all per-row array
-    * ops; the sketch explodes to (doc_id, sketch_hash) rows.
-    * Rows-only oracle; containment properties pinned in TextSpec. */
-  def xWinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val k = 8
-    val w = 4
+    * 8-gram Karp-Rabin rolling hashes, window-4 minima, distinct —
+    * via the single-pass winnow_sketch expression (the built-ins
+    * formulation went quadratic under projection collapse, see
+    * WinnowSketch doc). Rows-only oracle; containment properties
+    * pinned in TextSpec. */
+  def xWinnowFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("grams", expr(
-        s"transform(sequence(1, greatest(length(text) - $k + 1, 1)), " +
-          s"i -> xxhash64(substring(text, i, $k)))"))
-      .withColumn("sketch", expr(
-        s"array_distinct(transform(sequence(1, greatest(size(grams) - $w + 1, 1)), " +
-          s"j -> array_min(slice(grams, j, $w))))"))
-      .select(col("doc_id"), explode(col("sketch")).as("sketch_hash"))
+      .select(col("doc_id"), explode(expr("winnow_sketch(text, 8, 4)")).as("sketch_hash"))
       .orderBy(col("doc_id"), col("sketch_hash"))
-  }
 
   val queries: ListMap[String, Q] = ListMap(
     "x_lang_id" -> (xLangId _),
