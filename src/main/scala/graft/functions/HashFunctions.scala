@@ -36,7 +36,7 @@ case class MinHashSignature(child: Expression, numPerms: Int, seed: Int)
     (a, b)
   }
 
-  private val isInt = child.dataType match {
+  private lazy val isInt = child.dataType match {
     case ArrayType(IntegerType, _) => true
     case _ => false
   }

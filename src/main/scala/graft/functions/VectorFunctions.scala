@@ -118,7 +118,7 @@ case class HyperplaneLsh(child: Expression, seed: Int, bits: Int)
     planes
   }
 
-  private val isFloat = child.dataType match {
+  private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }

@@ -79,9 +79,74 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF-flavored ANN — the second scale path SURVEY §2d names:
+    * a coarse quantizer (k-means, nlist cells) trained once on a
+    * driver-side sample (here: the whole table — at 100 TB you train
+    * on ~100k sampled vectors, which is still driver-sized), vectors
+    * bucketed into cells by the NearestCentroid expression (one
+    * shuffle, reused by all queries), queries probing their nprobe
+    * nearest cells, exact re-rank inside the probed cells. */
+  def sAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val nlist = 16
+    val nprobe = 4
+
+    // --- train the coarse quantizer (deterministic: sorted init, L2 Lloyd) ---
+    val sample = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    var cents: Array[Array[Double]] = sample.take(nlist).map(_._2.clone())
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    def nearest(v: Array[Double]): Int = cents.indices.minBy(c => l2(v, cents(c)))
+    for (_ <- 1 to 5) {
+      val assigned = sample.groupBy { case (_, v) => nearest(v) }
+      cents = cents.indices.map { c =>
+        assigned.get(c) match {
+          case Some(members) =>
+            val dim = members.head._2.length
+            val mean = new Array[Double](dim)
+            members.foreach { case (_, v) => var i = 0; while (i < dim) { mean(i) += v(i); i += 1 } }
+            mean.map(_ / members.length)
+          case None => cents(c) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def cellOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ColumnBridge.column(graft.functions.NearestCentroid(
+        ColumnBridge.expression(c), cents.map(_.toSeq).toSeq))
+
+    val bucketed = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), cellOf(col("embedding")).as("cell"))
+
+    // nprobe nearest cells per query, computed on the tiny query set
+    val probeRows = sample.filter(_._1 < NumQueries).flatMap { case (qId, v) =>
+      cents.indices.sortBy(c => l2(v, cents(c))).take(nprobe).map(c => (qId, c))
+    }
+    val session = s
+    import session.implicits._
+    val probes = probeRows.toSeq.toDF("q_id", "cell")
+      .join(queryVecs(s, dir), "q_id")
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    probes.join(bucketed, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr("cosine_similarity(q_emb, embedding)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "s_ann_bruteforce" -> (sAnnBruteforce _),
     "s_ann_lsh" -> (sAnnLsh _),
+    "s_ann_ivf" -> (sAnnIvf _),
   )
 
   val oracles: ListMap[String, String] = ListMap(

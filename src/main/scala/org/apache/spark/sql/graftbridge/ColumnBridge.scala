@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's package-private Column↔Expression converters
+  * (Spark 4 moved Column onto ColumnNode; building a Column from a
+  * runtime-constructed Catalyst Expression — e.g. a NearestCentroid
+  * with centroids trained at plan time — goes through
+  * classic.ExpressionUtils, which is private[sql]). Standard
+  * extension-library technique; only public Spark APIs are re-exposed.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

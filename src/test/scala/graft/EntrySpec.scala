@@ -11,8 +11,8 @@ class EntrySpec extends SparkSpec {
   }
 
   test("inventory size matches SURVEY §2 (49 queries + 4 streaming components)") {
-    assert(SparkEntry.queries.size == 49, SparkEntry.queries.keys.mkString(","))
-    // 45 SQL-oracled + 4 rows-only (winnow, minhash, simhash, ann_lsh)
+    assert(SparkEntry.queries.size == 50, SparkEntry.queries.keys.mkString(","))
+    // 45 SQL-oracled + 5 rows-only (winnow, minhash, simhash, ann_lsh, ann_ivf)
     assert(SparkEntry.oracleSql.size == 45, s"${SparkEntry.oracleSql.size} oracles")
   }
 

@@ -10,6 +10,16 @@ class SimilaritySpec extends SparkSpec {
     df.select("q_id", "vec_id").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
 
+  test("ivf ANN recall@10 >= 0.6 vs bruteforce") {
+    val exact = topk(SimilarityOps.sAnnBruteforce(spark, sfDir))
+    val approx = topk(SimilarityOps.sAnnIvf(spark, sfDir))
+    val recalls = exact.map { case (q, e) =>
+      (e & approx.getOrElse(q, Set.empty)).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean IVF recall@10 $mean (per-query: ${recalls.toSeq.sorted})")
+  }
+
   test("lsh ANN recall@10 >= 0.6 vs bruteforce") {
     val exact = topk(SimilarityOps.sAnnBruteforce(spark, sfDir))
     val approx = topk(SimilarityOps.sAnnLsh(spark, sfDir))
