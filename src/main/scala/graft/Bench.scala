@@ -18,7 +18,7 @@ object Bench {
     "t_minute_task_cnt", "t_time_bucket_shard", "t_time_window_slice",
     "t_cron_expand", "t_bloom_filter",
     "d_exact_dedup", "d_minhash_lsh", "d_simhash",
-    "s_ann_bruteforce", "s_ann_lsh",
+    "s_ann_bruteforce", "s_ann_lsh", "s_ann_ivf",
     "x_lang_id", "x_quality_score", "x_token_count",
     "m_json_extract")
 

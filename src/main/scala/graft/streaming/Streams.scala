@@ -59,11 +59,19 @@ object Streams {
   /** Per-timer idempotent firing — the executor's dedup-then-fire
     * (bloom + unique index) as keyed state: first event of a
     * (timer, minute) fires, repeats are counted as suppressed.
-    * State is the set of fired minute-stamps per timer (bounded in
-    * production by watermark-driven eviction; capped here). */
-  def timerFiring(events: Dataset[TaskEvent]): Dataset[TaskFiring] = {
+    *
+    * State is the set of fired minute-stamps per timer, EVICTED below
+    * the event-time watermark: a replay older than the watermark can
+    * no longer arrive through the watermarked stream, so its dedup
+    * entry is dead weight. This bounds state to
+    * (watermark delay / 1 min) entries per timer — the streaming
+    * analog of the reference's per-day bloom expiry
+    * (dao/task/cache.go bloom key per day + Expire). */
+  def timerFiring(events: Dataset[TaskEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[TaskFiring] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (timerId: Long, it: Iterator[TaskEvent], state: GroupState[FiringState]) => {
@@ -79,8 +87,8 @@ object Streams {
               out += TaskFiring(timerId, new Timestamp(minute * 60000L), evs.size)
             }
           }
-          // cap state (production: evict below watermark)
-          state.update(FiringState(fired.toSeq.sorted.takeRight(10000).toSet))
+          val watermarkMinute = state.getCurrentWatermarkMs() / 60000L
+          state.update(FiringState(fired.filter(_ >= watermarkMinute)))
           out.iterator
         })
   }
