@@ -41,26 +41,32 @@ object Bench {
     // engine throughput); run 2 is the steady-state the engine
     // delivers on a long-lived cluster. "queries"/"value" report
     // steady-state; "cold_sec" keeps the first-run total honest.
+    // A failed query must NOT masquerade as a fast one (ADVICE r2 #3):
+    // its per-query value is emitted as -1 and it's listed in "failed",
+    // so the driver can't mistake a crash for throughput.
     val results = toRun.map { name =>
       val fn = SparkEntry.queries(name)
-      def once(): Double = {
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val cold = once()
-      val warm = once()
-      (name, warm, cold)
+      val (cold, okCold) = once()
+      val (warm, okWarm) = once()
+      (name, warm, cold, okCold && okWarm)
     }
-    val qs = results.map { case (k, w, _) => "\"" + k + "\":" + f"$w%.3f" }
+    val qs = results.map { case (k, w, _, ok) =>
+      "\"" + k + "\":" + (if (ok) f"$w%.3f" else "-1") }
       .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
-    val coldTotal = f"${results.map(_._3).sum}%.3f"
+    val failed = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = f"${results.filter(_._4).map(_._2).sum}%.3f"
+    val coldTotal = f"${results.filter(_._4).map(_._3).sum}%.3f"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""cold_sec":$coldTotal,"sf":"$sfDir"}"""
+      s""""failed":$failed,"cold_sec":$coldTotal,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), line + "\n")

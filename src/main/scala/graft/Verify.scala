@@ -36,6 +36,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full query inventory, so the checker can flag a rows-only query
+    // that crashed before writing its dump (ADVICE r2 #5) — otherwise
+    // it would just silently vanish from the report.
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

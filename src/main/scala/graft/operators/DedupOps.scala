@@ -167,7 +167,7 @@ object DedupOps {
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |         range(1, greatest(len(w) - 1, 2)),
-        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |         i -> array_to_string(list_slice(w, i, i+2), ' ')))) AS shingle
         |       FROM t),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter

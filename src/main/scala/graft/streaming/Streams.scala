@@ -107,7 +107,19 @@ object Streams {
 
   /** Gap-based sessionization (30-min) with per-timer state — the
     * stateful twin of TimerOps.tSessionize. A session closes when a
-    * later event arrives past the gap (or on event-time timeout). */
+    * later event arrives past the gap (or on event-time timeout).
+    *
+    * Out-of-order events admitted within the watermark (ADVICE r2 #2):
+    * an event landing inside-or-adjacent-to the open session's extent
+    * MERGES it (session_start lowers via min, end raises via max, gap
+    * evaluated against the merged extent) — matching the batch twin,
+    * which sorts globally before splitting. An event more than a gap
+    * EARLIER than the open session's start is emitted as its own
+    * already-closed session: the batch twin would split there too, but
+    * if still-older events arrive later inside the watermark the batch
+    * twin could merge them with it — the one remaining (documented)
+    * divergence; exact replay requires buffering the full event set,
+    * which is what the batch twin is for. */
   def sessionizer(events: Dataset[TaskEvent],
       gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -129,10 +141,17 @@ object Streams {
               val t = toMicros(e.ts)
               cur match {
                 case Some(s) if t - s.end > gapUs =>
+                  // past the gap AFTER the session: close it, start anew
                   out += Session(timerId, fromMicros(s.start), fromMicros(s.end), s.n, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) if s.start - t > gapUs =>
+                  // late event past the gap BEFORE the session: it can
+                  // never join the open session — emit it closed
+                  out += Session(timerId, fromMicros(t), fromMicros(t), 1, e.value)
                 case Some(s) =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+                  // merge: lower start for late-but-in-gap events too
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
+                    s.n + 1, s.sum + e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }

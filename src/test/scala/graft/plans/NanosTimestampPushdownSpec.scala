@@ -54,6 +54,36 @@ class NanosTimestampPushdownSpec extends SparkSpec {
     check("eq", table.filter(col("ts_conv") === t), _.equals(t))
   }
 
+  test("negative nanos (pre-1970): trunc-toward-zero bounds drop no rows") {
+    // ts DIV 1000 truncates toward zero, so e.g. ns=−500 converts to
+    // epoch exactly; a floor-style derived bound ns >= 0 for
+    // ts_conv >= epoch would wrongly drop it (ADVICE r2 #1).
+    val d = java.nio.file.Files.createTempDirectory("nanos_neg").toString
+    val ns = Seq(-2000001L, -2000000L, -1999999L, -1000001L, -1000000L,
+      -999999L, -500L, -1L, 0L, 1L, 500L, 999L, 1000L, 1999L, 2000L, 2001L)
+    ns.toDF("ts").write.mode("overwrite").parquet(d)
+    val tbl = spark.read.parquet(d)
+      .withColumn("ts_conv", timestamp_micros(expr("ts DIV 1000")))
+    val all = tbl.select(col("ts"), col("ts_conv")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    // literals at epoch, epoch−1µs, epoch−1ms, epoch+1µs
+    val lits = Seq(0L, -1L, -1000L, 1L)
+      .map(us => Timestamp.from(java.time.Instant.EPOCH.plusNanos(us * 1000L)))
+    for (t <- lits) {
+      def check(name: String, df: org.apache.spark.sql.DataFrame,
+          expect: Timestamp => Boolean): Unit = {
+        val got = df.select("ts").collect().map(_.getLong(0)).toSet
+        val want = all.filter { case (_, conv) => expect(conv) }.map(_._1).toSet
+        assert(got == want, s"$name @$t: got ${got.toSeq.sorted}, want ${want.toSeq.sorted}")
+      }
+      check("lt", tbl.filter(col("ts_conv") < t), _.before(t))
+      check("leq", tbl.filter(col("ts_conv") <= t), c => !c.after(t))
+      check("gt", tbl.filter(col("ts_conv") > t), _.after(t))
+      check("geq", tbl.filter(col("ts_conv") >= t), c => !c.before(t))
+      check("eq", tbl.filter(col("ts_conv") === t), _.equals(t))
+    }
+  }
+
   test("no derivation from inside OR — disjunctive filters stay correct") {
     val t = Timestamp.from(lit0)
     val t2 = Timestamp.from(lit0.plusSeconds(1))

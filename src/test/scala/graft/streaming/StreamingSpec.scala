@@ -120,6 +120,33 @@ class StreamingSpec extends SparkSpec {
       s"closed session missing from ${sessions.toSeq}")
   }
 
+  test("sessionizer: late in-gap event lowers session_start (out-of-order merge)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TaskEvent]
+    val q = Streams.sessionizer(mem.toDS())
+      .writeStream.format("memory").queryName("sess_ooo").outputMode("append").start()
+    // batch 1: session opens at 00:10
+    mem.addData(ev(1, "2024-01-15 00:10:00", 9, v = 1.0))
+    q.processAllAvailable()
+    // batch 2: LATE event at 00:05 — within the 10-min watermark and
+    // within the gap of the open session → must merge and LOWER start
+    // (ADVICE r2 #2: previously start stayed 00:10 and diverged from
+    // the batch twin)
+    mem.addData(ev(2, "2024-01-15 00:05:00", 9, v = 2.0))
+    q.processAllAvailable()
+    // 40 min past the merged end → closes the session
+    mem.addData(ev(3, "2024-01-15 00:50:00", 9, v = 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_ooo").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(3), r.getDouble(4)))
+    assert(sessions.contains(
+      (9L, "2024-01-15 00:05:00.0", "2024-01-15 00:10:00.0", 2L, 3.0)),
+      s"merged session with lowered start missing from ${sessions.toSeq}")
+  }
+
   test("eventStream reads a parquet drop directory with the pinned schema") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString

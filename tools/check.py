@@ -8,6 +8,12 @@ rows sorted, values stringified). Usage:
 import json, os, sys, math
 import duckdb
 
+# --exact: compare float values bit-for-bit (repr, no 9-dp rounding) —
+# simulates the driver's strict hash, which is what flagged the
+# CORRECTNESS_r02 t_sessionize accumulation-order mismatch that the
+# default rounded compare masked.
+EXACT = "--exact" in sys.argv
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -17,6 +23,7 @@ def canon(rows, cols):
             v = r[i]
             if isinstance(v, float):
                 if math.isnan(v): vals.append("nan")
+                elif EXACT: vals.append(repr(v))
                 else: vals.append(repr(round(v, 9)))
             elif isinstance(v, bytes): vals.append(v.hex())
             elif isinstance(v, list): vals.append(json.dumps(v, default=str))
@@ -65,7 +72,13 @@ def main(outdir, sfdir):
         else:
             n_ok += 1
             print(f"  {name:24s} OK ({len(g)} rows)")
-    missing = set(oracles) - dumped
+    # Diff against the FULL inventory (queries.json) when available, so
+    # a rows-only query that crashed before writing output is counted
+    # too — not just oracle-backed ones (ADVICE r2 #5).
+    inv_path = f"{outdir}/queries.json"
+    inventory = set(json.load(open(inv_path))) if os.path.exists(inv_path) \
+        else set(oracles)
+    missing = inventory - dumped
     for name in sorted(missing):
         print(f"  {name:24s} NO DUMP (query crashed before writing output)")
         n_bad += 1
@@ -73,4 +86,5 @@ def main(outdir, sfdir):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sys.exit(main(args[0], args[1]))
