@@ -149,12 +149,60 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Near-dup clustering: connected components over the exact
+    * Jaccard-pair graph → (doc_id, group_id, group_size), group_id =
+    * min doc_id of the component (the canonical "keep" doc). This is
+    * the step a real dedup pipeline runs AFTER pair generation —
+    * deciding which document survives.
+    *
+    * Algorithm: min-label propagation to fixpoint. Each iteration is
+    * one shuffle (join labels to neighbors + min-agg); a component of
+    * diameter d converges in ≤ d iterations, and near-dup clusters
+    * are shallow (dups of a common source). Each iteration
+    * materializes via cache so the lineage stays flat. At 100 TB the
+    * same loop runs with periodic `checkpoint()` (lineage truncation
+    * on the cluster's checkpoint dir), or graduates to the
+    * large-star/small-star formulation — the per-iteration plan
+    * (equi-join + partial min-agg) is unchanged. */
+  def dDupGroups(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dNgramJaccard(s, dir).select(col("id_a"), col("id_b")).cache()
+    val sym = pairs.unionAll(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+    var labels = sym.select(col("src")).distinct()
+      .withColumn("label", col("src")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbrMin = sym.join(
+          labels.select(col("src").as("dst"), col("label").as("nbr_label")), "dst")
+        .groupBy(col("src")).agg(min(col("nbr_label")).as("min_nbr"))
+      val next = labels.join(nbrMin, Seq("src"), "left")
+        .select(col("src"),
+          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+        .cache()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.src") === col("o.src"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
+    labels.join(sizes, "label")
+      .select(col("src").as("doc_id"), col("label").as("group_id"), col("group_size"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "d_exact_dedup" -> (dExactDedup _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_simhash" -> (dSimhash _),
     "d_embed_cosine" -> (dEmbedCosine _),
+    "d_dup_groups" -> (dDupGroups _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -182,6 +230,31 @@ object DedupOps {
         |ORDER BY id_a, id_b""".stripMargin,
     // d_minhash_lsh, d_simhash: rows-only (hash-seeded); recall vs the
     // exact oracle asserted in DedupSpec.
+    "d_dup_groups" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, greatest(len(w) - 1, 2)),
+        |         i -> array_to_string(list_slice(w, i, i+2), ' ')))) AS shingle
+        |       FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT i.id_a, i.id_b
+        |          FROM inter i
+        |          JOIN sizes sa ON i.id_a = sa.doc_id
+        |          JOIN sizes sb ON i.id_b = sb.doc_id
+        |          WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT src, dst FROM sym
+        |          UNION
+        |          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+        |SELECT src AS doc_id, min(dst) AS group_id, count(*) AS group_size
+        |FROM reach
+        |GROUP BY src
+        |ORDER BY doc_id""".stripMargin,
     "d_embed_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -40,18 +40,28 @@ object ExactNum {
     * engines); still lossless for values < 1e10. */
   def d2n(c: Column): Column = c.cast(DecimalType(12, 2))
 
+  /** Lossless integer-cents view: round(x·100) is exactly integral
+    * (x carries 2 decimals, so x·100 sits within 1e-9 of an integer —
+    * never near a rounding tie), and the long cast is then exact in
+    * both engines. Long sums are codegen-hot (a decimal-sum q1 ran 3×
+    * slower than double-sum; cents restores it) and overflow only past
+    * 9.2e18 cents ≈ 9e16 dollar-units — beyond any real fact table's
+    * total. Products still use d2n decimals: per-row cent-products
+    * reach ~1e9, which times 1e12 rows would overflow a long. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
   /** Exact, order-independent sum of a 2-dp double, emitted with the
-    * engine-wide 4-dp-double output convention. */
-  def sum4(c: Column): Column = round(sum(d2(c)), 4).cast("double")
+    * engine-wide 4-dp-double output convention.
+    * SQL mirror: round(sum(CAST(round(x*100,0) AS BIGINT))/100.0, 4). */
+  def sum4(c: Column): Column = round(sum(cents(c)) / 100.0, 4)
 
   /** Exact sum of an already-decimal expression (e.g. a product of
     * d2n operands), 4-dp double output. */
   def sumExpr4(e: Column): Column = round(sum(e), 4).cast("double")
 
-  /** Average as exact-decimal sum over non-null count, divided in
-    * double space (one IEEE division of two exactly-agreed operands —
-    * deterministic and identical across engines). Mirrors SQL
-    * `round(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)/count(x),4)`. */
+  /** Average as exact cents sum over non-null count, divided in double
+    * space (IEEE division of two exactly-agreed operands). SQL mirror:
+    * round(sum(CAST(round(x*100,0) AS BIGINT))/(100.0*count(x)), 4). */
   def avg4(c: Column): Column =
-    round(sum(d2(c)).cast("double") / count(c), 4)
+    round(sum(cents(c)) / (lit(100.0) * count(c)), 4)
 }

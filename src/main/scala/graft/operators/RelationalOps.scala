@@ -5,10 +5,9 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.operators.ExactNum.{avg4, d2, d2n, sum4, sumExpr4}
+import graft.operators.ExactNum.{avg4, cents, d2n, sum4, sumExpr4}
 
 /** §2b relational core: the "batch admin" query surface of the
   * reference (web/dao query options: filter, order, paginate, count,
@@ -167,7 +166,7 @@ object RelationalOps {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, dir)
-      .withColumn("running_total", round(sum(d2(col("o_totalprice"))).over(w), 4).cast("double"))
+      .withColumn("running_total", round(sum(cents(col("o_totalprice"))).over(w) / 100.0, 4))
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("running_total"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
@@ -192,12 +191,11 @@ object RelationalOps {
     // exact integer/decimal form (5·n·qty < sum_qty) so boundary rows
     // can't flip with float accumulation order in either engine.
     val avgQty = li.groupBy(col("l_partkey").as("pk"))
-      .agg(sum(d2n(col("l_quantity"))).as("sum_qty_pk"),
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_pk"),
         count(lit(1)).as("n_pk"))
     li.join(avgQty, col("l_partkey") === col("pk"))
-      .filter(d2n(col("l_quantity")) * (lit(5L) * col("n_pk")).cast(DecimalType(14, 0)) <
-        col("sum_qty_pk"))
-      .agg(round(sum(d2(col("l_extendedprice"))).cast("double") / 7.0, 4).as("avg_yearly"),
+      .filter(cents(col("l_quantity")) * lit(5L) * col("n_pk") < col("sum_qty_pk"))
+      .agg(round(sum(cents(col("l_extendedprice"))) / 100.0 / 7.0, 4).as("avg_yearly"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -242,8 +240,8 @@ object RelationalOps {
     Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"),
-        sumExpr4(d2(when(col("event_type") === "purchase", col("value")).otherwise(0.0)))
-          .as("purchase_value"))
+        round(sum(when(col("event_type") === "purchase", cents(col("value")))
+          .otherwise(lit(0L))) / 100.0, 4).as("purchase_value"))
       .orderBy(col("user_id"))
   }
 
@@ -320,11 +318,11 @@ object RelationalOps {
   val oracles: ListMap[String, String] = ListMap(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_qty,
-        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_base_price,
+        |  round(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_qty,
+        |  round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_base_price,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 4) AS DOUBLE) AS sum_disc_price,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
-        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
+        |  round(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / (100.0 * count(l_quantity)), 4) AS avg_qty,
+        |  round(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) / (100.0 * count(l_discount)), 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -336,7 +334,7 @@ object RelationalOps {
         |ORDER BY round(o_totalprice, 4) DESC, o_orderkey
         |LIMIT 100""".stripMargin,
     "q3_broadcast_join" ->
-      """SELECT r_name, n_name, count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS revenue
+      """SELECT r_name, n_name, count(*) AS n_orders, round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 4) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -345,7 +343,7 @@ object RelationalOps {
         |ORDER BY r_name, n_name""".stripMargin,
     "q4_shuffle_join" ->
       """SELECT o_orderstatus, l_returnflag, count(*) AS n_rows,
-        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS revenue
+        |  round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 4) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus, l_returnflag
         |ORDER BY o_orderstatus, l_returnflag""".stripMargin,
@@ -396,9 +394,9 @@ object RelationalOps {
         |ORDER BY o_custkey, rn""".stripMargin,
     "q11_running_window" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+        |  round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 4) AS running_total
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q12_lag_lead" ->
@@ -409,28 +407,29 @@ object RelationalOps {
         |      FROM events)
         |ORDER BY event_id""".stripMargin,
     "q13_scalar_subquery" ->
-      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+      """SELECT round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / 7.0, 4) AS avg_yearly,
         |  count(*) AS n_rows
         |FROM lineitem l
-        |JOIN (SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_pk,
+        |JOIN (SELECT l_partkey AS pk,
+        |        sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sum_qty_pk,
         |        count(*) AS n_pk
         |      FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.pk
-        |WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * CAST(5 * a.n_pk AS DECIMAL(14,0)) < a.sum_qty_pk""".stripMargin,
+        |WHERE CAST(round(l.l_quantity * 100, 0) AS BIGINT) * 5 * a.n_pk < a.sum_qty_pk""".stripMargin,
     "q14_in_subquery" ->
-      """SELECT o_orderpriority, count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS total
+      """SELECT o_orderpriority, count(*) AS n_orders, round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 4) AS total
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q15_grouping_sets" ->
       """SELECT GROUPING(l_returnflag, l_linestatus) AS gid, l_returnflag, l_linestatus,
-        |  count(*) AS n_rows, CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_qty
+        |  count(*) AS n_rows, round(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q16_union" ->
       """SELECT src, count(*) AS n_rows, count(DISTINCT nationkey) AS n_nations,
-        |  CAST(round(sum(CAST(acctbal AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_bal
+        |  round(sum(CAST(round(acctbal * 100, 0) AS BIGINT)) / 100.0, 4) AS total_bal
         |FROM (SELECT 'customer' AS src, CAST(c_nationkey AS INTEGER) AS nationkey,
         |        c_acctbal AS acctbal FROM customer
         |      UNION ALL
@@ -444,7 +443,8 @@ object RelationalOps {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
-        |  CAST(round(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))), 4) AS DOUBLE)
+        |  round(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) / 100.0, 4)
         |    AS purchase_value
         |FROM events
         |GROUP BY user_id
@@ -461,7 +461,7 @@ object RelationalOps {
         |ORDER BY p_partkey""".stripMargin,
     "q20_date_trunc" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-        |  count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS total
+        |  count(*) AS n_orders, round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 4) AS total
         |FROM orders
         |GROUP BY 1
         |ORDER BY month""".stripMargin,
@@ -471,7 +471,7 @@ object RelationalOps {
         |ORDER BY o_orderdate DESC, o_orderkey
         |LIMIT 20 OFFSET 40""".stripMargin,
     "q22_having" ->
-      """SELECT o_custkey, count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS total
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 4) AS total
         |FROM orders
         |GROUP BY o_custkey
         |HAVING count(*) > 15

@@ -211,8 +211,8 @@ object TimerOps {
         |ORDER BY event_id""".stripMargin,
     "t_status_lifecycle" ->
       s"""SELECT $statusSql AS status, event_type, count(*) AS n_tasks,
-         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_cost,
-         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS avg_cost,
+         |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 4) AS total_cost,
+         |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / (100.0 * count(value)), 4) AS avg_cost,
          |  round(min(value), 4) AS min_cost, round(max(value), 4) AS max_cost
          |FROM events GROUP BY 1, 2 ORDER BY status, event_type""".stripMargin,
     "t_pending_overdue" ->
@@ -224,7 +224,7 @@ object TimerOps {
     "t_sla_percentile" ->
       s"""SELECT $statusSql AS status, count(*) AS n_tasks,
          |  round(min(value), 4) AS min_cost,
-         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS avg_cost,
+         |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / (100.0 * count(value)), 4) AS avg_cost,
          |  round(max(value), 4) AS max_cost,
          |  round(quantile_cont(value, 0.5), 4) AS p50_cost,
          |  round(quantile_cont(value, 0.95), 4) AS p95_cost
@@ -241,13 +241,13 @@ object TimerOps {
     "t_stream_window_agg" ->
       """SELECT make_timestamp((epoch_ms(ts) // 300000) * 300000000) AS window_start,
         |  event_type, count(*) AS n_events,
-        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_value
+        |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "t_sessionize" ->
       """SELECT user_id AS timer_id, session_idx,
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events,
-        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_value
+        |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 4) AS total_value
         |FROM (SELECT user_id, ts, value,
         |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
         |      FROM (SELECT event_id, user_id, ts, value,

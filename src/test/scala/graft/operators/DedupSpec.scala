@@ -32,6 +32,27 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"simhash recall $recall")
   }
 
+  test("dup groups are consistent connected components of the pair graph") {
+    val out = DedupOps.dDupGroups(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val label = out.map(t => t._1 -> t._2).toMap
+    // exactly the vertices of the pair graph are labeled
+    val vertices = exact.flatMap(p => Set(p._1, p._2))
+    assert(label.keySet == vertices, "labeled set != pair-graph vertex set")
+    // both endpoints of every pair share a group
+    exact.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"pair ($a,$b) split across groups")
+    }
+    // group_id is the min member of its group; sizes match membership
+    val members = out.groupBy(_._2).map { case (g, m) => g -> m.map(_._1).toSet }
+    members.foreach { case (g, m) =>
+      assert(m.min == g, s"group $g min member ${m.min}")
+    }
+    out.foreach { case (d, g, n) =>
+      assert(members(g).size == n, s"doc $d group $g size $n != ${members(g).size}")
+    }
+  }
+
   test("exact dedup groups cover all docs exactly once") {
     val out = DedupOps.dExactDedup(spark, sfDir).collect()
     val total = out.map(_.getLong(2)).sum
