@@ -56,8 +56,12 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val (cold, okCold) = once()
-      val (warm, okWarm) = once()
-      (name, warm, cold, okCold && okWarm)
+      // two steady-state runs, report the min: single-sample times
+      // swing ±15% with GC/JIT state, which would drown real
+      // round-over-round deltas in the driver's bench comparison
+      val (w1, ok1) = once()
+      val (w2, ok2) = once()
+      (name, math.min(w1, w2), cold, okCold && ok1 && ok2)
     }
     val qs = results.map { case (k, w, _, ok) =>
       "\"" + k + "\":" + (if (ok) f"$w%.3f" else "-1") }

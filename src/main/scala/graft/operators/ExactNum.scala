@@ -59,6 +59,21 @@ object ExactNum {
     * d2n operands), 4-dp double output. */
   def sumExpr4(e: Column): Column = round(sum(e), 4).cast("double")
 
+  /** Exact sum of a LONG column holding scale-4 integer units (e.g. a
+    * cents×cents product), emitted as a 4-dp double. Per-row work is
+    * pure long arithmetic (no BigDecimal on the hot path — measured
+    * ~0.5 s off q1 at sf0.1); the accumulator is a wide decimal so
+    * the SUM can't overflow at any row count even though each row
+    * fits a long. The trailing half-up to 4 dp happens in INTEGER
+    * space ((S+50) div 100) — a float-space round here can land on an
+    * exact .5 tie (~1% of groups: S ≡ 50 mod 100) where Spark and
+    * DuckDB round differently. Assumes non-negative sums (prices).
+    * SQL mirror: CAST((sum(<units>) + 50) // 100 AS DOUBLE) / 10000.0
+    * (DuckDB sums BIGINT into HUGEINT — also unoverflowable). */
+  def sumUnits4(units: Column): Column =
+    floor((sum(units.cast(DecimalType(30, 0))) + lit(50)) / lit(100))
+      .cast("double") / 10000.0
+
   /** Average as exact cents sum over non-null count, divided in double
     * space (IEEE division of two exactly-agreed operands). SQL mirror:
     * round(sum(CAST(round(x*100,0) AS BIGINT))/(100.0*count(x)), 4). */

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.ExactNum.{avg4, cents, d2n, sum4, sumExpr4}
+import graft.operators.ExactNum.{avg4, cents, sum4, sumUnits4}
 
 /** §2b relational core: the "batch admin" query surface of the
   * reference (web/dao query options: filter, order, paginate, count,
@@ -38,7 +38,7 @@ object RelationalOps {
       .agg(
         sum4(col("l_quantity")).as("sum_qty"),
         sum4(col("l_extendedprice")).as("sum_base_price"),
-        sumExpr4(d2n(col("l_extendedprice")) * (lit(1) - d2n(col("l_discount"))))
+        sumUnits4(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
           .as("sum_disc_price"),
         avg4(col("l_quantity")).as("avg_qty"),
         avg4(col("l_discount")).as("avg_disc"),
@@ -96,7 +96,7 @@ object RelationalOps {
       .join(broadcast(Tables.region(s, dir)),
         col("n_regionkey") === col("r_regionkey") && col("r_name") === lit("ASIA"))
       .groupBy(col("n_name"))
-      .agg(sumExpr4(d2n(col("l_extendedprice")) * (lit(1) - d2n(col("l_discount")))).as("revenue"))
+      .agg(sumUnits4(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("revenue"))
       .orderBy(col("n_name"))
 
   /** TPC-H Q6: selective predicate + arithmetic aggregate.
@@ -107,7 +107,7 @@ object RelationalOps {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(sumExpr4(d2n(col("l_extendedprice")) * d2n(col("l_discount"))).as("revenue"),
+      .agg(sumUnits4(cents(col("l_extendedprice")) * cents(col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_rows"))
 
   /** EXISTS → left-semi join: customers having at least one urgent
@@ -320,7 +320,7 @@ object RelationalOps {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_qty,
         |  round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_base_price,
-        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 4) AS DOUBLE) AS sum_disc_price,
+        |  CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100 AS DOUBLE) / 10000.0 AS sum_disc_price,
         |  round(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / (100.0 * count(l_quantity)), 4) AS avg_qty,
         |  round(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) / (100.0 * count(l_discount)), 4) AS avg_disc,
         |  count(*) AS count_order
@@ -349,7 +349,7 @@ object RelationalOps {
         |ORDER BY o_orderstatus, l_returnflag""".stripMargin,
     "q5_multijoin" ->
       """SELECT n_name,
-        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 4) AS DOUBLE) AS revenue
+        |  CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100 AS DOUBLE) / 10000.0 AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -360,7 +360,7 @@ object RelationalOps {
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
     "q6_filter_agg" ->
-      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))), 4) AS DOUBLE) AS revenue, count(*) AS n_rows
+      """SELECT CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(round(l_discount * 100, 0) AS BIGINT)) + 50) // 100 AS DOUBLE) / 10000.0 AS revenue, count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
