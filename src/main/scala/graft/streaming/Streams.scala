@@ -29,6 +29,10 @@ case class TaskFiring(timer_id: Long, minute_start: Timestamp, n_suppressed: Int
 case class Session(timer_id: Long, session_start: Timestamp, session_end: Timestamp,
     n_events: Long, total_value: Double)
 
+/** A timer definition row — the web `timer` table analog
+  * (gotimer_web/dao/timer): id, enabled flag, callback target. */
+case class TimerDef(timer_id: Long, enabled: Boolean, notify_url: String)
+
 private case class FiringState(firedMinutes: Set[Long])
 private case class SessionState(start: Long, end: Long, n: Long, sum: Double)
 
@@ -92,6 +96,19 @@ object Streams {
           out.iterator
         })
   }
+
+  /** Executor-side enrichment: before acting on a firing, re-read the
+    * FULL timer definition and drop firings whose timer has been
+    * disabled — gotimer_executor/service/executor/worker.go:85-95
+    * (executeAndPostProcess: timerService.GetTimer, then skip when
+    * Status != Enabled). Expressed as a stream-static join: the static
+    * side is re-planned every micro-batch, so a definition change
+    * lands on the next batch — the same freshness the reference gets
+    * by re-querying MySQL per task, without a per-task point lookup.
+    * Timer defs are dimension-sized (10⁶–10⁸ rows ≪ the event
+    * stream), hence the explicit broadcast. */
+  def enrichedFiring(firings: Dataset[TaskFiring], defs: Dataset[TimerDef]): DataFrame =
+    firings.join(broadcast(defs.filter(col("enabled"))), Seq("timer_id"), "inner")
 
   // Session state tracks MICROSECONDS — Timestamp.getTime is
   // millis-only and would silently truncate the event table's µs

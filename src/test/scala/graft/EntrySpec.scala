@@ -10,7 +10,7 @@ class EntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("inventory size matches SURVEY §2 (50 queries + 4 streaming components)") {
+  test("inventory size matches SURVEY §2 (50 queries + 5 streaming components)") {
     assert(SparkEntry.queries.size == 51, SparkEntry.queries.keys.mkString(","))
     // 46 SQL-oracled + 5 rows-only (winnow, minhash, simhash, ann_lsh, ann_ivf)
     assert(SparkEntry.oracleSql.size == 46, s"${SparkEntry.oracleSql.size} oracles")

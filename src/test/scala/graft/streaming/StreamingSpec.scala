@@ -120,6 +120,30 @@ class StreamingSpec extends SparkSpec {
       s"closed session missing from ${sessions.toSeq}")
   }
 
+  test("enrichedFiring: disabled timers are dropped, defs columns attached") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TaskEvent]
+    val defs = Seq(
+      TimerDef(1, enabled = true, "http://cb/1"),
+      TimerDef(2, enabled = false, "http://cb/2")).toDS()
+    val q = Streams.enrichedFiring(Streams.timerFiring(mem.toDS()), defs)
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    mem.addData(
+      ev(1, "2024-01-15 00:01:10", 1),
+      ev(2, "2024-01-15 00:01:20", 2), // disabled timer: must not fire
+      ev(3, "2024-01-15 00:02:30", 1))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enriched")
+      .select("timer_id", "notify_url").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "http://cb/1")),
+      s"expected only enabled timer 1 firings, got ${out.mkString(",")}")
+    // both minutes of timer 1 fired (enrichment preserves multiplicity)
+    assert(spark.table("enriched").count() == 2)
+  }
+
   test("sessionizer: late in-gap event lowers session_start (out-of-order merge)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
