@@ -165,9 +165,22 @@ object DedupOps {
     * large-star/small-star formulation — the per-iteration plan
     * (equi-join + partial min-agg) is unchanged. */
   def dDupGroups(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dNgramJaccard(s, dir).select(col("id_a"), col("id_b")).cache()
-    val sym = pairs.unionAll(
-      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val labels = connectedComponents(
+      dNgramJaccard(s, dir).select(col("id_a"), col("id_b")))
+    val sizes = labels.groupBy(col("group_id")).agg(count(lit(1)).as("group_size"))
+    labels.join(sizes, "group_id")
+      .select(col("doc_id"), col("group_id"), col("group_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Connected components of an (id_a, id_b) pair graph via min-label
+    * propagation → (doc_id, group_id = min id of the component). Only
+    * pair-graph vertices appear. Shared by dDupGroups (exact pairs)
+    * and TrainingPipeline (LSH pairs). */
+  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val p = pairs.cache()
+    val sym = p.unionAll(
+      p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")
     var labels = sym.select(col("src")).distinct()
       .withColumn("label", col("src")).cache()
@@ -190,10 +203,7 @@ object DedupOps {
       converged = changed == 0
       iter += 1
     }
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
-    labels.join(sizes, "label")
-      .select(col("src").as("doc_id"), col("label").as("group_id"), col("group_size"))
-      .orderBy(col("doc_id"))
+    labels.select(col("src").as("doc_id"), col("label").as("group_id"))
   }
 
   val queries: ListMap[String, Q] = ListMap(

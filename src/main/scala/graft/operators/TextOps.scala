@@ -33,6 +33,30 @@ object TextOps {
   private def markerScore(words: Seq[String]): Column =
     size(filter(tokens, t => t.isInCollection(words)))
 
+  /** Language ID as a single shuffle-free expression (shared with
+    * TrainingPipeline): sort (−score, lang) structs — struct ordering
+    * gives score-desc with lexicographic tie-break, identical to the
+    * stack+window formulation of xLangId (equivalence asserted in
+    * TrainingPipelineSpec). */
+  private[operators] def langIdExpr: Column =
+    element_at(sort_array(array(Markers.toSeq.map { case (l, ws) =>
+      struct((-markerScore(ws)).as("neg"), lit(l).as("lang"))
+    }: _*)), 1).getField("lang")
+
+  /** Per-doc token count (shared with TrainingPipeline). */
+  private[operators] def nTokensExpr: Column = size(tokens)
+
+  /** Unrounded composite quality score (shared core of
+    * xQualityScore and TrainingPipeline). */
+  private[operators] def qualityExpr: Column = {
+    val nTok = size(tokens).cast("double")
+    val stopRatio = size(filter(tokens, t => t.isInCollection(Seq("the", "a"))))
+      .cast("double") / nTok
+    val punctRatio = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double") /
+      length(col("text")).cast("double")
+    least(nTok, lit(100.0)) / lit(100.0) * (lit(1.0) - stopRatio) * (lit(1.0) - punctRatio)
+  }
+
   /** Marker-word language ID: per-language token-occurrence score,
     * argmax with lexicographic tie-break (explode + row_number so the
     * tie rule is explicit and identical in the oracle). */
@@ -60,8 +84,7 @@ object TextOps {
     val punctRatio = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double") /
       length(col("text")).cast("double")
     val meanWordLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
-    val quality = least(nTok, lit(100.0)) / lit(100.0) *
-      (lit(1.0) - stopRatio) * (lit(1.0) - punctRatio)
+    val quality = qualityExpr
     Tables.documents(s, dir).select(
       col("doc_id"), size(tokens).as("n_tokens"),
       round(stopRatio, 4).as("stopword_ratio"),

@@ -33,6 +33,10 @@ case class Session(timer_id: Long, session_start: Timestamp, session_end: Timest
   * (gotimer_web/dao/timer): id, enabled flag, callback target. */
 case class TimerDef(timer_id: Long, enabled: Boolean, notify_url: String)
 
+/** A document on the ingest stream (streaming twin of the documents
+  * table feeding §2c). */
+case class DocEvent(doc_id: Long, text: String)
+
 private case class FiringState(firedMinutes: Set[Long])
 private case class SessionState(start: Long, end: Long, n: Long, sum: Double)
 
@@ -109,6 +113,35 @@ object Streams {
     * stream), hence the explicit broadcast. */
   def enrichedFiring(firings: Dataset[TaskFiring], defs: Dataset[TimerDef]): DataFrame =
     firings.join(broadcast(defs.filter(col("enabled"))), Seq("timer_id"), "inner")
+
+  /** Cross-batch exact dedup of an unbounded document stream — the
+    * streaming twin of d_exact_dedup, and the executor's
+    * bloom-then-db idempotency check (worker.go:69-78) generalized to
+    * content identity. Keyed by md5(text); the first doc of a
+    * fingerprint (min doc_id within its arrival batch) passes, every
+    * later duplicate is suppressed by keyed state. State is one
+    * boolean per DISTINCT document ever seen — inherent to exact
+    * dedup (there is no watermark after which a duplicate becomes
+    * acceptable); at 100 TB that lives in the RocksDB state store,
+    * optionally fronted by a bloom filter exactly like the
+    * reference's redis bloom + unique-index fallback. */
+  def streamingDedup(docs: Dataset[DocEvent]): Dataset[DocEvent] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+      }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[DocEvent], state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(it.minBy(_.doc_id))
+          }
+        })
+  }
 
   // Session state tracks MICROSECONDS — Timestamp.getTime is
   // millis-only and would silently truncate the event table's µs

@@ -171,6 +171,25 @@ class StreamingSpec extends SparkSpec {
       s"merged session with lowered start missing from ${sessions.toSeq}")
   }
 
+  test("streamingDedup: duplicate content suppressed across batches, min id kept") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    val q = Streams.streamingDedup(mem.toDS())
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    // batch 1: doc 5 and 3 share content — canonical (min id 3) survives
+    mem.addData(DocEvent(5, "the same text"), DocEvent(3, "the same text"),
+      DocEvent(7, "unique text"))
+    q.processAllAvailable()
+    // batch 2: replay of batch-1 content must be suppressed by state;
+    // new content passes
+    mem.addData(DocEvent(9, "the same text"), DocEvent(11, "fresh text"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sdedup").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 7L, 11L), s"kept $kept")
+  }
+
   test("eventStream reads a parquet drop directory with the pinned schema") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
