@@ -33,7 +33,7 @@ object TimerOps {
   /** Reference status enum (gotimer_executor/common/consts/timer.go:25-28:
     * NotRunned 0 → Running 1 → Successed 2 / Failed 3) mapped onto the
     * 5 event types. */
-  private def statusCode: Column =
+  private[operators] def statusCode: Column =
     when(col("event_type") === "click", 0)
       .when(col("event_type") === "signup", 0)
       .when(col("event_type") === "view", 1)

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** The determinism core: for 2-dp inputs, the cents/units aggregates
+  * must equal the mathematically exact result — independent of
+  * partitioning (accumulation order), which is the property the
+  * DuckDB hash gate depends on. (Generators sampled directly with a
+  * fixed seed — the scalatest/scalacheck bridge isn't in the offline
+  * dependency set.) */
+class ExactNumSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2-dp doubles as the testdata carries them
+  private val twoDp: Gen[Double] = Gen.chooseNum(1L, 50000000L).map(_ / 100.0)
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("sum4/avg4 equal exact BigDecimal math for random 2-dp data, any partitioning") {
+    (1 to 12).foreach { i =>
+      val xs = sample(Gen.nonEmptyListOf(twoDp), 1000 + i)
+      val parts = 1 + i % 7
+      val df = xs.toDF("v").repartition(parts)
+      val row = df.agg(
+        ExactNum.sum4(col("v")).as("s"),
+        ExactNum.avg4(col("v")).as("a")).collect()(0)
+      // reference model: the exact cents sum, then the same double ops
+      // Spark performs (round() is BigDecimal-on-Double.toString)
+      val centsSum = xs.map(x => math.round(x * 100)).sum
+      def round4(d: Double): Double =
+        new java.math.BigDecimal(java.lang.Double.toString(d))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      val expSum = round4(centsSum.toDouble / 100.0)
+      val expAvg = round4(centsSum.toDouble / (100.0 * xs.size))
+      assert(row.getDouble(0) == expSum, s"[$i] sum4 ${row.getDouble(0)} != $expSum")
+      assert(row.getDouble(1) == expAvg, s"[$i] avg4 ${row.getDouble(1)} != $expAvg")
+    }
+  }
+
+  test("sumUnits4 equals exact integer math and is partitioning-invariant") {
+    (1 to 12).foreach { i =>
+      val rows = sample(Gen.nonEmptyListOf(Gen.zip(twoDp, Gen.chooseNum(0L, 10L))), 2000 + i)
+      val parts = 1 + i % 7
+      // mirrors the discounted-price shape: cents(a) * (100 - d_c)
+      val df = rows.toDF("a", "d").repartition(parts)
+      val units = ExactNum.cents(col("a")) * (lit(100L) - col("d"))
+      val got = df.agg(ExactNum.sumUnits4(units).as("s")).collect()(0).getDouble(0)
+      val exactUnits = rows.map { case (a, d) =>
+        BigInt(math.round(a * 100)) * (100 - d)
+      }.sum
+      val exp = ((exactUnits + 50) / 100).toDouble / 10000.0
+      assert(got == exp, s"[$i] sumUnits4 $got != $exp")
+    }
+  }
+}
