@@ -21,6 +21,10 @@ object Bench {
     "s_ann_bruteforce", "s_ann_lsh", "s_ann_ivf",
     "x_lang_id", "x_quality_score", "x_token_count",
     "m_json_extract")
+  // p_training_funnel (composite of d_exact/d_minhash/x_* stages,
+  // ~2.9 s at sf0.1) is deliberately NOT in the headline: the set
+  // above is held fixed across rounds so the total stays a
+  // like-for-like trend; the funnel's stages are each measured.
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

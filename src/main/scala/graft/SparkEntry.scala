@@ -22,7 +22,7 @@ object SparkEntry {
     ListMap.empty[String, (SparkSession, String) => DataFrame] ++
       RelationalOps.queries ++ TimerOps.queries ++ CronOps.queries ++
       BloomOps.queries ++ TextOps.queries ++ MultimodalOps.queries ++
-      DedupOps.queries ++ SimilarityOps.queries
+      DedupOps.queries ++ SimilarityOps.queries ++ TrainingPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

@@ -190,14 +190,14 @@ object DedupOps {
       val nbrMin = sym.join(
           labels.select(col("src").as("dst"), col("label").as("nbr_label")), "dst")
         .groupBy(col("src")).agg(min(col("nbr_label")).as("min_nbr"))
+      // carry the previous label through the propagation join so the
+      // convergence probe is a filter on the SAME cached result, not a
+      // second labels⋈next join per iteration
       val next = labels.join(nbrMin, Seq("src"), "left")
-        .select(col("src"),
+        .select(col("src"), col("label").as("prev_label"),
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
         .cache()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.src") === col("o.src"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count()
+      val changed = next.filter(col("label") =!= col("prev_label")).limit(1).count()
       labels.unpersist()
       labels = next
       converged = changed == 0

@@ -66,6 +66,13 @@ object TrainingPipeline {
       .select(col("doc_id"), col("text"), col("pred_lang"),
         col("n_tokens"), col("quality"))
 
+  /** Driver-visible entry (rows-only: the MinHash stage is seeded
+    * hashing, not SQL-expressible; stage agreement with the §2
+    * operators is asserted in TrainingPipelineSpec instead). */
+  val queries: scala.collection.immutable.ListMap[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
+      "p_training_funnel" -> ((s, dir) => run(s, dir)))
+
   /** One-row funnel report: how many docs survive each stage (each
     * count applies all previous stages too — a true funnel). */
   def funnel(s: SparkSession, dir: String, cfg: Config = Config()): DataFrame = {

@@ -10,9 +10,10 @@ class EntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("inventory size matches SURVEY §2 (50 queries + 5 streaming components)") {
-    assert(SparkEntry.queries.size == 51, SparkEntry.queries.keys.mkString(","))
-    // 46 SQL-oracled + 5 rows-only (winnow, minhash, simhash, ann_lsh, ann_ivf)
+  test("inventory size matches SURVEY §2 (51 queries + 6 streaming components)") {
+    assert(SparkEntry.queries.size == 52, SparkEntry.queries.keys.mkString(","))
+    // 46 SQL-oracled + 6 rows-only (winnow, minhash, simhash, ann_lsh,
+    // ann_ivf, training_funnel)
     assert(SparkEntry.oracleSql.size == 46, s"${SparkEntry.oracleSql.size} oracles")
   }
 
