@@ -66,6 +66,21 @@ object TrainingPipeline {
       .select(col("doc_id"), col("text"), col("pred_lang"),
         col("n_tokens"), col("quality"))
 
+  /** The stateless feature + policy-filter tail of the funnel over
+    * any frame with (doc_id, text) — shared by the batch pipeline
+    * and streaming.Streams.streamingFunnel (same expressions, so the
+    * two tiers can't drift). */
+  def featureAndFilter(docs: DataFrame, minQuality: Double,
+      langs: Seq[String]): DataFrame =
+    docs
+      .withColumn("pred_lang", TextOps.langIdExpr)
+      .withColumn("n_tokens", TextOps.nTokensExpr)
+      .withColumn("quality", round(TextOps.qualityExpr, 4))
+      .filter(col("pred_lang").isInCollection(langs) &&
+        col("quality") >= minQuality)
+      .select(col("doc_id"), col("text"), col("pred_lang"),
+        col("n_tokens"), col("quality"))
+
   /** Driver-visible entry (rows-only: the MinHash stage is seeded
     * hashing, not SQL-expressible; stage agreement with the §2
     * operators is asserted in TrainingPipelineSpec instead). */

@@ -143,6 +143,21 @@ object Streams {
         })
   }
 
+  /** The TrainingPipeline funnel on an unbounded ingest stream:
+    * cross-batch exact dedup (keyed state), then the SAME per-doc
+    * feature/filter expressions the batch pipeline uses (language ID,
+    * token count, quality — all stateless, so they compose onto a
+    * stream unchanged). Near-dup suppression is deliberately absent
+    * here: LSH pair-joins need the corpus, so the streaming tier
+    * dedups exactly and near-dup clustering runs as the periodic
+    * batch compaction (TrainingPipeline) — the classic lambda split.
+    * Columns: doc_id, text, pred_lang, n_tokens, quality. */
+  def streamingFunnel(docs: Dataset[DocEvent],
+      minQuality: Double = 0.05,
+      langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")): DataFrame =
+    graft.operators.TrainingPipeline.featureAndFilter(
+      streamingDedup(docs).toDF(), minQuality, langs)
+
   // Session state tracks MICROSECONDS — Timestamp.getTime is
   // millis-only and would silently truncate the event table's µs
   // precision, diverging from the batch twin (caught by

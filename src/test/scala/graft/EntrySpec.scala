@@ -10,7 +10,7 @@ class EntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("inventory size matches SURVEY §2 (51 queries + 6 streaming components)") {
+  test("inventory size matches SURVEY §2 (51 queries + 7 streaming components)") {
     assert(SparkEntry.queries.size == 52, SparkEntry.queries.keys.mkString(","))
     // 46 SQL-oracled + 6 rows-only (winnow, minhash, simhash, ann_lsh,
     // ann_ivf, training_funnel)

@@ -190,6 +190,29 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(3L, 7L, 11L), s"kept $kept")
   }
 
+  test("streamingFunnel: dedups, features, and filters like the batch tail") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    val q = Streams.streamingFunnel(mem.toDS(), minQuality = 0.0)
+      .writeStream.format("memory").queryName("sfunnel").outputMode("append").start()
+    mem.addData(
+      DocEvent(1, "the fast scan the a merge"),
+      DocEvent(2, "the fast scan the a merge"), // exact dup: dropped
+      DocEvent(3, "stream window query query"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sfunnel").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(out.keySet == Set(1L, 3L), s"kept ${out.keySet}")
+    // features must agree with the batch formulation on the same text
+    val batch = graft.operators.TrainingPipeline.featureAndFilter(
+      Seq((1L, "the fast scan the a merge"), (3L, "stream window query query"))
+        .toDF("doc_id", "text"), 0.0, Seq("de", "en", "es", "fr", "zh"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(out == batch, s"stream $out != batch $batch")
+  }
+
   test("eventStream reads a parquet drop directory with the pinned schema") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
