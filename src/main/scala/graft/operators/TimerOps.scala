@@ -53,10 +53,20 @@ object TimerOps {
     * (gotimer_executor/common/utils/timer.go:29 GetSliceMsgKey:
     * "time_bucketID"; bucket = id % maxBucket). */
   def tTimeBucketShard(s: SparkSession, dir: String): DataFrame =
+    // Exact distinct via two-level aggregation instead of
+    // countDistinct: the expand-based distinct plan shuffles every
+    // row TWICE (one copy per aggregate); pre-aggregating on
+    // (minute, bucket, timer) shuffles each distinct triple once and
+    // the second agg is tiny. Same exact result, half the shuffle —
+    // the 100 TB approximation (approx_count_distinct) is proven in
+    // ApproxSwapSpec.
     Tables.events(s, dir)
       .groupBy(minuteCol(col("ts")).as("minute"),
-        pmod(col("user_id"), lit(NumBuckets)).as("bucket"))
-      .agg(count(lit(1)).as("task_cnt"), countDistinct(col("user_id")).as("n_timers"))
+        pmod(col("user_id"), lit(NumBuckets)).as("bucket"),
+        col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("minute"), col("bucket"))
+      .agg(sum(col("cnt")).as("task_cnt"), count(lit(1)).as("n_timers"))
       .orderBy(col("minute"), col("bucket"))
 
   /** [start,end) epoch-ms range scan emitting "{timer_id}_{unix_ms}"
