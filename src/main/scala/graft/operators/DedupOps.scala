@@ -197,7 +197,10 @@ object DedupOps {
         .select(col("src"), col("label").as("prev_label"),
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
         .cache()
-      val changed = next.filter(col("label") =!= col("prev_label")).limit(1).count()
+      // full count, no limit(1): an early-exit probe would cache only
+      // the partitions it touched, leaving later iterations to
+      // recompute the rest through ever-deeper lineage
+      val changed = next.filter(col("label") =!= col("prev_label")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0

@@ -101,6 +101,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan(DedupOps.dSimhash(spark, sfDir)).contains("CartesianProduct"))
   }
 
+  test("t_time_bucket_shard: exact distinct without an Expand (single-copy shuffle)") {
+    val p = plan(TimerOps.tTimeBucketShard(spark, sfDir))
+    assert(!p.contains("Expand"), p)
+  }
+
   test("m_json_extract: zero shuffles — pure map-side extraction") {
     val p = plan(MultimodalOps.mJsonExtract(spark, sfDir))
     assert(!p.contains("Exchange"), p)
