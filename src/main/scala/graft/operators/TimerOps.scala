@@ -135,6 +135,28 @@ object TimerOps {
         round(expr("percentile(value, 0.95)"), 4).as("p95_cost"))
       .orderBy(col("status"))
 
+  /** Firing-delay distribution — the executor's timer_delay Summary
+    * (pkg/promethus/reporter.go:74-83, quantile objectives
+    * 0.5/0.9/0.99; observed at service/executor/worker.go:148-151 as
+    * actualExecTime.UnixMilli − expectExecTimeUnix). Tasks are due on
+    * minute marks (run_timer is minute-aligned by the migrator), so
+    * the scheduled time of an event is its minute floor and delay =
+    * ts − floor_minute(ts) in ms. The companion unexeced gauge
+    * (ReportTimerUnexecedRecord) is the unlimited COUNT form of
+    * tPendingOverdue. */
+  def tExecDelay(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("delay_ms",
+        unix_millis(col("ts")) - unix_millis(date_trunc("minute", col("ts"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_execs"),
+        round(sum(col("delay_ms")) / (lit(1.0) * count(lit(1))), 4).as("avg_delay_ms"),
+        round(expr("percentile(delay_ms, 0.5)"), 4).as("p50_delay_ms"),
+        round(expr("percentile(delay_ms, 0.9)"), 4).as("p90_delay_ms"),
+        round(expr("percentile(delay_ms, 0.99)"), 4).as("p99_delay_ms"),
+        max(col("delay_ms")).as("max_delay_ms"))
+      .orderBy(col("event_type"))
+
   /** Idempotent dedup on (timer_id, minute), keep earliest — the
     * task table's unique index idx_def_timer on (timer_id, run_timer)
     * (gotimer_web/dao/task/po.go). */
@@ -186,6 +208,7 @@ object TimerOps {
     "t_status_lifecycle" -> (tStatusLifecycle _),
     "t_pending_overdue" -> (tPendingOverdue _),
     "t_sla_percentile" -> (tSlaPercentile _),
+    "t_exec_delay" -> (tExecDelay _),
     "t_task_dedup" -> (tTaskDedup _),
     "t_stream_window_agg" -> (tStreamWindowAgg _),
     "t_sessionize" -> (tSessionize _),
@@ -231,6 +254,17 @@ object TimerOps {
          |WHERE ($statusSql) = 0 AND ts < TIMESTAMP '2024-01-20 00:00:00'
          |ORDER BY ts DESC, event_id DESC
          |LIMIT 50""".stripMargin,
+    "t_exec_delay" ->
+      """SELECT event_type, count(*) AS n_execs,
+        |  round(sum(delay_ms) / (1.0 * count(*)), 4) AS avg_delay_ms,
+        |  round(quantile_cont(delay_ms, 0.5), 4) AS p50_delay_ms,
+        |  round(quantile_cont(delay_ms, 0.9), 4) AS p90_delay_ms,
+        |  round(quantile_cont(delay_ms, 0.99), 4) AS p99_delay_ms,
+        |  max(delay_ms) AS max_delay_ms
+        |FROM (SELECT event_type,
+        |        epoch_ms(ts) - epoch_ms(date_trunc('minute', ts)) AS delay_ms
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "t_sla_percentile" ->
       s"""SELECT $statusSql AS status, count(*) AS n_tasks,
          |  round(min(value), 4) AS min_cost,

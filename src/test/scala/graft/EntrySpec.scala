@@ -10,11 +10,11 @@ class EntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("inventory size matches SURVEY §2 (51 queries + 7 streaming components)") {
-    assert(SparkEntry.queries.size == 52, SparkEntry.queries.keys.mkString(","))
-    // 46 SQL-oracled + 6 rows-only (winnow, minhash, simhash, ann_lsh,
+  test("inventory size matches SURVEY §2 (52 queries + 7 streaming components)") {
+    assert(SparkEntry.queries.size == 53, SparkEntry.queries.keys.mkString(","))
+    // 47 SQL-oracled + 6 rows-only (winnow, minhash, simhash, ann_lsh,
     // ann_ivf, training_funnel)
-    assert(SparkEntry.oracleSql.size == 46, s"${SparkEntry.oracleSql.size} oracles")
+    assert(SparkEntry.oracleSql.size == 47, s"${SparkEntry.oracleSql.size} oracles")
   }
 
   test("entry() returns rows") {
