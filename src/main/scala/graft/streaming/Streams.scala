@@ -180,7 +180,10 @@ object Streams {
     * evaluated against the merged extent) — matching the batch twin,
     * which sorts globally before splitting. An event more than a gap
     * EARLIER than the open session's start is emitted as its own
-    * already-closed session: the batch twin would split there too, but
+    * already-closed session (reachable only when the gap is shorter
+    * than the watermark delay — otherwise such events are
+    * watermark-dropped before reaching state): the batch twin would
+    * split there too, but
     * if still-older events arrive later inside the watermark the batch
     * twin could merge them with it — the one remaining (documented)
     * divergence; exact replay requires buffering the full event set,

@@ -171,6 +171,33 @@ class StreamingSpec extends SparkSpec {
       s"merged session with lowered start missing from ${sessions.toSeq}")
   }
 
+  test("sessionizer: late event a full gap BEFORE the open session closes alone") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TaskEvent]
+    // gap (5 min) < watermark delay (10 min): the only regime where a
+    // late event can be admitted by the watermark yet sit a full gap
+    // before the open session — with the default 30-min gap such an
+    // event is always watermark-dropped first
+    val q = Streams.sessionizer(mem.toDS(), gapMs = 5L * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_orphan").outputMode("append").start()
+    // open a session at 01:40 (watermark advances to 01:30)
+    mem.addData(ev(1, "2024-01-15 01:40:00", 4, v = 1.0))
+    q.processAllAvailable()
+    // late event at 01:32 — inside the watermark, but 8 min (> gap)
+    // BEFORE the open session's start: it can never join it, so it's
+    // emitted closed immediately as its own single-event session
+    mem.addData(ev(2, "2024-01-15 01:32:00", 4, v = 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_orphan").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(3), r.getDouble(4)))
+    assert(sessions.contains(
+      (4L, "2024-01-15 01:32:00.0", "2024-01-15 01:32:00.0", 1L, 2.0)),
+      s"orphan session missing from ${sessions.toSeq}")
+  }
+
   test("streamingDedup: duplicate content suppressed across batches, min id kept") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
