@@ -186,7 +186,10 @@ object DedupOps {
       .withColumn("label", col("src")).cache()
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    // cap = worst-case diameter we're willing to propagate across;
+    // near-dup clusters are shallow, so 64 is far beyond real data
+    val maxIter = 64
+    while (!converged && iter < maxIter) {
       val nbrMin = sym.join(
           labels.select(col("src").as("dst"), col("label").as("nbr_label")), "dst")
         .groupBy(col("src")).agg(min(col("nbr_label")).as("min_nbr"))
@@ -206,6 +209,15 @@ object DedupOps {
       converged = changed == 0
       iter += 1
     }
+    // wrong labels must not masquerade as results: a component deeper
+    // than the cap fails loudly (switch to large-star/small-star for
+    // such graphs), instead of hash-mismatching the oracle mysteriously
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations — " +
+        "component diameter exceeds the cap")
+    // pairs fed only the iterations; the converged labels cache is the
+    // output and stays alive (a miss would recompute through the loop)
+    p.unpersist()
     labels.select(col("src").as("doc_id"), col("label").as("group_id"))
   }
 

@@ -33,21 +33,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object ExactNum {
 
-  /** Lossless 2-dp decimal view of a testdata double column. */
-  def d2(c: Column): Column = c.cast(DecimalType(18, 2))
-
-  /** Narrower operand for decimal products (keeps p1+p2 ≤ 38 in both
-    * engines); still lossless for values < 1e10. */
-  def d2n(c: Column): Column = c.cast(DecimalType(12, 2))
-
   /** Lossless integer-cents view: round(x·100) is exactly integral
     * (x carries 2 decimals, so x·100 sits within 1e-9 of an integer —
     * never near a rounding tie), and the long cast is then exact in
     * both engines. Long sums are codegen-hot (a decimal-sum q1 ran 3×
     * slower than double-sum; cents restores it) and overflow only past
     * 9.2e18 cents ≈ 9e16 dollar-units — beyond any real fact table's
-    * total. Products still use d2n decimals: per-row cent-products
-    * reach ~1e9, which times 1e12 rows would overflow a long. */
+    * total. Products (q1/q5/q6) multiply cents as LONGS per row
+    * (~1e9 max) and accumulate through sumUnits4's wide-decimal sum,
+    * which cannot overflow at any row count. */
   def cents(c: Column): Column = round(c * 100).cast("long")
 
   /** Exact, order-independent sum of a 2-dp double, emitted with the
@@ -55,24 +49,26 @@ object ExactNum {
     * SQL mirror: round(sum(CAST(round(x*100,0) AS BIGINT))/100.0, 4). */
   def sum4(c: Column): Column = round(sum(cents(c)) / 100.0, 4)
 
-  /** Exact sum of an already-decimal expression (e.g. a product of
-    * d2n operands), 4-dp double output. */
-  def sumExpr4(e: Column): Column = round(sum(e), 4).cast("double")
-
   /** Exact sum of a LONG column holding scale-4 integer units (e.g. a
     * cents×cents product), emitted as a 4-dp double. Per-row work is
     * pure long arithmetic (no BigDecimal on the hot path — measured
     * ~0.5 s off q1 at sf0.1); the accumulator is a wide decimal so
     * the SUM can't overflow at any row count even though each row
-    * fits a long. The trailing half-up to 4 dp happens in INTEGER
-    * space ((S+50) div 100) — a float-space round here can land on an
-    * exact .5 tie (~1% of groups: S ≡ 50 mod 100) where Spark and
-    * DuckDB round differently. Assumes non-negative sums (prices).
-    * SQL mirror: CAST((sum(<units>) + 50) // 100 AS DOUBLE) / 10000.0
+    * fits a long. The trailing half-away-from-zero to 4 dp happens in
+    * INTEGER space — a float-space round here can land on an exact .5
+    * tie (~1% of groups: S ≡ ±50 mod 100) where Spark and DuckDB
+    * round differently. Sign-correct: the rounding is applied to |S|
+    * and the sign restored, because Spark's floor (toward −∞) and
+    * DuckDB's `//` (toward zero) disagree on negative operands — on
+    * the non-negative branch they coincide.
+    * SQL mirror: CAST(CASE WHEN sum(u) >= 0 THEN (sum(u) + 50) // 100
+    * ELSE -((-sum(u) + 50) // 100) END AS DOUBLE) / 10000.0
     * (DuckDB sums BIGINT into HUGEINT — also unoverflowable). */
-  def sumUnits4(units: Column): Column =
-    floor((sum(units.cast(DecimalType(30, 0))) + lit(50)) / lit(100))
-      .cast("double") / 10000.0
+  def sumUnits4(units: Column): Column = {
+    val s = sum(units.cast(DecimalType(30, 0)))
+    def half(nonNeg: Column): Column = floor((nonNeg + lit(50)) / lit(100))
+    when(s >= 0, half(s)).otherwise(-half(-s)).cast("double") / 10000.0
+  }
 
   /** Average as exact cents sum over non-null count, divided in double
     * space (IEEE division of two exactly-agreed operands). SQL mirror:

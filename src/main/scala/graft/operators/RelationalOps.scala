@@ -320,7 +320,9 @@ object RelationalOps {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_qty,
         |  round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_base_price,
-        |  CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100 AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  CAST(CASE WHEN sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) >= 0
+        |    THEN (sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100
+        |    ELSE -((-sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100) END AS DOUBLE) / 10000.0 AS sum_disc_price,
         |  round(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / (100.0 * count(l_quantity)), 4) AS avg_qty,
         |  round(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) / (100.0 * count(l_discount)), 4) AS avg_disc,
         |  count(*) AS count_order
@@ -349,7 +351,9 @@ object RelationalOps {
         |ORDER BY o_orderstatus, l_returnflag""".stripMargin,
     "q5_multijoin" ->
       """SELECT n_name,
-        |  CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100 AS DOUBLE) / 10000.0 AS revenue
+        |  CAST(CASE WHEN sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) >= 0
+        |    THEN (sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100
+        |    ELSE -((-sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100) END AS DOUBLE) / 10000.0 AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -360,7 +364,9 @@ object RelationalOps {
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
     "q6_filter_agg" ->
-      """SELECT CAST((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(round(l_discount * 100, 0) AS BIGINT)) + 50) // 100 AS DOUBLE) / 10000.0 AS revenue, count(*) AS n_rows
+      """SELECT CAST(CASE WHEN sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(round(l_discount * 100, 0) AS BIGINT)) >= 0
+        |    THEN (sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(round(l_discount * 100, 0) AS BIGINT)) + 50) // 100
+        |    ELSE -((-sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(round(l_discount * 100, 0) AS BIGINT)) + 50) // 100) END AS DOUBLE) / 10000.0 AS revenue, count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,

@@ -66,7 +66,11 @@ object TimerOps {
         col("user_id"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("minute"), col("bucket"))
-      .agg(sum(col("cnt")).as("task_cnt"), count(lit(1)).as("n_timers"))
+      // count(user_id), not count(*): a NULL timer id would form its
+      // own group here, and countDistinct/the oracle's
+      // count(DISTINCT user_id) both skip NULLs — count(user_id)
+      // preserves that exact semantics
+      .agg(sum(col("cnt")).as("task_cnt"), count(col("user_id")).as("n_timers"))
       .orderBy(col("minute"), col("bucket"))
 
   /** [start,end) epoch-ms range scan emitting "{timer_id}_{unix_ms}"

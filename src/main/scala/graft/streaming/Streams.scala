@@ -125,14 +125,27 @@ object Streams {
     * acceptable); at 100 TB that lives in the RocksDB state store,
     * optionally fronted by a bloom filter exactly like the
     * reference's redis bloom + unique-index fallback. */
-  def streamingDedup(docs: Dataset[DocEvent]): Dataset[DocEvent] = {
+  private def md5Hex(text: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Raw content identity — the streaming twin of d_exact_dedup. */
+  def rawKey(d: DocEvent): String = md5Hex(d.text)
+
+  /** Canonical content identity — the SAME normalization the batch
+    * funnel's fingerprint applies (lower / trim / collapse
+    * whitespace), so the streaming and batch tiers agree on what
+    * counts as a duplicate. */
+  def canonicalKey(d: DocEvent): String =
+    md5Hex(d.text.trim.toLowerCase.replaceAll("\\s+", " "))
+
+  def streamingDedup(docs: Dataset[DocEvent],
+      keyFn: DocEvent => String = rawKey): Dataset[DocEvent] = {
     import docs.sparkSession.implicits._
     docs
-      .groupByKey { d =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        md.digest(d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .map("%02x".format(_)).mkString
-      }
+      .groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, it: Iterator[DocEvent], state: GroupState[Boolean]) => {
           if (state.exists) Iterator.empty
@@ -155,8 +168,12 @@ object Streams {
   def streamingFunnel(docs: Dataset[DocEvent],
       minQuality: Double = 0.05,
       langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")): DataFrame =
+    // canonicalKey, not rawKey: the batch funnel dedups on the
+    // NORMALIZED fingerprint, and the two tiers must agree on what a
+    // duplicate is (a whitespace-variant doc kept here would be
+    // retro-dropped by batch compaction)
     graft.operators.TrainingPipeline.featureAndFilter(
-      streamingDedup(docs).toDF(), minQuality, langs)
+      streamingDedup(docs, canonicalKey).toDF(), minQuality, langs)
 
   // Session state tracks MICROSECONDS — Timestamp.getTime is
   // millis-only and would silently truncate the event table's µs
@@ -175,18 +192,18 @@ object Streams {
     * later event arrives past the gap (or on event-time timeout).
     *
     * Out-of-order events admitted within the watermark (ADVICE r2 #2):
-    * an event landing inside-or-adjacent-to the open session's extent
-    * MERGES it (session_start lowers via min, end raises via max, gap
-    * evaluated against the merged extent) — matching the batch twin,
-    * which sorts globally before splitting. An event more than a gap
-    * EARLIER than the open session's start is emitted as its own
-    * already-closed session (reachable only when the gap is shorter
-    * than the watermark delay — otherwise such events are
-    * watermark-dropped before reaching state): the batch twin would
-    * split there too, but
-    * if still-older events arrive later inside the watermark the batch
-    * twin could merge them with it — the one remaining (documented)
-    * divergence; exact replay requires buffering the full event set,
+    * each micro-batch gap-splits the open session PLUS the batch's
+    * events over their combined time-sorted sequence — the batch
+    * twin's exact rule applied to everything available. An event
+    * landing in-gap of the open session merges it (start lowers, end
+    * raises); events a full gap earlier form their own sessions,
+    * merging with each other when in-gap (reachable only when the gap
+    * is shorter than the watermark delay — otherwise such events are
+    * watermark-dropped before reaching state). All sessions but the
+    * latest are emitted closed. The one remaining (documented)
+    * divergence from the batch twin: a session closed in an earlier
+    * batch cannot absorb a still-older event arriving in a later
+    * batch — exact replay requires buffering the full event set,
     * which is what the batch twin is for. */
   def sessionizer(events: Dataset[TaskEvent],
       gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
@@ -204,29 +221,32 @@ object Streams {
             }
             state.remove()
           } else {
-            var cur = state.getOption
-            it.toSeq.sortBy(e => toMicros(e.ts)).foreach { e =>
-              val t = toMicros(e.ts)
-              cur match {
-                case Some(s) if t - s.end > gapUs =>
-                  // past the gap AFTER the session: close it, start anew
-                  out += Session(timerId, fromMicros(s.start), fromMicros(s.end), s.n, s.sum)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case Some(s) if s.start - t > gapUs =>
-                  // late event past the gap BEFORE the session: it can
-                  // never join the open session — emit it closed
-                  out += Session(timerId, fromMicros(t), fromMicros(t), 1, e.value)
-                case Some(s) =>
-                  // merge: lower start for late-but-in-gap events too
-                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
-                    s.n + 1, s.sum + e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+            // Gap-split the open session (as one interval) plus this
+            // batch's events over the combined time-sorted sequence —
+            // the batch twin's exact split rule applied to everything
+            // available. In particular, several late events in the
+            // SAME batch that sit before the open session merge with
+            // each other instead of fragmenting into singletons.
+            val intervals = (state.getOption.toSeq ++
+              it.map(e => SessionState(toMicros(e.ts), toMicros(e.ts), 1, e.value)))
+              .sortBy(s => (s.start, s.end))
+            val merged = intervals.foldLeft(List.empty[SessionState]) { (acc, iv) =>
+              acc match {
+                case head :: tail if iv.start - head.end <= gapUs =>
+                  SessionState(math.min(head.start, iv.start), math.max(head.end, iv.end),
+                    head.n + iv.n, head.sum + iv.sum) :: tail
+                case _ => iv :: acc
               }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp((s.end + gapUs) / 1000L)
+            }.reverse
+            if (merged.nonEmpty) {
+              // every session but the latest can no longer grow from
+              // in-order data — emit closed; the latest stays open
+              merged.init.foreach { s =>
+                out += Session(timerId, fromMicros(s.start), fromMicros(s.end), s.n, s.sum)
+              }
+              val last = merged.last
+              state.update(last)
+              state.setTimeoutTimestamp((last.end + gapUs) / 1000L)
             }
           }
           out.iterator

@@ -42,6 +42,13 @@ class ExactNumSpec extends SparkSpec {
     }
   }
 
+  // half-away-from-zero at the last 2 unit digits, the contract both
+  // engines implement (|S| rounding + sign restore)
+  private def halfAway(s: BigInt): Double = {
+    val t = (s.abs + 50) / 100
+    (if (s.signum < 0) -t else t).toDouble / 10000.0
+  }
+
   test("sumUnits4 equals exact integer math and is partitioning-invariant") {
     (1 to 12).foreach { i =>
       val rows = sample(Gen.nonEmptyListOf(Gen.zip(twoDp, Gen.chooseNum(0L, 10L))), 2000 + i)
@@ -53,8 +60,21 @@ class ExactNumSpec extends SparkSpec {
       val exactUnits = rows.map { case (a, d) =>
         BigInt(math.round(a * 100)) * (100 - d)
       }.sum
-      val exp = ((exactUnits + 50) / 100).toDouble / 10000.0
-      assert(got == exp, s"[$i] sumUnits4 $got != $exp")
+      assert(got == halfAway(exactUnits), s"[$i] sumUnits4 $got != ${halfAway(exactUnits)}")
+    }
+  }
+
+  test("sumUnits4 is sign-correct for negative sums (floor vs trunc trap)") {
+    // Spark floor goes toward −∞, DuckDB // toward zero — naive
+    // (S+50) div 100 diverges by one unit on negative sums; the
+    // |S|-then-sign formulation must not
+    (1 to 8).foreach { i =>
+      val rows = sample(Gen.nonEmptyListOf(twoDp), 3000 + i)
+      val df = rows.toDF("a").repartition(1 + i % 5)
+      val units = -ExactNum.cents(col("a")) * lit(3L)
+      val got = df.agg(ExactNum.sumUnits4(units).as("s")).collect()(0).getDouble(0)
+      val exactUnits = -rows.map(a => BigInt(math.round(a * 100)) * 3).sum
+      assert(got == halfAway(exactUnits), s"[$i] $got != ${halfAway(exactUnits)}")
     }
   }
 }

@@ -198,6 +198,31 @@ class StreamingSpec extends SparkSpec {
       s"orphan session missing from ${sessions.toSeq}")
   }
 
+  test("sessionizer: same-batch late events merge with each other, not fragment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TaskEvent]
+    val q = Streams.sessionizer(mem.toDS(), gapMs = 5L * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_latepair").outputMode("append").start()
+    mem.addData(ev(1, "2024-01-15 01:40:00", 6, v = 1.0))
+    q.processAllAvailable()
+    // two late events, both a full gap before the open session but
+    // in-gap of EACH OTHER: the batch twin makes ONE session [01:31,
+    // 01:32] n=2 — fragmentation into singletons would diverge
+    mem.addData(ev(2, "2024-01-15 01:31:00", 6, v = 2.0),
+      ev(3, "2024-01-15 01:32:00", 6, v = 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_latepair").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(3), r.getDouble(4)))
+    assert(sessions.contains(
+      (6L, "2024-01-15 01:31:00.0", "2024-01-15 01:32:00.0", 2L, 5.0)),
+      s"merged late pair missing from ${sessions.toSeq}")
+    assert(!sessions.exists(s => s._4 == 1L && s._2.startsWith("2024-01-15 01:3")),
+      s"late events fragmented: ${sessions.toSeq}")
+  }
+
   test("streamingDedup: duplicate content suppressed across batches, min id kept") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -226,6 +251,9 @@ class StreamingSpec extends SparkSpec {
     mem.addData(
       DocEvent(1, "the fast scan the a merge"),
       DocEvent(2, "the fast scan the a merge"), // exact dup: dropped
+      DocEvent(5, "  the fast  scan the a merge "), // whitespace variant:
+      // the funnel keys on the NORMALIZED fingerprint like the batch
+      // tier, so this is a duplicate too
       DocEvent(3, "stream window query query"))
     q.processAllAvailable()
     q.stop()
