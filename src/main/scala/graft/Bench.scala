@@ -51,6 +51,11 @@ object Bench {
     val results = toRun.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): (Double, Boolean) = {
+        // clear plan-matched cache reuse: CacheManager resolves a NEW
+        // identical plan against run 1's cached data, which would turn
+        // the steady-state run into a partial measurement for queries
+        // that .cache() internally (d_minhash_lsh, p_training_funnel)
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

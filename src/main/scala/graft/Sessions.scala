@@ -22,6 +22,9 @@ object Sessions {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "8g"))
+      // NOTE: no spark.driver.memory here — in local mode the heap is
+      // fixed by the already-running JVM; build.sbt sizes -Xmx from
+      // SPARK_DRIVER_MEM. Setting the conf post-launch would silently
+      // lie about the memory actually in use.
       .getOrCreate()
 }

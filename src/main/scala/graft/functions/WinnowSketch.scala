@@ -25,10 +25,17 @@ case class WinnowSketch(child: Expression, k: Int, w: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_sketch"
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"winnow_sketch expects string, got $t")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1 || w < 1)
+      // analysis-time rejection: k ≤ 0 reads bytes(-1) in the rolling
+      // hash and w ≤ 0 evicts the deque's only element before the
+      // window-minimum read (executor NPE) — fail the query instead
+      TypeCheckResult.TypeCheckFailure(
+        s"winnow_sketch expects k >= 1 and w >= 1, got k=$k, w=$w")
+    else child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"winnow_sketch expects string, got $t")
+    }
 
   private val Base = 1000003L
   // Base^(k-1) for removing the outgoing char (wraparound arithmetic)
@@ -59,7 +66,6 @@ case class WinnowSketch(child: Expression, k: Int, w: Int)
     }
 
     // sliding-window minimum via monotonic index deque
-    val nWin = math.max(nGrams - w + 1, 1)
     val winW = math.min(w, nGrams)
     val out = new java.util.LinkedHashSet[Long]()
     val deque = new java.util.ArrayDeque[Int]()

@@ -77,7 +77,7 @@ object MultimodalOps {
     "m_json_extract" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-        |  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+        |  ((CAST(json_extract_string(props, '$.k') AS INTEGER) % 10) + 10) % 10 AS k_bucket
         |FROM events
         |ORDER BY event_id""".stripMargin,
     "m_binary_pipeline" ->

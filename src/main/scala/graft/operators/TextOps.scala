@@ -106,12 +106,19 @@ object TextOps {
         round(avg(col("ws_tokens")), 4).as("avg_ws_tokens"))
       .orderBy(col("lang"))
 
+  /** THE canonical-fingerprint expression — single definition shared
+    * by xFingerprint, TrainingPipeline.annotate, and (as a spec-pinned
+    * JVM mirror) streaming.Streams.canonicalKey, so batch and stream
+    * cannot drift on what counts as a duplicate: md5 of lowercased,
+    * space-trimmed, whitespace-collapsed text. */
+  private[graft] def canonicalFpExpr: Column =
+    md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary"))
+
   /** Canonicalization fingerprint: md5 of lowercased,
     * whitespace-collapsed text → dup groups (keep min doc_id). */
   def xFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")).as("fp"))
+      .select(col("doc_id"), canonicalFpExpr.as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .orderBy(col("keep_id"))

@@ -227,7 +227,7 @@ object TimerOps {
       """SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, count(*) AS task_cnt
         |FROM events GROUP BY 1 ORDER BY minute""".stripMargin,
     "t_time_bucket_shard" ->
-      """SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, user_id % 8 AS bucket,
+      """SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, ((user_id % 8) + 8) % 8 AS bucket,
         |  count(*) AS task_cnt, count(DISTINCT user_id) AS n_timers
         |FROM events GROUP BY 1, 2 ORDER BY minute, bucket""".stripMargin,
     "t_time_window_slice" ->

@@ -34,11 +34,10 @@ object TrainingPipeline {
     * fp, exact_keep, group_id, neardup_keep, pred_lang, n_tokens,
     * quality, kept. */
   def annotate(s: SparkSession, dir: String, cfg: Config = Config()): DataFrame = {
-    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     val byFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     val withFp = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
-      .withColumn("fp", md5(norm.cast("binary")))
+      .withColumn("fp", TextOps.canonicalFpExpr)
       .withColumn("exact_keep", row_number().over(byFp) === 1)
     // near-dup groups from the LSH scale path; docs outside any pair
     // group are their own canonical representative

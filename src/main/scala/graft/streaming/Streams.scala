@@ -22,8 +22,12 @@ import org.apache.spark.sql.types._
 case class TaskEvent(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
-/** A fired task emitted by TimerFiring. */
-case class TaskFiring(timer_id: Long, minute_start: Timestamp, n_suppressed: Int)
+/** A firing decision emitted by TimerFiring. `fired` separates a real
+  * (first) firing from a suppressed-duplicate report — without it a
+  * fully-suppressed replayed minute is indistinguishable from a real
+  * firing and downstream callbacks would double-fire. */
+case class TaskFiring(timer_id: Long, minute_start: Timestamp, fired: Boolean,
+    n_suppressed: Int)
 
 /** A closed session emitted by Sessionizer. */
 case class Session(timer_id: Long, session_start: Timestamp, session_end: Timestamp,
@@ -84,19 +88,21 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (timerId: Long, it: Iterator[TaskEvent], state: GroupState[FiringState]) => {
           val prev = state.getOption.getOrElse(FiringState(Set.empty))
-          var fired = prev.firedMinutes
+          var firedMinutes = prev.firedMinutes
           val out = scala.collection.mutable.ArrayBuffer.empty[TaskFiring]
           val byMinute = it.toSeq.groupBy(e => e.ts.getTime / 60000L)
           byMinute.toSeq.sortBy(_._1).foreach { case (minute, evs) =>
-            if (!fired.contains(minute)) {
-              fired += minute
-              out += TaskFiring(timerId, new Timestamp(minute * 60000L), evs.size - 1)
+            if (!firedMinutes.contains(minute)) {
+              firedMinutes += minute
+              out += TaskFiring(timerId, new Timestamp(minute * 60000L),
+                fired = true, evs.size - 1)
             } else {
-              out += TaskFiring(timerId, new Timestamp(minute * 60000L), evs.size)
+              out += TaskFiring(timerId, new Timestamp(minute * 60000L),
+                fired = false, evs.size)
             }
           }
           val watermarkMinute = state.getCurrentWatermarkMs() / 60000L
-          state.update(FiringState(fired.filter(_ >= watermarkMinute)))
+          state.update(FiringState(firedMinutes.filter(_ >= watermarkMinute)))
           out.iterator
         })
   }
@@ -112,7 +118,8 @@ object Streams {
     * Timer defs are dimension-sized (10⁶–10⁸ rows ≪ the event
     * stream), hence the explicit broadcast. */
   def enrichedFiring(firings: Dataset[TaskFiring], defs: Dataset[TimerDef]): DataFrame =
-    firings.join(broadcast(defs.filter(col("enabled"))), Seq("timer_id"), "inner")
+    firings.filter(_.fired)
+      .join(broadcast(defs.filter(col("enabled"))), Seq("timer_id"), "inner")
 
   /** Cross-batch exact dedup of an unbounded document stream — the
     * streaming twin of d_exact_dedup, and the executor's
@@ -134,12 +141,17 @@ object Streams {
   /** Raw content identity — the streaming twin of d_exact_dedup. */
   def rawKey(d: DocEvent): String = md5Hex(d.text)
 
-  /** Canonical content identity — the SAME normalization the batch
-    * funnel's fingerprint applies (lower / trim / collapse
-    * whitespace), so the streaming and batch tiers agree on what
-    * counts as a duplicate. */
-  def canonicalKey(d: DocEvent): String =
-    md5Hex(d.text.trim.toLowerCase.replaceAll("\\s+", " "))
+  /** Canonical content identity — the JVM mirror of
+    * TextOps.canonicalFpExpr (equality pinned in StreamingSpec), so
+    * the streaming and batch tiers agree on what counts as a
+    * duplicate. Mirrors Spark semantics exactly: trim() strips only
+    * SPACES (Java's String.trim would also strip tabs/controls and
+    * diverge on "\tdoc"), and lower() is locale-independent (default
+    * toLowerCase would vary under e.g. tr_TR). */
+  def canonicalKey(d: DocEvent): String = {
+    val spaceTrimmed = d.text.replaceAll("^ +| +$", "")
+    md5Hex(spaceTrimmed.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " "))
+  }
 
   def streamingDedup(docs: Dataset[DocEvent],
       keyFn: DocEvent => String = rawKey): Dataset[DocEvent] = {

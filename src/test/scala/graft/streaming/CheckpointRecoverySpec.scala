@@ -52,12 +52,14 @@ class CheckpointRecoverySpec extends SparkSpec {
     runOnce()
 
     val rows = spark.read.parquet(outDir).collect()
-      .map(r => (r.getTimestamp(1).toString, r.getInt(2))).sortBy(_.toString)
-    // 00:01 first firing (0 suppressed), 00:01 replay AFTER RESTART
-    // recognized as duplicate (1 suppressed), 00:03 fresh firing
+      .map(r => (r.getTimestamp(1).toString, r.getBoolean(2), r.getInt(3)))
+      .sortBy(_.toString)
+    // 00:01 first firing (fired, 0 suppressed), 00:01 replay AFTER
+    // RESTART recognized as duplicate (not fired, 1 suppressed),
+    // 00:03 fresh firing
     assert(rows.toSeq == Seq(
-      ("2024-01-15 00:01:00.0", 0),
-      ("2024-01-15 00:01:00.0", 1),
-      ("2024-01-15 00:03:00.0", 0)), rows.mkString(", "))
+      ("2024-01-15 00:01:00.0", false, 1),
+      ("2024-01-15 00:01:00.0", true, 0),
+      ("2024-01-15 00:03:00.0", true, 0)), rows.mkString(", "))
   }
 }

@@ -61,11 +61,12 @@ class StreamingSpec extends SparkSpec {
     q.stop()
 
     val rows = spark.table("tf")
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(2)))
-    val t1 = rows.filter(_._1 == 1L).sortBy(_._2)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getBoolean(2), r.getInt(3)))
+    val t1 = rows.filter(_._1 == 1L).sortBy(t => (t._2, !t._3))
     assert(t1.length == 2, s"$t1")
-    assert(t1(0) == ((1L, "2024-01-15 00:01:00.0", 1)), s"first firing: ${t1(0)}")
-    assert(t1(1) == ((1L, "2024-01-15 00:01:00.0", 1)), s"replay suppressed: ${t1(1)}")
+    assert(t1(0) == ((1L, "2024-01-15 00:01:00.0", true, 1)), s"first firing: ${t1(0)}")
+    assert(t1(1) == ((1L, "2024-01-15 00:01:00.0", false, 1)), s"replay suppressed: ${t1(1)}")
     assert(rows.count(_._1 == 2L) == 1)
   }
 
@@ -86,7 +87,7 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val rows = spark.table("tf_evict").collect()
-      .map(r => (r.getTimestamp(1).toString, r.getInt(2)))
+      .map(r => (r.getTimestamp(1).toString, r.getBoolean(2), r.getInt(3)))
     val replays = spark.table("tf_evict").count() - before
     // the dedup entry for 00:01 is gone; the watermarked stream either
     // drops the late replay outright or re-fires it (at-least-once) —
@@ -94,7 +95,7 @@ class StreamingSpec extends SparkSpec {
     assert(replays <= 1, rows.mkString(","))
     if (replays == 1) {
       val last = rows.last
-      assert(last == (("2024-01-15 00:01:00.0", 0)), s"re-fire expected, got $last")
+      assert(last == (("2024-01-15 00:01:00.0", true, 0)), s"re-fire expected, got $last")
     }
   }
 
@@ -221,6 +222,19 @@ class StreamingSpec extends SparkSpec {
       s"merged late pair missing from ${sessions.toSeq}")
     assert(!sessions.exists(s => s._4 == 1L && s._2.startsWith("2024-01-15 01:3")),
       s"late events fragmented: ${sessions.toSeq}")
+  }
+
+  test("canonicalKey is the exact JVM mirror of the batch fingerprint expression") {
+    import spark.implicits._
+    val tricky = Seq("\tHello  World ", "  MiXeD   Case", "tab\tinside text",
+      "unicode \u00c4\u00d6\u00dc stra\u00dfe", "plain text", " lead and trail ")
+    val df = tricky.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val exprFp = df.select(col("doc_id"), graft.operators.TextOps.canonicalFpExpr.as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    tricky.zipWithIndex.foreach { case (t, i) =>
+      val jvm = Streams.canonicalKey(DocEvent(i.toLong, t))
+      assert(jvm == exprFp(i.toLong), s"drift on ${t.map(_.toInt)}: $jvm vs ${exprFp(i.toLong)}")
+    }
   }
 
   test("streamingDedup: duplicate content suppressed across batches, min id kept") {
