@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // SPARK_GRAFT_DRIVER_MEM is the legacy name (pre-r3 Sessions read
+  // it); honor it as a fallback so existing runners don't silently
+  // drop to the 8g default (ADVICE r3).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM",
+    sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "8g"))}",
 )

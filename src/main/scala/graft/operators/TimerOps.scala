@@ -297,7 +297,11 @@ object TimerOps {
         |  count(*) AS n_events,
         |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 4) AS total_value
         |FROM (SELECT user_id, ts, value,
-        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+        |        -- CAST: duck sum() over INTEGER widens to HUGEINT; the
+        |        -- driver's hash distinguishes HUGEINT from the Spark
+        |        -- dump's BIGINT even when values are equal (r03's one
+        |        -- hash_match=false) — pin the type
+        |        CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx
         |      FROM (SELECT event_id, user_id, ts, value,
         |              CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000
         |                THEN 1 ELSE 0 END AS new_session

@@ -153,6 +153,13 @@ object Streams {
     md5Hex(spaceTrimmed.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " "))
   }
 
+  /** Keep-rule caveat (ADVICE r3): the kept representative is
+    * FIRST-ARRIVAL — min doc_id within the key's first micro-batch.
+    * The batch twin (d_exact_dedup / x_fingerprint) keeps the GLOBAL
+    * min doc_id, so if a smaller id for the same content arrives in a
+    * later batch, periodic batch compaction swaps the survivor id.
+    * Content-level dedup agrees across tiers; the representative id
+    * is only batch-stable. */
   def streamingDedup(docs: Dataset[DocEvent],
       keyFn: DocEvent => String = rawKey): Dataset[DocEvent] = {
     import docs.sparkSession.implicits._
