@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(c.length == 3, "minhash_signature(hashes, numPerms, seed)")
       MinHashSignature(c(0), litInt(c(1), "numPerms"), litInt(c(2), "seed"))
     }
+    register("poly_hash31", classOf[PolyHash31]) { c =>
+      require(c.length == 1, "poly_hash31(str)")
+      PolyHash31(c(0))
+    }
     register("simhash64", classOf[SimHash64]) { c =>
       require(c.length == 1, "simhash64(tokens)")
       SimHash64(c(0))

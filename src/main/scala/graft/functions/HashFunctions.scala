@@ -7,6 +7,48 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** poly_hash31(str) → long: polynomial string hash over Unicode code
+  * points, H = fold(acc·B + cp) mod M31 with B = 1000003 and
+  * M31 = 2³¹−1 (Rabin-Karp-style; acc < 2³¹ keeps every intermediate
+  * product < 2⁵² — no overflow, no wraparound). Chosen over
+  * xxhash64 for the shingle→hash step because the SAME fold is
+  * expressible in the DuckDB oracle (list_reduce over unicode(char)),
+  * so MinHash-LSH gets a full hash-equality oracle instead of a
+  * rows-only check. 31-bit range also feeds minhash permutations
+  * (a·h+b mod M31) without the floorMod pre-fold.
+  */
+case class PolyHash31(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash31"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"poly_hash31 expects string, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * PolyHash31.Base + cp) % PolyHash31.M31
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyHash31 {
+  val Base = 1000003L
+  val M31 = 2147483647L // 2^31 - 1, prime
+}
+
 /** minhash_signature(hashes) → array<long>: NumPerms-permutation
   * MinHash signature from an array of 32-bit-ish element hashes.
   * Permutation p is h ↦ (a_p·h + b_p) mod M31 with M31 = 2^31−1
@@ -29,12 +71,8 @@ case class MinHashSignature(child: Expression, numPerms: Int, seed: Int)
     case t => TypeCheckResult.TypeCheckFailure(s"minhash_signature expects array<long|int>, got $t")
   }
 
-  @transient private[this] lazy val ab: (Array[Long], Array[Long]) = {
-    val rnd = new java.util.Random(seed)
-    val a = Array.fill(numPerms)(1L + (rnd.nextLong().abs % (M31 - 1)))
-    val b = Array.fill(numPerms)(rnd.nextLong().abs % M31)
-    (a, b)
-  }
+  @transient private[this] lazy val ab: (Array[Long], Array[Long]) =
+    MinHashSignature.coeffs(numPerms, seed)
 
   private lazy val isInt = child.dataType match {
     case ArrayType(IntegerType, _) => true
@@ -65,11 +103,31 @@ case class MinHashSignature(child: Expression, numPerms: Int, seed: Int)
     copy(child = newChild)
 }
 
+object MinHashSignature {
+  private val M31 = 2147483647L
+
+  /** The permutation coefficients, exposed so the DuckDB oracle can
+    * inline the IDENTICAL (a, b) constants as a VALUES table — the
+    * seeded generation happens once here, not re-derived in SQL. */
+  def coeffs(numPerms: Int, seed: Int): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(seed)
+    val a = Array.fill(numPerms)(1L + (rnd.nextLong().abs % (M31 - 1)))
+    val b = Array.fill(numPerms)(rnd.nextLong().abs % M31)
+    (a, b)
+  }
+}
+
 /** simhash64(tokens) → long: 64-bit SimHash over an array of string
-  * tokens (Charikar). Each token is hashed to 64 bits (FNV-1a — pure
-  * public-domain arithmetic, identical on every JVM); bit j of the
-  * result is the sign of the ±1 vote sum over tokens. Unigram
-  * multiset → order-invariant, robust to permutation near-dups.
+  * tokens (Charikar). Each token is hashed to 64 bits with FNV-1a
+  * folded over UNICODE CODE POINTS (not UTF-8 bytes) — pure
+  * public-domain arithmetic, identical on every JVM, and exactly
+  * mirrorable in the DuckDB oracle as a list_reduce over
+  * unicode(char) with HUGEINT mod-2^64 wraparound (the oracle splits
+  * per grapheme cluster, so the mirror is exact whenever no token
+  * contains a multi-codepoint cluster — trivially true for the ASCII
+  * corpus, asserted in DedupSpec). Bit j of the result is the sign of
+  * the ±1 vote sum over tokens. Unigram multiset → order-invariant,
+  * robust to permutation near-dups.
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -82,13 +140,14 @@ case class SimHash64(child: Expression)
     case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string>, got $t")
   }
 
-  private def fnv1a64(bytes: Array[Byte]): Long = {
+  private def fnv1aCp(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xff)
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h ^= cp
       h *= 0x100000001b3L
-      i += 1
+      i += Character.charCount(cp)
     }
     h
   }
@@ -99,7 +158,7 @@ case class SimHash64(child: Expression)
     val n = toks.numElements()
     var i = 0
     while (i < n) {
-      val h = fnv1a64(toks.getUTF8String(i).getBytes)
+      val h = fnv1aCp(toks.getUTF8String(i).toString)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1

@@ -70,7 +70,11 @@ object DedupOps {
   /** MinHash(64 perms) + banded LSH (8 bands × 8 rows) candidate
     * pairs, exact-Jaccard verified ≥ 0.5. Candidates come ONLY from
     * band-bucket collisions (join on band key) — never all-pairs.
-    * Rows-only oracle; recall vs d_ngram_jaccard pinned in DedupSpec. */
+    * Shingles are hashed with poly_hash31 (not xxhash64) and the band
+    * key is the plain signature-slice string: both choices are
+    * SQL-mirrorable, which upgrades this operator from a rows-only
+    * check to a full DuckDB hash oracle (the permutation coefficients
+    * are inlined into the oracle from MinHashSignature.coeffs). */
   def dMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val bands = 8
     val rows = 8
@@ -78,14 +82,14 @@ object DedupOps {
     // explode AND both sides of the verify join — without it the
     // dominant compute runs 3× (at 100 TB: persist to disk/checkpoint)
     val sigs = shingled(s, dir)
-      .withColumn("hashes", expr("transform(shingles, x -> xxhash64(x))"))
+      .withColumn("hashes", expr("transform(shingles, x -> poly_hash31(x))"))
       .withColumn("sig", expr(s"minhash_signature(hashes, ${bands * rows}, 42)"))
       .select(col("doc_id"), col("hashes"), col("sig"))
       .cache()
 
     val banded = sigs.select(col("doc_id"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> struct(b as band_idx, xxhash64(concat_ws(',', slice(sig, b * $rows + 1, $rows))) as band_key))"))
+          s"b -> struct(b as band_idx, concat_ws(',', slice(sig, b * $rows + 1, $rows)) as band_key))"))
           .as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
 
@@ -253,8 +257,83 @@ object DedupOps {
         |JOIN sizes sb ON i.id_b = sb.doc_id
         |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
-    // d_minhash_lsh, d_simhash: rows-only (hash-seeded); recall vs the
-    // exact oracle asserted in DedupSpec.
+    // Exact mirror of the full MinHash-LSH pipeline: poly_hash31 per
+    // shingle (list_reduce fold), the expression's own permutation
+    // coefficients inlined as a VALUES table, band keys as
+    // signature-slice strings, candidate join, exact-Jaccard verify
+    // over the distinct hash sets.
+    "d_minhash_lsh" -> {
+      val (pa, pb) = graft.functions.MinHashSignature.coeffs(64, 42)
+      val permRows = (0 until 64)
+        .map(p => s"(${p}, ${pa(p)}, ${pb(p)})").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         range(1, greatest(len(w) - 1, 2)),
+         |         i -> array_to_string(list_slice(w, i, i+2), ' ')))) AS shingle
+         |       FROM t),
+         |hs AS (SELECT DISTINCT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(string_split(shingle, ''), c -> CAST(unicode(c) AS BIGINT))),
+         |           (acc, c) -> (acc * 1000003 + c) % 2147483647) AS h
+         |       FROM sh),
+         |perms AS (SELECT * FROM (VALUES $permRows) AS v(p, a, b)),
+         |sigv AS (SELECT doc_id, p, min((a * h + b) % 2147483647) AS v
+         |         FROM hs CROSS JOIN perms GROUP BY doc_id, p),
+         |bandkey AS (SELECT doc_id, p // 8 AS band_idx,
+         |              string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS band_key
+         |            FROM sigv GROUP BY doc_id, p // 8),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM bandkey x JOIN bandkey y
+         |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         |             AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |          FROM cand c
+         |          JOIN hs ha ON ha.doc_id = c.id_a
+         |          JOIN hs hb ON hb.doc_id = c.id_b AND hb.h = ha.h
+         |          GROUP BY c.id_a, c.id_b)
+         |SELECT i.id_a, i.id_b,
+         |  round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON i.id_a = sa.doc_id
+         |JOIN sizes sb ON i.id_b = sb.doc_id
+         |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    // Exact mirror of simhash64 (FNV-1a folded over code points, mod
+    // 2^64 via HUGEINT) + 16-bit rotate-band blocking + hamming ≤ 3.
+    // Precondition (DedupSpec-pinned): no multi-codepoint grapheme
+    // clusters and no empty tokens — duck's string_split('') is
+    // per-grapheme and unicode('') = −1, where the JVM folds per code
+    // point and folds nothing for ''.
+    "d_simhash" ->
+      """WITH th AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |      (acc, c) -> (xor(acc, c) * 1099511628211) % 18446744073709551616) AS UBIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |votes AS (
+        |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
+        |  GROUP BY doc_id, j),
+        |sig AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << j
+        |                               ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sig
+        |  FROM votes GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, sig, b AS band_idx, (sig >> (b * 16)) & 65535 AS band_val
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.sig AS sig_a, b.sig AS sig_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |      AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "d_dup_groups" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

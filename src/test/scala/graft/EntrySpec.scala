@@ -12,9 +12,11 @@ class EntrySpec extends SparkSpec {
 
   test("inventory size matches SURVEY §2 (52 queries + 7 streaming components)") {
     assert(SparkEntry.queries.size == 53, SparkEntry.queries.keys.mkString(","))
-    // 47 SQL-oracled + 6 rows-only (winnow, minhash, simhash, ann_lsh,
-    // ann_ivf, training_funnel)
-    assert(SparkEntry.oracleSql.size == 47, s"${SparkEntry.oracleSql.size} oracles")
+    // every query is SQL-oracled except this named rows-only set —
+    // keep it explicit so a silently-dropped oracle fails the build
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("x_winnow_fingerprint", "s_ann_lsh", "s_ann_ivf",
+      "p_training_funnel"), s"rows-only drifted: $rowsOnly")
   }
 
   test("entry() returns rows") {
