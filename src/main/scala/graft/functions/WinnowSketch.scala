@@ -9,8 +9,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** winnow_sketch(text) → array<long>: winnowing document sketch
   * (Schleimer, Wilkerson, Aiken — the MOSS fingerprinting paper):
-  * Karp-Rabin rolling hash over char k-grams, minimum per sliding
-  * window of w hashes, distinct minima.
+  * Karp-Rabin rolling hash over code-point k-grams, minimum per
+  * sliding window of w hashes, distinct minima.
   *
   * Single O(n) pass: the rolling hash updates in O(1) per char and a
   * monotonic deque yields each window minimum in amortized O(1). The
@@ -18,6 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (transform+slice+array_min) turned quadratic once Catalyst
   * collapsed the gram array into the window lambda — recomputing
   * every gram per window — which is why this is a native expression.
+  *
+  * The gram hash is the SAME fold as PolyHash31 (acc·B + cp mod M31)
+  * — a k-gram's rolling value equals poly_hash31 of that substring,
+  * so the DuckDB oracle can recompute every gram independently
+  * (list_reduce over a slice) and mirror the window minima exactly.
+  * Mod-M31 (not wraparound-64) precisely so the oracle's BIGINT
+  * arithmetic never overflows.
   */
 case class WinnowSketch(child: Expression, k: Int, w: Int)
     extends UnaryExpression with CodegenFallback {
@@ -37,30 +44,33 @@ case class WinnowSketch(child: Expression, k: Int, w: Int)
       case t => TypeCheckResult.TypeCheckFailure(s"winnow_sketch expects string, got $t")
     }
 
-  private val Base = 1000003L
-  // Base^(k-1) for removing the outgoing char (wraparound arithmetic)
+  private val Base = PolyHash31.Base
+  private val M31 = PolyHash31.M31
+  // Base^(k-1) mod M31 for removing the outgoing char
   private val BasePowK1: Long = {
     var p = 1L
     var i = 0
-    while (i < k - 1) { p *= Base; i += 1 }
+    while (i < k - 1) { p = (p * Base) % M31; i += 1 }
     p
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    val n = bytes.length
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
     if (n < k) return new GenericArrayData(Array.empty[Long])
 
     val nGrams = n - k + 1
     val hashes = new Array[Long](nGrams)
-    // Karp-Rabin: h_0 = Σ b_i·Base^(k-1-i); h_{j+1} = (h_j − b_j·Base^(k-1))·Base + b_{j+k}
+    // Karp-Rabin mod M31: h_0 = Σ cp_i·Base^(k-1-i);
+    // h_{j+1} = (h_j − cp_j·Base^(k-1))·Base + cp_{j+k}  (all mod M31)
     var h = 0L
     var i = 0
-    while (i < k) { h = h * Base + (bytes(i) & 0xff); i += 1 }
+    while (i < k) { h = (h * Base + cps(i)) % M31; i += 1 }
     hashes(0) = h
     var j = 1
     while (j < nGrams) {
-      h = (h - (bytes(j - 1) & 0xff) * BasePowK1) * Base + (bytes(j + k - 1) & 0xff)
+      val dropped = (cps(j - 1) * BasePowK1) % M31
+      h = ((h - dropped + M31) * Base + cps(j + k - 1)) % M31
       hashes(j) = h
       j += 1
     }

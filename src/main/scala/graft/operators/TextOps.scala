@@ -194,7 +194,33 @@ object TextOps {
         |FROM documents
         |GROUP BY 1
         |ORDER BY keep_id""".stripMargin,
-    // x_winnow_fingerprint: rows-only (hash-seeded sketch; properties
-    // asserted in TextSpec instead).
+    // Exact mirror of winnow_sketch(text, 8, 4): each code-point
+    // 8-gram hash is recomputed independently as the poly_hash31 fold
+    // over a list_slice (a Karp-Rabin rolling value equals the direct
+    // fold of its substring), window-4 minima via a ROWS frame,
+    // distinct. Static gram-index series (1..4096) instead of a
+    // lateral range on len (duck v1.0 can't lateral-unnest a column
+    // arg); 4096 covers max doc length with 7× headroom — a longer
+    // doc would drop grams and fail the diff loudly, not silently.
+    "x_winnow_fingerprint" ->
+      """WITH codes AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS cs
+        |  FROM documents),
+        |sized AS (SELECT doc_id, cs, len(cs) AS n FROM codes),
+        |grams AS (
+        |  SELECT doc_id, i, n - 8 + 1 AS ng,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(cs, i, i + 7)),
+        |      (acc, c) -> (acc * 1000003 + c) % 2147483647) AS h
+        |  FROM sized CROSS JOIN (SELECT unnest(range(1, 4097)) AS i)
+        |  WHERE i <= n - 8 + 1),
+        |win AS (
+        |  SELECT doc_id, i, ng,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        |  FROM grams)
+        |SELECT DISTINCT doc_id, wmin AS sketch_hash
+        |FROM win WHERE i >= least(4, ng)
+        |ORDER BY doc_id, sketch_hash""".stripMargin,
   )
 }
