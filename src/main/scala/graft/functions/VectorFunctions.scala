@@ -111,8 +111,7 @@ case class HyperplaneLsh(child: Expression, seed: Int, bits: Int)
 
   private def planesFor(dim: Int): Array[Array[Double]] = {
     if (planes == null || planesDim != dim) {
-      val rnd = new java.util.Random(seed.toLong * 0x9E3779B9L + dim)
-      planes = Array.fill(bits, dim)(rnd.nextGaussian())
+      planes = HyperplaneLsh.planesFor(seed, bits, dim)
       planesDim = dim
     }
     planes
@@ -145,4 +144,16 @@ case class HyperplaneLsh(child: Expression, seed: Int, bits: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object HyperplaneLsh {
+  /** The deterministic plane matrix, exposed so the DuckDB oracle can
+    * inline the IDENTICAL plane components as literals (shortest
+    * round-trip Double.toString → strtod re-reads the same double,
+    * and the oracle's left-associated `+` chain reproduces the eval
+    * loop's accumulation order — sign decisions match bit-for-bit). */
+  def planesFor(seed: Int, bits: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed.toLong * 0x9E3779B9L + dim)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
 }

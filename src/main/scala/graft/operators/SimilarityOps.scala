@@ -165,6 +165,56 @@ object SimilarityOps {
          |SELECT q_id, rank, vec_id, round(cos, 4) AS cos
          |FROM scored WHERE rank <= $K
          |ORDER BY q_id, rank""".stripMargin,
-    // s_ann_lsh: rows-only; recall ≥ 0.6 vs bruteforce in SimilaritySpec.
+    // Exact mirror of the LSH path: every hyperplane component is
+    // inlined (HyperplaneLsh.planesFor — identical seeded matrix),
+    // each bucket bit recomputed as an explicit left-associated
+    // dot-product chain (same accumulation order as the eval loop, so
+    // sign decisions match bit-for-bit), then the same bucket join +
+    // exact re-rank as the bruteforce oracle. Dim is pinned to the
+    // embeddings table's 64 — a different dim would diff loudly.
+    "s_ann_lsh" -> {
+      val dim = 64
+      def dot(plane: Array[Double]): String =
+        plane.zipWithIndex
+          .map { case (p, i) => s"CAST(embedding[${i + 1}] AS DOUBLE) * $p" }
+          .mkString("(", " + ", ")")
+      def bucketExpr(seed: Int): String = {
+        val planes = graft.functions.HyperplaneLsh.planesFor(seed, Bits, dim)
+        (0 until Bits)
+          .map(j => s"CASE WHEN ${dot(planes(j))} >= 0 THEN ${1 << j} ELSE 0 END")
+          .mkString("(", " + ", ")")
+      }
+      val bucketCols = (0 until Tables_L)
+        .map(t => s"${bucketExpr(100 + t)} AS b$t").mkString(",\n  ")
+      val bucketCase = (0 until Tables_L)
+        .map(t => s"WHEN $t THEN b$t").mkString(" ")
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  $bucketCols
+         |FROM embeddings),
+         |v AS (SELECT vec_id, embedding, t.tbl,
+         |        CASE t.tbl $bucketCase END AS bucket
+         |      FROM b CROSS JOIN (SELECT unnest(range(0, $Tables_L)) AS tbl) t),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, tbl, bucket
+         |      FROM v WHERE vec_id < $NumQueries),
+         |cand AS (SELECT DISTINCT q.q_id, q.q_emb, v.vec_id, v.embedding
+         |         FROM q JOIN v ON q.tbl = v.tbl AND q.bucket = v.bucket
+         |           AND v.vec_id <> q.q_id),
+         |scored AS (
+         |  SELECT q_id, vec_id,
+         |    list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+         |                           CAST(embedding AS DOUBLE[])) AS cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+         |                                      CAST(embedding AS DOUBLE[])) DESC,
+         |        vec_id) AS rank
+         |  FROM cand)
+         |SELECT q_id, rank, vec_id, round(cos, 4) AS cos
+         |FROM scored WHERE rank <= $K
+         |ORDER BY q_id, rank""".stripMargin
+    },
+    // s_ann_ivf: rows-only — the coarse quantizer is trained from the
+    // data (iterative k-means), so an independent SQL derivation
+    // can't reproduce it without also being a k-means implementation;
+    // recall vs bruteforce pinned in SimilaritySpec.
   )
 }
