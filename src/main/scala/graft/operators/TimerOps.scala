@@ -124,20 +124,57 @@ object TimerOps {
       .orderBy(col("ts").desc, col("event_id").desc)
       .limit(50)
 
+  /** Exact linear-interpolated percentile over INTEGRAL values,
+    * computed rank-wise in integer space (ADVICE r3: Spark's
+    * percentile() and DuckDB's quantile_cont both interpolate in
+    * floating point and can diverge in the last ulp, which a 4-dp
+    * round near a boundary turns into a hash mismatch).
+    * With 0-based rank r = (n−1)·p/100: lo = value@⌊r⌋, hi =
+    * value@⌊r⌋+1, rem = ((n−1)·p) mod 100, and
+    * N = lo·(100−rem) + hi·rem is an exact integer; the only float op
+    * is the final N / scaleDiv with identical operands both sides.
+    * Requires per-row rn (row_number by value) and n (group count)
+    * columns; ties share a value, so tie order can't change N. */
+  private def pctlAggs(vCol: String, ps: Seq[Int]): Seq[Column] =
+    ps.flatMap { p =>
+      Seq(
+        max(when(col("rn") - 1 === expr(s"((n - 1) * $p) div 100"), col(vCol)))
+          .as(s"lo_$p"),
+        max(when(col("rn") - 1 === expr(s"((n - 1) * $p) div 100 + 1"), col(vCol)))
+          .as(s"hi_$p"))
+    }
+
+  private def pctlValue(p: Int, n: Column, scaleDiv: Double): Column = {
+    val rem = (n - 1) * p % 100
+    (col(s"lo_$p") * (lit(100) - rem) +
+      coalesce(col(s"hi_$p"), col(s"lo_$p")) * rem) / lit(scaleDiv)
+  }
+
   /** cost_time min/avg/max/p50/p95 per status — executor CostTime
     * recording (service/executor/worker.go) + Prometheus histogram
-    * quantiles. Exact percentile (linear interpolation) to match
-    * DuckDB quantile_cont; at 100 TB swap in approx_percentile. */
-  def tSlaPercentile(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy(statusCode.as("status"))
-      .agg(count(lit(1)).as("n_tasks"),
-        round(min(col("value")), 4).as("min_cost"),
-        avg4(col("value")).as("avg_cost"),
-        round(max(col("value")), 4).as("max_cost"),
-        round(expr("percentile(value, 0.5)"), 4).as("p50_cost"),
-        round(expr("percentile(value, 0.95)"), 4).as("p95_cost"))
+    * quantiles. Percentiles interpolate exactly in integer cents
+    * (pctlAggs); at 100 TB swap in approx_percentile. */
+  def tSlaPercentile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("status"))
+    val ranked = Tables.events(s, dir)
+      .select(statusCode.as("status"), col("value"),
+        ExactNum.cents(col("value")).as("vc"))
+      .withColumn("rn", row_number().over(w.orderBy(col("vc"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val aggs = Seq(
+      round(min(col("value")), 4).as("min_cost"),
+      sum(col("vc")).as("sum_c"),
+      count(col("value")).as("cnt_v"),
+      round(max(col("value")), 4).as("max_cost")) ++
+      pctlAggs("vc", Seq(50, 95)) :+ count(lit(1)).as("n_tasks")
+    ranked.groupBy(col("status")).agg(aggs.head, aggs.tail: _*)
+      .select(col("status"), col("n_tasks"), col("min_cost"),
+        round(col("sum_c") / (lit(100.0) * col("cnt_v")), 4).as("avg_cost"),
+        col("max_cost"),
+        pctlValue(50, col("n_tasks"), 10000.0).as("p50_cost"),
+        pctlValue(95, col("n_tasks"), 10000.0).as("p95_cost"))
       .orderBy(col("status"))
+  }
 
   /** Firing-delay distribution — the executor's timer_delay Summary
     * (pkg/promethus/reporter.go:74-83, quantile objectives
@@ -148,18 +185,27 @@ object TimerOps {
     * ts − floor_minute(ts) in ms. The companion unexeced gauge
     * (ReportTimerUnexecedRecord) is the unlimited COUNT form of
     * tPendingOverdue. */
-  def tExecDelay(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+  def tExecDelay(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    val ranked = Tables.events(s, dir)
       .withColumn("delay_ms",
         unix_millis(col("ts")) - unix_millis(date_trunc("minute", col("ts"))))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_execs"),
-        round(sum(col("delay_ms")) / (lit(1.0) * count(lit(1))), 4).as("avg_delay_ms"),
-        round(expr("percentile(delay_ms, 0.5)"), 4).as("p50_delay_ms"),
-        round(expr("percentile(delay_ms, 0.9)"), 4).as("p90_delay_ms"),
-        round(expr("percentile(delay_ms, 0.99)"), 4).as("p99_delay_ms"),
-        max(col("delay_ms")).as("max_delay_ms"))
+      .select(col("event_type"), col("delay_ms"))
+      .withColumn("rn", row_number().over(w.orderBy(col("delay_ms"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val aggs = Seq(
+      sum(col("delay_ms")).as("sum_ms"),
+      max(col("delay_ms")).as("max_delay_ms")) ++
+      pctlAggs("delay_ms", Seq(50, 90, 99)) :+ count(lit(1)).as("n_execs")
+    ranked.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type"), col("n_execs"),
+        round(col("sum_ms") / (lit(1.0) * col("n_execs")), 4).as("avg_delay_ms"),
+        pctlValue(50, col("n_execs"), 100.0).as("p50_delay_ms"),
+        pctlValue(90, col("n_execs"), 100.0).as("p90_delay_ms"),
+        pctlValue(99, col("n_execs"), 100.0).as("p99_delay_ms"),
+        col("max_delay_ms"))
       .orderBy(col("event_type"))
+  }
 
   /** Idempotent dedup on (timer_id, minute), keep earliest — the
     * task table's unique index idx_def_timer on (timer_id, run_timer)
@@ -258,25 +304,61 @@ object TimerOps {
          |WHERE ($statusSql) = 0 AND ts < TIMESTAMP '2024-01-20 00:00:00'
          |ORDER BY ts DESC, event_id DESC
          |LIMIT 50""".stripMargin,
+    // Percentiles mirror pctlAggs exactly: integer rank interpolation,
+    // not quantile_cont (float interpolation can differ in the last
+    // ulp between engines — ADVICE r3).
     "t_exec_delay" ->
-      """SELECT event_type, count(*) AS n_execs,
-        |  round(sum(delay_ms) / (1.0 * count(*)), 4) AS avg_delay_ms,
-        |  round(quantile_cont(delay_ms, 0.5), 4) AS p50_delay_ms,
-        |  round(quantile_cont(delay_ms, 0.9), 4) AS p90_delay_ms,
-        |  round(quantile_cont(delay_ms, 0.99), 4) AS p99_delay_ms,
-        |  max(delay_ms) AS max_delay_ms
-        |FROM (SELECT event_type,
-        |        epoch_ms(ts) - epoch_ms(date_trunc('minute', ts)) AS delay_ms
-        |      FROM events)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH d AS (SELECT event_type,
+        |             epoch_ms(ts) - epoch_ms(date_trunc('minute', ts)) AS delay_ms
+        |           FROM events),
+        |r AS (SELECT event_type, delay_ms,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY delay_ms) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM d),
+        |a AS (SELECT event_type, count(*) AS n_execs,
+        |        sum(delay_ms) AS sum_ms, max(delay_ms) AS max_delay_ms,
+        |        max(CASE WHEN rn - 1 = ((n-1)*50) // 100 THEN delay_ms END) AS lo_50,
+        |        max(CASE WHEN rn - 1 = ((n-1)*50) // 100 + 1 THEN delay_ms END) AS hi_50,
+        |        max(CASE WHEN rn - 1 = ((n-1)*90) // 100 THEN delay_ms END) AS lo_90,
+        |        max(CASE WHEN rn - 1 = ((n-1)*90) // 100 + 1 THEN delay_ms END) AS hi_90,
+        |        max(CASE WHEN rn - 1 = ((n-1)*99) // 100 THEN delay_ms END) AS lo_99,
+        |        max(CASE WHEN rn - 1 = ((n-1)*99) // 100 + 1 THEN delay_ms END) AS hi_99
+        |      FROM r GROUP BY event_type)
+        |SELECT event_type, n_execs,
+        |  round(sum_ms / (1.0 * n_execs), 4) AS avg_delay_ms,
+        |  CAST(lo_50 * (100 - ((n_execs-1)*50) % 100)
+        |    + coalesce(hi_50, lo_50) * (((n_execs-1)*50) % 100) AS DOUBLE) / 100.0 AS p50_delay_ms,
+        |  CAST(lo_90 * (100 - ((n_execs-1)*90) % 100)
+        |    + coalesce(hi_90, lo_90) * (((n_execs-1)*90) % 100) AS DOUBLE) / 100.0 AS p90_delay_ms,
+        |  CAST(lo_99 * (100 - ((n_execs-1)*99) % 100)
+        |    + coalesce(hi_99, lo_99) * (((n_execs-1)*99) % 100) AS DOUBLE) / 100.0 AS p99_delay_ms,
+        |  max_delay_ms
+        |FROM a ORDER BY event_type""".stripMargin,
     "t_sla_percentile" ->
-      s"""SELECT $statusSql AS status, count(*) AS n_tasks,
-         |  round(min(value), 4) AS min_cost,
-         |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / (100.0 * count(value)), 4) AS avg_cost,
-         |  round(max(value), 4) AS max_cost,
-         |  round(quantile_cont(value, 0.5), 4) AS p50_cost,
-         |  round(quantile_cont(value, 0.95), 4) AS p95_cost
-         |FROM events GROUP BY 1 ORDER BY status""".stripMargin,
+      s"""WITH d AS (SELECT $statusSql AS status, value,
+         |             CAST(round(value * 100, 0) AS BIGINT) AS vc
+         |           FROM events),
+         |r AS (SELECT status, value, vc,
+         |        row_number() OVER (PARTITION BY status ORDER BY vc) AS rn,
+         |        count(*) OVER (PARTITION BY status) AS n
+         |      FROM d),
+         |a AS (SELECT status, count(*) AS n_tasks,
+         |        round(min(value), 4) AS min_cost,
+         |        sum(vc) AS sum_c, count(value) AS cnt_v,
+         |        round(max(value), 4) AS max_cost,
+         |        max(CASE WHEN rn - 1 = ((n-1)*50) // 100 THEN vc END) AS lo_50,
+         |        max(CASE WHEN rn - 1 = ((n-1)*50) // 100 + 1 THEN vc END) AS hi_50,
+         |        max(CASE WHEN rn - 1 = ((n-1)*95) // 100 THEN vc END) AS lo_95,
+         |        max(CASE WHEN rn - 1 = ((n-1)*95) // 100 + 1 THEN vc END) AS hi_95
+         |      FROM r GROUP BY status)
+         |SELECT status, n_tasks, min_cost,
+         |  round(sum_c / (100.0 * cnt_v), 4) AS avg_cost,
+         |  max_cost,
+         |  CAST(lo_50 * (100 - ((n_tasks-1)*50) % 100)
+         |    + coalesce(hi_50, lo_50) * (((n_tasks-1)*50) % 100) AS DOUBLE) / 10000.0 AS p50_cost,
+         |  CAST(lo_95 * (100 - ((n_tasks-1)*95) % 100)
+         |    + coalesce(hi_95, lo_95) * (((n_tasks-1)*95) % 100) AS DOUBLE) / 10000.0 AS p95_cost
+         |FROM a ORDER BY status""".stripMargin,
     "t_task_dedup" ->
       """SELECT event_id, timer_id, minute, ts
         |FROM (SELECT event_id, user_id AS timer_id,
