@@ -30,5 +30,5 @@ object SparkEntry {
     ListMap.empty[String, String] ++
       RelationalOps.oracles ++ TimerOps.oracles ++ CronOps.oracles ++
       BloomOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles ++
-      DedupOps.oracles ++ SimilarityOps.oracles
+      DedupOps.oracles ++ SimilarityOps.oracles ++ TrainingPipeline.oracles
 }

@@ -225,6 +225,50 @@ object DedupOps {
     labels.select(col("src").as("doc_id"), col("label").as("group_id"))
   }
 
+  /** Shared oracle CTE chain ending in `lshpairs(id_a, id_b, jaccard)`
+    * — the exact SQL mirror of dMinhashLsh's pair generation.
+    * d_minhash_lsh appends the pair output; TrainingPipeline's funnel
+    * oracle appends connected components + the feature/filter tail on
+    * top of the SAME pairs, mirroring how both operators share
+    * dMinhashLsh on the Spark side. */
+  private[operators] lazy val minhashPairsCtes: String = {
+    val (pa, pb) = graft.functions.MinHashSignature.coeffs(64, 42)
+    val permRows = (0 until 64)
+      .map(p => s"(${p}, ${pa(p)}, ${pb(p)})").mkString(", ")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |         range(1, greatest(len(w) - 1, 2)),
+       |         i -> array_to_string(list_slice(w, i, i+2), ' ')))) AS shingle
+       |       FROM t),
+       |hs AS (SELECT DISTINCT doc_id,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(shingle, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |           (acc, c) -> (acc * 1000003 + c) % 2147483647) AS h
+       |       FROM sh),
+       |perms AS (SELECT * FROM (VALUES $permRows) AS v(p, a, b)),
+       |sigv AS (SELECT doc_id, p, min((a * h + b) % 2147483647) AS v
+       |         FROM hs CROSS JOIN perms GROUP BY doc_id, p),
+       |bandkey AS (SELECT doc_id, p // 8 AS band_idx,
+       |              string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS band_key
+       |            FROM sigv GROUP BY doc_id, p // 8),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |         FROM bandkey x JOIN bandkey y
+       |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       |             AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |          FROM cand c
+       |          JOIN hs ha ON ha.doc_id = c.id_a
+       |          JOIN hs hb ON hb.doc_id = c.id_b AND hb.h = ha.h
+       |          GROUP BY c.id_a, c.id_b),
+       |lshpairs AS (SELECT i.id_a, i.id_b,
+       |    round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON i.id_a = sa.doc_id
+       |  JOIN sizes sb ON i.id_b = sb.doc_id
+       |  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5)""".stripMargin
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "d_exact_dedup" -> (dExactDedup _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
@@ -262,44 +306,10 @@ object DedupOps {
     // coefficients inlined as a VALUES table, band keys as
     // signature-slice strings, candidate join, exact-Jaccard verify
     // over the distinct hash sets.
-    "d_minhash_lsh" -> {
-      val (pa, pb) = graft.functions.MinHashSignature.coeffs(64, 42)
-      val permRows = (0 until 64)
-        .map(p => s"(${p}, ${pa(p)}, ${pb(p)})").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |         range(1, greatest(len(w) - 1, 2)),
-         |         i -> array_to_string(list_slice(w, i, i+2), ' ')))) AS shingle
-         |       FROM t),
-         |hs AS (SELECT DISTINCT doc_id,
-         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |           list_transform(string_split(shingle, ''), c -> CAST(unicode(c) AS BIGINT))),
-         |           (acc, c) -> (acc * 1000003 + c) % 2147483647) AS h
-         |       FROM sh),
-         |perms AS (SELECT * FROM (VALUES $permRows) AS v(p, a, b)),
-         |sigv AS (SELECT doc_id, p, min((a * h + b) % 2147483647) AS v
-         |         FROM hs CROSS JOIN perms GROUP BY doc_id, p),
-         |bandkey AS (SELECT doc_id, p // 8 AS band_idx,
-         |              string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS band_key
-         |            FROM sigv GROUP BY doc_id, p // 8),
-         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |         FROM bandkey x JOIN bandkey y
-         |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-         |             AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
-         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-         |          FROM cand c
-         |          JOIN hs ha ON ha.doc_id = c.id_a
-         |          JOIN hs hb ON hb.doc_id = c.id_b AND hb.h = ha.h
-         |          GROUP BY c.id_a, c.id_b)
-         |SELECT i.id_a, i.id_b,
-         |  round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 4) AS jaccard
-         |FROM inter i
-         |JOIN sizes sa ON i.id_a = sa.doc_id
-         |JOIN sizes sb ON i.id_b = sb.doc_id
-         |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "d_minhash_lsh" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT id_a, id_b, jaccard FROM lshpairs
+         |ORDER BY id_a, id_b""".stripMargin,
     // Exact mirror of simhash64 (FNV-1a folded over code points, mod
     // 2^64 via HUGEINT) + 16-bit rotate-band blocking + hamming ≤ 3.
     // Precondition (DedupSpec-pinned): no multi-codepoint grapheme

@@ -142,10 +142,22 @@ object TextOps {
     "x_winnow_fingerprint" -> (xWinnowFingerprint _),
   )
 
-  private def scoreSql(l: String): String = {
+  private[operators] def scoreSql(l: String): String = {
     val list = Markers(l).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split(text, ' '), w -> w IN ($list))) AS s_$l"
   }
+
+  private[operators] def markerLangs: Seq[String] = Markers.keys.toSeq
+
+  /** The composite-quality column (SQL mirror of qualityExpr, rounded
+    * 4dp) — shared by the x_quality_score oracle and the training
+    * funnel oracle so the two cannot drift. */
+  private[operators] val qualitySqlExpr: String =
+    """round(least(CAST(len(string_split(text, ' ')) AS DOUBLE), 100.0) / 100.0
+      |    * (1.0 - CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+      |        / len(string_split(text, ' ')))
+      |    * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+      |        / length(text)), 4)""".stripMargin
 
   val oracles: ListMap[String, String] = ListMap(
     "x_lang_id" -> {
@@ -165,7 +177,7 @@ object TextOps {
          |ORDER BY doc_id""".stripMargin
     },
     "x_quality_score" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
         |  round(CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
         |    / len(string_split(text, ' ')), 4) AS stopword_ratio,
@@ -173,11 +185,7 @@ object TextOps {
         |    / length(text), 4) AS punct_ratio,
         |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |    / len(string_split(text, ' ')), 4) AS mean_word_len,
-        |  round(least(CAST(len(string_split(text, ' ')) AS DOUBLE), 100.0) / 100.0
-        |    * (1.0 - CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
-        |        / len(string_split(text, ' ')))
-        |    * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
-        |        / length(text)), 4) AS quality
+        |  $qualitySqlExpr AS quality
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "x_token_count" ->

@@ -80,12 +80,60 @@ object TrainingPipeline {
       .select(col("doc_id"), col("text"), col("pred_lang"),
         col("n_tokens"), col("quality"))
 
-  /** Driver-visible entry (rows-only: the MinHash stage is seeded
-    * hashing, not SQL-expressible; stage agreement with the §2
-    * operators is asserted in TrainingPipelineSpec instead). */
+  /** Driver-visible entry. */
   val queries: scala.collection.immutable.ListMap[String, (SparkSession, String) => DataFrame] =
     scala.collection.immutable.ListMap(
       "p_training_funnel" -> ((s, dir) => run(s, dir)))
+
+  /** Full SQL mirror of run(): the shared MinHash-LSH pair CTEs
+    * (DedupOps.minhashPairsCtes — identical constants), connected
+    * components as a recursive reachability closure (group_id = min
+    * reachable id, self included via back-edges), canonical-fp exact
+    * dedup, and the same lang/quality feature tail as the x_* oracles
+    * (TextOps.scoreSql / qualitySqlExpr — shared strings, no drift). */
+  val oracles: scala.collection.immutable.ListMap[String, String] =
+    scala.collection.immutable.ListMap(
+      "p_training_funnel" -> {
+        val cfg = Config()
+        val langList = cfg.langs.map(l => s"'$l'").mkString(", ")
+        val scores = TextOps.markerLangs.map(TextOps.scoreSql).mkString(",\n  ")
+        val unions = TextOps.markerLangs.map(l =>
+          s"SELECT doc_id, '$l' AS cand_lang, s_$l AS score FROM ls")
+          .mkString("\n  UNION ALL ")
+        s"""WITH RECURSIVE ${DedupOps.minhashPairsCtes},
+           |sym AS (SELECT id_a AS src, id_b AS dst FROM lshpairs
+           |        UNION ALL SELECT id_b, id_a FROM lshpairs),
+           |reach AS (SELECT src, dst FROM sym
+           |          UNION
+           |          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+           |groups AS (SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src),
+           |ls AS (SELECT doc_id,
+           |  $scores
+           |FROM documents),
+           |lu AS (
+           |  $unions),
+           |lr AS (SELECT doc_id, cand_lang, score,
+           |         row_number() OVER (PARTITION BY doc_id
+           |           ORDER BY score DESC, cand_lang) AS rn
+           |       FROM lu),
+           |plang AS (SELECT doc_id, cand_lang AS pred_lang FROM lr WHERE rn = 1),
+           |feat AS (SELECT d.doc_id, d.text,
+           |           row_number() OVER (
+           |             PARTITION BY md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'))
+           |             ORDER BY d.doc_id) AS fprn,
+           |           g.group_id
+           |         FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id),
+           |qual AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           |           ${TextOps.qualitySqlExpr} AS quality
+           |         FROM documents)
+           |SELECT f.doc_id, f.text, p.pred_lang, q.n_tokens, q.quality
+           |FROM feat f
+           |JOIN plang p ON f.doc_id = p.doc_id
+           |JOIN qual q ON f.doc_id = q.doc_id
+           |WHERE f.fprn = 1 AND (f.group_id IS NULL OR f.group_id = f.doc_id)
+           |  AND p.pred_lang IN ($langList) AND q.quality >= ${cfg.minQuality}
+           |ORDER BY f.doc_id""".stripMargin
+      })
 
   /** One-row funnel report: how many docs survive each stage (each
     * count applies all previous stages too — a true funnel). */

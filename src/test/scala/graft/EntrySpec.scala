@@ -15,8 +15,7 @@ class EntrySpec extends SparkSpec {
     // every query is SQL-oracled except this named rows-only set —
     // keep it explicit so a silently-dropped oracle fails the build
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("s_ann_ivf", "p_training_funnel"),
-      s"rows-only drifted: $rowsOnly")
+    assert(rowsOnly == Set("s_ann_ivf"), s"rows-only drifted: $rowsOnly")
   }
 
   test("entry() returns rows") {
