@@ -60,10 +60,13 @@ object DedupOps {
     inter
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .withColumn("uni", col("n_a") + col("n_b") - col("n_inter"))
+      // threshold + rounding both in integer space: 2·|∩| ≥ |∪| is
+      // exactly J ≥ 0.5 with no float compare, and ratio4 rounds the
+      // true rational (a float J can land on an odd/32 tie)
+      .filter(col("n_inter") * 2 >= col("uni"))
+      .select(col("id_a"), col("id_b"),
+        ExactNum.ratio4(col("n_inter"), col("uni")).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -103,11 +106,12 @@ object DedupOps {
     cands
       .join(sigs.select(col("doc_id").as("id_a"), col("hashes").as("h_a")), "id_a")
       .join(sigs.select(col("doc_id").as("id_b"), col("hashes").as("h_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
-          size(array_union(col("h_a"), col("h_b"))))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .withColumn("n_inter", size(array_intersect(col("h_a"), col("h_b"))).cast("long"))
+      .withColumn("uni", size(array_union(col("h_a"), col("h_b"))).cast("long"))
+      // integer threshold + integer-space rounding (see dNgramJaccard)
+      .filter(col("n_inter") * 2 >= col("uni"))
+      .select(col("id_a"), col("id_b"),
+        ExactNum.ratio4(col("n_inter"), col("uni")).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -262,11 +266,11 @@ object DedupOps {
        |          JOIN hs hb ON hb.doc_id = c.id_b AND hb.h = ha.h
        |          GROUP BY c.id_a, c.id_b),
        |lshpairs AS (SELECT i.id_a, i.id_b,
-       |    round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+       |    ${ExactNum.ratioSql("i.n_inter", "sa.n + sb.n - i.n_inter")} AS jaccard
        |  FROM inter i
        |  JOIN sizes sa ON i.id_a = sa.doc_id
        |  JOIN sizes sb ON i.id_b = sb.doc_id
-       |  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5)""".stripMargin
+       |  WHERE 2 * i.n_inter >= sa.n + sb.n - i.n_inter)""".stripMargin
   }
 
   val queries: ListMap[String, Q] = ListMap(
@@ -285,22 +289,22 @@ object DedupOps {
         |GROUP BY 1
         |ORDER BY keep_id""".stripMargin,
     "d_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |         range(1, greatest(len(w) - 1, 2)),
-        |         i -> array_to_string(list_slice(w, i, i+2), ' ')))) AS shingle
-        |       FROM t),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT i.id_a, i.id_b,
-        |  round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard
-        |FROM inter i
-        |JOIN sizes sa ON i.id_a = sa.doc_id
-        |JOIN sizes sb ON i.id_b = sb.doc_id
-        |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         range(1, greatest(len(w) - 1, 2)),
+         |         i -> array_to_string(list_slice(w, i, i+2), ' ')))) AS shingle
+         |       FROM t),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b,
+         |  ${ExactNum.ratioSql("i.n_inter", "sa.n_sh + sb.n_sh - i.n_inter")} AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON i.id_a = sa.doc_id
+         |JOIN sizes sb ON i.id_b = sb.doc_id
+         |WHERE 2 * i.n_inter >= sa.n_sh + sb.n_sh - i.n_inter
+         |ORDER BY id_a, id_b""".stripMargin,
     // Exact mirror of the full MinHash-LSH pipeline: poly_hash31 per
     // shingle (list_reduce fold), the expression's own permutation
     // coefficients inlined as a VALUES table, band keys as
@@ -359,7 +363,7 @@ object DedupOps {
         |          FROM inter i
         |          JOIN sizes sa ON i.id_a = sa.doc_id
         |          JOIN sizes sb ON i.id_b = sb.doc_id
-        |          WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5),
+        |          WHERE 2 * i.n_inter >= sa.n_sh + sb.n_sh - i.n_inter),
         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
         |        UNION ALL SELECT id_b, id_a FROM pairs),
         |reach AS (SELECT src, dst FROM sym

@@ -70,9 +70,51 @@ object ExactNum {
     when(s >= 0, half(s)).otherwise(-half(-s)).cast("double") / 10000.0
   }
 
-  /** Average as exact cents sum over non-null count, divided in double
-    * space (IEEE division of two exactly-agreed operands). SQL mirror:
-    * round(sum(CAST(round(x*100,0) AS BIGINT))/(100.0*count(x)), 4). */
+  /** Exact 4-dp half-up of an INTEGER ratio num/den (den > 0),
+    * computed entirely in integer space:
+    * r4 = ⌊(num·2·10⁴ + den) / (2·den)⌋, result r4/10⁴ as double.
+    *
+    * Why not round(num/den, 4): the float division is identical on
+    * both engines, but when the quotient double is EXACTLY a 5-dp
+    * tie — precisely the odd/32 values (0.53125, …), the only doubles
+    * with a terminating 5-dp decimal — Spark's HALF_UP on the decimal
+    * string and DuckDB's binary-space rounding can part ways. Small
+    * integer ratios (jaccard = n_inter/union, stop/ntok, …) land on
+    * odd/32 with real probability; this closes that class the same
+    * way cents closed float sums.
+    *
+    * Sign-correct (floor vs trunc agree only for non-negative
+    * operands, same as sumUnits4); every current caller has num ≥ 0.
+    * Integer div goes through Catalyst IntegralDivide (the SQL `div`
+    * operator) — pure long arithmetic, codegen-friendly. Overflow
+    * bound: num·20000 must fit a long → num < 4.6e14, far above any
+    * oracle-scale ratio numerator (document-level counts and cents
+    * sums at sf ≤ 0.1 are ≤ 1e11).
+    * SQL mirror: ratioSql. */
+  def ratio4(num: Column, den: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def intDiv(a: Column, b: Column): Column = ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    val n = num.cast("long")
+    val d = den.cast("long")
+    def half(nonNeg: Column): Column = intDiv(nonNeg * 20000L + d, d * 2L)
+    when(n >= 0, half(n)).otherwise(-half(-n)).cast("double") / 10000.0
+  }
+
+  /** The DuckDB-side mirror of ratio4 over SQL fragments. num may be
+    * HUGEINT (duck sums widen); `//` floors like `div` truncates —
+    * identical on the non-negative branch each takes. */
+  def ratioSql(num: String, den: String): String =
+    s"""CAST(CASE WHEN ($num) >= 0
+       | THEN (($num) * 20000 + ($den)) // (2 * ($den))
+       | ELSE -(((-($num)) * 20000 + ($den)) // (2 * ($den))) END AS DOUBLE) / 10000.0"""
+      .stripMargin.replace("\n", "")
+
+  /** Average as exact cents sum over non-null count — a ratio4 of
+    * integer operands, so the 4-dp rounding is integer-exact too.
+    * SQL mirror: ratioSql("sum(CAST(round(x*100,0) AS BIGINT))",
+    * "100 * count(x)"). */
   def avg4(c: Column): Column =
-    round(sum(cents(c)) / (lit(100.0) * count(c)), 4)
+    ratio4(sum(cents(c)), lit(100L) * count(c))
 }

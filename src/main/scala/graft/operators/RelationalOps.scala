@@ -195,7 +195,9 @@ object RelationalOps {
         count(lit(1)).as("n_pk"))
     li.join(avgQty, col("l_partkey") === col("pk"))
       .filter(cents(col("l_quantity")) * lit(5L) * col("n_pk") < col("sum_qty_pk"))
-      .agg(round(sum(cents(col("l_extendedprice"))) / 100.0 / 7.0, 4).as("avg_yearly"),
+      // cents/700 as one exact integer ratio (two chained float
+      // divisions re-rounded; ratio4 rounds the true rational once)
+      .agg(ExactNum.ratio4(sum(cents(col("l_extendedprice"))), lit(700L)).as("avg_yearly"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -317,19 +319,19 @@ object RelationalOps {
 
   val oracles: ListMap[String, String] = ListMap(
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_qty,
-        |  round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_base_price,
-        |  CAST(CASE WHEN sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) >= 0
-        |    THEN (sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100
-        |    ELSE -((-sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100) END AS DOUBLE) / 10000.0 AS sum_disc_price,
-        |  round(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / (100.0 * count(l_quantity)), 4) AS avg_qty,
-        |  round(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) / (100.0 * count(l_discount)), 4) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      s"""SELECT l_returnflag, l_linestatus,
+         |  round(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_qty,
+         |  round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_base_price,
+         |  CAST(CASE WHEN sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) >= 0
+         |    THEN (sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100
+         |    ELSE -((-sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100) END AS DOUBLE) / 10000.0 AS sum_disc_price,
+         |  ${ExactNum.ratioSql("sum(CAST(round(l_quantity * 100, 0) AS BIGINT))", "100 * count(l_quantity)")} AS avg_qty,
+         |  ${ExactNum.ratioSql("sum(CAST(round(l_discount * 100, 0) AS BIGINT))", "100 * count(l_discount)")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_topk" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
         |FROM orders
@@ -413,8 +415,8 @@ object RelationalOps {
         |      FROM events)
         |ORDER BY event_id""".stripMargin,
     "q13_scalar_subquery" ->
-      """SELECT round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / 7.0, 4) AS avg_yearly,
-        |  count(*) AS n_rows
+      s"""SELECT ${ExactNum.ratioSql("sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))", "700")} AS avg_yearly,
+         |  count(*) AS n_rows
         |FROM lineitem l
         |JOIN (SELECT l_partkey AS pk,
         |        sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sum_qty_pk,

@@ -46,16 +46,22 @@ object TextOps {
   /** Per-doc token count (shared with TrainingPipeline). */
   private[operators] def nTokensExpr: Column = size(tokens)
 
-  /** Unrounded composite quality score (shared core of
-    * xQualityScore and TrainingPipeline). */
-  private[operators] def qualityExpr: Column = {
-    val nTok = size(tokens).cast("double")
-    val stopRatio = size(filter(tokens, t => t.isInCollection(Seq("the", "a"))))
-      .cast("double") / nTok
-    val punctRatio = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double") /
-      length(col("text")).cast("double")
-    least(nTok, lit(100.0)) / lit(100.0) * (lit(1.0) - stopRatio) * (lit(1.0) - punctRatio)
-  }
+  private def nTokL: Column = size(tokens).cast("long")
+  private def nStopL: Column =
+    size(filter(tokens, t => t.isInCollection(Seq("the", "a")))).cast("long")
+  private def punctL: Column = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("long")
+  private def lenL: Column = length(col("text")).cast("long")
+
+  /** Composite quality score, 4-dp, as ONE exact integer ratio
+    * (shared by xQualityScore and TrainingPipeline):
+    * least(ntok,100)/100 · (1 − stop/ntok) · (1 − punct/len)
+    * = least(ntok,100)·(ntok−stop)·(len−punct) / (100·ntok·len),
+    * rounded via ExactNum.ratio4 so a float-product tie can't split
+    * the engines. */
+  private[graft] def quality4Expr: Column =
+    ExactNum.ratio4(
+      least(nTokL, lit(100L)) * (nTokL - nStopL) * (lenL - punctL),
+      lit(100L) * nTokL * lenL)
 
   /** Marker-word language ID: per-language token-occurrence score,
     * argmax with lexicographic tie-break (explode + row_number so the
@@ -75,22 +81,17 @@ object TextOps {
   }
 
   /** Quality features + composite score: token count, stopword ratio,
-    * punctuation ratio, mean word length. All ratios computed in
-    * explicit double arithmetic so Spark and DuckDB agree bit-for-bit
-    * after 4dp rounding. */
+    * punctuation ratio, mean word length. Every ratio is an integer
+    * ratio rounded in integer space (ExactNum.ratio4) — bit-for-bit
+    * identical to the oracle with no float-tie residue. */
   def xQualityScore(s: SparkSession, dir: String): DataFrame = {
-    val nTok = size(tokens).cast("double")
-    val stopRatio = size(filter(tokens, t => t.isInCollection(Seq("the", "a")))).cast("double") / nTok
-    val punctRatio = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double") /
-      length(col("text")).cast("double")
-    val meanWordLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
-    val quality = qualityExpr
+    val chars = length(regexp_replace(col("text"), " ", "")).cast("long")
     Tables.documents(s, dir).select(
       col("doc_id"), size(tokens).as("n_tokens"),
-      round(stopRatio, 4).as("stopword_ratio"),
-      round(punctRatio, 4).as("punct_ratio"),
-      round(meanWordLen, 4).as("mean_word_len"),
-      round(quality, 4).as("quality"))
+      ExactNum.ratio4(nStopL, nTokL).as("stopword_ratio"),
+      ExactNum.ratio4(punctL, lenL).as("punct_ratio"),
+      ExactNum.ratio4(chars, nTokL).as("mean_word_len"),
+      quality4Expr.as("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -103,7 +104,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ws_tokens")).as("total_ws_tokens"),
         sum(col("re_tokens")).as("total_re_tokens"),
-        round(avg(col("ws_tokens")), 4).as("avg_ws_tokens"))
+        ExactNum.ratio4(sum(col("ws_tokens")), count(lit(1))).as("avg_ws_tokens"))
       .orderBy(col("lang"))
 
   /** THE canonical-fingerprint expression — single definition shared
@@ -149,15 +150,14 @@ object TextOps {
 
   private[operators] def markerLangs: Seq[String] = Markers.keys.toSeq
 
-  /** The composite-quality column (SQL mirror of qualityExpr, rounded
-    * 4dp) — shared by the x_quality_score oracle and the training
-    * funnel oracle so the two cannot drift. */
-  private[operators] val qualitySqlExpr: String =
-    """round(least(CAST(len(string_split(text, ' ')) AS DOUBLE), 100.0) / 100.0
-      |    * (1.0 - CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
-      |        / len(string_split(text, ' ')))
-      |    * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
-      |        / length(text)), 4)""".stripMargin
+  /** The composite-quality column (SQL mirror of quality4Expr) —
+    * shared by the x_quality_score oracle and the training funnel
+    * oracle so the two cannot drift. */
+  private[operators] val qualitySqlExpr: String = ExactNum.ratioSql(
+    "least(len(string_split(text, ' ')), 100)" +
+      " * (len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))))" +
+      " * (length(text) - len(regexp_extract_all(text, '[^a-z0-9 ]')))",
+    "100 * len(string_split(text, ' ')) * length(text)")
 
   val oracles: ListMap[String, String] = ListMap(
     "x_lang_id" -> {
@@ -179,23 +179,20 @@ object TextOps {
     "x_quality_score" ->
       s"""SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
-        |  round(CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
-        |    / len(string_split(text, ' ')), 4) AS stopword_ratio,
-        |  round(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
-        |    / length(text), 4) AS punct_ratio,
-        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |    / len(string_split(text, ' ')), 4) AS mean_word_len,
+        |  ${ExactNum.ratioSql("len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))", "len(string_split(text, ' '))")} AS stopword_ratio,
+        |  ${ExactNum.ratioSql("len(regexp_extract_all(text, '[^a-z0-9 ]'))", "length(text)")} AS punct_ratio,
+        |  ${ExactNum.ratioSql("length(replace(text, ' ', ''))", "len(string_split(text, ' '))")} AS mean_word_len,
         |  $qualitySqlExpr AS quality
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "x_token_count" ->
-      """SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
-        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_re_tokens,
-        |  round(avg(len(string_split(text, ' '))), 4) AS avg_ws_tokens
-        |FROM documents
-        |GROUP BY lang
-        |ORDER BY lang""".stripMargin,
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+         |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS total_re_tokens,
+         |  ${ExactNum.ratioSql("sum(len(string_split(text, ' ')))", "count(*)")} AS avg_ws_tokens
+         |FROM documents
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin,
     "x_fingerprint" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_docs

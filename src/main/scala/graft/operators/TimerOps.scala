@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.ExactNum.{avg4, sum4}
+import graft.operators.ExactNum.{avg4, ratio4, ratioSql, sum4}
 
 /** §2a timer-domain operators: the reference's scheduler / trigger /
   * executor / monitoring query surface re-expressed over the events
@@ -169,7 +169,7 @@ object TimerOps {
       pctlAggs("vc", Seq(50, 95)) :+ count(lit(1)).as("n_tasks")
     ranked.groupBy(col("status")).agg(aggs.head, aggs.tail: _*)
       .select(col("status"), col("n_tasks"), col("min_cost"),
-        round(col("sum_c") / (lit(100.0) * col("cnt_v")), 4).as("avg_cost"),
+        ratio4(col("sum_c"), lit(100L) * col("cnt_v")).as("avg_cost"),
         col("max_cost"),
         pctlValue(50, col("n_tasks"), 10000.0).as("p50_cost"),
         pctlValue(95, col("n_tasks"), 10000.0).as("p95_cost"))
@@ -199,7 +199,7 @@ object TimerOps {
       pctlAggs("delay_ms", Seq(50, 90, 99)) :+ count(lit(1)).as("n_execs")
     ranked.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
       .select(col("event_type"), col("n_execs"),
-        round(col("sum_ms") / (lit(1.0) * col("n_execs")), 4).as("avg_delay_ms"),
+        ratio4(col("sum_ms"), col("n_execs")).as("avg_delay_ms"),
         pctlValue(50, col("n_execs"), 100.0).as("p50_delay_ms"),
         pctlValue(90, col("n_execs"), 100.0).as("p90_delay_ms"),
         pctlValue(99, col("n_execs"), 100.0).as("p99_delay_ms"),
@@ -295,7 +295,7 @@ object TimerOps {
     "t_status_lifecycle" ->
       s"""SELECT $statusSql AS status, event_type, count(*) AS n_tasks,
          |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 4) AS total_cost,
-         |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / (100.0 * count(value)), 4) AS avg_cost,
+         |  ${ratioSql("sum(CAST(round(value * 100, 0) AS BIGINT))", "100 * count(value)")} AS avg_cost,
          |  round(min(value), 4) AS min_cost, round(max(value), 4) AS max_cost
          |FROM events GROUP BY 1, 2 ORDER BY status, event_type""".stripMargin,
     "t_pending_overdue" ->
@@ -308,7 +308,7 @@ object TimerOps {
     // not quantile_cont (float interpolation can differ in the last
     // ulp between engines — ADVICE r3).
     "t_exec_delay" ->
-      """WITH d AS (SELECT event_type,
+      s"""WITH d AS (SELECT event_type,
         |             epoch_ms(ts) - epoch_ms(date_trunc('minute', ts)) AS delay_ms
         |           FROM events),
         |r AS (SELECT event_type, delay_ms,
@@ -325,7 +325,7 @@ object TimerOps {
         |        max(CASE WHEN rn - 1 = ((n-1)*99) // 100 + 1 THEN delay_ms END) AS hi_99
         |      FROM r GROUP BY event_type)
         |SELECT event_type, n_execs,
-        |  round(sum_ms / (1.0 * n_execs), 4) AS avg_delay_ms,
+        |  ${ratioSql("sum_ms", "n_execs")} AS avg_delay_ms,
         |  CAST(lo_50 * (100 - ((n_execs-1)*50) % 100)
         |    + coalesce(hi_50, lo_50) * (((n_execs-1)*50) % 100) AS DOUBLE) / 100.0 AS p50_delay_ms,
         |  CAST(lo_90 * (100 - ((n_execs-1)*90) % 100)
@@ -352,7 +352,7 @@ object TimerOps {
          |        max(CASE WHEN rn - 1 = ((n-1)*95) // 100 + 1 THEN vc END) AS hi_95
          |      FROM r GROUP BY status)
          |SELECT status, n_tasks, min_cost,
-         |  round(sum_c / (100.0 * cnt_v), 4) AS avg_cost,
+         |  ${ratioSql("sum_c", "100 * cnt_v")} AS avg_cost,
          |  max_cost,
          |  CAST(lo_50 * (100 - ((n_tasks-1)*50) % 100)
          |    + coalesce(hi_50, lo_50) * (((n_tasks-1)*50) % 100) AS DOUBLE) / 10000.0 AS p50_cost,

@@ -51,7 +51,7 @@ object TrainingPipeline {
         col("group_id").isNull || col("group_id") === col("doc_id"))
       .withColumn("pred_lang", TextOps.langIdExpr)
       .withColumn("n_tokens", TextOps.nTokensExpr)
-      .withColumn("quality", round(TextOps.qualityExpr, 4))
+      .withColumn("quality", TextOps.quality4Expr)
       .withColumn("kept",
         col("exact_keep") && col("neardup_keep") &&
           col("pred_lang").isInCollection(cfg.langs) &&
@@ -74,7 +74,7 @@ object TrainingPipeline {
     docs
       .withColumn("pred_lang", TextOps.langIdExpr)
       .withColumn("n_tokens", TextOps.nTokensExpr)
-      .withColumn("quality", round(TextOps.qualityExpr, 4))
+      .withColumn("quality", TextOps.quality4Expr)
       .filter(col("pred_lang").isInCollection(langs) &&
         col("quality") >= minQuality)
       .select(col("doc_id"), col("text"), col("pred_lang"),

@@ -12,6 +12,22 @@ class DedupSpec extends SparkSpec {
 
   lazy val exact: Set[(Long, Long)] = pairs(DedupOps.dNgramJaccard(spark, sfDir))
 
+  test("corpus satisfies the SQL-mirror preconditions (ASCII, no empty tokens)") {
+    // The DuckDB oracles for simhash/minhash/winnow fold per
+    // character via string_split('') + unicode(): per GRAPHEME, with
+    // unicode('') = −1 — the JVM expressions fold per CODE POINT and
+    // fold nothing for ''. The mirrors are exact iff the corpus has
+    // no multi-codepoint grapheme clusters (ASCII suffices) and space
+    // splitting yields no empty tokens. Pin both so a testdata change
+    // fails HERE, not as an unexplained oracle hash mismatch.
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val bad = docs.filter(
+      col("text").rlike("[^\\x00-\\x7F]") ||
+        col("text").rlike("^ | $|  ")).count()
+    assert(bad == 0, s"$bad docs violate the ASCII/no-empty-token precondition")
+  }
+
   test("minhash-lsh recall vs exact ngram-jaccard >= 0.9, no false positives") {
     val lsh = pairs(DedupOps.dMinhashLsh(spark, sfDir))
     assert(exact.nonEmpty, "corpus has no near-dup pairs — test data assumption broken")
