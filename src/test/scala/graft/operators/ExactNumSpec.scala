@@ -29,16 +29,37 @@ class ExactNumSpec extends SparkSpec {
       val row = df.agg(
         ExactNum.sum4(col("v")).as("s"),
         ExactNum.avg4(col("v")).as("a")).collect()(0)
-      // reference model: the exact cents sum, then the same double ops
-      // Spark performs (round() is BigDecimal-on-Double.toString)
+      // reference models: sum4 rounds the float quotient (power-of-10
+      // denominator — tie-free, see ExactNum doc); avg4 is ratio4, so
+      // its contract is HALF_UP on the EXACT rational
       val centsSum = xs.map(x => math.round(x * 100)).sum
       def round4(d: Double): Double =
         new java.math.BigDecimal(java.lang.Double.toString(d))
           .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
       val expSum = round4(centsSum.toDouble / 100.0)
-      val expAvg = round4(centsSum.toDouble / (100.0 * xs.size))
+      val expAvg = new java.math.BigDecimal(centsSum)
+        .divide(new java.math.BigDecimal(100L * xs.size), 4,
+          java.math.RoundingMode.HALF_UP).doubleValue()
       assert(row.getDouble(0) == expSum, s"[$i] sum4 ${row.getDouble(0)} != $expSum")
       assert(row.getDouble(1) == expAvg, s"[$i] avg4 ${row.getDouble(1)} != $expAvg")
+    }
+  }
+
+  test("ratio4 is HALF_UP on the exact rational — incl. odd/32 float-tie quotients") {
+    // odd/32 quotients are the only doubles whose decimal expansion
+    // terminates exactly at the 5th place — the float-tie class where
+    // engines' round() can part ways; ratio4 must not care
+    val ties = Seq((17L, 32L), (3L, 32L), (1L, 32L), (31L, 32L), (25L, 160L))
+    val others = Seq((1L, 3L), (2L, 3L), (7L, 8L), (123456L, 7L), (0L, 5L),
+      (50L, 10000L), (-17L, 32L), (-1L, 3L), (999999L, 1000000L))
+    (ties ++ others).foreach { case (n, d) =>
+      val got = Seq((n, d)).toDF("n", "d")
+        .select(ExactNum.ratio4(col("n"), col("d")).as("r"))
+        .collect()(0).getDouble(0)
+      val exp = new java.math.BigDecimal(n)
+        .divide(new java.math.BigDecimal(d), 4, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+      assert(got == exp, s"ratio4($n/$d): $got != $exp")
     }
   }
 
