@@ -292,6 +292,36 @@ object RelationalOps {
       .filter(col("n_orders") > 15)
       .orderBy(col("o_custkey"))
 
+  /** Interval/range join: every event inside each incident's 10-min
+    * window (incidents = 'error' events). A naive time-range join in
+    * Spark plans a broadcast-nested-loop — O(|events|·|incidents|).
+    * The scale path is the CHUNKED EQUI-JOIN: quantize time into
+    * window-sized chunks, explode each incident over the (≤2) chunks
+    * its interval overlaps, equi-join the probe side on its single
+    * chunk, refine with the exact range predicate. One shuffle on the
+    * chunk key; candidates are per-chunk collisions, not the cross
+    * product; chunk skew (an event storm) splits under AQE. Each
+    * (event, incident) pair meets in at most one chunk (the probe's),
+    * so no post-join dedup is needed. */
+  def q23RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val winMs = 600000L
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("chunk", expr(s"ts_ms div $winMs"))
+    val incidents = Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"),
+        unix_millis(col("ts")).as("start_ms"))
+      .withColumn("chunk", explode(expr(
+        s"sequence(start_ms div $winMs, (start_ms + $winMs - 1) div $winMs)")))
+    ev.join(incidents, Seq("chunk"))
+      .filter(col("ts_ms") >= col("start_ms") &&
+        col("ts_ms") < col("start_ms") + winMs)
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("incident_id"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_agg" -> (q1Agg _),
     "q2_topk" -> (q2Topk _),
@@ -315,6 +345,7 @@ object RelationalOps {
     "q20_date_trunc" -> (q20DateTrunc _),
     "q21_pagination" -> (q21Pagination _),
     "q22_having" -> (q22Having _),
+    "q23_range_join" -> (q23RangeJoin _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -484,5 +515,15 @@ object RelationalOps {
         |GROUP BY o_custkey
         |HAVING count(*) > 15
         |ORDER BY o_custkey""".stripMargin,
+    // plain inequality join (duck plans an IEJoin) — an independent
+    // derivation of the chunked equi-join's result
+    "q23_range_join" ->
+      """WITH i AS (SELECT event_id AS incident_id, epoch_ms(ts) AS start_ms
+        |           FROM events WHERE event_type = 'error')
+        |SELECT i.incident_id, count(*) AS n_events
+        |FROM i JOIN (SELECT epoch_ms(ts) AS ts_ms FROM events) e
+        |  ON e.ts_ms >= i.start_ms AND e.ts_ms < i.start_ms + 600000
+        |GROUP BY i.incident_id
+        |ORDER BY i.incident_id""".stripMargin,
   )
 }

@@ -250,6 +250,49 @@ object TimerOps {
       .orderBy(col("timer_id"), col("session_idx"))
   }
 
+  /** As-of join: for every firing, the timer DEFINITION in effect at
+    * that instant — the executor re-reads the timer row at execution
+    * time (gotimer_executor service/executor/worker.go GetTimer), so
+    * a def updated between trigger and fire applies. Signup events
+    * play the role of definition versions (def_ts = write time).
+    *
+    * Spark has no native ASOF JOIN; the scalable formulation is the
+    * piggyback sort-merge: tag defs (kind 0) and firings (kind 1),
+    * union, ONE window per timer ordered by (time, kind) carrying the
+    * last non-null def forward — a single shuffle on timer_id, no
+    * range join, no broadcast-nested-loop, state O(1) per row. The
+    * oracle is duck's NATIVE ASOF JOIN — an independent derivation,
+    * not a mirror of this trick. Defs are deduped to one per
+    * (timer, ts) first (last write wins) so "latest at-or-before" is
+    * well-defined on both sides. */
+  def tAsofDef(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val lastWrite = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val defs = ev.filter(col("event_type") === "signup")
+      .withColumn("rn", row_number().over(lastWrite)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("t"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"),
+        col("ts").as("def_ts"), col("value").as("def_value"))
+    val fires = ev.filter(col("event_type") =!= "signup")
+      .select(col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+        col("event_id"),
+        lit(null).cast("timestamp").as("def_ts"),
+        lit(null).cast("double").as("def_value"))
+    // kind orders a def BEFORE a firing at the same instant — the def
+    // written at t is visible to a firing at t (at-or-before), exactly
+    // duck ASOF's >= semantics
+    val carry = Window.partitionBy(col("user_id")).orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    defs.unionAll(fires)
+      .withColumn("eff_ts", last(col("def_ts"), ignoreNulls = true).over(carry))
+      .withColumn("eff_value", last(col("def_value"), ignoreNulls = true).over(carry))
+      .filter(col("kind") === 1 && col("eff_ts").isNotNull)
+      .select(col("event_id"), col("user_id").as("timer_id"), col("t").as("ts"),
+        col("eff_ts").as("def_ts"), col("eff_value").as("def_value"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "t_minute_task_cnt" -> (tMinuteTaskCnt _),
     "t_time_bucket_shard" -> (tTimeBucketShard _),
@@ -262,6 +305,7 @@ object TimerOps {
     "t_task_dedup" -> (tTaskDedup _),
     "t_stream_window_agg" -> (tStreamWindowAgg _),
     "t_sessionize" -> (tSessionize _),
+    "t_asof_def" -> (tAsofDef _),
   )
 
   private val statusSql =
@@ -393,5 +437,18 @@ object TimerOps {
         |                  FROM events)))
         |GROUP BY 1, 2
         |ORDER BY timer_id, session_idx""".stripMargin,
+    // duck's NATIVE ASOF JOIN (greatest def_ts <= ts per row) — an
+    // independent derivation of the piggyback-sort-merge result
+    "t_asof_def" ->
+      """WITH defs AS (SELECT user_id, ts AS def_ts, value AS def_value,
+        |        row_number() OVER (PARTITION BY user_id, ts
+        |          ORDER BY event_id DESC) AS rn
+        |      FROM events WHERE event_type = 'signup'),
+        |d1 AS (SELECT user_id, def_ts, def_value FROM defs WHERE rn = 1),
+        |e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup')
+        |SELECT e.event_id, e.user_id AS timer_id, e.ts, d.def_ts, d.def_value
+        |FROM e ASOF JOIN d1 d
+        |  ON e.user_id = d.user_id AND e.ts >= d.def_ts
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

@@ -10,8 +10,8 @@ class EntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("inventory size matches SURVEY §2 (52 queries + 7 streaming components)") {
-    assert(SparkEntry.queries.size == 53, SparkEntry.queries.keys.mkString(","))
+  test("inventory size matches SURVEY §2 (55 queries + 7 streaming components)") {
+    assert(SparkEntry.queries.size == 55, SparkEntry.queries.keys.mkString(","))
     // every query is SQL-oracled except this named rows-only set —
     // keep it explicit so a silently-dropped oracle fails the build
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
