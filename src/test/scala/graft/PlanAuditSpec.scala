@@ -110,4 +110,17 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(MultimodalOps.mJsonExtract(spark, sfDir))
     assert(!p.contains("Exchange"), p)
   }
+
+  test("t_asof_def: piggyback as-of is windows, not a nested-loop range join") {
+    val p = plan(TimerOps.tAsofDef(spark, sfDir))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q23_range_join: chunked interval join is an equi-join, not a nested loop") {
+    val p = plan(RelationalOps.q23RangeJoin(spark, sfDir))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    // the equi-key join on chunk (broadcast or shuffled hash are both fine)
+    assert(p.contains("HashJoin"), p)
+  }
 }
