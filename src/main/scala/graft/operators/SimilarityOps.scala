@@ -212,9 +212,76 @@ object SimilarityOps {
          |FROM scored WHERE rank <= $K
          |ORDER BY q_id, rank""".stripMargin
     },
-    // s_ann_ivf: rows-only — the coarse quantizer is trained from the
-    // data (iterative k-means), so an independent SQL derivation
-    // can't reproduce it without also being a k-means implementation;
-    // recall vs bruteforce pinned in SimilaritySpec.
+    // Full SQL mirror of the IVF path INCLUDING the k-means training:
+    // the Scala quantizer is deterministic (sorted init, strict-<
+    // first-min assignment, means folded in vec_id order), and every
+    // float op is order-pinned, so 5 unrolled SQL iterations with
+    // ORDERED folds (list_reduce over list(val ORDER BY vec_id) /
+    // index-ascending list_transform) reproduce the centroid matrix
+    // BIT-FOR-BIT — then bucketing, nprobe cell selection, and cosine
+    // re-rank mirror the operator. Ties (dist, cell) = the eval
+    // loop's first-min rule.
+    "s_ann_ivf" -> {
+      val dim = 64
+      val nlist = 16
+      val iters = 5
+      val nprobe = 4
+      def dist(e: String, c: String): String =
+        s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}),
+           |      i -> (CAST($e.embedding[i] AS DOUBLE) - $c.cent[i])
+           |         * (CAST($e.embedding[i] AS DOUBLE) - $c.cent[i]))),
+           |      (x, y) -> x + y)""".stripMargin
+      val init =
+        s"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+           |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nlist))""".stripMargin
+      def iteration(k: Int): String =
+        s"""a$k AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${dist("e", "c")}, c.cell) AS rn
+           |    FROM embeddings e CROSS JOIN c${k - 1} c) WHERE rn = 1),
+           |m$k AS (
+           |  SELECT cell, d,
+           |    list_reduce(list_prepend(0.0, list(CAST(embedding[d] AS DOUBLE) ORDER BY vec_id)),
+           |      (x, y) -> x + y) / count(*) AS mu
+           |  FROM a$k CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS d)
+           |  GROUP BY cell, d),
+           |c$k AS (
+           |  SELECT p.cell, coalesce(nm.cent, p.cent) AS cent
+           |  FROM c${k - 1} p LEFT JOIN (SELECT cell, list(mu ORDER BY d) AS cent
+           |                              FROM m$k GROUP BY cell) nm
+           |    ON p.cell = nm.cell)""".stripMargin
+      val tail =
+        s"""bucketed AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${dist("e", "c")}, c.cell) AS rn
+           |    FROM embeddings e CROSS JOIN c$iters c) WHERE rn = 1),
+           |probes AS (
+           |  SELECT q_id, q_emb, cell FROM (
+           |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${dist("e", "c")}, c.cell) AS rn
+           |    FROM embeddings e CROSS JOIN c$iters c
+           |    WHERE e.vec_id < $NumQueries) WHERE rn <= $nprobe),
+           |scored AS (
+           |  SELECT q_id, vec_id,
+           |    list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+           |                           CAST(embedding AS DOUBLE[])) AS cos,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+           |                                      CAST(embedding AS DOUBLE[])) DESC,
+           |        vec_id) AS rank
+           |  FROM (SELECT DISTINCT p.q_id, p.q_emb, b.vec_id, b.embedding
+           |        FROM probes p JOIN bucketed b
+           |          ON p.cell = b.cell AND b.vec_id <> p.q_id))
+           |SELECT q_id, rank, vec_id, round(cos, 4) AS cos
+           |FROM scored WHERE rank <= $K
+           |ORDER BY q_id, rank""".stripMargin
+      "WITH " + ((init +: (1 to iters).map(iteration)) :+ tail).mkString(",\n")
+    },
   )
 }
