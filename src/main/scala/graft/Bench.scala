@@ -25,6 +25,9 @@ object Bench {
   // ~2.9 s at sf0.1) is deliberately NOT in the headline: the set
   // above is held fixed across rounds so the total stays a
   // like-for-like trend; the funnel's stages are each measured.
+  // Operators added after the headline froze are measured in a
+  // separate "extras" map that does NOT count toward "value".
+  private val extras = Seq("t_asof_def", "q23_range_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -72,14 +75,31 @@ object Bench {
       val (w2, ok2) = once()
       (name, math.min(w1, w2), cold, okCold && ok1 && ok2)
     }
+    val extraResults = extras.filter(SparkEntry.queries.contains).map { name =>
+      val fn = SparkEntry.queries(name)
+      def once(): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // cold
+      (name, math.min(once(), once()))
+    }
     val qs = results.map { case (k, w, _, ok) =>
       "\"" + k + "\":" + (if (ok) f"$w%.3f" else "-1") }
+      .mkString("{", ",", "}")
+    val ex = extraResults.map { case (k, w) =>
+      "\"" + k + "\":" + (if (w >= 0) f"$w%.3f" else "-1") }
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = f"${results.filter(_._4).map(_._2).sum}%.3f"
     val coldTotal = f"${results.filter(_._4).map(_._3).sum}%.3f"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failed,"cold_sec":$coldTotal,"sf":"$sfDir"}"""
+      s""""extras":$ex,"failed":$failed,"cold_sec":$coldTotal,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), line + "\n")
