@@ -59,6 +59,19 @@ def main(outdir, sfdir):
             erows, ecols = exp.fetchall(), [c[0] for c in exp.description]
         except Exception as e:
             print(f"  {name:24s} ORACLE SQL ERROR: {e}"); n_bad += 1; continue
+        # TYPE parity: the driver's hasher distinguishes duck's widened
+        # types (window sum(INTEGER) -> HUGEINT) from the Spark dump's
+        # BIGINT even when every VALUE matches — the r03 t_sessionize
+        # red row, invisible to the str()-compare below. Flag any
+        # oracle column outside the Spark-representable set.
+        OKT = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+               "FLOAT", "VARCHAR", "TIMESTAMP", "DATE", "BOOLEAN"}
+        badt = [(c, str(t)) for c, t in
+                zip(con.sql(oracles[name]).columns, con.sql(oracles[name]).types)
+                if str(t) not in OKT and not str(t).endswith("[]")]
+        if badt:
+            print(f"  {name:24s} ORACLE TYPE HAZARD (driver-hash-visible): {badt}")
+            n_bad += 1; continue
         g, gc = canon(grows, gcols)
         e, ec = canon(erows, ecols)
         if gc != ec:
