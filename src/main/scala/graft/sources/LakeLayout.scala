@@ -38,4 +38,18 @@ object LakeLayout {
     * build, minute monitoring) takes against the lake. */
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     read(spark, path).filter(col("day") === day)
+
+  /** Write a fact table BUCKETED on its join key (hash-bucketed files
+    * + catalog bucket spec). Two tables bucketed the same way on the
+    * same key join WITHOUT any Exchange — the co-located fact-fact
+    * join SCALING.md §2b promises for 100 TB (shuffle cost paid once
+    * at write time, amortized over every subsequent join/groupBy on
+    * that key). BucketedJoinSpec asserts the Exchange-free plan. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .saveAsTable(table)
 }
