@@ -135,12 +135,62 @@ object TextOps {
       .select(col("doc_id"), explode(expr("winnow_sketch(text, 8, 4)")).as("sketch_hash"))
       .orderBy(col("doc_id"), col("sketch_hash"))
 
+  /** Context-window chunking — the training-pipeline step that splits
+    * long documents into model-context-sized pieces with overlap
+    * (chunk = 64 whitespace tokens, stride 48 → 16-token overlap).
+    * Pure per-row array built-ins: zero shuffle, linear in corpus
+    * size; a chunk never crosses documents. */
+  def xDocChunks(s: SparkSession, dir: String): DataFrame = {
+    val size64 = 64
+    val stride = 48
+    Tables.documents(s, dir)
+      .withColumn("w", tokens)
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, (size(w) - 1) div $stride),
+             |  i -> struct(i AS chunk_idx,
+             |    size(slice(w, i * $stride + 1, $size64)) AS n_tokens,
+             |    concat_ws(' ', slice(w, i * $stride + 1, $size64)) AS chunk_text))"""
+            .stripMargin)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.n_tokens"), col("c.chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Token-stream sequence packing — pretraining-style packing where
+    * the corpus (in doc_id order) is one token stream cut into
+    * fixed-budget bins (2048 tokens): bin of a token = its global
+    * index div budget, so docs can span bins and every bin except the
+    * last is exactly full. One window (global prefix sum) + a ≤2-bin
+    * explode per doc; output is the per-(bin, doc) allocation. At
+    * 100 TB the single global window becomes per-shard packing
+    * (partition by shard, same expressions) — bins are independent
+    * across shards by construction. */
+  def xSeqPack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nTokensExpr.cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin_id", explode(expr(
+        s"sequence(cum_before div $budget, (cum_before + n_tok - 1) div $budget)")))
+      // token overlap of [cum_before, cum_before + n_tok) with the
+      // bin's [bin*B, (bin+1)*B)
+      .withColumn("tokens_in_bin",
+        least(col("cum_before") + col("n_tok"), (col("bin_id") + 1) * budget) -
+          greatest(col("cum_before"), col("bin_id") * budget))
+      .select(col("bin_id"), col("doc_id"), col("n_tok"), col("tokens_in_bin"))
+      .orderBy(col("bin_id"), col("doc_id"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "x_lang_id" -> (xLangId _),
     "x_quality_score" -> (xQualityScore _),
     "x_token_count" -> (xTokenCount _),
     "x_fingerprint" -> (xFingerprint _),
     "x_winnow_fingerprint" -> (xWinnowFingerprint _),
+    "x_doc_chunks" -> (xDocChunks _),
+    "x_seq_pack" -> (xSeqPack _),
   )
 
   private[operators] def scoreSql(l: String): String = {
@@ -227,5 +277,33 @@ object TextOps {
         |SELECT DISTINCT doc_id, wmin AS sketch_hash
         |FROM win WHERE i >= least(4, ng)
         |ORDER BY doc_id, sketch_hash""".stripMargin,
+    // static chunk-index series (0..15) with headroom over the ~3
+    // chunks a max-length doc yields; a longer doc would drop chunks
+    // and diff loudly
+    "x_doc_chunks" ->
+      """SELECT doc_id, i AS chunk_idx,
+        |  len(list_slice(w, i*48 + 1, i*48 + 64)) AS n_tokens,
+        |  array_to_string(list_slice(w, i*48 + 1, i*48 + 64), ' ') AS chunk_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+        |WHERE i <= (len(w) - 1) // 48
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // CASTs pin duck's window-sum HUGEINT back to BIGINT (the
+    // driver-hash type hazard); static bin-offset series 0..3 covers
+    // docs spanning ≤4 bins (a doc is ≪ one 2048 budget)
+    "x_seq_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |        coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM d)
+        |SELECT CAST(cum_before // 2048 + off AS BIGINT) AS bin_id, doc_id, n_tok,
+        |  CAST(least(cum_before + n_tok, (cum_before // 2048 + off + 1) * 2048)
+        |    - greatest(cum_before, (cum_before // 2048 + off) * 2048) AS BIGINT) AS tokens_in_bin
+        |FROM c CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
+        |WHERE cum_before // 2048 + off <= (cum_before + n_tok - 1) // 2048
+        |ORDER BY bin_id, doc_id""".stripMargin,
   )
 }
