@@ -34,4 +34,39 @@ class TextSpec extends SparkSpec {
     val langs = out.select(collect_set(col("pred_lang"))).head().getSeq[String](0).toSet
     assert(langs.subsetOf(Set("de", "en", "es", "fr", "zh")))
   }
+
+  test("doc chunks cover every token: stride tiling, overlap 16, no cross-doc chunks") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = TextOps.xDocChunks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getInt(2), r.getString(3)))
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val n = docs(id)
+      // chunk count = 1 + floor((n-1)/48); all full except possibly last
+      assert(cs.length == 1 + (n - 1) / 48, s"doc $id: ${cs.length} chunks for $n tokens")
+      cs.sortBy(_._2).zipWithIndex.foreach { case ((_, idx, nt, txt), i) =>
+        assert(idx == i)
+        assert(nt == math.min(64, n - i * 48), s"doc $id chunk $i size $nt")
+        assert(txt.split(" ", -1).length == nt)
+      }
+    }
+    assert(chunks.map(_._1).toSet == docs.keySet)
+  }
+
+  test("sequence packing: bins exactly full except the last; per-doc tokens conserved") {
+    val rows = TextOps.xSeqPack(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // conservation: a doc's allocations sum to its token count
+    rows.groupBy(_._2).foreach { case (doc, as) =>
+      assert(as.map(_._4).sum == as.head._3, s"doc $doc allocation != n_tok")
+    }
+    // every bin except the highest holds exactly the 2048 budget
+    val perBin = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val lastBin = perBin.keys.max
+    perBin.foreach { case (bin, tot) =>
+      if (bin != lastBin) assert(tot == 2048L, s"bin $bin holds $tot")
+      else assert(tot <= 2048L)
+    }
+  }
 }
