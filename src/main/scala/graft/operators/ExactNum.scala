@@ -102,6 +102,18 @@ object ExactNum {
     when(n >= 0, half(n)).otherwise(-half(-n)).cast("double") / 10000.0
   }
 
+  /** Residual-risk note — the ONE remaining float-tie class in the
+    * engine after sums (cents/decimal), ratios (ratio4), and
+    * percentiles (rank interpolation) were closed: round(cos, 4) on
+    * cosine similarities. Both engines compute the identical double
+    * (same ops, same order — s_ann_bruteforce hash-matches), so a
+    * divergence needs that double to be EXACTLY an odd/32 value
+    * (the only 5-dp-terminating doubles), i.e. dot/√norms landing on
+    * an exact dyadic rational — measure-zero for real-valued
+    * embeddings and not constructible from this data. Accepted and
+    * documented rather than worked around (there is no integer space
+    * to round in). */
+
   /** The DuckDB-side mirror of ratio4 over SQL fragments. num may be
     * HUGEINT (duck sums widen); `//` floors like `div` truncates —
     * identical on the non-negative branch each takes. */
