@@ -99,7 +99,10 @@ object ExactNum {
     val n = num.cast("long")
     val d = den.cast("long")
     def half(nonNeg: Column): Column = intDiv(nonNeg * 20000L + d, d * 2L)
-    when(n >= 0, half(n)).otherwise(-half(-n)).cast("double") / 10000.0
+    // den ≤ 0 (avg4 of an all-NULL group, quality4Expr on empty text)
+    // → NULL explicitly, instead of leaning on non-ANSI IntegralDivide
+    // and DuckDB `//` both nulling a 0 divisor (ANSI mode would throw)
+    when(d > 0, when(n >= 0, half(n)).otherwise(-half(-n)).cast("double") / 10000.0)
   }
 
   /** Residual-risk note — the ONE remaining float-tie class in the
@@ -118,10 +121,10 @@ object ExactNum {
     * HUGEINT (duck sums widen); `//` floors like `div` truncates —
     * identical on the non-negative branch each takes. */
   def ratioSql(num: String, den: String): String =
-    s"""CAST(CASE WHEN ($num) >= 0
+    s"""CASE WHEN ($den) > 0 THEN CAST(CASE WHEN ($num) >= 0
        | THEN (($num) * 20000 + ($den)) // (2 * ($den))
-       | ELSE -(((-($num)) * 20000 + ($den)) // (2 * ($den))) END AS DOUBLE) / 10000.0"""
-      .stripMargin.replace("\n", "")
+       | ELSE -(((-($num)) * 20000 + ($den)) // (2 * ($den))) END AS DOUBLE) / 10000.0
+       | END""".stripMargin.replace("\n", "")
 
   /** Average as exact cents sum over non-null count — a ratio4 of
     * integer operands, so the 4-dp rounding is integer-exact too.

@@ -175,8 +175,13 @@ object SimilarityOps {
     "s_ann_lsh" -> {
       val dim = 64
       def dot(plane: Array[Double]): String =
+        // plane components as CAST('repr' AS DOUBLE) STRING literals:
+        // strtod on the shortest-round-trip repr re-reads the exact
+        // double; a bare 17-digit numeric literal would be parsed as
+        // DECIMAL first and can double-round to a neighboring double,
+        // flipping a near-zero dot product's sign (ADVICE r4)
         plane.zipWithIndex
-          .map { case (p, i) => s"CAST(embedding[${i + 1}] AS DOUBLE) * $p" }
+          .map { case (p, i) => s"CAST(embedding[${i + 1}] AS DOUBLE) * CAST('$p' AS DOUBLE)" }
           .mkString("(", " + ", ")")
       def bucketExpr(seed: Int): String = {
         val planes = graft.functions.HyperplaneLsh.planesFor(seed, Bits, dim)

@@ -157,20 +157,23 @@ object TextOps {
   }
 
   /** Token-stream sequence packing — pretraining-style packing where
-    * the corpus (in doc_id order) is one token stream cut into
-    * fixed-budget bins (2048 tokens): bin of a token = its global
-    * index div budget, so docs can span bins and every bin except the
-    * last is exactly full. One window (global prefix sum) + a ≤2-bin
-    * explode per doc; output is the per-(bin, doc) allocation. At
-    * 100 TB the single global window becomes per-shard packing
-    * (partition by shard, same expressions) — bins are independent
-    * across shards by construction. */
-  def xSeqPack(s: SparkSession, dir: String): DataFrame = {
+    * each shard's documents (in doc_id order) form one token stream
+    * cut into fixed-budget bins (2048 tokens): bin of a token = its
+    * in-shard index div budget, so docs can span bins and every bin
+    * except a shard's last is exactly full. The prefix sum is a window
+    * PARTITIONED BY shard — shards pack independently and in parallel,
+    * so the operator scales with the shard count instead of routing
+    * the whole corpus through one task. Bins never cross shards (or
+    * docs-within-bins never cross shards) by construction; invariants
+    * (tiling, token conservation, per-shard fullness) are pinned in
+    * TextSpec. */
+  private[operators] def xSeqPackSharded(nShards: Int)(s: SparkSession, dir: String): DataFrame = {
     val budget = 2048
-    val w = Window.orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(s, dir)
-      .select(col("doc_id"), nTokensExpr.cast("long").as("n_tok"))
+      .select(col("doc_id"), pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        nTokensExpr.cast("long").as("n_tok"))
       .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .withColumn("bin_id", explode(expr(
         s"sequence(cum_before div $budget, (cum_before + n_tok - 1) div $budget)")))
@@ -179,9 +182,23 @@ object TextOps {
       .withColumn("tokens_in_bin",
         least(col("cum_before") + col("n_tok"), (col("bin_id") + 1) * budget) -
           greatest(col("cum_before"), col("bin_id") * budget))
-      .select(col("bin_id"), col("doc_id"), col("n_tok"), col("tokens_in_bin"))
-      .orderBy(col("bin_id"), col("doc_id"))
+      .select(col("shard"), col("bin_id"), col("doc_id"), col("n_tok"), col("tokens_in_bin"))
+      .orderBy(col("shard"), col("bin_id"), col("doc_id"))
   }
+
+  /** The 1-shard (global-stream) packing — byte-identical to the
+    * pre-shard formulation; the corpus-scale entry point is
+    * x_seq_pack_sharded below. */
+  def xSeqPack(s: SparkSession, dir: String): DataFrame =
+    xSeqPackSharded(1)(s, dir)
+      .drop("shard")
+      .orderBy(col("bin_id"), col("doc_id"))
+
+  /** 4-shard packing — the shape that runs at 100 TB (shard =
+    * doc_id mod 4 here; any uniform key works, bins are local to the
+    * shard). */
+  def xSeqPackSharded4(s: SparkSession, dir: String): DataFrame =
+    xSeqPackSharded(4)(s, dir)
 
   val queries: ListMap[String, Q] = ListMap(
     "x_lang_id" -> (xLangId _),
@@ -191,6 +208,7 @@ object TextOps {
     "x_winnow_fingerprint" -> (xWinnowFingerprint _),
     "x_doc_chunks" -> (xDocChunks _),
     "x_seq_pack" -> (xSeqPack _),
+    "x_seq_pack_sharded" -> (xSeqPackSharded4 _),
   )
 
   private[operators] def scoreSql(l: String): String = {
@@ -305,5 +323,22 @@ object TextOps {
         |FROM c CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
         |WHERE cum_before // 2048 + off <= (cum_before + n_tok - 1) // 2048
         |ORDER BY bin_id, doc_id""".stripMargin,
+    // the sharded form: same packing arithmetic, prefix sum and bins
+    // PARTITIONED BY shard = doc_id mod 4 (doc_id ≥ 0 ⇒ % ≡ pmod)
+    "x_seq_pack_sharded" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 AS shard,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |        coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM d)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(cum_before // 2048 + off AS BIGINT) AS bin_id, doc_id, n_tok,
+        |  CAST(least(cum_before + n_tok, (cum_before // 2048 + off + 1) * 2048)
+        |    - greatest(cum_before, (cum_before // 2048 + off) * 2048) AS BIGINT) AS tokens_in_bin
+        |FROM c CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
+        |WHERE cum_before // 2048 + off <= (cum_before + n_tok - 1) // 2048
+        |ORDER BY shard, bin_id, doc_id""".stripMargin,
   )
 }

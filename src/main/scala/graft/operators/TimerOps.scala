@@ -156,7 +156,12 @@ object TimerOps {
     * (pctlAggs); at 100 TB swap in approx_percentile. */
   def tSlaPercentile(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("status"))
+    // NULL values would rank FIRST in Spark but LAST in DuckDB and
+    // still count into n — drop them before ranking so a future NULL
+    // can't silently skew the interpolation (ADVICE r4); mirrored in
+    // the oracle's WHERE
     val ranked = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
       .select(statusCode.as("status"), col("value"),
         ExactNum.cents(col("value")).as("vc"))
       .withColumn("rn", row_number().over(w.orderBy(col("vc"))))
@@ -188,6 +193,7 @@ object TimerOps {
   def tExecDelay(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
     val ranked = Tables.events(s, dir)
+      .filter(col("ts").isNotNull) // NULL-rank parity — see tSlaPercentile
       .withColumn("delay_ms",
         unix_millis(col("ts")) - unix_millis(date_trunc("minute", col("ts"))))
       .select(col("event_type"), col("delay_ms"))
@@ -354,7 +360,7 @@ object TimerOps {
     "t_exec_delay" ->
       s"""WITH d AS (SELECT event_type,
         |             epoch_ms(ts) - epoch_ms(date_trunc('minute', ts)) AS delay_ms
-        |           FROM events),
+        |           FROM events WHERE ts IS NOT NULL),
         |r AS (SELECT event_type, delay_ms,
         |        row_number() OVER (PARTITION BY event_type ORDER BY delay_ms) AS rn,
         |        count(*) OVER (PARTITION BY event_type) AS n
@@ -381,7 +387,7 @@ object TimerOps {
     "t_sla_percentile" ->
       s"""WITH d AS (SELECT $statusSql AS status, value,
          |             CAST(round(value * 100, 0) AS BIGINT) AS vc
-         |           FROM events),
+         |           FROM events WHERE value IS NOT NULL),
          |r AS (SELECT status, value, vc,
          |        row_number() OVER (PARTITION BY status ORDER BY vc) AS rn,
          |        count(*) OVER (PARTITION BY status) AS n

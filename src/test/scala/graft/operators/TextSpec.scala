@@ -69,4 +69,32 @@ class TextSpec extends SparkSpec {
       else assert(tot <= 2048L)
     }
   }
+
+  test("sharded packing: per-shard invariants hold; 1-shard ≡ global; shards are disjoint doc sets") {
+    val rows = TextOps.xSeqPackSharded4(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // shard assignment is doc_id mod 4, so a doc appears in exactly one shard
+    rows.foreach { case (shard, _, doc, _, _) => assert(shard == doc % 4) }
+    // conservation within the shard: a doc's allocations sum to its n_tok
+    rows.groupBy(_._3).foreach { case (doc, as) =>
+      assert(as.map(_._5).sum == as.head._4, s"doc $doc allocation != n_tok")
+    }
+    // per shard: bins tile 0..max contiguously and all but the last are full
+    rows.groupBy(_._1).foreach { case (shard, srows) =>
+      val perBin = srows.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+      val lastBin = perBin.keys.max
+      assert(perBin.keySet == (0L to lastBin).toSet, s"shard $shard bins not contiguous")
+      perBin.foreach { case (bin, tot) =>
+        if (bin != lastBin) assert(tot == 2048L, s"shard $shard bin $bin holds $tot")
+        else assert(tot <= 2048L)
+      }
+    }
+    // the 1-shard parameterization IS the global packing, row for row
+    val one = TextOps.xSeqPackSharded(1)(spark, sfDir).drop("shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val global = TextOps.xSeqPack(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(one.sorted.sameElements(global.sorted), "1-shard packing != global packing")
+  }
 }

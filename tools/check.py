@@ -66,9 +66,17 @@ def main(outdir, sfdir):
         # oracle column outside the Spark-representable set.
         OKT = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
                "FLOAT", "VARCHAR", "TIMESTAMP", "DATE", "BOOLEAN"}
+        def type_ok(t):
+            # strip list nesting and check the ELEMENT type too — a
+            # widened HUGEINT[] is exactly the hazard this check exists
+            # to catch (ADVICE r4)
+            t = str(t)
+            while t.endswith("[]"):
+                t = t[:-2]
+            return t in OKT
         badt = [(c, str(t)) for c, t in
                 zip(con.sql(oracles[name]).columns, con.sql(oracles[name]).types)
-                if str(t) not in OKT and not str(t).endswith("[]")]
+                if not type_ok(t)]
         if badt:
             print(f"  {name:24s} ORACLE TYPE HAZARD (driver-hash-visible): {badt}")
             n_bad += 1; continue
