@@ -79,19 +79,37 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Deterministic BOUNDED quantizer-training sample: every
+    * SampleMod-th vector in vec_id order, capped at SampleCap rows.
+    * The driver never materializes the table — the collect below this
+    * plan is a TakeOrderedAndProject of ≤ SampleCap rows regardless of
+    * corpus size (at 10⁹ vectors the mod prunes 1/4 and the limit caps
+    * the rest). Mod-based (not Bernoulli/rand) so the DuckDB oracle
+    * mirrors the EXACT same sample: WHERE vec_id % 4 = 0
+    * ORDER BY vec_id LIMIT 4096. */
+  private val SampleMod = 4L
+  private val SampleCap = 4096
+  private[graft] def ivfTrainSample(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .filter(pmod(col("vec_id"), lit(SampleMod)) === 0)
+      .orderBy(col("vec_id"))
+      .limit(SampleCap)
+
   /** IVF-flavored ANN — the second scale path SURVEY §2d names:
     * a coarse quantizer (k-means, nlist cells) trained once on a
-    * driver-side sample (here: the whole table — at 100 TB you train
-    * on ~100k sampled vectors, which is still driver-sized), vectors
-    * bucketed into cells by the NearestCentroid expression (one
-    * shuffle, reused by all queries), queries probing their nprobe
-    * nearest cells, exact re-rank inside the probed cells. */
+    * deterministic bounded sample (ivfTrainSample — never the full
+    * table; the r4 full-table collect was the one true driver-side
+    * data bottleneck in the repo), vectors bucketed into cells by the
+    * NearestCentroid expression (one shuffle, reused by all queries),
+    * queries probing their nprobe nearest cells (computed from the
+    * NumQueries-row query set — constant-sized by construction),
+    * exact re-rank inside the probed cells. */
   def sAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val nlist = 16
     val nprobe = 4
 
     // --- train the coarse quantizer (deterministic: sorted init, L2 Lloyd) ---
-    val sample = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val sample = ivfTrainSample(s, dir)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
@@ -124,8 +142,14 @@ object SimilarityOps {
     val bucketed = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), cellOf(col("embedding")).as("cell"))
 
-    // nprobe nearest cells per query, computed on the tiny query set
-    val probeRows = sample.filter(_._1 < NumQueries).flatMap { case (qId, v) =>
+    // nprobe nearest cells per query, computed on the QUERY set only
+    // (NumQueries rows — bounded by construction, not by the corpus;
+    // the training sample no longer contains the query vectors)
+    val qvecs = queryVecs(s, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val probeRows = qvecs.flatMap { case (qId, v) =>
       cents.indices.sortBy(c => l2(v, cents(c))).take(nprobe).map(c => (qId, c))
     }
     val session = s
@@ -217,7 +241,8 @@ object SimilarityOps {
          |FROM scored WHERE rank <= $K
          |ORDER BY q_id, rank""".stripMargin
     },
-    // Full SQL mirror of the IVF path INCLUDING the k-means training:
+    // Full SQL mirror of the IVF path INCLUDING the k-means training
+    // over the SAME deterministic mod-sample (smp CTE ≡ ivfTrainSample):
     // the Scala quantizer is deterministic (sorted init, strict-<
     // first-min assignment, means folded in vec_id order), and every
     // float op is order-pinned, so 5 unrolled SQL iterations with
@@ -237,16 +262,18 @@ object SimilarityOps {
            |         * (CAST($e.embedding[i] AS DOUBLE) - $c.cent[i]))),
            |      (x, y) -> x + y)""".stripMargin
       val init =
-        s"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        s"""smp AS (SELECT vec_id, embedding FROM embeddings
+           |  WHERE vec_id % $SampleMod = 0 ORDER BY vec_id LIMIT $SampleCap),
+           |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
            |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-           |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nlist))""".stripMargin
+           |  FROM (SELECT vec_id, embedding FROM smp ORDER BY vec_id LIMIT $nlist))""".stripMargin
       def iteration(k: Int): String =
         s"""a$k AS (
            |  SELECT vec_id, embedding, cell FROM (
            |    SELECT e.vec_id, e.embedding, c.cell,
            |      row_number() OVER (PARTITION BY e.vec_id
            |        ORDER BY ${dist("e", "c")}, c.cell) AS rn
-           |    FROM embeddings e CROSS JOIN c${k - 1} c) WHERE rn = 1),
+           |    FROM smp e CROSS JOIN c${k - 1} c) WHERE rn = 1),
            |m$k AS (
            |  SELECT cell, d,
            |    list_reduce(list_prepend(0.0, list(CAST(embedding[d] AS DOUBLE) ORDER BY vec_id)),

@@ -117,6 +117,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("s_ann_ivf: quantizer trains on a BOUNDED sample plan, never the table") {
+    val df = SimilarityOps.ivfTrainSample(spark, sfDir)
+    // the one collect the operator performs reads through this plan —
+    // a TakeOrdered caps driver-side rows at SampleCap no matter the
+    // corpus size (the r4 full-table-collect regression guard)
+    assert(plan(df).contains("TakeOrderedAndProject"), plan(df))
+    assert(df.count() < Tables.embeddings(spark, sfDir).count())
+  }
+
+  test("x_seq_pack_sharded: the prefix-sum window is PARTITIONED, not a global single-task window") {
+    val p = plan(TextOps.xSeqPackSharded4(spark, sfDir))
+    assert(p.contains("windowspecdefinition(shard"), p)
+  }
+
   test("q23_range_join: chunked interval join is an equi-join, not a nested loop") {
     val p = plan(RelationalOps.q23RangeJoin(spark, sfDir))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
