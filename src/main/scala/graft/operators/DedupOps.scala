@@ -143,11 +143,47 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Embedding near-dup pairs, cosine ≥ 0.4 (exact; the vectors table
-    * is the small side — at 100 TB the LSH-bucketed s_ann_lsh shape
-    * replaces the pairwise scan). cosine_similarity is the codegen'd
-    * graft expression. */
+  /** Embedding near-dup pairs, cosine ≥ 0.4 — candidates from
+    * hyperplane-LSH bucket collisions (the s_ann_lsh machinery:
+    * 24 tables × 2 bits), exact cosine refine on the candidates only.
+    * The plan is a band-key EQUI-join — never the all-pairs
+    * BroadcastNestedLoopJoin the r4 formulation used — so candidate
+    * volume tracks bucket collisions, not n². Parameters are set for
+    * recall 1.0 at this τ on the test corpus (worst case cos = 0.4:
+    * per-table collision p = (1 − arccos .4/π)² ≈ 0.40, miss-all-24
+    * ≈ 5e-6 per pair; spec-pinned equal to the exact baseline, which
+    * is also the oracle). τ-dependence is real: a LOWER τ needs more
+    * tables (or fewer bits) to keep recall — at 100 TB bits grows
+    * with corpus density so buckets stay bounded, L grows with the
+    * recall target. */
   def dEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    val tablesL = 24
+    val bits = 2
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val banded = e.select(col("vec_id"),
+      explode(expr((0 until tablesL).map(t =>
+        s"struct($t as tbl, hyperplane_lsh(embedding, ${200 + t}, $bits) as bucket)")
+        .mkString("array(", ", ", ")"))).as("h"))
+      .select(col("vec_id"), col("h.tbl"), col("h.bucket"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .withColumn("cos", expr("cosine_similarity(emb_a, emb_b)"))
+      .filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The exact all-pairs baseline (oracle-scale only, like
+    * dNgramJaccard): the recall-1.0 reference dEmbedCosine is
+    * spec-compared against. Deliberately NOT in the query inventory —
+    * its plan is the O(n²) BroadcastNestedLoopJoin. */
+  private[operators] def dEmbedCosineExact(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", expr("cosine_similarity(a.embedding, b.embedding)"))

@@ -101,6 +101,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan(DedupOps.dSimhash(spark, sfDir)).contains("CartesianProduct"))
   }
 
+  test("d_embed_cosine: candidates from an LSH-bucket equi-join, no nested-loop all-pairs") {
+    val p = plan(DedupOps.dEmbedCosine(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("hyperplane_lsh"), p)
+  }
+
   test("t_time_bucket_shard: exact distinct without an Expand (single-copy shuffle)") {
     val p = plan(TimerOps.tTimeBucketShard(spark, sfDir))
     assert(!p.contains("Expand"), p)

@@ -37,6 +37,20 @@ class DedupSpec extends SparkSpec {
     assert((lsh -- exact).isEmpty, s"unexpected pairs: ${(lsh -- exact).take(5)}")
   }
 
+  test("embed-cosine LSH candidates reproduce the exact all-pairs output EXACTLY (recall 1.0)") {
+    // the oracle for d_embed_cosine is the exact all-pairs SQL, so the
+    // bucketed operator must have recall 1.0 at τ=0.4 on this corpus —
+    // row-for-row, cosine-for-cosine (precision 1.0 is structural: the
+    // refine step computes the same exact cosine)
+    val bucketed = DedupOps.dEmbedCosine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exactPairs = DedupOps.dEmbedCosineExact(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exactPairs.nonEmpty)
+    assert(bucketed == exactPairs,
+      s"missed: ${(exactPairs -- bucketed).take(5)}; spurious: ${(bucketed -- exactPairs).take(5)}")
+  }
+
   test("simhash hamming<=3 pairs are high-jaccard near-dups") {
     val sim = pairs(DedupOps.dSimhash(spark, sfDir))
     assert(sim.nonEmpty, "simhash found no near-dup pairs")
