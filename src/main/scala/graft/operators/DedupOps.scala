@@ -230,20 +230,24 @@ object DedupOps {
       .withColumn("label", col("src")).cache()
     var converged = false
     var iter = 0
-    // cap = worst-case diameter we're willing to propagate across;
-    // near-dup clusters are shallow, so 64 is far beyond real data
-    val maxIter = 64
+    // cap = worst-case diameter min-label propagation should chase
+    // (near-dup clusters are shallow); past it we GRADUATE to the
+    // large-star/small-star contraction below instead of failing
+    val maxIter = 16
     while (!converged && iter < maxIter) {
       val nbrMin = sym.join(
           labels.select(col("src").as("dst"), col("label").as("nbr_label")), "dst")
         .groupBy(col("src")).agg(min(col("nbr_label")).as("min_nbr"))
       // carry the previous label through the propagation join so the
-      // convergence probe is a filter on the SAME cached result, not a
-      // second labels⋈next join per iteration
+      // convergence probe is a filter on the SAME materialized result,
+      // not a second labels⋈next join per iteration. localCheckpoint
+      // (eager), not cache: the iteration plan references labels on
+      // BOTH sides, so lineage doubles per iteration — checkpointing
+      // truncates it (cluster scale: checkpoint() on the reliable dir).
       val next = labels.join(nbrMin, Seq("src"), "left")
         .select(col("src"), col("label").as("prev_label"),
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint()
       // full count, no limit(1): an early-exit probe would cache only
       // the partitions it touched, leaving later iterations to
       // recompute the rest through ever-deeper lineage
@@ -253,16 +257,79 @@ object DedupOps {
       converged = changed == 0
       iter += 1
     }
-    // wrong labels must not masquerade as results: a component deeper
-    // than the cap fails loudly (switch to large-star/small-star for
-    // such graphs), instead of hash-mismatching the oracle mysteriously
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter iterations — " +
-        "component diameter exceeds the cap")
+    // a component deeper than the cap (adversarial chain) no longer
+    // fails loudly — it graduates to the star contraction, which
+    // converges in O(log² n) rounds on ANY graph shape
+    if (!converged) {
+      labels.unpersist()
+      p.unpersist()
+      return connectedComponentsStar(pairs)
+    }
     // pairs fed only the iterations; the converged labels cache is the
     // output and stays alive (a miss would recompute through the loop)
     p.unpersist()
     labels.select(col("src").as("doc_id"), col("label").as("group_id"))
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC '14):
+    * alternating rounds that contract every node toward its
+    * neighborhood minimum — O(log² n) rounds for ANY graph, including
+    * the deep chains that defeat diameter-bound label propagation.
+    * Each round is two groupBy-min shuffles plus an edge rewrite; at
+    * convergence the edge set is a star forest rooted at component
+    * minima, read off directly as labels. Spec-pinned equal to the
+    * propagation labels (DedupSpec) and exercised on a 200-node chain.
+    *
+    * large-star(u): ∀v ∈ Γ(u), v > u → edge (v, min(Γ(u) ∪ {u}))
+    * small-star(u): over larger→smaller directed edges, ∀v ∈ Γ(u) →
+    *                edge (v, m) plus (u, m), m = min(Γ(u) ∪ {u}). */
+  private[operators] def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    // each round's plan references the previous round's TWICE (sym =
+    // edges ∪ edges.swap, small-star unions two projections of the
+    // same join) — lineage would grow EXPONENTIALLY in rounds, so the
+    // round result is localCheckpoint-ed (eager): the logical plan
+    // truncates to the materialized RDD. At cluster scale the same
+    // line is checkpoint() on the reliable checkpoint dir.
+    var edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var converged = false
+    var iter = 0
+    val maxIter = 50 // ≫ log²(any real component) — loud, not silent
+    while (!converged && iter < maxIter) {
+      // canonical (hi, lo) view of the CURRENT edges for the stability probe
+      val prevCanon = edges.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+      // --- large-star ---
+      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(lsMins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // --- small-star (on larger→smaller directed edges) ---
+      val dir = ls.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+      val joined = dir.join(dir.groupBy("u").agg(min(col("v")).as("m")), "u")
+      val ss = joined.select(col("v").as("u"), col("m").as("v"))
+        .unionAll(joined.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      val changed = ss.exceptAll(prevCanon).count() + prevCanon.exceptAll(ss).count()
+      edges.unpersist()
+      edges = ss
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // star forest: every non-root has exactly one edge to its root;
+    // roots label themselves (they appear only on the v side)
+    edges.select(col("u").as("doc_id"), col("v").as("group_id"))
+      .unionAll(edges.select(col("v").as("doc_id"), col("v").as("group_id")))
+      .groupBy(col("doc_id")).agg(min(col("group_id")).as("group_id"))
   }
 
   /** Shared oracle CTE chain ending in `lshpairs(id_a, id_b, jaccard)`

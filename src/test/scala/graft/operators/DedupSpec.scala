@@ -83,6 +83,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("star-contraction CC equals propagation labels; a 200-node chain graduates instead of throwing") {
+    // equality of the two algorithms on the real near-dup pair graph
+    val realPairs = DedupOps.dNgramJaccard(spark, sfDir).select("id_a", "id_b")
+    val prop = DedupOps.connectedComponents(realPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = DedupOps.connectedComponentsStar(realPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == prop,
+      s"star≠propagation; diff: ${((star -- prop) ++ (prop -- star)).take(5)}")
+    // a 200-node chain (diameter 199 ≫ the 16-iteration propagation
+    // cap) must GRADUATE to star contraction and still label every
+    // node with the component min — the r4 formulation threw here
+    val session = spark
+    import session.implicits._
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = DedupOps.connectedComponents(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 200)
+    assert(labels.forall(_._2 == 0L),
+      s"mislabeled: ${labels.filter(_._2 != 0L).take(5).mkString(",")}")
+  }
+
   test("exact dedup groups cover all docs exactly once") {
     val out = DedupOps.dExactDedup(spark, sfDir).collect()
     val total = out.map(_.getLong(2)).sum
