@@ -124,6 +124,24 @@ object TimerOps {
       .orderBy(col("ts").desc, col("event_id").desc)
       .limit(50)
 
+  /** App-scoped admin listing — the WithApp option the reference
+    * composes into EVERY dao query (gotimer_web/dao/timer/option.go:44
+    * and the task dao's twin): admin queries are tenant-scoped by the
+    * owning app before any other filter. The app dimension is derived
+    * here (user_id mod 8 — the testdata carries no app column); what
+    * the operator pins is the composed filter SHAPE: app equality AND
+    * status AND time bound, newest-first, paginated — all of which
+    * reach the scan/top-k together. */
+  def tAppPending(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("app_id", pmod(col("user_id"), lit(8L)))
+      .filter(col("app_id") === 3 && statusCode === 0 &&
+        col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+      .select(col("app_id"), col("event_id"), col("user_id").as("timer_id"),
+        col("ts"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(50)
+
   /** Exact linear-interpolated percentile over INTEGRAL values,
     * computed rank-wise in integer space (ADVICE r3: Spark's
     * percentile() and DuckDB's quantile_cont both interpolate in
@@ -306,6 +324,7 @@ object TimerOps {
     "t_union_key_roundtrip" -> (tUnionKeyRoundtrip _),
     "t_status_lifecycle" -> (tStatusLifecycle _),
     "t_pending_overdue" -> (tPendingOverdue _),
+    "t_app_pending" -> (tAppPending _),
     "t_sla_percentile" -> (tSlaPercentile _),
     "t_exec_delay" -> (tExecDelay _),
     "t_task_dedup" -> (tTaskDedup _),
@@ -352,6 +371,14 @@ object TimerOps {
       s"""SELECT event_id, user_id AS timer_id, ts, event_type
          |FROM events
          |WHERE ($statusSql) = 0 AND ts < TIMESTAMP '2024-01-20 00:00:00'
+         |ORDER BY ts DESC, event_id DESC
+         |LIMIT 50""".stripMargin,
+    // user_id ≥ 0 ⇒ % ≡ pmod
+    "t_app_pending" ->
+      s"""SELECT user_id % 8 AS app_id, event_id, user_id AS timer_id, ts, event_type
+         |FROM events
+         |WHERE user_id % 8 = 3
+         |  AND ($statusSql) = 0 AND ts < TIMESTAMP '2024-01-20 00:00:00'
          |ORDER BY ts DESC, event_id DESC
          |LIMIT 50""".stripMargin,
     // Percentiles mirror pctlAggs exactly: integer rank interpolation,

@@ -57,6 +57,36 @@ object Streams {
   def eventStream(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
     spark.readStream.schema(eventSchema).format(format).load(dir)
 
+  /** MQ-consumer analog over a REAL broker transport — the direct
+    * counterpart of the reference's Pulsar consumer subscription
+    * (gotimer_trigger/mq/consumer.go: subscribe topic, Unmarshal each
+    * payload): subscribe to `topic`, deserialize each JSON value into
+    * the pinned event schema. Requires the kafka DataSource
+    * (spark-sql-kafka-0-10, shipped separately from core Spark) on
+    * the classpath at load() time; the deserialization half is
+    * parseEventValues, unit-specced against the kafka wire schema
+    * without a broker (KafkaSourceSpec). Downstream jobs compose
+    * unchanged — the output columns ARE eventSchema's. */
+  def kafkaEventStream(spark: SparkSession, bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    parseEventValues(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load())
+
+  /** The value-deserialization select: kafka wire rows (key/value
+    * binary + topic/partition/offset/timestamp) → event rows — the
+    * reference consumer's Unmarshal step. PERMISSIVE from_json: a
+    * malformed payload yields a row of NULL fields (flagged by a null
+    * event_id) instead of killing the stream, so dead-letter routing
+    * composes downstream as a filter. */
+  def parseEventValues(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast("string"), eventSchema).as("e"))
+      .select(col("e.event_id"), col("e.ts"), col("e.user_id"),
+        col("e.event_type"), col("e.value"))
+
   /** Watermarked tumbling-window counts — the trigger's per-minute
     * shard aggregation, continuously. 10-min watermark bounds state;
     * partial aggregation applies exactly as in batch. */
