@@ -27,7 +27,8 @@ object Bench {
   // like-for-like trend; the funnel's stages are each measured.
   // Operators added after the headline froze are measured in a
   // separate "extras" map that does NOT count toward "value".
-  private val extras = Seq("t_asof_def", "q23_range_join")
+  private val extras = Seq("t_asof_def", "q23_range_join",
+    "t_app_pending", "x_seq_pack_sharded", "d_embed_cosine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

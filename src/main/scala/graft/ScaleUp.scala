@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-table synthetic scale-up for a second full-set bench point
+  * (SURVEY §8b): replicate every sf table `factor`× with OFFSET key
+  * remapping — replica r adds r·10⁹ to every key/fkey column, so each
+  * replica is a disjoint, join-consistent copy of the dataset and
+  * replica 0 IS the original (ids, ANN query vectors, time range all
+  * preserved). Dimension tables (region/nation) stay fixed, as in
+  * TPC-H, so broadcast-side sizes are scale-invariant. Document text
+  * gets a replica marker word appended (replicas form near-dup
+  * cliques — the adversarial dedup shape, same as ScaleProbe);
+  * embeddings replicate verbatim.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BLOWUP=10 \
+  *     SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf1 sbt "runMain graft.ScaleUp"
+  */
+object ScaleUp {
+  private val Offset = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_BLOWUP", "10").toInt
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = Sessions.build("graft-scaleup", cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val rep = spark.range(factor).toDF("rep")
+    def write(name: String, df: DataFrame): Unit =
+      df.repartition(cpus.toInt).write.mode("overwrite").parquet(s"$out/$name.parquet")
+    def scaled(df: DataFrame, keys: String*): DataFrame =
+      keys.foldLeft(df.crossJoin(rep)) { (d, k) =>
+        d.withColumn(k, col(k) + col("rep") * Offset)
+      }.drop("rep")
+
+    write("region", Tables.region(spark, sfDir))
+    write("nation", Tables.nation(spark, sfDir))
+    write("customer", scaled(Tables.customer(spark, sfDir), "c_custkey"))
+    write("supplier", scaled(Tables.supplier(spark, sfDir), "s_suppkey"))
+    write("part", scaled(Tables.part(spark, sfDir), "p_partkey"))
+    write("orders", scaled(Tables.orders(spark, sfDir), "o_orderkey", "o_custkey"))
+    write("lineitem",
+      scaled(Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey", "l_suppkey"))
+    // events round-trips through the loader, so ts lands as a plain
+    // µs timestamp — Tables.events passes a TimestampType through
+    write("events", scaled(Tables.events(spark, sfDir), "event_id", "user_id"))
+    write("documents", Tables.documents(spark, sfDir).crossJoin(rep)
+      .withColumn("text", when(col("rep") === 0, col("text"))
+        .otherwise(concat_ws(" ", col("text"), concat(lit("rep"), col("rep")))))
+      .withColumn("doc_id", col("doc_id") + col("rep") * Offset)
+      .drop("rep"))
+    write("embeddings", scaled(Tables.embeddings(spark, sfDir), "vec_id"))
+
+    val counts = Seq("lineitem", "events", "documents", "embeddings")
+      .map(t => s""""$t":${spark.read.parquet(s"$out/$t.parquet").count()}""")
+    println(s"""{"metric":"scaleup","factor":$factor,${counts.mkString(",")},"dir":"$out"}""")
+    spark.stop()
+  }
+}

@@ -97,12 +97,18 @@ object ExactNum {
       new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         ColumnBridge.expression(a), ColumnBridge.expression(b)))
     val n = num.cast("long")
-    val d = den.cast("long")
-    def half(nonNeg: Column): Column = intDiv(nonNeg * 20000L + d, d * 2L)
     // den ≤ 0 (avg4 of an all-NULL group, quality4Expr on empty text)
     // → NULL explicitly, instead of leaning on non-ANSI IntegralDivide
-    // and DuckDB `//` both nulling a 0 divisor (ANSI mode would throw)
-    when(d > 0, when(n >= 0, half(n)).otherwise(-half(-n)).cast("double") / 10000.0)
+    // and DuckDB `//` both nulling a 0 divisor (ANSI mode would throw).
+    // The guard poisons ONLY the denominator (NULL den ⇒ NULL result
+    // via null propagation) rather than wrapping the whole expression
+    // in when(d > 0, …) — that outer branch put the numerator products
+    // inside a conditional, defeating codegen subexpression
+    // elimination (measured 2× on x_quality_score, 4 ratios per row).
+    val d0 = den.cast("long")
+    val d = when(d0 > 0, d0)
+    def half(nonNeg: Column): Column = intDiv(nonNeg * 20000L + d, d * 2L)
+    when(n >= 0, half(n)).otherwise(-half(-n)).cast("double") / 10000.0
   }
 
   /** Residual-risk note — the ONE remaining float-tie class in the
