@@ -152,10 +152,19 @@ object DedupOps {
     * recall 1.0 at this τ on the test corpus (worst case cos = 0.4:
     * per-table collision p = (1 − arccos .4/π)² ≈ 0.40, miss-all-24
     * ≈ 5e-6 per pair; spec-pinned equal to the exact baseline, which
-    * is also the oracle). τ-dependence is real: a LOWER τ needs more
-    * tables (or fewer bits) to keep recall — at 100 TB bits grows
-    * with corpus density so buckets stay bounded, L grows with the
-    * recall target. */
+    * is also the oracle).
+    *
+    * τ-dependence, MEASURED (SCALING.md): near-1 recall needs
+    * L ≈ ln(1/ε)/p_table tables while candidate work scales as
+    * L·n²/2^bits, so LSH beats the n²/2 brute force only when
+    * L < 2^(bits−1). At τ = 0.4 (p_bit = 0.63) that inequality is
+    * unsatisfiable — this operator is measurably SLOWER than the
+    * all-pairs baseline at every tested scale (3.2 vs 2.0 s at sf0.1,
+    * 66 vs 9 s at 10×) and exists to pin the candidate-join SHAPE.
+    * At the τ ≥ 0.7 of a real near-dup pipeline (p_bit ≥ 0.80) the
+    * same code with bits ≈ log₂(n/bucket-target) and L ≈ 16–32 is
+    * the only shape that scales — brute force stays n² while LSH
+    * work collapses with 2^bits. */
   def dEmbedCosine(s: SparkSession, dir: String): DataFrame = {
     val tablesL = 24
     val bits = 2
@@ -183,7 +192,7 @@ object DedupOps {
     * dNgramJaccard): the recall-1.0 reference dEmbedCosine is
     * spec-compared against. Deliberately NOT in the query inventory —
     * its plan is the O(n²) BroadcastNestedLoopJoin. */
-  private[operators] def dEmbedCosineExact(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dEmbedCosineExact(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", expr("cosine_similarity(a.embedding, b.embedding)"))
