@@ -78,7 +78,24 @@ object DedupOps {
     * SQL-mirrorable, which upgrades this operator from a rows-only
     * check to a full DuckDB hash oracle (the permutation coefficients
     * are inlined into the oracle from MinHashSignature.coeffs). */
-  def dMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def dMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(s, dir, bucketCap = Int.MaxValue)
+
+  /** The parameterized pipeline behind dMinhashLsh. `bucketCap` is
+    * the boilerplate-bucket guard SCALING.md names as the production
+    * hardening: a band bucket shared by more than `bucketCap` docs
+    * contributes C(size, 2) candidate pairs while carrying no
+    * near-dup signal that exact dedup hasn't already caught (at
+    * corpus scale such buckets are boilerplate — headers, license
+    * blocks, empty-ish pages) — so buckets over the cap are dropped
+    * BEFORE the self-join, bounding the join's worst case at
+    * L·n·cap instead of L·Σ C(bucket, 2). The default cap is ∞ (the
+    * oracle-checked operator is exact over its candidates); the
+    * capped path is spec-pinned on a boilerplate-heavy corpus
+    * (DedupSpec: clique candidates drop, true near-dup pairs
+    * outside the boilerplate survive). */
+  private[graft] def minhashLshPairs(s: SparkSession, dir: String,
+      bucketCap: Int): DataFrame = {
     val bands = 8
     val rows = 8
     // cache: the shingle→hash→signature projection feeds the band
@@ -90,11 +107,20 @@ object DedupOps {
       .select(col("doc_id"), col("hashes"), col("sig"))
       .cache()
 
-    val banded = sigs.select(col("doc_id"),
+    val bandedAll = sigs.select(col("doc_id"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> struct(b as band_idx, concat_ws(',', slice(sig, b * $rows + 1, $rows)) as band_key))"))
           .as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+
+    val banded =
+      if (bucketCap == Int.MaxValue) bandedAll
+      else bandedAll.join(
+        bandedAll.groupBy(col("band_idx"), col("band_key"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= bucketCap)
+          .select(col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
 
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

@@ -87,6 +87,21 @@ object Streams {
       .select(col("e.event_id"), col("e.ts"), col("e.user_id"),
         col("e.event_type"), col("e.value"))
 
+  /** Producer-side serialization — the symmetric half of
+    * parseEventValues (the reference's scheduler/trigger PRODUCE to
+    * topics: gotimer_scheduler/mq/client.go SendMessage): event rows →
+    * kafka wire columns. key = the timer id, so a timer's events land
+    * in one partition and per-timer ORDER survives the broker — the
+    * property timerFiring/sessionizer state transitions rely on, and
+    * the reason the reference keys its messages the same way. Attach
+    * with writeStream.format("kafka"); spec-pinned to roundtrip
+    * losslessly through parseEventValues (KafkaSourceSpec). */
+  def serializeEventValues(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id").cast("string").cast("binary").as("key"),
+      to_json(struct(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))).cast("binary").as("value"))
+
   /** Watermarked tumbling-window counts — the trigger's per-minute
     * shard aggregation, continuously. 10-min watermark bounds state;
     * partial aggregation applies exactly as in batch. */

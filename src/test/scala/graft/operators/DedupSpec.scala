@@ -83,6 +83,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate bucket cap bounds LSH candidates without losing pairs outside the clique") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions.lit
+    // 200 identical boilerplate docs (every band bucket has 200
+    // members → C(200,2) candidate pairs per band uncapped) plus one
+    // real dup pair outside the clique (identical text ⇒ identical
+    // signature ⇒ detection is deterministic — this spec pins the CAP
+    // semantics, recall is pinned by the lsh-recall test above)
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val docs = Seq((1L, base), (2L, base)) ++
+      (1000L until 1200L).map(i => (i, "the same boilerplate header text on every page of this corpus"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val uncapped = pairs(DedupOps.minhashLshPairs(spark, dir, Int.MaxValue))
+    val capped = pairs(DedupOps.minhashLshPairs(spark, dir, 50))
+    assert(uncapped.size == 199 * 100 + 1, s"uncapped ${uncapped.size}") // C(200,2) clique + 1
+    assert(capped == Set((1L, 2L)), s"capped: size ${capped.size}")
+  }
+
   test("star-contraction CC equals propagation labels; a 200-node chain graduates instead of throwing") {
     // equality of the two algorithms on the real near-dup pair graph
     val realPairs = DedupOps.dNgramJaccard(spark, sfDir).select("id_a", "id_b")

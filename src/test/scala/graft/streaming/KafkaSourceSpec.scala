@@ -52,6 +52,22 @@ class KafkaSourceSpec extends SparkSpec {
     assert(rows.count(_.isNullAt(0)) == 1)
   }
 
+  test("producer serialization roundtrips losslessly through the consumer parse") {
+    val session = spark
+    import session.implicits._
+    val events = Seq(
+      TaskEvent(1, Timestamp.valueOf("2024-01-15 00:01:10"), 7, "click", 2.5),
+      TaskEvent(2, Timestamp.valueOf("2024-01-15 00:02:40"), 9, "view", 1.25),
+      TaskEvent(3, Timestamp.valueOf("2024-01-15 23:59:59"), 7, "purchase", 0.0))
+    val wire = Streams.serializeEventValues(events.toDF())
+    // wire shape: key = timer id bytes (per-timer broker ordering), value = JSON
+    assert(wire.schema.fieldNames.toSeq == Seq("key", "value"))
+    val keys = wire.select("key").collect().map(r => new String(r.getAs[Array[Byte]](0), UTF_8))
+    assert(keys.sorted.toSeq == Seq("7", "7", "9"))
+    val back = Streams.parseEventValues(wire).as[TaskEvent].collect().sortBy(_.event_id)
+    assert(back.toSeq == events, s"roundtrip mismatch: ${back.toSeq}")
+  }
+
   test("parsed kafka stream composes with the windowed aggregation unchanged") {
     val session = spark
     import session.implicits._
