@@ -80,10 +80,56 @@ object TrainingPipeline {
       .select(col("doc_id"), col("text"), col("pred_lang"),
         col("n_tokens"), col("quality"))
 
+  /** Training-mix construction — the data-mixing stage of a
+    * pretraining recipe: deterministic per-source quota sampling
+    * (first-k by doc_id within each source; quota = 5 + (src_idx mod
+    * 3)·5 stands in for per-corpus mixing weights). One window
+    * PARTITIONED BY source: strata sample in parallel and no global
+    * shuffle exists anywhere in the plan; at 100 TB the only change
+    * is quota values (and a per-stratum top-k replaces the full
+    * within-stratum sort the same way WindowGroupLimit already does
+    * for constant limits). */
+  def mixSources(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("quota",
+        lit(5) + pmod(expr("CAST(substring(source, 4) AS INT)"), lit(3)) * 5)
+      .withColumn("mix_rank", row_number().over(w))
+      .filter(col("mix_rank") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("mix_rank"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Benchmark decontamination — the pipeline stage that flags
+    * training documents overlapping the evaluation set (word-8-gram
+    * containment, the n-gram rule GPT-3/PaLM-style pipelines apply
+    * before training). Eval slice = doc_id % 20 == 0 (a deterministic
+    * stand-in benchmark); a train doc is contaminated iff it shares
+    * ≥ 1 distinct 8-gram with any eval doc. The eval gram set is
+    * benchmark-sized (≪ corpus) and BROADCAST to the train-side gram
+    * scan — the training corpus is never shuffled at all; output is
+    * per-doc collision counts + the smallest contaminating eval id. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, greatest(size(w) - 7, 1)), " +
+          "i -> concat_ws(' ', slice(w, i, 8))))")).as("gram"))
+    val evalGrams = grams.filter(pmod(col("doc_id"), lit(20L)) === 0)
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    grams.filter(pmod(col("doc_id"), lit(20L)) =!= 0)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("eval_id")).as("first_eval_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Driver-visible entry. */
   val queries: scala.collection.immutable.ListMap[String, (SparkSession, String) => DataFrame] =
     scala.collection.immutable.ListMap(
-      "p_training_funnel" -> ((s, dir) => run(s, dir)))
+      "p_training_funnel" -> ((s, dir) => run(s, dir)),
+      "p_mix_sources" -> (mixSources _),
+      "p_decontaminate" -> (decontaminate _))
 
   /** Full SQL mirror of run(): the shared MinHash-LSH pair CTEs
     * (DedupOps.minhashPairsCtes — identical constants), connected
@@ -133,7 +179,28 @@ object TrainingPipeline {
            |WHERE f.fprn = 1 AND (f.group_id IS NULL OR f.group_id = f.doc_id)
            |  AND p.pred_lang IN ($langList) AND q.quality >= ${cfg.minQuality}
            |ORDER BY f.doc_id""".stripMargin
-      })
+      },
+      "p_mix_sources" ->
+        """SELECT source, doc_id, mix_rank FROM (
+          |  SELECT source, doc_id,
+          |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS mix_rank,
+          |    5 + (CAST(substr(source, 4) AS INT) % 3) * 5 AS quota
+          |  FROM documents)
+          |WHERE mix_rank <= quota
+          |ORDER BY source, doc_id""".stripMargin,
+      // 8-gram mirror of the shingled() pattern (range end exclusive:
+      // greatest(len-6, 2) ≡ Spark's greatest(size-7, 1) inclusive)
+      "p_decontaminate" ->
+        """WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          |             range(1, greatest(len(w) - 6, 2)),
+          |             i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS gram
+          |           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+          |e AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 20 = 0),
+          |t AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0)
+          |SELECT t.doc_id, count(*) AS n_hits, min(e.eval_id) AS first_eval_id
+          |FROM t JOIN e ON t.gram = e.gram
+          |GROUP BY t.doc_id
+          |ORDER BY doc_id""".stripMargin)
 
   /** One-row funnel report: how many docs survive each stage (each
     * count applies all previous stages too — a true funnel). */

@@ -46,6 +46,47 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(disagree == 0, s"$disagree docs with diverging language ID")
   }
 
+  test("mix sampling respects per-source quotas with contiguous ranks") {
+    val rows = TrainingPipeline.mixSources(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_._1)
+    val stratum = graft.Tables.documents(spark, sfDir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, srows) =>
+      val quota = 5 + (src.drop(3).toInt % 3) * 5
+      assert(srows.length == math.min(quota.toLong, stratum(src)),
+        s"$src: ${srows.length} sampled, quota $quota, stratum ${stratum(src)}")
+      // ranks are 1..k over doc_id-ascending — the deterministic first-k
+      assert(srows.sortBy(_._2).map(_._3).toSeq == (1 to srows.length),
+        s"$src ranks not contiguous")
+    }
+  }
+
+  test("decontamination flags exactly the train docs sharing an 8-gram with the eval slice") {
+    val out = TrainingPipeline.decontaminate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty, "no contamination found — eval-slice assumption broken")
+    // recompute ground truth naively on the collected corpus
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(8).map(_.mkString(" ")).toSet match {
+        case s if s.nonEmpty => s
+        case _ => Set(t)
+      }
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> grams(r.getString(1)))
+    val evalGrams = docs.filter(_._1 % 20 == 0).flatMap(_._2).toSet
+    val truth = docs.filter { case (id, gs) =>
+      id % 20 != 0 && gs.exists(evalGrams.contains)
+    }.map(_._1).toSet
+    assert(out.map(_._1).toSet == truth,
+      s"flagged ${out.map(_._1).toSet} vs truth $truth")
+    // eval docs themselves are never flagged
+    assert(out.forall(_._1 % 20 != 0))
+  }
+
   test("pipeline quality agrees with the xQualityScore operator") {
     val opQ = TextOps.xQualityScore(spark, sfDir)
       .select(col("doc_id"), col("quality").as("op_quality"))
