@@ -101,6 +101,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan(DedupOps.dSimhash(spark, sfDir)).contains("CartesianProduct"))
   }
 
+  test("p_decontaminate: eval grams broadcast — the training corpus is never shuffled") {
+    val p = plan(TrainingPipeline.decontaminate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("p_mix_sources: quota sampling is a window PARTITIONED by source") {
+    val p = plan(TrainingPipeline.mixSources(spark, sfDir))
+    assert(p.contains("windowspecdefinition(source"), p)
+  }
+
   test("d_embed_cosine: candidates from an LSH-bucket equi-join, no nested-loop all-pairs") {
     val p = plan(DedupOps.dEmbedCosine(spark, sfDir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
