@@ -34,4 +34,23 @@ object Tables {
   }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** The SQL front door: register every table as a temp view (events
+    * through its nanos→timestamp reconstruction) so a user drives the
+    * whole engine with `spark.sql(...)` — the graft functions
+    * (cosine_similarity, minhash_signature, cron_times, …) are
+    * already in the session via GraftExtensions (Sessions.build), so
+    * after this call the library's full surface is plain SQL
+    * (exercised end-to-end in SqlSurfaceSpec). */
+  def registerViews(s: SparkSession, dir: String): Unit = {
+    val loaders: Map[String, (SparkSession, String) => DataFrame] =
+      Map("events" -> (events _))
+    names.foreach { t =>
+      loaders.getOrElse(t, (ss: SparkSession, d: String) => load(ss, d, t))(s, dir)
+        .createOrReplaceTempView(t)
+    }
+  }
 }
