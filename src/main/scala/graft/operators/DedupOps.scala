@@ -185,8 +185,8 @@ object DedupOps {
     * L·n²/2^bits, so LSH beats the n²/2 brute force only when
     * L < 2^(bits−1). At τ = 0.4 (p_bit = 0.63) that inequality is
     * unsatisfiable — this operator is measurably SLOWER than the
-    * all-pairs baseline at every tested scale (3.2 vs 2.0 s at sf0.1,
-    * 66 vs 9 s at 10×) and exists to pin the candidate-join SHAPE.
+    * all-pairs baseline at every tested scale (5.9 vs 2.0 s at sf0.1,
+    * 47 vs 9 s at 10×) and exists to pin the candidate-join SHAPE.
     * At the τ ≥ 0.7 of a real near-dup pipeline (p_bit ≥ 0.80) the
     * same code with bits ≈ log₂(n/bucket-target) and L ≈ 16–32 is
     * the only shape that scales — brute force stays n² while LSH
@@ -194,23 +194,33 @@ object DedupOps {
   def dEmbedCosine(s: SparkSession, dir: String): DataFrame = {
     val tablesL = 24
     val bits = 2
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val banded = e.select(col("vec_id"),
-      explode(expr((0 until tablesL).map(t =>
-        s"struct($t as tbl, hyperplane_lsh(embedding, ${200 + t}, $bits) as bucket)")
-        .mkString("array(", ", ", ")"))).as("h"))
-      .select(col("vec_id"), col("h.tbl"), col("h.bucket"))
-    val cands = banded.as("a").join(banded.as("b"),
+    // vectors ride WITH their buckets (the s_ann_lsh shape), so the
+    // refine runs INSIDE the join stage: collision rows flow straight
+    // into the codegen'd cosine + threshold, and the only distinct is
+    // over the τ-SURVIVORS (≈ true pairs × table multiplicity —
+    // tiny), never over raw collisions. Both formulations were
+    // measured (Timeit): dedup-collisions-first wins where map-side
+    // partial distinct collapses them (3.2 s vs 5.9 s at sf0.1);
+    // in-stage refine wins where collision pairs are mostly unique
+    // and the distinct would shuffle them all (47 s vs 66 s at 10×).
+    // In-stage is kept because its cost is linear in collisions with
+    // NO shuffle term — the behavior that survives scale-up; and at
+    // this τ both lose to the exact baseline anyway (9 s at 10×, the
+    // crossover analysis above).
+    val banded = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        explode(expr((0 until tablesL).map(t =>
+          s"struct($t as tbl, hyperplane_lsh(embedding, ${200 + t}, $bits) as bucket)")
+          .mkString("array(", ", ", ")"))).as("h"))
+      .select(col("vec_id"), col("embedding"), col("h.tbl"), col("h.bucket"))
+    banded.as("a").join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-    cands
-      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
-      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
-      .withColumn("cos", expr("cosine_similarity(emb_a, emb_b)"))
+      .withColumn("cos", expr("cosine_similarity(a.embedding, b.embedding)"))
       .filter(col("cos") >= 0.4)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("cos"), 4).as("cos"))
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 
