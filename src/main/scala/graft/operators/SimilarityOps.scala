@@ -167,13 +167,58 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Scalar int8 quantization of the embedding column — the
+    * compression step a production ANN system applies before indexing
+    * (4× memory cut at 64-dim float32 → int8; IVF cells + quantized
+    * residuals is the classic FAISS layout). Per-vector min/max
+    * scaling, q_i = ⌊(x_i − mn)·255/(mx − mn) + ½⌋, plus the
+    * dequantization MSE as the fidelity measure. Pure per-row array
+    * built-ins — zero shuffle, linear scan; every float op is
+    * left-associated identically in the DuckDB mirror (the fold runs
+    * in index order both sides). Degenerate constant vectors (mx=mn)
+    * quantize to NULL explicitly on both engines. */
+  def sQuantize(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("mn", expr("array_min(e)"))
+      .withColumn("mx", expr("array_max(e)"))
+      .withColumn("q", expr(
+        "CASE WHEN mx > mn THEN transform(e, x -> CAST(floor((x - mn) * 255 / (mx - mn) + 0.5D) AS INT)) END"))
+      .withColumn("mse", expr(
+        "CASE WHEN mx > mn THEN round(aggregate(zip_with(e, q, (x, qi) -> " +
+          "((mn + qi * (mx - mn) / 255) - x) * ((mn + qi * (mx - mn) / 255) - x)), " +
+          "0D, (acc, v) -> acc + v) / size(e), 4) END"))
+      .select(col("vec_id"), col("q"), col("mse"))
+      .orderBy(col("vec_id"))
+
   val queries: ListMap[String, Q] = ListMap(
     "s_ann_bruteforce" -> (sAnnBruteforce _),
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_ivf" -> (sAnnIvf _),
+    "s_quantize" -> (sQuantize _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
+    // identical left-associated float arithmetic and index-order fold
+    // as the Spark expressions; dim pinned to 64 (a different dim
+    // diffs loudly via the range bound)
+    "s_quantize" -> {
+      val dim = 64
+      def qi(x: String): String =
+        s"CAST(floor(($x - mn) * 255 / (mx - mn) + 0.5) AS INTEGER)"
+      val err = s"((mn + ${qi("e[i]")} * (mx - mn) / 255) - e[i])"
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |m AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM v)
+         |SELECT vec_id,
+         |  CASE WHEN mx > mn THEN list_transform(e, x -> ${qi("x")}) END AS q,
+         |  CASE WHEN mx > mn THEN round(list_reduce(list_prepend(0.0,
+         |    list_transform(range(1, ${dim + 1}), i -> $err * $err)),
+         |    (acc, v) -> acc + v) / ${dim}.0, 4) END AS mse
+         |FROM m
+         |ORDER BY vec_id""".stripMargin
+    },
     "s_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
          |           WHERE vec_id < $NumQueries),

@@ -32,6 +32,28 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.6, s"mean recall@10 $mean (per-query: ${recalls.toSeq.sorted})")
   }
 
+  test("int8 quantization: codes in [0,255], extremes exact, error ≤ half a step") {
+    val rows = SimilarityOps.sQuantize(spark, sfDir).collect()
+    val embs = graft.Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val q = r.getSeq[Int](1)
+      val e = embs(id)
+      val (mn, mx) = (e.min, e.max)
+      val step = (mx - mn) / 255
+      assert(q.forall(c => c >= 0 && c <= 255), s"vec $id codes out of range")
+      assert(q(e.indexOf(mn)) == 0 && q(e.indexOf(mx)) == 255, s"vec $id extremes")
+      e.zip(q).foreach { case (x, c) =>
+        val deq = mn + c * (mx - mn) / 255
+        assert(math.abs(deq - x) <= step / 2 + 1e-12, s"vec $id err ${math.abs(deq - x)}")
+      }
+      // MSE bounded by the worst per-component error (half a step)²
+      assert(r.getDouble(2) <= step * step / 4 + 1e-9, s"vec $id mse ${r.getDouble(2)}")
+    }
+  }
+
   test("bruteforce ranks are dense 1..10 per query, cosine non-increasing") {
     val rows = SimilarityOps.sAnnBruteforce(spark, sfDir)
       .select("q_id", "rank", "cos").collect()
