@@ -200,6 +200,56 @@ object TextOps {
   def xSeqPackSharded4(s: SparkSession, dir: String): DataFrame =
     xSeqPackSharded(4)(s, dir)
 
+  // PII patterns shared verbatim by the Spark expressions and the
+  // DuckDB oracle — restricted to syntax Java regex and RE2 read
+  // identically (char classes, bounded repeats, \b)
+  private[operators] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[operators] val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  private[operators] val IpRe =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scrubbing — the redaction pass a training pipeline runs
+    * before anything else ships: count + redact emails / NANP phone
+    * numbers / IPv4 literals per document (each class replaced by its
+    * placeholder token). Pure per-row regex built-ins, zero shuffle;
+    * the corpus is synthetic lowercase text so live counts are 0 —
+    * the REDACTION semantics are spec-pinned on injected PII docs
+    * (TextSpec), and the oracle checks the per-doc counts and
+    * redacted length over the real corpus. */
+  def xPiiScrub(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+      regexp_count(col("text"), lit(IpRe)).as("n_ips"),
+      length(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<email>"),
+            PhoneRe, "<phone>"),
+          IpRe, "<ip>")).as("clean_len"))
+      .orderBy(col("doc_id"))
+
+  /** Repetition scoring — the Gopher-style quality rule (Rae et al.
+    * 2021 §A1.1: drop documents dominated by repeated fragments):
+    * duplicate-token fraction and duplicate-3-gram fraction per doc,
+    * both as exact integer ratios (ratio4). Per-row array built-ins,
+    * zero shuffle. */
+  def xRepetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", tokens)
+      .withColumn("g", expr(
+        "transform(sequence(1, greatest(size(w) - 2, 1)), i -> concat_ws(' ', slice(w, i, 3)))"))
+      .select(col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        ExactNum.ratio4(
+          size(col("w")) - size(array_distinct(col("w"))), size(col("w")))
+          .as("dup_token_ratio"),
+        ExactNum.ratio4(
+          size(col("g")) - size(array_distinct(col("g"))), size(col("g")))
+          .as("dup_gram_ratio"))
+      .orderBy(col("doc_id"))
+
   val queries: ListMap[String, Q] = ListMap(
     "x_lang_id" -> (xLangId _),
     "x_quality_score" -> (xQualityScore _),
@@ -209,6 +259,8 @@ object TextOps {
     "x_doc_chunks" -> (xDocChunks _),
     "x_seq_pack" -> (xSeqPack _),
     "x_seq_pack_sharded" -> (xSeqPackSharded4 _),
+    "x_pii_scrub" -> (xPiiScrub _),
+    "x_repetition" -> (xRepetition _),
   )
 
   private[operators] def scoreSql(l: String): String = {
@@ -340,5 +392,29 @@ object TextOps {
         |FROM c CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
         |WHERE cum_before // 2048 + off <= (cum_before + n_tok - 1) // 2048
         |ORDER BY shard, bin_id, doc_id""".stripMargin,
+    // same pattern strings verbatim (Java regex and RE2 agree on this
+    // restricted syntax); duck regexp_replace needs the 'g' flag to
+    // match Spark's replace-all default
+    "x_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+         |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+         |  len(regexp_extract_all(text, '$IpRe')) AS n_ips,
+         |  length(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<email>', 'g'), '$PhoneRe', '<phone>', 'g'),
+         |    '$IpRe', '<ip>', 'g')) AS clean_len
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "x_repetition" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, w,
+         |        list_transform(range(1, greatest(len(w) - 1, 2)),
+         |          i -> array_to_string(list_slice(w, i, i + 2), ' ')) AS g
+         |      FROM t)
+         |SELECT doc_id, len(w) AS n_tokens,
+         |  ${ExactNum.ratioSql("len(w) - len(list_distinct(w))", "len(w)")} AS dup_token_ratio,
+         |  ${ExactNum.ratioSql("len(g) - len(list_distinct(g))", "len(g)")} AS dup_gram_ratio
+         |FROM g
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -70,6 +70,45 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("pii scrub counts and redacts emails, phones, and IPs (injected corpus)") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions.lit
+    val d1 = "contact bob.smith@example.com or alice@sub.domain.org today"
+    val d3 = "clean document with no pii at all"
+    val docs = Seq(
+      (1L, d1),
+      (2L, "call 555-123-4567 re server 10.0.255.3 at 192.168.1.1"),
+      (3L, d3))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.xPiiScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 0 && out(1L)._3 == 0, out(1L).toString)
+    assert(out(2L)._1 == 0 && out(2L)._2 == 1 && out(2L)._3 == 2, out(2L).toString)
+    assert(out(3L) == ((0, 0, 0, d3.length)), out(3L).toString)
+    // redacted length = the Java-side substitution with the same pattern
+    assert(out(1L)._4 == d1.replaceAll(TextOps.EmailRe, "<email>").length)
+  }
+
+  test("repetition ratios agree with naive recomputation") {
+    def r4(n: Long, d: Long): Double = ((n * 20000L + d) / (2L * d)) / 10000.0
+    val out = TextOps.xRepetition(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, nTok, dupTok, dupGram) =>
+      val w = docs(id).split(" ", -1)
+      val g = (1 to math.max(w.length - 2, 1))
+        .map(i => w.slice(i - 1, i + 2).mkString(" "))
+      assert(nTok == w.length)
+      assert(dupTok == r4(w.length - w.distinct.length, w.length), s"doc $id token ratio")
+      assert(dupGram == r4(g.length - g.distinct.length, g.length), s"doc $id gram ratio")
+    }
+  }
+
   test("sharded packing: per-shard invariants hold; 1-shard ≡ global; shards are disjoint doc sets") {
     val rows = TextOps.xSeqPackSharded4(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
