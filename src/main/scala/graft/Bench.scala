@@ -28,7 +28,9 @@ object Bench {
   // Operators added after the headline froze are measured in a
   // separate "extras" map that does NOT count toward "value".
   private val extras = Seq("t_asof_def", "q23_range_join",
-    "t_app_pending", "x_seq_pack_sharded", "d_embed_cosine")
+    "t_app_pending", "x_seq_pack_sharded", "d_embed_cosine",
+    "s_quantize", "x_pii_scrub", "x_repetition",
+    "p_mix_sources", "p_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
