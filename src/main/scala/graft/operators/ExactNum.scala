@@ -121,7 +121,10 @@ object ExactNum {
     * an exact dyadic rational — measure-zero for real-valued
     * embeddings and not constructible from this data. Accepted and
     * documented rather than worked around (there is no integer space
-    * to round in). */
+    * to round in). The same class covers s_quantize's round(mse, 4)
+    * and its ⌊v+½⌋ quantization boundary: both engines compute the
+    * identical double with identical op order, so divergence needs an
+    * exact dyadic coincidence. */
 
   /** The DuckDB-side mirror of ratio4 over SQL fragments. num may be
     * HUGEINT (duck sums widen); `//` floors like `div` truncates —
