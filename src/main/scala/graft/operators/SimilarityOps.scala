@@ -58,7 +58,7 @@ object SimilarityOps {
       val tables = (0 until Tables_L).map(t =>
         s"struct($t as tbl, hyperplane_lsh($vecCol, ${100 + t}, $Bits) as bucket)")
       df.select(col("*"), explode(expr(tables.mkString("array(", ", ", ")"))).as("h"))
-        .select(df.columns.map(col) :+ col("h.tbl") :+ col("h.bucket"): _*)
+        .select(df.columns.map(col).toIndexedSeq :+ col("h.tbl") :+ col("h.bucket"): _*)
     }
 
     val vecs = bucketed(Tables.embeddings(s, dir)

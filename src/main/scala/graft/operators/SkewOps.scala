@@ -25,7 +25,7 @@ object SkewOps {
     // salt derived from the whole fact row hash — deterministic, no
     // state, uniform
     val saltedFact = skewed.withColumn("_salt",
-      pmod(hash(skewed.columns.map(col): _*), lit(salts)))
+      pmod(hash(skewed.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val replicatedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
@@ -39,7 +39,7 @@ object SkewOps {
     * (e.g. after an explode). */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
       salts: Int): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
+    val salted = df.withColumn("_salt", pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
     salted
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
