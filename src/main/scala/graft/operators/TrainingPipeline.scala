@@ -128,57 +128,83 @@ object TrainingPipeline {
   val queries: scala.collection.immutable.ListMap[String, (SparkSession, String) => DataFrame] =
     scala.collection.immutable.ListMap(
       "p_training_funnel" -> ((s, dir) => run(s, dir)),
+      "p_funnel_report" -> ((s, dir) => funnel(s, dir)),
       "p_mix_sources" -> (mixSources _),
       "p_decontaminate" -> (decontaminate _))
 
-  /** Full SQL mirror of run(): the shared MinHash-LSH pair CTEs
+  private lazy val oracleLangList =
+    Config().langs.map(l => s"'$l'").mkString(", ")
+
+  /** The shared CTE prefix of both funnel oracles: MinHash-LSH pairs
     * (DedupOps.minhashPairsCtes — identical constants), connected
-    * components as a recursive reachability closure (group_id = min
-    * reachable id, self included via back-edges), canonical-fp exact
-    * dedup, and the same lang/quality feature tail as the x_* oracles
-    * (TextOps.scoreSql / qualitySqlExpr — shared strings, no drift). */
+    * components as a recursive reachability closure, canonical-fp
+    * dedup rank, language argmax, quality — ending with feat/plang/
+    * qual ready to join. */
+  private lazy val funnelCtes: String = {
+    val scores = TextOps.markerLangs.map(TextOps.scoreSql).mkString(",\n  ")
+    val unions = TextOps.markerLangs.map(l =>
+      s"SELECT doc_id, '$l' AS cand_lang, s_$l AS score FROM ls")
+      .mkString("\n  UNION ALL ")
+    s"""${DedupOps.minhashPairsCtes},
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM lshpairs
+       |        UNION ALL SELECT id_b, id_a FROM lshpairs),
+       |reach AS (SELECT src, dst FROM sym
+       |          UNION
+       |          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |groups AS (SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src),
+       |ls AS (SELECT doc_id,
+       |  $scores
+       |FROM documents),
+       |lu AS (
+       |  $unions),
+       |lr AS (SELECT doc_id, cand_lang, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY score DESC, cand_lang) AS rn
+       |       FROM lu),
+       |plang AS (SELECT doc_id, cand_lang AS pred_lang FROM lr WHERE rn = 1),
+       |feat AS (SELECT d.doc_id, d.text,
+       |           row_number() OVER (
+       |             PARTITION BY md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'))
+       |             ORDER BY d.doc_id) AS fprn,
+       |           g.group_id
+       |         FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id),
+       |qual AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |           ${TextOps.qualitySqlExpr} AS quality
+       |         FROM documents)""".stripMargin
+  }
+
+  /** Full SQL mirrors of run() and funnel() over the same CTE prefix
+    * (the two cannot drift from each other; the feature tail shares
+    * strings with the x_* oracles so they cannot drift either). */
   val oracles: scala.collection.immutable.ListMap[String, String] =
     scala.collection.immutable.ListMap(
-      "p_training_funnel" -> {
-        val cfg = Config()
-        val langList = cfg.langs.map(l => s"'$l'").mkString(", ")
-        val scores = TextOps.markerLangs.map(TextOps.scoreSql).mkString(",\n  ")
-        val unions = TextOps.markerLangs.map(l =>
-          s"SELECT doc_id, '$l' AS cand_lang, s_$l AS score FROM ls")
-          .mkString("\n  UNION ALL ")
-        s"""WITH RECURSIVE ${DedupOps.minhashPairsCtes},
-           |sym AS (SELECT id_a AS src, id_b AS dst FROM lshpairs
-           |        UNION ALL SELECT id_b, id_a FROM lshpairs),
-           |reach AS (SELECT src, dst FROM sym
-           |          UNION
-           |          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-           |groups AS (SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src),
-           |ls AS (SELECT doc_id,
-           |  $scores
-           |FROM documents),
-           |lu AS (
-           |  $unions),
-           |lr AS (SELECT doc_id, cand_lang, score,
-           |         row_number() OVER (PARTITION BY doc_id
-           |           ORDER BY score DESC, cand_lang) AS rn
-           |       FROM lu),
-           |plang AS (SELECT doc_id, cand_lang AS pred_lang FROM lr WHERE rn = 1),
-           |feat AS (SELECT d.doc_id, d.text,
-           |           row_number() OVER (
-           |             PARTITION BY md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'))
-           |             ORDER BY d.doc_id) AS fprn,
-           |           g.group_id
-           |         FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id),
-           |qual AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-           |           ${TextOps.qualitySqlExpr} AS quality
-           |         FROM documents)
+      "p_training_funnel" ->
+        s"""WITH RECURSIVE $funnelCtes
            |SELECT f.doc_id, f.text, p.pred_lang, q.n_tokens, q.quality
            |FROM feat f
            |JOIN plang p ON f.doc_id = p.doc_id
            |JOIN qual q ON f.doc_id = q.doc_id
            |WHERE f.fprn = 1 AND (f.group_id IS NULL OR f.group_id = f.doc_id)
-           |  AND p.pred_lang IN ($langList) AND q.quality >= ${cfg.minQuality}
-           |ORDER BY f.doc_id""".stripMargin
+           |  AND p.pred_lang IN ($oracleLangList) AND q.quality >= ${Config().minQuality}
+           |ORDER BY f.doc_id""".stripMargin,
+      // the one-row per-stage survivor report (CASTs pin duck's
+      // sum→HUGEINT back to BIGINT — the driver-hash type hazard)
+      "p_funnel_report" -> {
+        val exact = "f.fprn = 1"
+        val near = s"$exact AND (f.group_id IS NULL OR f.group_id = f.doc_id)"
+        val lang = s"$near AND p.pred_lang IN ($oracleLangList)"
+        val kept = s"$lang AND q.quality >= ${Config().minQuality}"
+        def cnt(cond: String, as: String) =
+          s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS $as"
+        s"""WITH RECURSIVE $funnelCtes
+           |SELECT CAST(count(*) AS BIGINT) AS n_ingested,
+           |  ${cnt(exact, "after_exact_dedup")},
+           |  ${cnt(near, "after_neardup")},
+           |  ${cnt(lang, "after_lang_filter")},
+           |  ${cnt(kept, "kept")}
+           |FROM feat f
+           |JOIN plang p ON f.doc_id = p.doc_id
+           |JOIN qual q ON f.doc_id = q.doc_id""".stripMargin
       },
       "p_mix_sources" ->
         """SELECT source, doc_id, mix_rank FROM (
