@@ -68,9 +68,33 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame sampling over the opaque payload — the video/audio analog
+    * of context chunking: keep a fixed-length frame every `stride`
+    * bytes (here 64 of every 256 — a 25% sample), emitting per-frame
+    * offset/length/digest. The real decoder slots where the substring
+    * sits (the same stub seam as mBinaryPipeline); the SAMPLING
+    * plumbing — per-row explode, zero shuffle, frames never crossing
+    * payloads — is real and oracle-checked. Byte slicing is exact in
+    * BOTH engines because the corpus is spec-pinned ASCII (DedupSpec):
+    * char offsets ≡ byte offsets, so the mirror slices the string. */
+  def mFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val frameLen = 64
+    val stride = 256
+    Tables.documents(s, dir)
+      .withColumn("f", explode(expr(
+        s"""transform(sequence(0, (length(text) - 1) div $stride),
+           |  i -> struct(i AS frame_idx, i * $stride AS frame_off,
+           |    substring(text, i * $stride + 1, $frameLen) AS frame))""".stripMargin)))
+      .select(col("doc_id"), col("f.frame_idx"), col("f.frame_off"),
+        length(col("f.frame")).as("frame_len"),
+        md5(col("f.frame").cast("binary")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "m_json_extract" -> (mJsonExtract _),
     "m_binary_pipeline" -> (mBinaryPipeline _),
+    "m_frame_sample" -> (mFrameSample _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -87,5 +111,14 @@ object MultimodalOps {
         |  CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // static frame-index series 0..15 with headroom over the ≤2 frames
+    // a max-length doc yields (same convention as x_doc_chunks)
+    "m_frame_sample" ->
+      """SELECT doc_id, i AS frame_idx, i * 256 AS frame_off,
+        |  length(substring(text, i * 256 + 1, 64)) AS frame_len,
+        |  md5(substring(text, i * 256 + 1, 64)) AS frame_md5
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+        |WHERE i <= (length(text) - 1) // 256
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
