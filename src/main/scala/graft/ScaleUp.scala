@@ -31,10 +31,26 @@ object ScaleUp {
     val rep = spark.range(factor).toDF("rep")
     def write(name: String, df: DataFrame): Unit =
       df.repartition(cpus.toInt).write.mode("overwrite").parquet(s"$out/$name.parquet")
-    def scaled(df: DataFrame, keys: String*): DataFrame =
+    // Remap precondition (ADVICE r5): every base key must be < Offset
+    // (else replicas overlap and joins silently corrupt) and the top
+    // replica offset must not overflow a long. Fail LOUDLY up front.
+    require(factor.toLong * Offset > 0 && (factor - 1).toLong <= Long.MaxValue / Offset,
+      s"factor $factor overflows replica offsets")
+    def assertKeyRange(df: DataFrame, keys: Seq[String]): Unit = if (keys.nonEmpty) {
+      val aggs = keys.map(k => max(col(k).cast("long")).as(k))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      keys.zipWithIndex.foreach { case (k, i) =>
+        val mx = row.getLong(i)
+        require(mx < Offset,
+          s"max($k) = $mx ≥ offset $Offset — replica key ranges would collide")
+      }
+    }
+    def scaled(df: DataFrame, keys: String*): DataFrame = {
+      assertKeyRange(df, keys)
       keys.foldLeft(df.crossJoin(rep)) { (d, k) =>
         d.withColumn(k, col(k) + col("rep") * Offset)
       }.drop("rep")
+    }
 
     write("region", Tables.region(spark, sfDir))
     write("nation", Tables.nation(spark, sfDir))
@@ -47,6 +63,7 @@ object ScaleUp {
     // events round-trips through the loader, so ts lands as a plain
     // µs timestamp — Tables.events passes a TimestampType through
     write("events", scaled(Tables.events(spark, sfDir), "event_id", "user_id"))
+    assertKeyRange(Tables.documents(spark, sfDir), Seq("doc_id"))
     write("documents", Tables.documents(spark, sfDir).crossJoin(rep)
       .withColumn("text", when(col("rep") === 0, col("text"))
         .otherwise(concat_ws(" ", col("text"), concat(lit("rep"), col("rep")))))

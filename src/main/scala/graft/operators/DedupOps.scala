@@ -521,6 +521,14 @@ object DedupOps {
         |FROM reach
         |GROUP BY src
         |ORDER BY doc_id""".stripMargin,
+    // NOTE (ADVICE r5): this oracle is the EXACT all-pairs SQL while
+    // the operator's recall is probabilistic (~5e-6 miss per
+    // qualifying pair at τ=0.4 with 24 tables × 2 bits). A future
+    // hash mismatch HERE most likely means an LSH recall miss on a
+    // near-threshold pair (a pair whose bucket bits disagreed in all
+    // 24 tables), NOT engine drift — diagnose by comparing against
+    // DedupOps.dEmbedCosineExact (same SQL shape, deterministic) and,
+    // if a pair is missing, bump tablesL in dEmbedCosine.
     "d_embed_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

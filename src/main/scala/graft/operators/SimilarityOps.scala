@@ -176,16 +176,25 @@ object SimilarityOps {
     * built-ins — zero shuffle, linear scan; every float op is
     * left-associated identically in the DuckDB mirror (the fold runs
     * in index order both sides). Degenerate constant vectors (mx=mn)
-    * quantize to NULL explicitly on both engines. */
+    * quantize to NULL explicitly on both engines.
+    *
+    * The codes are emitted as a comma-joined VARCHAR (`q`) rather
+    * than INT[]: the driver's pandas-based comparer cannot hash a
+    * list cell (ADVICE r5 — CORRECTNESS_r05 recorded an
+    * 'unhashable type: numpy.ndarray' error for the array form), and
+    * a canonical string is bit-equivalent information for an int8
+    * code vector. */
   def sQuantize(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       .withColumn("mn", expr("array_min(e)"))
       .withColumn("mx", expr("array_max(e)"))
-      .withColumn("q", expr(
+      .withColumn("qarr", expr(
         "CASE WHEN mx > mn THEN transform(e, x -> CAST(floor((x - mn) * 255 / (mx - mn) + 0.5D) AS INT)) END"))
+      .withColumn("q", expr(
+        "CASE WHEN mx > mn THEN array_join(transform(qarr, v -> CAST(v AS STRING)), ',') END"))
       .withColumn("mse", expr(
-        "CASE WHEN mx > mn THEN round(aggregate(zip_with(e, q, (x, qi) -> " +
+        "CASE WHEN mx > mn THEN round(aggregate(zip_with(e, qarr, (x, qi) -> " +
           "((mn + qi * (mx - mn) / 255) - x) * ((mn + qi * (mx - mn) / 255) - x)), " +
           "0D, (acc, v) -> acc + v) / size(e), 4) END"))
       .select(col("vec_id"), col("q"), col("mse"))
@@ -212,7 +221,8 @@ object SimilarityOps {
          |  FROM embeddings),
          |m AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM v)
          |SELECT vec_id,
-         |  CASE WHEN mx > mn THEN list_transform(e, x -> ${qi("x")}) END AS q,
+         |  CASE WHEN mx > mn THEN array_to_string(
+         |    list_transform(e, x -> CAST(${qi("x")} AS VARCHAR)), ',') END AS q,
          |  CASE WHEN mx > mn THEN round(list_reduce(list_prepend(0.0,
          |    list_transform(range(1, ${dim + 1}), i -> $err * $err)),
          |    (acc, v) -> acc + v) / ${dim}.0, 4) END AS mse

@@ -100,22 +100,37 @@ object TrainingPipeline {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Fixed benchmark size for decontaminate: at most EvalDocs docs in
+    * the stand-in eval slice, so the broadcast gram set is bounded by
+    * a CONSTANT (≤ EvalDocs × grams-per-doc) regardless of corpus
+    * size — at sf ≤ 0.01 every 20th doc is under the cap, so the
+    * output is unchanged from the uncapped form there (ADVICE r5). */
+  private val EvalDocs = 32L
+
   /** Benchmark decontamination — the pipeline stage that flags
     * training documents overlapping the evaluation set (word-8-gram
     * containment, the n-gram rule GPT-3/PaLM-style pipelines apply
-    * before training). Eval slice = doc_id % 20 == 0 (a deterministic
-    * stand-in benchmark); a train doc is contaminated iff it shares
-    * ≥ 1 distinct 8-gram with any eval doc. The eval gram set is
-    * benchmark-sized (≪ corpus) and BROADCAST to the train-side gram
-    * scan — the training corpus is never shuffled at all; output is
-    * per-doc collision counts + the smallest contaminating eval id. */
+    * before training). Eval slice = the first EvalDocs docs with
+    * doc_id % 20 == 0 (a deterministic FIXED-SIZE stand-in
+    * benchmark — a real deployment swaps in the actual eval set,
+    * which is likewise fixed-size); a train doc is contaminated iff
+    * it shares ≥ 1 distinct 8-gram with any eval doc. The eval gram
+    * set is benchmark-sized (constant-bounded, ≪ corpus) and
+    * BROADCAST to the train-side gram scan — the training corpus is
+    * never shuffled at all; output is per-doc collision counts + the
+    * smallest contaminating eval id. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(s, dir)
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, greatest(size(w) - 7, 1)), " +
           "i -> concat_ws(' ', slice(w, i, 8))))")).as("gram"))
-    val evalGrams = grams.filter(pmod(col("doc_id"), lit(20L)) === 0)
+    // first-EvalDocs cap as a pure doc_id predicate (doc_id < 20·cap
+    // ∧ doc_id % 20 = 0 ⇒ ≤ cap docs) — stays a pushed-down scan
+    // filter, no sort/limit needed
+    val evalGrams = grams
+      .filter(pmod(col("doc_id"), lit(20L)) === 0 &&
+        col("doc_id") < lit(20L * EvalDocs))
       .select(col("doc_id").as("eval_id"), col("gram"))
     grams.filter(pmod(col("doc_id"), lit(20L)) =!= 0)
       .join(broadcast(evalGrams), "gram")
@@ -221,7 +236,8 @@ object TrainingPipeline {
           |             range(1, greatest(len(w) - 6, 2)),
           |             i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS gram
           |           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-          |e AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 20 = 0),
+          |e AS (SELECT doc_id AS eval_id, gram FROM g
+          |      WHERE doc_id % 20 = 0 AND doc_id < 640),
           |t AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0)
           |SELECT t.doc_id, count(*) AS n_hits, min(e.eval_id) AS first_eval_id
           |FROM t JOIN e ON t.gram = e.gram

@@ -39,7 +39,7 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val id = r.getLong(0)
-      val q = r.getSeq[Int](1)
+      val q = r.getString(1).split(',').map(_.toInt).toSeq
       val e = embs(id)
       val (mn, mx) = (e.min, e.max)
       val step = (mx - mn) / 255
