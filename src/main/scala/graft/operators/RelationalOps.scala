@@ -322,6 +322,19 @@ object RelationalOps {
       .orderBy(col("incident_id"))
   }
 
+  /** Full CUBE over (priority × status) — the OLAP companion to the
+    * q15 ROLLUP: all four grouping sets in one pass. Spark expands
+    * the cube in a SINGLE Expand + hash-aggregate (no re-scan per
+    * grouping set); partial aggregation collapses the expansion
+    * map-side, so the shuffle carries ≤ 4 × |priority × status|
+    * groups regardless of row count. */
+  def q24Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        sum4(col("o_totalprice")).as("revenue"))
+      .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_agg" -> (q1Agg _),
     "q2_topk" -> (q2Topk _),
@@ -346,6 +359,7 @@ object RelationalOps {
     "q21_pagination" -> (q21Pagination _),
     "q22_having" -> (q22Having _),
     "q23_range_join" -> (q23RangeJoin _),
+    "q24_cube" -> (q24Cube _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -525,5 +539,12 @@ object RelationalOps {
         |  ON e.ts_ms >= i.start_ms AND e.ts_ms < i.start_ms + 600000
         |GROUP BY i.incident_id
         |ORDER BY i.incident_id""".stripMargin,
+    "q24_cube" ->
+      """SELECT GROUPING(o_orderpriority, o_orderstatus) AS gid,
+        |  o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |  round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 4) AS revenue
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin,
   )
 }

@@ -104,11 +104,13 @@ object SimilarityOps {
     * queries probing their nprobe nearest cells (computed from the
     * NumQueries-row query set — constant-sized by construction),
     * exact re-rank inside the probed cells. */
-  def sAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val nlist = 16
-    val nprobe = 4
-
-    // --- train the coarse quantizer (deterministic: sorted init, L2 Lloyd) ---
+  /** Deterministic Lloyd k-means over the BOUNDED ivfTrainSample
+    * (sorted init, 5 iterations, L2) — the shared coarse quantizer
+    * for sAnnIvf and sKmeansAssign. Driver-side on ≤ SampleCap rows
+    * by design; the full table only ever flows through the
+    * NearestCentroid expression. */
+  private[graft] def trainCentroids(
+      s: SparkSession, dir: String, nlist: Int): Array[Array[Double]] = {
     val sample = ivfTrainSample(s, dir)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
@@ -133,11 +135,28 @@ object SimilarityOps {
         }
       }.toArray
     }
+    cents
+  }
 
+  private def cellOfExpr(cents: Array[Array[Double]])(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.NearestCentroid(
+      ColumnBridge.expression(c), cents.map(_.toSeq).toSeq))
+  }
+
+  def sAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val nlist = 16
+    val nprobe = 4
+
+    val cents = trainCentroids(s, dir, nlist)
     def cellOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      ColumnBridge.column(graft.functions.NearestCentroid(
-        ColumnBridge.expression(c), cents.map(_.toSeq).toSeq))
+      cellOfExpr(cents)(c)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
 
     val bucketed = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), cellOf(col("embedding")).as("cell"))
@@ -200,12 +219,96 @@ object SimilarityOps {
       .select(col("vec_id"), col("q"), col("mse"))
       .orderBy(col("vec_id"))
 
+  /** Topic clustering for corpus curation — the "cluster the
+    * embedding space, inspect/weight clusters" stage of a
+    * training-data pipeline (SemDeDup/D4-style cluster-then-prune
+    * runs on exactly this layout). Reuses the IVF coarse quantizer
+    * (deterministic k-means on the bounded sample) and assigns EVERY
+    * vector to its nearest centroid via the codegen'd NearestCentroid
+    * expression — a single scan, no shuffle until the per-cluster
+    * rollup (≤ nlist × n_labels groups, collapsed map-side). Output
+    * per cluster: population, dominant ground-truth label and its
+    * count (the purity diagnostic a curation run reads). */
+  def sKmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val nlist = 16
+    val cents = trainCentroids(s, dir, nlist)
+    val assigned = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        cellOfExpr(cents)(col("embedding")).as("cluster"))
+    val byLabel = assigned.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("label_n"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("label_n").desc, col("label"))
+    byLabel
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster"))
+      .agg(sum(col("label_n")).as("n_vecs"),
+        max(when(col("rn") === 1, col("label"))).as("top_label"),
+        max(when(col("rn") === 1, col("label_n"))).as("top_label_n"))
+      .orderBy(col("cluster"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "s_ann_bruteforce" -> (sAnnBruteforce _),
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_ivf" -> (sAnnIvf _),
     "s_quantize" -> (sQuantize _),
+    "s_kmeans_assign" -> (sKmeansAssign _),
   )
+
+  // ---- shared in-SQL k-means mirror (s_ann_ivf + s_kmeans_assign) ----
+  // Reproduces trainCentroids bit-for-bit: sorted init, 5 unrolled
+  // Lloyd iterations with ORDERED float folds (list_reduce over
+  // list(val ORDER BY vec_id)), first-min tie rule (dist, cell); then
+  // `bucketed` assigns the FULL table to cells exactly as the
+  // NearestCentroid expression does.
+  private val KmeansIters = 5
+  private val KmeansDim = 64
+  private val KmeansNlist = 16
+
+  private def dist(e: String, c: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${KmeansDim + 1}),
+       |      i -> (CAST($e.embedding[i] AS DOUBLE) - $c.cent[i])
+       |         * (CAST($e.embedding[i] AS DOUBLE) - $c.cent[i]))),
+       |      (x, y) -> x + y)""".stripMargin
+
+  private lazy val kmeansInit =
+    s"""smp AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % $SampleMod = 0 ORDER BY vec_id LIMIT $SampleCap),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+       |  FROM (SELECT vec_id, embedding FROM smp ORDER BY vec_id LIMIT $KmeansNlist))""".stripMargin
+
+  private def kmeansIteration(k: Int): String =
+    s"""a$k AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dist("e", "c")}, c.cell) AS rn
+       |    FROM smp e CROSS JOIN c${k - 1} c) WHERE rn = 1),
+       |m$k AS (
+       |  SELECT cell, d,
+       |    list_reduce(list_prepend(0.0, list(CAST(embedding[d] AS DOUBLE) ORDER BY vec_id)),
+       |      (x, y) -> x + y) / count(*) AS mu
+       |  FROM a$k CROSS JOIN (SELECT unnest(range(1, ${KmeansDim + 1})) AS d)
+       |  GROUP BY cell, d),
+       |c$k AS (
+       |  SELECT p.cell, coalesce(nm.cent, p.cent) AS cent
+       |  FROM c${k - 1} p LEFT JOIN (SELECT cell, list(mu ORDER BY d) AS cent
+       |                              FROM m$k GROUP BY cell) nm
+       |    ON p.cell = nm.cell)""".stripMargin
+
+  private lazy val kmeansBucketed =
+    s"""bucketed AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dist("e", "c")}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN c$KmeansIters c) WHERE rn = 1)""".stripMargin
+
+  private lazy val kmeansCtePrefix: String =
+    ((kmeansInit +: (1 to KmeansIters).map(kmeansIteration)) :+ kmeansBucketed)
+      .mkString(",\n")
 
   val oracles: ListMap[String, String] = ListMap(
     // identical left-associated float arithmetic and index-order fold
@@ -307,47 +410,10 @@ object SimilarityOps {
     // re-rank mirror the operator. Ties (dist, cell) = the eval
     // loop's first-min rule.
     "s_ann_ivf" -> {
-      val dim = 64
-      val nlist = 16
-      val iters = 5
       val nprobe = 4
-      def dist(e: String, c: String): String =
-        s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}),
-           |      i -> (CAST($e.embedding[i] AS DOUBLE) - $c.cent[i])
-           |         * (CAST($e.embedding[i] AS DOUBLE) - $c.cent[i]))),
-           |      (x, y) -> x + y)""".stripMargin
-      val init =
-        s"""smp AS (SELECT vec_id, embedding FROM embeddings
-           |  WHERE vec_id % $SampleMod = 0 ORDER BY vec_id LIMIT $SampleCap),
-           |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-           |  FROM (SELECT vec_id, embedding FROM smp ORDER BY vec_id LIMIT $nlist))""".stripMargin
-      def iteration(k: Int): String =
-        s"""a$k AS (
-           |  SELECT vec_id, embedding, cell FROM (
-           |    SELECT e.vec_id, e.embedding, c.cell,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${dist("e", "c")}, c.cell) AS rn
-           |    FROM smp e CROSS JOIN c${k - 1} c) WHERE rn = 1),
-           |m$k AS (
-           |  SELECT cell, d,
-           |    list_reduce(list_prepend(0.0, list(CAST(embedding[d] AS DOUBLE) ORDER BY vec_id)),
-           |      (x, y) -> x + y) / count(*) AS mu
-           |  FROM a$k CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS d)
-           |  GROUP BY cell, d),
-           |c$k AS (
-           |  SELECT p.cell, coalesce(nm.cent, p.cent) AS cent
-           |  FROM c${k - 1} p LEFT JOIN (SELECT cell, list(mu ORDER BY d) AS cent
-           |                              FROM m$k GROUP BY cell) nm
-           |    ON p.cell = nm.cell)""".stripMargin
+      val iters = KmeansIters
       val tail =
-        s"""bucketed AS (
-           |  SELECT vec_id, embedding, cell FROM (
-           |    SELECT e.vec_id, e.embedding, c.cell,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${dist("e", "c")}, c.cell) AS rn
-           |    FROM embeddings e CROSS JOIN c$iters c) WHERE rn = 1),
-           |probes AS (
+        s"""probes AS (
            |  SELECT q_id, q_emb, cell FROM (
            |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cell,
            |      row_number() OVER (PARTITION BY e.vec_id
@@ -368,7 +434,26 @@ object SimilarityOps {
            |SELECT q_id, rank, vec_id, round(cos, 4) AS cos
            |FROM scored WHERE rank <= $K
            |ORDER BY q_id, rank""".stripMargin
-      "WITH " + ((init +: (1 to iters).map(iteration)) :+ tail).mkString(",\n")
+      "WITH " + kmeansCtePrefix + ",\n" + tail
     },
+    // same trained centroids + full-table assignment as the operator
+    // (shared kmeansCtePrefix), then the identical label-majority
+    // rollup; sums CAST back to BIGINT (duck HUGEINT hazard)
+    "s_kmeans_assign" ->
+      ("WITH " + kmeansCtePrefix + s""",
+        |lbl AS (SELECT b.cell AS cluster, e.label, count(*) AS label_n
+        |        FROM bucketed b JOIN embeddings e ON b.vec_id = e.vec_id
+        |        GROUP BY b.cell, e.label),
+        |rk AS (SELECT cluster, label, label_n,
+        |         row_number() OVER (PARTITION BY cluster
+        |           ORDER BY label_n DESC, label) AS rn
+        |       FROM lbl)
+        |SELECT cluster,
+        |  CAST(sum(label_n) AS BIGINT) AS n_vecs,
+        |  max(CASE WHEN rn = 1 THEN label END) AS top_label,
+        |  CAST(max(CASE WHEN rn = 1 THEN label_n END) AS BIGINT) AS top_label_n
+        |FROM rk
+        |GROUP BY cluster
+        |ORDER BY cluster""".stripMargin),
   )
 }

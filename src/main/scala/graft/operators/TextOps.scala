@@ -250,6 +250,47 @@ object TextOps {
           .as("dup_gram_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Corpus-level n-gram frequency — top-20 word trigrams with a
+    * fully deterministic order (count desc, gram asc). The canonical
+    * "what does this corpus look like" profiling query: explode is
+    * linear, the groupBy is collapsed map-side by partial
+    * aggregation (gram cardinality ≪ exploded row count on natural
+    * text), and the global top-20 is a TakeOrdered — 20 rows per
+    * partition cross the wire, never the gram table. */
+  def xNgramTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", tokens)
+      .select(explode(expr(
+        "transform(sequence(1, greatest(size(w) - 2, 1)), i -> concat_ws(' ', slice(w, i, 3)))"))
+        .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(20)
+
+  /** Chunk-level exact dedup — RefinedWeb/CCNet-style sub-document
+    * dedup: fingerprint every 64-word chunk (the xDocChunks tiling)
+    * and report chunks appearing in ≥ 2 DISTINCT docs. Catches
+    * boilerplate shared across otherwise-unique documents that
+    * doc-level dedup (x_fingerprint) cannot see. Same scale shape as
+    * exact dedup: hash-groupBy on the md5, map-side partial agg. */
+  def xChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val size64 = 64
+    val stride = 48
+    Tables.documents(s, dir)
+      .withColumn("w", tokens)
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, (size(w) - 1) div $stride),
+             |  i -> concat_ws(' ', slice(w, i * $stride + 1, $size64)))""".stripMargin))
+          .as("chunk_text"))
+      .groupBy(md5(col("chunk_text")).as("chunk_fp"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("chunk_fp"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "x_lang_id" -> (xLangId _),
     "x_quality_score" -> (xQualityScore _),
@@ -261,6 +302,8 @@ object TextOps {
     "x_seq_pack_sharded" -> (xSeqPackSharded4 _),
     "x_pii_scrub" -> (xPiiScrub _),
     "x_repetition" -> (xRepetition _),
+    "x_ngram_topk" -> (xNgramTopk _),
+    "x_chunk_dedup" -> (xChunkDedup _),
   )
 
   private[operators] def scoreSql(l: String): String = {
@@ -350,6 +393,29 @@ object TextOps {
     // static chunk-index series (0..15) with headroom over the ~3
     // chunks a max-length doc yields; a longer doc would drop chunks
     // and diff loudly
+    // trigram expansion mirrors x_repetition's gram builder (range
+    // end exclusive: greatest(len-1, 2) ≡ Spark's greatest(size-2, 1)
+    // inclusive); full (n DESC, gram) order makes the LIMIT stable
+    "x_ngram_topk" ->
+      """WITH g AS (SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 2)),
+        |             i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS gram
+        |           FROM (SELECT string_split(text, ' ') AS w FROM documents))
+        |SELECT gram, count(*) AS n
+        |FROM g GROUP BY gram
+        |ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    // same static-range chunk tiling as the x_doc_chunks oracle
+    "x_chunk_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id, array_to_string(list_slice(w, i*48 + 1, i*48 + 64), ' ') AS chunk_text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+        |  WHERE i <= (len(w) - 1) // 48)
+        |SELECT md5(chunk_text) AS chunk_fp, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+        |FROM c
+        |GROUP BY md5(chunk_text)
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_fp""".stripMargin,
     "x_doc_chunks" ->
       """SELECT doc_id, i AS chunk_idx,
         |  len(list_slice(w, i*48 + 1, i*48 + 64)) AS n_tokens,

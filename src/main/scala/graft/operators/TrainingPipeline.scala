@@ -139,13 +139,38 @@ object TrainingPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic stratified sampling to a per-stratum TARGET count
+    * — the "balance the sources" stage of a data mix (cap every
+    * source at ≈ SampleTarget docs): rate_bp = min(1, target/n) in
+    * basis points via pure INTEGER division (both engines floor
+    * identically — no float rate), membership by a Knuth
+    * multiplicative hash of doc_id mod 10⁴ (seedless, mirrorable
+    * arithmetic — a production run swaps in xxhash64, same shape).
+    * Plan: one tiny per-source count (20 rows), broadcast back onto
+    * the scan, per-row filter — the corpus is never shuffled, and the
+    * sample rate adapts per stratum with NO second pass over the
+    * data. Sampling is by doc_id hash, not row position, so the
+    * sample is stable under corpus re-partitioning/re-ordering. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      .withColumn("rate_bp", least(lit(10000L), expr("100000L div n_src")))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"))
+      .join(broadcast(counts), "source")
+      .filter(expr("pmod(doc_id * 2654435761L, 2147483648L) % 10000") < col("rate_bp"))
+      .select(col("source"), col("doc_id"), col("n_src"), col("rate_bp"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Driver-visible entry. */
   val queries: scala.collection.immutable.ListMap[String, (SparkSession, String) => DataFrame] =
     scala.collection.immutable.ListMap(
       "p_training_funnel" -> ((s, dir) => run(s, dir)),
       "p_funnel_report" -> ((s, dir) => funnel(s, dir)),
       "p_mix_sources" -> (mixSources _),
-      "p_decontaminate" -> (decontaminate _))
+      "p_decontaminate" -> (decontaminate _),
+      "p_stratified_sample" -> (stratifiedSample _))
 
   private lazy val oracleLangList =
     Config().langs.map(l => s"'$l'").mkString(", ")
@@ -242,7 +267,18 @@ object TrainingPipeline {
           |SELECT t.doc_id, count(*) AS n_hits, min(e.eval_id) AS first_eval_id
           |FROM t JOIN e ON t.gram = e.gram
           |GROUP BY t.doc_id
-          |ORDER BY doc_id""".stripMargin)
+          |ORDER BY doc_id""".stripMargin,
+      // integer-division rate + multiplicative-hash membership —
+      // byte-identical arithmetic on both engines (// is duck's
+      // integer div; both operands positive so % = pmod)
+      "p_stratified_sample" ->
+        """WITH c AS (SELECT source, count(*) AS n_src,
+          |             least(10000, 100000 // count(*)) AS rate_bp
+          |           FROM documents GROUP BY source)
+          |SELECT d.source, d.doc_id, c.n_src, c.rate_bp
+          |FROM documents d JOIN c USING (source)
+          |WHERE ((d.doc_id * 2654435761) % 2147483648) % 10000 < c.rate_bp
+          |ORDER BY d.source, d.doc_id""".stripMargin)
 
   /** One-row funnel report: how many docs survive each stage (each
     * count applies all previous stages too — a true funnel). */

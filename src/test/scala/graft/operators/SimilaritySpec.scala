@@ -54,6 +54,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans assign: clusters partition the table; purity fields consistent") {
+    val rows = SimilarityOps.sKmeansAssign(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val total = graft.Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_._2).sum == total, "cluster sizes don't partition the table")
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate cluster ids")
+    rows.foreach { case (c, n, lbl, ln) =>
+      assert(c >= 0 && c < 16, s"cluster $c out of range")
+      assert(ln >= 1 && ln <= n, s"cluster $c top_label_n $ln vs n $n")
+      assert(lbl >= 0 && lbl <= 9, s"cluster $c top_label $lbl")
+    }
+    // deterministic: a second run is bit-identical
+    val again = SimilarityOps.sKmeansAssign(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(rows.sameElements(again), "kmeans assignment not deterministic")
+  }
+
   test("bruteforce ranks are dense 1..10 per query, cosine non-increasing") {
     val rows = SimilarityOps.sAnnBruteforce(spark, sfDir)
       .select("q_id", "rank", "cos").collect()

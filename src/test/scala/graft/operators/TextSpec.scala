@@ -136,4 +136,50 @@ class TextSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(one.sorted.sameElements(global.sorted), "1-shard packing != global packing")
   }
+
+  test("ngram topk: 20 rows, counts non-increasing, agree with naive recount") {
+    val rows = TextOps.xNgramTopk(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == 20)
+    assert(rows.map(_._2).sliding(2).forall(p => p.head >= p.last),
+      "top-k counts not non-increasing")
+    // naive recount of every trigram on the driver (smoke sf only)
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      val w = t.split(" ", -1)
+      val n = math.max(w.length - 2, 1)
+      (0 until n).foreach { i =>
+        val g = w.slice(i, i + 3).mkString(" ")
+        counts(g) = counts.getOrElse(g, 0L) + 1
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (g, c) => (-c, g) }.take(20)
+    assert(rows.toSeq == expected, "top-20 disagrees with driver recount")
+  }
+
+  test("chunk dedup: flagged fps match a naive recompute; counts consistent") {
+    val rows = TextOps.xChunkDedup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (fp, occ, docs, _) =>
+      assert(docs >= 2 && occ >= docs, s"chunk $fp occ=$occ docs=$docs")
+    }
+    // recompute the tiling + dup detection on the driver
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val chunks = docs.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      (0 to (w.length - 1) / 48).map(i => (id, w.slice(i * 48, i * 48 + 64).mkString(" ")))
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = chunks.groupBy(c => md5hex(c._2))
+      .collect { case (fp, cs) if cs.map(_._1).distinct.length >= 2 =>
+        (fp, cs.length.toLong, cs.map(_._1).distinct.length.toLong, cs.map(_._1).min)
+      }.toSeq.sortBy(_._1)
+    assert(rows.toSeq.sortBy(_._1) == expected, "chunk dedup != driver recompute")
+  }
 }

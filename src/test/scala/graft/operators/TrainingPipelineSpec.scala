@@ -95,4 +95,34 @@ class TrainingPipelineSpec extends SparkSpec {
       .filter(col("quality") =!= col("op_quality")).count()
     assert(disagree == 0, s"$disagree docs with diverging quality score")
   }
+
+  test("stratified sample: subset per stratum, rate formula holds, stable under reorder") {
+    val rows = TrainingPipeline.stratifiedSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val trueCounts = graft.Tables.documents(spark, sfDir)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (src, srows) =>
+      val n = trueCounts(src)
+      val rate = math.min(10000L, 100000L / n)
+      srows.foreach { case (_, _, nSrc, rateBp) =>
+        assert(nSrc == n && rateBp == rate, s"$src n=$nSrc rate=$rateBp")
+      }
+      assert(srows.length <= n)
+      // rate 100% keeps the whole stratum
+      if (rate == 10000L) assert(srows.length == n, s"$src lost rows at rate 1.0")
+    }
+    // hash-membership sampling is invariant to input order: applying
+    // the same per-stratum rate to the REVERSED corpus selects the
+    // exact same doc_ids (testdata strata are equal-sized, so one
+    // shared rate covers all sources)
+    assert(trueCounts.values.toSet.size == 1, "testdata strata no longer equal-sized")
+    val rate = math.min(10000L, 100000L / trueCounts.head._2)
+    val reassembled = graft.Tables.documents(spark, sfDir)
+      .orderBy(col("doc_id").desc)
+      .filter(expr("pmod(doc_id * 2654435761L, 2147483648L) % 10000") < lit(rate))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(reassembled == rows.map(_._2).toSet, "sample not stable under corpus reorder")
+  }
 }
