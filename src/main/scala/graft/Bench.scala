@@ -30,7 +30,9 @@ object Bench {
   private val extras = Seq("t_asof_def", "q23_range_join",
     "t_app_pending", "x_seq_pack_sharded", "d_embed_cosine",
     "s_quantize", "x_pii_scrub", "x_repetition",
-    "p_mix_sources", "p_decontaminate", "m_frame_sample")
+    "p_mix_sources", "p_decontaminate", "m_frame_sample",
+    "q24_cube", "p_stratified_sample", "s_kmeans_assign",
+    "x_ngram_topk", "x_chunk_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

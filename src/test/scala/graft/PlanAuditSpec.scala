@@ -154,4 +154,39 @@ class PlanAuditSpec extends SparkSpec {
     // the equi-key join on chunk (broadcast or shuffled hash are both fine)
     assert(p.contains("HashJoin"), p)
   }
+
+  test("q24_cube: single scan + Expand with partial aggregation before the exchange") {
+    val df = RelationalOps.q24Cube(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_count"), p)
+    // one scan of orders feeds all four grouping sets; only 3 columns read
+    assert(p.split("Scan parquet").length - 1 == 1, p)
+    assert(!readSchema(df).contains("o_orderdate"), readSchema(df))
+  }
+
+  test("p_stratified_sample: rate table broadcast back, corpus side never shuffled pre-join") {
+    val p = plan(TrainingPipeline.stratifiedSample(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x_ngram_topk: top-20 is a TakeOrdered over a partial-agged gram count") {
+    val p = plan(TextOps.xNgramTopk(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("x_chunk_dedup: hash-agg on the chunk fingerprint with map-side partials") {
+    val p = plan(TextOps.xChunkDedup(spark, sfDir))
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("s_kmeans_assign: full table flows through NearestCentroid, no join against centroids") {
+    val p = plan(SimilarityOps.sKmeansAssign(spark, sfDir))
+    // centroids live inside the expression — assignment is a map, not a join
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }
