@@ -36,13 +36,21 @@ object ScaleUp {
     // replica offset must not overflow a long. Fail LOUDLY up front.
     require(factor.toLong * Offset > 0 && (factor - 1).toLong <= Long.MaxValue / Offset,
       s"factor $factor overflows replica offsets")
+    // Both ends checked: a NEGATIVE base key would land a replica-1 id
+    // inside replica 0's range just as surely as an oversized one
+    // (-5 + 10⁹ = 999,999,995); NULL/empty aggregates fail with a
+    // clear message instead of an opaque NPE (ADVICE r6).
     def assertKeyRange(df: DataFrame, keys: Seq[String]): Unit = if (keys.nonEmpty) {
-      val aggs = keys.map(k => max(col(k).cast("long")).as(k))
+      val aggs = keys.flatMap(k => Seq(
+        min(col(k).cast("long")).as(s"min_$k"), max(col(k).cast("long")).as(s"max_$k")))
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       keys.zipWithIndex.foreach { case (k, i) =>
-        val mx = row.getLong(i)
-        require(mx < Offset,
-          s"max($k) = $mx ≥ offset $Offset — replica key ranges would collide")
+        require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+          s"key $k has no non-NULL values (empty table?) — cannot validate replica range")
+        val mn = row.getLong(2 * i)
+        val mx = row.getLong(2 * i + 1)
+        require(mn >= 0L && mx < Offset,
+          s"$k range [$mn, $mx] outside [0, $Offset) — replica key ranges would collide")
       }
     }
     def scaled(df: DataFrame, keys: String*): DataFrame = {

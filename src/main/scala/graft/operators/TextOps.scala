@@ -306,6 +306,15 @@ object TextOps {
     "x_chunk_dedup" -> (xChunkDedup _),
   )
 
+  /** Static chunk-index headroom for the x_doc_chunks/x_chunk_dedup
+    * oracles: duck v1.0 can't lateral-unnest a column-arg range, so
+    * both mirrors tile chunks from a FIXED series 0..ChunkHeadroom-1.
+    * A doc needs 1 + (len-1) div 48 chunks; ChunkHeadroom must exceed
+    * that for the longest doc or the oracle silently drops chunks the
+    * Spark side emits. Shared constant + a TextSpec guard test pin
+    * the assumption against testdata growth (ADVICE r6). */
+  private[graft] val ChunkHeadroom = 16
+
   private[operators] def scoreSql(l: String): String = {
     val list = Markers(l).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split(text, ' '), w -> w IN ($list))) AS s_$l"
@@ -390,9 +399,9 @@ object TextOps {
         |SELECT DISTINCT doc_id, wmin AS sketch_hash
         |FROM win WHERE i >= least(4, ng)
         |ORDER BY doc_id, sketch_hash""".stripMargin,
-    // static chunk-index series (0..15) with headroom over the ~3
-    // chunks a max-length doc yields; a longer doc would drop chunks
-    // and diff loudly
+    // static chunk-index series (0..ChunkHeadroom-1) with headroom
+    // over the ~3 chunks a max-length doc yields; the TextSpec guard
+    // test fails loudly if testdata ever outgrows it
     // trigram expansion mirrors x_repetition's gram builder (range
     // end exclusive: greatest(len-1, 2) ≡ Spark's greatest(size-2, 1)
     // inclusive); full (n DESC, gram) order makes the LIMIT stable
@@ -404,11 +413,12 @@ object TextOps {
         |FROM g GROUP BY gram
         |ORDER BY n DESC, gram LIMIT 20""".stripMargin,
     // same static-range chunk tiling as the x_doc_chunks oracle
+    // (shared ChunkHeadroom constant — the two cannot drift)
     "x_chunk_dedup" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT doc_id, array_to_string(list_slice(w, i*48 + 1, i*48 + 64), ' ') AS chunk_text
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+        |  CROSS JOIN (SELECT unnest(range(0, $ChunkHeadroom)) AS i)
         |  WHERE i <= (len(w) - 1) // 48)
         |SELECT md5(chunk_text) AS chunk_fp, count(*) AS n_occurrences,
         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
@@ -417,11 +427,11 @@ object TextOps {
         |HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY chunk_fp""".stripMargin,
     "x_doc_chunks" ->
-      """SELECT doc_id, i AS chunk_idx,
+      s"""SELECT doc_id, i AS chunk_idx,
         |  len(list_slice(w, i*48 + 1, i*48 + 64)) AS n_tokens,
         |  array_to_string(list_slice(w, i*48 + 1, i*48 + 64), ' ') AS chunk_text
         |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        |CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+        |CROSS JOIN (SELECT unnest(range(0, $ChunkHeadroom)) AS i)
         |WHERE i <= (len(w) - 1) // 48
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     // CASTs pin duck's window-sum HUGEINT back to BIGINT (the

@@ -146,6 +146,10 @@ object TrainingPipeline {
     * identically — no float rate), membership by a Knuth
     * multiplicative hash of doc_id mod 10⁴ (seedless, mirrorable
     * arithmetic — a production run swaps in xxhash64, same shape).
+    * The doc_id is reduced mod 2³¹ BEFORE the multiply so the product
+    * stays ≤ 2³¹·2654435761 ≈ 5.7e18 < Long.MaxValue for ANY key —
+    * the ScaleUp replica ids reach ~9e9 and the unreduced form
+    * overflows under ANSI arithmetic (ADVICE r6).
     * Plan: one tiny per-source count (20 rows), broadcast back onto
     * the scan, per-row filter — the corpus is never shuffled, and the
     * sample rate adapts per stratum with NO second pass over the
@@ -158,7 +162,8 @@ object TrainingPipeline {
     Tables.documents(s, dir)
       .select(col("source"), col("doc_id"))
       .join(broadcast(counts), "source")
-      .filter(expr("pmod(doc_id * 2654435761L, 2147483648L) % 10000") < col("rate_bp"))
+      .filter(expr(
+        "pmod(pmod(doc_id, 2147483648L) * 2654435761L, 2147483648L) % 10000") < col("rate_bp"))
       .select(col("source"), col("doc_id"), col("n_src"), col("rate_bp"))
       .orderBy(col("source"), col("doc_id"))
   }
@@ -257,12 +262,12 @@ object TrainingPipeline {
       // 8-gram mirror of the shingled() pattern (range end exclusive:
       // greatest(len-6, 2) ≡ Spark's greatest(size-7, 1) inclusive)
       "p_decontaminate" ->
-        """WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        s"""WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(
           |             range(1, greatest(len(w) - 6, 2)),
           |             i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS gram
           |           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
           |e AS (SELECT doc_id AS eval_id, gram FROM g
-          |      WHERE doc_id % 20 = 0 AND doc_id < 640),
+          |      WHERE doc_id % 20 = 0 AND doc_id < ${20L * EvalDocs}),
           |t AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0)
           |SELECT t.doc_id, count(*) AS n_hits, min(e.eval_id) AS first_eval_id
           |FROM t JOIN e ON t.gram = e.gram
@@ -270,14 +275,16 @@ object TrainingPipeline {
           |ORDER BY doc_id""".stripMargin,
       // integer-division rate + multiplicative-hash membership —
       // byte-identical arithmetic on both engines (// is duck's
-      // integer div; both operands positive so % = pmod)
+      // integer div; all operands positive so % = pmod, and the
+      // mod-2³¹ pre-reduction keeps the product < Long.MaxValue on
+      // BOTH engines, ADVICE r6)
       "p_stratified_sample" ->
         """WITH c AS (SELECT source, count(*) AS n_src,
           |             least(10000, 100000 // count(*)) AS rate_bp
           |           FROM documents GROUP BY source)
           |SELECT d.source, d.doc_id, c.n_src, c.rate_bp
           |FROM documents d JOIN c USING (source)
-          |WHERE ((d.doc_id * 2654435761) % 2147483648) % 10000 < c.rate_bp
+          |WHERE (((d.doc_id % 2147483648) * 2654435761) % 2147483648) % 10000 < c.rate_bp
           |ORDER BY d.source, d.doc_id""".stripMargin)
 
   /** One-row funnel report: how many docs survive each stage (each

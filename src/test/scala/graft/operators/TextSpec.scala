@@ -54,6 +54,24 @@ class TextSpec extends SparkSpec {
     assert(chunks.map(_._1).toSet == docs.keySet)
   }
 
+  test("chunk-oracle headroom covers the longest doc at every test scale (ADVICE r6)") {
+    // The x_doc_chunks/x_chunk_dedup DuckDB mirrors tile chunk indexes
+    // from a STATIC range(0, ChunkHeadroom); a doc needing more chunks
+    // would silently desync the oracle. Pin the assumption against
+    // every sf dir the gates run on, with slack so growth trips the
+    // test before it trips the hash diff.
+    val dirs = new java.io.File("/root/testdata").listFiles()
+      .filter(f => f.isDirectory && new java.io.File(f, "documents.parquet").exists())
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val maxChunks = graft.Tables.documents(spark, d.getPath)
+        .select(max(expr("1 + (size(split(text, ' ')) - 1) div 48")).cast("long"))
+        .head().getLong(0)
+      assert(maxChunks <= TextOps.ChunkHeadroom,
+        s"${d.getName}: longest doc needs $maxChunks chunks > ChunkHeadroom ${TextOps.ChunkHeadroom}")
+    }
+  }
+
   test("sequence packing: bins exactly full except the last; per-doc tokens conserved") {
     val rows = TextOps.xSeqPack(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

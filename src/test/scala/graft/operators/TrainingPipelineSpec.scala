@@ -121,8 +121,29 @@ class TrainingPipelineSpec extends SparkSpec {
     val rate = math.min(10000L, 100000L / trueCounts.head._2)
     val reassembled = graft.Tables.documents(spark, sfDir)
       .orderBy(col("doc_id").desc)
-      .filter(expr("pmod(doc_id * 2654435761L, 2147483648L) % 10000") < lit(rate))
+      .filter(expr(
+        "pmod(pmod(doc_id, 2147483648L) * 2654435761L, 2147483648L) % 10000") < lit(rate))
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(reassembled == rows.map(_._2).toSet, "sample not stable under corpus reorder")
+  }
+
+  test("sampling hash survives ScaleUp-range doc_ids under ANSI arithmetic (ADVICE r6)") {
+    // replica ids reach base + 9·10⁹; the unreduced doc_id * 2654435761
+    // overflowed a signed long there. The mod-2³¹ pre-reduction caps the
+    // product at ~5.7e18 < Long.MaxValue, and is the identity for ids
+    // below 2³¹ — so sf-scale output is unchanged.
+    import spark.implicits._
+    val big = Seq(9000000123L, Long.MaxValue / 2654435761L * 2, 2147483647L, 42L)
+      .toDF("doc_id")
+    val out = big.select(expr(
+      "pmod(pmod(doc_id, 2147483648L) * 2654435761L, 2147483648L) % 10000").as("h"))
+      .collect().map(_.getLong(0))
+    assert(out.forall(h => h >= 0 && h < 10000))
+    // identity below 2³¹: reduced ≡ unreduced form
+    val small = Seq(0L, 1L, 12345L, 2147483647L).toDF("doc_id")
+    val both = small.select(
+      expr("pmod(pmod(doc_id, 2147483648L) * 2654435761L, 2147483648L)").as("red"),
+      expr("pmod(doc_id * 2654435761L, 2147483648L)").as("unred")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 }
