@@ -291,6 +291,62 @@ object TextOps {
       .orderBy(col("chunk_fp"))
   }
 
+  /** Per-source top-K characteristic terms — the corpus-profiling
+    * query behind source weighting/inspection in a data mix. The
+    * score is the rank-stable integer core of TF-IDF: monotone in
+    * term frequency within the source, anti-monotone in document
+    * frequency across the corpus — score = (tf · 10⁶) div df, pure
+    * long arithmetic so both engines rank bit-identically (a float
+    * tf·log(N/df) would reintroduce the transcendental-tie class the
+    * engine deliberately has none of). Plan shape at 100 TB: explode
+    * is linear and map-side partial-aggregated into the (source,
+    * term) and term rollups (vocabulary ≪ token count on natural
+    * text); the tf⋈df join shuffles vocabulary-sized tables only,
+    * never the corpus; the top-K per source is a window over
+    * per-source vocabulary rows. */
+  def xTfidf(s: SparkSession, dir: String): DataFrame = {
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(tokens).as("term"))
+    val tf = w.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = w.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val win = Window.partitionBy(col("source")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score", expr(s"(tf * ${TfidfScale}L) div df"))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= TfidfTopK)
+      .select(col("source"), col("rnk"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  /** Inverted index build — term → (df, total tf, first-K posting
+    * list). The posting list is CAPPED BEFORE collection: a per-term
+    * window row_number keeps only the first PostingCap doc_ids, so
+    * collect_list never materializes more than K elements per group —
+    * the stop-word problem ("the" appears in 10⁹ docs) costs a
+    * windowed shuffle, never executor memory. Postings are emitted as
+    * a comma-joined VARCHAR (canonical, and the driver's comparer
+    * cannot hash list cells — same convention as s_quantize). */
+  def xInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val win = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    perDoc
+      .withColumn("rn", row_number().over(win))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        // collect_list drops the NULLs the when() emits past the cap
+        array_join(
+          sort_array(collect_list(when(col("rn") <= PostingCap, col("doc_id")))),
+          ",").as("postings"))
+      .orderBy(col("term"))
+  }
+
+  private[operators] val TfidfTopK = 5
+  private[operators] val TfidfScale = 1000000L
+  private[operators] val PostingCap = 20
+
   val queries: ListMap[String, Q] = ListMap(
     "x_lang_id" -> (xLangId _),
     "x_quality_score" -> (xQualityScore _),
@@ -304,6 +360,8 @@ object TextOps {
     "x_repetition" -> (xRepetition _),
     "x_ngram_topk" -> (xNgramTopk _),
     "x_chunk_dedup" -> (xChunkDedup _),
+    "x_tfidf" -> (xTfidf _),
+    "x_inverted_index" -> (xInvertedIndex _),
   )
 
   /** Static chunk-index headroom for the x_doc_chunks/x_chunk_dedup
@@ -492,5 +550,34 @@ object TextOps {
          |  ${ExactNum.ratioSql("len(g) - len(list_distinct(g))", "len(g)")} AS dup_gram_ratio
          |FROM g
          |ORDER BY doc_id""".stripMargin,
+    // integer score (tf·10⁶ // df) so ranking is bit-identical; the
+    // full (score DESC, term) window order makes rnk deterministic
+    "x_tfidf" ->
+      s"""WITH w AS (SELECT doc_id, source,
+         |            unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT source, term, count(*) AS tf FROM w GROUP BY source, term),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+         |s AS (SELECT tf.source, tf.term, tf.tf, df.df,
+         |        (tf.tf * $TfidfScale) // df.df AS score
+         |      FROM tf JOIN df USING (term)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |        ORDER BY score DESC, term) AS rnk FROM s)
+         |SELECT source, rnk, term, tf, df, score FROM r
+         |WHERE rnk <= $TfidfTopK
+         |ORDER BY source, rnk""".stripMargin,
+    // FILTER (not CASE) caps the posting list: duck's list() keeps
+    // NULL elements, unlike Spark's collect_list which drops them
+    "x_inverted_index" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |           FROM documents),
+         |d AS (SELECT term, doc_id, count(*) AS tf FROM w GROUP BY term, doc_id),
+         |r AS (SELECT term, doc_id, tf,
+         |        row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+         |      FROM d)
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+         |  array_to_string(list(doc_id ORDER BY doc_id)
+         |    FILTER (WHERE rn <= $PostingCap), ',') AS postings
+         |FROM r GROUP BY term
+         |ORDER BY term""".stripMargin,
   )
 }

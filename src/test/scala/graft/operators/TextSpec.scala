@@ -200,4 +200,51 @@ class TextSpec extends SparkSpec {
       }.toSeq.sortBy(_._1)
     assert(rows.toSeq.sortBy(_._1) == expected, "chunk dedup != driver recompute")
   }
+
+  test("tfidf: dense ranks 1..K per source, integer score consistent with tf and df") {
+    val rows = TextOps.xTfidf(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length),
+        s"$src ranks ${rs.map(_._2).toSeq}")
+      assert(rs.length <= TextOps.TfidfTopK)
+      // score is exactly the integer formula, and rank order follows it
+      rs.foreach { case (_, _, term, tf, df, score) =>
+        assert(score == tf * TextOps.TfidfScale / df, s"$src/$term score")
+      }
+      val ordered = rs.sortBy(_._2).toSeq
+      ordered.zip(ordered.drop(1)).foreach {
+        case ((_, _, t1, _, _, s1), (_, _, t2, _, _, s2)) =>
+          assert(s1 > s2 || (s1 == s2 && t1 < t2), s"$src order violated")
+      }
+    }
+    // df is a corpus-level property: identical wherever the term appears
+    rows.groupBy(_._3).foreach { case (term, rs) =>
+      assert(rs.map(_._5).distinct.length == 1, s"df differs for $term")
+    }
+  }
+
+  test("inverted index: postings sorted, capped, consistent with df and a naive recount") {
+    val rows = TextOps.xInvertedIndex(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    val naive = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(t => (t, r.getLong(0))))
+    val byTerm = naive.groupBy(_._1)
+    assert(rows.length == byTerm.size, "vocabulary size")
+    rows.foreach { case (term, df, totalTf, postings) =>
+      val docs = byTerm(term).map(_._2)
+      assert(df == docs.distinct.length, s"$term df")
+      assert(totalTf == docs.length, s"$term total_tf")
+      val ids = postings.split(",").map(_.toLong).toSeq
+      assert(ids == ids.sorted, s"$term postings unsorted")
+      assert(ids.length == math.min(df, TextOps.PostingCap), s"$term cap")
+      assert(ids == docs.distinct.sorted.take(TextOps.PostingCap).toSeq,
+        s"$term postings are not the first-K sorted doc ids")
+    }
+  }
 }
