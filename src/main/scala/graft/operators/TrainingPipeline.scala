@@ -168,6 +168,66 @@ object TrainingPipeline {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Per-epoch multiplicative-hash constants (Knuth 2654435761 and
+    * the xxhash32 prime 2246822519 — both public) — one deterministic
+    * permutation per epoch, shared verbatim with the oracle. */
+  private[operators] val EpochMuls = Seq(2654435761L, 2246822519L)
+  private[operators] val ShuffleShards = 8L
+
+  /** Epoch shuffle — the "shuffle the corpus differently every
+    * epoch" stage of a training run, as a DETERMINISTIC artifact: the
+    * training order is a pure function of (doc_id, epoch), so any
+    * worker can recompute any shard's order without coordination and
+    * a resumed run sees the identical sequence. Order key = the
+    * overflow-safe multiplicative hash of doc_id (doc_id reduced mod
+    * 2³¹ BEFORE the multiply — the ScaleUp replica range overflows
+    * the naive form under ANSI, same hazard as stratifiedSample);
+    * each epoch uses its own public multiplier, so epochs are
+    * independent permutations. The position counter is a window
+    * PARTITIONED BY (epoch, shard): shards order independently and in
+    * parallel — the corpus never routes through one task, and at
+    * 100 TB the shard count is the parallelism knob (a data-parallel
+    * trainer reads shard s of epoch e as one ordered stream). */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val epochs = EpochMuls.zipWithIndex.map { case (m, e) =>
+      s"struct(CAST($e AS BIGINT) AS epoch, " +
+        s"pmod(pmod(doc_id, 2147483648L) * ${m}L, 2147483648L) AS h)"
+    }
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(epochs.mkString("array(", ", ", ")"))).as("x"))
+      .select(col("doc_id"), col("x.epoch").as("epoch"), col("x.h").as("h"))
+      .withColumn("shard", col("h") % ShuffleShards) // h ≥ 0 ⇒ % ≡ pmod
+      .withColumn("pos", row_number().over(w))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
+  /** Curriculum assignment — order the corpus easy→hard by quality
+    * (Bengio et al. 2009 shape): stage = the doc's quality quartile
+    * by FIXED thresholds (0.25/0.5/0.75), not by rank — a per-row
+    * expression, so stage assignment needs no global sort/ntile and
+    * is stable when the corpus grows (a rank-based quartile would
+    * reshuffle every doc's stage on every ingest). Within a stage,
+    * the read order is (quality, doc_id) ascending, positioned by a
+    * window PARTITIONED BY (stage, shard) — same sharded-window scale
+    * shape as epochShuffle. The stage boundary floor(q·4) is
+    * float-safe: q = r/10⁴ exactly as a double on both engines, and
+    * q·4 is integral only at q ∈ {0, .25, .5, .75, 1}, every one of
+    * which is an exact binary double. */
+  def curriculum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("stage"), col("shard"))
+      .orderBy(col("quality"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.quality4Expr.as("quality"))
+      .withColumn("stage", least(lit(3L), floor(col("quality") * 4).cast("long")))
+      .withColumn("shard", pmod(col("doc_id"), lit(ShuffleShards)))
+      .withColumn("pos", row_number().over(w))
+      .select(col("stage"), col("shard"), col("pos"), col("doc_id"), col("quality"))
+      .orderBy(col("stage"), col("shard"), col("pos"))
+  }
+
   /** Driver-visible entry. */
   val queries: scala.collection.immutable.ListMap[String, (SparkSession, String) => DataFrame] =
     scala.collection.immutable.ListMap(
@@ -175,7 +235,9 @@ object TrainingPipeline {
       "p_funnel_report" -> ((s, dir) => funnel(s, dir)),
       "p_mix_sources" -> (mixSources _),
       "p_decontaminate" -> (decontaminate _),
-      "p_stratified_sample" -> (stratifiedSample _))
+      "p_stratified_sample" -> (stratifiedSample _),
+      "p_epoch_shuffle" -> (epochShuffle _),
+      "p_curriculum" -> (curriculum _))
 
   private lazy val oracleLangList =
     Config().langs.map(l => s"'$l'").mkString(", ")
@@ -285,7 +347,40 @@ object TrainingPipeline {
           |SELECT d.source, d.doc_id, c.n_src, c.rate_bp
           |FROM documents d JOIN c USING (source)
           |WHERE (((d.doc_id % 2147483648) * 2654435761) % 2147483648) % 10000 < c.rate_bp
-          |ORDER BY d.source, d.doc_id""".stripMargin)
+          |ORDER BY d.source, d.doc_id""".stripMargin,
+      // per-epoch multipliers interpolated from EpochMuls (the same
+      // constants the operator compiles in — they cannot drift); the
+      // mod-2³¹ pre-reduction mirrors the overflow-safe Spark form
+      "p_epoch_shuffle" -> {
+        val cases = EpochMuls.zipWithIndex
+          .map { case (m, e) => s"WHEN $e THEN $m" }.mkString(" ")
+        s"""WITH e AS (SELECT unnest(range(0, ${EpochMuls.length})) AS epoch),
+           |h AS (SELECT d.doc_id, e.epoch,
+           |        ((d.doc_id % 2147483648) *
+           |         CASE e.epoch $cases END) % 2147483648 AS h
+           |      FROM documents d CROSS JOIN e),
+           |r AS (SELECT epoch, h % $ShuffleShards AS shard, doc_id,
+           |        row_number() OVER (PARTITION BY epoch, h % $ShuffleShards
+           |          ORDER BY h, doc_id) AS pos
+           |      FROM h)
+           |SELECT epoch, shard, pos, doc_id FROM r
+           |ORDER BY epoch, shard, pos""".stripMargin
+      },
+      // quality mirror = qualitySqlExpr (the shared fragment); stage
+      // thresholds are the float-safe fixed quartiles (operator doc)
+      "p_curriculum" ->
+        s"""WITH q AS (SELECT doc_id, ${TextOps.qualitySqlExpr} AS quality
+           |           FROM documents),
+           |s AS (SELECT doc_id, quality,
+           |        least(3, CAST(floor(quality * 4) AS BIGINT)) AS stage,
+           |        doc_id % $ShuffleShards AS shard
+           |      FROM q),
+           |r AS (SELECT stage, shard, doc_id, quality,
+           |        row_number() OVER (PARTITION BY stage, shard
+           |          ORDER BY quality, doc_id) AS pos
+           |      FROM s)
+           |SELECT stage, shard, pos, doc_id, quality FROM r
+           |ORDER BY stage, shard, pos""".stripMargin)
 
   /** One-row funnel report: how many docs survive each stage (each
     * count applies all previous stages too — a true funnel). */

@@ -146,4 +146,47 @@ class TrainingPipelineSpec extends SparkSpec {
       expr("pmod(doc_id * 2654435761L, 2147483648L)").as("unred")).collect()
     both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
+
+  test("epoch shuffle: each epoch is a full permutation, shards partition it, epochs differ") {
+    val rows = TrainingPipeline.epochShuffle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val allDocs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L))
+    byEpoch.foreach { case (e, rs) =>
+      assert(rs.map(_._4).toSet == allDocs, s"epoch $e is not a permutation")
+      // pos is contiguous 1..n within every (epoch, shard)
+      rs.groupBy(_._2).foreach { case (sh, ss) =>
+        assert(ss.map(_._3).sorted.toSeq == (1 to ss.length), s"epoch $e shard $sh pos")
+      }
+    }
+    // the two epochs order at least some shard differently
+    def order(e: Long) = byEpoch(e).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    assert(order(0L) != order(1L), "epochs produced the identical order")
+    // deterministic: a second evaluation is bit-identical
+    val again = TrainingPipeline.epochShuffle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("curriculum: stages are fixed quality quartiles, within-shard order is quality-ascending") {
+    val rows = TrainingPipeline.curriculum(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(rows.length == graft.Tables.documents(spark, sfDir).count())
+    rows.foreach { case (stage, shard, _, docId, q) =>
+      assert(stage == math.min(3L, math.floor(q * 4).toLong), s"doc $docId stage")
+      assert(shard == docId % TrainingPipeline.ShuffleShards)
+      assert(stage >= 0L && stage <= 3L)
+    }
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((stage, shard), rs) =>
+      val ordered = rs.sortBy(_._3).toSeq
+      assert(ordered.map(_._3) == (1 to rs.length), s"($stage,$shard) pos gap")
+      ordered.zip(ordered.drop(1)).foreach { case (a, b) =>
+        assert(a._5 < b._5 || (a._5 == b._5 && a._4 < b._4),
+          s"($stage,$shard) not quality-ascending")
+      }
+    }
+  }
 }
