@@ -248,12 +248,103 @@ object SimilarityOps {
       .orderBy(col("cluster"))
   }
 
+  /** Global-codebook 4-bit scalar quantization (FAISS-SQ4 shape) —
+    * the index-compression step of an ANN deployment, complementing
+    * s_quantize (which is per-VECTOR int8, usable without training):
+    * the codebook here is 64 per-DIMENSION (min, max) ranges learned
+    * from the corpus in ONE bounded aggregate, so codes are
+    * comparable ACROSS vectors and an asymmetric-distance scan can
+    * decode against a 64×16 lookup table. Code_d = ⌊(x−mn_d)·15/
+    * (mx_d−mn_d) + ½⌋ ∈ 0..15 → 16× smaller than float32. Plan: the
+    * codebook is a 64-row aggregate (posexplode → per-dim min/max) —
+    * collecting it to the driver is an AGGREGATE result, not data,
+    * and stays 64 rows at any corpus size; the encode pass is then a
+    * per-row expression over the scan with the ranges inlined as
+    * literals (broadcast-by-constant), zero shuffle. Codes emit as
+    * comma-joined VARCHAR (driver comparer can't hash list cells —
+    * s_quantize convention); mse = mean reconstruction error, the
+    * left-assoc float fold both engines compute identically. */
+  def sSq4Codebook(s: SparkSession, dir: String): DataFrame = {
+    val Dim = 64
+    val stats = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .orderBy(col("d"))
+      .collect()
+    require(stats.length == Dim, s"embedding dim ${stats.length} != $Dim")
+    val mns = stats.map(_.getDouble(1))
+    val mxs = stats.map(_.getDouble(2))
+    // float→double is exact, and lit() carries the exact binary
+    // double — the same value duck's min/max aggregate produces
+    val mnArr = array(mns.toIndexedSeq.map(lit(_)): _*)
+    val mxArr = array(mxs.toIndexedSeq.map(lit(_)): _*)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("mns", mnArr)
+      .withColumn("mxs", mxArr)
+      // element_at is 1-based on both engines; arithmetic order is
+      // identical to the oracle ((x−mn)·15/(mx−mn)+½, then mn+q·(mx−mn)/15)
+      .withColumn("qarr", expr(
+        s"""transform(sequence(1, $Dim), d -> CASE
+           |  WHEN element_at(mxs, d) > element_at(mns, d)
+           |  THEN CAST(floor((element_at(e, d) - element_at(mns, d)) * 15
+           |       / (element_at(mxs, d) - element_at(mns, d)) + 0.5D) AS INT)
+           |  ELSE 0 END)""".stripMargin))
+      .withColumn("q", expr("array_join(transform(qarr, v -> CAST(v AS STRING)), ',')"))
+      .withColumn("mse", expr(
+        s"""round(aggregate(sequence(1, $Dim), 0D, (acc, d) -> acc +
+           |  ((element_at(mns, d) + element_at(qarr, d) * (element_at(mxs, d) - element_at(mns, d)) / 15) - element_at(e, d))
+           |  * ((element_at(mns, d) + element_at(qarr, d) * (element_at(mxs, d) - element_at(mns, d)) / 15) - element_at(e, d)))
+           |  / $Dim, 4)""".stripMargin))
+      .select(col("vec_id"), col("q"), col("mse"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023 shape):
+    * embedding near-dup pairs with candidates generated from k-means
+    * CLUSTERS — assign every vector to its nearest coarse centroid
+    * (the shared deterministic quantizer), then compare pairs only
+    * WITHIN a cluster. The contract is explicitly cluster-scoped
+    * (that is the SemDeDup algorithm: cross-cluster near-dups are
+    * traded away for never forming cross-cluster candidates), so the
+    * oracle applies the identical cluster restriction — this
+    * complements d_embed_cosine (exact all-pairs baseline) and its
+    * LSH-bucketed form with the third standard candidate generator.
+    * Scale shape: one NearestCentroid pass (zero shuffle), one
+    * shuffle on cell for the self-join; per-cell work is
+    * (n/nlist)²-ish and nlist is the knob that caps it — at 100 TB
+    * nlist grows with the corpus (FAISS's √n rule) so cells stay
+    * bounded. */
+  def dSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val nlist = 16
+    val cents = trainCentroids(s, dir, nlist)
+    val assigned = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        cellOfExpr(cents)(col("embedding")).as("cell"))
+      .cache() // one assignment pass feeds both join sides
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", expr("cosine_similarity(emb_a, emb_b)"))
+      .filter(col("cos") >= SemTau)
+      .select(col("cell"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private[operators] val SemTau = 0.4
+
   val queries: ListMap[String, Q] = ListMap(
     "s_ann_bruteforce" -> (sAnnBruteforce _),
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_ivf" -> (sAnnIvf _),
     "s_quantize" -> (sQuantize _),
     "s_kmeans_assign" -> (sKmeansAssign _),
+    "s_sq4_codebook" -> (sSq4Codebook _),
+    "d_semantic_dedup" -> (dSemanticDedup _),
   )
 
   // ---- shared in-SQL k-means mirror (s_ann_ivf + s_kmeans_assign) ----
@@ -455,5 +546,49 @@ object SimilarityOps {
         |FROM rk
         |GROUP BY cluster
         |ORDER BY cluster""".stripMargin),
+    // the codebook is recomputed in-SQL (per-dim min/max over the
+    // same floats → identical doubles as the driver-collected
+    // literals); encode + reconstruction use the identical
+    // arithmetic order, and the mse fold is the usual ordered
+    // list_reduce left-fold
+    "s_sq4_codebook" ->
+      """WITH stats AS (
+        |  SELECT d, min(CAST(embedding[d] AS DOUBLE)) AS mn,
+        |         max(CAST(embedding[d] AS DOUBLE)) AS mx
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d)
+        |  GROUP BY d),
+        |sarr AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+        |         FROM stats),
+        |c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |             mns, mxs
+        |      FROM embeddings CROSS JOIN sarr),
+        |q AS (SELECT vec_id, e, mns, mxs,
+        |        list_transform(range(1, 65), d -> CASE WHEN mxs[d] > mns[d]
+        |          THEN CAST(floor((e[d] - mns[d]) * 15 / (mxs[d] - mns[d]) + 0.5) AS INTEGER)
+        |          ELSE 0 END) AS qarr
+        |      FROM c)
+        |SELECT vec_id,
+        |  array_to_string(list_transform(qarr, v -> CAST(v AS VARCHAR)), ',') AS q,
+        |  round(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |    d -> ((mns[d] + qarr[d] * (mxs[d] - mns[d]) / 15) - e[d])
+        |       * ((mns[d] + qarr[d] * (mxs[d] - mns[d]) / 15) - e[d]))),
+        |    (x, y) -> x + y) / 64, 4) AS mse
+        |FROM q ORDER BY vec_id""".stripMargin,
+    // identical trained centroids + full-table cell assignment as the
+    // operator (shared kmeansCtePrefix), then the cluster-scoped
+    // pairwise cosine — duck's list_cosine_similarity mirrors the
+    // graft cosine_similarity expression bit-for-bit (d_embed_cosine
+    // proves the pairing)
+    "d_semantic_dedup" ->
+      ("WITH " + kmeansCtePrefix + s""",
+        |pairs AS (
+        |  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM bucketed a JOIN bucketed b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT cell, id_a, id_b, round(cos, 4) AS cos
+        |FROM pairs WHERE cos >= $SemTau
+        |ORDER BY id_a, id_b""".stripMargin),
   )
 }

@@ -82,4 +82,54 @@ class SimilaritySpec extends SparkSpec {
         s"cosine not non-increasing for q=$q")
     }
   }
+
+  test("sq4 codebook: codes in [0,15], shared ranges, error ≤ half a global step") {
+    val rows = SimilarityOps.sSq4Codebook(spark, sfDir).collect()
+    val embs = graft.Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(rows.length == embs.size)
+    // recompute the global per-dim codebook on the driver
+    val dim = embs.head._2.length
+    val mns = (0 until dim).map(d => embs.values.map(_(d)).min)
+    val mxs = (0 until dim).map(d => embs.values.map(_(d)).max)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val q = r.getString(1).split(',').map(_.toInt)
+      assert(q.length == dim && q.forall(c => c >= 0 && c <= 15), s"vec $id codes")
+      val e = embs(id)
+      q.indices.foreach { d =>
+        val step = (mxs(d) - mns(d)) / 15
+        val deq = mns(d) + q(d) * (mxs(d) - mns(d)) / 15
+        assert(math.abs(deq - e(d)) <= step / 2 + 1e-12, s"vec $id dim $d")
+      }
+      val worst = (0 until dim).map(d => (mxs(d) - mns(d)) / 15).max
+      assert(r.getDouble(2) <= worst * worst / 4 + 1e-9, s"vec $id mse")
+    }
+    // codes are comparable ACROSS vectors: a dim's global extremes hit 0/15
+    (0 until dim).foreach { d =>
+      val codes = rows.map(r => r.getString(1).split(',')(d).toInt)
+      assert(codes.min == 0 && codes.max == 15, s"dim $d never hits an extreme")
+    }
+  }
+
+  test("semantic dedup: pairs are exactly the within-cluster slice of the exact pairs") {
+    val sem = SimilarityOps.dSemanticDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getInt(0)).toMap
+    val exact = DedupOps.dEmbedCosineExact(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.nonEmpty && exact.nonEmpty)
+    // soundness: every reported pair clears τ in the exact baseline
+    assert(sem.keySet.subsetOf(exact), "semantic pair not in exact τ-pairs")
+    // completeness within clusters: an exact pair sharing a cell is reported
+    val cents = SimilarityOps.trainCentroids(spark, sfDir, 16)
+    val embs = graft.Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def cell(v: Array[Double]): Int = cents.indices.minBy(c => l2(v, cents(c)))
+    val sameCell = exact.filter { case (x, y) => cell(embs(x)) == cell(embs(y)) }
+    assert(sem.keySet == sameCell,
+      s"semantic pairs ${sem.size} != same-cell exact pairs ${sameCell.size}")
+    sem.foreach { case ((x, y), c) => assert(cell(embs(x)) == c && cell(embs(y)) == c) }
+  }
 }
