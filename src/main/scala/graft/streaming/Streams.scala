@@ -37,6 +37,11 @@ case class Session(timer_id: Long, session_start: Timestamp, session_end: Timest
   * (gotimer_web/dao/timer): id, enabled flag, callback target. */
 case class TimerDef(timer_id: Long, enabled: Boolean, notify_url: String)
 
+/** An executor completion report — the task-status write the executor
+  * makes after running the callback (gotimer_executor posts the HTTP
+  * callback then updates the task row to success/failed). */
+case class TaskCompletion(timer_id: Long, done_ts: Timestamp, status: String)
+
 /** A document on the ingest stream (streaming twin of the documents
   * table feeding §2c). */
 case class DocEvent(doc_id: Long, text: String)
@@ -238,6 +243,42 @@ object Streams {
     // retro-dropped by batch compaction)
     graft.operators.TrainingPipeline.featureAndFilter(
       streamingDedup(docs, canonicalKey).toDF(), minQuality, langs)
+
+  /** Firing↔completion correlation — joins the trigger's firing
+    * stream to the executor's completion stream, the continuous form
+    * of "which fired tasks completed, and how late?" (the reference
+    * answers it by joining the task table's trigger and done
+    * timestamps after the fact; t_exec_delay is the batch analog).
+    * A stream-STREAM interval join: both sides watermarked, a
+    * completion matches a firing of the same timer with done_ts ∈
+    * [fire_ts, fire_ts + maxDelay]. LEFT OUTER: a firing with no
+    * completion in its interval emits once with NULL completion
+    * columns as soon as the watermark clears the interval — exactly
+    * the timed-out task the reference's monitor marks failed, for
+    * free from join semantics instead of a side sweep. State stays
+    * bounded because the time-range predicate lets Spark evict each
+    * side's buffered rows once the (global min) watermark passes
+    * their join range — unbounded-state stream joins without a range
+    * condition are rejected by the planner by design. */
+  def firingCompletionJoin(firings: Dataset[TaskFiring],
+      completions: Dataset[TaskCompletion],
+      maxDelay: String = "15 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val f = firings.toDF().filter(col("fired"))
+      .select(col("timer_id"), col("minute_start").as("fire_ts"))
+      .withWatermark("fire_ts", watermarkDelay)
+    val c = completions.toDF()
+      .select(col("timer_id").as("done_timer_id"), col("done_ts"), col("status"))
+      .withWatermark("done_ts", watermarkDelay)
+    f.join(c,
+      col("timer_id") === col("done_timer_id") &&
+        col("done_ts") >= col("fire_ts") &&
+        col("done_ts") <= col("fire_ts") + expr(s"INTERVAL $maxDelay"),
+      "leftOuter")
+      .select(col("timer_id"), col("fire_ts"), col("done_ts"), col("status"),
+        ((unix_micros(col("done_ts")) - unix_micros(col("fire_ts"))) / 1000L)
+          .cast("long").as("latency_ms"))
+  }
 
   // Session state tracks MICROSECONDS — Timestamp.getTime is
   // millis-only and would silently truncate the event table's µs

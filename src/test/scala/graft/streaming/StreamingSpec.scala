@@ -282,6 +282,47 @@ class StreamingSpec extends SparkSpec {
     assert(out == batch, s"stream $out != batch $batch")
   }
 
+  test("firingCompletionJoin: in-interval completion matches; latency computed; misses emit NULL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def fire(id: Long, t: String) = TaskFiring(id, ts(t), fired = true, 0)
+    def done(id: Long, t: String, st: String = "success") = TaskCompletion(id, ts(t), st)
+
+    val fmem = MemoryStream[TaskFiring]
+    val cmem = MemoryStream[TaskCompletion]
+    val q = Streams.firingCompletionJoin(fmem.toDS(), cmem.toDS())
+      .writeStream.format("memory").queryName("fcj").outputMode("append").start()
+
+    // timer 1 fires and completes 4 min later; timer 2 fires and never
+    // completes; timer 3's completion is OUTSIDE the 15-min interval
+    fmem.addData(fire(1, "2024-01-15 00:01:00"), fire(2, "2024-01-15 00:01:00"),
+      fire(3, "2024-01-15 00:01:00"))
+    cmem.addData(done(1, "2024-01-15 00:05:00"), done(3, "2024-01-15 00:30:00"))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past every interval so the outer
+    // side emits its NULL rows (global watermark = min across inputs);
+    // two advances — outer results land a batch after the watermark move
+    fmem.addData(fire(99, "2024-01-15 06:00:00"))
+    cmem.addData(done(99, "2024-01-15 06:00:30"))
+    q.processAllAvailable()
+    fmem.addData(fire(98, "2024-01-15 07:00:00"))
+    cmem.addData(done(98, "2024-01-15 07:00:30"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("fcj").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        Option(r.getTimestamp(2)).map(_.toString), Option(r.getString(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .filter(_._1 <= 3).toSet
+    val expected = Set(
+      (1L, "2024-01-15 00:01:00.0", Some("2024-01-15 00:05:00.0"),
+        Some("success"), Some(240000L)),
+      (2L, "2024-01-15 00:01:00.0", None, None, None),
+      (3L, "2024-01-15 00:01:00.0", None, None, None))
+    assert(rows == expected, s"got $rows")
+  }
+
   test("eventStream reads a parquet drop directory with the pinned schema") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
