@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** t_concurrency invariants: the distributed two-level prefix sum
+  * (per-(app, day) windows + day-carry broadcast) must equal the
+  * naive single global window, and the sweep must obey basic
+  * interval-counting laws. */
+class ConcurrencySpec extends SparkSpec {
+
+  /** The scale-naive form: ONE window per app over the whole point
+    * stream (what the oracle runs in DuckDB). */
+  private def globalSweep() = {
+    val s = spark
+    val ev = Tables.events(s, sfDir)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(pmod(col("user_id"), lit(8L)).as("app"),
+        unix_millis(col("ts")).as("t0"),
+        (unix_millis(col("ts")) + ExactNum.cents(col("value"))).as("t1"),
+        col("event_id"))
+    val pts = ev.select(col("app"), col("t0").as("t"), lit(1L).as("delta"), col("event_id"))
+      .unionAll(ev.select(col("app"), col("t1").as("t"), lit(-1L).as("delta"), col("event_id")))
+    val w = Window.partitionBy(col("app"))
+      .orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("conc", sum(col("delta")).over(w))
+      .groupBy(col("app"),
+        timestamp_millis(expr("(t div 3600000) * 3600000")).as("hour_start"))
+      .agg(max(col("conc")).as("peak_inflight"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
+  }
+
+  test("two-level day-carry sweep == single global window sweep") {
+    val twoLevel = TimerOps.tConcurrency(spark, sfDir)
+    val global = globalSweep()
+    assert(twoLevel.exceptAll(global).isEmpty && global.exceptAll(twoLevel).isEmpty)
+  }
+
+  test("sweep laws: peaks positive, bounded by in-hour start count + carry-in") {
+    val rows = TimerOps.tConcurrency(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every start adds exactly one in-flight task, so the peak can
+    // never exceed the total number of starts anywhere
+    val totalStarts = rows.map(_.getAs[Long]("n_starts")).sum
+    rows.foreach { r =>
+      val peak = r.getAs[Long]("peak_inflight")
+      assert(peak >= 0L, s"negative concurrency at $r")
+      assert(peak <= totalStarts)
+    }
+  }
+
+  test("hand-computed micro case: overlap and end-exclusive tie") {
+    val s = spark
+    import s.implicits._
+    // app 0, all on one day: [0,100), [50,150) overlap → peak 2;
+    // [150, 200) starts exactly when the second ends → not 3
+    val ev = Seq(
+      (0L, 0L, 100L), (1L, 50L, 150L), (2L, 150L, 200L)
+    ).toDF("event_id", "t0", "t1")
+    val pts = ev.select(lit(0L).as("app"), col("t0").as("t"), lit(1L).as("delta"), col("event_id"))
+      .unionAll(ev.select(lit(0L).as("app"), col("t1").as("t"), lit(-1L).as("delta"), col("event_id")))
+    val w = Window.partitionBy(col("app"))
+      .orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peak = pts.withColumn("conc", sum(col("delta")).over(w))
+      .agg(max(col("conc"))).head.getLong(0)
+    assert(peak == 2L)
+  }
+}
