@@ -94,24 +94,30 @@ object DedupOps {
     * capped path is spec-pinned on a boilerplate-heavy corpus
     * (DedupSpec: clique candidates drop, true near-dup pairs
     * outside the boilerplate survive). */
-  private[graft] def minhashLshPairs(s: SparkSession, dir: String,
-      bucketCap: Int): DataFrame = {
-    val bands = 8
-    val rows = 8
-    // cache: the shingle→hash→signature projection feeds the band
-    // explode AND both sides of the verify join — without it the
-    // dominant compute runs 3× (at 100 TB: persist to disk/checkpoint)
-    val sigs = shingled(s, dir)
+  /** The shared shingle→hash→signature projection (64 perms, seed
+    * 42). Cached: it feeds the band explode AND both sides of every
+    * verify join — without it the dominant compute runs 3× (at
+    * 100 TB: persist to disk/checkpoint). Reused by dMinhashLsh and
+    * TrainingPipeline.fuzzyDecontaminate. */
+  private[graft] def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir)
       .withColumn("hashes", expr("transform(shingles, x -> poly_hash31(x))"))
-      .withColumn("sig", expr(s"minhash_signature(hashes, ${bands * rows}, 42)"))
+      .withColumn("sig", expr("minhash_signature(hashes, 64, 42)"))
       .select(col("doc_id"), col("hashes"), col("sig"))
       .cache()
 
-    val bandedAll = sigs.select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> struct(b as band_idx, concat_ws(',', slice(sig, b * $rows + 1, $rows)) as band_key))"))
+  /** Banded LSH keys (8 bands × 8 rows) off a minhashSigs frame. */
+  private[graft] def minhashBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+        explode(expr("transform(sequence(0, 7), " +
+          "b -> struct(b as band_idx, concat_ws(',', slice(sig, b * 8 + 1, 8)) as band_key))"))
           .as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+
+  private[graft] def minhashLshPairs(s: SparkSession, dir: String,
+      bucketCap: Int): DataFrame = {
+    val sigs = minhashSigs(s, dir)
+    val bandedAll = minhashBands(sigs)
 
     val banded =
       if (bucketCap == Int.MaxValue) bandedAll
@@ -383,7 +389,11 @@ object DedupOps {
     * oracle appends connected components + the feature/filter tail on
     * top of the SAME pairs, mirroring how both operators share
     * dMinhashLsh on the Spark side. */
-  private[operators] lazy val minhashPairsCtes: String = {
+  /** Signature/band-key prefix shared by the self-join pairs chain
+    * and TrainingPipeline's fuzzy-decontamination oracle (ends in
+    * `bandkey(doc_id, band_idx, band_key)` + `sizes(doc_id, n)`) —
+    * the single SQL mirror of minhashSigs/minhashBands. */
+  private[operators] lazy val minhashSigCtes: String = {
     val (pa, pb) = graft.functions.MinHashSignature.coeffs(64, 42)
     val permRows = (0 until 64)
       .map(p => s"(${p}, ${pa(p)}, ${pb(p)})").mkString(", ")
@@ -403,11 +413,15 @@ object DedupOps {
        |bandkey AS (SELECT doc_id, p // 8 AS band_idx,
        |              string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS band_key
        |            FROM sigv GROUP BY doc_id, p // 8),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id)""".stripMargin
+  }
+
+  private[operators] lazy val minhashPairsCtes: String = {
+    s"""$minhashSigCtes,
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |         FROM bandkey x JOIN bandkey y
        |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
        |             AND x.doc_id < y.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
        |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
        |          FROM cand c
        |          JOIN hs ha ON ha.doc_id = c.id_a

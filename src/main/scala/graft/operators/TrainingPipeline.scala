@@ -139,6 +139,53 @@ object TrainingPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Fuzzy benchmark decontamination — the near-duplicate complement
+    * of `decontaminate`: exact 8-gram containment misses lightly
+    * paraphrased or reformatted eval leakage, so production pipelines
+    * ALSO run the eval set through the same MinHash-LSH machinery as
+    * corpus dedup (the 13-gram Jaccard rule of GPT-3 appendix C /
+    * Llama-style decontamination). Shares the exact signature
+    * pipeline of d_minhash_lsh (DedupOps.minhashSigs/minhashBands —
+    * same 64 perms, seed 42, 8×8 bands): candidates are band-key
+    * collisions between a train doc and an eval doc, verified by
+    * exact Jaccard ≥ 0.5 on the shingle-hash sets. Eval side =
+    * the same fixed-size slice as `decontaminate` (doc_id % 20 == 0,
+    * capped), so its bands and signatures are constant-bounded and
+    * BROADCAST; the training corpus is never shuffled by this
+    * operator beyond the signature scan itself. Output: per
+    * contaminated train doc, the number of near-matching eval docs,
+    * the best-matching eval id (max Jaccard, ties → smallest id) and
+    * that Jaccard. */
+  def fuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sigs = DedupOps.minhashSigs(s, dir)
+    val bands = DedupOps.minhashBands(sigs)
+    val isEval = pmod(col("doc_id"), lit(20L)) === 0 &&
+      col("doc_id") < lit(20L * EvalDocs)
+    val evalBands = bands.filter(isEval)
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("eval_id"))
+    val cands = bands.filter(pmod(col("doc_id"), lit(20L)) =!= 0)
+      .join(broadcast(evalBands), Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("eval_id"))
+      .distinct()
+    val verified = cands
+      .join(sigs.select(col("doc_id"), col("hashes").as("h_t")), "doc_id")
+      .join(broadcast(sigs.filter(isEval)
+        .select(col("doc_id").as("eval_id"), col("hashes").as("h_e"))), "eval_id")
+      .withColumn("n_inter", size(array_intersect(col("h_t"), col("h_e"))).cast("long"))
+      .withColumn("uni", size(array_union(col("h_t"), col("h_e"))).cast("long"))
+      // integer threshold (τ = 0.5, the d_minhash_lsh convention)
+      .filter(col("n_inter") * 2 >= col("uni"))
+      .withColumn("jaccard", ExactNum.ratio4(col("n_inter"), col("uni")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("eval_id"))
+    verified.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_near"),
+        max(when(col("rn") === 1, col("eval_id"))).as("best_eval_id"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic stratified sampling to a per-stratum TARGET count
     * — the "balance the sources" stage of a data mix (cap every
     * source at ≈ SampleTarget docs): rate_bp = min(1, target/n) in
@@ -235,6 +282,7 @@ object TrainingPipeline {
       "p_funnel_report" -> ((s, dir) => funnel(s, dir)),
       "p_mix_sources" -> (mixSources _),
       "p_decontaminate" -> (decontaminate _),
+      "p_fuzzy_decontaminate" -> (fuzzyDecontaminate _),
       "p_stratified_sample" -> (stratifiedSample _),
       "p_epoch_shuffle" -> (epochShuffle _),
       "p_curriculum" -> (curriculum _))
@@ -335,6 +383,35 @@ object TrainingPipeline {
           |FROM t JOIN e ON t.gram = e.gram
           |GROUP BY t.doc_id
           |ORDER BY doc_id""".stripMargin,
+      // shares DedupOps.minhashSigCtes verbatim with the d_minhash_lsh
+      // oracle (constants cannot drift); the train×eval candidate join
+      // replaces the self-join tail
+      "p_fuzzy_decontaminate" ->
+        s"""WITH ${DedupOps.minhashSigCtes},
+          |ecand AS (SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+          |          FROM bandkey t JOIN bandkey e
+          |            ON t.band_idx = e.band_idx AND t.band_key = e.band_key
+          |          WHERE e.doc_id % 20 = 0 AND e.doc_id < ${20L * EvalDocs}
+          |            AND t.doc_id % 20 <> 0),
+          |einter AS (SELECT c.doc_id, c.eval_id, count(*) AS n_inter
+          |           FROM ecand c
+          |           JOIN hs ht ON ht.doc_id = c.doc_id
+          |           JOIN hs he ON he.doc_id = c.eval_id AND he.h = ht.h
+          |           GROUP BY 1, 2),
+          |ever AS (SELECT i.doc_id, i.eval_id,
+          |           ${ExactNum.ratioSql("i.n_inter", "st.n + se.n - i.n_inter")} AS jaccard
+          |         FROM einter i
+          |         JOIN sizes st ON i.doc_id = st.doc_id
+          |         JOIN sizes se ON i.eval_id = se.doc_id
+          |         WHERE 2 * i.n_inter >= st.n + se.n - i.n_inter),
+          |rnk AS (SELECT doc_id, eval_id, jaccard,
+          |          row_number() OVER (PARTITION BY doc_id
+          |            ORDER BY jaccard DESC, eval_id) AS rn
+          |        FROM ever)
+          |SELECT doc_id, count(*) AS n_eval_near,
+          |  max(CASE WHEN rn = 1 THEN eval_id END) AS best_eval_id,
+          |  max(jaccard) AS max_jaccard
+          |FROM rnk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // integer-division rate + multiplicative-hash membership —
       // byte-identical arithmetic on both engines (// is duck's
       // integer div; all operands positive so % = pmod, and the

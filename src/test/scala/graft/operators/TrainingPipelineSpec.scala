@@ -170,6 +170,37 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("fuzzy decontamination == naive exact train×eval jaccard on this corpus") {
+    import org.apache.spark.sql.functions._
+    // naive oracle: ALL train×eval pairs, exact shingle-hash jaccard,
+    // no LSH — equality holds on the test corpus because every true
+    // pair sits far above τ=0.5 (banding catches jaccard≥0.9 pairs
+    // w.p. > 1 - 1e-4; there are no borderline pairs to miss)
+    val sigs = DedupOps.minhashSigs(spark, sfDir)
+    val isEval = pmod(col("doc_id"), lit(20L)) === 0 && col("doc_id") < lit(640L)
+    val ev = sigs.filter(isEval).select(col("doc_id").as("eval_id"), col("hashes").as("h_e"))
+    val naive = sigs.filter(pmod(col("doc_id"), lit(20L)) =!= 0)
+      .select(col("doc_id"), col("hashes").as("h_t"))
+      .crossJoin(broadcast(ev))
+      .withColumn("n_inter", size(array_intersect(col("h_t"), col("h_e"))).cast("long"))
+      .withColumn("uni", size(array_union(col("h_t"), col("h_e"))).cast("long"))
+      .filter(col("n_inter") * 2 >= col("uni"))
+      .select(col("doc_id"), col("eval_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = TrainingPipeline.fuzzyDecontaminate(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val flagged = got.map(_.getLong(0)).toSet
+    assert(flagged == naive.map(_._1), "flagged train docs differ from naive exact")
+    got.foreach { r =>
+      val (docId, nNear, bestEval, maxJ) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(docId % 20 != 0, "eval doc flagged as train")
+      assert(bestEval % 20 == 0 && bestEval < 640, "best_eval_id outside eval slice")
+      assert(maxJ >= 0.5, s"doc $docId below threshold")
+      assert(nNear == naive.count(_._1 == docId), s"doc $docId pair count")
+    }
+  }
+
   test("curriculum: stages are fixed quality quartiles, within-shard order is quality-ascending") {
     val rows = TrainingPipeline.curriculum(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
