@@ -110,10 +110,15 @@ object SimilarityOps {
     * by design; the full table only ever flows through the
     * NearestCentroid expression. */
   private[graft] def trainCentroids(
-      s: SparkSession, dir: String, nlist: Int): Array[Array[Double]] = {
+      s: SparkSession, dir: String, nlist: Int,
+      off: Int = 0, len: Int = -1): Array[Array[Double]] = {
     val sample = ivfTrainSample(s, dir)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .map { r =>
+        val full = r.getSeq[Float](1)
+        val sub = if (len < 0) full else full.slice(off, off + len)
+        (r.getLong(0), sub.map(_.toDouble).toArray)
+      }
       .sortBy(_._1)
     var cents: Array[Array[Double]] = sample.take(nlist).map(_._2.clone())
     def l2(a: Array[Double], b: Array[Double]): Double = {
@@ -301,6 +306,56 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
+  // ---- product quantization (s_pq_codebook) ----
+  private[operators] val PqM = 4 // subspaces
+  private[operators] val PqSub = 16 // dims per subspace
+  private[operators] val PqK = 16 // centroids per subspace (4-bit codes)
+
+  /** Product quantization (Jégou et al. 2011; the PQ in FAISS
+    * IVF-PQ — the standard billion-scale ANN code layout): the vector
+    * is split into PqM=4 16-dim subspaces, each with its OWN k-means
+    * codebook (PqK=16 → a 4-bit code per subspace, 2 bytes per
+    * vector vs 256 — the compression that makes a 10⁹-vector index
+    * fit executor memory). Completes the quantization family:
+    * s_quantize (per-vector scalar int8, 64 B) → s_sq4_codebook
+    * (global per-dimension scalar, 32 B) → PQ (per-subspace VECTOR
+    * codebooks, 2 B — 16× smaller than SQ4, trading reconstruction
+    * error for the footprint that actually matters at 10⁹ vectors;
+    * the spec pins that the trained codebooks clearly beat the
+    * untrained k=1 sample-mean baseline).
+    *
+    * Each codebook trains on the SAME deterministic bounded sample as
+    * the IVF coarse quantizer (ivfTrainSample — never the full
+    * table), sliced to its subspace; encoding is one scan with four
+    * NearestCentroid expressions (codebooks ride the plan as
+    * literals, broadcast-by-constant) — zero shuffle, nothing
+    * driver-side but the ≤ SampleCap-row sample. mse reconstructs
+    * from the chosen centroids and folds left in dimension order,
+    * exactly as the oracle's list_reduce. */
+  def sPqCodebook(s: SparkSession, dir: String): DataFrame = {
+    val cents = (0 until PqM).map(m => trainCentroids(s, dir, PqK, m * PqSub, PqSub))
+    val centArrs = cents.map(cb =>
+      array(cb.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit(_)): _*)): _*))
+    var df = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    for (m <- 0 until PqM) {
+      df = df
+        .withColumn(s"c$m",
+          cellOfExpr(cents(m))(expr(s"slice(embedding, ${m * PqSub + 1}, $PqSub)")))
+        // centroid row for this code: 0-based array extraction
+        .withColumn(s"r$m", centArrs(m)(col(s"c$m")))
+    }
+    df.withColumn("recon", expr("concat(r0, r1, r2, r3)"))
+      .withColumn("mse", expr(
+        s"""round(aggregate(sequence(1, ${PqM * PqSub}), 0D, (acc, i) -> acc +
+           |  (element_at(recon, i) - CAST(element_at(embedding, i) AS DOUBLE))
+           |  * (element_at(recon, i) - CAST(element_at(embedding, i) AS DOUBLE)))
+           |  / ${PqM * PqSub}, 4)""".stripMargin))
+      .select(col("vec_id"),
+        concat_ws(",", (0 until PqM).map(m => col(s"c$m").cast("string")): _*).as("codes"),
+        col("mse"))
+      .orderBy(col("vec_id"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023 shape):
     * embedding near-dup pairs with candidates generated from k-means
     * CLUSTERS — assign every vector to its nearest coarse centroid
@@ -344,6 +399,7 @@ object SimilarityOps {
     "s_quantize" -> (sQuantize _),
     "s_kmeans_assign" -> (sKmeansAssign _),
     "s_sq4_codebook" -> (sSq4Codebook _),
+    "s_pq_codebook" -> (sPqCodebook _),
     "d_semantic_dedup" -> (dSemanticDedup _),
   )
 
@@ -363,9 +419,12 @@ object SimilarityOps {
        |         * (CAST($e.embedding[i] AS DOUBLE) - $c.cent[i]))),
        |      (x, y) -> x + y)""".stripMargin
 
-  private lazy val kmeansInit =
+  private lazy val smpCte =
     s"""smp AS (SELECT vec_id, embedding FROM embeddings
-       |  WHERE vec_id % $SampleMod = 0 ORDER BY vec_id LIMIT $SampleCap),
+       |  WHERE vec_id % $SampleMod = 0 ORDER BY vec_id LIMIT $SampleCap)""".stripMargin
+
+  private lazy val kmeansInit =
+    s"""$smpCte,
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
        |  FROM (SELECT vec_id, embedding FROM smp ORDER BY vec_id LIMIT $KmeansNlist))""".stripMargin
@@ -400,6 +459,50 @@ object SimilarityOps {
   private lazy val kmeansCtePrefix: String =
     ((kmeansInit +: (1 to KmeansIters).map(kmeansIteration)) :+ kmeansBucketed)
       .mkString(",\n")
+
+  // ---- per-subspace k-means mirror (s_pq_codebook) ----
+  // Same trainCentroids reproduction as the IVF chain, but over the
+  // subvector embedding[off+1 .. off+PqSub] for each subspace m.
+  private def pqDist(e: String, c: String, off: Int): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${PqSub + 1}),
+       |      i -> (CAST($e.embedding[i + $off] AS DOUBLE) - $c.cent[i])
+       |         * (CAST($e.embedding[i + $off] AS DOUBLE) - $c.cent[i]))),
+       |      (x, y) -> x + y)""".stripMargin
+
+  private def pqKmeansCtes(m: Int): String = {
+    val off = m * PqSub
+    val init =
+      s"""p${m}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |  list_transform(range(1, ${PqSub + 1}), i -> CAST(embedding[i + $off] AS DOUBLE)) AS cent
+         |  FROM (SELECT vec_id, embedding FROM smp ORDER BY vec_id LIMIT $PqK))""".stripMargin
+    val iters = (1 to KmeansIters).map { k =>
+      s"""p${m}a$k AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${pqDist("e", "c", off)}, c.cell) AS rn
+         |    FROM smp e CROSS JOIN p${m}c${k - 1} c) WHERE rn = 1),
+         |p${m}m$k AS (
+         |  SELECT cell, d,
+         |    list_reduce(list_prepend(0.0, list(CAST(embedding[d + $off] AS DOUBLE) ORDER BY vec_id)),
+         |      (x, y) -> x + y) / count(*) AS mu
+         |  FROM p${m}a$k CROSS JOIN (SELECT unnest(range(1, ${PqSub + 1})) AS d)
+         |  GROUP BY cell, d),
+         |p${m}c$k AS (
+         |  SELECT p.cell, coalesce(nm.cent, p.cent) AS cent
+         |  FROM p${m}c${k - 1} p LEFT JOIN (SELECT cell, list(mu ORDER BY d) AS cent
+         |                              FROM p${m}m$k GROUP BY cell) nm
+         |    ON p.cell = nm.cell)""".stripMargin
+    }
+    val enc =
+      s"""p${m}enc AS (
+         |  SELECT vec_id, cell AS c$m, cent AS r$m FROM (
+         |    SELECT e.vec_id, c.cell, c.cent,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${pqDist("e", "c", off)}, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN p${m}c$KmeansIters c) WHERE rn = 1)""".stripMargin
+    (init +: iters :+ enc).mkString(",\n")
+  }
 
   val oracles: ListMap[String, String] = ListMap(
     // identical left-associated float arithmetic and index-order fold
@@ -574,6 +677,28 @@ object SimilarityOps {
         |       * ((mns[d] + qarr[d] * (mxs[d] - mns[d]) / 15) - e[d]))),
         |    (x, y) -> x + y) / 64, 4) AS mse
         |FROM q ORDER BY vec_id""".stripMargin,
+    // four per-subspace k-means chains (same trainCentroids
+    // reproduction as the IVF mirror, over embedding[off+1..off+16]),
+    // then the encode join + left-assoc reconstruction fold
+    "s_pq_codebook" ->
+      (s"WITH $smpCte,\n" +
+        (0 until PqM).map(pqKmeansCtes).mkString(",\n") + s""",
+        |j AS (SELECT e.vec_id, e.embedding,
+        |        p0.c0, p1.c1, p2.c2, p3.c3,
+        |        p0.r0 || p1.r1 || p2.r2 || p3.r3 AS recon
+        |      FROM embeddings e
+        |      JOIN p0enc p0 USING (vec_id)
+        |      JOIN p1enc p1 USING (vec_id)
+        |      JOIN p2enc p2 USING (vec_id)
+        |      JOIN p3enc p3 USING (vec_id))
+        |SELECT vec_id,
+        |  CAST(c0 AS VARCHAR) || ',' || CAST(c1 AS VARCHAR) || ',' ||
+        |  CAST(c2 AS VARCHAR) || ',' || CAST(c3 AS VARCHAR) AS codes,
+        |  round(list_reduce(list_prepend(0.0, list_transform(range(1, ${PqM * PqSub + 1}),
+        |    i -> (recon[i] - CAST(embedding[i] AS DOUBLE))
+        |       * (recon[i] - CAST(embedding[i] AS DOUBLE)))),
+        |    (x, y) -> x + y) / ${PqM * PqSub}, 4) AS mse
+        |FROM j ORDER BY vec_id""").stripMargin,
     // identical trained centroids + full-table cell assignment as the
     // operator (shared kmeansCtePrefix), then the cluster-scoped
     // pairwise cosine — duck's list_cosine_similarity mirrors the

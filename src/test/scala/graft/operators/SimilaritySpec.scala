@@ -112,6 +112,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq codebook: codes in [0,16), naive re-encode agrees, training beats k=1 baseline") {
+    val pq = SimilarityOps.sPqCodebook(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(pq.nonEmpty)
+    // codes: 4 per vector, each a 4-bit index
+    pq.foreach { case (id, codes, mse) =>
+      val cs = codes.split(",").map(_.toInt)
+      assert(cs.length == 4, s"vec $id has ${cs.length} codes")
+      assert(cs.forall(c => c >= 0 && c < 16), s"vec $id code out of range")
+      assert(mse >= 0.0)
+    }
+    // naive driver-side re-encode: nearest sub-centroid per subspace
+    // (first-min ties) must reproduce the operator's codes exactly
+    val cents = (0 until 4).map(m => SimilarityOps.trainCentroids(spark, sfDir, 16, m * 16, 16))
+    val embs = graft.Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def nearest(v: Array[Float], cb: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      for (c <- cb.indices) {
+        var d = 0.0
+        for (i <- cb(c).indices) { val x = v(i).toDouble - cb(c)(i); d += x * x }
+        if (d < bestD) { bestD = d; best = c }
+      }
+      best
+    }
+    pq.foreach { case (id, codes, _) =>
+      val want = (0 until 4).map(m => nearest(embs(id).slice(m * 16, m * 16 + 16), cents(m)))
+      assert(codes == want.mkString(","), s"vec $id codes mismatch")
+    }
+    // the codebook must actually learn structure: reconstruction with
+    // 16 trained centroids per subspace beats the untrained k=1
+    // baseline (every subvector snapped to the training-sample mean)
+    val sample = embs.toSeq.sortBy(_._1)
+      .filter { case (id, _) => id % 4 == 0 }.take(4096).map(_._2)
+    val k1 = (0 until 4).map { m =>
+      val mean = new Array[Double](16)
+      sample.foreach(v => for (i <- 0 until 16) mean(i) += v(m * 16 + i))
+      mean.map(_ / sample.length)
+    }
+    val meanK1 = embs.values.map { v =>
+      (0 until 4).flatMap(m =>
+        (0 until 16).map(i => math.pow(v(m * 16 + i) - k1(m)(i), 2))).sum / 64.0
+    }.sum / embs.size
+    // strict improvement only: the synthetic embeddings are largely
+    // isotropic per subspace, so 16 centroids in 16 dims buy ~20%,
+    // not the multiples real clustered data would show
+    val meanPq = pq.map(_._3).sum / pq.length
+    assert(meanPq < meanK1,
+      s"PQ mean mse $meanPq not better than k=1 baseline $meanK1")
+  }
+
   test("semantic dedup: pairs are exactly the within-cluster slice of the exact pairs") {
     val sem = SimilarityOps.dSemanticDedup(spark, sfDir).collect()
       .map(r => (r.getLong(1), r.getLong(2)) -> r.getInt(0)).toMap
