@@ -32,7 +32,10 @@ object Bench {
     "s_quantize", "x_pii_scrub", "x_repetition",
     "p_mix_sources", "p_decontaminate", "m_frame_sample",
     "q24_cube", "p_stratified_sample", "s_kmeans_assign",
-    "x_ngram_topk", "x_chunk_dedup")
+    "x_ngram_topk", "x_chunk_dedup",
+    "x_tfidf", "x_inverted_index", "p_epoch_shuffle", "p_curriculum",
+    "s_sq4_codebook", "d_semantic_dedup",
+    "t_concurrency", "p_fuzzy_decontaminate", "s_pq_codebook")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

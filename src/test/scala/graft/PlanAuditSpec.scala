@@ -189,4 +189,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("x_tfidf: vocabulary-sized equi-joins only, top-K window partitioned by source") {
+    val p = plan(TextOps.xTfidf(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("windowspecdefinition(source"), p)
+  }
+
+  test("x_inverted_index: posting cap is a per-term window, no joins at all") {
+    val p = plan(TextOps.xInvertedIndex(spark, sfDir))
+    assert(p.contains("windowspecdefinition(term"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("p_epoch_shuffle / p_curriculum: position windows are sharded, never global") {
+    val pe = plan(TrainingPipeline.epochShuffle(spark, sfDir))
+    assert(pe.contains("windowspecdefinition(epoch"), pe)
+    val pc = plan(TrainingPipeline.curriculum(spark, sfDir))
+    assert(pc.contains("windowspecdefinition(stage"), pc)
+  }
+
+  test("s_sq4_codebook / s_pq_codebook: encode is a pure map over the scan — no joins") {
+    assert(!plan(SimilarityOps.sSq4Codebook(spark, sfDir)).contains("Join"))
+    assert(!plan(SimilarityOps.sPqCodebook(spark, sfDir)).contains("Join"))
+  }
+
+  test("d_semantic_dedup: candidates from a cell equi-join, never all-pairs") {
+    val p = plan(SimilarityOps.dSemanticDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("t_concurrency: sweep windows are (app, day)-sharded; carry joins broadcast; no range join") {
+    val p = plan(TimerOps.tConcurrency(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("windowspecdefinition(app"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("p_fuzzy_decontaminate: eval bands/sigs broadcast against the train side") {
+    val p = plan(TrainingPipeline.fuzzyDecontaminate(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
