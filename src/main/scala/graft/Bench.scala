@@ -35,7 +35,8 @@ object Bench {
     "x_ngram_topk", "x_chunk_dedup",
     "x_tfidf", "x_inverted_index", "p_epoch_shuffle", "p_curriculum",
     "s_sq4_codebook", "d_semantic_dedup",
-    "t_concurrency", "p_fuzzy_decontaminate", "s_pq_codebook")
+    "t_concurrency", "p_fuzzy_decontaminate", "s_pq_codebook",
+    "s_ann_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -332,7 +332,11 @@ object SimilarityOps {
     * driver-side but the ≤ SampleCap-row sample. mse reconstructs
     * from the chosen centroids and folds left in dimension order,
     * exactly as the oracle's list_reduce. */
-  def sPqCodebook(s: SparkSession, dir: String): DataFrame = {
+  /** PQ codebooks (trained on the bounded sample) + the encoded table:
+    * vec_id, embedding, c0..c3 (codes), r0..r3 (chosen centroid rows).
+    * Shared by sPqCodebook (reconstruction) and sAnnPq (ADC scan). */
+  private def pqEncoded(s: SparkSession, dir: String)
+      : (IndexedSeq[Array[Array[Double]]], DataFrame) = {
     val cents = (0 until PqM).map(m => trainCentroids(s, dir, PqK, m * PqSub, PqSub))
     val centArrs = cents.map(cb =>
       array(cb.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit(_)): _*)): _*))
@@ -344,6 +348,11 @@ object SimilarityOps {
         // centroid row for this code: 0-based array extraction
         .withColumn(s"r$m", centArrs(m)(col(s"c$m")))
     }
+    (cents, df)
+  }
+
+  def sPqCodebook(s: SparkSession, dir: String): DataFrame = {
+    val (_, df) = pqEncoded(s, dir)
     df.withColumn("recon", expr("concat(r0, r1, r2, r3)"))
       .withColumn("mse", expr(
         s"""round(aggregate(sequence(1, ${PqM * PqSub}), 0D, (acc, i) -> acc +
@@ -354,6 +363,51 @@ object SimilarityOps {
         concat_ws(",", (0 until PqM).map(m => col(s"c$m").cast("string")): _*).as("codes"),
         col("mse"))
       .orderBy(col("vec_id"))
+  }
+
+  /** ADC scan over the PQ codes (Jégou 2011 §IV: asymmetric distance
+    * computation — the query side stays float, the database side is
+    * the 2-byte codes): per query, a (PqM × PqK) lookup table of
+    * squared subvector distances to every centroid is precomputed —
+    * constant-sized, like the bruteforce probe set — and a row's
+    * distance is FOUR table lookups + three adds, never touching the
+    * float vector. This is the scan that makes a 10⁹-vector search
+    * affordable: the table read is 2 B/row instead of 256 B, the
+    * per-row work is O(PqM), and the plan is scan → per-row
+    * expression → per-query top-k (WindowGroupLimit keeps k rows per
+    * partition) with the query tables broadcast. Exactness caveat is
+    * PQ's own: distances are to RECONSTRUCTED vectors; the spec pins
+    * that each query's own row still ranks first and that ADC agrees
+    * with a naive driver-side re-score bit-for-bit. */
+  def sAnnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cents, enc) = pqEncoded(s, dir)
+    val qs = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val qdf = qs.toSeq.map { case (qid, q) =>
+      val tabs = (0 until PqM).map { m =>
+        cents(m).map { cent =>
+          var d = 0.0
+          var i = 0
+          while (i < PqSub) { val x = q(m * PqSub + i).toDouble - cent(i); d += x * x; i += 1 }
+          d
+        }.toSeq
+      }
+      (qid, tabs(0), tabs(1), tabs(2), tabs(3))
+    }.toDF("q_id", "t0", "t1", "t2", "t3")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    enc.crossJoin(broadcast(qdf))
+      .withColumn("adc", expr(
+        "element_at(t0, c0 + 1) + element_at(t1, c1 + 1) + " +
+          "element_at(t2, c2 + 1) + element_at(t3, c3 + 1)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("vec_id"), round(col("adc"), 4).as("adc"))
+      .orderBy(col("q_id"), col("rnk"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023 shape):
@@ -400,6 +454,7 @@ object SimilarityOps {
     "s_kmeans_assign" -> (sKmeansAssign _),
     "s_sq4_codebook" -> (sSq4Codebook _),
     "s_pq_codebook" -> (sPqCodebook _),
+    "s_ann_pq" -> (sAnnPq _),
     "d_semantic_dedup" -> (dSemanticDedup _),
   )
 
@@ -699,6 +754,37 @@ object SimilarityOps {
         |       * (recon[i] - CAST(embedding[i] AS DOUBLE)))),
         |    (x, y) -> x + y) / ${PqM * PqSub}, 4) AS mse
         |FROM j ORDER BY vec_id""").stripMargin,
+    // same per-subspace chains + encode join as s_pq_codebook, then
+    // the ADC fold: per (query, row), squared distance to the row's
+    // chosen centroid per subspace (≡ the lookup-table values the
+    // operator precomputes — same left-assoc adds in the same order)
+    "s_ann_pq" -> {
+      def ldist(off: Int, cent: String): String =
+        s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${PqSub + 1}),
+           |    i -> (CAST(q.qe[i + $off] AS DOUBLE) - j.$cent[i])
+           |       * (CAST(q.qe[i + $off] AS DOUBLE) - j.$cent[i]))),
+           |    (x, y) -> x + y)""".stripMargin
+      (s"WITH $smpCte,\n" +
+        (0 until PqM).map(pqKmeansCtes).mkString(",\n") + s""",
+        |j AS (SELECT e.vec_id,
+        |        p0.r0, p1.r1, p2.r2, p3.r3
+        |      FROM embeddings e
+        |      JOIN p0enc p0 USING (vec_id)
+        |      JOIN p1enc p1 USING (vec_id)
+        |      JOIN p2enc p2 USING (vec_id)
+        |      JOIN p3enc p3 USING (vec_id)),
+        |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+        |      WHERE vec_id < $NumQueries),
+        |scored AS (SELECT q.q_id, j.vec_id,
+        |    ${ldist(0, "r0")} + ${ldist(PqSub, "r1")}
+        |    + ${ldist(2 * PqSub, "r2")} + ${ldist(3 * PqSub, "r3")} AS adc
+        |  FROM q CROSS JOIN j),
+        |rk AS (SELECT q_id, vec_id, adc,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rnk
+        |       FROM scored)
+        |SELECT q_id, rnk, vec_id, round(adc, 4) AS adc
+        |FROM rk WHERE rnk <= $K ORDER BY q_id, rnk""").stripMargin
+    },
     // identical trained centroids + full-table cell assignment as the
     // operator (shared kmeansCtePrefix), then the cluster-scoped
     // pairwise cosine — duck's list_cosine_similarity mirrors the

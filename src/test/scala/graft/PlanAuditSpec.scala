@@ -214,6 +214,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan(SimilarityOps.sPqCodebook(spark, sfDir)).contains("Join"))
   }
 
+  test("s_ann_pq: broadcast query tables, per-query top-k via WindowGroupLimit") {
+    val p = plan(SimilarityOps.sAnnPq(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("d_semantic_dedup: candidates from a cell equi-join, never all-pairs") {
     val p = plan(SimilarityOps.dSemanticDedup(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)

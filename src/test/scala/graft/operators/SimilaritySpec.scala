@@ -163,6 +163,43 @@ class SimilaritySpec extends SparkSpec {
       s"PQ mean mse $meanPq not better than k=1 baseline $meanK1")
   }
 
+  test("adc scan: naive re-score agrees bit-for-bit; each query's own row ranks first") {
+    val got = SimilarityOps.sAnnPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // ranks dense 1..10 per query
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to 10), s"query $q ranks")
+      // the query vector is itself in the table: ADC to its own codes
+      // is the reconstruction error, far below any other row here
+      assert(rows.minBy(_._2)._3 == q, s"query $q does not rank itself first")
+    }
+    // naive driver-side ADC: re-encode + lookup, compare the rounded
+    // distances the operator reports
+    val cents = (0 until 4).map(m => SimilarityOps.trainCentroids(spark, sfDir, 16, m * 16, 16))
+    val embs = graft.Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def nearest(v: Array[Float], off: Int, cb: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      for (c <- cb.indices) {
+        var d = 0.0
+        for (i <- cb(c).indices) { val x = v(off + i).toDouble - cb(c)(i); d += x * x }
+        if (d < bestD) { bestD = d; best = c }
+      }
+      best
+    }
+    got.foreach { case (q, _, v, adc) =>
+      val qv = embs(q)
+      val want = (0 until 4).map { m =>
+        val code = nearest(embs(v), m * 16, cents(m))
+        var d = 0.0
+        for (i <- 0 until 16) { val x = qv(m * 16 + i).toDouble - cents(m)(code)(i); d += x * x }
+        d
+      }.sum
+      assert(math.abs(adc - want) < 5e-5, s"($q,$v) adc $adc vs naive $want")
+    }
+  }
+
   test("semantic dedup: pairs are exactly the within-cluster slice of the exact pairs") {
     val sem = SimilarityOps.dSemanticDedup(spark, sfDir).collect()
       .map(r => (r.getLong(1), r.getLong(2)) -> r.getInt(0)).toMap
