@@ -343,6 +343,39 @@ object TextOps {
       .orderBy(col("term"))
   }
 
+  /** Power-of-two bucket for a token count — ONE string, compiled by
+    * Spark via expr() and interpolated verbatim into the DuckDB
+    * oracle (the two cannot drift). Integer compares only: the
+    * "next power of two" needs no log2 (a transcendental the engine
+    * deliberately has none of). */
+  private val bucketCaseSql: String =
+    (Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+      .map(b => s"WHEN n <= $b THEN CAST($b AS BIGINT)")
+      .mkString("CASE ", " ", " ELSE CAST(4096 AS BIGINT) END"))
+
+  /** Length bucketing — the batching layout step of an inference or
+    * packing-free training pipeline: group docs into power-of-two
+    * token-length buckets and report the PADDING WASTE each bucket
+    * pays (batching a 17-token doc in the 32 slot wastes 15 slots;
+    * the whole point of bucketing is making that bounded and
+    * measurable, vs one global max-length pad). Per bucket: docs,
+    * real tokens, padded slots wasted, waste fraction (exact integer
+    * ratio). Plan: per-row bucket expression (no sort — buckets are
+    * value-computed, not rank-computed, so assignment is stable under
+    * corpus growth, same argument as p_curriculum's fixed quartiles),
+    * map-side partial agg into ≤ 9 groups. */
+  def xLengthBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nTokL.as("n"))
+      .withColumn("bucket", expr(bucketCaseSql))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(col("bucket") - col("n")).as("pad_waste"),
+        ExactNum.ratio4(sum(col("bucket") - col("n")), sum(col("bucket")))
+          .as("waste_frac"))
+      .orderBy(col("bucket"))
+
   private[operators] val TfidfTopK = 5
   private[operators] val TfidfScale = 1000000L
   private[operators] val PostingCap = 20
@@ -362,6 +395,7 @@ object TextOps {
     "x_chunk_dedup" -> (xChunkDedup _),
     "x_tfidf" -> (xTfidf _),
     "x_inverted_index" -> (xInvertedIndex _),
+    "x_length_buckets" -> (xLengthBuckets _),
   )
 
   /** Static chunk-index headroom for the x_doc_chunks/x_chunk_dedup
@@ -579,5 +613,17 @@ object TextOps {
          |    FILTER (WHERE rn <= $PostingCap), ',') AS postings
          |FROM r GROUP BY term
          |ORDER BY term""".stripMargin,
+    // bucketCaseSql interpolated verbatim (shared with the operator);
+    // CASTs pin duck's widened sums back to the Spark BIGINTs
+    "x_length_buckets" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |           FROM documents),
+         |b AS (SELECT doc_id, n, $bucketCaseSql AS bucket FROM d)
+         |SELECT bucket, count(*) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS total_tokens,
+         |  CAST(sum(bucket - n) AS BIGINT) AS pad_waste,
+         |  ${ExactNum.ratioSql("sum(bucket - n)", "sum(bucket)")} AS waste_frac
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

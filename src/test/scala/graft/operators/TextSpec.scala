@@ -247,4 +247,26 @@ class TextSpec extends SparkSpec {
         s"$term postings are not the first-K sorted doc ids")
     }
   }
+
+  test("length buckets: powers of two, conservation, waste accounting") {
+    val rows = TextOps.xLengthBuckets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val lens = graft.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0).split(" ", -1).length.toLong)
+    assert(rows.map(_._2).sum == lens.length, "doc conservation")
+    assert(rows.map(_._3).sum == lens.sum, "token conservation")
+    rows.foreach { case (bucket, nDocs, totalTokens, padWaste, wasteFrac) =>
+      assert((bucket & (bucket - 1)) == 0L, s"bucket $bucket not a power of two")
+      // waste = slots − real tokens for this bucket's docs
+      assert(padWaste == bucket * nDocs - totalTokens, s"bucket $bucket waste")
+      assert(wasteFrac >= 0.0 && wasteFrac < 1.0, s"bucket $bucket frac")
+      // every doc in the bucket fits, and wouldn't fit the next smaller
+      val members = lens.filter(n =>
+        (if (n <= 16) 16L
+         else if (n > 2048) 4096L
+         else Iterator.iterate(16L)(_ * 2).dropWhile(_ < n).next()) == bucket)
+      assert(members.length.toLong == nDocs, s"bucket $bucket membership")
+    }
+  }
 }
