@@ -49,6 +49,22 @@ case class DocEvent(doc_id: Long, text: String)
 private case class FiringState(firedMinutes: Set[Long])
 private case class SessionState(start: Long, end: Long, n: Long, sum: Double)
 
+/** A finalized per-(app, hour) in-flight row from InflightGauge —
+  * the streaming twin of t_concurrency's sweep output. */
+case class InflightUpdate(app: Long, hour_start: Timestamp,
+    peak_inflight: Long, n_starts: Long)
+
+private case class GaugePoint(t: Long, delta: Long, eventId: Long)
+
+/** InflightGauge state: the running count after every folded point
+  * (`carry`), the out-of-order buffer of points still above the
+  * watermark (`pending` — bounded by the watermark delay × event
+  * rate plus open task durations, the same bound a stream-stream
+  * interval join's buffer has), and per-hour partial aggregates not
+  * yet finalized (`partials`: hour → (peak, n_starts)). */
+private case class GaugeState(carry: Long, pending: List[GaugePoint],
+    partials: Map[Long, (Long, Long)])
+
 object Streams {
 
   val eventSchema: StructType = StructType(Seq(
@@ -278,6 +294,54 @@ object Streams {
       .select(col("timer_id"), col("fire_ts"), col("done_ts"), col("status"),
         ((unix_micros(col("done_ts")) - unix_micros(col("fire_ts"))) / 1000L)
           .cast("long").as("latency_ms"))
+  }
+
+  /** Finalized per-(app, hour) in-flight stats — the streaming twin
+    * of TimerOps.tConcurrency's output rows. */
+  def inflightGauge(events: Dataset[TaskEvent]): Dataset[InflightUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(e => ((e.user_id % 8) + 8) % 8)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (app: Long, it: Iterator[TaskEvent], state: GroupState[GaugeState]) => {
+          val st = state.getOption.getOrElse(GaugeState(0L, Nil, Map.empty))
+          val wm = state.getCurrentWatermarkMs()
+          // +1 at start, −1 at end (end-exclusive: −1 sorts first on
+          // ties) — the same two points per task as the batch sweep;
+          // duration via the exact cents integer (Catalyst Round ≡
+          // BigDecimal HALF_UP)
+          val newPts = it.flatMap { e =>
+            val t0 = e.ts.getTime
+            val dur = java.math.BigDecimal.valueOf(e.value * 100)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            Seq(GaugePoint(t0, 1L, e.event_id), GaugePoint(t0 + dur, -1L, e.event_id))
+          }.toList
+          // a point is foldable once the watermark passes it: no new
+          // event (ts ≥ wm) can produce an earlier point, so the
+          // global time order of everything ≤ wm is complete
+          val (ready, still) = (st.pending ++ newPts).partition(_.t <= wm)
+          var carry = st.carry
+          var partials = st.partials
+          ready.sortBy(p => (p.t, p.delta, p.eventId)).foreach { p =>
+            carry += p.delta
+            val hour = math.floorDiv(p.t, 3600000L) * 3600000L
+            val (pk, ns) = partials.getOrElse(hour, (Long.MinValue, 0L))
+            partials = partials.updated(hour,
+              (math.max(pk, carry), ns + (if (p.delta == 1L) 1L else 0L)))
+          }
+          // an hour is final once the watermark clears its end — any
+          // unfolded point sits at t > wm ≥ hour end
+          val (done, open) = partials.partition { case (h, _) => h + 3600000L <= wm }
+          if (still.isEmpty && open.isEmpty) state.remove()
+          else {
+            state.update(GaugeState(carry, still, open))
+            state.setTimeoutTimestamp(wm + 1L) // re-check on next advance
+          }
+          done.toSeq.sortBy(_._1).iterator.map { case (h, (pk, ns)) =>
+            InflightUpdate(app, new Timestamp(h), pk, ns)
+          }
+        })
   }
 
   // Session state tracks MICROSECONDS — Timestamp.getTime is

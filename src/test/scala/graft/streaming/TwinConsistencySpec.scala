@@ -72,4 +72,66 @@ class TwinConsistencySpec extends SparkSpec {
     assert(streamed.size >= batch.size / 2,
       s"only ${streamed.size} of ${batch.size} sessions closed")
   }
+
+  test("streaming inflightGauge == batch t_concurrency on sf0.001 (all hours finalized)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TaskEvent]
+    val q = Streams.inflightGauge(mem.toDS())
+      .writeStream.format("memory").queryName("twin_gauge").outputMode("append").start()
+    // out-of-order WITHIN batches (natural table order), time-ordered
+    // across batch boundaries like the other twins
+    events.sortBy(_.ts.getTime).grouped(500).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    // two far-future sentinels: the first advances the watermark past
+    // every real task end, the second triggers the timeouts that fold
+    // and emit the final hours (the second also folds the first's own
+    // points — its hour row is filtered out below).
+    val maxT = events.map(_.ts.getTime).max
+    mem.addData(TaskEvent(-1L, new java.sql.Timestamp(maxT + 86400000L), 0L, "view", 0.0))
+    q.processAllAvailable()
+    mem.addData(TaskEvent(-2L, new java.sql.Timestamp(maxT + 2 * 86400000L), 0L, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("twin_gauge").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+      .filter(_._2.getTime <= maxT + 3600000L) // drop sentinel hours
+      .toSet
+    val batch = TimerOps.tConcurrency(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
+  test("inflightGauge is order-insensitive: shuffled batches produce the identical hours") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TaskEvent]
+    val q = Streams.inflightGauge(mem.toDS())
+      .writeStream.format("memory").queryName("twin_gauge_ooo").outputMode("append").start()
+    // deterministic shuffle WITHIN each 500-event window: events reach
+    // the gauge out of time order inside every batch, and only the
+    // watermark-gated buffer keeps the fold order global
+    val rnd = new scala.util.Random(42)
+    events.sortBy(_.ts.getTime).grouped(500).foreach { b =>
+      mem.addData(rnd.shuffle(b): _*); q.processAllAvailable()
+    }
+    val maxT = events.map(_.ts.getTime).max
+    mem.addData(TaskEvent(-1L, new java.sql.Timestamp(maxT + 86400000L), 0L, "view", 0.0))
+    q.processAllAvailable()
+    mem.addData(TaskEvent(-2L, new java.sql.Timestamp(maxT + 2 * 86400000L), 0L, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("twin_gauge_ooo").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+      .filter(_._2.getTime <= maxT + 3600000L)
+      .toSet
+    val batch = TimerOps.tConcurrency(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
 }
