@@ -62,4 +62,56 @@ class CheckpointRecoverySpec extends SparkSpec {
       ("2024-01-15 00:01:00.0", true, 0),
       ("2024-01-15 00:03:00.0", true, 0)), rows.mkString(", "))
   }
+
+  test("inflightGauge carry + pending buffer survive a stop/restart via checkpoint") {
+    val srcDir = Files.createTempDirectory("graft_ckg_src").toString
+    val ckDir = Files.createTempDirectory("graft_ckg_state").toString
+    val outDir = Files.createTempDirectory("graft_ckg_out").toString
+
+    def runOnce(): Unit = {
+      val q = Streams.inflightGauge(
+          Streams.eventStream(spark, srcDir).as[TaskEvent])
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    def drop(name: String, events: TaskEvent*): Unit = {
+      val tmp = s"$srcDir/_$name"
+      events.toDS().repartition(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+
+    // run 1: two overlapping tasks in hour 00 (value 1.0 → 100 ms) —
+    // nothing finalizes (watermark still inside hour 00)
+    drop("g1", ev(1, "2024-01-15 00:10:00", 1), ev(2, "2024-01-15 00:10:00.050", 9))
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 0L)
+
+    // run 2 (fresh query, same checkpoint): far-future events march
+    // the watermark past hour 00 — the RESTARTED state must still
+    // hold both tasks' points to produce peak 2
+    drop("g2", ev(3, "2024-01-16 00:00:00", 1))
+    runOnce()
+    drop("g3", ev(4, "2024-01-17 00:00:00", 1))
+    runOnce()
+
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getLong(3)))
+      .filter(_._2.startsWith("2024-01-15"))
+      .sortBy(_.toString)
+    // both tasks are app 1 (user 1 and user 9 → 9 % 8 = 1): the 50 ms
+    // overlap inside hour 00 peaks at 2, with 2 starts — provable only
+    // if the pre-restart pending points were recovered
+    assert(rows.toSeq == Seq((1L, "2024-01-15 00:00:00.0", 2L, 2L)),
+      rows.mkString(", "))
+  }
 }
