@@ -147,6 +147,53 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental (ingest-time) dedup — the operation a DAILY pipeline
+    * actually runs: not "dedup the corpus against itself" but "dedup
+    * the incoming slice against the standing corpus". Incoming =
+    * doc_id % 10 ∈ {8,9} (a deterministic 20% stand-in for today's
+    * drop, valid at any scale); every incoming doc is classified
+    * `exact` (fingerprint matches a base doc — the md5 the standing
+    * corpus already stores), `near` (MinHash-LSH candidate vs base,
+    * Jaccard ≥ 0.5 verified — same signatures/bands as d_minhash_lsh),
+    * or `new`, with the smallest matching base id for provenance.
+    * Scale shape: at 100 TB the base side's fingerprints and
+    * signatures are PRECOMPUTED index tables (here recomputed from
+    * testdata); both joins are incoming-side-small equi-joins —
+    * fingerprint hash-join + band-bucket collisions, never
+    * incoming × base all-pairs. Exactly one output row per incoming
+    * doc (left joins off the incoming spine). */
+  def dIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val exactOf = fps.filter(pmod(col("doc_id"), lit(10L)) >= 8)
+      .select(col("doc_id"), col("fp"))
+      .join(fps.filter(pmod(col("doc_id"), lit(10L)) < 8)
+        .select(col("fp"), col("doc_id").as("base_fp_id")), Seq("fp"), "left")
+      .groupBy(col("doc_id")).agg(min(col("base_fp_id")).as("exact_of"))
+    val sigs = minhashSigs(s, dir)
+    val bands = minhashBands(sigs)
+    val cand = bands.filter(pmod(col("doc_id"), lit(10L)) >= 8)
+      .join(bands.filter(pmod(col("doc_id"), lit(10L)) < 8)
+        .select(col("band_idx"), col("band_key"), col("doc_id").as("base_id")),
+        Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("base_id"))
+      .distinct()
+    val nearOf = cand
+      .join(sigs.select(col("doc_id"), col("hashes").as("h_i")), "doc_id")
+      .join(sigs.select(col("doc_id").as("base_id"), col("hashes").as("h_b")), "base_id")
+      .withColumn("n_inter", size(array_intersect(col("h_i"), col("h_b"))).cast("long"))
+      .withColumn("uni", size(array_union(col("h_i"), col("h_b"))).cast("long"))
+      .filter(col("n_inter") * 2 >= col("uni"))
+      .groupBy(col("doc_id")).agg(min(col("base_id")).as("near_of"))
+    exactOf.join(nearOf, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("exact_of").isNotNull, "exact")
+          .when(col("near_of").isNotNull, "near")
+          .otherwise("new"))
+      .select(col("doc_id"), col("exact_of"), col("near_of"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash, hamming ≤ 3 near-dup pairs via 16-bit
     * rotate-band blocking: a pair within hamming 3 must agree exactly
     * on ≥1 of the 4 bands (pigeonhole), so candidates are only
@@ -442,9 +489,39 @@ object DedupOps {
     "d_simhash" -> (dSimhash _),
     "d_embed_cosine" -> (dEmbedCosine _),
     "d_dup_groups" -> (dDupGroups _),
+    "d_incremental_dedup" -> (dIncrementalDedup _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
+    // shares minhashSigCtes with d_minhash_lsh / p_fuzzy_decontaminate;
+    // base-vs-incoming split as pure doc_id % 10 predicates
+    "d_incremental_dedup" ->
+      s"""WITH $minhashSigCtes,
+        |fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+        |exact AS (SELECT i.doc_id, min(b.doc_id) AS exact_of
+        |          FROM fp i LEFT JOIN fp b
+        |            ON i.f = b.f AND b.doc_id % 10 < 8
+        |          WHERE i.doc_id % 10 >= 8 GROUP BY i.doc_id),
+        |icand AS (SELECT DISTINCT i.doc_id, b.doc_id AS base_id
+        |          FROM bandkey i JOIN bandkey b
+        |            ON i.band_idx = b.band_idx AND i.band_key = b.band_key
+        |          WHERE i.doc_id % 10 >= 8 AND b.doc_id % 10 < 8),
+        |iinter AS (SELECT c.doc_id, c.base_id, count(*) AS n_inter
+        |           FROM icand c
+        |           JOIN hs hi ON hi.doc_id = c.doc_id
+        |           JOIN hs hb ON hb.doc_id = c.base_id AND hb.h = hi.h
+        |           GROUP BY 1, 2),
+        |inear AS (SELECT i.doc_id, min(i.base_id) AS near_of
+        |          FROM iinter i
+        |          JOIN sizes si ON i.doc_id = si.doc_id
+        |          JOIN sizes sb ON i.base_id = sb.doc_id
+        |          WHERE 2 * i.n_inter >= si.n + sb.n - i.n_inter
+        |          GROUP BY i.doc_id)
+        |SELECT e.doc_id, e.exact_of, n.near_of,
+        |  CASE WHEN e.exact_of IS NOT NULL THEN 'exact'
+        |       WHEN n.near_of IS NOT NULL THEN 'near' ELSE 'new' END AS status
+        |FROM exact e LEFT JOIN inear n ON e.doc_id = n.doc_id
+        |ORDER BY e.doc_id""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents

@@ -220,6 +220,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("d_incremental_dedup: fingerprint + band joins are equi-joins, never incoming×base") {
+    val p = plan(DedupOps.dIncrementalDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
   test("d_semantic_dedup: candidates from a cell equi-join, never all-pairs") {
     val p = plan(SimilarityOps.dSemanticDedup(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)

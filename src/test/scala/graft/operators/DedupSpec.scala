@@ -132,4 +132,38 @@ class DedupSpec extends SparkSpec {
     val nDocs = graft.Tables.documents(spark, sfDir).count()
     assert(total == nDocs, s"group sizes sum $total != $nDocs docs")
   }
+
+  test("incremental dedup: one row per incoming doc; statuses match a naive recompute") {
+    import org.apache.spark.sql.functions._
+    val got = DedupOps.dIncrementalDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getString(3)))
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (incoming, base) = docs.partition(_._1 % 10 >= 8)
+    assert(got.map(_._1).toSeq == incoming.map(_._1).sorted.toSeq,
+      "spine is not exactly the incoming slice")
+    // naive exact: same md5 ⇔ same text
+    val baseByText = base.groupBy(_._2).map { case (t, ds) => t -> ds.map(_._1).min }
+    // naive near: exact jaccard over the same shingle-hash sets
+    val hashes = DedupOps.minhashSigs(spark, sfDir)
+      .select(col("doc_id"), col("hashes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    got.foreach { case (id, exactOf, nearOf, status) =>
+      val text = incoming.find(_._1 == id).get._2
+      val wantExact = baseByText.get(text)
+      assert(exactOf == wantExact, s"doc $id exact_of")
+      val wantNear = base.map(_._1).filter { b =>
+        val (hi, hb) = (hashes(id), hashes(b))
+        2 * (hi & hb).size >= (hi | hb).size
+      }.sorted.headOption
+      assert(nearOf == wantNear, s"doc $id near_of")
+      val want = if (wantExact.isDefined) "exact"
+        else if (wantNear.isDefined) "near" else "new"
+      assert(status == want, s"doc $id status")
+    }
+  }
 }
