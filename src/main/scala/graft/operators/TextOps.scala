@@ -267,6 +267,50 @@ object TextOps {
       .orderBy(col("n").desc, col("gram"))
       .limit(20)
 
+  private[operators] val CmsDepth = 4
+  private[operators] val CmsWidth = 512L
+  private[operators] val CmsSeed = 7
+  private val CmsP = 2147483647L
+
+  /** Count-min-sketch heavy-hitter estimation (Cormode & Muthukrishnan
+    * 2005) — the SKETCH tier of the frequency family: x_ngram_topk is
+    * the exact profile, this is what a 100 TB run keeps when the gram
+    * table itself is too wide to materialize. The sketch is a FIXED
+    * 4×512 counter array — built here as a groupBy over (row, cell),
+    * which IS the mergeable-sketch property (map-side partial counts
+    * merge by addition; executors never exchange more than depth ×
+    * width longs). The top-20 exact grams are then probed back
+    * through the sketch: est = min over rows of the cell counter.
+    * CMS never underestimates — `overcount = cms_est − n ≥ 0` is an
+    * output column, and the spec asserts it plus the ε-bound. All
+    * arithmetic is integer (poly_hash31 + the minhash perm family at
+    * a different seed), so the oracle rebuilds the identical sketch. */
+  def xCmsEstimate(s: SparkSession, dir: String): DataFrame = {
+    val (pa, pb) = graft.functions.MinHashSignature.coeffs(CmsDepth, CmsSeed)
+    val cells = (0 until CmsDepth).map(r =>
+      s"struct(CAST($r AS INT) AS r, pmod(pmod(${pa(r)}L * h + ${pb(r)}L, $CmsP), $CmsWidth) AS c)")
+      .mkString("array(", ", ", ")")
+    val hashed = Tables.documents(s, dir)
+      .withColumn("w", tokens)
+      .select(explode(expr(
+        "transform(sequence(1, greatest(size(w) - 2, 1)), i -> concat_ws(' ', slice(w, i, 3)))"))
+        .as("gram"))
+      .withColumn("h", expr("poly_hash31(gram)"))
+    val counters = hashed
+      .select(explode(expr(cells)).as("x"))
+      .groupBy(col("x.r").as("r"), col("x.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = xNgramTopk(s, dir)
+      .withColumn("h", expr("poly_hash31(gram)"))
+      .select(col("gram"), col("n"), explode(expr(cells)).as("x"))
+      .select(col("gram"), col("n"), col("x.r").as("r"), col("x.c").as("c"))
+    probes.join(broadcast(counters), Seq("r", "c"))
+      .groupBy(col("gram"), col("n"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("n"))
+      .orderBy(col("n").desc, col("gram"))
+  }
+
   /** Chunk-level exact dedup — RefinedWeb/CCNet-style sub-document
     * dedup: fingerprint every 64-word chunk (the xDocChunks tiling)
     * and report chunks appearing in ≥ 2 DISTINCT docs. Catches
@@ -396,6 +440,7 @@ object TextOps {
     "x_tfidf" -> (xTfidf _),
     "x_inverted_index" -> (xInvertedIndex _),
     "x_length_buckets" -> (xLengthBuckets _),
+    "x_cms_estimate" -> (xCmsEstimate _),
   )
 
   /** Static chunk-index headroom for the x_doc_chunks/x_chunk_dedup
@@ -625,5 +670,35 @@ object TextOps {
          |  CAST(sum(bucket - n) AS BIGINT) AS pad_waste,
          |  ${ExactNum.ratioSql("sum(bucket - n)", "sum(bucket)")} AS waste_frac
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // identical sketch rebuilt in-SQL: same gram stream (with
+    // multiplicity), same poly-hash fold, same perm constants (seed 7)
+    "x_cms_estimate" -> {
+      val (pa, pb) = graft.functions.MinHashSignature.coeffs(CmsDepth, CmsSeed)
+      val permRows = (0 until CmsDepth)
+        .map(r => s"(${r}, ${pa(r)}, ${pb(r)})").mkString(", ")
+      val fold =
+        """list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |  list_transform(string_split(gram, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+          |  (acc, ch) -> (acc * 1000003 + ch) % 2147483647)""".stripMargin
+      s"""WITH perms AS (SELECT * FROM (VALUES $permRows) AS v(r, a, b)),
+         |g AS (SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 2)),
+         |        i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS gram
+         |      FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+         |gh AS (SELECT $fold AS h FROM g),
+         |counters AS (SELECT v.r, ((v.a * gh.h + v.b) % $CmsP) % $CmsWidth AS c,
+         |               count(*) AS cnt
+         |             FROM gh CROSS JOIN perms v GROUP BY 1, 2),
+         |top AS (SELECT gram, count(*) AS n FROM g GROUP BY gram
+         |        ORDER BY n DESC, gram LIMIT 20),
+         |th AS (SELECT gram, n, $fold AS h FROM top),
+         |probe AS (SELECT t.gram, t.n, v.r,
+         |            ((v.a * t.h + v.b) % $CmsP) % $CmsWidth AS c
+         |          FROM th t CROSS JOIN perms v)
+         |SELECT p.gram, CAST(p.n AS BIGINT) AS n,
+         |  CAST(min(ct.cnt) AS BIGINT) AS cms_est,
+         |  CAST(min(ct.cnt) - p.n AS BIGINT) AS overcount
+         |FROM probe p JOIN counters ct ON p.r = ct.r AND p.c = ct.c
+         |GROUP BY p.gram, p.n ORDER BY n DESC, p.gram""".stripMargin
+    },
   )
 }

@@ -248,6 +248,38 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("cms estimate: never underestimates, matches a naive in-memory sketch, ε-bounded") {
+    val got = TextOps.xCmsEstimate(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 20)
+    // naive rebuild: same grams, same hash family, same 4×512 array
+    val (pa, pb) = graft.functions.MinHashSignature.coeffs(4, 7)
+    def polyHash(sIn: String): Long =
+      sIn.foldLeft(0L)((acc, ch) => (acc * 1000003L + ch.toLong) % 2147483647L)
+    val grams = graft.Tables.documents(spark, sfDir)
+      .select("text").collect().flatMap { r =>
+        val w = r.getString(0).split(" ", -1)
+        (1 to math.max(w.length - 2, 1)).map(i => w.slice(i - 1, i + 2).mkString(" "))
+      }
+    val counters = Array.fill(4, 512)(0L)
+    grams.foreach { gm =>
+      val h = polyHash(gm)
+      for (r <- 0 until 4) counters(r)((((pa(r) * h + pb(r)) % 2147483647L) % 512L).toInt) += 1
+    }
+    val exact = grams.groupBy(identity).map { case (gm, o) => gm -> o.length.toLong }
+    got.foreach { case (gm, n, est, over) =>
+      assert(n == exact(gm), s"$gm exact count")
+      val h = polyHash(gm)
+      val want = (0 until 4)
+        .map(r => counters(r)((((pa(r) * h + pb(r)) % 2147483647L) % 512L).toInt)).min
+      assert(est == want, s"$gm naive sketch min")
+      assert(over >= 0L, s"$gm underestimate")
+      // ε-bound cushion: expected overcount ≈ N/width per row; the min
+      // over 4 rows stays well under 4·N/width on any real stream
+      assert(over <= 4L * grams.length / 512L + 1L, s"$gm overcount $over too large")
+    }
+  }
+
   test("length buckets: powers of two, conservation, waste accounting") {
     val rows = TextOps.xLengthBuckets(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
