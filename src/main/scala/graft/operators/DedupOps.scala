@@ -106,6 +106,44 @@ object DedupOps {
       .select(col("doc_id"), col("hashes"), col("sig"))
       .cache()
 
+  /** Exact-Jaccard verification of candidate pairs over the shared
+    * shingle-hash sets (τ = 1/2, integer threshold) — ONE
+    * implementation for the LSH self-join, fuzzy decontamination and
+    * incremental dedup, so the threshold and set semantics cannot
+    * drift between them (review r8). `cands` carries (leftId,
+    * rightId); sig frames are (doc_id, hashes) — pre-filter/broadcast
+    * the small side at the call site. Output adds `jaccard` and keeps
+    * only pairs clearing τ. */
+  private[graft] def jaccardVerify(cands: DataFrame,
+      leftSigs: DataFrame, rightSigs: DataFrame,
+      leftId: String, rightId: String): DataFrame =
+    cands
+      .join(leftSigs.select(col("doc_id").as(leftId), col("hashes").as("h_l")), leftId)
+      .join(rightSigs.select(col("doc_id").as(rightId), col("hashes").as("h_r")), rightId)
+      .withColumn("n_inter", size(array_intersect(col("h_l"), col("h_r"))).cast("long"))
+      .withColumn("uni", size(array_union(col("h_l"), col("h_r"))).cast("long"))
+      // integer threshold + integer-space rounding (see dNgramJaccard)
+      .filter(col("n_inter") * 2 >= col("uni"))
+      .withColumn("jaccard", ExactNum.ratio4(col("n_inter"), col("uni")))
+
+  /** SQL mirror of jaccardVerify over a candidate CTE named `cand`
+    * with id columns (leftId, rightId) — emits `inter_<cand>` and
+    * `ver_<cand>(leftId, rightId, jaccard)` on top of the shared
+    * `hs`/`sizes` CTEs of minhashSigCtes. */
+  private[operators] def jaccardVerifySql(
+      cand: String, leftId: String, rightId: String): String =
+    s"""inter_$cand AS (SELECT c.$leftId, c.$rightId, count(*) AS n_inter
+       |  FROM $cand c
+       |  JOIN hs hl ON hl.doc_id = c.$leftId
+       |  JOIN hs hr ON hr.doc_id = c.$rightId AND hr.h = hl.h
+       |  GROUP BY 1, 2),
+       |ver_$cand AS (SELECT i.$leftId, i.$rightId,
+       |    ${ExactNum.ratioSql("i.n_inter", "sl.n + sr.n - i.n_inter")} AS jaccard
+       |  FROM inter_$cand i
+       |  JOIN sizes sl ON i.$leftId = sl.doc_id
+       |  JOIN sizes sr ON i.$rightId = sr.doc_id
+       |  WHERE 2 * i.n_inter >= sl.n + sr.n - i.n_inter)""".stripMargin
+
   /** Banded LSH keys (8 bands × 8 rows) off a minhashSigs frame. */
   private[graft] def minhashBands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
@@ -135,15 +173,8 @@ object DedupOps {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
-    cands
-      .join(sigs.select(col("doc_id").as("id_a"), col("hashes").as("h_a")), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("hashes").as("h_b")), "id_b")
-      .withColumn("n_inter", size(array_intersect(col("h_a"), col("h_b"))).cast("long"))
-      .withColumn("uni", size(array_union(col("h_a"), col("h_b"))).cast("long"))
-      // integer threshold + integer-space rounding (see dNgramJaccard)
-      .filter(col("n_inter") * 2 >= col("uni"))
-      .select(col("id_a"), col("id_b"),
-        ExactNum.ratio4(col("n_inter"), col("uni")).as("jaccard"))
+    jaccardVerify(cands, sigs, sigs, "id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -178,12 +209,7 @@ object DedupOps {
         Seq("band_idx", "band_key"))
       .select(col("doc_id"), col("base_id"))
       .distinct()
-    val nearOf = cand
-      .join(sigs.select(col("doc_id"), col("hashes").as("h_i")), "doc_id")
-      .join(sigs.select(col("doc_id").as("base_id"), col("hashes").as("h_b")), "base_id")
-      .withColumn("n_inter", size(array_intersect(col("h_i"), col("h_b"))).cast("long"))
-      .withColumn("uni", size(array_union(col("h_i"), col("h_b"))).cast("long"))
-      .filter(col("n_inter") * 2 >= col("uni"))
+    val nearOf = jaccardVerify(cand, sigs, sigs, "doc_id", "base_id")
       .groupBy(col("doc_id")).agg(min(col("base_id")).as("near_of"))
     exactOf.join(nearOf, Seq("doc_id"), "left")
       .withColumn("status",
@@ -469,17 +495,8 @@ object DedupOps {
        |         FROM bandkey x JOIN bandkey y
        |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
        |             AND x.doc_id < y.doc_id),
-       |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-       |          FROM cand c
-       |          JOIN hs ha ON ha.doc_id = c.id_a
-       |          JOIN hs hb ON hb.doc_id = c.id_b AND hb.h = ha.h
-       |          GROUP BY c.id_a, c.id_b),
-       |lshpairs AS (SELECT i.id_a, i.id_b,
-       |    ${ExactNum.ratioSql("i.n_inter", "sa.n + sb.n - i.n_inter")} AS jaccard
-       |  FROM inter i
-       |  JOIN sizes sa ON i.id_a = sa.doc_id
-       |  JOIN sizes sb ON i.id_b = sb.doc_id
-       |  WHERE 2 * i.n_inter >= sa.n + sb.n - i.n_inter)""".stripMargin
+       |${jaccardVerifySql("cand", "id_a", "id_b")},
+       |lshpairs AS (SELECT id_a, id_b, jaccard FROM ver_cand)""".stripMargin
   }
 
   val queries: ListMap[String, Q] = ListMap(
@@ -506,17 +523,9 @@ object DedupOps {
         |          FROM bandkey i JOIN bandkey b
         |            ON i.band_idx = b.band_idx AND i.band_key = b.band_key
         |          WHERE i.doc_id % 10 >= 8 AND b.doc_id % 10 < 8),
-        |iinter AS (SELECT c.doc_id, c.base_id, count(*) AS n_inter
-        |           FROM icand c
-        |           JOIN hs hi ON hi.doc_id = c.doc_id
-        |           JOIN hs hb ON hb.doc_id = c.base_id AND hb.h = hi.h
-        |           GROUP BY 1, 2),
-        |inear AS (SELECT i.doc_id, min(i.base_id) AS near_of
-        |          FROM iinter i
-        |          JOIN sizes si ON i.doc_id = si.doc_id
-        |          JOIN sizes sb ON i.base_id = sb.doc_id
-        |          WHERE 2 * i.n_inter >= si.n + sb.n - i.n_inter
-        |          GROUP BY i.doc_id)
+        |${jaccardVerifySql("icand", "doc_id", "base_id")},
+        |inear AS (SELECT doc_id, min(base_id) AS near_of
+        |          FROM ver_icand GROUP BY doc_id)
         |SELECT e.doc_id, e.exact_of, n.near_of,
         |  CASE WHEN e.exact_of IS NOT NULL THEN 'exact'
         |       WHEN n.near_of IS NOT NULL THEN 'near' ELSE 'new' END AS status

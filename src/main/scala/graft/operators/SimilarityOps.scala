@@ -109,17 +109,27 @@ object SimilarityOps {
     * for sAnnIvf and sKmeansAssign. Driver-side on ≤ SampleCap rows
     * by design; the full table only ever flows through the
     * NearestCentroid expression. */
+  /** The bounded training sample, collected ONCE — PQ trains four
+    * subspace codebooks off the same rows, which would otherwise be
+    * four identical scan+collect jobs (review r8). */
+  private[graft] def collectTrainSample(
+      s: SparkSession, dir: String): Array[(Long, Array[Float])] =
+    ivfTrainSample(s, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
   private[graft] def trainCentroids(
       s: SparkSession, dir: String, nlist: Int,
+      off: Int = 0, len: Int = -1): Array[Array[Double]] =
+    trainCentroidsFrom(collectTrainSample(s, dir), nlist, off, len)
+
+  private[graft] def trainCentroidsFrom(
+      raw: Array[(Long, Array[Float])], nlist: Int,
       off: Int = 0, len: Int = -1): Array[Array[Double]] = {
-    val sample = ivfTrainSample(s, dir)
-      .collect()
-      .map { r =>
-        val full = r.getSeq[Float](1)
-        val sub = if (len < 0) full else full.slice(off, off + len)
-        (r.getLong(0), sub.map(_.toDouble).toArray)
-      }
-      .sortBy(_._1)
+    val sample = raw.map { case (id, full) =>
+      val sub = if (len < 0) full else full.slice(off, off + len)
+      (id, sub.map(_.toDouble))
+    }
     var cents: Array[Array[Double]] = sample.take(nlist).map(_._2.clone())
     def l2(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var i = 0
@@ -337,7 +347,8 @@ object SimilarityOps {
     * Shared by sPqCodebook (reconstruction) and sAnnPq (ADC scan). */
   private def pqEncoded(s: SparkSession, dir: String)
       : (IndexedSeq[Array[Array[Double]]], DataFrame) = {
-    val cents = (0 until PqM).map(m => trainCentroids(s, dir, PqK, m * PqSub, PqSub))
+    val sample = collectTrainSample(s, dir)
+    val cents = (0 until PqM).map(m => trainCentroidsFrom(sample, PqK, m * PqSub, PqSub))
     val centArrs = cents.map(cb =>
       array(cb.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit(_)): _*)): _*))
     var df = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))

@@ -349,10 +349,18 @@ object TextOps {
     * never the corpus; the top-K per source is a window over
     * per-source vocabulary rows. */
   def xTfidf(s: SparkSession, dir: String): DataFrame = {
-    val w = Tables.documents(s, dir)
+    // ONE corpus pass: the explode partial-aggregates into a
+    // vocabulary×docs-sized (term, source, doc_id) frame, cached; tf
+    // and df are both tiny rollups of it (the un-cached two-branch
+    // form ran the dominant explode twice — review r8)
+    val perDoc = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), explode(tokens).as("term"))
-    val tf = w.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = w.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      .groupBy(col("term"), col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+      .cache()
+    val tf = perDoc.groupBy(col("source"), col("term")).agg(sum(col("c")).as("tf"))
+    val dfreq = perDoc.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
     val win = Window.partitionBy(col("source")).orderBy(col("score").desc, col("term"))
     tf.join(dfreq, "term")
       .withColumn("score", expr(s"(tf * ${TfidfScale}L) div df"))
@@ -391,11 +399,16 @@ object TextOps {
     * Spark via expr() and interpolated verbatim into the DuckDB
     * oracle (the two cannot drift). Integer compares only: the
     * "next power of two" needs no log2 (a transcendental the engine
-    * deliberately has none of). */
+    * deliberately has none of). The ladder runs to 2²⁰ (a
+    * million-token doc — beyond any real context) so a long doc can
+    * always fit its bucket: a capped ladder would assign bucket < n
+    * and report NEGATIVE padding waste (caught in review r8). */
+  private[operators] val BucketLadder: Seq[Long] =
+    Iterator.iterate(16L)(_ * 2).takeWhile(_ <= (1L << 20)).toSeq
   private val bucketCaseSql: String =
-    (Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+    (BucketLadder.init
       .map(b => s"WHEN n <= $b THEN CAST($b AS BIGINT)")
-      .mkString("CASE ", " ", " ELSE CAST(4096 AS BIGINT) END"))
+      .mkString("CASE ", " ", s" ELSE CAST(${BucketLadder.last} AS BIGINT) END"))
 
   /** Length bucketing — the batching layout step of an inference or
     * packing-free training pipeline: group docs into power-of-two

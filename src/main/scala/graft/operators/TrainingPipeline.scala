@@ -167,15 +167,10 @@ object TrainingPipeline {
       .join(broadcast(evalBands), Seq("band_idx", "band_key"))
       .select(col("doc_id"), col("eval_id"))
       .distinct()
-    val verified = cands
-      .join(sigs.select(col("doc_id"), col("hashes").as("h_t")), "doc_id")
-      .join(broadcast(sigs.filter(isEval)
-        .select(col("doc_id").as("eval_id"), col("hashes").as("h_e"))), "eval_id")
-      .withColumn("n_inter", size(array_intersect(col("h_t"), col("h_e"))).cast("long"))
-      .withColumn("uni", size(array_union(col("h_t"), col("h_e"))).cast("long"))
-      // integer threshold (τ = 0.5, the d_minhash_lsh convention)
-      .filter(col("n_inter") * 2 >= col("uni"))
-      .withColumn("jaccard", ExactNum.ratio4(col("n_inter"), col("uni")))
+    // shared verify (τ = 0.5, the d_minhash_lsh convention); the
+    // constant-bounded eval sig side rides in as a broadcast
+    val verified = DedupOps.jaccardVerify(cands,
+      sigs, broadcast(sigs.filter(isEval)), "doc_id", "eval_id")
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("jaccard").desc, col("eval_id"))
     verified.withColumn("rn", row_number().over(w))
@@ -393,21 +388,11 @@ object TrainingPipeline {
           |            ON t.band_idx = e.band_idx AND t.band_key = e.band_key
           |          WHERE e.doc_id % 20 = 0 AND e.doc_id < ${20L * EvalDocs}
           |            AND t.doc_id % 20 <> 0),
-          |einter AS (SELECT c.doc_id, c.eval_id, count(*) AS n_inter
-          |           FROM ecand c
-          |           JOIN hs ht ON ht.doc_id = c.doc_id
-          |           JOIN hs he ON he.doc_id = c.eval_id AND he.h = ht.h
-          |           GROUP BY 1, 2),
-          |ever AS (SELECT i.doc_id, i.eval_id,
-          |           ${ExactNum.ratioSql("i.n_inter", "st.n + se.n - i.n_inter")} AS jaccard
-          |         FROM einter i
-          |         JOIN sizes st ON i.doc_id = st.doc_id
-          |         JOIN sizes se ON i.eval_id = se.doc_id
-          |         WHERE 2 * i.n_inter >= st.n + se.n - i.n_inter),
+          |${DedupOps.jaccardVerifySql("ecand", "doc_id", "eval_id")},
           |rnk AS (SELECT doc_id, eval_id, jaccard,
           |          row_number() OVER (PARTITION BY doc_id
           |            ORDER BY jaccard DESC, eval_id) AS rn
-          |        FROM ever)
+          |        FROM ver_ecand)
           |SELECT doc_id, count(*) AS n_eval_near,
           |  max(CASE WHEN rn = 1 THEN eval_id END) AS best_eval_id,
           |  max(jaccard) AS max_jaccard

@@ -301,6 +301,11 @@ object Streams {
   def inflightGauge(events: Dataset[TaskEvent]): Dataset[InflightUpdate] = {
     import events.sparkSession.implicits._
     events
+      // the batch twin's NULL guard: a malformed record must be
+      // skipped, not NPE inside the state function and kill the query
+      // (value is a primitive — a NULL there is rejected upstream at
+      // the Dataset decode, same as every job in this package)
+      .filter(_.ts != null)
       .withWatermark("ts", "10 minutes")
       .groupByKey(e => ((e.user_id % 8) + 8) % 8)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(

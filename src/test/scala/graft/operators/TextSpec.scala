@@ -294,11 +294,13 @@ class TextSpec extends SparkSpec {
       assert(padWaste == bucket * nDocs - totalTokens, s"bucket $bucket waste")
       assert(wasteFrac >= 0.0 && wasteFrac < 1.0, s"bucket $bucket frac")
       // every doc in the bucket fits, and wouldn't fit the next smaller
-      val members = lens.filter(n =>
-        (if (n <= 16) 16L
-         else if (n > 2048) 4096L
-         else Iterator.iterate(16L)(_ * 2).dropWhile(_ < n).next()) == bucket)
+      def bucketOf(n: Long): Long =
+        TextOps.BucketLadder.find(_ >= n).getOrElse(TextOps.BucketLadder.last)
+      val members = lens.filter(n => bucketOf(n) == bucket)
       assert(members.length.toLong == nDocs, s"bucket $bucket membership")
+      // the ladder always fits the doc (no negative waste possible
+      // below the 2^20 ceiling)
+      members.foreach(n => assert(bucket >= n, s"doc of $n tokens in short bucket $bucket"))
     }
   }
 }
