@@ -335,6 +335,34 @@ object RelationalOps {
         sum4(col("o_totalprice")).as("revenue"))
       .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
 
+  /** INTERSECT — the set operator the inventory lacked (q16 covers
+    * UNION): customers ordering in BOTH halves of 1996. Spark's
+    * `intersect` plans as a left-semi join over distincts — no
+    * full materialization of either side beyond the dedup shuffle. */
+  def q25Intersect(s: SparkSession, dir: String): DataFrame = {
+    def half(from: String, until: String) =
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp"))
+        .select(col("o_custkey"))
+    half("1996-01-01", "1996-07-01")
+      .intersect(half("1996-07-01", "1997-01-01"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** EXCEPT — churn framing: customers who ordered in H1 1996 but
+    * never in H2 (left-anti over distincts). */
+  def q26Except(s: SparkSession, dir: String): DataFrame = {
+    def half(from: String, until: String) =
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp"))
+        .select(col("o_custkey"))
+    half("1996-01-01", "1996-07-01")
+      .except(half("1996-07-01", "1997-01-01"))
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_agg" -> (q1Agg _),
     "q2_topk" -> (q2Topk _),
@@ -360,6 +388,8 @@ object RelationalOps {
     "q22_having" -> (q22Having _),
     "q23_range_join" -> (q23RangeJoin _),
     "q24_cube" -> (q24Cube _),
+    "q25_intersect" -> (q25Intersect _),
+    "q26_except" -> (q26Except _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -546,5 +576,19 @@ object RelationalOps {
         |FROM orders
         |GROUP BY CUBE(o_orderpriority, o_orderstatus)
         |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin,
+    "q25_intersect" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+    "q26_except" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_custkey""".stripMargin,
   )
 }

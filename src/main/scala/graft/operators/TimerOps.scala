@@ -288,6 +288,27 @@ object TimerOps {
       .orderBy(col("app"), col("hour_start"))
   }
 
+  /** Heartbeat coverage — the monitor's "were there minutes with no
+    * activity?" gap question (the unexeced gauge's
+    * ReportTimerUnexecedRecord watches exactly this absence), as a
+    * batch rollup: per (app, day), how many of the day's 1440
+    * calendar minutes saw at least one task, the exact coverage
+    * fraction, and the missing-minute count. Scale shape: per-row
+    * minute truncation, partial-agg groupBy — the distinct-minute
+    * state is bounded at 1440 per group no matter the event volume. */
+  def tCoverage(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(pmod(col("user_id"), lit(8L)).as("app"),
+        date_trunc("day", col("ts")).as("day"),
+        minuteCol(col("ts")).as("minute"))
+      .groupBy(col("app"), col("day"))
+      .agg(countDistinct(col("minute")).as("n_active_minutes"),
+        count(lit(1)).as("n_tasks"))
+      .withColumn("coverage_frac", ratio4(col("n_active_minutes"), lit(1440L)))
+      .withColumn("n_missing_minutes", lit(1440L) - col("n_active_minutes"))
+      .orderBy(col("app"), col("day"))
+
   /** Idempotent dedup on (timer_id, minute), keep earliest — the
     * task table's unique index idx_def_timer on (timer_id, run_timer)
     * (gotimer_web/dao/task/po.go). */
@@ -385,6 +406,7 @@ object TimerOps {
     "t_sla_percentile" -> (tSlaPercentile _),
     "t_exec_delay" -> (tExecDelay _),
     "t_concurrency" -> (tConcurrency _),
+    "t_coverage" -> (tCoverage _),
     "t_task_dedup" -> (tTaskDedup _),
     "t_stream_window_agg" -> (tStreamWindowAgg _),
     "t_sessionize" -> (tSessionize _),
@@ -489,6 +511,15 @@ object TimerOps {
         |  CAST(max(conc) AS BIGINT) AS peak_inflight,
         |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
         |FROM run GROUP BY 1, 2 ORDER BY app, hour_start""".stripMargin,
+    "t_coverage" ->
+      s"""SELECT user_id % 8 AS app,
+         |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |  count(DISTINCT strftime(ts, '%Y-%m-%d %H:%M')) AS n_active_minutes,
+         |  count(*) AS n_tasks,
+         |  ${ratioSql("count(DISTINCT strftime(ts, '%Y-%m-%d %H:%M'))", "1440")} AS coverage_frac,
+         |  1440 - count(DISTINCT strftime(ts, '%Y-%m-%d %H:%M')) AS n_missing_minutes
+         |FROM events WHERE ts IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY app, day""".stripMargin,
     "t_sla_percentile" ->
       s"""WITH d AS (SELECT $statusSql AS status, value,
          |             CAST(round(value * 100, 0) AS BIGINT) AS vc
