@@ -220,6 +220,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q25/q26: set operators plan as semi/anti joins over dedup, no multiplicity") {
+    val p25 = plan(RelationalOps.q25Intersect(spark, sfDir))
+    assert(p25.contains("LeftSemi"), p25)
+    val p26 = plan(RelationalOps.q26Except(spark, sfDir))
+    assert(p26.contains("LeftAnti"), p26)
+  }
+
+  test("t_coverage: partial-agg rollup, bounded distinct state, no joins") {
+    val p = plan(TimerOps.tCoverage(spark, sfDir))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("d_incremental_dedup: fingerprint + band joins are equi-joins, never incoming×base") {
     val p = plan(DedupOps.dIncrementalDedup(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
