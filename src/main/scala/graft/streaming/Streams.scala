@@ -56,6 +56,17 @@ case class InflightUpdate(app: Long, hour_start: Timestamp,
 
 private case class GaugePoint(t: Long, delta: Long, eventId: Long)
 
+/** A proven-quiet minute emitted by GapMonitor: no task of this app
+  * ran in [minute_start, minute_start + 1 min), and the watermark has
+  * passed the minute's end so none can arrive anymore. */
+case class MinuteGap(app: Long, minute_start: Timestamp)
+
+/** GapMonitor state: minutes (ms epoch, minute-aligned) seen with ≥1
+  * event at or above the emission frontier, and the frontier itself
+  * (everything below is already classified). Bounded by the watermark
+  * delay: seen entries below the frontier are evicted each trigger. */
+private case class GapState(seen: Set[Long], emittedThrough: Long)
+
 /** InflightGauge state: the running count after every folded point
   * (`carry`), the out-of-order buffer of points still above the
   * watermark (`pending` — bounded by the watermark delay × event
@@ -294,6 +305,49 @@ object Streams {
       .select(col("timer_id"), col("fire_ts"), col("done_ts"), col("status"),
         ((unix_micros(col("done_ts")) - unix_micros(col("fire_ts"))) / 1000L)
           .cast("long").as("latency_ms"))
+  }
+
+  /** Continuous heartbeat-gap detection — the deadman-switch question
+    * a TIMER platform actually monitors (the reference's unexeced
+    * gauge alerts on minutes where scheduled work did NOT run;
+    * t_coverage is the batch rollup of the same absence): per app,
+    * emit every minute that provably saw no task. Absence cannot be
+    * observed from arriving rows — it needs TIME to pass — so this is
+    * keyed state + event-time timeouts: each watermark advance
+    * re-invokes every app's group, the frontier moves to the minute
+    * the watermark has fully cleared, and every uncovered minute
+    * between the old and new frontier is emitted exactly once. An app
+    * that stops sending entirely keeps emitting gaps on other apps'
+    * watermark progress — exactly the alert a silent producer should
+    * trigger. Gaps start at the app's first observed minute (the
+    * monitor arms on first heartbeat). */
+  def gapMonitor(events: Dataset[TaskEvent]): Dataset[MinuteGap] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(_.ts != null)
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(e => ((e.user_id % 8) + 8) % 8)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (app: Long, it: Iterator[TaskEvent], state: GroupState[GapState]) => {
+          val wm = state.getCurrentWatermarkMs()
+          val newMinutes = it
+            .map(e => math.floorDiv(e.ts.getTime, 60000L) * 60000L).toSet
+          val st = state.getOption.getOrElse(GapState(Set.empty, newMinutes.min))
+          // a minute is classifiable once the watermark clears its end:
+          // every minute strictly below the watermark's own minute
+          val frontier = math.floorDiv(wm, 60000L) * 60000L
+          val seen = st.seen ++ newMinutes
+          val out = scala.collection.mutable.ArrayBuffer.empty[MinuteGap]
+          var m = st.emittedThrough
+          while (m < frontier) {
+            if (!seen.contains(m)) out += MinuteGap(app, new Timestamp(m))
+            m += 60000L
+          }
+          val through = math.max(st.emittedThrough, frontier)
+          state.update(GapState(seen.filter(_ >= through), through))
+          state.setTimeoutTimestamp(wm + 1L) // re-arm on next advance
+          out.iterator
+        })
   }
 
   /** Finalized per-(app, hour) in-flight stats — the streaming twin

@@ -337,4 +337,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("es").count() == 2)
     assert(spark.table("es").schema == Streams.eventSchema)
   }
+
+  test("gapMonitor: uncovered minutes emit once finalized; quiet app alerts on others' progress") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TaskEvent]
+    val q = Streams.gapMonitor(mem.toDS())
+      .writeStream.format("memory").queryName("gaps").outputMode("append").start()
+    // app 1 heartbeats at :00, :01, :04 then goes SILENT; app 2 keeps
+    // running and its events march the shared watermark forward
+    mem.addData(
+      ev(1, "2024-01-15 00:00:10", 1), ev(2, "2024-01-15 00:01:20", 1),
+      ev(3, "2024-01-15 00:04:30", 1), ev(4, "2024-01-15 00:00:05", 2))
+    q.processAllAvailable()
+    mem.addData(ev(5, "2024-01-15 00:20:00", 2)) // wm → 00:10
+    q.processAllAvailable()
+    mem.addData(ev(6, "2024-01-15 00:40:00", 2)) // wm → 00:30
+    q.processAllAvailable()
+    q.stop()
+
+    val gaps = spark.table("gaps").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+    def g(app: Long, mm: String) = (app, s"2024-01-15 00:$mm:00.0")
+    // app 1: armed at :00; :02, :03 were inside its active span; from
+    // :05 on it is silent — app 2's watermark progress (through 00:30)
+    // keeps PROVING app 1's minutes quiet: the deadman alert
+    val app1Expected = Set("02", "03") ++ (5 to 29).map(m => f"$m%02d")
+    assert(gaps.filter(_._1 == 1L) == app1Expected.map(g(1L, _)),
+      s"app1 gaps: ${gaps.filter(_._1 == 1L).toSeq.sortBy(_._2).mkString(",")}")
+    // app 2 ran at :00, :20, :40 — everything between, below wm, is a gap
+    val app2Expected = ((1 to 19) ++ (21 to 29)).map(m => f"$m%02d").toSet
+    assert(gaps.filter(_._1 == 2L) == app2Expected.map(g(2L, _)))
+    // exactly-once: no duplicate (app, minute) rows
+    assert(spark.table("gaps").count() == gaps.size)
+  }
 }
