@@ -252,6 +252,36 @@ object Streams {
         })
   }
 
+  /** Retention-bounded dedup — the deployment knob the unbounded form
+    * above trades away: suppress duplicates only within `retention`
+    * of the fingerprint's last sighting (sliding TTL), after which
+    * the key is EVICTED and the content may pass again. This caps
+    * state at (arrival rate × retention) distinct keys instead of
+    * "every document ever", which is how a production ingest dedups
+    * on the stream while periodic batch compaction (d_exact_dedup)
+    * catches cross-window repeats — the same stream-fast/batch-exact
+    * split StreamingFunnel documents for near-dups. Processing-time
+    * timeout because content identity has no event time. */
+  def streamingDedupWithin(docs: Dataset[DocEvent],
+      retention: String = "30 minutes",
+      keyFn: DocEvent => String = rawKey): Dataset[DocEvent] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (_: String, it: Iterator[DocEvent], state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            state.setTimeoutDuration(retention) // sliding: sighting refreshes
+            Iterator.empty
+          } else {
+            state.update(true)
+            state.setTimeoutDuration(retention)
+            Iterator.single(it.minBy(_.doc_id))
+          }
+        })
+  }
+
   /** The TrainingPipeline funnel on an unbounded ingest stream:
     * cross-batch exact dedup (keyed state), then the SAME per-doc
     * feature/filter expressions the batch pipeline uses (language ID,

@@ -338,6 +338,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("es").schema == Streams.eventSchema)
   }
 
+  test("streamingDedupWithin: duplicate suppressed inside retention, passes after eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    // NOTE: processing-time timeouts force the engine to run batches
+    // continuously (FlatMapGroupsWithStateExec.shouldRunAnotherBatch
+    // is always true), so processAllAvailable never observes a
+    // no-new-data quiesce and would hang — poll the sink instead.
+    val q = Streams.streamingDedupWithin(mem.toDS(), retention = "3 seconds")
+      .writeStream.format("memory").queryName("dedup_ttl").outputMode("append").start()
+    def waitCount(n: Long): Unit = {
+      val end = System.currentTimeMillis + 60000
+      while (spark.table("dedup_ttl").count() < n && System.currentTimeMillis < end)
+        Thread.sleep(100)
+      assert(spark.table("dedup_ttl").count() >= n, s"sink never reached $n rows")
+    }
+    mem.addData(DocEvent(1, "same text"))
+    waitCount(1)
+    mem.addData(DocEvent(2, "same text")) // well inside retention → suppressed
+    mem.addData(DocEvent(3, "other"))
+    waitCount(2)
+    Thread.sleep(7000) // let the sliding TTL lapse (batches keep running)
+    mem.addData(DocEvent(4, "same text")) // key evicted → passes again
+    waitCount(3)
+    q.stop()
+    val ids = spark.table("dedup_ttl").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L, 4L), s"got $ids")
+  }
+
   test("gapMonitor: uncovered minutes emit once finalized; quiet app alerts on others' progress") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
