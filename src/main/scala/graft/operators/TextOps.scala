@@ -267,6 +267,38 @@ object TextOps {
       .orderBy(col("n").desc, col("gram"))
       .limit(20)
 
+  private[operators] val VocabK = 16
+
+  /** Vocabulary-coverage quality scoring — the integer-exact analog
+    * of CCNet's LM-perplexity filter: a doc whose tokens mostly fall
+    * OUTSIDE the corpus's top-K vocabulary is jargon, noise or the
+    * wrong language, and coverage is a pure count ratio (no floats,
+    * no trained LM — the deliberately mirrorable stand-in for a
+    * real LM scorer). Per doc: token occurrences, occurrences inside
+    * the top-VocabK corpus vocabulary (count desc, term asc ties;
+    * K=16 here — the synthetic corpus has ~31 distinct terms, so a
+    * production-sized K would degenerately cover everything),
+    * exact coverage fraction. Plan shape: the vocabulary is a
+    * TakeOrdered over the partial-agged term counts (constant-sized
+    * output) joined BROADCAST back onto the token stream — the
+    * corpus is scanned twice but never shuffled; at 100 TB the vocab
+    * is trained once and persisted, making the scoring pass a single
+    * broadcast-join scan. */
+  def xVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(VocabK)
+      .select(col("term"))
+    toks.join(broadcast(vocab).withColumn("in_vocab", lit(1L)), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_in_vocab"))
+      .withColumn("coverage", ExactNum.ratio4(col("n_in_vocab"), col("n_tokens")))
+      .orderBy(col("doc_id"))
+  }
+
   private[operators] val CmsDepth = 4
   private[operators] val CmsWidth = 512L
   private[operators] val CmsSeed = 7
@@ -454,6 +486,7 @@ object TextOps {
     "x_inverted_index" -> (xInvertedIndex _),
     "x_length_buckets" -> (xLengthBuckets _),
     "x_cms_estimate" -> (xCmsEstimate _),
+    "x_vocab_coverage" -> (xVocabCoverage _),
   )
 
   /** Static chunk-index headroom for the x_doc_chunks/x_chunk_dedup
@@ -713,5 +746,19 @@ object TextOps {
          |FROM probe p JOIN counters ct ON p.r = ct.r AND p.c = ct.c
          |GROUP BY p.gram, p.n ORDER BY n DESC, p.gram""".stripMargin
     },
+    // vocabulary CTE mirrors the TakeOrdered tie rule (n desc, term)
+    "x_vocab_coverage" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |             FROM documents),
+         |vocab AS (SELECT term FROM (
+         |            SELECT term, count(*) AS n FROM toks GROUP BY term
+         |            ORDER BY n DESC, term LIMIT $VocabK)),
+         |j AS (SELECT t.doc_id,
+         |        CASE WHEN v.term IS NULL THEN 0 ELSE 1 END AS in_vocab
+         |      FROM toks t LEFT JOIN vocab v ON t.term = v.term)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(in_vocab) AS BIGINT) AS n_in_vocab,
+         |  ${ExactNum.ratioSql("sum(in_vocab)", "count(*)")} AS coverage
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

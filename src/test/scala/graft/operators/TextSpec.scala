@@ -280,6 +280,26 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("vocab coverage: naive recompute agrees; coverage discriminates docs") {
+    val got = TextOps.xVocabCoverage(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    assert(got.length == docs.length)
+    val freq = docs.flatMap(_._2).groupBy(identity).map { case (t, o) => t -> o.length }
+    val vocab = freq.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(TextOps.VocabK).map(_._1).toSet
+    got.foreach { case (id, nTok, nIn, cov) =>
+      val toks = docs.find(_._1 == id).get._2
+      assert(nTok == toks.length, s"doc $id token count")
+      assert(nIn == toks.count(vocab), s"doc $id in-vocab count")
+      assert(cov >= 0.0 && cov <= 1.0)
+    }
+    // the signal separates docs on this corpus (not degenerate 1.0s)
+    assert(got.map(_._4).distinct.length > 10, "coverage is degenerate")
+  }
+
   test("length buckets: powers of two, conservation, waste accounting") {
     val rows = TextOps.xLengthBuckets(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
