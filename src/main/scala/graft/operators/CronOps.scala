@@ -64,16 +64,54 @@ object CronOps {
       .select(col("timer_id"), col("run_timer"), lit(0).as("task_status"))
       .orderBy(col("timer_id"), col("run_timer"))
 
+  /** Fire-rate audit — THE health metric of a timer platform: did
+    * every scheduled activation actually run? Expected activations =
+    * the migrator expansion (enabled timers × cron over the window);
+    * observed firings = distinct (timer, minute) events. Per timer:
+    * expected / fired / missed counts and the exact miss rate — the
+    * reference answers this by diffing the task table's NotRunned
+    * rows against run_timer (the unexeced gauge's numerator); here
+    * it is one left join on (timer_id, minute). Scale: the expansion
+    * is explode-parallel, the observed side is a distinct over the
+    * (pruned) window scan, and the join + rollup shuffle on
+    * timer_id — activations ≪ raw events. */
+  def tMissRate(s: SparkSession, dir: String): DataFrame = {
+    val expected = timers(s, dir)
+      .filter(col("status") === 1)
+      .withColumn("run_timer", explode(expr(
+        s"cron_times(cron, TIMESTAMP '$WinStart', TIMESTAMP '$WinEnd')")))
+      .select(col("timer_id"), col("run_timer"))
+    val observed = Tables.events(s, dir)
+      .filter(col("ts") >= lit(WinStart).cast("timestamp") &&
+        col("ts") < lit(ObsEnd).cast("timestamp"))
+      .select(col("user_id").as("timer_id"),
+        date_trunc("minute", col("ts")).as("run_timer"))
+      .distinct()
+      .withColumn("fired", lit(1L))
+    expected.join(observed, Seq("timer_id", "run_timer"), "left")
+      .groupBy(col("timer_id"))
+      .agg(count(lit(1)).as("n_expected"),
+        sum(coalesce(col("fired"), lit(0L))).as("n_fired"))
+      .withColumn("n_missed", col("n_expected") - col("n_fired"))
+      .withColumn("miss_rate", ExactNum.ratio4(col("n_missed"), col("n_expected")))
+      .orderBy(col("timer_id"))
+  }
+
+  /** Observed-side scan bound: one minute past WinEnd so the trailing
+    * WinEnd activation's minute is fully covered. */
+  private val ObsEnd = "2024-01-15 02:01:00"
+
   val queries: ListMap[String, Q] = ListMap(
     "t_cron_expand" -> (tCronExpand _),
     "t_migrator_batch" -> (tMigratorBatch _),
+    "t_miss_rate" -> (tMissRate _),
   )
 
-  /** Oracle: static minute series over the window (inclusive end —
-    * mirroring the NextsBetween trailing activation), joined on the
-    * "*\/K" minute-of-hour divisibility rule, strictly after start. */
-  private def expandSql(statusFilter: String, select: String): String =
-    s"""WITH timers AS (
+  /** Shared oracle prefix: derived timers + the static minute series
+    * over the window (inclusive end — mirroring the NextsBetween
+    * trailing activation). */
+  private val timersSeriesCtes: String =
+    s"""timers AS (
        |  SELECT DISTINCT user_id AS timer_id,
        |    (user_id % 4 + 1) * 5 AS step_min,
        |    '*/' || CAST((user_id % 4 + 1) * 5 AS VARCHAR) || ' * * * *' AS cron,
@@ -81,7 +119,12 @@ object CronOps {
        |  FROM events),
        |series AS (
        |  SELECT ts FROM generate_series(TIMESTAMP '$WinStart',
-       |    TIMESTAMP '$WinEnd', INTERVAL 1 MINUTE) g(ts))
+       |    TIMESTAMP '$WinEnd', INTERVAL 1 MINUTE) g(ts))""".stripMargin
+
+  /** Expansion join on the "*\/K" minute-of-hour divisibility rule,
+    * strictly after start. */
+  private def expandSql(statusFilter: String, select: String): String =
+    s"""WITH $timersSeriesCtes
        |SELECT $select
        |FROM timers t JOIN series g
        |  ON minute(g.ts) % t.step_min = 0 AND g.ts > TIMESTAMP '$WinStart'
@@ -94,5 +137,23 @@ object CronOps {
     "t_migrator_batch" ->
       expandSql("WHERE t.status = 1",
         "t.timer_id, g.ts AS run_timer, 0 AS task_status"),
+    "t_miss_rate" ->
+      s"""WITH $timersSeriesCtes,
+         |exp AS (SELECT t.timer_id, g.ts AS run_timer
+         |        FROM timers t JOIN series g
+         |          ON minute(g.ts) % t.step_min = 0 AND g.ts > TIMESTAMP '$WinStart'
+         |        WHERE t.status = 1),
+         |obs AS (SELECT DISTINCT user_id AS timer_id,
+         |          date_trunc('minute', ts) AS run_timer
+         |        FROM events
+         |        WHERE ts >= TIMESTAMP '$WinStart' AND ts < TIMESTAMP '$ObsEnd')
+         |SELECT e.timer_id, count(*) AS n_expected,
+         |  CAST(sum(CASE WHEN o.timer_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_fired,
+         |  CAST(sum(CASE WHEN o.timer_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+         |  ${ExactNum.ratioSql(
+             "sum(CASE WHEN o.timer_id IS NULL THEN 1 ELSE 0 END)", "count(*)")} AS miss_rate
+         |FROM exp e LEFT JOIN obs o
+         |  ON e.timer_id = o.timer_id AND e.run_timer = o.run_timer
+         |GROUP BY e.timer_id ORDER BY e.timer_id""".stripMargin,
   )
 }
