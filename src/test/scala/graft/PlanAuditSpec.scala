@@ -233,6 +233,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("x_cms_estimate: sketch is a partial-agged groupBy; probes equi-join the counters") {
+    val p = plan(TextOps.xCmsEstimate(spark, sfDir))
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("x_vocab_coverage: vocab is a TakeOrdered constant broadcast onto the token stream") {
+    val p = plan(TextOps.xVocabCoverage(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("t_miss_rate: expansion joins observed on (timer, minute) — equi, with pushed scan bounds") {
+    val df = CronOps.tMissRate(spark, sfDir)
+    assert(!plan(df).contains("CartesianProduct") && !plan(df).contains("NestedLoop"), plan(df))
+    // the observed-side window bound reaches the events scan as raw nanos
+    assert(pushed(df).contains("GreaterThanOrEqual(ts"), pushed(df))
+  }
+
   test("d_incremental_dedup: fingerprint + band joins are equi-joins, never incoming×base") {
     val p = plan(DedupOps.dIncrementalDedup(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
