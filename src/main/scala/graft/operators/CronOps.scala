@@ -98,8 +98,12 @@ object CronOps {
   }
 
   /** Observed-side scan bound: one minute past WinEnd so the trailing
-    * WinEnd activation's minute is fully covered. */
-  private val ObsEnd = "2024-01-15 02:01:00"
+    * WinEnd activation's minute is fully covered — DERIVED from
+    * WinEnd (a second literal would silently desynchronize if the
+    * window ever widens, review r8). */
+  private val ObsEnd: String =
+    java.sql.Timestamp.valueOf(WinEnd).toLocalDateTime.plusMinutes(1)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
 
   val queries: ListMap[String, Q] = ListMap(
     "t_cron_expand" -> (tCronExpand _),

@@ -335,32 +335,31 @@ object RelationalOps {
         sum4(col("o_totalprice")).as("revenue"))
       .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
 
+  /** The two halves of 1996 — ONE definition shared by the INTERSECT
+    * and EXCEPT queries so their bounds cannot drift apart. */
+  private def custHalves(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    def half(from: String, until: String) =
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp"))
+        .select(col("o_custkey"))
+    (half("1996-01-01", "1996-07-01"), half("1996-07-01", "1997-01-01"))
+  }
+
   /** INTERSECT — the set operator the inventory lacked (q16 covers
     * UNION): customers ordering in BOTH halves of 1996. Spark's
     * `intersect` plans as a left-semi join over distincts — no
     * full materialization of either side beyond the dedup shuffle. */
   def q25Intersect(s: SparkSession, dir: String): DataFrame = {
-    def half(from: String, until: String) =
-      Tables.orders(s, dir)
-        .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
-          col("o_orderdate") < lit(until).cast("timestamp"))
-        .select(col("o_custkey"))
-    half("1996-01-01", "1996-07-01")
-      .intersect(half("1996-07-01", "1997-01-01"))
-      .orderBy(col("o_custkey"))
+    val (h1, h2) = custHalves(s, dir)
+    h1.intersect(h2).orderBy(col("o_custkey"))
   }
 
   /** EXCEPT — churn framing: customers who ordered in H1 1996 but
     * never in H2 (left-anti over distincts). */
   def q26Except(s: SparkSession, dir: String): DataFrame = {
-    def half(from: String, until: String) =
-      Tables.orders(s, dir)
-        .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
-          col("o_orderdate") < lit(until).cast("timestamp"))
-        .select(col("o_custkey"))
-    half("1996-01-01", "1996-07-01")
-      .except(half("1996-07-01", "1997-01-01"))
-      .orderBy(col("o_custkey"))
+    val (h1, h2) = custHalves(s, dir)
+    h1.except(h2).orderBy(col("o_custkey"))
   }
 
   val queries: ListMap[String, Q] = ListMap(

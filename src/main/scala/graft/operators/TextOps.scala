@@ -384,7 +384,11 @@ object TextOps {
     // ONE corpus pass: the explode partial-aggregates into a
     // vocabulary×docs-sized (term, source, doc_id) frame, cached; tf
     // and df are both tiny rollups of it (the un-cached two-branch
-    // form ran the dominant explode twice — review r8)
+    // form ran the dominant explode twice — review r8). The cache
+    // follows the minhashSigs convention: released by the session's
+    // catalog.clearCache (Bench clears between timed runs), not
+    // unpersisted inline — both rollups live in the SAME returned
+    // plan, so there is no safe earlier release point.
     val perDoc = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), explode(tokens).as("term"))
       .groupBy(col("term"), col("source"), col("doc_id"))
@@ -452,7 +456,7 @@ object TextOps {
     * ratio). Plan: per-row bucket expression (no sort — buckets are
     * value-computed, not rank-computed, so assignment is stable under
     * corpus growth, same argument as p_curriculum's fixed quartiles),
-    * map-side partial agg into ≤ 9 groups. */
+    * map-side partial agg into one group per ladder rung (17 buckets, 16..2^20). */
   def xLengthBuckets(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), nTokL.as("n"))

@@ -160,6 +160,10 @@ object Streams {
       watermarkDelay: String = "10 minutes"): Dataset[TaskFiring] = {
     import events.sparkSession.implicits._
     events
+      // malformed records (PERMISSIVE parse → NULL ts) are skipped,
+      // not allowed to NPE the state function (same guard as the
+      // gauge/monitor jobs)
+      .filter(_.ts != null)
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -350,7 +354,15 @@ object Streams {
     * that stops sending entirely keeps emitting gaps on other apps'
     * watermark progress — exactly the alert a silent producer should
     * trigger. Gaps start at the app's first observed minute (the
-    * monitor arms on first heartbeat). */
+    * monitor arms on first heartbeat).
+    *
+    * Honest limit: if EVERY producer goes silent (total broker
+    * outage), the event-time watermark freezes and no further gap is
+    * emitted — event-time alone cannot prove wall-clock absence. A
+    * deployment closes that last gap outside this operator: a
+    * synthetic heartbeat topic (the reference's scheduler produces
+    * one per minute by construction) or a wall-clock alert on
+    * watermark staleness, both standard practice. */
   def gapMonitor(events: Dataset[TaskEvent]): Dataset[MinuteGap] = {
     import events.sparkSession.implicits._
     events
@@ -468,6 +480,7 @@ object Streams {
     import events.sparkSession.implicits._
     val gapUs = gapMs * 1000L
     events
+      .filter(_.ts != null) // NULL-ts guard, as in the other stateful jobs
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
