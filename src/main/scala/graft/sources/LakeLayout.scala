@@ -52,4 +52,33 @@ object LakeLayout {
       .sortBy(key)
       .mode("overwrite")
       .saveAsTable(table)
+
+  /** Small-file compaction — the lake-maintenance job every
+    * streaming ingest needs: each micro-batch of the file-sink
+    * (eventStream's drop directory, the lake's per-day partitions)
+    * leaves one-file-per-trigger litter, and a 100 TB table read
+    * through millions of kilobyte files is throttled by open()/footer
+    * costs, not bandwidth. Rewrite a directory into
+    * ⌈bytes / targetFileBytes⌉ similarly-sized files: size from the
+    * FILESYSTEM (not row counts — row width varies), coalesce when
+    * only merging (no shuffle), repartition when splitting. Content
+    * equality and file-count bound are spec-pinned; at 100 TB this
+    * runs per-partition (compact day=D after the day closes), never
+    * against the whole table at once. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inDir)).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    val df = spark.read.parquet(inDir)
+    // coalesce avoids a shuffle for the common merge direction; a
+    // split (more output files than input partitions) needs the
+    // round-robin repartition to actually spread rows
+    val sized =
+      if (nFiles <= df.rdd.getNumPartitions) df.coalesce(nFiles.toInt)
+      else df.repartition(nFiles.toInt)
+    sized.write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
 }

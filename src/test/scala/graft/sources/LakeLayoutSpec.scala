@@ -41,4 +41,27 @@ class LakeLayoutSpec extends SparkSpec {
     assert(executedScan.metrics("numFiles").value == 1,
       s"files read: ${executedScan.metrics("numFiles").value}")
   }
+
+  test("compact: many small files merge to the computed count, content identical") {
+    import spark.implicits._
+    val litterDir = Files.createTempDirectory("graft_litter").toString
+    val outDir = Files.createTempDirectory("graft_compacted").toString
+    // simulate streaming-sink litter: 40 single-row-ish files
+    spark.range(2000).toDF("id")
+      .withColumn("payload", concat_ws("-", lit("x"), col("id")))
+      .repartition(40)
+      .write.mode("overwrite").parquet(litterDir)
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(litterDir).length == 40)
+    val totalBytes = parquetFiles(litterDir).map(_.length).sum
+    // target ≈ a quarter of the data → expect ~4 files, far below 40
+    val n = LakeLayout.compact(spark, litterDir, outDir, totalBytes / 4)
+    assert(parquetFiles(outDir).length == n, "file count != computed target")
+    assert(n <= 5 && n >= 4, s"unexpected target $n")
+    // content identical (same rows, nothing lost or duplicated)
+    val a = spark.read.parquet(litterDir).collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(outDir).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
 }
