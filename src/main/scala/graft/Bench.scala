@@ -37,7 +37,8 @@ object Bench {
     "s_sq4_codebook", "d_semantic_dedup",
     "t_concurrency", "p_fuzzy_decontaminate", "s_pq_codebook",
     "s_ann_pq", "x_length_buckets", "d_incremental_dedup", "x_cms_estimate",
-    "q25_intersect", "q26_except", "t_coverage", "x_vocab_coverage", "t_miss_rate")
+    "q25_intersect", "q26_except", "t_coverage", "x_vocab_coverage", "t_miss_rate",
+    "m_payload_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

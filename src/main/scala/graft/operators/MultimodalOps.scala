@@ -95,9 +95,36 @@ object MultimodalOps {
     "m_json_extract" -> (mJsonExtract _),
     "m_binary_pipeline" -> (mBinaryPipeline _),
     "m_frame_sample" -> (mFrameSample _),
+    "m_payload_dedup" -> (mPayloadDedup _),
   )
 
+  /** Content-hash dedup of the binary payload — the first pass of
+    * every multimodal store (image/audio dedup IS md5-of-bytes before
+    * any perceptual hashing): group by payload digest, keep the
+    * smallest id, and account the bytes deduplication reclaims —
+    * (copies − 1) × payload size per group, the number a storage
+    * owner actually reads. Same scale shape as d_exact_dedup: one
+    * shuffle on the 128-bit digest, map-side partial agg; the payload
+    * BYTES never shuffle — only (digest, id, len) rows do. */
+  def mPayloadDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), md5(col("payload")).as("payload_md5"),
+        length(col("payload")).as("byte_len"))
+      .groupBy(col("payload_md5"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        max(col("byte_len")).as("byte_len"), // identical within a group
+        ((count(lit(1)) - 1) * max(col("byte_len"))).as("bytes_reclaimed"))
+      .orderBy(col("keep_id"))
+
   val oracles: ListMap[String, String] = ListMap(
+    "m_payload_dedup" ->
+      """SELECT md5(text) AS payload_md5, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies,
+        |  CAST(max(octet_length(encode(text))) AS INTEGER) AS byte_len,
+        |  CAST((count(*) - 1) * max(octet_length(encode(text))) AS BIGINT) AS bytes_reclaimed
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "m_json_extract" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
