@@ -252,6 +252,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(pushed(df).contains("GreaterThanOrEqual(ts"), pushed(df))
   }
 
+  test("m_payload_dedup: digest groupBy with map-side partials, payload bytes never shuffle") {
+    val df = MultimodalOps.mPayloadDedup(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("d_incremental_dedup: fingerprint + band joins are equi-joins, never incoming×base") {
     val p = plan(DedupOps.dIncrementalDedup(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
