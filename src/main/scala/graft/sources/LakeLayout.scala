@@ -67,18 +67,31 @@ object LakeLayout {
     * against the whole table at once. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Long = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inDir)).getLength
+    // a quiet day / not-yet-committed drop dir is a NO-OP, not a
+    // crashed maintenance job (review r8)
+    val df =
+      try spark.read.parquet(inDir)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("Unable to infer schema") => return 0L
+      }
+    // size the COMMITTED data: inputFiles is what the read actually
+    // honors (file-sink _spark_metadata, hidden files excluded) —
+    // getContentSummary would count transaction logs and orphaned
+    // parts into the target (review r8)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    if (bytes == 0L) return 0L
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-    val df = spark.read.parquet(inDir)
-    // coalesce avoids a shuffle for the common merge direction; a
-    // split (more output files than input partitions) needs the
-    // round-robin repartition to actually spread rows
-    val sized =
-      if (nFiles <= df.rdd.getNumPartitions) df.coalesce(nFiles.toInt)
-      else df.repartition(nFiles.toInt)
-    sized.write.mode("overwrite").parquet(outDir)
+    // repartition, NOT coalesce: coalesce pushes the partition cut
+    // into the SCAN, so a 10k-file day would be read by nFiles tasks
+    // (one, in the worst case); the round-robin shuffle costs one
+    // pass over data that is being rewritten anyway and keeps the
+    // read at full width (review r8)
+    df.repartition(nFiles.toInt).write.mode("overwrite").parquet(outDir)
     nFiles
   }
 }

@@ -64,4 +64,10 @@ class LakeLayoutSpec extends SparkSpec {
     val b = spark.read.parquet(outDir).collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("compact: empty partition is a no-op, not a crash") {
+    val emptyDir = Files.createTempDirectory("graft_empty_day").toString
+    val outDir = Files.createTempDirectory("graft_empty_out").toString
+    assert(LakeLayout.compact(spark, emptyDir, outDir) == 0L)
+  }
 }
