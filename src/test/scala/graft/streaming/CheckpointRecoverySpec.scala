@@ -114,4 +114,54 @@ class CheckpointRecoverySpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, "2024-01-15 00:00:00.0", 2L, 2L)),
       rows.mkString(", "))
   }
+
+  test("gapMonitor frontier and seen-set survive a stop/restart via checkpoint") {
+    val srcDir = Files.createTempDirectory("graft_ckm_src").toString
+    val ckDir = Files.createTempDirectory("graft_ckm_state").toString
+    val outDir = Files.createTempDirectory("graft_ckm_out").toString
+
+    def runOnce(): Unit = {
+      val q = Streams.gapMonitor(
+          Streams.eventStream(spark, srcDir).as[TaskEvent])
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    def drop(name: String, events: TaskEvent*): Unit = {
+      val tmp = s"$srcDir/_$name"
+      events.toDS().repartition(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+
+    // run 1: app 1 heartbeats at :00 and :03 — arms the monitor,
+    // nothing finalized yet (watermark behind)
+    drop("m1", ev(1, "2024-01-15 00:00:10", 1), ev(2, "2024-01-15 00:03:20", 1))
+    runOnce()
+    // run 2 (fresh query, same checkpoint): a far event marches the
+    // watermark past :03 — the RESTARTED state must still know :00
+    // and :03 were covered, and that the frontier starts at :00
+    drop("m2", ev(3, "2024-01-15 01:00:00", 1))
+    runOnce()
+    drop("m3", ev(4, "2024-01-15 02:00:00", 1))
+    runOnce()
+
+    val gaps = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString))
+      .filter(_._2.startsWith("2024-01-15 00:0"))
+      .sortBy(_._2)
+    // in :00..:09 the gaps are :01,:02 (inside the active span) and
+    // :04..:09 (silent until 01:00); :00 and :03 must NOT appear —
+    // their coverage lived in the pre-restart state
+    val want = Seq("01", "02", "04", "05", "06", "07", "08", "09")
+      .map(m => (1L, s"2024-01-15 00:$m:00.0"))
+    assert(gaps.toSeq == want, gaps.mkString(", "))
+  }
 }
