@@ -99,12 +99,21 @@ object DedupOps {
     * verify join — without it the dominant compute runs 3× (at
     * 100 TB: persist to disk/checkpoint). Reused by dMinhashLsh and
     * TrainingPipeline.fuzzyDecontaminate. */
+  /** Memoized per (session, dir): d_minhash_lsh, d_incremental_dedup
+    * and p_fuzzy_decontaminate all call this, and a fresh .cache() per
+    * call would stack three identical cached signature frames in
+    * executor memory over a bench run (ADVICE r8). One entry per
+    * session×sfDir — a handful in any process; entries die with the
+    * session. */
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private[graft] def minhashSigs(s: SparkSession, dir: String): DataFrame =
-    shingled(s, dir)
-      .withColumn("hashes", expr("transform(shingles, x -> poly_hash31(x))"))
-      .withColumn("sig", expr("minhash_signature(hashes, 64, 42)"))
-      .select(col("doc_id"), col("hashes"), col("sig"))
-      .cache()
+    sigCache.getOrElseUpdate((s, dir),
+      shingled(s, dir)
+        .withColumn("hashes", expr("transform(shingles, x -> poly_hash31(x))"))
+        .withColumn("sig", expr("minhash_signature(hashes, 64, 42)"))
+        .select(col("doc_id"), col("hashes"), col("sig"))
+        .cache())
 
   /** Exact-Jaccard verification of candidate pairs over the shared
     * shingle-hash sets (τ = 1/2, integer threshold) — ONE

@@ -427,20 +427,26 @@ object TextOps {
       .orderBy(col("term"))
   }
 
-  /** Power-of-two bucket for a token count — ONE string, compiled by
-    * Spark via expr() and interpolated verbatim into the DuckDB
-    * oracle (the two cannot drift). Integer compares only: the
-    * "next power of two" needs no log2 (a transcendental the engine
-    * deliberately has none of). The ladder runs to 2²⁰ (a
-    * million-token doc — beyond any real context) so a long doc can
-    * always fit its bucket: a capped ladder would assign bucket < n
-    * and report NEGATIVE padding waste (caught in review r8). */
+  /** Power-of-two bucket for a token count — ONE WHEN-ladder string
+    * shared between Spark (expr()) and the DuckDB oracle (verbatim
+    * interpolation), so the rungs cannot drift. Integer compares
+    * only: the "next power of two" needs no log2 (a transcendental
+    * the engine deliberately has none of). The ladder runs to 2²⁰ (a
+    * million-token doc — beyond any real context), and a doc past the
+    * TOP rung now fails LOUDLY in the ELSE branch instead of being
+    * assigned bucket < n with negative padding waste (the r8 ladder
+    * extension moved that cap, ADVICE r8 — this removes it: the only
+    * engine-specific part is the error function name, raise_error vs
+    * error, with the same message). */
   private[operators] val BucketLadder: Seq[Long] =
     Iterator.iterate(16L)(_ * 2).takeWhile(_ <= (1L << 20)).toSeq
-  private val bucketCaseSql: String =
-    (BucketLadder.init
-      .map(b => s"WHEN n <= $b THEN CAST($b AS BIGINT)")
-      .mkString("CASE ", " ", s" ELSE CAST(${BucketLadder.last} AS BIGINT) END"))
+  private val bucketOverflowMsg = "token count exceeds bucket ladder"
+  private val bucketWhens: String =
+    BucketLadder.map(b => s"WHEN n <= $b THEN CAST($b AS BIGINT)").mkString(" ")
+  private[operators] val bucketCaseSql: String =
+    s"CASE $bucketWhens ELSE CAST(raise_error('$bucketOverflowMsg') AS BIGINT) END"
+  private[operators] val bucketCaseOracleSql: String =
+    s"CASE $bucketWhens ELSE CAST(error('$bucketOverflowMsg') AS BIGINT) END"
 
   /** Length bucketing — the batching layout step of an inference or
     * packing-free training pipeline: group docs into power-of-two
@@ -452,7 +458,9 @@ object TextOps {
     * ratio). Plan: per-row bucket expression (no sort — buckets are
     * value-computed, not rank-computed, so assignment is stable under
     * corpus growth, same argument as p_curriculum's fixed quartiles),
-    * map-side partial agg into one group per ladder rung (17 buckets, 16..2^20). */
+    * map-side partial agg into one group per ladder rung (17 buckets,
+    * 16..2^20; a doc past the top rung raises, never reports negative
+    * waste — ADVICE r8). */
   def xLengthBuckets(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), nTokL.as("n"))
@@ -704,13 +712,14 @@ object TextOps {
          |    FILTER (WHERE rn <= $PostingCap), ',') AS postings
          |FROM r GROUP BY term
          |ORDER BY term""".stripMargin,
-    // bucketCaseSql interpolated verbatim (shared with the operator);
+    // the shared WHEN ladder interpolated verbatim (only the ELSE's
+    // error function differs per engine — bucketCaseOracleSql);
     // CASTs pin duck's widened sums back to the Spark BIGINTs
     "x_length_buckets" ->
       s"""WITH d AS (SELECT doc_id,
          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
          |           FROM documents),
-         |b AS (SELECT doc_id, n, $bucketCaseSql AS bucket FROM d)
+         |b AS (SELECT doc_id, n, $bucketCaseOracleSql AS bucket FROM d)
          |SELECT bucket, count(*) AS n_docs,
          |  CAST(sum(n) AS BIGINT) AS total_tokens,
          |  CAST(sum(bucket - n) AS BIGINT) AS pad_waste,

@@ -266,7 +266,12 @@ object TimerOps {
         lit(1L).as("delta"), col("event_id"))
       .unionAll(ev.select(col("app"), col("t1").as("t"),
         lit(-1L).as("delta"), col("event_id")))
-      .withColumn("day", expr("t div 86400000"))
+      // FLOOR division (t − pmod is an exact multiple, so div is
+      // exact): Spark's bare `div` truncates toward zero while the
+      // oracle's `//` floors — they diverge on pre-1970 epoch millis
+      // (ADVICE r8). Floor keeps day blocks contiguous ranges of t,
+      // which is all the two-level decomposition needs.
+      .withColumn("day", expr("(t - pmod(t, 86400000)) div 86400000"))
     val wLoc = Window.partitionBy(col("app"), col("day"))
       .orderBy(col("t"), col("delta"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -282,7 +287,9 @@ object TimerOps {
       .join(broadcast(carries), Seq("app", "day"))
       .withColumn("conc", col("carry") + col("loc"))
       .groupBy(col("app"),
-        timestamp_millis(expr("(t div 3600000) * 3600000")).as("hour_start"))
+        // floor semantics again: t − pmod(t, h) IS the floored hour
+        // start in millis, for negative epochs too (ADVICE r8)
+        timestamp_millis(expr("t - pmod(t, 3600000)")).as("hour_start"))
       .agg(max(col("conc")).as("peak_inflight"),
         sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
       .orderBy(col("app"), col("hour_start"))

@@ -86,6 +86,14 @@ object LakeLayout {
     }.sum
     if (bytes == 0L) return 0L
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    // repartition takes an Int: past 2³¹ files the silent toInt wrap
+    // would mis-size (or crash) the rewrite — fail with the real
+    // numbers instead (ADVICE r8; a >2³¹-file rewrite means the
+    // target size is wrong or the job should run per-partition)
+    require(nFiles <= Int.MaxValue,
+      s"compaction of $inDir needs $nFiles files ($bytes bytes at " +
+        s"$targetFileBytes B/file) — exceeds Int.MaxValue; raise " +
+        "targetFileBytes or compact per-partition")
     // repartition, NOT coalesce: coalesce pushes the partition cut
     // into the SCAN, so a 10k-file day would be read by nFiles tasks
     // (one, in the worst case); the round-robin shuffle costs one

@@ -28,7 +28,7 @@ class ConcurrencySpec extends SparkSpec {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pts.withColumn("conc", sum(col("delta")).over(w))
       .groupBy(col("app"),
-        timestamp_millis(expr("(t div 3600000) * 3600000")).as("hour_start"))
+        timestamp_millis(expr("t - pmod(t, 3600000)")).as("hour_start"))
       .agg(max(col("conc")).as("peak_inflight"),
         sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
   }
@@ -49,6 +49,24 @@ class ConcurrencySpec extends SparkSpec {
       val peak = r.getAs[Long]("peak_inflight")
       assert(peak >= 0L, s"negative concurrency at $r")
       assert(peak <= totalStarts)
+    }
+  }
+
+  test("day/hour bucketing floors (== DuckDB //) for pre-1970 epochs too") {
+    val s = spark
+    import s.implicits._
+    // ADVICE r8: Spark's bare `div` truncates toward zero, DuckDB's
+    // `//` floors — the operator's bucketing must floor. Probe the
+    // exact expressions tConcurrency compiles, across the sign change.
+    val ts = Seq(-86400001L, -86400000L, -3600001L, -1L, 0L, 1L,
+      3599999L, 3600000L, 86399999L, 86400000L)
+    val got = ts.toDF("t")
+      .selectExpr("t", "(t - pmod(t, 86400000)) div 86400000 AS day",
+        "t - pmod(t, 3600000) AS hour_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (t, day, hourMs) =>
+      assert(day == Math.floorDiv(t, 86400000L), s"day of $t")
+      assert(hourMs == Math.floorDiv(t, 3600000L) * 3600000L, s"hour of $t")
     }
   }
 

@@ -166,4 +166,10 @@ class DedupSpec extends SparkSpec {
       assert(status == want, s"doc $id status")
     }
   }
+
+  test("minhash signature frame is memoized per (session, dir)") {
+    // ADVICE r8: the three LSH consumers must share ONE cached frame,
+    // not stack a fresh .cache() per call
+    assert(DedupOps.minhashSigs(spark, sfDir) eq DedupOps.minhashSigs(spark, sfDir))
+  }
 }

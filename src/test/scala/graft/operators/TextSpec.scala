@@ -323,4 +323,20 @@ class TextSpec extends SparkSpec {
       members.foreach(n => assert(bucket >= n, s"doc of $n tokens in short bucket $bucket"))
     }
   }
+
+  test("length buckets: a doc past the top rung fails loudly, not negative waste") {
+    import spark.implicits._
+    val over = TextOps.BucketLadder.last + 1
+    val df = Seq(over).toDF("n")
+      .selectExpr(s"${TextOps.bucketCaseSql} AS bucket")
+    val e = intercept[Exception] { df.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("token count exceeds bucket ladder")),
+      s"expected the ladder-overflow error, got: ${messages(e).mkString(" | ")}")
+    // and the top rung itself still buckets normally
+    val ok = Seq(TextOps.BucketLadder.last).toDF("n")
+      .selectExpr(s"${TextOps.bucketCaseSql} AS bucket").collect()
+    assert(ok.head.getLong(0) == TextOps.BucketLadder.last)
+  }
 }
