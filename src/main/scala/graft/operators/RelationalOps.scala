@@ -362,6 +362,35 @@ object RelationalOps {
     h1.except(h2).orderBy(col("o_custkey"))
   }
 
+  /** RANGE window frame — the VALUE-bounded frame the inventory
+    * lacked (q11 is the ROWS form): per customer, the trailing-30-day
+    * order count and revenue at each order. RANGE frames are the
+    * standard "trailing period per row" idiom (monitoring lookbacks,
+    * rolling spend) and differ from ROWS exactly on tied order dates:
+    * all PEER rows (same day) enter the frame together, so the result
+    * is deterministic without a unique tie-break in the frame order.
+    * Frame bound is an integer day number (exact epoch-ms floor
+    * division — midnight-aligned timestamps make it exact); the sum
+    * runs in exact cents. Scale: one shuffle on o_custkey, one sort
+    * per partition — same cost shape as any other window; the frame
+    * is evaluated by a sliding two-pointer pass, never a re-scan per
+    * row. */
+  def q27RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-30, 0)
+    Tables.orders(s, dir)
+      // o_orderdate is TIMESTAMP_NTZ (naive, midnight-aligned): the
+      // calendar day number via date casts — identical on both
+      // engines under the pinned UTC session
+      .withColumn("d", datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .withColumn("rev_30d", round(sum(cents(col("o_totalprice"))).over(w) / 100.0, 4))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("n_30d"), col("rev_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_agg" -> (q1Agg _),
     "q2_topk" -> (q2Topk _),
@@ -389,6 +418,7 @@ object RelationalOps {
     "q24_cube" -> (q24Cube _),
     "q25_intersect" -> (q25Intersect _),
     "q26_except" -> (q26Except _),
+    "q27_range_frame" -> (q27RangeFrame _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -589,5 +619,17 @@ object RelationalOps {
         |SELECT o_custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |ORDER BY o_custkey""".stripMargin,
+    // RANGE frame over the integer day number: peers (same day, same
+    // customer) enter the frame together on both engines, and the
+    // revenue sum runs in exact cents — same determinism contract as
+    // q11's ROWS frame. The count CAST pins duck's BIGINT.
+    "q27_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_30d,
+        |  round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w / 100.0, 4) AS rev_30d
+        |FROM (SELECT *, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 }

@@ -473,6 +473,50 @@ object TextOps {
           .as("waste_frac"))
       .orderBy(col("bucket"))
 
+  /** Gopher rule thresholds (Rae et al. 2021 §A1.1) — public
+    * constants, shared with the oracle by interpolation. */
+  private[operators] val GopherMinWords = 50L
+  private[operators] val GopherMaxWords = 100000L
+  private[operators] val GopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a")
+
+  /** The Gopher quality RULE SET — the per-rule pass/fail flags of
+    * the Rae et al. 2021 §A1.1 document filter (the operator
+    * x_quality_score complements with a composite score; this is the
+    * filter as deployed: each rule individually inspectable, `kept` =
+    * the conjunction, so a pipeline can report WHICH rule rejected a
+    * doc). Rules, all as exact INTEGER comparisons (no float ratio
+    * can tie-split the engines):
+    *   wc_ok    — word count in [50, 100k]
+    *   mwl_ok   — mean word length in [3, 10]  (3n ≤ chars ≤ 10n)
+    *   sym_ok   — symbol-to-word ratio (#, …) ≤ 0.1  (10·sym ≤ n)
+    *   alpha_ok — ≥ 80% of words contain a letter  (5·alpha ≥ 4n)
+    *   stop_ok  — ≥ 2 distinct stopwords present
+    * (mwl/sym/alpha pass everywhere on the synthetic corpus — the
+    * wc/stop rules are the discriminating ones there; thresholds stay
+    * canonical.) Per-row built-ins, zero shuffle, linear scan. */
+  def xGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(GopherStopwords.map(lit): _*)
+    Tables.documents(s, dir)
+      .withColumn("w", tokens)
+      .withColumn("n", nTokL)
+      .withColumn("ch", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("nsym", regexp_count(col("text"), lit("[#…]")).cast("long"))
+      .withColumn("nalpha", size(filter(col("w"), t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("nstop",
+        size(array_intersect(array_distinct(col("w")), stopArr)).cast("long"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        (col("n") >= GopherMinWords && col("n") <= GopherMaxWords).as("wc_ok"),
+        (col("ch") >= lit(3L) * col("n") && col("ch") <= lit(10L) * col("n")).as("mwl_ok"),
+        (lit(10L) * col("nsym") <= col("n")).as("sym_ok"),
+        (lit(5L) * col("nalpha") >= lit(4L) * col("n")).as("alpha_ok"),
+        (col("nstop") >= 2L).as("stop_ok"))
+      .withColumn("kept",
+        col("wc_ok") && col("mwl_ok") && col("sym_ok") &&
+          col("alpha_ok") && col("stop_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   private[operators] val TfidfTopK = 5
   private[operators] val TfidfScale = 1000000L
   private[operators] val PostingCap = 20
@@ -495,6 +539,7 @@ object TextOps {
     "x_length_buckets" -> (xLengthBuckets _),
     "x_cms_estimate" -> (xCmsEstimate _),
     "x_vocab_coverage" -> (xVocabCoverage _),
+    "x_gopher_rules" -> (xGopherRules _),
   )
 
   /** Static chunk-index headroom for the x_doc_chunks/x_chunk_dedup
@@ -769,5 +814,34 @@ object TextOps {
          |  CAST(sum(in_vocab) AS BIGINT) AS n_in_vocab,
          |  ${ExactNum.ratioSql("sum(in_vocab)", "count(*)")} AS coverage
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same integer comparisons, thresholds interpolated from the
+    // shared constants; list_intersect(list_distinct) ≡ Spark's
+    // array_intersect(array_distinct) for the distinct-stopword count
+    "x_gopher_rules" -> {
+      val stopList = GopherStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id,
+         |    string_split(text, ' ') AS w,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS ch,
+         |    CAST(len(regexp_extract_all(text, '[#…]')) AS BIGINT) AS nsym
+         |  FROM documents),
+         |f AS (SELECT doc_id, n,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS nalpha,
+         |    CAST(len(list_intersect(list_distinct(w), [$stopList])) AS BIGINT) AS nstop,
+         |    ch, nsym
+         |  FROM d)
+         |SELECT doc_id, n AS n_tokens,
+         |  n >= $GopherMinWords AND n <= $GopherMaxWords AS wc_ok,
+         |  ch >= 3 * n AND ch <= 10 * n AS mwl_ok,
+         |  10 * nsym <= n AS sym_ok,
+         |  5 * nalpha >= 4 * n AS alpha_ok,
+         |  nstop >= 2 AS stop_ok,
+         |  (n >= $GopherMinWords AND n <= $GopherMaxWords)
+         |    AND (ch >= 3 * n AND ch <= 10 * n)
+         |    AND (10 * nsym <= n)
+         |    AND (5 * nalpha >= 4 * n)
+         |    AND (nstop >= 2) AS kept
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
   )
 }

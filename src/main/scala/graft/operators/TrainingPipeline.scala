@@ -119,24 +119,60 @@ object TrainingPipeline {
     * BROADCAST to the train-side gram scan — the training corpus is
     * never shuffled at all; output is per-doc collision counts + the
     * smallest contaminating eval id. */
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(s, dir)
+  /** The distinct word-8-gram stream per doc — shared by
+    * decontaminate and containment so the gram definition cannot
+    * drift between the flag and the score. */
+  private def docGrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, greatest(size(w) - 7, 1)), " +
           "i -> concat_ws(' ', slice(w, i, 8))))")).as("gram"))
-    // first-EvalDocs cap as a pure doc_id predicate (doc_id < 20·cap
-    // ∧ doc_id % 20 = 0 ⇒ ≤ cap docs) — stays a pushed-down scan
-    // filter, no sort/limit needed
-    val evalGrams = grams
-      .filter(pmod(col("doc_id"), lit(20L)) === 0 &&
-        col("doc_id") < lit(20L * EvalDocs))
+
+  // first-EvalDocs cap as a pure doc_id predicate (doc_id < 20·cap
+  // ∧ doc_id % 20 = 0 ⇒ ≤ cap docs) — stays a pushed-down scan
+  // filter, no sort/limit needed
+  private def isEvalDoc: org.apache.spark.sql.Column =
+    pmod(col("doc_id"), lit(20L)) === 0 && col("doc_id") < lit(20L * EvalDocs)
+
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = docGrams(s, dir)
+    val evalGrams = grams.filter(isEvalDoc)
       .select(col("doc_id").as("eval_id"), col("gram"))
     grams.filter(pmod(col("doc_id"), lit(20L)) =!= 0)
       .join(broadcast(evalGrams), "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"), min(col("eval_id")).as("first_eval_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** n-gram CONTAINMENT decontamination score — the asymmetric
+    * companion of `decontaminate`'s binary flag (and the metric that
+    * matters for SHORT eval docs: Jaccard of a 40-gram eval doc
+    * against a 4000-gram train doc is ≈ 0.01 even at full leakage,
+    * while containment |∩| / |eval grams| reads 1.0 — the
+    * Brown/Dodge et al. C4-contamination framing). Per (train, eval)
+    * pair sharing ≥ 1 distinct 8-gram: shared-gram count, the eval
+    * doc's gram count, and their exact integer ratio. Same plan shape
+    * as decontaminate: the constant-bounded eval side (grams AND the
+    * EvalDocs-row size table) broadcasts; the train corpus is never
+    * shuffled — the groupBy keys are (train doc, eval doc) pairs that
+    * exist only where a gram collided. */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val grams = docGrams(s, dir)
+    val evalGrams = grams.filter(isEvalDoc)
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    val evalSizes = evalGrams.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_eval_grams"))
+    grams.filter(pmod(col("doc_id"), lit(20L)) =!= 0)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(evalSizes), "eval_id")
+      .withColumn("containment", ExactNum.ratio4(col("n_shared"), col("n_eval_grams")))
+      .select(col("doc_id"), col("eval_id"), col("n_shared"),
+        col("n_eval_grams"), col("containment"))
+      .orderBy(col("doc_id"), col("eval_id"))
   }
 
   /** Fuzzy benchmark decontamination — the near-duplicate complement
@@ -277,6 +313,7 @@ object TrainingPipeline {
       "p_funnel_report" -> ((s, dir) => funnel(s, dir)),
       "p_mix_sources" -> (mixSources _),
       "p_decontaminate" -> (decontaminate _),
+      "p_containment" -> (containment _),
       "p_fuzzy_decontaminate" -> (fuzzyDecontaminate _),
       "p_stratified_sample" -> (stratifiedSample _),
       "p_epoch_shuffle" -> (epochShuffle _),
@@ -284,6 +321,17 @@ object TrainingPipeline {
 
   private lazy val oracleLangList =
     Config().langs.map(l => s"'$l'").mkString(", ")
+
+  /** Shared g/e/t gram CTEs of the two exact-decontamination oracles
+    * (mirrors docGrams + the eval predicate). */
+  private lazy val gramCtes: String =
+    s"""g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |             range(1, greatest(len(w) - 6, 2)),
+       |             i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS gram
+       |           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |e AS (SELECT doc_id AS eval_id, gram FROM g
+       |      WHERE doc_id % 20 = 0 AND doc_id < ${20L * EvalDocs}),
+       |t AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0)""".stripMargin
 
   /** The shared CTE prefix of both funnel oracles: MinHash-LSH pairs
     * (DedupOps.minhashPairsCtes — identical constants), connected
@@ -365,19 +413,27 @@ object TrainingPipeline {
           |WHERE mix_rank <= quota
           |ORDER BY source, doc_id""".stripMargin,
       // 8-gram mirror of the shingled() pattern (range end exclusive:
-      // greatest(len-6, 2) ≡ Spark's greatest(size-7, 1) inclusive)
+      // greatest(len-6, 2) ≡ Spark's greatest(size-7, 1) inclusive);
+      // gramCtes shared with p_containment so the gram definition
+      // cannot drift between the flag and the score
       "p_decontaminate" ->
-        s"""WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-          |             range(1, greatest(len(w) - 6, 2)),
-          |             i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS gram
-          |           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-          |e AS (SELECT doc_id AS eval_id, gram FROM g
-          |      WHERE doc_id % 20 = 0 AND doc_id < ${20L * EvalDocs}),
-          |t AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0)
+        s"""WITH $gramCtes
           |SELECT t.doc_id, count(*) AS n_hits, min(e.eval_id) AS first_eval_id
           |FROM t JOIN e ON t.gram = e.gram
           |GROUP BY t.doc_id
           |ORDER BY doc_id""".stripMargin,
+      // same shared gram CTEs; containment = shared / eval-doc gram
+      // count as the exact integer ratio
+      "p_containment" ->
+        s"""WITH $gramCtes,
+          |esz AS (SELECT eval_id, count(*) AS n_eval_grams FROM e GROUP BY eval_id),
+          |hits AS (SELECT t.doc_id, e.eval_id, count(*) AS n_shared
+          |         FROM t JOIN e ON t.gram = e.gram
+          |         GROUP BY t.doc_id, e.eval_id)
+          |SELECT h.doc_id, h.eval_id, h.n_shared, s.n_eval_grams,
+          |  ${ExactNum.ratioSql("h.n_shared", "s.n_eval_grams")} AS containment
+          |FROM hits h JOIN esz s USING (eval_id)
+          |ORDER BY doc_id, eval_id""".stripMargin,
       // shares DedupOps.minhashSigCtes verbatim with the d_minhash_lsh
       // oracle (constants cannot drift); the train×eval candidate join
       // replaces the self-join tail

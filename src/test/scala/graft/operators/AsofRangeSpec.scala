@@ -58,4 +58,25 @@ class AsofRangeSpec extends SparkSpec {
       s"range-join mismatch: only-chunked=${(got -- naive).take(3)} only-naive=${(naive -- got).take(3)}")
     assert(got.nonEmpty)
   }
+
+  test("q27_range_frame equals a naive per-row trailing-30-day recompute") {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"),
+        ExactNum.cents(col("o_totalprice")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byCust = orders.groupBy(_._1)
+    val naive = orders.map { case (ck, ok, d, _) =>
+      val in = byCust(ck).filter(o => o._3 >= d - 30 && o._3 <= d)
+      (ck, ok) -> ((in.length.toLong,
+        math.round(in.map(_._4).sum / 100.0 * 10000) / 10000.0))
+    }.toMap
+    val got = RelationalOps.q27RangeFrame(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(3), r.getDouble(4))))
+    assert(got.length == orders.length)
+    got.foreach { case (k, v) =>
+      assert(naive(k) == v, s"order $k: got $v want ${naive(k)}")
+    }
+  }
 }

@@ -339,4 +339,32 @@ class TextSpec extends SparkSpec {
       .selectExpr(s"${TextOps.bucketCaseSql} AS bucket").collect()
     assert(ok.head.getLong(0) == TextOps.BucketLadder.last)
   }
+
+  test("gopher rules: flags match a naive recompute; wc/stop discriminate") {
+    val got = TextOps.xGopherRules(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val w = text.split(" ", -1)
+      val n = w.length.toLong
+      val ch = text.replace(" ", "").length.toLong
+      val nsym = text.count(c => c == '#' || c == '…').toLong
+      val nalpha = w.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val nstop = w.distinct.count(TextOps.GopherStopwords.contains).toLong
+      val (gn, wc, mwl, sym, alpha, stop, kept) = got(id)
+      assert(gn == n, s"doc $id n_tokens")
+      assert(wc == (n >= TextOps.GopherMinWords && n <= TextOps.GopherMaxWords), s"doc $id wc")
+      assert(mwl == (ch >= 3 * n && ch <= 10 * n), s"doc $id mwl")
+      assert(sym == (10 * nsym <= n), s"doc $id sym")
+      assert(alpha == (5 * nalpha >= 4 * n), s"doc $id alpha")
+      assert(stop == (nstop >= 2), s"doc $id stop")
+      assert(kept == (wc && mwl && sym && alpha && stop), s"doc $id kept")
+    }
+    // the rule set separates docs on this corpus (not all-pass)
+    assert(got.values.exists(!_._7) && got.values.exists(_._7), "kept is degenerate")
+  }
 }

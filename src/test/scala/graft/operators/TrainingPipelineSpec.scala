@@ -220,4 +220,38 @@ class TrainingPipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("containment: per-pair scores match a naive recompute and sum to decontaminate hits") {
+    def grams8(text: String): Set[String] = {
+      val w = text.split(" ", -1)
+      (0 to math.max(w.length - 8, 0)).map(i => w.slice(i, i + 8).mkString(" ")).toSet
+    }
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val eval = docs.filter { case (id, _) => id % 20 == 0 && id < 20 * 32 }
+      .map { case (id, t) => (id, grams8(t)) }
+    val got = TrainingPipeline.containment(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(0)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+    val naive = (for {
+      (tid, text) <- docs if tid % 20 != 0
+      tg = grams8(text)
+      (eid, eg) <- eval
+      shared = (tg & eg).size if shared > 0
+    } yield (eid, tid) -> ((shared.toLong, eg.size.toLong))).toMap
+    assert(got.length == naive.size, s"pair count ${got.length} vs ${naive.size}")
+    got.foreach { case (k, (shared, nEval, c)) =>
+      val (wShared, wEval) = naive(k)
+      assert(shared == wShared && nEval == wEval, s"pair $k")
+      // exact integer half-up ratio (ratio4's integer formula)
+      assert(c == ((shared * 20000L + nEval) / (2L * nEval)).toDouble / 10000.0,
+        s"pair $k ratio")
+    }
+    // consistency with the binary flag: per train doc, summed shared
+    // grams == decontaminate's n_hits
+    val hits = TrainingPipeline.decontaminate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val summed = got.groupBy(_._1._2).map { case (tid, ps) => tid -> ps.map(_._2._1).sum }
+    assert(summed == hits, "containment pairs disagree with decontaminate hits")
+  }
 }
