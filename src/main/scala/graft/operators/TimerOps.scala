@@ -341,6 +341,28 @@ object TimerOps {
       .agg(count(lit(1)).as("n_events"), sum4(col("value")).as("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** SLIDING-window rates — the smoothed form of the monitor's
+    * per-minute gauge (a tumbling minute bucket jitters on bursty
+    * task streams; every production rate panel reads a trailing
+    * window advanced every minute): 5-minute windows sliding by 1
+    * minute, counts + exact-cents value sum per (window, status).
+    * Spark expands each event into its ⌈5/1⌉ = 5 containing windows
+    * (epoch-aligned starts, end-exclusive) inside the same partial
+    * aggregation pass as the tumbling form — the shuffle carries
+    * ≤ 5× the tumbling group count, never 5× the events. Batch twin
+    * of streaming.slidingCounts (same window(), same watermark
+    * semantics when streamed). NULL timestamps are filtered
+    * explicitly: the engines disagree on whether an un-timestamped
+    * row has 1 or 5 (null) windows, and a row with no event time has
+    * no place in a rate panel. */
+  def tSlidingRate(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(window(col("ts"), "5 minutes", "1 minute").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum4(col("value")).as("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** Gap-based sessionization (30-min) per timer — batch twin of
     * streaming.Sessionizer (flatMapGroupsWithState). Two windows, one
     * shuffle on timer_id. */
@@ -416,6 +438,7 @@ object TimerOps {
     "t_coverage" -> (tCoverage _),
     "t_task_dedup" -> (tTaskDedup _),
     "t_stream_window_agg" -> (tStreamWindowAgg _),
+    "t_sliding_rate" -> (tSlidingRate _),
     "t_sessionize" -> (tSessionize _),
     "t_asof_def" -> (tAsofDef _),
   )
@@ -566,6 +589,18 @@ object TimerOps {
         |  event_type, count(*) AS n_events,
         |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // each event belongs to exactly the 5 minute-aligned window starts
+    // in (t − 5 min, t] — trunc-to-minute minus k minutes, k = 0..4
+    // (Spark's TimeWindow expansion derived independently)
+    "t_sliding_rate" ->
+      """WITH e AS (SELECT event_type, value, epoch_ms(ts) AS t
+        |           FROM events WHERE ts IS NOT NULL),
+        |w AS (SELECT event_type, value, (t - t % 60000) - 60000 * k AS ws
+        |      FROM e CROSS JOIN (SELECT unnest(range(0, 5)) AS k))
+        |SELECT make_timestamp(ws * 1000) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 4) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "t_sessionize" ->
       """SELECT user_id AS timer_id, session_idx,
         |  min(ts) AS session_start, max(ts) AS session_end,

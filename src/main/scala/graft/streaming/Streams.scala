@@ -145,6 +145,25 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** SLIDING-window rates, continuously — the trailing-5-minute rate
+    * panel advanced every minute (streaming twin of t_sliding_rate;
+    * TwinConsistencySpec pins agreement on the same data). Identical
+    * plan shape to windowedCounts: the slide only multiplies the
+    * per-event window expansion (5 rows into the same partial agg),
+    * and the watermark bounds state to the open windows of the last
+    * (delay + 5 min) — each event-time minute keeps ≤ 5 live window
+    * groups per status, evicted as the watermark passes window end.
+    * NULL-ts rows (PERMISSIVE parse leftovers) are dropped before the
+    * window generator, matching the batch twin's explicit filter. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .filter(col("ts").isNotNull)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Per-timer idempotent firing — the executor's dedup-then-fire
     * (bloom + unique index) as keyed state: first event of a
     * (timer, minute) fires, repeats are counted as suppressed.

@@ -46,6 +46,37 @@ class TwinConsistencySpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("streaming slidingCounts == batch t_sliding_rate on sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TaskEvent]
+    val q = Streams.slidingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("twin_slide").outputMode("update").start()
+    events.grouped(300).foreach(b => mem.addData(b: _*))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("twin_slide")
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(max(col("n_events")).as("n"), round(max(col("total_value")), 4).as("v"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val batch = TimerOps.tSlidingRate(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+
+    // sliding ⊃ tumbling: every 5-min tumbling window (start ≡ 0 mod
+    // 5 min) is also a sliding window with identical totals
+    val tumbling = TimerOps.tStreamWindowAgg(spark, sfDir).collect()
+      .filter(_.get(0) != null)
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(tumbling.subsetOf(batch),
+      s"tumbling rows missing from sliding: ${(tumbling -- batch).take(3)}")
+  }
+
   test("streaming sessionizer closed sessions ⊂ batch t_sessionize on sf0.001") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
