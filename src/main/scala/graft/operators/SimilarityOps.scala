@@ -390,16 +390,24 @@ object SimilarityOps {
     * PQ's own: distances are to RECONSTRUCTED vectors; the spec pins
     * that each query's own row still ranks first and that ADC agrees
     * with a naive driver-side re-score bit-for-bit. */
-  def sAnnPq(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val (cents, enc) = pqEncoded(s, dir)
-    val qs = Tables.embeddings(s, dir)
+  /** The collected query set (NumQueries rows — constant-sized). */
+  private def collectQueries(s: SparkSession, dir: String): Array[(Long, Array[Float])] =
+    Tables.embeddings(s, dir)
       .filter(col("vec_id") < NumQueries)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    val qdf = qs.toSeq.map { case (qid, q) =>
+
+  /** Per-query ADC lookup tables (Jégou 2011 §IV): for each query and
+    * subspace, the squared distance to every codebook centroid — the
+    * (PqM × PqK) table the scan reads instead of the float vectors.
+    * Left-associated index-order folds, same as the oracle. Shared by
+    * sAnnPq (full scan) and sAnnIvfPq (cell-probed scan). */
+  private def adcTables(qs: Array[(Long, Array[Float])],
+      cents: IndexedSeq[Array[Array[Double]]])
+      : Seq[(Long, Seq[Double], Seq[Double], Seq[Double], Seq[Double])] =
+    qs.toSeq.map { case (qid, q) =>
       val tabs = (0 until PqM).map { m =>
         cents(m).map { cent =>
           var d = 0.0
@@ -409,12 +417,80 @@ object SimilarityOps {
         }.toSeq
       }
       (qid, tabs(0), tabs(1), tabs(2), tabs(3))
-    }.toDF("q_id", "t0", "t1", "t2", "t3")
+    }
+
+  /** The four-lookup ADC distance over code columns c0..c3 and table
+    * columns t0..t3 (element_at is 1-based). */
+  private val adcExpr =
+    "element_at(t0, c0 + 1) + element_at(t1, c1 + 1) + " +
+      "element_at(t2, c2 + 1) + element_at(t3, c3 + 1)"
+
+  def sAnnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cents, enc) = pqEncoded(s, dir)
+    val qdf = adcTables(collectQueries(s, dir), cents)
+      .toDF("q_id", "t0", "t1", "t2", "t3")
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
     enc.crossJoin(broadcast(qdf))
-      .withColumn("adc", expr(
-        "element_at(t0, c0 + 1) + element_at(t1, c1 + 1) + " +
-          "element_at(t2, c2 + 1) + element_at(t3, c3 + 1)"))
+      .withColumn("adc", expr(adcExpr))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("vec_id"), round(col("adc"), 4).as("adc"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** IVF-PQ — the two stages composed into the index FAISS actually
+    * ships at billion scale (Jégou 2011 §V: an IVF coarse quantizer
+    * prunes the search to nprobe cells, and inside those cells the
+    * ADC scan reads 2-byte PQ codes, never floats). Everything is the
+    * repo's existing machinery glued end-to-end: the coarse quantizer
+    * AND the four subspace codebooks train on ONE collect of the
+    * deterministic bounded sample; the encode pass is a single scan
+    * with five NearestCentroid expressions (cell + 4 codes); the
+    * probe side is (query × nprobe cells) rows carrying the query's
+    * ADC lookup tables — constant-sized, broadcast. The scan's join
+    * on `cell` touches only probed cells (the pruning that makes the
+    * scan sub-linear), ADC is computed BEFORE the per-query top-k
+    * window so only (q_id, vec_id, adc) rows shuffle. Codes are raw
+    * vectors' codes (FAISS by_residual=false layout) so the codebooks
+    * and distances mirror s_ann_pq's exactly — the oracle shares both
+    * k-means chains verbatim. Exactness caveat is inherited from both
+    * stages: candidates only from probed cells, distances to
+    * reconstructions; the spec pins consistency against s_ann_pq's
+    * full scan on exactly those terms. */
+  def sAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nlist = 16
+    val nprobe = 4
+    val sample = collectTrainSample(s, dir)
+    val coarse = trainCentroidsFrom(sample, nlist)
+    val cents = (0 until PqM).map(m => trainCentroidsFrom(sample, PqK, m * PqSub, PqSub))
+    var enc = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("cell", cellOfExpr(coarse)(col("embedding")))
+    for (m <- 0 until PqM)
+      enc = enc.withColumn(s"c$m",
+        cellOfExpr(cents(m))(expr(s"slice(embedding, ${m * PqSub + 1}, $PqSub)")))
+    val qs = collectQueries(s, dir)
+    val luts = adcTables(qs, cents).map(t => t._1 -> t).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    // nprobe nearest coarse cells per query (first-min tie rule, same
+    // as the oracle's (dist, cell) order), each probe row carrying the
+    // query's lookup tables
+    val probeRows = qs.flatMap { case (qid, v) =>
+      val vd = v.map(_.toDouble)
+      coarse.indices.sortBy(c => l2(vd, coarse(c))).take(nprobe).map { c =>
+        val t = luts(qid)
+        (qid, c, t._2, t._3, t._4, t._5)
+      }
+    }.toSeq.toDF("q_id", "cell", "t0", "t1", "t2", "t3")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    enc.join(broadcast(probeRows), "cell")
+      .withColumn("adc", expr(adcExpr))
+      .select(col("q_id"), col("vec_id"), col("adc"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
       .select(col("q_id"), col("rnk"), col("vec_id"), round(col("adc"), 4).as("adc"))
@@ -466,6 +542,7 @@ object SimilarityOps {
     "s_sq4_codebook" -> (sSq4Codebook _),
     "s_pq_codebook" -> (sPqCodebook _),
     "s_ann_pq" -> (sAnnPq _),
+    "s_ann_ivfpq" -> (sAnnIvfPq _),
     "d_semantic_dedup" -> (dSemanticDedup _),
   )
 
@@ -534,6 +611,16 @@ object SimilarityOps {
        |      i -> (CAST($e.embedding[i + $off] AS DOUBLE) - $c.cent[i])
        |         * (CAST($e.embedding[i + $off] AS DOUBLE) - $c.cent[i]))),
        |      (x, y) -> x + y)""".stripMargin
+
+  /** ADC term for subspace at `off`: squared distance from the query
+    * vector q.qe to the row's chosen centroid j.$cent — the SQL form
+    * of one lookup-table read (left-assoc index-order fold). Shared
+    * by the s_ann_pq and s_ann_ivfpq oracles. */
+  private def ldist(off: Int, cent: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${PqSub + 1}),
+       |    i -> (CAST(q.qe[i + $off] AS DOUBLE) - j.$cent[i])
+       |       * (CAST(q.qe[i + $off] AS DOUBLE) - j.$cent[i]))),
+       |    (x, y) -> x + y)""".stripMargin
 
   private def pqKmeansCtes(m: Int): String = {
     val off = m * PqSub
@@ -770,11 +857,6 @@ object SimilarityOps {
     // chosen centroid per subspace (≡ the lookup-table values the
     // operator precomputes — same left-assoc adds in the same order)
     "s_ann_pq" -> {
-      def ldist(off: Int, cent: String): String =
-        s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${PqSub + 1}),
-           |    i -> (CAST(q.qe[i + $off] AS DOUBLE) - j.$cent[i])
-           |       * (CAST(q.qe[i + $off] AS DOUBLE) - j.$cent[i]))),
-           |    (x, y) -> x + y)""".stripMargin
       (s"WITH $smpCte,\n" +
         (0 until PqM).map(pqKmeansCtes).mkString(",\n") + s""",
         |j AS (SELECT e.vec_id,
@@ -790,6 +872,41 @@ object SimilarityOps {
         |    ${ldist(0, "r0")} + ${ldist(PqSub, "r1")}
         |    + ${ldist(2 * PqSub, "r2")} + ${ldist(3 * PqSub, "r3")} AS adc
         |  FROM q CROSS JOIN j),
+        |rk AS (SELECT q_id, vec_id, adc,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rnk
+        |       FROM scored)
+        |SELECT q_id, rnk, vec_id, round(adc, 4) AS adc
+        |FROM rk WHERE rnk <= $K ORDER BY q_id, rnk""").stripMargin
+    },
+    // IVF-PQ mirror = the s_ann_ivf chain (shared kmeansCtePrefix:
+    // coarse training + full-table cell assignment + nprobe probe
+    // selection) composed with the s_ann_pq chains (shared
+    // pqKmeansCtes: subspace training + encode) — the scored join is
+    // restricted to probed cells and the distance is the same ADC
+    // fold. Every constant and fold is shared with the two parents,
+    // so the composite cannot drift from either.
+    "s_ann_ivfpq" -> {
+      val nprobe = 4
+      ("WITH " + kmeansCtePrefix + ",\n" +
+        (0 until PqM).map(pqKmeansCtes).mkString(",\n") + s""",
+        |probes AS (
+        |  SELECT q_id, qe, cell FROM (
+        |    SELECT e.vec_id AS q_id, e.embedding AS qe, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${dist("e", "c")}, c.cell) AS rn
+        |    FROM embeddings e CROSS JOIN c$KmeansIters c
+        |    WHERE e.vec_id < $NumQueries) WHERE rn <= $nprobe),
+        |j AS (SELECT b.vec_id, b.cell,
+        |        p0.r0, p1.r1, p2.r2, p3.r3
+        |      FROM bucketed b
+        |      JOIN p0enc p0 USING (vec_id)
+        |      JOIN p1enc p1 USING (vec_id)
+        |      JOIN p2enc p2 USING (vec_id)
+        |      JOIN p3enc p3 USING (vec_id)),
+        |scored AS (SELECT q.q_id, j.vec_id,
+        |    ${ldist(0, "r0")} + ${ldist(PqSub, "r1")}
+        |    + ${ldist(2 * PqSub, "r2")} + ${ldist(3 * PqSub, "r3")} AS adc
+        |  FROM probes q JOIN j ON j.cell = q.cell),
         |rk AS (SELECT q_id, vec_id, adc,
         |         row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rnk
         |       FROM scored)

@@ -200,6 +200,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq: equals the driver-side ADC scan restricted to probed cells") {
+    val got = SimilarityOps.sAnnIvfPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // driver-side expected result, recomputed end-to-end from the same
+    // bounded sample: coarse cells + 4 subspace codebooks, every vector
+    // encoded, queries probing their 4 nearest cells, naive ADC within
+    // probed cells, top-10 by (adc, vec_id)
+    val sample = SimilarityOps.collectTrainSample(spark, sfDir)
+    val coarse = SimilarityOps.trainCentroidsFrom(sample, 16)
+    val cents = (0 until 4).map(m => SimilarityOps.trainCentroidsFrom(sample, 16, m * 16, 16))
+    val embs = graft.Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def l2(v: Array[Float], off: Int, c: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < c.length) { val x = v(off + i).toDouble - c(i); d += x * x; i += 1 }
+      d
+    }
+    def nearest(v: Array[Float], off: Int, cb: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      for (c <- cb.indices) { val d = l2(v, off, cb(c)); if (d < bestD) { bestD = d; best = c } }
+      best
+    }
+    val cellOf = embs.map { case (id, v) => id -> nearest(v, 0, coarse) }.toMap
+    val codesOf = embs.map { case (id, v) =>
+      id -> (0 until 4).map(m => nearest(v, m * 16, cents(m))) }.toMap
+    val queries = embs.filter(_._1 < 5)
+    val expected = queries.flatMap { case (qid, qv) =>
+      val probed = coarse.indices.sortBy(c => l2(qv, 0, coarse(c))).take(4).toSet
+      embs.filter { case (id, _) => probed(cellOf(id)) }
+        .map { case (id, _) =>
+          val adc = (0 until 4).map { m =>
+            var d = 0.0
+            val cent = cents(m)(codesOf(id)(m))
+            for (i <- 0 until 16) { val x = qv(m * 16 + i).toDouble - cent(i); d += x * x }
+            d
+          }.sum
+          (qid, id, adc)
+        }
+        .sortBy { case (_, id, adc) => (adc, id) }.take(10).zipWithIndex
+        .map { case ((q, id, adc), i) => (q, i + 1, id, math.rint(adc * 1e4) / 1e4) }
+    }.toSet
+    assert(got.toSet == expected,
+      s"ivf-pq mismatch: got-only=${got.toSet -- expected} expected-only=${expected -- got.toSet}")
+    // the query's own cell is always probed, so it still ranks itself first
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to 10), s"query $q ranks")
+      assert(rows.minBy(_._2)._3 == q, s"query $q does not rank itself first")
+    }
+  }
+
   test("semantic dedup: pairs are exactly the within-cluster slice of the exact pairs") {
     val sem = SimilarityOps.dSemanticDedup(spark, sfDir).collect()
       .map(r => (r.getLong(1), r.getLong(2)) -> r.getInt(0)).toMap
