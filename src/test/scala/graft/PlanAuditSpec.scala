@@ -281,4 +281,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q27: RANGE frame windows shuffle on o_custkey, never a single partition") {
+    val p = plan(RelationalOps.q27RangeFrame(spark, sfDir))
+    assert(p.contains("RangeFrame"), p)
+    assert(p.contains("windowspecdefinition(o_custkey"), p)
+  }
+
+  test("t_sliding_rate: window expansion feeds a partial aggregation — groups shuffle, not 5x events") {
+    val p = plan(TimerOps.tSlidingRate(spark, sfDir))
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("x_gopher_rules: per-row rule flags — single 2-column scan, no joins, no aggregation") {
+    val df = TextOps.xGopherRules(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+    assert(readSchema(df) == "struct<doc_id:bigint,text:string>", readSchema(df))
+  }
+
+  test("p_containment: eval grams+sizes broadcast, eval cap pushed to the scan") {
+    val df = TrainingPipeline.containment(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(pushed(df).contains("LessThan(doc_id"), pushed(df))
+  }
+
+  test("s_ann_ivfpq: probe rows broadcast-joined on cell; top-k via WindowGroupLimit; no all-pairs") {
+    val p = plan(SimilarityOps.sAnnIvfPq(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin [cell"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
