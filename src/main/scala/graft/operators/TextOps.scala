@@ -517,6 +517,98 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The five Gopher rule flags in filter order — shared by
+    * xGopherRules and xRuleAttrition so the attrition waterfall
+    * cannot drift from the filter it explains. */
+  private val GopherRuleFlags = Seq("wc_ok", "mwl_ok", "sym_ok", "alpha_ok", "stop_ok")
+
+  /** Per-rule ATTRITION waterfall over the Gopher filter — the report
+    * every curation pipeline publishes next to the filter itself
+    * (x_gopher_rules gives per-doc flags; this gives the corpus-level
+    * story): for each rule in filter order, how many docs fail it at
+    * all (n_failed), how many are REJECTED BY it — i.e. it is the
+    * first failing rule (n_first_failed, the waterfall step), and how
+    * many survive the prefix through it (n_remaining). First-fail
+    * counts sum to total rejections; n_remaining of the last rule =
+    * kept docs. One scan + a single 5-wide conditional aggregate
+    * (every count is an exact integer), then a constant 5-row stack —
+    * zero joins, the shuffle carries one row. */
+  def xRuleAttrition(s: SparkSession, dir: String): DataFrame = {
+    val flags = xGopherRules(s, dir)
+    // pres(i) = rules 0..i-1 all pass (pres(0) = true)
+    val pres = GopherRuleFlags.scanLeft(lit(true))((acc, r) => acc && col(r))
+    val aggCols = GopherRuleFlags.zipWithIndex.flatMap { case (r, i) => Seq(
+      sum(when(!col(r), 1L).otherwise(0L)).as(s"f$i"),
+      sum(when(pres(i) && !col(r), 1L).otherwise(0L)).as(s"a$i"),
+      sum(when(pres(i + 1), 1L).otherwise(0L)).as(s"k$i")) }
+    val stackArgs = GopherRuleFlags.zipWithIndex.map { case (r, i) =>
+      s"$i, '${r.stripSuffix("_ok")}', f$i, a$i, k$i" }.mkString(", ")
+    flags.agg(aggCols.head, aggCols.tail: _*)
+      .select(expr(s"stack(${GopherRuleFlags.size}, $stackArgs) AS " +
+        "(rule_idx, rule, n_failed, n_first_failed, n_remaining)"))
+      .orderBy(col("rule_idx"))
+  }
+
+  /** Duplicate-SPAN accounting — the substring-granular member of the
+    * dedup family (Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better": near-identical docs are only part of
+    * the problem; boilerplate/quotes duplicate SPANS inside otherwise
+    * unique docs, and span-level removal beats doc-level there).
+    * Token 8-gram positions whose gram occurs in ≥ 2 DISTINCT docs
+    * (cross-document duplication — within-doc repetition is
+    * x_repetition's domain) are merged into maximal spans (overlap or
+    * adjacency: a position extends the span if it starts ≤ 1 past the
+    * running end). Per doc with ≥ 1 duplicated span: span count,
+    * duplicated-token total, and the exact duplicated fraction.
+    *
+    * Scale shape (the reason this formulation and not a suffix
+    * array): positions ≈ tokens, so the gram explode is linear; the
+    * df≥2 aggregate and the hit join are both equi-shuffles on gram
+    * (same family as p_decontaminate, never all-pairs); the span
+    * merge is a per-doc window (gaps-and-islands over a running-max
+    * frame). Short docs (< 8 tokens) contribute their whole text as
+    * one gram, mirroring docGrams' convention. */
+  def xDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val k = DupSpanK
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens.as("w"), nTokL.as("n"))
+    val grams = base.select(col("doc_id"), col("n"),
+      posexplode(expr(s"transform(sequence(1, greatest(n - ${k - 1}, 1)), " +
+        s"i -> concat_ws(' ', slice(w, i, $k)))")))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("gram")
+    val hits = grams.join(dup, "gram")
+      .select(col("doc_id"), col("n"), col("pos"),
+        least(col("pos") + lit(k - 1).cast("long"), col("n")).as("e"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runMax = byPos.rowsBetween(Window.unboundedPreceding, -1)
+    hits
+      .withColumn("pmax", max(col("e")).over(runMax))
+      .withColumn("new_span",
+        when(col("pmax").isNull || col("pos") > col("pmax") + 1, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(byPos))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(max(col("n")).as("n"), min(col("pos")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+      .withColumn("dup_ratio", ExactNum.ratio4(col("dup_tokens"), col("n_tokens")))
+      .orderBy(col("doc_id"))
+  }
+
+  private[operators] val DupSpanK = 8
+
+  /** Static token-position headroom for the x_dup_spans oracle
+    * (same pattern as ChunkHeadroom: duck v1.0 can't lateral-unnest a
+    * column-arg range, so gram positions tile from a fixed series).
+    * Max observed tokens/doc is 100 at every sf — 512 is 5× headroom;
+    * the TextSpec guard fails loudly if testdata outgrows it. */
+  private[graft] val DupSpanHeadroom = 512
+
   private[operators] val TfidfTopK = 5
   private[operators] val TfidfScale = 1000000L
   private[operators] val PostingCap = 20
@@ -540,6 +632,8 @@ object TextOps {
     "x_cms_estimate" -> (xCmsEstimate _),
     "x_vocab_coverage" -> (xVocabCoverage _),
     "x_gopher_rules" -> (xGopherRules _),
+    "x_rule_attrition" -> (xRuleAttrition _),
+    "x_dup_spans" -> (xDupSpans _),
   )
 
   /** Static chunk-index headroom for the x_doc_chunks/x_chunk_dedup
@@ -817,31 +911,88 @@ object TextOps {
     // same integer comparisons, thresholds interpolated from the
     // shared constants; list_intersect(list_distinct) ≡ Spark's
     // array_intersect(array_distinct) for the distinct-stopword count
-    "x_gopher_rules" -> {
-      val stopList = GopherStopwords.map(w => s"'$w'").mkString(", ")
-      s"""WITH d AS (SELECT doc_id,
-         |    string_split(text, ' ') AS w,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
-         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS ch,
-         |    CAST(len(regexp_extract_all(text, '[#…]')) AS BIGINT) AS nsym
-         |  FROM documents),
-         |f AS (SELECT doc_id, n,
-         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS nalpha,
-         |    CAST(len(list_intersect(list_distinct(w), [$stopList])) AS BIGINT) AS nstop,
-         |    ch, nsym
-         |  FROM d)
-         |SELECT doc_id, n AS n_tokens,
-         |  n >= $GopherMinWords AND n <= $GopherMaxWords AS wc_ok,
-         |  ch >= 3 * n AND ch <= 10 * n AS mwl_ok,
-         |  10 * nsym <= n AS sym_ok,
-         |  5 * nalpha >= 4 * n AS alpha_ok,
-         |  nstop >= 2 AS stop_ok,
-         |  (n >= $GopherMinWords AND n <= $GopherMaxWords)
-         |    AND (ch >= 3 * n AND ch <= 10 * n)
-         |    AND (10 * nsym <= n)
-         |    AND (5 * nalpha >= 4 * n)
-         |    AND (nstop >= 2) AS kept
-         |FROM f ORDER BY doc_id""".stripMargin
+    "x_gopher_rules" ->
+      s"""WITH $gopherFlagCtes
+         |SELECT doc_id, n_tokens, wc_ok, mwl_ok, sym_ok, alpha_ok, stop_ok,
+         |  wc_ok AND mwl_ok AND sym_ok AND alpha_ok AND stop_ok AS kept
+         |FROM flags ORDER BY doc_id""".stripMargin,
+    // one conditional-aggregate row over the SHARED flag CTEs, fanned
+    // to the 5 waterfall rows — same prefix-conjunction definitions
+    // as the operator's scanLeft
+    "x_rule_attrition" -> {
+      val rules = Seq("wc_ok", "mwl_ok", "sym_ok", "alpha_ok", "stop_ok")
+      val aggs = rules.zipWithIndex.flatMap { case (r, i) =>
+        val prefix = (rules.take(i) :+ r).dropRight(1)
+        val pres = if (prefix.isEmpty) "TRUE" else prefix.mkString(" AND ")
+        Seq(
+          s"sum(CASE WHEN NOT $r THEN 1 ELSE 0 END) AS f$i",
+          s"sum(CASE WHEN ($pres) AND NOT $r THEN 1 ELSE 0 END) AS a$i",
+          s"sum(CASE WHEN ($pres) AND $r THEN 1 ELSE 0 END) AS k$i")
+      }.mkString(",\n    ")
+      val unions = rules.zipWithIndex.map { case (r, i) =>
+        s"SELECT $i AS rule_idx, '${r.stripSuffix("_ok")}' AS rule, " +
+          s"CAST(f$i AS BIGINT) AS n_failed, CAST(a$i AS BIGINT) AS n_first_failed, " +
+          s"CAST(k$i AS BIGINT) AS n_remaining FROM a"
+      }.mkString("\nUNION ALL ")
+      s"""WITH $gopherFlagCtes,
+         |a AS (SELECT
+         |    $aggs
+         |  FROM flags)
+         |$unions
+         |ORDER BY rule_idx""".stripMargin
     },
+    // identical gram definition as the operator (and docGrams'
+    // short-doc convention); positions tile from the static
+    // DupSpanHeadroom series; same gaps-and-islands windows
+    "x_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+         |g AS (SELECT doc_id, n, CAST(i AS BIGINT) AS pos,
+         |    concat_ws(' ', list_slice(w, i, i + ${DupSpanK - 1})) AS gram
+         |  FROM t CROSS JOIN (SELECT unnest(range(1, ${DupSpanHeadroom + 1})) AS i)
+         |  WHERE i <= greatest(n - ${DupSpanK - 1}, 1)),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         |h AS (SELECT g.doc_id, g.n, g.pos, least(g.pos + ${DupSpanK - 1}, g.n) AS e
+         |  FROM g JOIN dup USING (gram)),
+         |m AS (SELECT doc_id, n, pos, e,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM h),
+         |isl AS (SELECT doc_id, n, pos, e,
+         |    sum(CASE WHEN pmax IS NULL OR pos > pmax + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         |  FROM m),
+         |sp AS (SELECT doc_id, span_id, max(n) AS n, min(pos) AS s, max(e) AS e
+         |  FROM isl GROUP BY 1, 2)
+         |SELECT doc_id, max(n) AS n_tokens,
+         |  count(*) AS n_spans,
+         |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+         |  ${ExactNum.ratioSql("CAST(sum(e - s + 1) AS BIGINT)", "max(n)")} AS dup_ratio
+         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
+
+  /** The Gopher flag computation as shared CTEs (ending in `flags`) —
+    * the single source both the x_gopher_rules and x_rule_attrition
+    * oracles read, so the filter and its waterfall cannot drift. */
+  private def gopherFlagCtes: String = {
+    val stopList = GopherStopwords.map(w => s"'$w'").mkString(", ")
+    s"""d AS (SELECT doc_id,
+       |    string_split(text, ' ') AS w,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS ch,
+       |    CAST(len(regexp_extract_all(text, '[#…]')) AS BIGINT) AS nsym
+       |  FROM documents),
+       |f AS (SELECT doc_id, n,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS nalpha,
+       |    CAST(len(list_intersect(list_distinct(w), [$stopList])) AS BIGINT) AS nstop,
+       |    ch, nsym
+       |  FROM d),
+       |flags AS (SELECT doc_id, n AS n_tokens,
+       |  n >= $GopherMinWords AND n <= $GopherMaxWords AS wc_ok,
+       |  ch >= 3 * n AND ch <= 10 * n AS mwl_ok,
+       |  10 * nsym <= n AS sym_ok,
+       |  5 * nalpha >= 4 * n AS alpha_ok,
+       |  nstop >= 2 AS stop_ok
+       |FROM f)""".stripMargin
+  }
 }

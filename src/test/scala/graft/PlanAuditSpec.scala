@@ -315,4 +315,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin [cell"), p)
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("x_dup_spans: gram equi-joins only (linear, never all-pairs); span merge windows are per-doc") {
+    val p = plan(TextOps.xDupSpans(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("x_rule_attrition: one scan, no joins, single-row conditional aggregate") {
+    val p = plan(TextOps.xRuleAttrition(spark, sfDir))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum"), p)
+  }
 }

@@ -367,4 +367,80 @@ class TextSpec extends SparkSpec {
     // the rule set separates docs on this corpus (not all-pass)
     assert(got.values.exists(!_._7) && got.values.exists(_._7), "kept is degenerate")
   }
+
+  test("rule attrition: waterfall conserves docs; first-fails partition the rejected") {
+    val rows = TextOps.xRuleAttrition(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (0 until 5), "rule order")
+    assert(rows.map(_._2).toSeq == Seq("wc", "mwl", "sym", "alpha", "stop"))
+    val flags = TextOps.xGopherRules(spark, sfDir).collect()
+    val nDocs = flags.length.toLong
+    val nKept = flags.count(_.getBoolean(7)).toLong
+    // every rejected doc is attributed to exactly one (first) rule
+    assert(rows.map(_._4).sum == nDocs - nKept, "first-fails != rejected")
+    // the waterfall is non-increasing and each step drops exactly its first-fails
+    val remain = rows.map(_._5)
+    rows.indices.foreach { i =>
+      val before = if (i == 0) nDocs else remain(i - 1)
+      assert(remain(i) == before - rows(i)._4, s"step $i conservation")
+    }
+    assert(remain.last == nKept, "survivors != kept")
+    // attributed ≤ total failures per rule
+    rows.foreach { case (_, r, f, a, _) => assert(a <= f, s"rule $r: a > f") }
+  }
+
+  test("dup spans: disjoint in-bounds spans; symmetric; agrees with a naive recompute") {
+    val got = TextOps.xDupSpans(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.nonEmpty)
+    // naive driver-side recompute of the whole operator
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val k = TextOps.DupSpanK
+    val posGrams = docs.map { case (id, w) =>
+      val nPos = math.max(w.length - k + 1, 1)
+      id -> (1 to nPos).map(i => i.toLong -> w.slice(i - 1, i - 1 + k).mkString(" "))
+    }.toMap
+    val df = posGrams.toSeq.flatMap { case (id, gs) => gs.map(_._2).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.size }
+    val expected = docs.flatMap { case (id, w) =>
+      val n = w.length.toLong
+      val hits = posGrams(id).filter { case (_, g) => df(g) >= 2 }
+        .map { case (p, _) => (p, math.min(p + k - 1, n)) }
+      if (hits.isEmpty) None else {
+        // merge overlapping/adjacent
+        val spans = hits.tail.foldLeft(List(hits.head)) { case (acc, (p, e)) =>
+          if (p <= acc.head._2 + 1) (acc.head._1, math.max(acc.head._2, e)) :: acc.tail
+          else (p, e) :: acc
+        }.reverse
+        val dupToks = spans.map { case (s0, e0) => e0 - s0 + 1 }.sum
+        Some(id -> ((n, spans.size.toLong, dupToks)))
+      }
+    }.toMap
+    assert(got.keySet == expected.keySet,
+      s"docs differ: got-only=${got.keySet -- expected.keySet} exp-only=${expected.keySet -- got.keySet}")
+    expected.foreach { case (id, (n, nSpans, dupToks)) =>
+      val (gn, gs, gd, ratio) = got(id)
+      assert(gn == n && gs == nSpans && gd == dupToks, s"doc $id: got ($gn,$gs,$gd) want ($n,$nSpans,$dupToks)")
+      assert(gd <= gn, s"doc $id: dup_tokens > n_tokens")
+      assert(math.abs(ratio - dupToks.toDouble / n) < 1e-3, s"doc $id ratio")
+    }
+    // symmetry: duplication is cross-document, so ≥ 2 docs are always reported
+    assert(got.size >= 2)
+  }
+
+  test("dup-span oracle headroom covers the longest doc at every test scale") {
+    val dirs = new java.io.File("/root/testdata").listFiles()
+      .filter(f => f.isDirectory && new java.io.File(f, "documents.parquet").exists())
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val maxPos = graft.Tables.documents(spark, d.getPath)
+        .select(max(greatest(expr(s"size(split(text, ' ')) - ${TextOps.DupSpanK - 1}"), lit(1))).cast("long"))
+        .head().getLong(0)
+      assert(maxPos <= TextOps.DupSpanHeadroom,
+        s"${d.getName}: $maxPos gram positions > DupSpanHeadroom ${TextOps.DupSpanHeadroom}")
+    }
+  }
 }
