@@ -54,7 +54,7 @@ object ScaleProbe {
     val results = Seq(
       run("d_exact_dedup"), run("x_fingerprint"),
       run("d_minhash_lsh"), run("d_simhash"),
-      run("x_winnow_fingerprint"))
+      run("x_winnow_fingerprint"), run("x_dup_spans"))
     val qs = results.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scaleprobe","n_docs":$nDocs,"factor":$factor,"queries":$qs}""")
     spark.stop()
