@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(c.length == 1, "simhash64(tokens)")
       SimHash64(c(0))
     }
+    register("ahash64", classOf[AHash64]) { c =>
+      require(c.length == 1, "ahash64(text)")
+      AHash64(c(0))
+    }
     register("winnow_sketch", classOf[WinnowSketch]) { c =>
       require(c.length == 3, "winnow_sketch(text, k, w)")
       WinnowSketch(c(0), litInt(c(1), "k"), litInt(c(2), "w"))

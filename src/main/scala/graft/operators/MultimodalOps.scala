@@ -96,7 +96,70 @@ object MultimodalOps {
     "m_binary_pipeline" -> (mBinaryPipeline _),
     "m_frame_sample" -> (mFrameSample _),
     "m_payload_dedup" -> (mPayloadDedup _),
+    "m_phash_index" -> (mPhashIndex _),
   )
+
+  /** Perceptual-hash INDEX over the binary payload — the tier above
+    * mPayloadDedup's exact md5 (a one-byte re-encode defeats a
+    * content hash; image/audio stores follow the exact pass with a
+    * perceptual one). The aHash construction (blockwise average-hash,
+    * the simplest member of the pHash family) via the O(n)
+    * `ahash64` expression: the payload's 64 equal byte-blocks each
+    * contribute one signature bit — 1 iff the block mean exceeds the
+    * global mean, by integer CROSS-MULTIPLY (block_sum·n >
+    * total·block_len; no float can tie-split the engines). A real
+    * deployment computes the same 64 bits from decoded pixel
+    * blocks — the decode seam is mBinaryPipeline's; everything
+    * downstream of the bits is the production shape. The signature
+    * rides as TWO 32-bit halves (lo = blocks 0..31, hi = 32..63):
+    * every shift stays ≤ 31, which both engines handle in plain
+    * BIGINT (DuckDB raises on 1<<63).
+    *
+    * Output is the INDEX a store persists plus its self-probe: per
+    * payload the signature halves, the count of band-collision
+    * candidates (4×16-bit bands — pigeonhole-complete for hamming ≤ 3)
+    * and of near-matches (hamming ≤ 3 — byte-level re-encode range).
+    * On THIS corpus n_near is 0 everywhere and that is the honest
+    * reading: the synthetic near-dups are word INSERTIONS, which
+    * shift every downstream byte off the block grid (measured: the
+    * LSH near-dup pairs sit at hamming 14–43, inside the unrelated-
+    * pair band) — grid-aligned re-encode detection is spec-proven on
+    * an injected equal-length corpus instead (MultimodalSpec). One
+    * scan computes signatures map-side; the band self-join shuffles
+    * (band, doc) rows only — payload bytes never shuffle, candidates
+    * track bucket collisions, never n². */
+  def mPhashIndex(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(s, dir)
+      .select(col("doc_id"), expr("ahash64(text)").as("sig"))
+      .select(col("doc_id"), col("sig.lo").as("lo"), col("sig.hi").as("hi"))
+
+    val banded = sigs.select(col("doc_id"), col("lo"), col("hi"),
+        explode(expr("transform(sequence(0, 3), b -> struct(b AS band_idx, " +
+          "shiftright(CASE WHEN b < 2 THEN lo ELSE hi END, (b % 2) * 16) & 65535 AS band_val))"))
+          .as("band"))
+      .select(col("doc_id"), col("lo"), col("hi"),
+        col("band.band_idx"), col("band.band_val"))
+
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("other"),
+        col("a.lo").as("lo_a"), col("a.hi").as("hi_a"),
+        col("b.lo").as("lo_b"), col("b.hi").as("hi_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("hamming") <= 3, 1L).otherwise(0L)).as("n_near"))
+
+    sigs.join(cand, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lo"), col("hi"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Content-hash dedup of the binary payload — the first pass of
     * every multimodal store (image/audio dedup IS md5-of-bytes before
@@ -147,5 +210,45 @@ object MultimodalOps {
         |FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
         |WHERE i <= (length(text) - 1) // 256
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // identical bit construction (ASCII corpus: unicode(c) ≡ byte;
+    // same integer cross-multiply; sums of distinct powers ≡ the
+    // expression's shifted-bit ORs), same 4×16 banding and two-half
+    // hamming
+    "m_phash_index" ->
+      """WITH cs AS (SELECT doc_id,
+        |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS cs
+        |  FROM documents),
+        |st AS (SELECT doc_id, cs, CAST(len(cs) AS BIGINT) AS n,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), cs), (a, x) -> a + x) AS total
+        |  FROM cs),
+        |bv AS (SELECT doc_id, b,
+        |    CASE WHEN ((b + 1) * n) // 64 - (b * n) // 64 > 0 AND
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_slice(cs, (b * n) // 64 + 1, ((b + 1) * n) // 64)),
+        |        (a, x) -> a + x) * n
+        |        > total * (((b + 1) * n) // 64 - (b * n) // 64)
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM st CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS b)),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bv GROUP BY doc_id),
+        |banded AS (SELECT doc_id, lo, hi, b AS band_idx,
+        |    (CASE WHEN b < 2 THEN lo ELSE hi END >> ((b % 2) * 16)) & 65535 AS band_val
+        |  FROM sig CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS other,
+        |    a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |      AND a.doc_id <> b.doc_id),
+        |agg AS (SELECT doc_id, count(*) AS n_candidates,
+        |    sum(CASE WHEN bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
+        |      THEN 1 ELSE 0 END) AS n_near
+        |  FROM cand GROUP BY doc_id)
+        |SELECT s.doc_id, s.lo, s.hi,
+        |  CAST(coalesce(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+        |  CAST(coalesce(a.n_near, 0) AS BIGINT) AS n_near
+        |FROM sig s LEFT JOIN agg a ON s.doc_id = a.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
   )
 }

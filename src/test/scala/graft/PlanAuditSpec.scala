@@ -328,4 +328,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(p.contains("partial_sum"), p)
   }
+
+  test("m_phash_index: signatures map-side; candidates from band equi-join, never all-pairs") {
+    val p = plan(MultimodalOps.mPhashIndex(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("ahash64"), p)
+  }
 }
