@@ -100,6 +100,35 @@ object TrainingPipeline {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Temperature-based mixture reweighting (the multilingual /
+    * DoReMi-family sampling-design step: raw source proportions
+    * over-train the head, so sample ∝ n^α with α < 1 — here α = 0.5,
+    * the classic multilingual-BERT exponent). Per source: doc and
+    * whitespace-token counts, the normalized √tokens weight, and the
+    * integer target doc count a sampler would draw. Exact across
+    * engines because IEEE-754 sqrt is CORRECTLY ROUNDED (identical
+    * bits on both), the scaled weight is floored into integer space
+    * (floor, not a float round that could land on a .5 tie; not a
+    * raw cast — Spark truncates double→long where DuckDB rounds),
+    * and weight/targets are integer ratios from there. Plan: one
+    * map-side-partial groupBy to ≤ #sources rows, the 1-row total
+    * broadcast back — the corpus is scanned once and never
+    * shuffled. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("si", floor(sqrt(col("n_tokens")) * 10000).cast("long"))
+    val tot = per.agg(sum(col("si")).as("s_tot"), sum(col("n_docs")).as("docs_tot"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("weight", ExactNum.ratio4(col("si"), col("s_tot")))
+      .withColumn("target_docs", expr("si * docs_tot div s_tot"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("weight"), col("target_docs"))
+      .orderBy(col("source"))
+  }
+
   /** Fixed benchmark size for decontaminate: at most EvalDocs docs in
     * the stand-in eval slice, so the broadcast gram set is bounded by
     * a CONSTANT (≤ EvalDocs × grams-per-doc) regardless of corpus
@@ -312,6 +341,7 @@ object TrainingPipeline {
       "p_training_funnel" -> ((s, dir) => run(s, dir)),
       "p_funnel_report" -> ((s, dir) => funnel(s, dir)),
       "p_mix_sources" -> (mixSources _),
+      "p_temperature_mix" -> (temperatureMix _),
       "p_decontaminate" -> (decontaminate _),
       "p_containment" -> (containment _),
       "p_fuzzy_decontaminate" -> (fuzzyDecontaminate _),
@@ -412,6 +442,21 @@ object TrainingPipeline {
           |  FROM documents)
           |WHERE mix_rank <= quota
           |ORDER BY source, doc_id""".stripMargin,
+      // identical arithmetic path: correctly-rounded sqrt → ×10⁴ →
+      // floor → integer ratio/floor-div (all operands non-negative,
+      // so // ≡ Spark's div)
+      "p_temperature_mix" ->
+        s"""WITH per AS (SELECT source, count(*) AS n_docs,
+          |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          |  FROM documents GROUP BY source),
+          |si AS (SELECT source, n_docs, n_tokens,
+          |    CAST(floor(sqrt(n_tokens) * 10000) AS BIGINT) AS si FROM per),
+          |tot AS (SELECT CAST(sum(si) AS BIGINT) AS s_tot,
+          |    CAST(sum(n_docs) AS BIGINT) AS docs_tot FROM si)
+          |SELECT source, n_docs, n_tokens,
+          |  ${ExactNum.ratioSql("si", "s_tot")} AS weight,
+          |  (si * docs_tot) // s_tot AS target_docs
+          |FROM si CROSS JOIN tot ORDER BY source""".stripMargin,
       // 8-gram mirror of the shingled() pattern (range end exclusive:
       // greatest(len-6, 2) ≡ Spark's greatest(size-7, 1) inclusive);
       // gramCtes shared with p_containment so the gram definition

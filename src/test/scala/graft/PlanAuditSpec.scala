@@ -334,4 +334,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
     assert(p.contains("ahash64"), p)
   }
+
+  test("p_temperature_mix: one partial-agged scan; the 1-row total broadcast back") {
+    val p = plan(TrainingPipeline.temperatureMix(spark, sfDir))
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -254,4 +254,34 @@ class TrainingPipelineSpec extends SparkSpec {
     val summed = got.groupBy(_._1._2).map { case (tid, ps) => tid -> ps.map(_._2._1).sum }
     assert(summed == hits, "containment pairs disagree with decontaminate hits")
   }
+
+  test("temperature mix: weights normalize, targets conserve, sqrt flattens the head") {
+    val rows = TrainingPipeline.temperatureMix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docsTot = rows.map(_._2).sum
+    // weights sum to 1 within the 4-dp per-source rounding budget
+    assert(math.abs(rows.map(_._4).sum - 1.0) <= rows.length * 1e-4 + 1e-9)
+    // floor-division targets never over-allocate, and land within one
+    // doc per source of the total
+    val tgt = rows.map(_._5).sum
+    assert(tgt <= docsTot && tgt >= docsTot - rows.length, s"targets $tgt vs docs $docsTot")
+    // the α = 0.5 effect: for any two sources the weight ratio is the
+    // sqrt of the token ratio — strictly flatter than proportional
+    val (big, small) = (rows.maxBy(_._3), rows.minBy(_._3))
+    if (big._3 > small._3) {
+      val rawRatio = big._3.toDouble / small._3
+      val wRatio = big._4 / small._4
+      assert(wRatio < rawRatio, s"weights not flattened: $wRatio vs raw $rawRatio")
+      assert(math.abs(wRatio - math.sqrt(rawRatio)) < 0.01 * math.sqrt(rawRatio),
+        s"weight ratio $wRatio far from sqrt of $rawRatio")
+    }
+    // naive recompute of one source's si chain
+    rows.foreach { case (_, _, nTok, w, _) =>
+      val si = math.floor(math.sqrt(nTok.toDouble) * 10000).toLong
+      val sTot = rows.map(r => math.floor(math.sqrt(r._3.toDouble) * 10000).toLong).sum
+      val expect = ((si * 20000L + sTot) / (2 * sTot)).toDouble / 10000.0
+      assert(math.abs(w - expect) < 1e-9, s"weight $w vs naive $expect")
+    }
+  }
 }
