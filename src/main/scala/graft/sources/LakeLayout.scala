@@ -53,6 +53,42 @@ object LakeLayout {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** Z-ORDER (Morton-curve) clustering — the multi-dimensional
+    * complement of writePartitioned's one-dimensional time sort (the
+    * Delta/Iceberg OPTIMIZE ZORDER analog, from public Morton-order
+    * literature). A single-column sort makes parquet min/max stats
+    * narrow on THAT column only: a filter on any other column still
+    * opens every file. Interleaving the bits of two columns' scaled
+    * ranks into one z-value and range-partitioning + sorting by it
+    * keeps each file's (min, max) envelope narrow on BOTH columns,
+    * so selective filters on EITHER skip most files.
+    *
+    * Columns are scaled to [0, 2¹⁶) by min/max (one 1-row aggregate —
+    * a constant-size driver collect, the BloomOps pattern), then the
+    * 32-bit z-value is a single builtins fold (one pass; the
+    * expression is referenced once, so no projection-collapse
+    * blowup). At 100 TB this is a per-partition maintenance rewrite
+    * (z-order day=D after it closes), exactly like compact().
+    * ZOrderSpec measures the skipping: both probe columns prune files
+    * under the z-layout; the linear layout prunes only its sort key. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+      colB: String, numFiles: Int = 8): Unit = {
+    val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    val (aMin, aMax, bMin, bMax) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    def scaled(c: String, lo: Long, hi: Long): String =
+      if (hi == lo) "0L"
+      else s"((CAST($c AS BIGINT) - ${lo}L) * 65535L) div ${hi - lo}L"
+    val z = s"""aggregate(sequence(0, 15), 0L, (acc, i) ->
+      |  acc | shiftleft(shiftright(${scaled(colA, aMin, aMax)}, i) & 1L, 2 * i)
+      |      | shiftleft(shiftright(${scaled(colB, bMin, bMax)}, i) & 1L, 2 * i + 1))""".stripMargin
+    df.withColumn("z", expr(z))
+      .repartitionByRange(numFiles, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-file compaction — the lake-maintenance job every
     * streaming ingest needs: each micro-batch of the file-sink
     * (eventStream's drop directory, the lake's per-day partitions)

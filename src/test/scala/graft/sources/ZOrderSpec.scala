@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Z-order clustering: measures the file-skipping the layout exists
+  * for. Per-file min/max envelopes (what parquet footer stats give a
+  * reader) are recomputed by reading each part file individually;
+  * "prunable" = files whose envelope misses the probe range. The
+  * z-layout must prune on BOTH dimensions; the linear layout prunes
+  * only its sort key and is blind on the other. */
+class ZOrderSpec extends SparkSpec {
+
+  private val NumFiles = 16
+
+  private def partFiles(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getPath).toSeq
+
+  /** Files whose [min, max] of `c` overlaps [lo, hi]. */
+  private def overlapping(dir: String, c: String, lo: Long, hi: Long): Int =
+    partFiles(dir).count { f =>
+      val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+      r.getLong(0) <= hi && r.getLong(1) >= lo
+    }
+
+  test("z-order prunes files on both dimensions; a linear sort only on its key") {
+    val session = spark
+    import session.implicits._
+    // two independent uniform dimensions
+    val df = spark.range(20000)
+      .select((col("id") % 141).as("a"), ((col("id") * 7919) % 141).as("b"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft_lin").toString
+    LakeLayout.writeZOrdered(df, zDir, "a", "b", NumFiles)
+    df.repartitionByRange(NumFiles, col("a")).sortWithinPartitions(col("a"))
+      .write.mode("overwrite").parquet(linDir)
+    assert(partFiles(zDir).size > 1 && partFiles(linDir).size > 1)
+
+    val (lo, hi) = (10L, 19L) // a ~7% slab of the [0, 141) domain
+    val zA = overlapping(zDir, "a", lo, hi)
+    val zB = overlapping(zDir, "b", lo, hi)
+    val linA = overlapping(linDir, "a", lo, hi)
+    val linB = overlapping(linDir, "b", lo, hi)
+    val nZ = partFiles(zDir).size
+    val nLin = partFiles(linDir).size
+    // the linear layout is sharp on its sort key...
+    assert(linA <= nLin / 4, s"linear layout should prune on a: $linA of $nLin overlap")
+    // ...and blind on the other dimension (every file spans all of b)
+    assert(linB == nLin, s"linear layout unexpectedly pruned on b: $linB of $nLin")
+    // the z-layout prunes meaningfully on BOTH dimensions
+    assert(zA <= (2 * nZ) / 3, s"z-order did not prune on a: $zA of $nZ overlap")
+    assert(zB <= (2 * nZ) / 3, s"z-order did not prune on b: $zB of $nZ overlap")
+    // and the rewrite loses no rows
+    assert(spark.read.parquet(zDir).count() == 20000L)
+  }
+
+  test("z-order handles a constant dimension (degenerate min == max)") {
+    val df = spark.range(100).select(col("id").as("a"), lit(7L).as("b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zc").toString
+    LakeLayout.writeZOrdered(df, dir, "a", "b", 4)
+    assert(spark.read.parquet(dir).count() == 100L)
+  }
+}
