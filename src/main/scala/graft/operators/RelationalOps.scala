@@ -391,6 +391,27 @@ object RelationalOps {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Correlated LATERAL top-n — the SQL-surface form of per-group
+    * top-k (q10 is the DataFrame window form; ANSI/DuckDB users write
+    * this as a lateral join). Driven through the SQL front door
+    * (Tables.registerViews + spark.sql) deliberately: the point is
+    * that Catalyst DECORRELATES the per-nation LIMIT subquery into
+    * the same WindowGroupLimit + broadcast-join plan the DataFrame
+    * form gets — per-partition top-2 state, never a per-nation
+    * re-scan (plan-audited). The oracle runs the near-identical
+    * LATERAL in DuckDB — an independent execution strategy for the
+    * same ANSI semantics. */
+  def q28LateralTopn(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_agg" -> (q1Agg _),
     "q2_topk" -> (q2Topk _),
@@ -419,6 +440,7 @@ object RelationalOps {
     "q25_intersect" -> (q25Intersect _),
     "q26_except" -> (q26Except _),
     "q27_range_frame" -> (q27RangeFrame _),
+    "q28_lateral_topn" -> (q28LateralTopn _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -631,5 +653,14 @@ object RelationalOps {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // duck executes the SAME ANSI lateral natively — an independent
+    // strategy (no decorrelation) for identical semantics
+    "q28_lateral_topn" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin,
   )
 }

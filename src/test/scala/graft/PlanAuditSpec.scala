@@ -340,4 +340,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q28: the correlated LATERAL LIMIT decorrelates to WindowGroupLimit, no per-row rescan") {
+    val p = plan(RelationalOps.q28LateralTopn(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
 }
