@@ -29,9 +29,16 @@ class ZOrderSpec extends SparkSpec {
   test("z-order prunes files on both dimensions; a linear sort only on its key") {
     val session = spark
     import session.implicits._
-    // two independent uniform dimensions
+    // two GENUINELY independent uniform dimensions: a = id mod 141,
+    // b = (id div 141) mod 141 — together they sweep the 141x141 grid
+    // once. (The earlier (id*7919) % 141 collapsed to b = 23a mod 141,
+    // a function of a: each linear a-slab file then held only ~9
+    // scattered b-values, and whether its b-envelope covered the probe
+    // depended on WHERE the range partitioner cut files — boundaries
+    // are sampled with an rdd.id-derived seed, so the "blind on b"
+    // assertion was suite-order flaky.)
     val df = spark.range(20000)
-      .select((col("id") % 141).as("a"), ((col("id") * 7919) % 141).as("b"))
+      .select((col("id") % 141).as("a"), expr("(id div 141) % 141").as("b"))
     val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
     val linDir = java.nio.file.Files.createTempDirectory("graft_lin").toString
     LakeLayout.writeZOrdered(df, zDir, "a", "b", NumFiles)
