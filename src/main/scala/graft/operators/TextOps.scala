@@ -602,6 +602,74 @@ object TextOps {
 
   private[operators] val DupSpanK = 8
 
+  /** HLL register-count exponent: m = 2⁸ = 256 registers. */
+  private[operators] val HllM = 256L
+  /** α₂₅₆ · 10⁶, floored — the Flajolet bias constant
+    * 0.7213/(1 + 1.079/m) in parts-per-million, pinned as an integer
+    * so both engines interpolate the SAME literal. */
+  private[operators] val HllAlpha6: Long = {
+    val a = (BigDecimal("0.7213") / (1 + BigDecimal("1.079") / 256)) * 1000000
+    a.setScale(0, BigDecimal.RoundingMode.FLOOR).toLongExact
+  }
+  /** ⌊α₆·m²·2³⁰ / 10⁶⌋ — the raw-estimate numerator, pre-divided so
+    * est = Nq div Σ2^(30−reg) is a single BIGINT floor-division
+    * (⌊⌊A/10⁶⌋/s⌋ = ⌊A/(10⁶·s)⌋ for positive integers). */
+  private[operators] val HllNq: Long =
+    ((BigInt(HllAlpha6) * HllM * HllM * (1L << 30)) / 1000000L).toLong
+
+  /** HyperLogLog distinct-shingle estimation (Flajolet et al. 2007) —
+    * the CARDINALITY member of the sketch family (t_bloom_filter =
+    * membership, x_cms_estimate = frequency): per-source distinct
+    * word-3-gram counts from a fixed 256-register sketch. This is the
+    * 100 TB shape of `count(DISTINCT x)`: the register table is a
+    * groupBy max — map-side partials merge by MAX (the mergeable-
+    * sketch property), so executors exchange ≤ sources × 256 bytes-ish
+    * rows where the exact count shuffles every distinct value.
+    *
+    * All-integer, oracle-exact: poly_hash31 gives 31 hash bits →
+    * low 8 = register index, high 23 = the rho window (rho =
+    * leading-zero count + 1 = 24 − bitlength, via length(bin(w)) on
+    * both engines — both print minimal-width binary). The harmonic
+    * sum Σ2^(−reg) is carried as Σ2^(30−reg) in BIGINT (rho ≤ 24, so
+    * every term is integral), absent registers contributing 2³⁰ each;
+    * est = HllNq div sum — pure integer division, bit-identical in
+    * DuckDB. Raw-regime only by design: per-source cardinalities here
+    * (≥ ~1.1k) sit above the 2.5m = 640 small-range threshold, and at
+    * 100 TB they are orders of magnitude above it (the sub-640 regime
+    * is where you can afford the exact count anyway); zero_regs is
+    * emitted so a reader CAN apply linear counting downstream. The
+    * exact count + err_bp columns are the test-time observable
+    * (TextSpec pins err < 2⁻½·10⁴/√m bp ≈ classic 3σ), not part of
+    * the production plan. */
+  def xHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .withColumn("w", tokens)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, greatest(size(w) - 2, 1)), i -> concat_ws(' ', slice(w, i, 3)))"))
+        .as("gram"))
+    val regs = grams
+      .withColumn("h", expr("poly_hash31(gram)"))
+      .select(col("source"), (col("h") % HllM).as("bucket"),
+        expr(s"h div $HllM").as("w23"))
+      .withColumn("rho",
+        when(col("w23") === 0, lit(24L)).otherwise(lit(24L) - length(expr("bin(w23)"))))
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("rho")).as("rmax"))
+    val sketch = regs.groupBy(col("source"))
+      .agg((sum(expr("shiftleft(1L, CAST(30 - rmax AS INT))")) +
+        (lit(HllM) - count(lit(1))) * lit(1L << 30)).as("sum_scaled"),
+        (lit(HllM) - count(lit(1))).as("zero_regs"))
+      .withColumn("est_distinct", expr(s"${HllNq}L div sum_scaled"))
+    val exact = grams.distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("true_distinct"))
+    sketch.join(exact, "source")
+      .withColumn("err_bp",
+        expr("abs(est_distinct - true_distinct) * 10000L div true_distinct"))
+      .select(col("source"), col("est_distinct"), col("true_distinct"),
+        col("err_bp"), col("zero_regs"), col("sum_scaled"))
+      .orderBy(col("source"))
+  }
+
   /** Static token-position headroom for the x_dup_spans oracle
     * (same pattern as ChunkHeadroom: duck v1.0 can't lateral-unnest a
     * column-arg range, so gram positions tile from a fixed series).
@@ -634,6 +702,7 @@ object TextOps {
     "x_gopher_rules" -> (xGopherRules _),
     "x_rule_attrition" -> (xRuleAttrition _),
     "x_dup_spans" -> (xDupSpans _),
+    "x_hll_distinct" -> (xHllDistinct _),
   )
 
   /** Static chunk-index headroom for the x_doc_chunks/x_chunk_dedup
@@ -969,6 +1038,40 @@ object TextOps {
          |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
          |  ${ExactNum.ratioSql("CAST(sum(e - s + 1) AS BIGINT)", "max(n)")} AS dup_ratio
          |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same 3-gram tiling as the x_cms_estimate oracle; rho via
+    // length(bin(·)) — DuckDB's bin() also prints minimal-width
+    // binary, so 24 − length ≡ the leading-zero count in the 23-bit
+    // window on both engines; HllNq/HllM interpolated from the shared
+    // Scala constants
+    "x_hll_distinct" ->
+      s"""WITH g AS (SELECT source,
+         |    unnest(list_transform(range(1, greatest(len(w) - 1, 2)),
+         |      i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS gram
+         |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+         |gh AS (SELECT source, gram,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(gram, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+         |      (acc, ch) -> (acc * 1000003 + ch) % 2147483647) AS h
+         |  FROM g),
+         |rho AS (SELECT source, h % $HllM AS bucket,
+         |    CASE WHEN h // $HllM = 0 THEN 24
+         |         ELSE 24 - length(bin(h // $HllM)) END AS r
+         |  FROM gh),
+         |regs AS (SELECT source, bucket, max(r) AS rmax FROM rho GROUP BY 1, 2),
+         |sk AS (SELECT source,
+         |    sum(1::BIGINT << (30 - rmax)) + ($HllM - count(*)) * (1::BIGINT << 30)
+         |      AS sum_scaled,
+         |    $HllM - count(*) AS zero_regs
+         |  FROM regs GROUP BY source),
+         |ex AS (SELECT source, count(DISTINCT gram) AS true_distinct FROM g
+         |  GROUP BY source)
+         |SELECT sk.source, CAST($HllNq // sum_scaled AS BIGINT) AS est_distinct,
+         |  CAST(true_distinct AS BIGINT) AS true_distinct,
+         |  CAST(abs($HllNq // sum_scaled - true_distinct) * 10000 // true_distinct
+         |    AS BIGINT) AS err_bp,
+         |  CAST(zero_regs AS BIGINT) AS zero_regs,
+         |  CAST(sum_scaled AS BIGINT) AS sum_scaled
+         |FROM sk JOIN ex USING (source) ORDER BY sk.source""".stripMargin,
   )
 
   /** The Gopher flag computation as shared CTEs (ending in `flags`) —

@@ -280,6 +280,47 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("hll distinct: matches a naive in-memory sketch; raw regime; 3σ-bounded error") {
+    val got = TextOps.xHllDistinct(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    def polyHash(sIn: String): Long =
+      sIn.foldLeft(0L)((acc, ch) => (acc * 1000003L + ch.toLong) % 2147483647L)
+    val bySource = graft.Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .groupBy(_.getString(0)).map { case (src, rows) =>
+        val grams = rows.flatMap { r =>
+          val w = r.getString(1).split(" ", -1)
+          (1 to math.max(w.length - 2, 1)).map(i => w.slice(i - 1, i + 2).mkString(" "))
+        }
+        src -> grams
+      }
+    got.foreach { case (src, est, td, errBp, zeros, sumScaled) =>
+      val grams = bySource(src)
+      // naive register rebuild: low 8 hash bits pick, high 23 rank
+      val regs = Array.fill(256)(0L)
+      grams.foreach { gm =>
+        val h = polyHash(gm)
+        val b = (h % 256).toInt
+        val w23 = h / 256
+        val rho = if (w23 == 0) 24L else 24L - java.lang.Long.toBinaryString(w23).length
+        if (rho > regs(b)) regs(b) = rho
+      }
+      val wantSum = regs.map(r => 1L << (30 - r)).sum
+      assert(sumScaled == wantSum, s"$src harmonic sum")
+      assert(zeros == regs.count(_ == 0L), s"$src zero registers")
+      assert(est == TextOps.HllNq / wantSum, s"$src estimate")
+      assert(td == grams.distinct.length, s"$src exact distinct")
+      assert(errBp == math.abs(est - td) * 10000 / td, s"$src err_bp")
+      // raw-regime precondition the operator documents: est > 2.5m
+      assert(est > 640, s"$src fell into the small-range regime")
+      // 3σ ≈ 3·1.04/√256 ≈ 19.5% — a deterministic dataset either
+      // passes forever or the sketch params are wrong
+      assert(errBp < 1950, s"$src err $errBp bp exceeds 3σ")
+    }
+  }
+
   test("vocab coverage: naive recompute agrees; coverage discriminates docs") {
     val got = TextOps.xVocabCoverage(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
