@@ -412,6 +412,31 @@ object RelationalOps {
         |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
   }
 
+  /** UNPIVOT / melt — the inverse surface of q17's pivot: the four
+    * lineitem measures go wide→long through Spark's native
+    * Dataset.unpivot, which plans a single Expand pass (the same
+    * operator CUBE uses — each input row fans to 4 output rows
+    * in-task, NO shuffle until the downstream aggregate, and the agg
+    * then shuffles only (flag, measure) partials: 12 rows). Measures
+    * are integer cents (ExactNum) so sums are order-independent
+    * BIGINTs. The oracle is DuckDB's native UNPIVOT — an independent
+    * implementation of the same relational operator. */
+  def q29Unpivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        cents(col("l_quantity")).as("qty"),
+        cents(col("l_extendedprice")).as("price"),
+        cents(col("l_discount")).as("disc"),
+        cents(col("l_tax")).as("tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc"), col("tax")),
+        "measure", "v")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(sum(col("v")).as("sum_cents"), min(col("v")).as("min_cents"),
+        max(col("v")).as("max_cents"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_agg" -> (q1Agg _),
     "q2_topk" -> (q2Topk _),
@@ -441,6 +466,7 @@ object RelationalOps {
     "q26_except" -> (q26Except _),
     "q27_range_frame" -> (q27RangeFrame _),
     "q28_lateral_topn" -> (q28LateralTopn _),
+    "q29_unpivot" -> (q29Unpivot _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -662,5 +688,19 @@ object RelationalOps {
         |         WHERE c.c_nationkey = n.n_nationkey
         |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
         |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin,
+    // duck's native UNPIVOT — an independent implementation of the
+    // same wide→long operator (Spark plans Expand)
+    "q29_unpivot" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+        |  CAST(round(l_discount * 100) AS BIGINT) AS disc,
+        |  CAST(round(l_tax * 100) AS BIGINT) AS tax
+        |  FROM lineitem),
+        |u AS (UNPIVOT m ON qty, price, disc, tax INTO NAME measure VALUE v)
+        |SELECT l_returnflag, measure, CAST(sum(v) AS BIGINT) AS sum_cents,
+        |  min(v) AS min_cents, max(v) AS max_cents, count(*) AS n
+        |FROM u GROUP BY l_returnflag, measure
+        |ORDER BY l_returnflag, measure""".stripMargin,
   )
 }

@@ -341,6 +341,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q29: unpivot plans one Expand pass, no shuffle before the aggregate's own exchange") {
+    val p = plan(RelationalOps.q29Unpivot(spark, sfDir))
+    assert(p.contains("Expand"), p)
+    // exactly one Exchange: the 12-row (flag, measure) agg shuffle
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2, p)
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+  }
+
   test("q28: the correlated LATERAL LIMIT decorrelates to WindowGroupLimit, no per-row rescan") {
     val p = plan(RelationalOps.q28LateralTopn(spark, sfDir))
     assert(p.contains("WindowGroupLimit"), p)
