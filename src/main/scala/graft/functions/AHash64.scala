@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,8 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Exactly mirrorable in DuckDB as list_slice sums over unicode(c)
   * for the spec-pinned ASCII corpus (code point ≡ byte).
   */
-case class AHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class AHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("lo", LongType, nullable = false),
@@ -35,8 +34,22 @@ case class AHash64(child: Expression)
     case t => TypeCheckResult.TypeCheckFailure(s"ahash64 expects string, got $t")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(input: Any): Any =
+    AHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AHash64 {
+
+  /** The blockwise transform — called from generated code (static
+    * forwarder). */
+  def compute(u: UTF8String): InternalRow = {
+    val s = u.toString
     // code-point values + prefix sums, one pass
     val n = s.codePointCount(0, s.length).toLong
     val cps = new Array[Long](n.toInt + 1) // prefix sums: cps(i) = sum of first i
@@ -63,7 +76,4 @@ case class AHash64(child: Expression)
     }
     InternalRow(lo, hi)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
@@ -65,7 +65,7 @@ object BloomFunctions {
   * are set — the Exist check (filter.go:31-41). Native expression so
   * probing needs no UDF row-codec. */
 case class BloomMightContain(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
@@ -89,6 +89,18 @@ case class BloomMightContain(first: Expression, second: Expression, third: Expre
     val b = bloom.asInstanceOf[Array[Byte]]
     bit(b, p1.asInstanceOf[Long]) && bit(b, p2.asInstanceOf[Long])
   }
+
+  // two bit probes, inlined straight into the generated pipeline
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, p1, p2) => {
+      val i1 = ctx.freshName("i1")
+      val i2 = ctx.freshName("i2")
+      s"""
+         |int $i1 = (int) $p1; int $i2 = (int) $p2;
+         |${ev.value} = ($b[$i1 >> 3] & (1 << ($i1 & 7))) != 0
+         |  && ($b[$i2 >> 3] & (1 << ($i2 & 7))) != 0;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,8 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * rows-only check. 31-bit range also feeds minhash permutations
   * (a·h+b mod M31) without the floorMod pre-fold.
   */
-case class PolyHash31(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class PolyHash31(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_hash31"
@@ -28,17 +27,13 @@ case class PolyHash31(child: Expression)
     case t => TypeCheckResult.TypeCheckFailure(s"poly_hash31 expects string, got $t")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    var h = 0L
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      h = (h * PolyHash31.Base + cp) % PolyHash31.M31
-      i += Character.charCount(cp)
-    }
-    h
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash31.hash(input.asInstanceOf[UTF8String])
+
+  // stays inside whole-stage codegen: the generated pipeline calls the
+  // static forwarder directly — no per-row fallback eval, no boxing
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash31.hash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -47,6 +42,19 @@ case class PolyHash31(child: Expression)
 object PolyHash31 {
   val Base = 1000003L
   val M31 = 2147483647L // 2^31 - 1, prime
+
+  /** The fold itself — called from generated code (static forwarder). */
+  def hash(u: UTF8String): Long = {
+    val s = u.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * Base + cp) % M31
+      i += Character.charCount(cp)
+    }
+    h
+  }
 }
 
 /** minhash_signature(hashes) → array<long>: NumPerms-permutation
@@ -59,7 +67,7 @@ object PolyHash31 {
   * 64-long output.
   */
 case class MinHashSignature(child: Expression, numPerms: Int, seed: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val M31 = 2147483647L // 2^31 - 1, prime
 
@@ -79,8 +87,9 @@ case class MinHashSignature(child: Expression, numPerms: Int, seed: Int)
     case _ => false
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData]
+  /** One pass over the element hashes; called per-row from BOTH the
+    * interpreted path and the generated pipeline (reference object). */
+  def compute(hs: ArrayData): ArrayData = {
     val (a, b) = ab
     val sig = Array.fill(numPerms)(M31)
     val n = hs.numElements()
@@ -97,6 +106,14 @@ case class MinHashSignature(child: Expression, numPerms: Int, seed: Int)
       i += 1
     }
     new GenericArrayData(sig)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -129,8 +146,7 @@ object MinHashSignature {
   * the ±1 vote sum over tokens. Unigram multiset → order-invariant,
   * robust to permutation near-dups.
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -139,6 +155,18 @@ case class SimHash64(child: Expression)
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string>, got $t")
   }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.hash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
 
   private def fnv1aCp(s: String): Long = {
     var h = 0xcbf29ce484222325L
@@ -152,8 +180,9 @@ case class SimHash64(child: Expression)
     h
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** Vote-and-sign over the token multiset — called from generated
+    * code via the static forwarder. */
+  def hash(toks: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = toks.numElements()
     var i = 0
@@ -174,7 +203,4 @@ case class SimHash64(child: Expression)
     }
     sig
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

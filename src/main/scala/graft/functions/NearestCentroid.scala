@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
   * executors inside the serialized plan, the same way a broadcast
   * literal would). */
 case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_centroid"
@@ -30,8 +30,9 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
     case _ => false
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** Argmin scan — called per-row from both the interpreted path and
+    * the generated pipeline (reference object). */
+  def nearest(v: ArrayData): Int = {
     val dim = v.numElements()
     var best = 0
     var bestD = Double.MaxValue
@@ -50,6 +51,14 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
       c += 1
     }
     best
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    nearest(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nc", this, classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.nearest($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -4,7 +4,6 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -96,7 +95,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * planes, nothing is shipped.
   */
 case class HyperplaneLsh(child: Expression, seed: Int, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hyperplane_lsh"
@@ -122,8 +121,9 @@ case class HyperplaneLsh(child: Expression, seed: Int, bits: Int)
     case _ => false
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** Sign-of-dot-product bucketing — called per-row from both the
+    * interpreted path and the generated pipeline (reference object). */
+  def bucket(v: ArrayData): Int = {
     val dim = v.numElements()
     val p = planesFor(dim)
     var bucket = 0
@@ -140,6 +140,14 @@ case class HyperplaneLsh(child: Expression, seed: Int, bits: Int)
       j += 1
     }
     bucket
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    bucket(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lsh", this, classOf[HyperplaneLsh].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.bucket($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -27,7 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * arithmetic never overflows.
   */
 case class WinnowSketch(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_sketch"
@@ -54,8 +54,10 @@ case class WinnowSketch(child: Expression, k: Int, w: Int)
     p
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+  /** Roll + window-min in one pass — called per-row from both the
+    * interpreted path and the generated pipeline (reference object). */
+  def sketch(u: UTF8String): ArrayData = {
+    val cps = u.toString.codePoints().toArray
     val n = cps.length
     if (n < k) return new GenericArrayData(Array.empty[Long])
 
@@ -93,6 +95,14 @@ case class WinnowSketch(child: Expression, k: Int, w: Int)
     var o = 0
     while (it.hasNext) { arr(o) = it.next(); o += 1 }
     new GenericArrayData(arr)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    sketch(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowSketch].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.sketch($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
