@@ -39,7 +39,8 @@ object Bench {
     "s_ann_pq", "x_length_buckets", "d_incremental_dedup", "x_cms_estimate",
     "q25_intersect", "q26_except", "t_coverage", "x_vocab_coverage", "t_miss_rate",
     "m_payload_dedup", "s_ann_ivfpq", "x_dup_spans", "x_rule_attrition",
-    "m_phash_index", "p_temperature_mix", "q28_lateral_topn")
+    "m_phash_index", "p_temperature_mix", "q28_lateral_topn", "q29_unpivot",
+    "x_hll_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
