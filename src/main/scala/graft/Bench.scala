@@ -40,7 +40,7 @@ object Bench {
     "q25_intersect", "q26_except", "t_coverage", "x_vocab_coverage", "t_miss_rate",
     "m_payload_dedup", "s_ann_ivfpq", "x_dup_spans", "x_rule_attrition",
     "m_phash_index", "p_temperature_mix", "q28_lateral_topn", "q29_unpivot",
-    "x_hll_distinct")
+    "x_hll_distinct", "p_graph_rank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

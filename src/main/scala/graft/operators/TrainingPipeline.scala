@@ -335,6 +335,69 @@ object TrainingPipeline {
       .orderBy(col("stage"), col("shard"), col("pos"))
   }
 
+  /** Fixed-point scale for graphRank ranks (10¹² units ≡ rank 1.0). */
+  private[operators] val RankScale = 1000000000000L
+  /** Damping 0.85 as the integer pair 85/100; 4 unrolled iterations. */
+  private[operators] val RankIters = 4
+
+  /** PageRank over the near-dup pair graph — centrality-based
+    * boilerplate triage: in a corpus's MinHash-LSH graph, template
+    * hubs (docs near-duplicating MANY others) outrank members of
+    * small mutual-dup cliques, so rank orders what d_dup_groups can
+    * only cluster. Iterative-graph beyond connected components: the
+    * same edges frame drives K fixed rank-propagation rounds.
+    *
+    * All-integer fixed point (RankScale units) so 4 unrolled SQL
+    * iterations reproduce every rank bit-for-bit: r₀ = S div n;
+    * contrib = r div deg; r' = (15·(S div n)) div 100 +
+    * (85·Σ contrib) div 100. Sums of longs are order-independent,
+    * division is floor — no float accumulation anywhere.
+    *
+    * Scale shape: each iteration is one equi-join of edges against
+    * ranks (shuffle on the node id, the partitioning REUSED across
+    * iterations since every join keys on the same column) + one
+    * map-side-partial sum — the standard distributed PageRank shape;
+    * K is fixed so lineage stays linear (the CC contraction loop's
+    * localCheckpoint lesson does not arise). Edges come from the
+    * SAME shared signature pipeline as d_minhash_lsh (memoized
+    * cache); n is a one-scalar driver aggregate (the BloomOps
+    * pattern). */
+  def graphRank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.minhashLshPairs(s, dir, Int.MaxValue)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+    val n = deg.count() // one scalar; the graph node count
+    if (n == 0) return s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("deg",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType))))
+    val r0 = RankScale / n
+    val base = (15L * r0) / 100L
+    var rank = deg.select(col("src").as("id"), lit(r0).as("rank"))
+    (1 to RankIters).foreach { _ =>
+      val contrib = rank.join(deg, rank("id") === deg("src"))
+        .select(col("id"), expr("rank div deg").as("c"))
+      val inbound = edges.join(contrib, edges("src") === contrib("id"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      rank = deg.select(col("src").as("id"))
+        .join(inbound, col("id") === col("dst"), "left")
+        .select(col("id"),
+          expr(s"${base}L + (85L * coalesce(sc, 0L)) div 100L").as("rank"))
+    }
+    rank.join(deg, rank("id") === deg("src"))
+      .select(col("id").as("doc_id"), col("deg"), col("rank"))
+      .orderBy(col("rank").desc, col("doc_id"))
+  }
+
   /** Driver-visible entry. */
   val queries: scala.collection.immutable.ListMap[String, (SparkSession, String) => DataFrame] =
     scala.collection.immutable.ListMap(
@@ -347,7 +410,35 @@ object TrainingPipeline {
       "p_fuzzy_decontaminate" -> (fuzzyDecontaminate _),
       "p_stratified_sample" -> (stratifiedSample _),
       "p_epoch_shuffle" -> (epochShuffle _),
-      "p_curriculum" -> (curriculum _))
+      "p_curriculum" -> (curriculum _),
+      "p_graph_rank" -> (graphRank _))
+
+  /** The 4 unrolled PageRank iterations over the shared lshpairs
+    * CTEs — n, base, and damping are interpolated from the SAME
+    * Scala constants the operator uses. */
+  private lazy val graphRankSql: String = {
+    val iters = (1 to RankIters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (SELECT r.id, r.rank // d.deg AS c
+         |  FROM $prev r JOIN deg d ON r.id = d.src),
+         |a$i AS (SELECT e.dst AS id, sum(c.c) AS sc
+         |  FROM edges e JOIN c$i c ON e.src = c.id GROUP BY e.dst),
+         |r$i AS (SELECT d.src AS id,
+         |    CAST(b.b + (85 * coalesce(a.sc, 0)) // 100 AS BIGINT) AS rank
+         |  FROM deg d CROSS JOIN base b LEFT JOIN a$i a ON d.src = a.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${graft.operators.DedupOps.minhashPairsCtes},
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM lshpairs
+       |          UNION ALL SELECT id_b, id_a FROM lshpairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |base AS (SELECT (15 * ($RankScale // n)) // 100 AS b FROM nn),
+       |r0 AS (SELECT src AS id, $RankScale // n AS rank FROM deg CROSS JOIN nn),
+       |$iters
+       |SELECT r.id AS doc_id, d.deg, r.rank
+       |FROM r$RankIters r JOIN deg d ON r.id = d.src
+       |ORDER BY r.rank DESC, doc_id""".stripMargin
+  }
 
   private lazy val oracleLangList =
     Config().langs.map(l => s"'$l'").mkString(", ")
@@ -531,6 +622,7 @@ object TrainingPipeline {
       },
       // quality mirror = qualitySqlExpr (the shared fragment); stage
       // thresholds are the float-safe fixed quartiles (operator doc)
+      "p_graph_rank" -> graphRankSql,
       "p_curriculum" ->
         s"""WITH q AS (SELECT doc_id, ${TextOps.qualitySqlExpr} AS quality
            |           FROM documents),

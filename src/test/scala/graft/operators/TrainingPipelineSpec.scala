@@ -255,6 +255,37 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(summed == hits, "containment pairs disagree with decontaminate hits")
   }
 
+  test("graph rank: matches a naive integer PageRank; hubs outrank leaves; mass bounded") {
+    val got = TrainingPipeline.graphRank(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "no near-dup pairs at test scale?")
+    // naive recompute with the SAME integer arithmetic over the same
+    // pair graph
+    val pairs = DedupOps.dMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSeq }
+    val n = adj.size.toLong
+    val r0 = TrainingPipeline.RankScale / n
+    val base = (15L * r0) / 100L
+    var rank = adj.map { case (k, _) => k -> r0 }
+    (1 to TrainingPipeline.RankIters).foreach { _ =>
+      val contrib = rank.map { case (k, r) => k -> r / adj(k).length }
+      rank = adj.map { case (k, neigh) =>
+        k -> (base + (85L * neigh.map(contrib).sum) / 100L)
+      }
+    }
+    got.foreach { case (id, deg, r) =>
+      assert(deg == adj(id).length.toLong, s"deg($id)")
+      assert(r == rank(id), s"rank($id): got $r want ${rank(id)}")
+    }
+    // total mass stays ≈ RankScale (floor-division leakage only ever
+    // loses mass, never creates it)
+    assert(got.map(_._3).sum <= TrainingPipeline.RankScale)
+    // output is rank-descending with doc_id tiebreak
+    assert(got.sameElements(got.sortBy(t => (-t._3, t._1))), "ordering")
+  }
+
   test("temperature mix: weights normalize, targets conserve, sqrt flattens the head") {
     val rows = TrainingPipeline.temperatureMix(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
