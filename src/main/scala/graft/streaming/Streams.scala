@@ -89,6 +89,39 @@ object Streams {
   def eventStream(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
     spark.readStream.schema(eventSchema).format(format).load(dir)
 
+  /** One epoch of an exactly-once file sink. Structured Streaming
+    * guarantees foreachBatch runs AT LEAST once per epoch: a crash
+    * between the sink write and the checkpoint commit replays the
+    * same (batch, batchId) after restart. Writing each epoch into its
+    * own batch_id= partition with DYNAMIC partition overwrite turns
+    * that replay into a byte-identical overwrite of exactly its own
+    * partition — never a duplicate append, never touching other
+    * epochs' partitions — which lifts at-least-once delivery to
+    * exactly-once observed state. The reference gets the same
+    * property from the MySQL unique index absorbing duplicate task
+    * inserts (timer_xxx_tasks' unique key); here the partition IS the
+    * unique key. At 100 TB this is also the natural compaction unit
+    * (LakeLayout.compact per closed batch_id partition). */
+  def applyBatchIdempotent(batch: DataFrame, batchId: Long,
+      targetDir: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(targetDir)
+
+  /** The wired sink: any append-mode stream → exactly-once parquet
+    * delivery under crash-replay (StreamingSinkSpec simulates the
+    * replay by re-invoking the batch function with a committed id). */
+  def idempotentSink(out: DataFrame, targetDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    out.writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyBatchIdempotent(b.toDF(), id, targetDir))
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
   /** MQ-consumer analog over a REAL broker transport — the direct
     * counterpart of the reference's Pulsar consumer subscription
     * (gotimer_trigger/mq/consumer.go: subscribe topic, Unmarshal each
