@@ -681,6 +681,86 @@ object TextOps {
   private[operators] val TfidfScale = 1000000L
   private[operators] val PostingCap = 20
 
+  /** BPE tokenizer training — the merge-selection step (Sennrich 2016
+    * §3.2, the algorithm behind every GPT/Llama tokenizer): count
+    * adjacent symbol-pair frequencies over the word vocabulary,
+    * weighted by word frequency, with the end-of-word marker `</w>` so
+    * word-final symbols merge separately from word-internal ones. The
+    * top pair is the next merge rule; full training repeats this count
+    * over the re-segmented vocab, so this operator IS the per-iteration
+    * workload.
+    *
+    * Scale shape — the reason BPE training is feasible on a 100 TB
+    * corpus at all: the corpus collapses to the word-frequency VOCAB
+    * first (map-side partial agg, one vocab-sized shuffle), and the
+    * pair explode runs over distinct words only — corpus size stops
+    * mattering after the first agg. The pair table is ≤ |alphabet|²
+    * and the top-20 is a TakeOrdered (no global sort). Later
+    * iterations re-segment the persisted vocab table (cluster-wide
+    * but tiny); the corpus is never re-read. */
+  def xBpePairs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, length(word)),
+          |  i -> concat(substring(word, i, 1), ' ',
+          |    CASE WHEN i < length(word) THEN substring(word, i + 1, 1)
+          |         ELSE '</w>' END))""".stripMargin)).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
+  private[operators] val BigramK = 64
+
+  /** Bigram-LM corpus scoring — the trained-model analog of
+    * x_vocab_coverage's vocabulary heuristic and the integer-exact
+    * stand-in for CCNet's KenLM perplexity filter (Wenzek 2020): train
+    * bigram MLE counts on the corpus, keep the top-K bigrams as the
+    * model, and score every doc by its mean per-bigram probability in
+    * ppm — p(w2|w1) = c(w1 w2) / c(w1 ·) as an integer division, so
+    * both engines compute the identical score with no transcendental
+    * log. Out-of-model bigrams contribute 0 ppm (the harsh-smoothing
+    * convention), so a doc of common constructions scores high and
+    * jargon/noise scores low — the same ordering a real perplexity
+    * filter produces.
+    *
+    * Scale shape: training partial-aggregates the bigram stream into
+    * observed-bigram-sized tables (never more rows than the vocab²
+    * support, one shuffle); the MODEL is top-K truncated — constant —
+    * and broadcast back onto the doc bigram stream, so scoring never
+    * shuffles tokens: each doc's bigrams collapse map-side (they sit
+    * in the doc's own input partition) and the doc_id shuffle carries
+    * one row per doc. At 100 TB the model trains once, persists, and
+    * the scoring pass is a single broadcast-join scan — exactly how
+    * CCNet deploys its LM. */
+  def xBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).withColumn("w", tokens)
+    val docBigrams = docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"""
+          .stripMargin)).as("bigram"))
+    val c2 = docBigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.withColumn("w1", expr("split_part(bigram, ' ', 1)"))
+      .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val model = c2.withColumn("w1", expr("split_part(bigram, ' ', 1)"))
+      .join(c1, Seq("w1"))
+      .orderBy(col("c2").desc, col("bigram")).limit(BigramK)
+      .select(col("bigram"), expr("(c2 * 1000000L) div c1").as("score_ppm"))
+    val scored = docBigrams.join(broadcast(model), Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("score_ppm"), lit(0L))).as("sum_ppm"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_ppm"), lit(0L)).as("sum_ppm"))
+      .withColumn("lm_ppm", ExactNum.ratio4(col("sum_ppm"), col("n_bigrams")))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "x_lang_id" -> (xLangId _),
     "x_quality_score" -> (xQualityScore _),
@@ -703,6 +783,8 @@ object TextOps {
     "x_rule_attrition" -> (xRuleAttrition _),
     "x_dup_spans" -> (xDupSpans _),
     "x_hll_distinct" -> (xHllDistinct _),
+    "x_bpe_pairs" -> (xBpePairs _),
+    "x_bigram_lm" -> (xBigramLm _),
   )
 
   /** Static chunk-index headroom for the x_doc_chunks/x_chunk_dedup
@@ -1072,6 +1154,46 @@ object TextOps {
          |  CAST(zero_regs AS BIGINT) AS zero_regs,
          |  CAST(sum_scaled AS BIGINT) AS sum_scaled
          |FROM sk JOIN ex USING (source) ORDER BY sk.source""".stripMargin,
+    // pair i of a word = (char i, char i+1), with i = length(word)
+    // pairing the final char against the '</w>' end-of-word marker —
+    // range end is exclusive so range(1, length+1) walks 1..length
+    "x_bpe_pairs" ->
+      """WITH wf AS (SELECT w AS word, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY 1),
+        |p AS (SELECT freq,
+        |    unnest(list_transform(range(1, length(word) + 1),
+        |      i -> substring(word, i, 1) || ' ' ||
+        |        CASE WHEN i < length(word) THEN substring(word, i + 1, 1)
+        |             ELSE '</w>' END)) AS pair
+        |  FROM wf)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // model = top-64 bigrams (count desc, bigram asc); score_ppm is an
+    // exact integer MLE p(w2|w1) in parts-per-million; out-of-model
+    // bigrams contribute 0 ppm but still count in n_bigrams
+    "x_bigram_lm" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |b AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i + 1])) AS bigram
+         |  FROM d WHERE len(w) >= 2),
+         |c2 AS (SELECT bigram, count(*) AS c2 FROM b GROUP BY 1),
+         |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
+         |    CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |m AS (SELECT bigram, (c2 * 1000000) // c1 AS score_ppm
+         |  FROM (SELECT c2.bigram, c2.c2, c1.c1
+         |        FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1
+         |        ORDER BY c2.c2 DESC, c2.bigram LIMIT $BigramK)),
+         |sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(coalesce(m.score_ppm, 0)) AS BIGINT) AS sum_ppm
+         |  FROM b LEFT JOIN m USING (bigram) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  coalesce(sc.sum_ppm, 0) AS sum_ppm,
+         |  ${ExactNum.ratioSql("coalesce(sc.sum_ppm, 0)",
+              "coalesce(sc.n_bigrams, 0)")} AS lm_ppm
+         |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
   )
 
   /** The Gopher flag computation as shared CTEs (ending in `flags`) —

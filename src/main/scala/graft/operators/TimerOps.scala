@@ -330,6 +330,42 @@ object TimerOps {
       .orderBy(col("timer_id"), col("minute"))
   }
 
+  /** Upsert/merge view of the task store — the OTHER half of the
+    * write path tTaskDedup covers: after CreateInBatches inserts the
+    * row (gotimer_web/dao/timer/timer.go:76), the executor mutates it
+    * in place with partial `Updates(task)` calls as the status machine
+    * advances (gotimer_executor/dao/task/task.go:42 — status, output,
+    * cost_time). Replaying the event log per unique key
+    * (timer_id, minute — idx_def_timer) therefore means: creation
+    * metadata from the FIRST version, mutable fields from the LAST,
+    * version count for audit. This is the canonical MERGE /
+    * latest-wins compaction every log-structured store runs.
+    *
+    * Scale shape: ONE hash shuffle on the unique key — all three
+    * window functions (row_number, min, count) share the same
+    * partitioning, so Catalyst plans a single Exchange + Sort and
+    * evaluates them in one Window pass; no self-join of the log
+    * against itself, no driver involvement. At 100 TB this exact plan
+    * is the merge-on-read compaction of a CDC log (and
+    * LakeLayout.upsert applies the same latest-wins rule
+    * copy-on-write, touching only affected partitions). */
+  def tUpsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("timer_id"), col("minute"))
+    val latest = w.orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id").as("timer_id"),
+        minuteCol(col("ts")).as("minute"), col("ts"),
+        col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(latest))
+      .withColumn("created_ts", min(col("ts")).over(w))
+      .withColumn("n_versions", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("timer_id"), col("minute"), col("created_ts"),
+        col("ts").as("updated_ts"), col("event_type").as("last_status"),
+        col("value").as("last_cost"), col("n_versions"))
+      .orderBy(col("timer_id"), col("minute"))
+  }
+
   /** Tumbling 5-minute window counts/sums per status — batch twin of
     * streaming.WindowedCounts (trigger minute windows,
     * service/trigger/worker.go). Uses Spark's window() — epoch-aligned
@@ -437,6 +473,7 @@ object TimerOps {
     "t_concurrency" -> (tConcurrency _),
     "t_coverage" -> (tCoverage _),
     "t_task_dedup" -> (tTaskDedup _),
+    "t_upsert_merge" -> (tUpsertMerge _),
     "t_stream_window_agg" -> (tStreamWindowAgg _),
     "t_sliding_rate" -> (tSlidingRate _),
     "t_sessionize" -> (tSessionize _),
@@ -581,6 +618,20 @@ object TimerOps {
         |        strftime(ts, '%Y-%m-%d %H:%M') AS minute, ts,
         |        row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d %H:%M')
         |          ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY timer_id, minute""".stripMargin,
+    "t_upsert_merge" ->
+      """SELECT timer_id, minute, created_ts, updated_ts, last_status,
+        |  last_cost, n_versions
+        |FROM (SELECT user_id AS timer_id,
+        |        strftime(ts, '%Y-%m-%d %H:%M') AS minute,
+        |        min(ts) OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d %H:%M')) AS created_ts,
+        |        ts AS updated_ts, event_type AS last_status,
+        |        value AS last_cost,
+        |        count(*) OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d %H:%M')) AS n_versions,
+        |        row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d %H:%M')
+        |          ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1
         |ORDER BY timer_id, minute""".stripMargin,

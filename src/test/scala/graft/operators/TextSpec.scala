@@ -472,6 +472,51 @@ class TextSpec extends SparkSpec {
     assert(got.size >= 2)
   }
 
+  test("bpe pairs: agree with a naive recompute; end-of-word marker present") {
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.split(" ").filter(_.nonEmpty)
+      .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1))
+    val pairs = scala.collection.mutable.Map.empty[String, Long]
+    freq.foreach { case (w, f) =>
+      val syms = w.map(_.toString) :+ "</w>"
+      syms.sliding(2).foreach { p =>
+        val k = p.mkString(" ")
+        pairs(k) = pairs.getOrElse(k, 0L) + f
+      }
+    }
+    val expected = pairs.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = TextOps.xBpePairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected, s"got=$got\nexp=$expected")
+    assert(got.exists(_._1.endsWith(" </w>")), "no end-of-word pair in top-20")
+  }
+
+  test("bigram lm: counts and scores agree with a naive model recompute") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val bigrams = docs.view.mapValues(w =>
+      if (w.size < 2) Seq.empty[String]
+      else w.sliding(2).map(_.mkString(" ")).toSeq).toMap
+    val c2 = bigrams.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c2.groupBy(_._1.split(" ")(0)).view.mapValues(_.values.sum).toMap
+    val model = c2.toSeq.sortBy { case (b, n) => (-n, b) }.take(TextOps.BigramK)
+      .map { case (b, n) => b -> (n * 1000000L) / c1(b.split(" ")(0)) }.toMap
+    val got = TextOps.xBigramLm(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == docs.keySet, "every doc reported")
+    docs.keys.foreach { id =>
+      val bs = bigrams(id)
+      val expN = bs.size.toLong
+      val expSum = bs.map(b => model.getOrElse(b, 0L)).sum
+      assert(got(id) == ((expN, expSum)), s"doc $id: got ${got(id)} want ($expN,$expSum)")
+    }
+    // the model must actually discriminate: some bigrams are out-of-model
+    assert(c2.size > TextOps.BigramK, "corpus too small to exercise truncation")
+  }
+
   test("dup-span oracle headroom covers the longest doc at every test scale") {
     val dirs = new java.io.File("/root/testdata").listFiles()
       .filter(f => f.isDirectory && new java.io.File(f, "documents.parquet").exists())
