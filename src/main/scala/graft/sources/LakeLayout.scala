@@ -89,6 +89,61 @@ object LakeLayout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Copy-on-write UPSERT into the day-partitioned lake — the lake
+    * form of t_upsert_merge's latest-wins semantics (the executor's
+    * Updates-by-unique-key write path,
+    * gotimer_executor/dao/task/task.go:42) and the MERGE INTO of the
+    * Delta/Iceberg world, built from primitives:
+    *
+    *   1. the updates batch names its affected days (one distinct on
+    *      the derived partition column — calendar-bounded, so the
+    *      collect is constant-size, the BloomOps pattern);
+    *   2. ONLY those partitions of the base are read back (an isin
+    *      filter on the partition column → directory pruning — the
+    *      99%+ of a 100 TB lake in untouched days is never opened);
+    *   3. latest-wins per key across base ∪ updates: one window over
+    *      (keyCols) ordered by (ordCol, src) with updates outranking
+    *      base on ties — a single hash shuffle of the affected days
+    *      only;
+    *   4. the merged rows overwrite exactly the affected day
+    *      directories via DYNAMIC partition overwrite (the same
+    *      mechanism that makes the streaming sink exactly-once) —
+    *      untouched partitions keep their files byte-for-byte.
+    *
+    * `ordCol` must totally order the versions of a key within the
+    * updates batch (the task store's event time does); across equal
+    * ords the updates side wins, matching Updates-after-insert replay.
+    *
+    * Returns the number of rewritten partitions. UpsertSpec pins:
+    * result ≡ a full-lake recompute, and untouched day directories
+    * are physically unmodified. */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], ordCol: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val upd = updates.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val days = upd.select("day").distinct().collect().map(_.getString(0)).toSeq
+    if (days.isEmpty) return 0L
+    val base = read(spark, path).filter(col("day").isin(days: _*))
+    val cols = base.columns.toSeq
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ordCol).desc, col("src").desc)
+    val merged = base.withColumn("src", lit(0))
+      .unionByName(upd.select(cols.map(col): _*).withColumn("src", lit(1)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "src")
+    // materialize BEFORE the write: the merged plan reads the same
+    // path it overwrites, which Spark (correctly) refuses lazily;
+    // copy-on-write means paying exactly this one materialization of
+    // the affected partitions (Delta/Iceberg pay it as new files +
+    // a metadata swap)
+    merged.localCheckpoint(true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(path)
+    days.size.toLong
+  }
+
   /** Small-file compaction — the lake-maintenance job every
     * streaming ingest needs: each micro-batch of the file-sink
     * (eventStream's drop directory, the lake's per-day partitions)

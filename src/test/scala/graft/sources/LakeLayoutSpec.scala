@@ -42,6 +42,63 @@ class LakeLayoutSpec extends SparkSpec {
       s"files read: ${executedScan.metrics("numFiles").value}")
   }
 
+  test("upsert: latest-wins merge ≡ full recompute; untouched days physically unmodified") {
+    // fresh lake (lakeDir is shared with the pruning tests)
+    val dir = Files.createTempDirectory("graft_upsert").toString
+    val events = Tables.events(spark, sfDir)
+    LakeLayout.writePartitioned(events, dir)
+
+    // updates: re-fire half the tasks of ONE day with a bumped ts
+    // (+1h inside the same day) and mutated status/cost — the
+    // executor's post-firing Updates batch
+    val day = "2024-01-10"
+    val updates = events
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === day &&
+        col("event_id") % 2 === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === day)
+      .withColumn("event_type", lit("purchase"))
+      .withColumn("value", round(col("value") + 1.0, 2))
+
+    val before = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day=") &&
+        f.getName != s"day=$day")
+      .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+
+    val rewritten = LakeLayout.upsert(spark, dir, updates,
+      keyCols = Seq("user_id", "event_id"), ordCol = "ts")
+    assert(rewritten == 1L, s"expected 1 rewritten partition, got $rewritten")
+
+    // untouched day directories: same files, same mtimes
+    val after = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day=") &&
+        f.getName != s"day=$day")
+      .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+    assert(after == before, "untouched partitions were modified")
+
+    // content ≡ full recompute: every key appears once; updated keys
+    // carry the update's row, others the base row
+    val got = LakeLayout.read(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getTimestamp(2), r.getString(3), r.getDouble(4)))).toMap
+    val updKeys = updates.select("user_id", "event_id", "ts", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getTimestamp(2), r.getString(3), r.getDouble(4)))).toMap
+    val baseKeys = events.select("user_id", "event_id", "ts", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getTimestamp(2), r.getString(3), r.getDouble(4)))).toMap
+    assert(got.size == baseKeys.size, s"row count ${got.size} != ${baseKeys.size}")
+    assert(updKeys.nonEmpty)
+    (baseKeys.keySet ++ updKeys.keySet).foreach { k =>
+      val exp = updKeys.getOrElse(k, baseKeys(k))
+      assert(got(k) == exp, s"key $k: got ${got(k)} want $exp")
+    }
+  }
+
   test("compact: many small files merge to the computed count, content identical") {
     import spark.implicits._
     val litterDir = Files.createTempDirectory("graft_litter").toString
