@@ -49,21 +49,61 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  def sAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    // one row per (table, bucket) per vector: bucketed ONCE, reused
-    // by every query — the single shuffle of the vector table
-    def bucketed(df: DataFrame, vecCol: String): DataFrame = {
-      // table seeds must be literals (each expression instance owns
-      // its deterministic plane matrix) → unroll the L tables
-      val tables = (0 until Tables_L).map(t =>
-        s"struct($t as tbl, hyperplane_lsh($vecCol, ${100 + t}, $Bits) as bucket)")
-      df.select(col("*"), explode(expr(tables.mkString("array(", ", ", ")"))).as("h"))
-        .select(df.columns.map(col).toIndexedSeq :+ col("h.tbl") :+ col("h.bucket"): _*)
-    }
+  /** One row per (table, bucket) per vector: bucketed ONCE, reused by
+    * every query — the single shuffle of the vector table. Table
+    * seeds must be literals (each expression instance owns its
+    * deterministic plane matrix) → unroll the L tables. Shared by
+    * sAnnLsh and sAnnMultiprobe. */
+  private def bucketedLsh(df: DataFrame, vecCol: String): DataFrame = {
+    val tables = (0 until Tables_L).map(t =>
+      s"struct($t as tbl, hyperplane_lsh($vecCol, ${100 + t}, $Bits) as bucket)")
+    df.select(col("*"), explode(expr(tables.mkString("array(", ", ", ")"))).as("h"))
+      .select(df.columns.map(col).toIndexedSeq :+ col("h.tbl") :+ col("h.bucket"): _*)
+  }
 
-    val vecs = bucketed(Tables.embeddings(s, dir)
+  def sAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val vecs = bucketedLsh(Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding")), "embedding")
-    val qs = bucketed(queryVecs(s, dir), "q_emb")
+    val qs = bucketedLsh(queryVecs(s, dir), "q_emb")
+
+    val cands = qs.join(vecs, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .distinct()
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    cands
+      .withColumn("cos", expr("cosine_similarity(q_emb, embedding)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Multi-probe LSH (Lv et al. 2007, the memory-side of the
+    * recall/space trade): instead of buying recall with MORE tables
+    * (each one a full extra copy of the bucketed index), each query
+    * also probes the buckets at hamming distance 1 from its own code —
+    * a near-miss on one hyperplane lands in a neighbor bucket, and
+    * flipping each of the Bits code bits reaches exactly those. Probe
+    * set per (query, table) = 1 + Bits codes, expanded on the QUERY
+    * side only (constant-sized — NumQueries × L × (Bits+1) rows); the
+    * vector index is the same single-shuffle bucketed table sAnnLsh
+    * builds, untouched. Candidates are a strict superset of the
+    * single-probe ones (the identity probe is in the set), so recall
+    * can only improve — SimilaritySpec pins recall(multiprobe) ≥
+    * recall(lsh) against the bruteforce ground truth. At 100 TB the
+    * same index serves both operating points: probe count is a query-
+    * time knob, table count is a storage decision. */
+  def sAnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val vecs = bucketedLsh(Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding")), "embedding")
+    val qs = bucketedLsh(queryVecs(s, dir), "q_emb")
+      .withColumn("probe", explode(expr(
+        s"""concat(array(bucket),
+           |  transform(sequence(0, ${Bits - 1}),
+           |    j -> CAST(bucket ^ shiftleft(1, j) AS INT)))""".stripMargin)))
+      .drop("bucket").withColumnRenamed("probe", "bucket")
 
     val cands = qs.join(vecs, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -536,6 +576,7 @@ object SimilarityOps {
   val queries: ListMap[String, Q] = ListMap(
     "s_ann_bruteforce" -> (sAnnBruteforce _),
     "s_ann_lsh" -> (sAnnLsh _),
+    "s_ann_multiprobe" -> (sAnnMultiprobe _),
     "s_ann_ivf" -> (sAnnIvf _),
     "s_quantize" -> (sQuantize _),
     "s_kmeans_assign" -> (sKmeansAssign _),
@@ -657,6 +698,59 @@ object SimilarityOps {
     (init +: iters :+ enc).mkString(",\n")
   }
 
+  /** Shared oracle prefix for the hyperplane-LSH family: every table's
+    * bucket code recomputed with the engine's own seeded plane matrix
+    * inlined (HyperplaneLsh.planesFor), each bucket bit an explicit
+    * left-associated dot-product chain (same accumulation order as the
+    * eval loop, so sign decisions match bit-for-bit). Plane components
+    * ride as CAST('repr' AS DOUBLE) STRING literals: strtod on the
+    * shortest-round-trip repr re-reads the exact double; a bare
+    * 17-digit numeric literal would be parsed as DECIMAL first and can
+    * double-round to a neighboring double, flipping a near-zero dot
+    * product's sign (ADVICE r4). Dim is pinned to the embeddings
+    * table's 64 — a different dim would diff loudly. */
+  private lazy val lshBucketedCtes: String = {
+    val dim = 64
+    def dot(plane: Array[Double]): String =
+      plane.zipWithIndex
+        .map { case (p, i) => s"CAST(embedding[${i + 1}] AS DOUBLE) * CAST('$p' AS DOUBLE)" }
+        .mkString("(", " + ", ")")
+    def bucketExpr(seed: Int): String = {
+      val planes = graft.functions.HyperplaneLsh.planesFor(seed, Bits, dim)
+      (0 until Bits)
+        .map(j => s"CASE WHEN ${dot(planes(j))} >= 0 THEN ${1 << j} ELSE 0 END")
+        .mkString("(", " + ", ")")
+    }
+    val bucketCols = (0 until Tables_L)
+      .map(t => s"${bucketExpr(100 + t)} AS b$t").mkString(",\n  ")
+    val bucketCase = (0 until Tables_L)
+      .map(t => s"WHEN $t THEN b$t").mkString(" ")
+    s"""b AS (SELECT vec_id, embedding,
+       |  $bucketCols
+       |FROM embeddings),
+       |v AS (SELECT vec_id, embedding, t.tbl,
+       |        CASE t.tbl $bucketCase END AS bucket
+       |      FROM b CROSS JOIN (SELECT unnest(range(0, $Tables_L)) AS tbl) t)""".stripMargin
+  }
+
+  /** Shared oracle suffix: bucket-collision candidates (dedup'd) +
+    * exact cosine re-rank — identical for single- and multi-probe. */
+  private lazy val lshRerankCtes: String =
+    s"""cand AS (SELECT DISTINCT q.q_id, q.q_emb, v.vec_id, v.embedding
+       |         FROM q JOIN v ON q.tbl = v.tbl AND q.bucket = v.bucket
+       |           AND v.vec_id <> q.q_id),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+       |                           CAST(embedding AS DOUBLE[])) AS cos,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+       |                                      CAST(embedding AS DOUBLE[])) DESC,
+       |        vec_id) AS rank
+       |  FROM cand)
+       |SELECT q_id, rank, vec_id, round(cos, 4) AS cos
+       |FROM scored WHERE rank <= $K""".stripMargin
+
   val oracles: ListMap[String, String] = ListMap(
     // identical left-associated float arithmetic and index-order fold
     // as the Spark expressions; dim pinned to 64 (a different dim
@@ -701,51 +795,25 @@ object SimilarityOps {
     // sign decisions match bit-for-bit), then the same bucket join +
     // exact re-rank as the bruteforce oracle. Dim is pinned to the
     // embeddings table's 64 — a different dim would diff loudly.
-    "s_ann_lsh" -> {
-      val dim = 64
-      def dot(plane: Array[Double]): String =
-        // plane components as CAST('repr' AS DOUBLE) STRING literals:
-        // strtod on the shortest-round-trip repr re-reads the exact
-        // double; a bare 17-digit numeric literal would be parsed as
-        // DECIMAL first and can double-round to a neighboring double,
-        // flipping a near-zero dot product's sign (ADVICE r4)
-        plane.zipWithIndex
-          .map { case (p, i) => s"CAST(embedding[${i + 1}] AS DOUBLE) * CAST('$p' AS DOUBLE)" }
-          .mkString("(", " + ", ")")
-      def bucketExpr(seed: Int): String = {
-        val planes = graft.functions.HyperplaneLsh.planesFor(seed, Bits, dim)
-        (0 until Bits)
-          .map(j => s"CASE WHEN ${dot(planes(j))} >= 0 THEN ${1 << j} ELSE 0 END")
-          .mkString("(", " + ", ")")
-      }
-      val bucketCols = (0 until Tables_L)
-        .map(t => s"${bucketExpr(100 + t)} AS b$t").mkString(",\n  ")
-      val bucketCase = (0 until Tables_L)
-        .map(t => s"WHEN $t THEN b$t").mkString(" ")
-      s"""WITH b AS (SELECT vec_id, embedding,
-         |  $bucketCols
-         |FROM embeddings),
-         |v AS (SELECT vec_id, embedding, t.tbl,
-         |        CASE t.tbl $bucketCase END AS bucket
-         |      FROM b CROSS JOIN (SELECT unnest(range(0, $Tables_L)) AS tbl) t),
+    "s_ann_lsh" ->
+      s"""WITH $lshBucketedCtes,
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb, tbl, bucket
          |      FROM v WHERE vec_id < $NumQueries),
-         |cand AS (SELECT DISTINCT q.q_id, q.q_emb, v.vec_id, v.embedding
-         |         FROM q JOIN v ON q.tbl = v.tbl AND q.bucket = v.bucket
-         |           AND v.vec_id <> q.q_id),
-         |scored AS (
-         |  SELECT q_id, vec_id,
-         |    list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
-         |                           CAST(embedding AS DOUBLE[])) AS cos,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
-         |                                      CAST(embedding AS DOUBLE[])) DESC,
-         |        vec_id) AS rank
-         |  FROM cand)
-         |SELECT q_id, rank, vec_id, round(cos, 4) AS cos
-         |FROM scored WHERE rank <= $K
-         |ORDER BY q_id, rank""".stripMargin
-    },
+         |$lshRerankCtes
+         |ORDER BY q_id, rank""".stripMargin,
+    // same shared bucketed index + re-rank as s_ann_lsh; only the q
+    // CTE differs — each query probes its own code plus the Bits
+    // hamming-1 neighbors (xor of each code bit), so candidates are a
+    // superset of the single-probe run's by construction
+    "s_ann_multiprobe" ->
+      s"""WITH $lshBucketedCtes,
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, tbl,
+         |        CASE WHEN j = $Bits THEN bucket
+         |             ELSE xor(bucket, 1 << j) END AS bucket
+         |      FROM v CROSS JOIN (SELECT unnest(range(0, ${Bits + 1})) AS j)
+         |      WHERE vec_id < $NumQueries),
+         |$lshRerankCtes
+         |ORDER BY q_id, rank""".stripMargin,
     // Full SQL mirror of the IVF path INCLUDING the k-means training
     // over the SAME deterministic mod-sample (smp CTE ≡ ivfTrainSample):
     // the Scala quantizer is deterministic (sorted init, strict-<

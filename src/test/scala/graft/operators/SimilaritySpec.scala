@@ -32,6 +32,27 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.6, s"mean recall@10 $mean (per-query: ${recalls.toSeq.sorted})")
   }
 
+  test("multiprobe recall ≥ single-probe recall; identity probe keeps it a superset race") {
+    val exact = topk(SimilarityOps.sAnnBruteforce(spark, sfDir))
+    val single = topk(SimilarityOps.sAnnLsh(spark, sfDir))
+    val multi = topk(SimilarityOps.sAnnMultiprobe(spark, sfDir))
+    def meanRecall(approx: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (q, e) =>
+        (e & approx.getOrElse(q, Set.empty)).size.toDouble / e.size }
+      rs.sum / rs.size
+    }
+    val (rs, rm) = (meanRecall(single), meanRecall(multi))
+    assert(rm >= rs, s"multiprobe recall $rm < single-probe $rs")
+    assert(rm >= 0.6, s"multiprobe mean recall@10 $rm")
+    // the probe expansion must actually reach vectors the exact-bucket
+    // join cannot: candidate sets (pre-top-k we can't see, so compare
+    // at the result level across all queries) differ somewhere, or the
+    // knob is dead on this corpus — if this ever fires, the corpus got
+    // too dense for hamming-1 probes to matter; loosen consciously
+    assert(multi != single || rm == 1.0,
+      "multiprobe returned identical top-k everywhere with recall < 1")
+  }
+
   test("int8 quantization: codes in [0,255], extremes exact, error ≤ half a step") {
     val rows = SimilarityOps.sQuantize(spark, sfDir).collect()
     val embs = graft.Tables.embeddings(spark, sfDir).collect()
