@@ -40,7 +40,8 @@ object Bench {
     "q25_intersect", "q26_except", "t_coverage", "x_vocab_coverage", "t_miss_rate",
     "m_payload_dedup", "s_ann_ivfpq", "x_dup_spans", "x_rule_attrition",
     "m_phash_index", "p_temperature_mix", "q28_lateral_topn", "q29_unpivot",
-    "x_hll_distinct", "p_graph_rank")
+    "x_hll_distinct", "p_graph_rank",
+    "t_upsert_merge", "x_bpe_pairs", "x_bigram_lm", "s_ann_multiprobe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

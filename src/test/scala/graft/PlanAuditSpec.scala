@@ -354,4 +354,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
+
+  test("t_upsert_merge: all three window functions share ONE key shuffle") {
+    val df = TimerOps.tUpsertMerge(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("windowspecdefinition(timer_id"), p)
+    assert(!p.contains("Join"), p)
+    // sparkPlan is pre-EnsureRequirements (no exchanges yet) — count
+    // them on the prepared plan: exactly one hash exchange (the merge
+    // key, shared by both Window nodes); the only other exchange is
+    // the presentational range sort
+    val prepared = df.queryExecution.executedPlan.toString
+    val hashEx = prepared.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx == 1, s"$hashEx hash exchanges:\n$prepared")
+  }
+
+  test("x_bpe_pairs: corpus collapses to the vocab before the pair explode; top-20 is TakeOrdered") {
+    val p = plan(TextOps.xBpePairs(spark, sfDir))
+    assert(p.contains("TakeOrdered"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+    // the pair Generate consumes the aggregated (word, freq) rows,
+    // not the document scan: it must sit ABOVE the word aggregate
+    val gen = p.indexOf("Generate explode")
+    val agg = p.lastIndexOf("HashAggregate")
+    assert(gen >= 0 && agg > gen, s"explode/agg order:\n$p")
+  }
+
+  test("x_bigram_lm: the truncated model is broadcast onto the bigram stream") {
+    val p = plan(TextOps.xBigramLm(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("s_ann_multiprobe: probe expansion is query-side; candidates from the bucket equi-join") {
+    val p = plan(SimilarityOps.sAnnMultiprobe(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("hyperplane_lsh"), p)
+  }
 }
