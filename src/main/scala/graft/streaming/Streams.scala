@@ -122,6 +122,57 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** One epoch of the CONTINUOUS MERGE sink: apply a micro-batch of
+    * task updates to the day-partitioned snapshot with latest-wins
+    * upsert semantics (LakeLayout.upsert — the executor's
+    * Updates-by-unique-key write path applied per trigger, so the
+    * lake IS the task store's current state, continuously). First
+    * batch bootstraps the partitioned layout.
+    *
+    * Exactly-once here comes from a DIFFERENT mechanism than
+    * applyBatchIdempotent's epoch partitions: the latest-wins merge
+    * is a natural idempotent — replaying a committed batch re-applies
+    * the same versions, the window picks the same winners, and the
+    * snapshot content is unchanged (UpsertSinkSpec pins the replay).
+    * Epoch partitioning preserves the LOG exactly-once; this
+    * preserves derived STATE exactly-once — the two compose: log sink
+    * for audit/replay, merge sink for the serving snapshot. */
+  def applyBatchUpsert(batch: DataFrame, targetDir: String,
+      keyCols: Seq[String], ordCol: String): Unit = {
+    val spark = batch.sparkSession
+    val bootstrapped =
+      try { spark.read.parquet(targetDir); true }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("Unable to infer schema") ||
+               e.getMessage.contains("PATH_NOT_FOUND") => false
+      }
+    if (bootstrapped)
+      graft.sources.LakeLayout.upsert(spark, targetDir, batch, keyCols, ordCol)
+    else if (!batch.isEmpty) {
+      // bootstrap must uphold the same one-row-per-key invariant the
+      // merge maintains: collapse in-batch versions latest-wins first
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(col(ordCol).desc)
+      graft.sources.LakeLayout.writePartitioned(
+        batch.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn"),
+        targetDir)
+    }
+  }
+
+  /** The wired merge sink: any append-mode stream of task events →
+    * a continuously-current latest-wins snapshot keyed on keyCols. */
+  def upsertSnapshotSink(out: DataFrame, targetDir: String,
+      checkpointDir: String, keyCols: Seq[String], ordCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    out.writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        applyBatchUpsert(b.toDF(), targetDir, keyCols, ordCol))
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
   /** MQ-consumer analog over a REAL broker transport — the direct
     * counterpart of the reference's Pulsar consumer subscription
     * (gotimer_trigger/mq/consumer.go: subscribe topic, Unmarshal each
