@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.ExactNum.{avg4, cents, sum4, sumUnits4}
+import graft.operators.ExactNum.{avg4, cents, ratio4, ratioSql, sum4, sumUnits4}
 
 /** §2b relational core: the "batch admin" query surface of the
   * reference (web/dao query options: filter, order, paginate, count,
@@ -437,6 +437,32 @@ object RelationalOps {
       .orderBy(col("l_returnflag"), col("measure"))
   }
 
+  /** Distribution-rank profile — the remaining rank-family window
+    * functions (ntile, percent_rank, cume_dist) in one pass, over
+    * high-value orders per priority class. The ordering key is made
+    * UNIQUE ((totalprice, orderkey)) so ntile's positional split is
+    * deterministic, and the two distribution ratios are then pure
+    * functions of (row_number, n) — recomputed through ratio4 in
+    * integer space instead of the builtins' float division, closing
+    * the odd/32 5-dp-tie class the same way every other ratio in the
+    * engine does. One window shuffle on priority; n rides the same
+    * partition as an unordered count. */
+  def q30RankProfile(s: SparkSession, dir: String): DataFrame = {
+    val part = Window.partitionBy(col("o_orderpriority"))
+    val ord = part.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("quartile", ntile(4).over(ord))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("rn"),
+        col("quartile"),
+        ratio4(col("rn") - 1, col("n") - 1).as("pct_rank"),
+        ratio4(col("rn"), col("n")).as("cume_dist"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_agg" -> (q1Agg _),
     "q2_topk" -> (q2Topk _),
@@ -467,6 +493,7 @@ object RelationalOps {
     "q27_range_frame" -> (q27RangeFrame _),
     "q28_lateral_topn" -> (q28LateralTopn _),
     "q29_unpivot" -> (q29Unpivot _),
+    "q30_rank_profile" -> (q30RankProfile _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -702,5 +729,20 @@ object RelationalOps {
         |  min(v) AS min_cents, max(v) AS max_cents, count(*) AS n
         |FROM u GROUP BY l_returnflag, measure
         |ORDER BY l_returnflag, measure""".stripMargin,
+    // unique ordering key (totalprice, orderkey) makes ntile's
+    // positional split deterministic; pct_rank/cume_dist recomputed
+    // from (rn, n) in integer space (ratio4), not float builtins
+    "q30_rank_profile" ->
+      s"""SELECT o_orderpriority, o_orderkey, rn, quartile,
+         |  ${ratioSql("rn - 1", "n - 1")} AS pct_rank,
+         |  ${ratioSql("rn", "n")} AS cume_dist
+         |FROM (SELECT o_orderpriority, o_orderkey,
+         |        CAST(row_number() OVER w AS BIGINT) AS rn,
+         |        CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n,
+         |        CAST(ntile(4) OVER w AS INTEGER) AS quartile
+         |      FROM orders WHERE o_totalprice > 400000.0
+         |      WINDOW w AS (PARTITION BY o_orderpriority
+         |        ORDER BY o_totalprice, o_orderkey))
+         |ORDER BY o_orderpriority, rn""".stripMargin,
   )
 }

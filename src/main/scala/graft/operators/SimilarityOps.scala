@@ -119,6 +119,45 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** kNN label classification over the embedding space — the
+    * classifier-curation step of modern data pipelines (DCLM/
+    * fastText-style quality and domain classifiers assign each
+    * document a label from its nearest labeled neighbors; here the
+    * labels ride the embeddings table): majority vote over the top-K
+    * cosine neighbors, ties broken (votes desc, label asc) so the
+    * prediction is deterministic. Emits the query's own label too, so
+    * accuracy is read directly off the result.
+    *
+    * Scale shape: the scored scan is sAnnBruteforce's — a constant
+    * query set broadcast against the partitioned vectors, per-query
+    * top-K via the rank window (WindowGroupLimit); the vote then
+    * aggregates ≤ NumQueries × K rows. Swapping the scored CTE for
+    * the LSH/IVF candidate generators turns this into approximate
+    * kNN classification with the same vote — the production path at
+    * 10⁹ vectors. */
+  def sKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("true_label"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val neighbors = Tables.embeddings(s, dir)
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr("cosine_similarity(q_emb, embedding)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+    val vw = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    neighbors.groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(vw))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"), col("label").as("pred_label"),
+        col("n_votes"))
+      .orderBy(col("q_id"))
+  }
+
   /** Deterministic BOUNDED quantizer-training sample: every
     * SampleMod-th vector in vec_id order, capped at SampleCap rows.
     * The driver never materializes the table — the collect below this
@@ -577,6 +616,7 @@ object SimilarityOps {
     "s_ann_bruteforce" -> (sAnnBruteforce _),
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_multiprobe" -> (sAnnMultiprobe _),
+    "s_knn_classify" -> (sKnnClassify _),
     "s_ann_ivf" -> (sAnnIvf _),
     "s_quantize" -> (sQuantize _),
     "s_kmeans_assign" -> (sKmeansAssign _),
@@ -814,6 +854,25 @@ object SimilarityOps {
          |      WHERE vec_id < $NumQueries),
          |$lshRerankCtes
          |ORDER BY q_id, rank""".stripMargin,
+    // same exact-scored scan as the bruteforce mirror, then the
+    // majority vote; prediction ties (votes desc, label asc)
+    "s_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |    label AS true_label FROM embeddings WHERE vec_id < $NumQueries),
+         |s AS (SELECT q.q_id, q.true_label, e.vec_id, e.label,
+         |    list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+         |                           CAST(e.embedding AS DOUBLE[])) AS cos
+         |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, vec_id) AS rank FROM s),
+         |v AS (SELECT q_id, true_label, label,
+         |    CAST(count(*) AS BIGINT) AS n_votes
+         |  FROM r WHERE rank <= $K GROUP BY 1, 2, 3),
+         |p AS (SELECT q_id, true_label, label AS pred_label, n_votes,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY n_votes DESC, label) AS vr FROM v)
+         |SELECT q_id, true_label, pred_label, n_votes
+         |FROM p WHERE vr = 1 ORDER BY q_id""".stripMargin,
     // Full SQL mirror of the IVF path INCLUDING the k-means training
     // over the SAME deterministic mod-sample (smp CTE ≡ ivfTrainSample):
     // the Scala quantizer is deterministic (sorted init, strict-<

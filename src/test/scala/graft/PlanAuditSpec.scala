@@ -393,4 +393,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
     assert(p.contains("hyperplane_lsh"), p)
   }
+
+  test("s_knn_classify: query set broadcast; vote aggregates only the top-k survivors") {
+    val p = plan(SimilarityOps.sKnnClassify(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the deliberate 5-row broadcast
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("cosine_similarity"), p)
+  }
+
+  test("q30: ntile/rank/count share one priority shuffle; price filter pushed to the scan") {
+    val df = RelationalOps.q30RankProfile(spark, sfDir)
+    assert(pushed(df).contains("GreaterThan(o_totalprice"), pushed(df))
+    val prepared = df.queryExecution.executedPlan.toString
+    val hashEx = prepared.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx == 1, s"$hashEx hash exchanges:\n$prepared")
+  }
 }

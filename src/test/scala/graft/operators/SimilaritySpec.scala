@@ -53,6 +53,26 @@ class SimilaritySpec extends SparkSpec {
       "multiprobe returned identical top-k everywhere with recall < 1")
   }
 
+  test("knn classify: prediction equals a naive vote over the bruteforce neighbors") {
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val neighbors = SimilarityOps.sAnnBruteforce(spark, sfDir)
+      .select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    val got = SimilarityOps.sKnnClassify(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(got.keySet == neighbors.keySet)
+    neighbors.foreach { case (q, ns) =>
+      val votes = ns.map(labels).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (predLabel, nVotes) = votes.toSeq.minBy { case (l, n) => (-n, l) }
+      val (trueL, gotPred, gotVotes) = got(q)
+      assert(trueL == labels(q), s"q$q true label")
+      assert((gotPred, gotVotes) == ((predLabel, nVotes)),
+        s"q$q: got ($gotPred,$gotVotes) want ($predLabel,$nVotes)")
+    }
+  }
+
   test("int8 quantization: codes in [0,255], extremes exact, error ≤ half a step") {
     val rows = SimilarityOps.sQuantize(spark, sfDir).collect()
     val embs = graft.Tables.embeddings(spark, sfDir).collect()
