@@ -42,7 +42,8 @@ object Bench {
     "m_phash_index", "p_temperature_mix", "q28_lateral_topn", "q29_unpivot",
     "x_hll_distinct", "p_graph_rank",
     "t_upsert_merge", "x_bpe_pairs", "x_bigram_lm", "s_ann_multiprobe",
-    "s_knn_classify", "q30_rank_profile")
+    "s_knn_classify", "q30_rank_profile",
+    "t_next_fire", "p_data_split", "s_range_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

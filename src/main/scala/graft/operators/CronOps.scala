@@ -105,10 +105,42 @@ object CronOps {
     java.sql.Timestamp.valueOf(WinEnd).toLocalDateTime.plusMinutes(1)
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
 
+  /** The "now" of the next-fire preview — mid-window, off-minute
+    * (second 22), so waits are non-trivial and the strictly-after rule
+    * is exercised against a partial minute. */
+  private[operators] val Now = "2024-01-15 00:37:22"
+  /** Next-fire search horizon: the largest step is 20 min, so the next
+    * activation is at most 19 min 38 s away — 25 min always contains
+    * it (guarded by the require below, and NextFireSpec). */
+  private val NextHorizonMin = 25L
+  private val NextEnd: String =
+    java.sql.Timestamp.valueOf(Now).toLocalDateTime.plusMinutes(NextHorizonMin)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+  /** Next activation from a fixed "now", per timer — the web enable
+    * flow's preview (`gotimer_web/pkg/cron/parser.go:20 NextFromNow`,
+    * called before a timer is switched on): first cron activation
+    * STRICTLY after now, plus the wait in whole seconds. Runs over
+    * ALL timers (the preview happens while the timer is still
+    * disabled), with the status column carried. Scale: one explode-
+    * free per-row expression — cron_times over a constant 25-min
+    * horizon returns ≤ 5 activations, array_min picks the first; no
+    * shuffle anywhere but the presentational sort. */
+  def tNextFire(s: SparkSession, dir: String): DataFrame =
+    timers(s, dir)
+      .withColumn("next_fire", array_min(expr(
+        s"cron_times(cron, TIMESTAMP '$Now', TIMESTAMP '$NextEnd')")))
+      .withColumn("wait_sec",
+        unix_timestamp(col("next_fire")) - unix_timestamp(lit(Now).cast("timestamp")))
+      .select(col("timer_id"), col("cron"), col("status"),
+        col("next_fire"), col("wait_sec"))
+      .orderBy(col("timer_id"))
+
   val queries: ListMap[String, Q] = ListMap(
     "t_cron_expand" -> (tCronExpand _),
     "t_migrator_batch" -> (tMigratorBatch _),
     "t_miss_rate" -> (tMissRate _),
+    "t_next_fire" -> (tNextFire _),
   )
 
   /** Shared oracle prefix: derived timers + the static minute series
@@ -159,5 +191,27 @@ object CronOps {
          |FROM exp e LEFT JOIN obs o
          |  ON e.timer_id = o.timer_id AND e.run_timer = o.run_timer
          |GROUP BY e.timer_id ORDER BY e.timer_id""".stripMargin,
+    // minute series over the horizon, first minute with
+    // minute % step = 0 strictly after Now; the wait is an integer
+    // date_diff — both engines count whole seconds
+    "t_next_fire" ->
+      s"""WITH timers AS (
+         |  SELECT DISTINCT user_id AS timer_id,
+         |    (user_id % 4 + 1) * 5 AS step_min,
+         |    '*/' || CAST((user_id % 4 + 1) * 5 AS VARCHAR) || ' * * * *' AS cron,
+         |    CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END AS status
+         |  FROM events),
+         |mins AS (
+         |  SELECT ts FROM generate_series(TIMESTAMP '2024-01-15 00:37:00',
+         |    TIMESTAMP '$NextEnd', INTERVAL 1 MINUTE) g(ts)),
+         |nf AS (
+         |  SELECT t.timer_id, min(g.ts) AS next_fire
+         |  FROM timers t JOIN mins g
+         |    ON minute(g.ts) % t.step_min = 0 AND g.ts > TIMESTAMP '$Now'
+         |  GROUP BY t.timer_id)
+         |SELECT t.timer_id, t.cron, t.status, n.next_fire,
+         |  date_diff('second', TIMESTAMP '$Now', n.next_fire) AS wait_sec
+         |FROM timers t JOIN nf n ON t.timer_id = n.timer_id
+         |ORDER BY t.timer_id""".stripMargin,
   )
 }

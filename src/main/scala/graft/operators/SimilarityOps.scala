@@ -49,6 +49,31 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Radius threshold for the range query — below the d_embed dedup
+    * τ=0.4 so the result set is a working neighborhood (≈55 rows at
+    * sf0.01), not just near-dups; 0.25 = 2⁻² is exactly representable,
+    * so the boundary compare has no float-literal hazard at all. */
+  private[operators] val RangeTau = 0.25
+
+  /** Range search (FAISS `range_search` analog) — ALL neighbors
+    * within cosine ≥ τ of each query, not a fixed top-k: the shape
+    * retrieval uses when the answer is "everything this close"
+    * (dedup candidates, recall-complete retrieval) rather than "the
+    * k best". Same linear broadcast scan as the bruteforce baseline
+    * but with NO window at all — the per-row filter replaces the
+    * top-k rank, so the only exchange in the plan is the
+    * presentational sort; at 100 TB the scan partitions stream
+    * independently and emit only in-radius rows. The result is a
+    * SET (no rank column): ordered by (q_id, vec_id). */
+  def sRangeSearch(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .crossJoin(broadcast(queryVecs(s, dir)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr("cosine_similarity(q_emb, embedding)"))
+      .filter(col("cos") >= RangeTau)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("vec_id"))
+
   /** One row per (table, bucket) per vector: bucketed ONCE, reused by
     * every query — the single shuffle of the vector table. Table
     * seeds must be literals (each expression instance owns its
@@ -614,6 +639,7 @@ object SimilarityOps {
 
   val queries: ListMap[String, Q] = ListMap(
     "s_ann_bruteforce" -> (sAnnBruteforce _),
+    "s_range_search" -> (sRangeSearch _),
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_multiprobe" -> (sAnnMultiprobe _),
     "s_knn_classify" -> (sKnnClassify _),
@@ -828,6 +854,20 @@ object SimilarityOps {
          |SELECT q_id, rank, vec_id, round(cos, 4) AS cos
          |FROM scored WHERE rank <= $K
          |ORDER BY q_id, rank""".stripMargin,
+    // same exact scored scan, radius filter instead of top-k rank;
+    // τ interpolated from RangeTau (the threshold literal parses to
+    // the identical IEEE double on both engines — the d_embed_cosine
+    // precedent)
+    "s_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id < $NumQueries)
+         |SELECT q.q_id, e.vec_id,
+         |  round(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+         |                               CAST(e.embedding AS DOUBLE[])), 4) AS cos
+         |FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+         |WHERE list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+         |                             CAST(e.embedding AS DOUBLE[])) >= $RangeTau
+         |ORDER BY q.q_id, e.vec_id""".stripMargin,
     // Exact mirror of the LSH path: every hyperplane component is
     // inlined (HyperplaneLsh.planesFor — identical seeded matrix),
     // each bucket bit recomputed as an explicit left-associated

@@ -335,6 +335,37 @@ object TrainingPipeline {
       .orderBy(col("stage"), col("shard"), col("pos"))
   }
 
+  /** Holdout-split hash multiplier — murmur3's public c1 constant
+    * (0xcc9e2d51); distinct from the sampling/epoch multipliers so
+    * split membership is uncorrelated with sample membership and
+    * epoch order. 2³¹·c1 ≈ 7.4e18 < Long.MaxValue, so the mod-2³¹
+    * pre-reduction keeps the product ANSI-safe at any doc_id. */
+  private[operators] val SplitMul = 3432918353L
+  /** Basis-point split boundaries: train < 9800 ≤ val < 9900 ≤ test. */
+  private[operators] val TrainBp = 9800L
+  private[operators] val ValBp = 9900L
+
+  /** Train/val/test holdout split — the assignment every training run
+    * makes before anything else, as a DETERMINISTIC per-row artifact:
+    * split = f(doc_id) alone (multiplicative hash mod 10⁴ against
+    * fixed 98/1/1 basis-point boundaries), so a document can never
+    * drift between splits across runs, re-partitions, or corpus
+    * growth — the property that prevents silent train-on-test
+    * contamination when the corpus is re-ingested. Zero shuffle: the
+    * assignment is one per-row integer expression on the scan (the
+    * presentational sort is the only exchange); at 100 TB the split
+    * is computed on read, never materialized as a routing step. */
+  def dataSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("h_bp", expr(
+        s"pmod(pmod(doc_id, 2147483648L) * ${SplitMul}L, 2147483648L) % 10000"))
+      .withColumn("split",
+        when(col("h_bp") < TrainBp, "train")
+          .when(col("h_bp") < ValBp, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+
   /** Fixed-point scale for graphRank ranks (10¹² units ≡ rank 1.0). */
   private[operators] val RankScale = 1000000000000L
   /** Damping 0.85 as the integer pair 85/100; 4 unrolled iterations. */
@@ -409,6 +440,7 @@ object TrainingPipeline {
       "p_containment" -> (containment _),
       "p_fuzzy_decontaminate" -> (fuzzyDecontaminate _),
       "p_stratified_sample" -> (stratifiedSample _),
+      "p_data_split" -> (dataSplit _),
       "p_epoch_shuffle" -> (epochShuffle _),
       "p_curriculum" -> (curriculum _),
       "p_graph_rank" -> (graphRank _))
@@ -602,6 +634,17 @@ object TrainingPipeline {
           |FROM documents d JOIN c USING (source)
           |WHERE (((d.doc_id % 2147483648) * 2654435761) % 2147483648) % 10000 < c.rate_bp
           |ORDER BY d.source, d.doc_id""".stripMargin,
+      // same overflow-safe hash chain, murmur3-c1 multiplier and the
+      // 98/1/1 boundaries interpolated from the Scala constants
+      "p_data_split" ->
+        s"""SELECT doc_id, source,
+           |  (((doc_id % 2147483648) * $SplitMul) % 2147483648) % 10000 AS h_bp,
+           |  CASE WHEN (((doc_id % 2147483648) * $SplitMul) % 2147483648) % 10000 < $TrainBp
+           |         THEN 'train'
+           |       WHEN (((doc_id % 2147483648) * $SplitMul) % 2147483648) % 10000 < $ValBp
+           |         THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin,
       // per-epoch multipliers interpolated from EpochMuls (the same
       // constants the operator compiles in — they cannot drift); the
       // mod-2³¹ pre-reduction mirrors the overflow-safe Spark form

@@ -53,6 +53,29 @@ class SimilaritySpec extends SparkSpec {
       "multiprobe returned identical top-k everywhere with recall < 1")
   }
 
+  test("range search: equals a naive full-scan radius filter; consistent with bruteforce top-k") {
+    import org.apache.spark.sql.functions._
+    val range = SimilarityOps.sRangeSearch(spark, sfDir)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive recompute: no broadcast hint, no round — the raw radius set
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val naive = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .filter(col("q_id") < 5)
+      .crossJoin(e)
+      .filter(col("vec_id") =!= col("q_id") &&
+        expr("cosine_similarity(q_emb, embedding)") >= 0.25)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(range == naive, s"range set ${range.size} != naive radius set ${naive.size}")
+    // every bruteforce top-k hit within the radius must be in the range
+    // set (cos in the top-k output is rounded to 4 dp, so stay a full
+    // rounding step above tau to avoid 0.24996-rounds-to-0.25 edges)
+    val bfInRadius = SimilarityOps.sAnnBruteforce(spark, sfDir)
+      .filter(col("cos") >= 0.2501)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bfInRadius.subsetOf(range),
+      s"${(bfInRadius -- range).size} top-k rows with cos >= tau missing from range search")
+  }
+
   test("knn classify: prediction equals a naive vote over the bruteforce neighbors") {
     val labels = graft.Tables.embeddings(spark, sfDir)
       .select("vec_id", "label").collect()

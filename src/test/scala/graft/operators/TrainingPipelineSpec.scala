@@ -147,6 +147,37 @@ class TrainingPipelineSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("data split: total partition, ~98/1/1 fractions, assignment a pure function of doc_id") {
+    val split = TrainingPipeline.dataSplit(spark, sfDir).cache()
+    val n = split.count()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(n == nDocs, s"split rows $n != corpus $nDocs — not a total partition")
+    val byName = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet.subsetOf(Set("train", "val", "test")))
+    val train = byName.getOrElse("train", 0L).toDouble / n
+    assert(train > 0.95 && train < 0.995, s"train fraction $train outside the 98% band")
+    assert(byName.getOrElse("val", 0L) + byName.getOrElse("test", 0L) == n - byName("train"))
+    // h_bp stays inside the basis-point domain
+    assert(split.filter(col("h_bp") < 0 || col("h_bp") >= 10000).count() == 0)
+    // membership is a function of doc_id ALONE: recomputing on an
+    // arbitrarily filtered + reshuffled corpus slice reassigns every
+    // surviving doc identically — the no-drift / no-leakage property
+    val slice = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 1).repartition(7)
+    val reassigned = slice
+      .withColumn("h_bp", expr(
+        "pmod(pmod(doc_id, 2147483648L) * 3432918353L, 2147483648L) % 10000"))
+      .withColumn("split2",
+        when(col("h_bp") < 9800, "train").when(col("h_bp") < 9900, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("split2"))
+    val drift = split.join(reassigned, "doc_id")
+      .filter(col("split") =!= col("split2")).count()
+    assert(drift == 0, s"$drift docs changed split on a re-ingested slice")
+    split.unpersist()
+  }
+
   test("epoch shuffle: each epoch is a full permutation, shards partition it, epochs differ") {
     val rows = TrainingPipeline.epochShuffle(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
