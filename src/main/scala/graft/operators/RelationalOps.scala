@@ -463,6 +463,33 @@ object RelationalOps {
       .orderBy(col("o_orderpriority"), col("rn"))
   }
 
+  /** FULL OUTER join — the one outer-join flavor the inventory still
+    * lacked (q9 is left-outer): the retention matrix over the SAME
+    * 1996 halves q25/q26 slice, per customer — H1 and H2 order counts
+    * side by side with nulls→0 and the churned/new/retained segment
+    * the set operators can only return one slice of at a time. Both
+    * sides pre-aggregate to one row per customer BEFORE the join
+    * (partial-agged, custkey-sized), so the full-outer shuffle
+    * carries customers, never orders; at 100 TB both inputs arrive
+    * hash-partitioned on the same key and AQE keeps it one exchange
+    * per side. */
+  def q31FullOuter(s: SparkSession, dir: String): DataFrame = {
+    def half(from: String, until: String, n: String) =
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp"))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as(n))
+    half("1996-01-01", "1996-07-01", "n_h1")
+      .join(half("1996-07-01", "1997-01-01", "n_h2"), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n_h1"), lit(0L)).as("n_h1"),
+        coalesce(col("n_h2"), lit(0L)).as("n_h2"),
+        when(col("n_h1").isNull, "new")
+          .when(col("n_h2").isNull, "churned")
+          .otherwise("retained").as("seg"))
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_agg" -> (q1Agg _),
     "q2_topk" -> (q2Topk _),
@@ -494,6 +521,7 @@ object RelationalOps {
     "q28_lateral_topn" -> (q28LateralTopn _),
     "q29_unpivot" -> (q29Unpivot _),
     "q30_rank_profile" -> (q30RankProfile _),
+    "q31_full_outer" -> (q31FullOuter _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -744,5 +772,21 @@ object RelationalOps {
          |      WINDOW w AS (PARTITION BY o_orderpriority
          |        ORDER BY o_totalprice, o_orderkey))
          |ORDER BY o_orderpriority, rn""".stripMargin,
+    // duck's native FULL OUTER over the same pre-aggregated halves;
+    // COALESCE on the join key picks whichever side is non-null
+    "q31_full_outer" ->
+      """WITH h1 AS (SELECT o_custkey, count(*) AS n_h1 FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  GROUP BY o_custkey),
+        |h2 AS (SELECT o_custkey, count(*) AS n_h2 FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY o_custkey)
+        |SELECT coalesce(h1.o_custkey, h2.o_custkey) AS o_custkey,
+        |  coalesce(h1.n_h1, 0) AS n_h1, coalesce(h2.n_h2, 0) AS n_h2,
+        |  CASE WHEN h1.o_custkey IS NULL THEN 'new'
+        |       WHEN h2.o_custkey IS NULL THEN 'churned'
+        |       ELSE 'retained' END AS seg
+        |FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
   )
 }

@@ -316,6 +316,53 @@ object TimerOps {
       .withColumn("n_missing_minutes", lit(1440L) - col("n_active_minutes"))
       .orderBy(col("app"), col("day"))
 
+  /** Gap-fill day: mid-corpus, the same anchor day the cron window
+    * uses. */
+  private val FillDay = "2024-01-15"
+
+  /** LOCF gap-fill — the monitoring dashboard's "last known gauge
+    * value per minute": the per-app event-count gauge over the full
+    * 1440-minute grid of one day, missing minutes forward-filled with
+    * the last observation (last_value IGNORE NULLS — the window
+    * surface nothing else in the inventory exercises) plus the
+    * staleness age in whole minutes (the deadman question
+    * streaming.GapMonitor answers continuously, here as the batch
+    * rollup: how old is the number the dashboard is showing?).
+    * Before the first observation both filled and staleness stay
+    * NULL on both engines. Scale: the grid is calendar-sized (apps ×
+    * 1440), the events scan partial-aggs to (app, minute) rows before
+    * any join, and the fill window partitions per app — at 100 TB the
+    * partition key gains the day column and every (app, day) fills
+    * independently. */
+  def tGapFill(s: SparkSession, dir: String): DataFrame = {
+    val dayEnd = java.sql.Timestamp.valueOf(s"$FillDay 00:00:00").toLocalDateTime
+      .plusDays(1).format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val minutes = s.range(1).select(explode(expr(
+      s"""sequence(TIMESTAMP '$FillDay 00:00:00',
+         |  TIMESTAMP '$FillDay 23:59:00', interval 1 minute)""".stripMargin))
+      .as("minute"))
+    val grid = s.range(8).select(col("id").as("app")).crossJoin(minutes)
+    val obs = Tables.events(s, dir)
+      .filter(col("ts") >= lit(s"$FillDay 00:00:00").cast("timestamp") &&
+        col("ts") < lit(dayEnd).cast("timestamp"))
+      .select(pmod(col("user_id"), lit(8L)).as("app"),
+        date_trunc("minute", col("ts")).as("minute"))
+      .groupBy(col("app"), col("minute"))
+      .agg(count(lit(1)).as("observed"))
+    val w = Window.partitionBy(col("app")).orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("app", "minute"), "left")
+      .withColumn("filled", last(col("observed"), ignoreNulls = true).over(w))
+      .withColumn("last_obs",
+        last(when(col("observed").isNotNull, col("minute")), ignoreNulls = true).over(w))
+      .withColumn("staleness_min",
+        expr("(unix_timestamp(minute) - unix_timestamp(last_obs)) div 60"))
+      .select(col("app"), col("minute"), col("observed"), col("filled"),
+        col("staleness_min"))
+      .orderBy(col("app"), col("minute"))
+  }
+
   /** Idempotent dedup on (timer_id, minute), keep earliest — the
     * task table's unique index idx_def_timer on (timer_id, run_timer)
     * (gotimer_web/dao/task/po.go). */
@@ -472,6 +519,7 @@ object TimerOps {
     "t_exec_delay" -> (tExecDelay _),
     "t_concurrency" -> (tConcurrency _),
     "t_coverage" -> (tCoverage _),
+    "t_gap_fill" -> (tGapFill _),
     "t_task_dedup" -> (tTaskDedup _),
     "t_upsert_merge" -> (tUpsertMerge _),
     "t_stream_window_agg" -> (tStreamWindowAgg _),
@@ -587,6 +635,32 @@ object TimerOps {
          |  1440 - count(DISTINCT strftime(ts, '%Y-%m-%d %H:%M')) AS n_missing_minutes
          |FROM events WHERE ts IS NOT NULL
          |GROUP BY 1, 2 ORDER BY app, day""".stripMargin,
+    // duck's last_value IGNORE NULLS over the identical grid; the
+    // staleness diff is whole minutes on both engines (grid minutes
+    // are second-0 aligned, so div-60 of the second diff is exact)
+    "t_gap_fill" ->
+      """WITH mins AS (SELECT ts AS minute FROM generate_series(
+        |    TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-15 23:59:00',
+        |    INTERVAL 1 MINUTE) g(ts)),
+        |apps AS (SELECT unnest(range(0, 8)) AS app),
+        |grid AS (SELECT a.app, m.minute FROM apps a CROSS JOIN mins m),
+        |obs AS (SELECT user_id % 8 AS app, date_trunc('minute', ts) AS minute,
+        |          count(*) AS observed
+        |        FROM events
+        |        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |          AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        |        GROUP BY 1, 2),
+        |f AS (SELECT g.app, g.minute, o.observed,
+        |        last_value(o.observed IGNORE NULLS) OVER w AS filled,
+        |        last_value(CASE WHEN o.observed IS NOT NULL THEN g.minute END
+        |          IGNORE NULLS) OVER w AS last_obs
+        |      FROM grid g LEFT JOIN obs o
+        |        ON g.app = o.app AND g.minute = o.minute
+        |      WINDOW w AS (PARTITION BY g.app ORDER BY g.minute
+        |        ROWS UNBOUNDED PRECEDING))
+        |SELECT app, minute, observed, filled,
+        |  date_diff('minute', last_obs, minute) AS staleness_min
+        |FROM f ORDER BY app, minute""".stripMargin,
     "t_sla_percentile" ->
       s"""WITH d AS (SELECT $statusSql AS status, value,
          |             CAST(round(value * 100, 0) AS BIGINT) AS vc

@@ -409,4 +409,51 @@ class PlanAuditSpec extends SparkSpec {
       .count(_ == "Exchange hashpartitioning")
     assert(hashEx == 1, s"$hashEx hash exchanges:\n$prepared")
   }
+
+  test("t_next_fire: per-row cron expansion, no join anywhere in the plan") {
+    val df = CronOps.tNextFire(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("cron_times"), p)
+    assert(!p.contains("Join"), p)
+    // the only columns read are the distinct-timer input
+    assert(readSchema(df) == "struct<user_id:bigint>", readSchema(df))
+  }
+
+  test("p_data_split: one pruned scan, per-row expression — no join, no aggregate") {
+    val df = TrainingPipeline.dataSplit(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+    assert(readSchema(df) == "struct<doc_id:bigint,source:string>", readSchema(df))
+  }
+
+  test("s_range_search: broadcast radius scan with NO window — filter replaces top-k") {
+    val df = SimilarityOps.sRangeSearch(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the deliberate 5-row broadcast
+    assert(p.contains("cosine_similarity"), p)
+    assert(!p.contains("Window"), p)
+    assert(pushed(df).contains("LessThan(vec_id,5)"), pushed(df))
+  }
+
+  test("q31: both halves partial-agg to customer rows BEFORE the full-outer join") {
+    val df = RelationalOps.q31FullOuter(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("FullOuter"), p)
+    assert(pushed(df).contains("GreaterThanOrEqual(o_orderdate"), pushed(df))
+    // the join consumes aggregates, not order scans: the partial
+    // counts sit BELOW the full-outer join node (plans print top-down)
+    val join = p.indexOf("FullOuter")
+    val aggBelow = p.lastIndexOf("partial_count")
+    assert(join >= 0 && aggBelow > join, s"join/agg order:\n$p")
+  }
+
+  test("t_gap_fill: events pre-agg to (app, minute) before the grid join; LOCF window per app") {
+    val df = TimerOps.tGapFill(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("last(observed"), p)
+    assert(p.contains("partial_count"), p)
+    // the only nested-loop is the deliberate constant-sized grid cross
+    // (8 apps x 1440 minutes, both local relations)
+    assert(pushed(df).contains("GreaterThanOrEqual(ts"), pushed(df))
+  }
 }
