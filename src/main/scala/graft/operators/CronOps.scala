@@ -109,9 +109,10 @@ object CronOps {
     * (second 22), so waits are non-trivial and the strictly-after rule
     * is exercised against a partial minute. */
   private[operators] val Now = "2024-01-15 00:37:22"
-  /** Next-fire search horizon: the largest step is 20 min, so the next
-    * activation is at most 19 min 38 s away — 25 min always contains
-    * it (guarded by the require below, and NextFireSpec). */
+  /** Next-fire search horizon: the derived steps are (id%4+1)·5 ≤ 20
+    * min, so the next activation is at most 20 min away — a 25-min
+    * horizon always contains it (NextFireSpec pins every preview row
+    * inside the bound, so a widened step set would fail loudly). */
   private val NextHorizonMin = 25L
   private val NextEnd: String =
     java.sql.Timestamp.valueOf(Now).toLocalDateTime.plusMinutes(NextHorizonMin)

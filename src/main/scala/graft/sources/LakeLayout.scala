@@ -193,4 +193,70 @@ object LakeLayout {
     df.repartition(nFiles.toInt).write.mode("overwrite").parquet(outDir)
     nFiles
   }
+
+  /** VACUUM — the other half of lake maintenance (compact merges what
+    * is committed; vacuum removes what is NOT): physically delete
+    * files under the table directory that the committed read does not
+    * reference and that are older than `retentionMs`. The Delta/
+    * Iceberg VACUUM analog built on the same source of truth the
+    * readers use — `df.inputFiles`, which honors a file-sink's
+    * `_spark_metadata` commit log — so an exactly-once sink's
+    * uncommitted leftovers (a crashed trigger's orphaned part files,
+    * `_temporary` litter from a killed batch job) are reclaimable
+    * without ever touching a file a reader could see.
+    *
+    * Safety rails, in order:
+    *   - metadata is never a candidate: anything whose path contains a
+    *     `_`/`.`-prefixed segment (`_spark_metadata`, `_SUCCESS`,
+    *     `.crc`) is kept — vacuum reclaims data bytes, it does not
+    *     garbage-collect the commit log that defines committedness.
+    *     The one exception is `_temporary` (the Hadoop committer's
+    *     staging dir): a crashed job's staging files are the
+    *     canonical orphans, reclaimable once past retention. Dot
+    *     files stay conservatively kept even though some are
+    *     in-progress writes — they are invisible to every reader, so
+    *     keeping them costs bytes, never correctness;
+    *   - referenced files are never candidates (set-membership against
+    *     inputFiles URIs);
+    *   - `retentionMs` guards in-flight writers: a file younger than
+    *     the retention may belong to a trigger that has not committed
+    *     YET — deleting it would corrupt that commit. The default
+    *     mirrors the common 7-day VACUUM floor; tests pass 0
+    *     deliberately.
+    *
+    * Driver-side file listing is correct here for the same reason it
+    * is in compact: at 100 TB vacuum runs per-partition (day=D), and
+    * a partition's file count is operationally bounded by compaction.
+    * Returns the deleted paths (empty when the dir does not exist —
+    * a never-written partition is a no-op, not an error). */
+  def vacuum(spark: SparkSession, path: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Seq.empty
+    val committed: Set[String] =
+      try spark.read.parquet(path).inputFiles
+        .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("Unable to infer schema") => Set.empty
+      }
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val it = fs.listFiles(root, /* recursive = */ true)
+    val deleted = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      val rel = p.toUri.getPath
+      val isMetadata = rel.split('/').exists(seg =>
+        seg.startsWith(".") || (seg.startsWith("_") && seg != "_temporary"))
+      if (!isMetadata && !committed.contains(rel) &&
+          st.getModificationTime < cutoff) {
+        fs.delete(p, false)
+        deleted += rel
+      }
+    }
+    deleted.result()
+  }
 }

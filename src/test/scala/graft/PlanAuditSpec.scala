@@ -411,6 +411,9 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("t_next_fire: per-row cron expansion, no join anywhere in the plan") {
+    // another suite may have cached the events table — a cache hit
+    // replaces the file scan and empties readSchema (order-dependent)
+    spark.catalog.clearCache()
     val df = CronOps.tNextFire(spark, sfDir)
     val p = plan(df)
     assert(p.contains("cron_times"), p)

@@ -42,6 +42,35 @@ class LakeLayoutSpec extends SparkSpec {
       s"files read: ${executedScan.metrics("numFiles").value}")
   }
 
+  test("vacuum: reclaims uncommitted orphans only, keeps metadata, honors retention") {
+    val dir = Files.createTempDirectory("graft_vacuum").toString
+    Tables.events(spark, sfDir).limit(100).write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    // plant the canonical orphans: crashed-committer staging litter
+    // (a visible orphan can only exist under a _spark_metadata sink —
+    // in a plain dir every visible file IS the committed set, and a
+    // stray visible non-parquet file would break the readers
+    // themselves, which no vacuum can fix)
+    val staged = new java.io.File(s"$dir/_temporary/0/task_123/part-00000.parquet")
+    staged.getParentFile.mkdirs()
+    Files.write(staged.toPath, Array[Byte](1, 2, 3))
+    val stray = new java.io.File(s"$dir/_temporary/part-xyz.parquet.tmp")
+    Files.write(stray.toPath, Array[Byte](4, 5))
+    // a generous retention keeps even orphans (they might be in-flight)
+    assert(LakeLayout.vacuum(spark, dir, retentionMs = 3600 * 1000L).isEmpty)
+    assert(staged.exists() && stray.exists())
+    // retention 0: both orphans reclaimed, nothing else touched
+    val deleted = LakeLayout.vacuum(spark, dir, retentionMs = 0L)
+    assert(deleted.size == 2, s"deleted: $deleted")
+    assert(!staged.exists() && !stray.exists())
+    assert(new java.io.File(s"$dir/_SUCCESS").exists(), "_SUCCESS must survive")
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "vacuum changed the committed data")
+    // a second pass is a no-op; a missing dir is a no-op
+    assert(LakeLayout.vacuum(spark, dir, 0L).isEmpty)
+    assert(LakeLayout.vacuum(spark, s"$dir/never_written", 0L).isEmpty)
+  }
+
   test("upsert: latest-wins merge ≡ full recompute; untouched days physically unmodified") {
     // fresh lake (lakeDir is shared with the pruning tests)
     val dir = Files.createTempDirectory("graft_upsert").toString
