@@ -103,17 +103,25 @@ object DedupOps {
     * and p_fuzzy_decontaminate all call this, and a fresh .cache() per
     * call would stack three identical cached signature frames in
     * executor memory over a bench run (ADVICE r8). One entry per
-    * session×sfDir — a handful in any process; entries die with the
-    * session. */
+    * session×sfDir — a handful in any process; entries for stopped
+    * sessions are evicted on the next access, and an external
+    * `spark.catalog.clearCache()` (Verify runs one between queries)
+    * only drops the CacheManager registration — the memo re-registers
+    * it here, so consumers never silently fall back to recomputing
+    * the signature pipeline 3×. */
   private val sigCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private[graft] def minhashSigs(s: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate((s, dir),
+  private[graft] def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    sigCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(sigCache.remove)
+    val df = sigCache.getOrElseUpdate((s, dir),
       shingled(s, dir)
         .withColumn("hashes", expr("transform(shingles, x -> poly_hash31(x))"))
         .withColumn("sig", expr("minhash_signature(hashes, 64, 42)"))
-        .select(col("doc_id"), col("hashes"), col("sig"))
-        .cache())
+        .select(col("doc_id"), col("hashes"), col("sig")))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+    df
+  }
 
   /** Exact-Jaccard verification of candidate pairs over the shared
     * shingle-hash sets (τ = 1/2, integer threshold) — ONE

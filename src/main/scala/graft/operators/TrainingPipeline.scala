@@ -424,9 +424,17 @@ object TrainingPipeline {
         .select(col("id"),
           expr(s"${base}L + (85L * coalesce(sc, 0L)) div 100L").as("rank"))
     }
-    rank.join(deg, rank("id") === deg("src"))
+    // materialize the final ranks, then release the per-call caches:
+    // without the unpersist every invocation (each bench iteration)
+    // stacks a fresh edges+deg pair in storage memory for the session
+    // lifetime — the same cache-stacking class ADVICE r8 flagged for
+    // minhashSigs
+    val out = rank.join(deg, rank("id") === deg("src"))
       .select(col("id").as("doc_id"), col("deg"), col("rank"))
-      .orderBy(col("rank").desc, col("doc_id"))
+      .localCheckpoint(true)
+    edges.unpersist(false)
+    deg.unpersist(false)
+    out.orderBy(col("rank").desc, col("doc_id"))
   }
 
   /** Driver-visible entry. */

@@ -75,6 +75,13 @@ object LakeLayout {
       colB: String, numFiles: Int = 8): Unit = {
     val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input (or all-null cluster columns): no range to
+      // interleave — a maintenance rewrite of a quiet partition writes
+      // it through unchanged instead of dying on a null aggregate
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val (aMin, aMax, bMin, bMax) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     def scaled(c: String, lo: Long, hi: Long): String =
       if (hi == lo) "0L"
@@ -95,34 +102,59 @@ object LakeLayout {
     * gotimer_executor/dao/task/task.go:42) and the MERGE INTO of the
     * Delta/Iceberg world, built from primitives:
     *
-    *   1. the updates batch names its affected days (one distinct on
-    *      the derived partition column — calendar-bounded, so the
-    *      collect is constant-size, the BloomOps pattern);
-    *   2. ONLY those partitions of the base are read back (an isin
-    *      filter on the partition column → directory pruning — the
-    *      99%+ of a 100 TB lake in untouched days is never opened);
+    *   1. the affected days are discovered from BOTH directions: the
+    *      updates batch's own days (one distinct on the derived
+    *      partition column — calendar-bounded collect, the BloomOps
+    *      pattern) PLUS every day whose standing rows hold an updated
+    *      key — a key created at 23:59 and updated at 00:10 spans two
+    *      partitions, and missing the old one would leave a stale
+    *      duplicate. The key→day lookup is a column-pruned (key, day)
+    *      scan semi-joined against the batch's broadcast key set —
+    *      the honest price of MERGE without a key index (Delta/Hudi
+    *      pay it as file-level key stats / record-level indexes);
+    *   2. ONLY those partitions of the base are read back in full (an
+    *      isin filter on the partition column → directory pruning —
+    *      the 99%+ of a 100 TB lake in untouched days is never fully
+    *      opened);
     *   3. latest-wins per key across base ∪ updates: one window over
     *      (keyCols) ordered by (ordCol, src) with updates outranking
     *      base on ties — a single hash shuffle of the affected days
-    *      only;
+    *      only. The winner's day is recomputed from ITS ordCol, so a
+    *      key moves with its latest version (writePartitioned's
+    *      day = date(event time) invariant holds after every merge);
     *   4. the merged rows overwrite exactly the affected day
     *      directories via DYNAMIC partition overwrite (the same
     *      mechanism that makes the streaming sink exactly-once) —
-    *      untouched partitions keep their files byte-for-byte.
+    *      untouched partitions keep their files byte-for-byte. A day
+    *      fully drained by keys migrating to newer days produces no
+    *      output rows, which dynamic overwrite cannot express as a
+    *      deletion — those directories are removed explicitly.
     *
-    * `ordCol` must totally order the versions of a key within the
-    * updates batch (the task store's event time does); across equal
-    * ords the updates side wins, matching Updates-after-insert replay.
+    * `ordCol` is the event-time column that both orders a key's
+    * versions and derives the day partition (the task store's ts
+    * does both). Across equal ords the updates side wins, matching
+    * Updates-after-insert replay.
     *
-    * Returns the number of rewritten partitions. UpsertSpec pins:
-    * result ≡ a full-lake recompute, and untouched day directories
-    * are physically unmodified. */
+    * Returns the number of affected partitions (rewritten + drained).
+    * UpsertSpec pins: result ≡ a full-lake recompute — including
+    * cross-day version chains — and untouched day directories are
+    * physically unmodified. */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], ordCol: String): Long = {
     import org.apache.spark.sql.expressions.Window
-    val upd = updates.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-    val days = upd.select("day").distinct().collect().map(_.getString(0)).toSeq
-    if (days.isEmpty) return 0L
+    val dayOf = date_format(col(ordCol), "yyyy-MM-dd")
+    val upd = updates.withColumn("day", dayOf)
+    val updDays = upd.select("day").distinct().collect().map(_.getString(0)).toSet
+    if (updDays.isEmpty) return 0L
+    val updKeys = upd.select(keyCols.map(col): _*).distinct()
+    // partition-type inference reads `day` back as DATE — normalize
+    // to the string form the rest of the merge uses
+    val keyDays = read(spark, path)
+      .select((keyCols :+ "day").map(col): _*)
+      .join(broadcast(updKeys), keyCols, "left_semi")
+      .select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val days = (updDays ++ keyDays).toSeq
     val base = read(spark, path).filter(col("day").isin(days: _*))
     val cols = base.columns.toSeq
     val w = Window.partitionBy(keyCols.map(col): _*)
@@ -131,16 +163,23 @@ object LakeLayout {
       .unionByName(upd.select(cols.map(col): _*).withColumn("src", lit(1)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn", "src")
+      .withColumn("day", dayOf)
     // materialize BEFORE the write: the merged plan reads the same
     // path it overwrites, which Spark (correctly) refuses lazily;
     // copy-on-write means paying exactly this one materialization of
     // the affected partitions (Delta/Iceberg pay it as new files +
     // a metadata swap)
-    merged.localCheckpoint(true)
-      .write.mode("overwrite")
+    val out = merged.localCheckpoint(true)
+    val outDays = out.select("day").distinct().collect().map(_.getString(0)).toSet
+    out.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day")
       .parquet(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    (days.toSet -- outDays).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(path, s"day=$d")
+      p.getFileSystem(conf).delete(p, true)
+    }
     days.size.toLong
   }
 
@@ -206,9 +245,12 @@ object LakeLayout {
     * without ever touching a file a reader could see.
     *
     * Safety rails, in order:
-    *   - metadata is never a candidate: anything whose path contains a
-    *     `_`/`.`-prefixed segment (`_spark_metadata`, `_SUCCESS`,
-    *     `.crc`) is kept — vacuum reclaims data bytes, it does not
+    *   - metadata is never a candidate: anything whose path BELOW THE
+    *     TABLE ROOT contains a `_`/`.`-prefixed segment
+    *     (`_spark_metadata`, `_SUCCESS`, `.crc`) is kept — only
+    *     segments under the root are judged, so a lake that merely
+    *     LIVES under a dot-dir ancestor (`/root/.cache/lake`) still
+    *     vacuums instead of silently no-opping — vacuum reclaims data bytes, it does not
     *     garbage-collect the commit log that defines committedness.
     *     The one exception is `_temporary` (the Hadoop committer's
     *     staging dir): a crashed job's staging files are the
@@ -243,13 +285,18 @@ object LakeLayout {
             if e.getMessage.contains("Unable to infer schema") => Set.empty
       }
     val cutoff = System.currentTimeMillis() - retentionMs
+    val rootAbs = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
     val it = fs.listFiles(root, /* recursive = */ true)
     val deleted = Seq.newBuilder[String]
     while (it.hasNext) {
       val st = it.next()
       val p = st.getPath
       val rel = p.toUri.getPath
-      val isMetadata = rel.split('/').exists(seg =>
+      // judge only the segments BELOW the table root: an ancestor
+      // dot-dir in the lake's own path must not mark every file as
+      // metadata (which would make vacuum a silent no-op)
+      val below = rel.stripPrefix(rootAbs).stripPrefix("/")
+      val isMetadata = below.split('/').exists(seg =>
         seg.startsWith(".") || (seg.startsWith("_") && seg != "_temporary"))
       if (!isMetadata && !committed.contains(rel) &&
           st.getModificationTime < cutoff) {

@@ -71,6 +71,23 @@ class LakeLayoutSpec extends SparkSpec {
     assert(LakeLayout.vacuum(spark, s"$dir/never_written", 0L).isEmpty)
   }
 
+  test("vacuum: a lake under a dot-dir ancestor still reclaims orphans") {
+    // only segments BELOW the table root are metadata-judged: a root
+    // like /root/.cache/lake must not no-op every file
+    val parent = Files.createTempDirectory("graft_vac_parent")
+    val dir = parent.resolve(".hidden_cache").resolve("lake")
+    Files.createDirectories(dir)
+    Tables.events(spark, sfDir).limit(10).write
+      .mode("overwrite").parquet(dir.toString)
+    val orphan = new java.io.File(s"$dir/_temporary/part-0.parquet.tmp")
+    orphan.getParentFile.mkdirs()
+    Files.write(orphan.toPath, Array[Byte](1))
+    val deleted = LakeLayout.vacuum(spark, dir.toString, retentionMs = 0L)
+    assert(deleted.size == 1 && !orphan.exists(),
+      s"orphan under dot-ancestor root not reclaimed: $deleted")
+    assert(new java.io.File(s"$dir/_SUCCESS").exists())
+  }
+
   test("upsert: latest-wins merge ≡ full recompute; untouched days physically unmodified") {
     // fresh lake (lakeDir is shared with the pruning tests)
     val dir = Files.createTempDirectory("graft_upsert").toString
@@ -126,6 +143,49 @@ class LakeLayoutSpec extends SparkSpec {
       val exp = updKeys.getOrElse(k, baseKeys(k))
       assert(got(k) == exp, s"key $k: got ${got(k)} want $exp")
     }
+  }
+
+  test("upsert: cross-day version chain moves the key, drains emptied days, leaves others untouched") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = Files.createTempDirectory("graft_upsert_xday").toString
+    // key (1,10) alone on day 1; keys (2,20)/(3,30) on day 2
+    val base = Seq(
+      (1L, 10L, ts("2024-01-01 23:59:00"), "click", 1.0),
+      (2L, 20L, ts("2024-01-02 10:00:00"), "click", 1.0),
+      (3L, 30L, ts("2024-01-02 11:00:00"), "click", 1.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    LakeLayout.writePartitioned(base, dir)
+    val day2Before = new java.io.File(s"$dir/day=2024-01-02").listFiles()
+      .map(f => f.getPath -> f.lastModified()).toMap
+
+    // the executor updates key (1,10) ten minutes past midnight on
+    // day 3: the standing row lives in day 1, the update in day 3
+    val updates = Seq((1L, 10L, ts("2024-01-03 00:10:00"), "purchase", 2.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val affected = LakeLayout.upsert(spark, dir, updates,
+      keyCols = Seq("user_id", "event_id"), ordCol = "ts")
+    assert(affected == 2L, s"expected day1+day3 affected, got $affected")
+
+    // the key moved WITH its latest version; the drained day-1 dir is
+    // gone (dynamic overwrite cannot delete, so upsert must); day 2 is
+    // byte-untouched
+    assert(!new java.io.File(s"$dir/day=2024-01-01").exists(),
+      "drained day=2024-01-01 should be deleted")
+    val day2After = new java.io.File(s"$dir/day=2024-01-02").listFiles()
+      .map(f => f.getPath -> f.lastModified()).toMap
+    assert(day2After == day2Before, "untouched day 2 was modified")
+    val got = LakeLayout.read(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"), col("day").cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getTimestamp(2), r.getString(3), r.getDouble(4), r.getString(5))))
+      .toMap
+    assert(got.size == 3, s"one row per key expected, got ${got.size}")
+    assert(got((1L, 10L)) ==
+      ((ts("2024-01-03 00:10:00"), "purchase", 2.0, "2024-01-03")))
+    assert(got((2L, 20L))._2 == "click" && got((3L, 30L))._2 == "click")
   }
 
   test("compact: many small files merge to the computed count, content identical") {
