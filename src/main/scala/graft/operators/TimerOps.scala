@@ -363,6 +363,31 @@ object TimerOps {
       .orderBy(col("app"), col("minute"))
   }
 
+  /** Outstanding-backlog time series — the unexeced gauge the
+    * reference's monitor publishes per minute
+    * (gotimer_executor/pkg/monitor/reporter.go unexecuted-task gauge;
+    * dao/task/sql.go counts by status) turned into the cumulative
+    * series an operator actually watches: per minute, arrivals (every
+    * task row), completions (terminal statuses 2/3), and the running
+    * backlog Σ(arrived − completed) — "how far behind is the
+    * executor". Scale shape: events partial-agg to the MINUTE ROLLUP
+    * first, so the running-sum window's input is calendar-sized
+    * (1440 rows/day regardless of corpus size) — unlike
+    * t_concurrency's event-sized sweep points, a single-series window
+    * here is the scale-correct plan, not a bottleneck; the corpus
+    * itself shuffles once, into minute groups. */
+  def tBacklog(s: SparkSession, dir: String): DataFrame = {
+    val perMin = Tables.events(s, dir)
+      .groupBy(minuteCol(col("ts")).as("minute"))
+      .agg(count(lit(1)).as("arrived"),
+        sum(when(statusCode >= 2, 1L).otherwise(0L)).as("completed"))
+    val w = Window.orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perMin
+      .withColumn("backlog", sum(col("arrived") - col("completed")).over(w))
+      .orderBy(col("minute"))
+  }
+
   /** Idempotent dedup on (timer_id, minute), keep earliest — the
     * task table's unique index idx_def_timer on (timer_id, run_timer)
     * (gotimer_web/dao/task/po.go). */
@@ -520,6 +545,7 @@ object TimerOps {
     "t_concurrency" -> (tConcurrency _),
     "t_coverage" -> (tCoverage _),
     "t_gap_fill" -> (tGapFill _),
+    "t_backlog" -> (tBacklog _),
     "t_task_dedup" -> (tTaskDedup _),
     "t_upsert_merge" -> (tUpsertMerge _),
     "t_stream_window_agg" -> (tStreamWindowAgg _),
@@ -661,6 +687,17 @@ object TimerOps {
         |SELECT app, minute, observed, filled,
         |  date_diff('minute', last_obs, minute) AS staleness_min
         |FROM f ORDER BY app, minute""".stripMargin,
+    "t_backlog" ->
+      s"""WITH m AS (SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute,
+         |    count(*) AS arrived,
+         |    CAST(sum(CASE WHEN ($statusSql) >= 2 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS completed
+         |  FROM events GROUP BY 1)
+         |SELECT minute, arrived, completed,
+         |  CAST(sum(arrived - completed) OVER (ORDER BY minute
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS backlog
+         |FROM m ORDER BY minute""".stripMargin,
     "t_sla_percentile" ->
       s"""WITH d AS (SELECT $statusSql AS status, value,
          |             CAST(round(value * 100, 0) AS BIGINT) AS vc

@@ -459,4 +459,17 @@ class PlanAuditSpec extends SparkSpec {
     // (8 apps x 1440 minutes, both local relations)
     assert(pushed(df).contains("GreaterThanOrEqual(ts"), pushed(df))
   }
+
+  test("t_backlog: the running-sum window consumes the minute ROLLUP, not the events") {
+    val df = TimerOps.tBacklog(spark, sfDir)
+    val p = plan(df)
+    // events partial-agg (map-side combine) into minute groups BEFORE
+    // the single-series window: the Window node must sit ABOVE the
+    // final HashAggregate in the plan (plans print top-down), so the
+    // window's input is calendar-sized, never corpus-sized
+    val win = p.indexOf("Window")
+    val agg = p.lastIndexOf("partial_count")
+    assert(win >= 0 && agg > win, s"window/agg order:\n$p")
+    assert(p.contains("partial_count"), p)
+  }
 }

@@ -87,4 +87,20 @@ class ConcurrencySpec extends SparkSpec {
       .agg(max(col("conc"))).head.getLong(0)
     assert(peak == 2L)
   }
+
+  test("t_backlog: conservation, monotone consistency, non-negative") {
+    val backlog = TimerOps.tBacklog(spark, sfDir).collect()
+    // each row is one task with one status, so cumulative completions
+    // can never exceed cumulative arrivals
+    assert(backlog.forall(_.getLong(3) >= 0L), "negative backlog")
+    // the final backlog equals total arrived − total completed
+    val totalArrived = backlog.map(_.getLong(1)).sum
+    val totalCompleted = backlog.map(_.getLong(2)).sum
+    assert(backlog.last.getLong(3) == totalArrived - totalCompleted)
+    // the running sum is internally consistent minute over minute
+    backlog.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getLong(3) ==
+        prev.getLong(3) + cur.getLong(1) - cur.getLong(2))
+    }
+  }
 }
