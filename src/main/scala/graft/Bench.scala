@@ -44,7 +44,8 @@ object Bench {
     "t_upsert_merge", "x_bpe_pairs", "x_bigram_lm", "s_ann_multiprobe",
     "s_knn_classify", "q30_rank_profile",
     "t_next_fire", "p_data_split", "s_range_search",
-    "q31_full_outer", "t_gap_fill", "t_backlog")
+    "q31_full_outer", "t_gap_fill", "t_backlog",
+    "t_hist_quantile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

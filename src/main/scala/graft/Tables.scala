@@ -19,18 +19,31 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame    = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = load(s, dir, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as
-    * a nanos long (spark.sql.legacy.parquet.nanosAsLong, set by
-    * Sessions.build) — convert to a microsecond timestamp here so
-    * every operator sees a plain TimestampType, matching DuckDB's
-    * ns→µs truncating read. `DIV` keeps the arithmetic integral
-    * (a double division would lose precision above 2^53 ns). */
+  /** events.ts normalization — every operator sees a plain
+    * (UTC-session) TimestampType regardless of how the generator
+    * wrote the column:
+    *  - TIMESTAMP(NANOS) parquet: Spark only reads it as a nanos long
+    *    (spark.sql.legacy.parquet.nanosAsLong, set by Sessions.build)
+    *    — reconstruct via integral `DIV` (a double division would
+    *    lose precision above 2^53 ns), matching DuckDB's ns→µs
+    *    truncating read;
+    *  - timestamp[us] with isAdjustedToUTC=false (the generator's
+    *    current output): Spark reads TIMESTAMP_NTZ — cast to the
+    *    session type; the session is pinned to UTC, so the wall-clock
+    *    fields are reinterpreted as the same UTC instants DuckDB's
+    *    naive read produces;
+    *  - adjusted-to-UTC micros: already TimestampType, pass through. */
   def events(s: SparkSession, dir: String): DataFrame = {
     val raw = load(s, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")

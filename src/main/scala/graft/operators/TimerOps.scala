@@ -199,6 +199,83 @@ object TimerOps {
       .orderBy(col("status"))
   }
 
+  /** Prometheus-style cost_time histogram buckets (`le` upper bounds,
+    * in exact cents) — ONE WHEN-ladder string shared verbatim between
+    * Spark and the DuckDB oracle so the rungs cannot drift (the
+    * bucketCaseSql pattern). The ELSE rung is the +Inf-analog
+    * overflow bucket: any cost past the ladder lands there instead of
+    * failing — a histogram must absorb outliers, unlike a batching
+    * layout. */
+  private[operators] val SlaHistLadder: Seq[Long] =
+    Seq(25L, 50L, 100L, 250L, 500L, 1000L, 2500L, 5000L, 10000L, 25000L, 50000L)
+  private[operators] val SlaHistOverflow: Long = 100000L
+  private val slaHistWhens: String =
+    SlaHistLadder.map(b => s"WHEN vc <= $b THEN CAST($b AS BIGINT)").mkString(" ")
+  private[operators] val slaHistCaseSql: String =
+    s"CASE $slaHistWhens ELSE CAST($SlaHistOverflow AS BIGINT) END"
+
+  /** Mergeable histogram quantiles — the 100 TB percentile tier as a
+    * RUNNABLE, hash-oracled operator, not just a doc note. The
+    * reference monitors cost_time through Prometheus histograms
+    * (pkg/promethus/reporter.go — fixed-bucket counters merged across
+    * scrapes, quantiles interpolated by histogram_quantile); this is
+    * that design as a batch plan, and it is the scale path for
+    * t_sla_percentile: the exact operator ranks every row with a
+    * per-status window — at 100 TB that sorts the whole corpus
+    * through ≤ |status| tasks — while the histogram is ONE map-side
+    * partial agg into ≤ |status| × 12 groups (bounded state,
+    * mergeable by construction: hist(A ∪ B) = hist(A) + hist(B), the
+    * same property that lets Prometheus merge scrapes), then quantile
+    * interpolation over the calendar-sized bucket table.
+    *
+    * Exactness: bucket assignment, cumulative counts, and the
+    * crossing-bucket selection are integer; the Prometheus linear
+    * interpolation est = lo + (le − lo)·(p·n/100 − cum_prev)/n_obs is
+    * carried as one integer numerator over a 10⁴-scaled denominator,
+    * so the ONLY float op is a final division with bit-identical
+    * operands on both engines. ApproxSwapSpec pins the estimate
+    * inside its crossing bucket against the exact percentile. */
+  def tHistQuantile(s: SparkSession, dir: String): DataFrame = {
+    val wCum = Window.partitionBy(col("status")).orderBy(col("le"))
+    val hist = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(statusCode.as("status"), ExactNum.cents(col("value")).as("vc"))
+      .withColumn("le", expr(slaHistCaseSql))
+      .groupBy(col("status"), col("le"))
+      .agg(count(lit(1)).as("n_obs"))
+      .withColumn("cum", sum(col("n_obs"))
+        .over(wCum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lo", coalesce(lag(col("le"), 1).over(wCum), lit(0L)))
+      .withColumn("n", sum(col("n_obs"))
+        .over(Window.partitionBy(col("status"))))
+    // the crossing bucket for quantile p: first le with 100·cum ≥ p·n
+    // (prev < target ≤ cum — exactly one per status since n ≥ 1)
+    def cross(p: Int): Column =
+      col("cum") * 100 >= col("n") * p &&
+        (col("cum") - col("n_obs")) * 100 < col("n") * p
+    // exact integer numerator of the interpolated estimate, in
+    // cents × 100·n_obs units: lo·100·n_obs + (le−lo)·(p·n − 100·cum_prev)
+    def estNum(p: Int): Column =
+      col("lo") * 100L * col("n_obs") +
+        (col("le") - col("lo")) *
+          (col("n") * p - (col("cum") - col("n_obs")) * 100L)
+    def q(p: Int): Seq[Column] = Seq(
+      max(when(cross(p), col("le"))).as(s"le_$p"),
+      max(when(cross(p), estNum(p))).as(s"num_$p"),
+      max(when(cross(p), col("n_obs"))).as(s"den_$p"))
+    val aggs = Seq(max(col("n")).as("n_tasks"),
+      count(lit(1)).as("n_buckets")) ++ q(50) ++ q(95)
+    hist.groupBy(col("status")).agg(aggs.head, aggs.tail: _*)
+      .select(col("status"), col("n_tasks"), col("n_buckets"),
+        col("le_50"),
+        (col("num_50").cast("double") / (col("den_50") * lit(10000.0)))
+          .as("p50_est"),
+        col("le_95"),
+        (col("num_95").cast("double") / (col("den_95") * lit(10000.0)))
+          .as("p95_est"))
+      .orderBy(col("status"))
+  }
+
   /** Firing-delay distribution — the executor's timer_delay Summary
     * (pkg/promethus/reporter.go:74-83, quantile objectives
     * 0.5/0.9/0.99; observed at service/executor/worker.go:148-151 as
@@ -541,6 +618,7 @@ object TimerOps {
     "t_pending_overdue" -> (tPendingOverdue _),
     "t_app_pending" -> (tAppPending _),
     "t_sla_percentile" -> (tSlaPercentile _),
+    "t_hist_quantile" -> (tHistQuantile _),
     "t_exec_delay" -> (tExecDelay _),
     "t_concurrency" -> (tConcurrency _),
     "t_coverage" -> (tCoverage _),
@@ -723,6 +801,42 @@ object TimerOps {
          |  CAST(lo_95 * (100 - ((n_tasks-1)*95) % 100)
          |    + coalesce(hi_95, lo_95) * (((n_tasks-1)*95) % 100) AS DOUBLE) / 10000.0 AS p95_cost
          |FROM a ORDER BY status""".stripMargin,
+    // Mirrors tHistQuantile bucket-for-bucket: the shared WHEN-ladder
+    // string is interpolated verbatim, cumulative/total counts pinned
+    // back to BIGINT (duck windowed sum widens to HUGEINT), and the
+    // interpolation numerator/denominator are the same integers — the
+    // one float division has bit-identical operands.
+    "t_hist_quantile" ->
+      s"""WITH d AS (SELECT $statusSql AS status,
+         |             CAST(round(value * 100, 0) AS BIGINT) AS vc
+         |           FROM events WHERE value IS NOT NULL),
+         |h AS (SELECT status, ${slaHistCaseSql} AS le, count(*) AS n_obs
+         |      FROM d GROUP BY 1, 2),
+         |c AS (SELECT status, le, n_obs,
+         |        CAST(sum(n_obs) OVER (PARTITION BY status ORDER BY le
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |        coalesce(lag(le) OVER (PARTITION BY status ORDER BY le),
+         |          CAST(0 AS BIGINT)) AS lo,
+         |        CAST(sum(n_obs) OVER (PARTITION BY status) AS BIGINT) AS n
+         |      FROM h),
+         |q AS (SELECT status, max(n) AS n_tasks, count(*) AS n_buckets,
+         |        max(CASE WHEN cum*100 >= n*50 AND (cum-n_obs)*100 < n*50
+         |          THEN le END) AS le_50,
+         |        max(CASE WHEN cum*100 >= n*50 AND (cum-n_obs)*100 < n*50
+         |          THEN lo*100*n_obs + (le-lo)*(n*50 - (cum-n_obs)*100) END) AS num_50,
+         |        max(CASE WHEN cum*100 >= n*50 AND (cum-n_obs)*100 < n*50
+         |          THEN n_obs END) AS den_50,
+         |        max(CASE WHEN cum*100 >= n*95 AND (cum-n_obs)*100 < n*95
+         |          THEN le END) AS le_95,
+         |        max(CASE WHEN cum*100 >= n*95 AND (cum-n_obs)*100 < n*95
+         |          THEN lo*100*n_obs + (le-lo)*(n*95 - (cum-n_obs)*100) END) AS num_95,
+         |        max(CASE WHEN cum*100 >= n*95 AND (cum-n_obs)*100 < n*95
+         |          THEN n_obs END) AS den_95
+         |      FROM c GROUP BY status)
+         |SELECT status, n_tasks, n_buckets,
+         |  le_50, CAST(num_50 AS DOUBLE) / (den_50 * 10000.0) AS p50_est,
+         |  le_95, CAST(num_95 AS DOUBLE) / (den_95 * 10000.0) AS p95_est
+         |FROM q ORDER BY status""".stripMargin,
     "t_task_dedup" ->
       """SELECT event_id, timer_id, minute, ts
         |FROM (SELECT event_id, user_id AS timer_id,

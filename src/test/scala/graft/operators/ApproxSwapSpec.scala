@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.{SparkSpec, Tables}
@@ -27,6 +28,56 @@ class ApproxSwapSpec extends SparkSpec {
       assert(math.abs(a50 - p50) / p50 <= 0.05, s"p50 $p50 vs approx $a50")
       assert(math.abs(a95 - p95) / p95 <= 0.05, s"p95 $p95 vs approx $a95")
     }
+  }
+
+  test("t_hist_quantile estimate stays inside its crossing bucket of the exact percentile") {
+    val exact = TimerOps.tSlaPercentile(spark, sfDir)
+      .select(col("status"), col("p50_cost"), col("p95_cost"))
+    val hist = TimerOps.tHistQuantile(spark, sfDir)
+    val joined = hist.join(exact, "status").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      // exactly one crossing bucket resolved per status and quantile
+      assert(!r.isNullAt(r.fieldIndex("le_50")) && !r.isNullAt(r.fieldIndex("le_95")))
+      Seq((50, "p50_cost"), (95, "p95_cost")).foreach { case (p, exCol) =>
+        val le = r.getLong(r.fieldIndex(s"le_$p"))
+        val lo = TimerOps.SlaHistLadder.takeWhile(_ < le).lastOption.getOrElse(0L)
+        val est = r.getDouble(r.fieldIndex(s"p${p}_est"))
+        val ex = r.getDouble(r.fieldIndex(exCol))
+        // estimate lies in its bucket by construction; the exact
+        // percentile can sit at most one bucket boundary away (the
+        // Prometheus p·n target vs the exact (n−1)·p rank differ by
+        // < 1 rank), so the error is bounded by the bucket width
+        assert(est > lo / 100.0 - 1e-9 && est <= le / 100.0 + 1e-9,
+          s"status ${r.get(0)} p$p est $est outside bucket ($lo, $le]")
+        assert(math.abs(est - ex) <= (le - lo) / 100.0 + 0.01,
+          s"status ${r.get(0)} p$p est $est vs exact $ex bucket width ${(le - lo) / 100.0}")
+      }
+    }
+  }
+
+  test("histogram is mergeable: partial histograms of disjoint slices sum to the full histogram") {
+    // THE property that makes t_hist_quantile the 100 TB percentile
+    // path (and what Prometheus relies on across scrapes): bucket
+    // counts combine by addition, so executors partial-agg locally
+    // and the shuffle carries ≤ |status|×|ladder| rows.
+    import graft.operators.TimerOps.slaHistCaseSql
+    def histOf(filter: Column): Map[(Int, Long), Long] =
+      Tables.events(spark, sfDir)
+        .filter(col("value").isNotNull).filter(filter)
+        .select(TimerOps.statusCode.as("status"),
+          ExactNum.cents(col("value")).as("vc"))
+        .withColumn("le", expr(slaHistCaseSql))
+        .groupBy(col("status"), col("le")).count()
+        .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val even = histOf(pmod(col("event_id"), lit(2)) === 0)
+    val odd = histOf(pmod(col("event_id"), lit(2)) === 1)
+    val full = histOf(lit(true))
+    assert(full.nonEmpty)
+    val merged = (even.keySet ++ odd.keySet).map { k =>
+      k -> (even.getOrElse(k, 0L) + odd.getOrElse(k, 0L))
+    }.toMap
+    assert(merged === full)
   }
 
   test("approx_count_distinct tracks exact distinct timers within 5%") {
