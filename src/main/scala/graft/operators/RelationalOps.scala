@@ -490,6 +490,27 @@ object RelationalOps {
       .orderBy(col("o_custkey"))
   }
 
+  /** NATIVE pivot — the `RelationalGroupedDataset.pivot` front door
+    * (q17 builds the same shape by hand with sum(CASE); this is the
+    * API a Spark user actually reaches for). The pivot values are
+    * EXPLICIT: with an inferred value list Spark runs an extra
+    * distinct-collect job over the corpus before it can even plan —
+    * at 100 TB that's a full scan bought for metadata, so the
+    * explicit form is the only scale-correct one (the status enum is
+    * a closed set in the reference, consts/timer.go). With explicit
+    * values the plan is ONE two-phase aggregate (PivotFirst partials)
+    * — no extra shuffle vs the manual CASE form. Measures stay exact:
+    * counts and cent-longs only, no float agg. An absent
+    * (priority, status) combination is NULL (pivot semantics), which
+    * the oracle mirrors with ELSE-less CASE. */
+  def q32Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("rev_c"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: ListMap[String, Q] = ListMap(
     "q1_agg" -> (q1Agg _),
     "q2_topk" -> (q2Topk _),
@@ -522,6 +543,7 @@ object RelationalOps {
     "q29_unpivot" -> (q29Unpivot _),
     "q30_rank_profile" -> (q30RankProfile _),
     "q31_full_outer" -> (q31FullOuter _),
+    "q32_pivot" -> (q32Pivot _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -788,5 +810,22 @@ object RelationalOps {
         |       ELSE 'retained' END AS seg
         |FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    // ELSE-less CASE ⇒ NULL for an absent (priority, status) combo —
+    // exactly Spark pivot's missing-cell semantics; counts via
+    // count(CASE) would return 0, so sum(CASE ... THEN 1 END) is the
+    // NULL-faithful mirror
+    "q32_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O_n",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END) AS BIGINT) AS "O_rev_c",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F_n",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END) AS BIGINT) AS "F_rev_c",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P_n",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END) AS BIGINT) AS "P_rev_c"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -355,6 +355,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
+  test("q32_pivot: explicit pivot values — one aggregate, no distinct-collect pre-job") {
+    val df = RelationalOps.q32Pivot(spark, sfDir)
+    val p = plan(df)
+    // the pivot lowers to PivotFirst partials inside a normal
+    // two-phase aggregate — same shape as the manual-CASE q17
+    assert(p.toLowerCase.contains("pivotfirst"), p)
+    // two hash exchanges, both carrying GROUPS, never rows: the
+    // multi-agg pivot lowers to groupBy(priority, status) partials
+    // (exchange 1: ≤ 5×3 groups after map-side agg) then a
+    // pivotfirst regroup on priority (exchange 2: ≤ 5 groups); the
+    // only other exchange is the presentational range sort. An
+    // INFERRED value list would additionally run a distinct-collect
+    // job before planning — explicit values make that impossible by
+    // construction
+    val prepared = df.queryExecution.executedPlan.toString
+    val hashEx = prepared.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx == 2, s"$hashEx hash exchanges:\n$prepared")
+    assert(prepared.contains("partial_count") || prepared.contains("partial_pivotfirst")
+      || prepared.toLowerCase.contains("pivotfirst"), prepared)
+  }
+
   test("t_upsert_merge: all three window functions share ONE key shuffle") {
     val df = TimerOps.tUpsertMerge(spark, sfDir)
     val p = plan(df)
