@@ -183,6 +183,61 @@ object LakeLayout {
     days.size.toLong
   }
 
+  /** Copy-on-write DELETE — the takedown / right-to-be-forgotten
+    * pass every training-data lake must be able to run (a DMCA or
+    * GDPR request names documents; the pipeline must physically
+    * remove them, not just filter at read time), and the DELETE FROM
+    * of the Delta/Iceberg world built from the same primitives as
+    * upsert:
+    *
+    *   1. the affected days are discovered from the matching rows
+    *      (one distinct on the partition column — calendar-bounded
+    *      collect, the BloomOps pattern); a predicate matching
+    *      nothing is a no-op that touches zero files;
+    *   2. ONLY those partitions are read back and rewritten without
+    *      the matching rows — the 99%+ of a 100 TB lake in untouched
+    *      days is never opened, and untouched partitions keep their
+    *      files byte-for-byte (spec-pinned on mtimes);
+    *   3. NULL-evaluating predicates KEEP the row (SQL DELETE
+    *      semantics: only rows where the predicate is TRUE go);
+    *   4. a day whose every row matches is drained: dynamic overwrite
+    *      cannot express an empty partition, so the directory is
+    *      removed explicitly (same as upsert's migrated-away days).
+    *
+    * Returns the number of rows deleted. At 100 TB the matching-row
+    * day discovery is the only full-table read, and it is a
+    * column-pruned scan of (predicate columns + day) — with a
+    * key-list takedown (the common case) the predicate is an isin/
+    * semi-join against a broadcast id set, so the scan never
+    * shuffles. */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val hit = coalesce(predicate, lit(false))
+    val days = read(spark, path).filter(hit)
+      .select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (days.isEmpty) return 0L
+    val affected = read(spark, path).filter(col("day").isin(days: _*))
+    val kept = affected.filter(!hit)
+    // one materialization of the affected partitions (the plan reads
+    // the path it overwrites — same copy-on-write price as upsert),
+    // counting the survivors in the same pass
+    val out = kept.localCheckpoint(true)
+    val deleted = affected.count() - out.count()
+    val outDays = out.select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    (days.toSet -- outDays).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(path, s"day=$d")
+      p.getFileSystem(conf).delete(p, true)
+    }
+    deleted
+  }
+
   /** Small-file compaction — the lake-maintenance job every
     * streaming ingest needs: each micro-batch of the file-sink
     * (eventStream's drop directory, the lake's per-day partitions)

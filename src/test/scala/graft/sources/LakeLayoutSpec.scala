@@ -216,4 +216,73 @@ class LakeLayoutSpec extends SparkSpec {
     val outDir = Files.createTempDirectory("graft_empty_out").toString
     assert(LakeLayout.compact(spark, emptyDir, outDir) == 0L)
   }
+
+  test("deleteWhere: takedown removes matching rows, touches only their partitions") {
+    val dir = Files.createTempDirectory("graft_delete").toString
+    val events = Tables.events(spark, sfDir)
+    LakeLayout.writePartitioned(events, dir)
+    val day = "2024-01-10"
+    val totalBefore = LakeLayout.read(spark, dir).count()
+    val expectDeleted = LakeLayout.read(spark, dir)
+      .filter(col("day") === day && col("user_id") % 7 === 3).count()
+    assert(expectDeleted > 0, "takedown predicate matched nothing — test is vacuous")
+
+    val before = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day=") &&
+        f.getName != s"day=$day")
+      .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+
+    val deleted = LakeLayout.deleteWhere(spark, dir,
+      col("day") === day && col("user_id") % 7 === 3)
+    assert(deleted == expectDeleted, s"deleted $deleted want $expectDeleted")
+
+    // untouched day directories: same files, same mtimes
+    val after = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day=") &&
+        f.getName != s"day=$day")
+      .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+    assert(after == before, "untouched partitions were modified")
+
+    // survivors: nothing matches the predicate; everything else intact
+    val lake = LakeLayout.read(spark, dir)
+    assert(lake.filter(col("day") === day && col("user_id") % 7 === 3).count() == 0)
+    assert(lake.count() == totalBefore - expectDeleted)
+
+    // a no-match predicate is a zero-cost no-op
+    val allBefore = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+    assert(LakeLayout.deleteWhere(spark, dir, col("user_id") === -1L) == 0L)
+    val allAfter = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+    assert(allAfter == allBefore, "no-op delete modified the lake")
+  }
+
+  test("deleteWhere: drains a fully-matched day; NULL predicate keeps the row") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_delete_drain").toString
+    // day 1: all rows match (drained); day 2: quality NULL rows must
+    // survive a quality-threshold takedown (SQL DELETE semantics)
+    Seq(
+      (1L, "2024-01-01T10:00:00", Some(0.1)),
+      (2L, "2024-01-01T11:00:00", Some(0.2)),
+      (3L, "2024-01-02T10:00:00", Some(0.9)),
+      (4L, "2024-01-02T11:00:00", None: Option[Double]),
+      (5L, "2024-01-02T12:00:00", Some(0.05)))
+      .toDF("doc_id", "ts_s", "quality")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+
+    val deleted = LakeLayout.deleteWhere(spark, dir, col("quality") < 0.5)
+    assert(deleted == 3L, s"deleted $deleted want 3 (ids 1, 2, 5)")
+    // day 1 fully drained: directory physically gone
+    assert(!new java.io.File(s"$dir/day=2024-01-01").exists(),
+      "drained day directory still present")
+    val left = LakeLayout.read(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // doc 4 (NULL quality) survives: the predicate is not TRUE for it
+    assert(left == Set(3L, 4L), s"survivors $left")
+  }
 }
