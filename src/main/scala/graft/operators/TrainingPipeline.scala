@@ -246,6 +246,63 @@ object TrainingPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Takedown seed set: a constant-bounded "removal request" list
+    * (≤ TakedownCap docs regardless of corpus size — a real request
+    * names specific documents), deterministic so the oracle can
+    * mirror it. */
+  private val TakedownMod = 83L
+  private val TakedownCap = 32L
+
+  /** Content-level takedown — the compliance pass a training corpus
+    * runs when a removal request arrives (DMCA / GDPR / opt-out):
+    * removing only the named doc_ids is NOT enough, because the
+    * corpus holds exact re-crawls and near-duplicate copies of the
+    * same content under different ids. Every named seed is expanded
+    * to (a) its exact-fingerprint copies (the md5 the corpus already
+    * stores for d_exact_dedup) and (b) its MinHash-LSH near-dup
+    * copies (same signatures/bands as d_minhash_lsh, Jaccard ≥ 0.5
+    * verified), with `exact` taking precedence and the smallest
+    * matching seed kept for audit provenance. The output is the full
+    * removal manifest (seed / exact / near rows) — feed its ids to
+    * LakeLayout.deleteWhere for the physical delete.
+    *
+    * Scale shape: the seed side is constant-bounded, so its
+    * fingerprints, bands and signatures all BROADCAST — the corpus
+    * is never shuffled by the matching itself; only the verified
+    * collision candidates (≪ corpus) reach the signature equi-joins.
+    * Same plan family as fuzzyDecontaminate, pointed at removal
+    * instead of eval overlap. */
+  def takedown(s: SparkSession, dir: String): DataFrame = {
+    val isSeed = pmod(col("doc_id"), lit(TakedownMod)) === 0 &&
+      col("doc_id") < lit(TakedownMod * TakedownCap)
+    val docs = Tables.documents(s, dir)
+    val fps = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("fp"))
+    val exact = fps.filter(!isSeed)
+      .join(broadcast(fps.filter(isSeed)
+        .select(col("fp"), col("doc_id").as("seed_id"))), Seq("fp"))
+      .groupBy(col("doc_id")).agg(min(col("seed_id")).as("matched_seed"))
+      .withColumn("reason", lit("exact"))
+    val sigs = DedupOps.minhashSigs(s, dir)
+    val bands = DedupOps.minhashBands(sigs)
+    val cand = bands.filter(!isSeed)
+      .join(broadcast(bands.filter(isSeed)
+        .select(col("band_idx"), col("band_key"), col("doc_id").as("seed_id"))),
+        Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("seed_id")).distinct()
+    val near = DedupOps.jaccardVerify(cand, sigs,
+        broadcast(sigs.filter(isSeed)), "doc_id", "seed_id")
+      .groupBy(col("doc_id")).agg(min(col("seed_id")).as("matched_seed"))
+      .join(exact.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("reason", lit("near"))
+    docs.filter(isSeed)
+      .select(col("doc_id"), col("doc_id").as("matched_seed"),
+        lit("seed").as("reason"))
+      .unionByName(exact.select(col("doc_id"), col("matched_seed"), col("reason")))
+      .unionByName(near.select(col("doc_id"), col("matched_seed"), col("reason")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic stratified sampling to a per-stratum TARGET count
     * — the "balance the sources" stage of a data mix (cap every
     * source at ≈ SampleTarget docs): rate_bp = min(1, target/n) in
@@ -447,6 +504,7 @@ object TrainingPipeline {
       "p_decontaminate" -> (decontaminate _),
       "p_containment" -> (containment _),
       "p_fuzzy_decontaminate" -> (fuzzyDecontaminate _),
+      "p_takedown" -> (takedown _),
       "p_stratified_sample" -> (stratifiedSample _),
       "p_data_split" -> (dataSplit _),
       "p_epoch_shuffle" -> (epochShuffle _),
@@ -629,6 +687,40 @@ object TrainingPipeline {
           |  max(CASE WHEN rn = 1 THEN eval_id END) AS best_eval_id,
           |  max(jaccard) AS max_jaccard
           |FROM rnk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // shared fingerprint + sig CTEs; seed predicate interpolated
+      // from the SAME Scala constants; exact-over-near precedence via
+      // NOT IN (the exact set is seed-bounded, so the subquery is
+      // constant-sized)
+      "p_takedown" ->
+        s"""WITH ${DedupOps.minhashSigCtes},
+          |fpx AS (SELECT doc_id, md5(text) AS f FROM documents),
+          |ex AS (SELECT t.doc_id, min(s.doc_id) AS matched_seed
+          |       FROM fpx t JOIN fpx s ON t.f = s.f
+          |       WHERE s.doc_id % $TakedownMod = 0
+          |         AND s.doc_id < ${TakedownMod * TakedownCap}
+          |         AND NOT (t.doc_id % $TakedownMod = 0
+          |           AND t.doc_id < ${TakedownMod * TakedownCap})
+          |       GROUP BY 1),
+          |scand AS (SELECT DISTINCT t.doc_id, s.doc_id AS seed_id
+          |          FROM bandkey t JOIN bandkey s
+          |            ON t.band_idx = s.band_idx AND t.band_key = s.band_key
+          |          WHERE s.doc_id % $TakedownMod = 0
+          |            AND s.doc_id < ${TakedownMod * TakedownCap}
+          |            AND NOT (t.doc_id % $TakedownMod = 0
+          |              AND t.doc_id < ${TakedownMod * TakedownCap})),
+          |${DedupOps.jaccardVerifySql("scand", "doc_id", "seed_id")},
+          |nr AS (SELECT v.doc_id, min(v.seed_id) AS matched_seed
+          |       FROM ver_scand v
+          |       WHERE v.doc_id NOT IN (SELECT doc_id FROM ex)
+          |       GROUP BY 1)
+          |SELECT doc_id, CAST(doc_id AS BIGINT) AS matched_seed,
+          |  'seed' AS reason
+          |FROM documents
+          |WHERE doc_id % $TakedownMod = 0
+          |  AND doc_id < ${TakedownMod * TakedownCap}
+          |UNION ALL SELECT doc_id, matched_seed, 'exact' FROM ex
+          |UNION ALL SELECT doc_id, matched_seed, 'near' FROM nr
+          |ORDER BY doc_id""".stripMargin,
       // integer-division rate + multiplicative-hash membership —
       // byte-identical arithmetic on both engines (// is duck's
       // integer div; all operands positive so % = pmod, and the

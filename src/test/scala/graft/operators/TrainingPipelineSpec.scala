@@ -232,6 +232,46 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("takedown manifest == naive closure: every exact/near copy of a seed, nothing else") {
+    import org.apache.spark.sql.functions._
+    val isSeed = (id: Long) => id % 83 == 0 && id < 83 * 32
+    val got = TrainingPipeline.takedown(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.nonEmpty)
+    val seeds = got.filter(_._3 == "seed").map(_._1).toSet
+    assert(seeds.nonEmpty && seeds.forall(isSeed))
+
+    // naive exact closure: brute md5 compare
+    val fps = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val seedFps = fps.filter(p => isSeed(p._1)).map(_._2).toSet
+    val naiveExact = fps.filter(p => !isSeed(p._1) && seedFps(p._2)).map(_._1).toSet
+    assert(got.filter(_._3 == "exact").map(_._1).toSet == naiveExact)
+
+    // naive near closure: all non-seed × seed pairs, exact
+    // shingle-hash jaccard, no LSH (equality holds on this corpus —
+    // same argument as the fuzzy-decontamination naive test)
+    val sigs = DedupOps.minhashSigs(spark, sfDir)
+    val sd = sigs.filter(pmod(col("doc_id"), lit(83L)) === 0 && col("doc_id") < 83L * 32)
+      .select(col("doc_id").as("seed_id"), col("hashes").as("h_s"))
+    val naiveNear = sigs
+      .filter(!(pmod(col("doc_id"), lit(83L)) === 0 && col("doc_id") < 83L * 32))
+      .select(col("doc_id"), col("hashes").as("h_d"))
+      .crossJoin(broadcast(sd))
+      .withColumn("n_inter", size(array_intersect(col("h_d"), col("h_s"))).cast("long"))
+      .withColumn("uni", size(array_union(col("h_d"), col("h_s"))).cast("long"))
+      .filter(col("n_inter") * 2 >= col("uni"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet -- naiveExact
+    assert(got.filter(_._3 == "near").map(_._1).toSet == naiveNear)
+
+    // provenance: every matched_seed is a seed; a seed's provenance is itself
+    got.foreach { case (id, m, reason) =>
+      assert(isSeed(m), s"doc $id matched_seed $m is not a seed")
+      if (reason == "seed") assert(id == m)
+    }
+  }
+
   test("curriculum: stages are fixed quality quartiles, within-shard order is quality-ascending") {
     val rows = TrainingPipeline.curriculum(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
