@@ -76,6 +76,20 @@ private case class GapState(seen: Set[Long], emittedThrough: Long)
 private case class GaugeState(carry: Long, pending: List[GaugePoint],
     partials: Map[Long, (Long, Long)])
 
+/** One finalized minute of the outstanding-backlog series from
+  * BacklogGauge — the streaming twin of a t_backlog row. */
+case class MinuteCounts(minute_start: Timestamp, arrived: Long, completed: Long)
+case class BacklogPoint(minute_start: Timestamp, arrived: Long,
+    completed: Long, backlog: Long)
+
+/** BacklogGauge state: the running Σ(arrived − completed) over every
+  * folded minute (`carry` — the series is cumulative, so this lives
+  * for the query's lifetime: ONE long), and the minute rows still
+  * above the watermark (`pending` — bounded by watermark delay ×
+  * 1 row/min, since the input is the minute ROLLUP, not events). */
+private case class BacklogState(carry: Long,
+    pending: List[(Long, Long, Long)])
+
 object Streams {
 
   val eventSchema: StructType = StructType(Seq(
@@ -545,6 +559,58 @@ object Streams {
           done.toSeq.sortBy(_._1).iterator.map { case (h, (pk, ns)) =>
             InflightUpdate(app, new Timestamp(h), pk, ns)
           }
+        })
+  }
+
+  /** Continuous outstanding-backlog series — the streaming twin of
+    * t_backlog (the reference's unexeced gauge IS continuous: the
+    * monitor repolls `SELECT count(*) WHERE status = 0` every minute;
+    * this emits the same cumulative arrivals−completions series as
+    * each minute finalizes). Input is the per-minute ROLLUP stream
+    * (windowedCounts' shape reduced to (minute, arrived, completed) —
+    * at scale the parallel watermarked agg runs upstream and THIS
+    * stage consumes one row per minute), so the inherently sequential
+    * running sum folds a calendar-sized stream, never events — the
+    * same two-level decomposition t_backlog/t_concurrency use in
+    * batch. The series is global, so the fold is a single keyed group
+    * whose state is ONE long plus the ≤ watermark-delay pending
+    * minutes; each minute is emitted exactly once, in order, when the
+    * watermark clears its end (same-minute partials arriving across
+    * triggers merge additively before folding — histogram-style
+    * mergeability, so an upstream re-emit cannot double-count).
+    * Late rows BELOW an already-folded frontier cannot occur by
+    * construction: the upstream append-mode agg only releases a
+    * minute after ITS watermark passes, and this stage's watermark
+    * trails the same event-time column. */
+  def backlogGauge(perMinute: Dataset[MinuteCounts]): Dataset[BacklogPoint] = {
+    import perMinute.sparkSession.implicits._
+    perMinute
+      .filter(_.minute_start != null)
+      .withWatermark("minute_start", "10 minutes")
+      .groupByKey(_ => 0L) // one global series — input is 1 row/min
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, it: Iterator[MinuteCounts], state: GroupState[BacklogState]) => {
+          val st = state.getOption.getOrElse(BacklogState(0L, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val pts = st.pending ++ it.map(m =>
+            (m.minute_start.getTime, m.arrived, m.completed))
+          // a minute folds once the watermark clears its end — no
+          // earlier minute can still arrive (upstream releases rows
+          // in watermark order)
+          val (ready, still) = pts.partition(_._1 + 60000L <= wm)
+          var carry = st.carry
+          val out = ready.groupBy(_._1).toSeq.sortBy(_._1).map {
+            case (t, vs) =>
+              val a = vs.map(_._2).sum
+              val c = vs.map(_._3).sum
+              carry += a - c
+              BacklogPoint(new Timestamp(t), a, c, carry)
+          }
+          // carry persists for the query lifetime (the series is
+          // cumulative); pending drains as the watermark advances
+          state.update(BacklogState(carry, still))
+          state.setTimeoutTimestamp(wm + 1L)
+          out.iterator
         })
   }
 

@@ -165,4 +165,55 @@ class TwinConsistencySpec extends SparkSpec {
     assert(streamed == batch,
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
+
+  test("streaming backlogGauge == batch t_backlog on sf0.001 (minutes in order, exactly once)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the gauge consumes the minute ROLLUP (at scale produced by the
+    // parallel watermarked agg upstream) — build it batch-side from
+    // the same events, split each minute into two partials across
+    // different triggers to exercise the additive merge
+    val completedTypes = Set("purchase", "error")
+    val rollup = events.groupBy(e => math.floorDiv(e.ts.getTime, 60000L) * 60000L)
+      .toSeq.map { case (t, es) =>
+        MinuteCounts(new java.sql.Timestamp(t), es.size.toLong,
+          es.count(e => completedTypes(e.event_type)).toLong)
+      }.sortBy(_.minute_start.getTime)
+    val mem = MemoryStream[MinuteCounts]
+    val q = Streams.backlogGauge(mem.toDS())
+      .writeStream.format("memory").queryName("twin_backlog").outputMode("append").start()
+    val rnd = new scala.util.Random(7)
+    rollup.grouped(200).foreach { b =>
+      // each minute split into two partials, shuffled within the
+      // trigger: exercises the additive same-minute merge AND the
+      // out-of-order watermark-gated fold (a partial landing in a
+      // LATER trigger is only legal within the watermark slack — the
+      // upstream append agg releases a minute exactly once, which is
+      // the invariant the operator documents)
+      val halves = b.flatMap(m => Seq(
+        MinuteCounts(m.minute_start, m.arrived / 2, m.completed / 2),
+        MinuteCounts(m.minute_start, m.arrived - m.arrived / 2,
+          m.completed - m.completed / 2)))
+      mem.addData(rnd.shuffle(halves): _*); q.processAllAvailable()
+    }
+    val maxT = rollup.map(_.minute_start.getTime).max
+    mem.addData(MinuteCounts(new java.sql.Timestamp(maxT + 86400000L), 0L, 0L))
+    q.processAllAvailable()
+    mem.addData(MinuteCounts(new java.sql.Timestamp(maxT + 2 * 86400000L), 0L, 0L))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("twin_backlog").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1.getTime <= maxT)
+    // exactly-once per minute
+    assert(streamed.map(_._1).distinct.length == streamed.length, "minute emitted twice")
+    val batch = TimerOps.tBacklog(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val streamedKeyed = streamed.map(s => (fmt.format(s._1), s._2, s._3, s._4)).toSet
+    assert(streamedKeyed == batch,
+      s"stream-only: ${(streamedKeyed -- batch).take(3)}; batch-only: ${(batch -- streamedKeyed).take(3)}")
+  }
 }
