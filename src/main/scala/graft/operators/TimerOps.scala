@@ -566,6 +566,31 @@ object TimerOps {
       .orderBy(col("timer_id"), col("session_idx"))
   }
 
+  /** NATIVE session windows — `session_window()`, the engine's own
+    * gap-sessionization aggregate (the one windowing API surface the
+    * hand-rolled operators don't touch): the same 30-min-gap sessions
+    * as tSessionize, but expressed as a session-window GROUP BY the
+    * planner merges with its dedicated SessionWindowStateStore path
+    * in streaming (here: one hash shuffle + in-partition merge, no
+    * window-function sort chain). Two deliberate semantic deltas vs
+    * tSessionize, both pinned in SessionWindowSpec: the native rule
+    * breaks at gap ≥ 30 min (an event AT exactly end starts a new
+    * session — [start, last+gap) windows), and session_end = last
+    * event + gap (the window's exclusive end), not last event.
+    * Cost at 100 TB: identical to tSessionize — one shuffle on
+    * user_id, per-key in-order merge; the native form additionally
+    * skips the two window-function passes (lag + running sum). */
+  def tSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum4(col("value")).as("total_value"))
+      .select(col("user_id").as("timer_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("timer_id"), col("session_start"))
+
   /** As-of join: for every firing, the timer DEFINITION in effect at
     * that instant — the executor re-reads the timer row at execution
     * time (gotimer_executor service/executor/worker.go GetTimer), so
@@ -629,6 +654,7 @@ object TimerOps {
     "t_stream_window_agg" -> (tStreamWindowAgg _),
     "t_sliding_rate" -> (tSlidingRate _),
     "t_sessionize" -> (tSessionize _),
+    "t_session_window" -> (tSessionWindow _),
     "t_asof_def" -> (tAsofDef _),
   )
 
@@ -897,6 +923,28 @@ object TimerOps {
         |                  FROM events)))
         |GROUP BY 1, 2
         |ORDER BY timer_id, session_idx""".stripMargin,
+    // Independent gaps-and-islands mirror of the NATIVE session_window
+    // semantics: break at diff ≥ gap (not >, as t_sessionize) in exact
+    // MICROSECONDS, session_end = last event + gap (the exclusive
+    // window end). Ties on ts need no tiebreak: a 0 diff never breaks,
+    // so the session partition is order-stable.
+    "t_session_window" ->
+      """WITH b AS (SELECT user_id, ts, value,
+        |        CASE WHEN prev_us IS NULL
+        |          OR epoch_us(ts) - prev_us >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM (SELECT user_id, ts, value,
+        |              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |            FROM events WHERE ts IS NOT NULL)),
+        |g AS (SELECT user_id, ts, value,
+        |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |      FROM b)
+        |SELECT user_id AS timer_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 4) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY timer_id, session_start""".stripMargin,
     // duck's NATIVE ASOF JOIN (greatest def_ts <= ts per row) — an
     // independent derivation of the piggyback-sort-merge result
     "t_asof_def" ->
