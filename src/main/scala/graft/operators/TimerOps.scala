@@ -566,6 +566,31 @@ object TimerOps {
       .orderBy(col("timer_id"), col("session_idx"))
   }
 
+  /** Day-of-week × hour seasonality profile — the firing heatmap a
+    * timer platform's dashboard renders next to the per-minute gauge
+    * (cron workloads are periodic BY CONSTRUCTION; capacity planning
+    * reads this 7×24 grid, not the raw series). dow is computed
+    * arithmetically from epoch days ((days + 4) mod 7, 0 = Sunday —
+    * 1970-01-01 was a Thursday) instead of each engine's dayofweek()
+    * builtin, whose numbering conventions differ (Spark: Sun=1;
+    * DuckDB: Sun=0) — pure integer arithmetic cannot drift. Scale:
+    * one partial agg into ≤ 168 groups; the exact distinct-timer
+    * count is the only expensive member (Expand + two-phase — swap
+    * approx_count_distinct at 100 TB, the t_time_bucket_shard
+    * argument). */
+  def tDowProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .withColumn("t", unix_millis(col("ts")))
+      .withColumn("dow", expr("pmod((t div 86400000) + 4, 7)"))
+      .withColumn("hour", expr("pmod(t, 86400000) div 3600000"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_tasks"),
+        countDistinct(col("user_id")).as("n_timers"),
+        ratio4(sum(ExactNum.cents(col("value"))), lit(100L) * count(col("value")))
+          .as("avg_cost"))
+      .orderBy(col("dow"), col("hour"))
+
   /** NATIVE session windows — `session_window()`, the engine's own
     * gap-sessionization aggregate (the one windowing API surface the
     * hand-rolled operators don't touch): the same 30-min-gap sessions
@@ -656,6 +681,7 @@ object TimerOps {
     "t_sessionize" -> (tSessionize _),
     "t_session_window" -> (tSessionWindow _),
     "t_asof_def" -> (tAsofDef _),
+    "t_dow_profile" -> (tDowProfile _),
   )
 
   private val statusSql =
@@ -945,6 +971,17 @@ object TimerOps {
         |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 4) AS total_value
         |FROM g GROUP BY user_id, sid
         |ORDER BY timer_id, session_start""".stripMargin,
+    // arithmetic dow (epoch days + 4 mod 7) — engine dayofweek()
+    // numbering conventions differ, integer arithmetic cannot; all
+    // epochs positive so % ≡ pmod
+    "t_dow_profile" ->
+      s"""SELECT ((epoch_ms(ts) // 86400000) + 4) % 7 AS dow,
+         |  (epoch_ms(ts) % 86400000) // 3600000 AS hour,
+         |  count(*) AS n_tasks,
+         |  count(DISTINCT user_id) AS n_timers,
+         |  ${ratioSql("sum(CAST(round(value * 100, 0) AS BIGINT))", "100 * count(value)")} AS avg_cost
+         |FROM events WHERE ts IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin,
     // duck's NATIVE ASOF JOIN (greatest def_ts <= ts per row) — an
     // independent derivation of the piggyback-sort-merge result
     "t_asof_def" ->

@@ -39,6 +39,24 @@ object LakeLayout {
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     read(spark, path).filter(col("day") === day)
 
+  /** Schema-evolved read — the read path a LONG-LIVED lake needs: a
+    * table written over months accumulates schema changes (a new
+    * metadata column starts appearing in day=N), and the default
+    * parquet read takes ONE footer's schema for the whole table — a
+    * column present only in newer days silently vanishes or the scan
+    * fails, depending on which file is sampled first. mergeSchema
+    * unions every footer's schema instead: old partitions surface the
+    * new columns as NULL (additive evolution — the only kind a
+    * parquet lake supports without a rewrite; renames/retypes need a
+    * migration pass, which is what compact()/upsert() are for).
+    * Cost: one footer read per file at planning — at 100 TB bounded
+    * by compaction keeping file counts sane, and paid only by readers
+    * that opt in (the schema-stable operators keep the cheap read()).
+    * LakeLayoutSpec pins: union schema, NULL back-fill, partition
+    * pruning and predicate pushdown intact through the merged scan. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Write a fact table BUCKETED on its join key (hash-bucketed files
     * + catalog bucket spec). Two tables bucketed the same way on the
     * same key join WITHOUT any Exchange — the co-located fact-fact

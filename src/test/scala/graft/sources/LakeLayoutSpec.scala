@@ -217,6 +217,40 @@ class LakeLayoutSpec extends SparkSpec {
     assert(LakeLayout.compact(spark, emptyDir, outDir) == 0L)
   }
 
+  test("readEvolved: additive schema change — old days NULL-backfill, pruning/pushdown intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    // day 1 written before the `quality` column existed; day 2 after
+    Seq((1L, "2024-01-01T10:00:00"), (2L, "2024-01-01T11:00:00"))
+      .toDF("doc_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("append").partitionBy("day").parquet(dir)
+    Seq((3L, "2024-01-02T10:00:00", 0.9), (4L, "2024-01-02T11:00:00", 0.2))
+      .toDF("doc_id", "ts_s", "quality")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("append").partitionBy("day").parquet(dir)
+
+    val df = LakeLayout.readEvolved(spark, dir)
+    // union schema: the new column is visible table-wide
+    assert(df.columns.contains("quality"), df.columns.mkString(","))
+    // old partition rows back-fill NULL
+    val day1 = df.filter(col("day") === "2024-01-01").collect()
+    assert(day1.length == 2 && day1.forall(_.isNullAt(day1.head.fieldIndex("quality"))))
+    // a filter on the NEW column still prunes and pushes down
+    val q = df.filter(col("day") === "2024-01-02" && col("quality") > 0.5)
+    val scan = q.queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }.head
+    assert(scan.metadata.getOrElse("PartitionFilters", "").contains("day"),
+      scan.metadata.toString)
+    assert(scan.metadata.getOrElse("PushedFilters", "").contains("GreaterThan(quality"),
+      scan.metadata.toString)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // NULL-quality (pre-evolution) rows are NOT matched by the filter
+    assert(df.filter(col("quality") > 0.5).count() == 1L)
+  }
+
   test("deleteWhere: takedown removes matching rows, touches only their partitions") {
     val dir = Files.createTempDirectory("graft_delete").toString
     val events = Tables.events(spark, sfDir)
