@@ -358,6 +358,48 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Bounded recursion depth for dCcRecursive — shared verbatim with
+    * its oracle so both engines compute the SAME bounded closure.
+    * Near-dup components are near-cliques (diameter ≤ 2-3); the spec
+    * proves depth 4 reaches the true fixpoint on this corpus by
+    * equating the result with dDupGroups' iterate-to-convergence
+    * labels. */
+  private val CcRecursionDepth = 4
+
+  /** Connected components through the engine's NATIVE recursive-CTE
+    * front door — `WITH RECURSIVE` (Spark 4's UnionLoop execution),
+    * the SQL-surface twin of connectedComponents' iterative DataFrame
+    * loop, over the same exact pair graph as dDupGroups. Spark's
+    * recursion is UNION ALL-only (no fixpoint dedup yet —
+    * UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so on a cyclic graph the
+    * walk must carry an explicit depth guard; the SAME guard is in
+    * the oracle, making the bounded semantics identical by
+    * construction even if a pathological component exceeded it. An
+    * oracle-scale exact baseline like its pair source d_ngram_jaccard
+    * — path enumeration is exponential in depth on dense components;
+    * the production path stays connectedComponents (min-label +
+    * large-star/small-star: one shuffle per iteration, no path
+    * materialization). */
+  def dCcRecursive(s: SparkSession, dir: String): DataFrame = {
+    dNgramJaccard(s, dir).select(col("id_a"), col("id_b"))
+      .createOrReplaceTempView("graft_cc_pairs")
+    s.sql(s"""
+      |WITH RECURSIVE
+      |sym AS (SELECT id_a AS src, id_b AS dst FROM graft_cc_pairs
+      |        UNION ALL SELECT id_b, id_a FROM graft_cc_pairs),
+      |reach(src, dst, depth) AS (
+      |  SELECT src, dst, 1 FROM sym
+      |  UNION ALL
+      |  SELECT r.src, s.dst, r.depth + 1
+      |  FROM reach r JOIN sym s ON r.dst = s.src
+      |  WHERE r.depth < $CcRecursionDepth AND s.dst <> r.src),
+      |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS group_id
+      |        FROM reach GROUP BY src)
+      |SELECT doc_id, group_id,
+      |  count(*) OVER (PARTITION BY group_id) AS group_size
+      |FROM lab ORDER BY doc_id""".stripMargin)
+  }
+
   /** Connected components of an (id_a, id_b) pair graph via min-label
     * propagation → (doc_id, group_id = min id of the component). Only
     * pair-graph vertices appear. Shared by dDupGroups (exact pairs)
@@ -523,6 +565,7 @@ object DedupOps {
     "d_simhash" -> (dSimhash _),
     "d_embed_cosine" -> (dEmbedCosine _),
     "d_dup_groups" -> (dDupGroups _),
+    "d_cc_recursive" -> (dCcRecursive _),
     "d_incremental_dedup" -> (dIncrementalDedup _),
   )
 
@@ -638,6 +681,39 @@ object DedupOps {
         |FROM reach
         |GROUP BY src
         |ORDER BY doc_id""".stripMargin,
+    // Same pair CTEs as d_dup_groups, but the recursion mirrors the
+    // ENGINE's bounded UNION ALL walk verbatim (Spark's WITH RECURSIVE
+    // has no fixpoint-dedup UNION yet): identical depth guard, so both
+    // engines compute the same bounded closure by construction.
+    "d_cc_recursive" ->
+      s"""WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, greatest(len(w) - 1, 2)),
+        |         i -> array_to_string(list_slice(w, i, i+2), ' ')))) AS shingle
+        |       FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT i.id_a, i.id_b
+        |          FROM inter i
+        |          JOIN sizes sa ON i.id_a = sa.doc_id
+        |          JOIN sizes sb ON i.id_b = sb.doc_id
+        |          WHERE 2 * i.n_inter >= sa.n_sh + sb.n_sh - i.n_inter),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst, depth) AS (
+        |  SELECT src, dst, 1 FROM sym
+        |  UNION ALL
+        |  SELECT r.src, s.dst, r.depth + 1
+        |  FROM reach r JOIN sym s ON r.dst = s.src
+        |  WHERE r.depth < $CcRecursionDepth AND s.dst <> r.src),
+        |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS group_id
+        |        FROM reach GROUP BY src)
+        |SELECT doc_id, group_id,
+        |  CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+        |FROM lab ORDER BY doc_id""".stripMargin,
     // NOTE (ADVICE r5): this oracle is the EXACT all-pairs SQL while
     // the operator's recall is probabilistic (~5e-6 miss per
     // qualifying pair at τ=0.4 with 24 tables × 2 bits). A future

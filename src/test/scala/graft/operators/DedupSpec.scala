@@ -126,6 +126,21 @@ class DedupSpec extends SparkSpec {
       s"mislabeled: ${labels.filter(_._2 != 0L).take(5).mkString(",")}")
   }
 
+  test("recursive-CTE components equal the iterative d_dup_groups fixpoint (depth bound converged)") {
+    // the depth-4 bounded UNION ALL walk must reach the true
+    // connected-components fixpoint on this corpus — if a component's
+    // min-label eccentricity ever exceeded the bound, this is the
+    // test that catches it (the hash oracle would stay green, since
+    // the oracle shares the same bound by construction)
+    val rec = DedupOps.dCcRecursive(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val iter = DedupOps.dDupGroups(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rec.nonEmpty)
+    assert(rec == iter,
+      s"rec-only ${(rec -- iter).take(3)}, iter-only ${(iter -- rec).take(3)}")
+  }
+
   test("exact dedup groups cover all docs exactly once") {
     val out = DedupOps.dExactDedup(spark, sfDir).collect()
     val total = out.map(_.getLong(2)).sum
