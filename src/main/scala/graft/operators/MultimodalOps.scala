@@ -43,6 +43,29 @@ object MultimodalOps {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .withColumn("k_bucket", pmod(col("k"), lit(10)))
 
+  /** VARIANT metadata extraction — the Spark 4 semi-structured path
+    * (parse_json → VariantType → variant_get), the engine's
+    * replacement for mJsonExtract's get_json_object: that form
+    * re-parses the JSON STRING on every path access, while VARIANT
+    * parses once into a binary encoding and each access is a typed
+    * field lookup — at 100 TB with many extracted paths the parse
+    * happens once per row instead of once per (row × path), and a
+    * variant column persisted to parquet keeps the binary form across
+    * jobs (shredding). Two accesses of different target types off the
+    * one parse demonstrate the shape; absent paths surface as NULL
+    * (try_variant_get), matching JSON-path semantics on both engines.
+    * Oracle: DuckDB's native JSON extraction over the same props —
+    * an independent engine path, not a mirror of the encoding. */
+  def mVariantExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("v", expr("parse_json(props)"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.k', 'string')").as("k_str"),
+        expr("try_variant_get(v, '$.missing', 'bigint')").as("absent"))
+      .withColumn("k_bucket", pmod(col("k"), lit(10L)))
+      .orderBy(col("event_id"))
+
   /** Binary payload pipeline via mapPartitions over a typed Dataset:
     * one MessageDigest per partition (not per row), rows streamed.
     * byte_len/md5 are real; width/height are the STUBBED "decode"
@@ -93,6 +116,7 @@ object MultimodalOps {
 
   val queries: ListMap[String, Q] = ListMap(
     "m_json_extract" -> (mJsonExtract _),
+    "m_variant_extract" -> (mVariantExtract _),
     "m_binary_pipeline" -> (mBinaryPipeline _),
     "m_frame_sample" -> (mFrameSample _),
     "m_payload_dedup" -> (mPayloadDedup _),
@@ -192,6 +216,16 @@ object MultimodalOps {
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  ((CAST(json_extract_string(props, '$.k') AS INTEGER) % 10) + 10) % 10 AS k_bucket
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    // duck's native JSON path extraction — an independent engine
+    // route to the same typed values the VARIANT accesses produce
+    "m_variant_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(NULL AS BIGINT) AS absent,
+        |  ((CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) + 10) % 10 AS k_bucket
         |FROM events
         |ORDER BY event_id""".stripMargin,
     "m_binary_pipeline" ->
