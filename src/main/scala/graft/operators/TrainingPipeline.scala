@@ -278,11 +278,16 @@ object TrainingPipeline {
     val docs = Tables.documents(s, dir)
     val fps = docs.select(col("doc_id"),
       md5(col("text").cast("binary")).as("fp"))
+    // cached: referenced twice in one action (the union output AND
+    // the near-precedence anti-join) — without it the corpus-wide
+    // fingerprint scan + broadcast join runs twice (review r9); the
+    // frame itself is seed-bounded, so the cache is tiny
     val exact = fps.filter(!isSeed)
       .join(broadcast(fps.filter(isSeed)
         .select(col("fp"), col("doc_id").as("seed_id"))), Seq("fp"))
       .groupBy(col("doc_id")).agg(min(col("seed_id")).as("matched_seed"))
       .withColumn("reason", lit("exact"))
+      .cache()
     val sigs = DedupOps.minhashSigs(s, dir)
     val bands = DedupOps.minhashBands(sigs)
     val cand = bands.filter(!isSeed)

@@ -182,23 +182,39 @@ object LakeLayout {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn", "src")
       .withColumn("day", dayOf)
-    // materialize BEFORE the write: the merged plan reads the same
-    // path it overwrites, which Spark (correctly) refuses lazily;
-    // copy-on-write means paying exactly this one materialization of
-    // the affected partitions (Delta/Iceberg pay it as new files +
-    // a metadata swap)
+    overwriteAffected(spark, path, merged, days.toSet)
+    days.size.toLong
+  }
+
+  /** The hive name Spark gives the null-valued partition directory. */
+  private val NullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  /** The shared copy-on-write tail of the MERGE family (upsert +
+    * deleteWhere): materialize the rewritten rows BEFORE the write —
+    * the plan reads the same path it overwrites, which Spark
+    * (correctly) refuses lazily; copy-on-write means paying exactly
+    * this one materialization of the affected partitions
+    * (Delta/Iceberg pay it as new files + a metadata swap) — then
+    * dynamically overwrite the day directories the rows land in, and
+    * physically remove every affected day that produced NO rows
+    * (dynamic overwrite cannot express an emptied partition). `days`
+    * uses NullPart for the null partition, matching the directory
+    * name Spark writes for a null day. */
+  private def overwriteAffected(spark: SparkSession, path: String,
+      merged: DataFrame, days: Set[String]): Unit = {
     val out = merged.localCheckpoint(true)
-    val outDays = out.select("day").distinct().collect().map(_.getString(0)).toSet
+    val outDays = out
+      .select(coalesce(col("day").cast("string"), lit(NullPart)).as("d"))
+      .distinct().collect().map(_.getString(0)).toSet
     out.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day")
       .parquet(path)
     val conf = spark.sparkContext.hadoopConfiguration
-    (days.toSet -- outDays).foreach { d =>
+    (days -- outDays).foreach { d =>
       val p = new org.apache.hadoop.fs.Path(path, s"day=$d")
       p.getFileSystem(conf).delete(p, true)
     }
-    days.size.toLong
   }
 
   /** Copy-on-write DELETE — the takedown / right-to-be-forgotten
@@ -227,32 +243,30 @@ object LakeLayout {
     * column-pruned scan of (predicate columns + day) — with a
     * key-list takedown (the common case) the predicate is an isin/
     * semi-join against a broadcast id set, so the scan never
-    * shuffles. */
+    * shuffles. The discovery pass also carries the per-day match
+    * counts, so the deleted-row total costs no extra scan (review
+    * r9). Reads go through the MERGED schema (readEvolved): a
+    * single-footer read of a schema-evolved lake would silently drop
+    * late-added columns from the rewritten partitions (review r9);
+    * and rows in the NULL partition (day=__HIVE_DEFAULT_PARTITION__,
+    * e.g. null event time) are deleted like any others — a GDPR pass
+    * that silently skipped them would be wrong in the worst way
+    * (review r9). */
   def deleteWhere(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column): Long = {
     val hit = coalesce(predicate, lit(false))
-    val days = read(spark, path).filter(hit)
-      .select(col("day").cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    if (days.isEmpty) return 0L
-    val affected = read(spark, path).filter(col("day").isin(days: _*))
-    val kept = affected.filter(!hit)
-    // one materialization of the affected partitions (the plan reads
-    // the path it overwrites — same copy-on-write price as upsert),
-    // counting the survivors in the same pass
-    val out = kept.localCheckpoint(true)
-    val deleted = affected.count() - out.count()
-    val outDays = out.select(col("day").cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
-    out.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("day")
-      .parquet(path)
-    val conf = spark.sparkContext.hadoopConfiguration
-    (days.toSet -- outDays).foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(path, s"day=$d")
-      p.getFileSystem(conf).delete(p, true)
-    }
+    val matched = readEvolved(spark, path).filter(hit)
+      .groupBy(coalesce(col("day").cast("string"), lit(NullPart)).as("d"))
+      .count().collect()
+    if (matched.isEmpty) return 0L
+    val days = matched.map(_.getString(0)).toSet
+    val deleted = matched.map(_.getLong(1)).sum
+    val realDays = (days - NullPart).toSeq
+    val dayMatch =
+      if (days(NullPart)) col("day").isin(realDays: _*) || col("day").isNull
+      else col("day").isin(realDays: _*)
+    val kept = readEvolved(spark, path).filter(dayMatch).filter(!hit)
+    overwriteAffected(spark, path, kept, days)
     deleted
   }
 

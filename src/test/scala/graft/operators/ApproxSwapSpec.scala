@@ -42,16 +42,19 @@ class ApproxSwapSpec extends SparkSpec {
       Seq((50, "p50_cost"), (95, "p95_cost")).foreach { case (p, exCol) =>
         val le = r.getLong(r.fieldIndex(s"le_$p"))
         val lo = TimerOps.SlaHistLadder.takeWhile(_ < le).lastOption.getOrElse(0L)
+        val lo2 = TimerOps.SlaHistLadder.takeWhile(_ < lo).lastOption.getOrElse(0L)
         val est = r.getDouble(r.fieldIndex(s"p${p}_est"))
         val ex = r.getDouble(r.fieldIndex(exCol))
-        // estimate lies in its bucket by construction; the exact
-        // percentile can sit at most one bucket boundary away (the
-        // Prometheus p·n target vs the exact (n−1)·p rank differ by
-        // < 1 rank), so the error is bounded by the bucket width
+        // the estimate lies in its crossing bucket by construction;
+        // the exact percentile's rank ((n−1)·p vs the Prometheus p·n
+        // target) can differ by < 1 rank, which at a cumulative
+        // boundary puts the exact value in the bucket BELOW — so the
+        // honest bound is the crossing bucket plus its predecessor
+        // (review r9), not the crossing bucket alone
         assert(est > lo / 100.0 - 1e-9 && est <= le / 100.0 + 1e-9,
           s"status ${r.get(0)} p$p est $est outside bucket ($lo, $le]")
-        assert(math.abs(est - ex) <= (le - lo) / 100.0 + 0.01,
-          s"status ${r.get(0)} p$p est $est vs exact $ex bucket width ${(le - lo) / 100.0}")
+        assert(math.abs(est - ex) <= (le - lo2) / 100.0 + 0.01,
+          s"status ${r.get(0)} p$p est $est vs exact $ex allowed ${(le - lo2) / 100.0}")
       }
     }
   }

@@ -293,6 +293,55 @@ class LakeLayoutSpec extends SparkSpec {
     assert(allAfter == allBefore, "no-op delete modified the lake")
   }
 
+  test("deleteWhere on a schema-evolved lake preserves late-added columns (review r9)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_delete_evolve").toString
+    Seq((1L, "2024-01-01T10:00:00"), (2L, "2024-01-01T11:00:00"))
+      .toDF("doc_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("append").partitionBy("day").parquet(dir)
+    Seq((3L, "2024-01-02T10:00:00", 0.9), (4L, "2024-01-02T11:00:00", 0.2))
+      .toDF("doc_id", "ts_s", "quality")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("append").partitionBy("day").parquet(dir)
+    // delete one old-schema row: the rewrite of day 1 must NOT drop
+    // the quality column day 2 carries (single-footer read would)
+    assert(LakeLayout.deleteWhere(spark, dir, col("doc_id") === 1L) == 1L)
+    val after = LakeLayout.readEvolved(spark, dir)
+    assert(after.columns.contains("quality"))
+    val q3 = after.filter(col("doc_id") === 3L).select("quality").collect()
+    assert(q3.length == 1 && math.abs(q3.head.getDouble(0) - 0.9) < 1e-9,
+      "late-added column data lost by the rewrite")
+    assert(after.count() == 3L)
+    // and the evolved column is usable IN the delete predicate
+    // (fresh read — `after`'s file listing predates this rewrite)
+    assert(LakeLayout.deleteWhere(spark, dir, col("quality") < 0.5) == 1L)
+    assert(LakeLayout.readEvolved(spark, dir).count() == 2L)
+  }
+
+  test("deleteWhere reaches the null partition (review r9)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_delete_nullday").toString
+    // a null event time lands in day=__HIVE_DEFAULT_PARTITION__ — a
+    // takedown must not silently skip it
+    Seq((1L, Some("2024-01-01T10:00:00")), (2L, None: Option[String]),
+      (3L, None: Option[String]))
+      .toDF("doc_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    assert(LakeLayout.deleteWhere(spark, dir, col("doc_id") === 2L) == 1L)
+    val left = LakeLayout.read(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(left == Set(1L, 3L), s"survivors $left")
+    // draining the whole null partition removes its directory
+    assert(LakeLayout.deleteWhere(spark, dir, col("doc_id") === 3L) == 1L)
+    assert(!new java.io.File(s"$dir/day=__HIVE_DEFAULT_PARTITION__").exists(),
+      "drained null-partition directory still present")
+  }
+
   test("deleteWhere: drains a fully-matched day; NULL predicate keeps the row") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_delete_drain").toString
