@@ -9,10 +9,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType, TimestampTyp
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `cron_times(cron, start, end)` → array<timestamp>: every
-  * activation of the 5-field cron expression per the reference's
-  * NextsBetween semantics (gotimer_executor/pkg/cron/parser.go:40) —
-  * strictly after `start`, plus the first activation >= `end`
-  * (see CronSchedule doc).
+  * activation of the cron expression (full cronexpr grammar —
+  * 5/6/7-field, @macros, L/W/#; see CronSchedule) per the
+  * reference's NextsBetween semantics
+  * (gotimer_executor/pkg/cron/parser.go:40) — strictly after
+  * `start`, plus the first activation >= `end` (see CronSchedule
+  * doc).
   *
   * A native Catalyst expression (not a UDF): operates directly on
   * internal microsecond longs / UTF8String, no row encoding. Eval is

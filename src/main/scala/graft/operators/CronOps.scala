@@ -11,9 +11,11 @@ import graft.Tables
   * generator. A timer table is derived deterministically from the
   * events stream (SURVEY §3: distinct timer ids + a per-id cron from
   * a restricted, oracle-expressible set), then expanded through the
-  * real 5-field cron engine (graft.functions.CronSchedule /
-  * cron_times — the full grammar is spec-tested in CronScheduleSpec;
-  * the oracle covers the restricted "*\/K * * * *" subset).
+  * real cron engine (graft.functions.CronSchedule / cron_times —
+  * full cronexpr grammar: 5/6/7-field, @macros, L/W/# — spec-tested
+  * in CronScheduleSpec/CronPropertySpec; the oracle covers the
+  * macro + 6-field + "*\/K" spellings, which all normalize to
+  * minute-divisibility).
   *
   * Scale: expansion is embarrassingly parallel — each timer row
   * expands independently (explode), no shuffle until the downstream
@@ -28,15 +30,30 @@ object CronOps {
   private val WinStart = "2024-01-15 00:00:00"
   private val WinEnd = "2024-01-15 02:00:00"
 
+  /** Shared step rule: id mod 7 = 0 → 60 (the @hourly macro slice),
+    * else 5·(1 + id mod 4). NextFireSpec pins previews inside the
+    * horizon this implies. */
+  private[operators] def stepMin(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(pmod(id, lit(7)) === 0, 60).otherwise((pmod(id, lit(4)) + 1) * 5)
+
   /** Derived timer table: one row per distinct timer id with a
-    * deterministic cron ("*\/K * * * *", K = 5·(1 + id mod 4)) and the
-    * reference's app_status analog (Enabled=1 ⇔ id mod 3 ≠ 0 —
-    * consts Enabled/Unabled, gotimer_web/dao/timer/po.go). */
+    * deterministic cron and the reference's app_status analog
+    * (Enabled=1 ⇔ id mod 3 ≠ 0 — consts Enabled/Unabled,
+    * gotimer_web/dao/timer/po.go). Three cron spellings exercise the
+    * full reference grammar (cronexpr via parser.go:18) in the
+    * ORACLED path, not just specs: id mod 7 = 0 → the `@hourly`
+    * macro; id mod 7 = 1 → the 6-field seconds form
+    * "0 *\/K * * * *"; else the plain 5-field "*\/K * * * *"
+    * (K = 5·(1 + id mod 4); @hourly ≡ step 60). */
   private def timers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("user_id").as("timer_id")).distinct()
-      .withColumn("step_min", (pmod(col("timer_id"), lit(4)) + 1) * 5)
-      .withColumn("cron", concat(lit("*/"), col("step_min"), lit(" * * * *")))
+      .withColumn("step_min", stepMin(col("timer_id")))
+      .withColumn("cron",
+        when(pmod(col("timer_id"), lit(7)) === 0, lit("@hourly"))
+          .when(pmod(col("timer_id"), lit(7)) === 1,
+            concat(lit("0 */"), col("step_min"), lit(" * * * *")))
+          .otherwise(concat(lit("*/"), col("step_min"), lit(" * * * *"))))
       .withColumn("status", when(pmod(col("timer_id"), lit(3)) =!= 0, 1).otherwise(0))
 
   /** Cron → activation times in [start,end) (+ the reference's
@@ -109,11 +126,14 @@ object CronOps {
     * (second 22), so waits are non-trivial and the strictly-after rule
     * is exercised against a partial minute. */
   private[operators] val Now = "2024-01-15 00:37:22"
-  /** Next-fire search horizon: the derived steps are (id%4+1)·5 ≤ 20
-    * min, so the next activation is at most 20 min away — a 25-min
-    * horizon always contains it (NextFireSpec pins every preview row
-    * inside the bound, so a widened step set would fail loudly). */
-  private val NextHorizonMin = 25L
+  /** Next-fire search horizon: the largest derived step is 60 min
+    * (the @hourly slice), so a 61-min horizon contains the next
+    * activation from ANY anchor minute — decoupled from Now's
+    * position in the hour. Widening never changes the result (the
+    * preview takes the min activation); NextFireSpec pins every
+    * preview row inside its own step bound, so a widened step set
+    * would fail loudly. */
+  private val NextHorizonMin = 61L
   private val NextEnd: String =
     java.sql.Timestamp.valueOf(Now).toLocalDateTime.plusMinutes(NextHorizonMin)
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
@@ -144,14 +164,25 @@ object CronOps {
     "t_next_fire" -> (tNextFire _),
   )
 
+  /** Oracle mirror of `stepMin` / the cron spelling rule. user_id is
+    * non-negative, so `%` ≡ pmod here. The three spellings all
+    * normalize to "fire when minute % step_min = 0", so the oracle's
+    * divisibility join is spelling-independent. */
+  private val stepSql =
+    "CASE WHEN user_id % 7 = 0 THEN 60 ELSE (user_id % 4 + 1) * 5 END"
+  private val cronSql =
+    """CASE WHEN user_id % 7 = 0 THEN '@hourly'
+      |         WHEN user_id % 7 = 1 THEN '0 */' || CAST((user_id % 4 + 1) * 5 AS VARCHAR) || ' * * * *'
+      |         ELSE '*/' || CAST((user_id % 4 + 1) * 5 AS VARCHAR) || ' * * * *' END""".stripMargin
+
   /** Shared oracle prefix: derived timers + the static minute series
     * over the window (inclusive end — mirroring the NextsBetween
     * trailing activation). */
   private val timersSeriesCtes: String =
     s"""timers AS (
        |  SELECT DISTINCT user_id AS timer_id,
-       |    (user_id % 4 + 1) * 5 AS step_min,
-       |    '*/' || CAST((user_id % 4 + 1) * 5 AS VARCHAR) || ' * * * *' AS cron,
+       |    $stepSql AS step_min,
+       |    $cronSql AS cron,
        |    CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END AS status
        |  FROM events),
        |series AS (
@@ -198,8 +229,8 @@ object CronOps {
     "t_next_fire" ->
       s"""WITH timers AS (
          |  SELECT DISTINCT user_id AS timer_id,
-         |    (user_id % 4 + 1) * 5 AS step_min,
-         |    '*/' || CAST((user_id % 4 + 1) * 5 AS VARCHAR) || ' * * * *' AS cron,
+         |    $stepSql AS step_min,
+         |    $cronSql AS cron,
          |    CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END AS status
          |  FROM events),
          |mins AS (

@@ -23,12 +23,13 @@ class NextFireSpec extends SparkSpec {
   test("next fire is strictly future, step-aligned, and the EARLIEST such minute") {
     val now = java.sql.Timestamp.valueOf("2024-01-15 00:37:22")
     val bad = nf
-      .withColumn("step", (pmod(col("timer_id"), lit(4)) + 1) * 5)
+      .withColumn("step", CronOps.stepMin(col("timer_id")))
       .filter(
         col("next_fire") <= lit(now) ||                         // not strictly after now
           pmod(minute(col("next_fire")), col("step")) =!= 0 ||  // off the cron grid
           second(col("next_fire")) =!= 0 ||                     // cron fires on the minute
-          col("wait_sec") <= 0 || col("wait_sec") > 20 * 60 ||  // horizon: max step 20 min
+          col("wait_sec") <= 0 ||
+          col("wait_sec") > col("step") * 60 ||                 // within one own-step period
           // earliest: stepping BACK one step must land at or before now
           col("next_fire") - expr("make_interval(0,0,0,0,0,step,0)") > lit(now))
       .count()
