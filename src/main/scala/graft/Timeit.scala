@@ -11,7 +11,8 @@ package graft
 object Timeit {
   private val baselines: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] = Map(
-    "d_embed_cosine_exact" -> ((s, d) => operators.DedupOps.dEmbedCosineExact(s, d)))
+    "d_embed_cosine_exact" -> ((s, d) => operators.DedupOps.dEmbedCosineExact(s, d)),
+    "d_embed_cosine_hi_exact" -> ((s, d) => operators.DedupOps.dEmbedCosineHiExact(s, d)))
 
   def main(args: Array[String]): Unit = {
     val name = args(0)

@@ -265,70 +265,127 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Embedding near-dup pairs, cosine ≥ 0.4 — candidates from
-    * hyperplane-LSH bucket collisions (the s_ann_lsh machinery:
-    * 24 tables × 2 bits), exact cosine refine on the candidates only.
-    * The plan is a band-key EQUI-join — never the all-pairs
-    * BroadcastNestedLoopJoin the r4 formulation used — so candidate
-    * volume tracks bucket collisions, not n². Parameters are set for
-    * recall 1.0 at this τ on the test corpus (worst case cos = 0.4:
-    * per-table collision p = (1 − arccos .4/π)² ≈ 0.40, miss-all-24
-    * ≈ 5e-6 per pair; spec-pinned equal to the exact baseline, which
-    * is also the oracle).
+  /** Measured τ crossover (SCALING.md): near-1 recall needs
+    * L ≥ ln(1/ε)/−ln(1−p_bit^bits) tables while candidate work
+    * scales as L·n²/2^bits, so LSH beats the n²/2 brute force only
+    * when L < 2^(bits−1) — satisfiable iff p_bit = 1 − arccos(τ)/π
+    * is high enough. Below this τ the all-pairs tier wins at every
+    * measured scale (2.0 vs 5.9 s at sf0.1, 9 vs 47 s at 10× when
+    * both ran at τ = 0.4); above it the bucketed tier wins and the
+    * gap widens with n. */
+  private[graft] val EmbedCrossoverTau = 0.65
+
+  /** Shared pair kernel with the τ-adaptive dispatch the crossover
+    * analysis prescribes (ADVICE r9: never ship the losing plan).
     *
-    * τ-dependence, MEASURED (SCALING.md): near-1 recall needs
-    * L ≈ ln(1/ε)/p_table tables while candidate work scales as
-    * L·n²/2^bits, so LSH beats the n²/2 brute force only when
-    * L < 2^(bits−1). At τ = 0.4 (p_bit = 0.63) that inequality is
-    * unsatisfiable — this operator is measurably SLOWER than the
-    * all-pairs baseline at every tested scale (5.9 vs 2.0 s at sf0.1,
-    * 47 vs 9 s at 10×) and exists to pin the candidate-join SHAPE.
-    * At the τ ≥ 0.7 of a real near-dup pipeline (p_bit ≥ 0.80) the
-    * same code with bits ≈ log₂(n/bucket-target) and L ≈ 16–32 is
-    * the only shape that scales — brute force stays n² while LSH
-    * work collapses with 2^bits. */
-  def dEmbedCosine(s: SparkSession, dir: String): DataFrame = {
-    val tablesL = 24
-    val bits = 2
-    // vectors ride WITH their buckets (the s_ann_lsh shape), so the
-    // refine runs INSIDE the join stage: collision rows flow straight
-    // into the codegen'd cosine + threshold, and the only distinct is
-    // over the τ-SURVIVORS (≈ true pairs × table multiplicity —
-    // tiny), never over raw collisions. Both formulations were
-    // measured (Timeit): dedup-collisions-first wins where map-side
-    // partial distinct collapses them (3.2 s vs 5.9 s at sf0.1);
-    // in-stage refine wins where collision pairs are mostly unique
-    // and the distinct would shuffle them all (47 s vs 66 s at 10×).
-    // In-stage is kept because its cost is linear in collisions with
-    // NO shuffle term — the behavior that survives scale-up; and at
-    // this τ both lose to the exact baseline anyway (9 s at 10×, the
-    // crossover analysis above).
-    val banded = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"),
-        explode(expr((0 until tablesL).map(t =>
-          s"struct($t as tbl, hyperplane_lsh(embedding, ${200 + t}, $bits) as bucket)")
-          .mkString("array(", ", ", ")"))).as("h"))
-      .select(col("vec_id"), col("embedding"), col("h.tbl"), col("h.bucket"))
-    banded.as("a").join(banded.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", expr("cosine_similarity(a.embedding, b.embedding)"))
-      .filter(col("cos") >= 0.4)
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(col("cos"), 4).as("cos"))
-      .distinct()
-      .orderBy(col("id_a"), col("id_b"))
+    * τ < crossover — exact all-pairs: at low τ the OUTPUT is itself
+    * Ω(n²)-ish (at τ = 0.4 this corpus keeps ~1 pair per 3k), so
+    * quadratic candidate work is inherent; bucketing can only add
+    * overhead (p_bit ≤ 0.72 makes every bucket collide). The join is
+    * the id-inequality nested loop over the broadcast vector set —
+    * at lake scale the same kernel runs block-partitioned, and cost
+    * is output-bound either way.
+    *
+    * τ ≥ crossover — hyperplane-LSH bucket candidates (the s_ann_lsh
+    * machinery: 32 tables × 10 bits), exact cosine refine on
+    * collisions only: a band-key EQUI-join whose candidate volume
+    * tracks bucket collisions (~L·n²/2^bits + true pairs), not n².
+    * Vectors ride WITH their buckets so the refine runs INSIDE the
+    * join stage — collision rows flow straight into the codegen'd
+    * cosine + threshold, and the only distinct is over τ-SURVIVORS
+    * (≈ true pairs × table multiplicity — tiny), never raw
+    * collisions (measured in-stage vs dedup-first: 47 vs 66 s at 10×
+    * under saturated collisions; no shuffle term in the collision
+    * path is the behavior that survives scale-up). Recall at the
+    * d_embed_cosine_hi pin (true pairs cos ≥ 0.968, p_bit ≥ 0.919):
+    * per-table p = 0.919^10 ≈ 0.43, miss-all-32 ≈ 1.5e-8 per pair —
+    * spec-pinned equal to the exact baseline, which is also the
+    * oracle. */
+  private def embedPairs(vecs: DataFrame, tau: Double): DataFrame = {
+    val pairs =
+      if (tau < EmbedCrossoverTau) {
+        vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos", expr("cosine_similarity(a.embedding, b.embedding)"))
+          .filter(col("cos") >= tau)
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            round(col("cos"), 4).as("cos"))
+      } else {
+        val tablesL = 32
+        val bits = 10
+        val banded = vecs
+          .select(col("vec_id"), col("embedding"),
+            explode(expr((0 until tablesL).map(t =>
+              s"struct($t as tbl, hyperplane_lsh(embedding, ${200 + t}, $bits) as bucket)")
+              .mkString("array(", ", ", ")"))).as("h"))
+          .select(col("vec_id"), col("embedding"), col("h.tbl"), col("h.bucket"))
+        banded.as("a").join(banded.as("b"),
+            col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos", expr("cosine_similarity(a.embedding, b.embedding)"))
+          .filter(col("cos") >= tau)
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            round(col("cos"), 4).as("cos"))
+          .distinct()
+      }
+    pairs.orderBy(col("id_a"), col("id_b"))
   }
 
-  /** The exact all-pairs baseline (oracle-scale only, like
-    * dNgramJaccard): the recall-1.0 reference dEmbedCosine is
-    * spec-compared against. Deliberately NOT in the query inventory —
-    * its plan is the O(n²) BroadcastNestedLoopJoin. */
-  private[graft] def dEmbedCosineExact(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+  /** Embedding near-dup pairs at the reference-style permissive
+    * τ = 0.4 — dispatches to the exact tier (below crossover). */
+  def dEmbedCosine(s: SparkSession, dir: String): DataFrame =
+    embedPairs(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), 0.4)
+
+  /** Vector-id offset for the planted near-dup slice — far above any
+    * real vec_id, so planted ids never collide with corpus ids and
+    * the (origin, planted) pair is always (id_a, id_b) ordered. */
+  private val PlantedIdOffset = 10000000L
+  /** First-coordinate bump for the planted slice: on the unit-norm
+    * corpus this lands origin↔planted cosine in [0.968, 0.979] —
+    * comfortably above the 0.9 pin, far above the 0.63 background
+    * max — while staying exactly mirrorable in the oracle (both
+    * engines do the arithmetic in DOUBLE). */
+  private val PlantedDelta = 0.25
+
+  /** Production-threshold variant, τ = 0.9 — dispatches to the LSH
+    * tier (above crossover), where the bucketing IS selective: the
+    * corpus's own pair-cos ceiling is ~0.63, so the qualifying set
+    * is a deterministic planted near-dup slice (every 5th vector,
+    * first coordinate bumped by PlantedDelta — the d_embed_cosine
+    * analog of CronOps' derived timer table). The result is the
+    * planted (origin, origin+offset) pairs found by bucket collision
+    * + exact refine; the oracle recomputes them by brute force. */
+  def dEmbedCosineHi(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select((col("vec_id") + PlantedIdOffset).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) + PlantedDelta),
+          expr("slice(embedding, 2, size(embedding) - 1)")).as("embedding"))
+    embedPairs(e.unionAll(planted), 0.9)
+  }
+
+  /** Timeit baseline alias kept for SCALING.md continuity: at
+    * τ = 0.4 the dispatch already selects the exact tier, so this is
+    * dEmbedCosine's own plan. */
+  private[graft] def dEmbedCosineExact(s: SparkSession, dir: String): DataFrame =
+    dEmbedCosine(s, dir)
+
+  /** Exact all-pairs over the SAME augmented input as dEmbedCosineHi
+    * — the recall-1.0 reference its spec pins the LSH tier against,
+    * and the 10× timing baseline for the crossover table. */
+  private[graft] def dEmbedCosineHiExact(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select((col("vec_id") + PlantedIdOffset).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) + PlantedDelta),
+          expr("slice(embedding, 2, size(embedding) - 1)")).as("embedding"))
+    val aug = e.unionAll(planted)
+    aug.as("a").join(aug.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", expr("cosine_similarity(a.embedding, b.embedding)"))
-      .filter(col("cos") >= 0.4)
+      .filter(col("cos") >= 0.9)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(col("cos"), 4).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
@@ -564,6 +621,7 @@ object DedupOps {
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_simhash" -> (dSimhash _),
     "d_embed_cosine" -> (dEmbedCosine _),
+    "d_embed_cosine_hi" -> (dEmbedCosineHi _),
     "d_dup_groups" -> (dDupGroups _),
     "d_cc_recursive" -> (dCcRecursive _),
     "d_incremental_dedup" -> (dIncrementalDedup _),
@@ -729,6 +787,21 @@ object DedupOps {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    // exact all-pairs recompute over the SAME augmented input the
+    // engine's LSH tier searches — a hash mismatch here is an LSH
+    // recall miss (a planted pair whose bucket bits disagreed in all
+    // 32 tables; p ≈ 1.5e-8 per pair at the measured cos floor)
+    "d_embed_cosine_hi" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id + 10000000 AS vec_id,
+        |        list_prepend(v[1] + 0.25, v[2:]) AS v
+        |      FROM e WHERE vec_id % 5 = 0),
+        |aug AS (SELECT * FROM e UNION ALL SELECT * FROM p)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -726,33 +726,38 @@ object TextOps {
     * jargon/noise scores low — the same ordering a real perplexity
     * filter produces.
     *
-    * Scale shape: training partial-aggregates the bigram stream into
-    * observed-bigram-sized tables (never more rows than the vocab²
-    * support, one shuffle); the MODEL is top-K truncated — constant —
-    * and broadcast back onto the doc bigram stream, so scoring never
-    * shuffles tokens: each doc's bigrams collapse map-side (they sit
-    * in the doc's own input partition) and the doc_id shuffle carries
-    * one row per doc. At 100 TB the model trains once, persists, and
-    * the scoring pass is a single broadcast-join scan — exactly how
-    * CCNet deploys its LM. */
+    * Scale shape: the corpus is tokenized + exploded ONCE, collapsed
+    * map-side to per-doc bigram counts, and that single (doc_id,
+    * bigram, cnt) exchange feeds BOTH the trainer and the scorer —
+    * Catalyst's ReusedExchange dedupes the scan (plan-audited in
+    * PlanAuditSpec: one parquet scan of documents in the whole plan;
+    * this was a measured double corpus scan through r9). Training
+    * partial-aggregates that frame into observed-bigram-sized tables
+    * (never more rows than the vocab² support); the MODEL is top-K
+    * truncated — constant — and broadcast back onto the same frame,
+    * so scoring never shuffles tokens: the doc_id shuffle carries one
+    * row per doc. At 100 TB the model trains once, persists, and the
+    * scoring pass is a single broadcast-join scan — exactly how CCNet
+    * deploys its LM. */
   def xBigramLm(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).withColumn("w", tokens)
-    val docBigrams = docs.filter(size(col("w")) >= 2)
+    val docBigramCounts = docs.filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(w) - 1),
           |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"""
           .stripMargin)).as("bigram"))
-    val c2 = docBigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+    val c2 = docBigramCounts.groupBy(col("bigram")).agg(sum(col("cnt")).as("c2"))
     val c1 = c2.withColumn("w1", expr("split_part(bigram, ' ', 1)"))
       .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val model = c2.withColumn("w1", expr("split_part(bigram, ' ', 1)"))
       .join(c1, Seq("w1"))
       .orderBy(col("c2").desc, col("bigram")).limit(BigramK)
       .select(col("bigram"), expr("(c2 * 1000000L) div c1").as("score_ppm"))
-    val scored = docBigrams.join(broadcast(model), Seq("bigram"), "left")
+    val scored = docBigramCounts.join(broadcast(model), Seq("bigram"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(coalesce(col("score_ppm"), lit(0L))).as("sum_ppm"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * coalesce(col("score_ppm"), lit(0L))).as("sum_ppm"))
     docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

@@ -112,10 +112,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(source"), p)
   }
 
-  test("d_embed_cosine: candidates from an LSH-bucket equi-join, no nested-loop all-pairs") {
-    val p = plan(DedupOps.dEmbedCosine(spark, sfDir))
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
-    assert(p.contains("hyperplane_lsh"), p)
+  test("d_embed_cosine: τ-adaptive dispatch picks the right tier per threshold") {
+    // τ = 0.4 < crossover: exact tier (output is Ω(n²)-ish, bucketing
+    // cannot prune) — the LSH machinery must NOT be in this plan
+    val lo = plan(DedupOps.dEmbedCosine(spark, sfDir))
+    assert(!lo.contains("hyperplane_lsh"), lo)
+    // τ = 0.9 ≥ crossover: candidates from an LSH-bucket EQUI-join,
+    // no nested-loop all-pairs anywhere
+    val hi = plan(DedupOps.dEmbedCosineHi(spark, sfDir))
+    assert(hi.contains("hyperplane_lsh"), hi)
+    assert(!hi.contains("BroadcastNestedLoopJoin") && !hi.contains("CartesianProduct"), hi)
   }
 
   test("t_time_bucket_shard: exact distinct without an Expand (single-copy shuffle)") {
@@ -408,6 +414,18 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(TextOps.xBigramLm(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("x_bigram_lm: trainer and scorer share ONE corpus explode via exchange reuse") {
+    // the double corpus scan was the r9-measured hotspot: the
+    // (doc_id, bigram, cnt) exchange must be computed once and
+    // ReusedExchange'd into the second consumer. Reuse is applied at
+    // execution (AQE), so run the query and audit the FINAL plan.
+    val df = TextOps.xBigramLm(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange") || fin.contains("StageReuse") ||
+      fin.contains("reused"), s"no exchange reuse in final plan:\n$fin")
   }
 
   test("s_ann_multiprobe: probe expansion is query-side; candidates from the bucket equi-join") {

@@ -37,18 +37,29 @@ class DedupSpec extends SparkSpec {
     assert((lsh -- exact).isEmpty, s"unexpected pairs: ${(lsh -- exact).take(5)}")
   }
 
-  test("embed-cosine LSH candidates reproduce the exact all-pairs output EXACTLY (recall 1.0)") {
-    // the oracle for d_embed_cosine is the exact all-pairs SQL, so the
-    // bucketed operator must have recall 1.0 at τ=0.4 on this corpus —
-    // row-for-row, cosine-for-cosine (precision 1.0 is structural: the
-    // refine step computes the same exact cosine)
-    val bucketed = DedupOps.dEmbedCosine(spark, sfDir).collect()
+  test("embed-cosine hi: LSH candidates reproduce the exact all-pairs output EXACTLY (recall 1.0)") {
+    // the oracle for d_embed_cosine_hi is the exact all-pairs SQL over
+    // the same augmented input, so the bucketed tier must have recall
+    // 1.0 at τ=0.9 on this corpus — row-for-row, cosine-for-cosine
+    // (precision 1.0 is structural: the refine computes the same
+    // exact cosine). The planted slice guarantees the result is
+    // NON-vacuous: the corpus's own pair-cos ceiling is ~0.63.
+    val bucketed = DedupOps.dEmbedCosineHi(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val exactPairs = DedupOps.dEmbedCosineExact(spark, sfDir).collect()
+    val exactPairs = DedupOps.dEmbedCosineHiExact(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(exactPairs.nonEmpty)
     assert(bucketed == exactPairs,
       s"missed: ${(exactPairs -- bucketed).take(5)}; spurious: ${(bucketed -- exactPairs).take(5)}")
+    // every planted origin id must appear as id_a of some pair — the
+    // planted slice is what makes the τ=0.9 pin non-empty
+    val origins = bucketed.map(_._1)
+    val planted = graft.Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.lit(5)) === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(planted.subsetOf(origins), s"missing planted origins: ${(planted -- origins).take(5)}")
   }
 
   test("simhash hamming<=3 pairs are high-jaccard near-dups") {
