@@ -46,7 +46,7 @@ object Bench {
     "t_next_fire", "p_data_split", "s_range_search",
     "q31_full_outer", "t_gap_fill", "t_backlog",
     "t_hist_quantile", "q32_pivot", "p_takedown", "t_session_window",
-    "t_dow_profile", "m_variant_extract")
+    "t_dow_profile", "m_variant_extract", "d_embed_cosine_hi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,6 +56,22 @@ object Bench {
 
     // Warmup: trigger codegen + executor spin-up outside any timing.
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    // Calibration anchor (VERDICT r9 #4): a fixed synthetic plan —
+    // no testdata, no parquet, pure shuffle+agg compute — timed
+    // steady-state (min of 3). Identical code every round, so the
+    // driver can divide round-over-round query deltas by the
+    // calibration delta to separate box drift (r9's uniform ~1.5×
+    // inflation cost a day of forensics) from real plan regressions.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 26).selectExpr("id % 1024 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibOnce() // absorb this plan's own codegen
+    val calibration = (1 to 3).map(_ => calibOnce()).min
 
     // Headline set only (SURVEY §6): the full inventory runs under the
     // sf0.01 correctness gate; the bench excludes the one deliberately
@@ -118,7 +134,8 @@ object Bench {
     val total = f"${results.filter(_._4).map(_._2).sum}%.3f"
     val coldTotal = f"${results.filter(_._4).map(_._3).sum}%.3f"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""extras":$ex,"failed":$failed,"cold_sec":$coldTotal,"sf":"$sfDir"}"""
+      s""""extras":$ex,"failed":$failed,"cold_sec":$coldTotal,""" +
+      f""""calibration_sec":$calibration%.3f,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), line + "\n")

@@ -111,6 +111,8 @@ object DedupOps {
     * the signature pipeline 3×. */
   private val sigCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Monotonic suffix for dCcRecursive's per-invocation temp view. */
+  private val ccViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   private[graft] def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     sigCache.keys.filter(_._1.sparkContext.isStopped)
       .foreach(sigCache.remove)
@@ -438,12 +440,17 @@ object DedupOps {
     * large-star/small-star: one shuffle per iteration, no path
     * materialization). */
   def dCcRecursive(s: SparkSession, dir: String): DataFrame = {
+    // per-invocation view name (ADVICE r9): a fixed global name made
+    // concurrent same-session queries silently clobber each other's
+    // pair graph. s.sql analyzes eagerly, so the view can be dropped
+    // as soon as the plan is resolved — re-entrant AND leak-free.
+    val view = s"graft_cc_pairs_${DedupOps.ccViewSeq.incrementAndGet()}"
     dNgramJaccard(s, dir).select(col("id_a"), col("id_b"))
-      .createOrReplaceTempView("graft_cc_pairs")
-    s.sql(s"""
+      .createOrReplaceTempView(view)
+    try s.sql(s"""
       |WITH RECURSIVE
-      |sym AS (SELECT id_a AS src, id_b AS dst FROM graft_cc_pairs
-      |        UNION ALL SELECT id_b, id_a FROM graft_cc_pairs),
+      |sym AS (SELECT id_a AS src, id_b AS dst FROM $view
+      |        UNION ALL SELECT id_b, id_a FROM $view),
       |reach(src, dst, depth) AS (
       |  SELECT src, dst, 1 FROM sym
       |  UNION ALL
@@ -455,6 +462,7 @@ object DedupOps {
       |SELECT doc_id, group_id,
       |  count(*) OVER (PARTITION BY group_id) AS group_size
       |FROM lab ORDER BY doc_id""".stripMargin)
+    finally s.catalog.dropTempView(view)
   }
 
   /** Connected components of an (id_a, id_b) pair graph via min-label

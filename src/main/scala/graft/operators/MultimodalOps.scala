@@ -58,10 +58,15 @@ object MultimodalOps {
     * an independent engine path, not a mirror of the encoding. */
   def mVariantExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .withColumn("v", expr("parse_json(props)"))
+      // try_ forms throughout (ADVICE r9): the DuckDB oracle's
+      // json_extract_string is null-tolerant on malformed rows, so
+      // the engine must be too — a bad props row or non-numeric k
+      // yields NULLs, not a crashed job, matching get_json_object's
+      // behavior in mJsonExtract.
+      .withColumn("v", expr("try_parse_json(props)"))
       .select(col("event_id"),
-        expr("variant_get(v, '$.k', 'bigint')").as("k"),
-        expr("variant_get(v, '$.k', 'string')").as("k_str"),
+        expr("try_variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.k', 'string')").as("k_str"),
         expr("try_variant_get(v, '$.missing', 'bigint')").as("absent"))
       .withColumn("k_bucket", pmod(col("k"), lit(10L)))
       .orderBy(col("event_id"))

@@ -234,7 +234,17 @@ object TimerOps {
     * carried as one integer numerator over a 10⁴-scaled denominator,
     * so the ONLY float op is a final division with bit-identical
     * operands on both engines. ApproxSwapSpec pins the estimate
-    * inside its crossing bucket against the exact percentile. */
+    * inside its crossing bucket against the exact percentile.
+    *
+    * Overflow bound (ADVICE r9): the numerator term
+    * (le − lo)·(p·n − 100·cum_prev) is ≤ ~5e6·n (bucket widths are
+    * ≤ 50k cents·100), so Long overflows at n ≈ 1.8e12 rows PER
+    * STATUS — ~2 orders above the 100 TB tier's per-status event
+    * count, and the DuckDB mirror (BIGINT after the re-cast) hits
+    * the identical bound. Past that, carry num/den as DECIMAL(38,0)
+    * on both engines; documented rather than paid now because the
+    * decimal path disables codegen'd integer arithmetic in the hot
+    * partial agg for a regime the engine doesn't target. */
   def tHistQuantile(s: SparkSession, dir: String): DataFrame = {
     val wCum = Window.partitionBy(col("status")).orderBy(col("le"))
     val hist = Tables.events(s, dir)
@@ -573,7 +583,11 @@ object TimerOps {
     * arithmetically from epoch days ((days + 4) mod 7, 0 = Sunday —
     * 1970-01-01 was a Thursday) instead of each engine's dayofweek()
     * builtin, whose numbering conventions differ (Spark: Sun=1;
-    * DuckDB: Sun=0) — pure integer arithmetic cannot drift. Scale:
+    * DuckDB: Sun=0) — pure integer arithmetic cannot drift. Both
+    * sides use FLOOR-division day/offset arithmetic (Spark via
+    * t − pmod(t, L); DuckDB via // plus a pmod-shaped % wrap —
+    * ADVICE r9), so the engines agree for pre-1970 timestamps too,
+    * not just on the positive-epoch corpus. Scale:
     * one partial agg into ≤ 168 groups; the exact distinct-timer
     * count is the only expensive member (Expand + two-phase — swap
     * approx_count_distinct at 100 TB, the t_time_bucket_shard
@@ -582,7 +596,9 @@ object TimerOps {
     Tables.events(s, dir)
       .filter(col("ts").isNotNull)
       .withColumn("t", unix_millis(col("ts")))
-      .withColumn("dow", expr("pmod((t div 86400000) + 4, 7)"))
+      // floor-division day index: t div L truncates toward zero for
+      // negative t, so subtract the (always non-negative) pmod first
+      .withColumn("dow", expr("pmod(((t - pmod(t, 86400000)) div 86400000) + 4, 7)"))
       .withColumn("hour", expr("pmod(t, 86400000) div 3600000"))
       .groupBy(col("dow"), col("hour"))
       .agg(count(lit(1)).as("n_tasks"),
@@ -975,8 +991,8 @@ object TimerOps {
     // numbering conventions differ, integer arithmetic cannot; all
     // epochs positive so % ≡ pmod
     "t_dow_profile" ->
-      s"""SELECT ((epoch_ms(ts) // 86400000) + 4) % 7 AS dow,
-         |  (epoch_ms(ts) % 86400000) // 3600000 AS hour,
+      s"""SELECT ((((epoch_ms(ts) // 86400000) + 4) % 7) + 7) % 7 AS dow,
+         |  (((epoch_ms(ts) % 86400000) + 86400000) % 86400000) // 3600000 AS hour,
          |  count(*) AS n_tasks,
          |  count(DISTINCT user_id) AS n_timers,
          |  ${ratioSql("sum(CAST(round(value * 100, 0) AS BIGINT))", "100 * count(value)")} AS avg_cost
