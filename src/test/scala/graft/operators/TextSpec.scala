@@ -493,6 +493,68 @@ class TextSpec extends SparkSpec {
     assert(got.exists(_._1.endsWith(" </w>")), "no end-of-word pair in top-20")
   }
 
+  /** Independent in-memory BPE: the Sennrich 2016 §3.2 loop over the
+    * collected corpus, sharing no code with the engine (plain Scala
+    * collections; greedy merge via explicit index walk). */
+  private def naiveBpe(words: Seq[String], nMerges: Int)
+      : (Seq[(String, String)], Map[String, Seq[String]]) = {
+    val freq = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var vocab: Map[String, Vector[String]] =
+      freq.keys.map(w => w -> (w.map(_.toString).toVector :+ "</w>")).toMap
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    (1 to nMerges).foreach { _ =>
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (w, syms) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          pairs((p(0), p(1))) = pairs.getOrElse((p(0), p(1)), 0L) + freq(w)
+        }
+      }
+      val (a, b) = pairs.toSeq.sortBy { case ((x, y), n) => (-n, x, y) }.head._1
+      merges += ((a, b))
+      vocab = vocab.view.mapValues { syms =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toVector
+      }.toMap
+    }
+    (merges.toSeq, vocab)
+  }
+
+  test("bpe train/encode agree with a naive full-loop recompute; merge 1 = x_bpe_pairs top-1") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq.filter(_.nonEmpty)).toMap
+    val allWords = docs.values.flatten.toSeq
+    val (expMerges, finalVocab) = naiveBpe(allWords, 10)
+    val gotMerges = TextOps.xBpeTrain(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+    assert(gotMerges.map(m => (m._2, m._3)) == expMerges,
+      s"merge tables differ:\n got=$gotMerges\n exp=$expMerges")
+    assert(gotMerges.forall(m => m._4 == m._2 + m._3))
+    // merge rule 1 must be exactly x_bpe_pairs' top pair — the
+    // declared "x_bpe_pairs is the per-iteration workload" contract
+    val topPair = TextOps.xBpePairs(spark, sfDir).collect()(0).getString(0)
+    assert(topPair == expMerges.head._1 + " " + expMerges.head._2)
+    // encode: per-doc token count + id sum from the naive final vocab
+    val symtab = finalVocab.values.flatten.toSet.toSeq.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1).toLong }.toMap
+    val got = TextOps.xBpeEncode(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == docs.keySet, "every doc reported")
+    docs.foreach { case (id, ws) =>
+      val syms = ws.flatMap(finalVocab(_))
+      val exp = (syms.size.toLong, syms.map(symtab).sum)
+      assert(got(id) == exp, s"doc $id: got ${got(id)} want $exp")
+    }
+    // the tokenizer must actually compress: some multi-char symbols exist
+    assert(finalVocab.values.exists(_.exists(_.length > 1)), "no merge ever applied")
+  }
+
   test("bigram lm: counts and scores agree with a naive model recompute") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
