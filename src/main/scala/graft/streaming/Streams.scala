@@ -232,6 +232,49 @@ object Streams {
       to_json(struct(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))).cast("binary").as("value"))
 
+  /** The reference's OTHER transport, Pulsar — the scheduler→trigger
+    * token channel (gotimer_scheduler/service/scheduler/worker.go:140
+    * produces `pulsar.ProducerMessage{Payload: GetSliceMsgKey(t,
+    * bucket)}`; gotimer_trigger/mq/consumer/main.go subscribes and
+    * the trigger splits the key back into its (minute, bucket)
+    * slice). Structured Streaming consumes Pulsar through the public
+    * StreamNative pulsar-spark connector, whose wire columns this
+    * function is shaped against (`value` binary payload +
+    * `__key`/`__topic`/`__messageId`/`__publishTime`/`__eventTime`
+    * metadata — PulsarSourceSpec pins the shape broker-free, the
+    * KafkaSourceSpec discipline). Requires that connector on the
+    * classpath at load() time. */
+  def pulsarSliceStream(spark: SparkSession, serviceUrl: String, topic: String): DataFrame =
+    parseSliceKeys(
+      spark.readStream.format("pulsar")
+        .option("service.url", serviceUrl)
+        .option("topics", topic)
+        .load())
+
+  /** Payload-deserialization half of the Pulsar slice channel: wire
+    * rows → (minute_start, bucket) slices per the reference's
+    * GetSliceMsgKey format `"yyyy-MM-dd HH:mm_<bucket>"`
+    * (common/utils/timer.go:47, MinuteFormat consts/timer.go:4).
+    * Null-tolerant like parseEventValues: a malformed payload yields
+    * null minute_start/bucket (dead-letter filter composes
+    * downstream), never a killed stream — try_to_timestamp because
+    * the session runs ANSI. */
+  def parseSliceKeys(raw: DataFrame): DataFrame =
+    raw.select(col("value").cast("string").as("slice"),
+        col("__publishTime").as("publish_time"))
+      .select(
+        expr("try_to_timestamp(element_at(split(slice, '_'), 1), 'yyyy-MM-dd HH:mm')")
+          .as("minute_start"),
+        expr("try_cast(try_element_at(split(slice, '_'), 2) AS INT)").as("bucket"),
+        col("slice"), col("publish_time"))
+
+  /** Producer half, symmetric with parseSliceKeys — the scheduler's
+    * GetSliceMsgKey serialization; spec-pinned to roundtrip. */
+  def serializeSliceKeys(slices: DataFrame): DataFrame =
+    slices.select(
+      concat(date_format(col("minute_start"), "yyyy-MM-dd HH:mm"),
+        lit("_"), col("bucket").cast("string")).cast("binary").as("value"))
+
   /** Watermarked tumbling-window counts — the trigger's per-minute
     * shard aggregation, continuously. 10-min watermark bounds state;
     * partial aggregation applies exactly as in batch. */
