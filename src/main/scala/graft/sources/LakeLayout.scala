@@ -199,7 +199,31 @@ object LakeLayout {
     * physically remove every affected day that produced NO rows
     * (dynamic overwrite cannot express an emptied partition). `days`
     * uses NullPart for the null partition, matching the directory
-    * name Spark writes for a null day. */
+    * name Spark writes for a null day.
+    *
+    * CRASH-SAFETY CONTRACT (LakeLayoutSpec pins each clause): the
+    * write itself rides Spark's staged commit protocol — tasks write
+    * under `.spark-staging-<jobId>`/`_temporary` and job commit swaps
+    * each matched day directory in via delete+rename — so a crash at
+    * ANY point leaves every affected day either wholly old or wholly
+    * new, never a mix of rows, and untouched days are never at risk.
+    * What is NOT atomic, stated honestly (true multi-partition
+    * atomicity needs a metadata layer — it is exactly the commit-log
+    * swap Delta/Iceberg sell):
+    *   1. ACROSS days the commit is sequential: a mid-commit crash
+    *      can leave some affected days new and others old;
+    *   2. the drained-day removal runs AFTER the commit: a crash in
+    *      between leaves a stale (pre-merge) day visible. Deleting
+    *      before the write would flip the failure mode to data
+    *      MISSING, which is strictly worse — stale-and-recoverable
+    *      is the right side of that trade;
+    *   3. a pre-commit crash leaves staging litter (invisible to
+    *      readers; `vacuum` reclaims it past retention).
+    * RECOVERY is re-running the same merge: upsert's latest-wins and
+    * deleteWhere's predicate are idempotent, so a re-run from any
+    * intermediate state converges to the full-merge result —
+    * LakeLayoutSpec replays the worst intermediate states and checks
+    * convergence. */
   private def overwriteAffected(spark: SparkSession, path: String,
       merged: DataFrame, days: Set[String]): Unit = {
     val out = merged.localCheckpoint(true)
@@ -281,7 +305,11 @@ object LakeLayout {
     * only merging (no shuffle), repartition when splitting. Content
     * equality and file-count bound are spec-pinned; at 100 TB this
     * runs per-partition (compact day=D after the day closes), never
-    * against the whole table at once. */
+    * against the whole table at once. Crash-safety: the input dir is
+    * never written — a crashed compaction leaves only committer
+    * litter in outDir (no `_SUCCESS`, so nothing reads it as
+    * committed) and is simply re-run; the caller's swap of outDir
+    * into place should be a rename, not a copy. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     // a quiet day / not-yet-committed drop dir is a NO-OP, not a
@@ -339,12 +367,15 @@ object LakeLayout {
     *     LIVES under a dot-dir ancestor (`/root/.cache/lake`) still
     *     vacuums instead of silently no-opping — vacuum reclaims data bytes, it does not
     *     garbage-collect the commit log that defines committedness.
-    *     The one exception is `_temporary` (the Hadoop committer's
-    *     staging dir): a crashed job's staging files are the
-    *     canonical orphans, reclaimable once past retention. Dot
-    *     files stay conservatively kept even though some are
-    *     in-progress writes — they are invisible to every reader, so
-    *     keeping them costs bytes, never correctness;
+    *     The exceptions are `_temporary` (the Hadoop committer's
+    *     staging dir) and `.spark-staging-*` (the dynamic
+    *     partition-overwrite staging dir — the canonical litter of a
+    *     crashed upsert/deleteWhere commit): a crashed job's staging
+    *     files are the canonical orphans, reclaimable once past
+    *     retention. Other dot files stay conservatively kept even
+    *     though some are in-progress writes — they are invisible to
+    *     every reader, so keeping them costs bytes, never
+    *     correctness;
     *   - referenced files are never candidates (set-membership against
     *     inputFiles URIs);
     *   - `retentionMs` guards in-flight writers: a file younger than
@@ -384,7 +415,8 @@ object LakeLayout {
       // metadata (which would make vacuum a silent no-op)
       val below = rel.stripPrefix(rootAbs).stripPrefix("/")
       val isMetadata = below.split('/').exists(seg =>
-        seg.startsWith(".") || (seg.startsWith("_") && seg != "_temporary"))
+        (seg.startsWith(".") && !seg.startsWith(".spark-staging")) ||
+          (seg.startsWith("_") && seg != "_temporary"))
       if (!isMetadata && !committed.contains(rel) &&
           st.getModificationTime < cutoff) {
         fs.delete(p, false)
