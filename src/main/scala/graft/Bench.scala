@@ -47,7 +47,7 @@ object Bench {
     "q31_full_outer", "t_gap_fill", "t_backlog",
     "t_hist_quantile", "q32_pivot", "p_takedown", "t_session_window",
     "t_dow_profile", "m_variant_extract", "d_embed_cosine_hi",
-    "x_bpe_train", "x_bpe_encode")
+    "x_bpe_train", "x_bpe_encode", "d_ngram_jaccard", "d_ngram_jaccard_hi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,8 +76,10 @@ object Bench {
 
     // Headline set only (SURVEY §6): the full inventory runs under the
     // sf0.01 correctness gate; the bench excludes the one deliberately
-    // oracle-scale-only operator (d_ngram_jaccard — quadratic-ish by
-    // design, production path is d_minhash_lsh).
+    // oracle-scale-only operator (d_cc_recursive — bounded path
+    // enumeration, production path is d_dup_groups' contraction loop).
+    // d_ngram_jaccard joined the extras in r10 when its candidate
+    // generation graduated to the prefix-filtered join.
     val toRun = headline.filter(SparkEntry.queries.contains)
     // Two timed runs per query: run 1 pays one-time plan/codegen
     // compilation (~2 s of janino per distinct plan — measured, not

@@ -12,7 +12,11 @@ object Timeit {
   private val baselines: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] = Map(
     "d_embed_cosine_exact" -> ((s, d) => operators.DedupOps.dEmbedCosineExact(s, d)),
-    "d_embed_cosine_hi_exact" -> ((s, d) => operators.DedupOps.dEmbedCosineHiExact(s, d)))
+    "d_embed_cosine_hi_exact" -> ((s, d) => operators.DedupOps.dEmbedCosineHiExact(s, d)),
+    "d_ngram_kernel_hi" -> ((s, d) => operators.DedupOps.ngramKernelPairs(s, d, 4, 5)),
+    "d_ngram_prefix_lo" -> ((s, d) =>
+      operators.DedupOps.ngramVerify(s, d, 1, 2, operators.DedupOps.ngramPrefixCandidates(s, d, 1, 2))),
+    "d_ngram_cands_hi" -> ((s, d) => operators.DedupOps.ngramPrefixCandidates(s, d, 4, 5)))
 
   def main(args: Array[String]): Unit = {
     val name = args(0)

@@ -3,6 +3,7 @@ package graft.operators
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -10,12 +11,14 @@ import graft.Tables
 /** §2c deduplication family over the documents table — the exact and
   * near-dup stages of a training-data pipeline.
   *
-  * Scale design (SURVEY §5): nothing here is all-pairs except the
-  * ngram-Jaccard ORACLE (bounded to oracle scale by design —
-  * SURVEY.md:202). Exact dedup is a hash groupBy; MinHash-LSH
+  * Scale design (SURVEY §5): nothing here is all-pairs. Exact dedup
+  * is a hash groupBy; the exact ngram-Jaccard join is τ-adaptive
+  * (r10): a collision-proportional group-count kernel below the
+  * τ = 0.7 crossover, an AllPairs/PPJoin prefix-filtered join at and
+  * above it (immune to boilerplate-shingle df² blowup); MinHash-LSH
   * compares only band-bucket collisions (shuffle on band key);
-  * SimHash blocks on rotated 16-bit bands — both stay
-  * candidates ∝ collisions, not n².
+  * SimHash blocks on rotated 16-bit bands — all stay candidates ∝
+  * collisions, not n².
   */
 object DedupOps {
 
@@ -45,11 +48,59 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .orderBy(col("keep_id"))
 
-  /** Exact word-3-gram Jaccard ≥ 0.5 pairs: shingle explode +
-    * self-join on shingle + group-count, J = |∩|/(|A|+|B|−|∩|).
-    * The exact (quadratic-ish) oracle for the LSH operators —
-    * production path is d_minhash_lsh. */
-  def dNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Exact word-3-gram Jaccard similarity join, τ-ADAPTIVE like
+    * d_embed_cosine: below the measured τ ≈ 0.7 crossover the fused
+    * group-count KERNEL runs; at and above it, a PREFIX-FILTERED
+    * join (AllPairs, Bayardo 2007; PPJoin, Xiao 2008). Both tiers
+    * are exact — the dispatch picks the cheaper plan for the
+    * threshold, and PrefixFilterSpec proves the tiers equal on every
+    * corpus it builds.
+    *
+    * Why the crossover exists (SCALING.md, measured at sf0.1/10×):
+    * the prefix filter keeps each doc's n−⌈τ·n⌉+1 rarest shingles —
+    * at τ = 1/2 that is HALF the document, and on a corpus with
+    * heavy cross-doc trigram reuse the candidate set collapses
+    * toward all colliding pairs (measured 30.9M candidates for 251k
+    * true pairs at 10×), so the per-candidate verify dwarfs the
+    * kernel's fused count. At τ = 0.8 the prefix is n/5 and strongly
+    * selective. The kernel, meanwhile, is collision-proportional
+    * (join rows = Σ_shingle df²): linear on natural corpora, but a
+    * single boilerplate shingle shared by k docs costs k² rows — the
+    * prefix tier is immune to exactly that (a corpus-common shingle
+    * is pushed out of every prefix by the df-ascending canonical
+    * order), which is why the high-τ production setting dispatches
+    * to it. At τ = 1/2 under boilerplate, the exact answer is
+    * inherently collision-bound — the production path there is
+    * d_minhash_lsh with its bucket cap.
+    *
+    * The registered τ = 1/2 entry; threshold and rounding stay in
+    * integer space (2·|∩| ≥ |∪| is exactly J ≥ 1/2; ratio4 rounds
+    * the true rational — a float J can land on an odd/32 tie). */
+  def dNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(s, dir, 1, 2)
+
+  /** The production-threshold tier, τ = 4/5: dispatches to the
+    * prefix-filtered join (prefix = rarest ⌈n/5⌉ shingles per doc),
+    * immune to boilerplate-shingle blowup. Non-vacuous on the natural
+    * corpus: every near-dup pair in the testdata clears 0.8. */
+  def dNgramJaccardHi(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(s, dir, 4, 5)
+
+  /** τ = p/q dispatch (p, q positive ints, p ≤ q). The 0.7 crossover
+    * mirrors d_embed_cosine's: below it the filter tier cannot prune
+    * enough candidates to pay for its extra shuffles. */
+  private[graft] def ngramJaccardPairs(s: SparkSession, dir: String,
+      p: Int, q: Int): DataFrame =
+    if (p * 10 >= q * 7)
+      ngramVerify(s, dir, p, q, ngramPrefixCandidates(s, dir, p, q))
+    else ngramKernelPairs(s, dir, p, q)
+
+  /** The fused group-count kernel — one self-join on the shingle
+    * stream, map-side partial count per (id_a, id_b), sizes joined
+    * after. Join rows = Σ_shingle df² (collision-proportional; the
+    * formulation the DuckDB oracle mirrors). */
+  private[graft] def ngramKernelPairs(s: SparkSession, dir: String,
+      p: Int, q: Int): DataFrame = {
     val sh = shingled(s, dir)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -61,10 +112,75 @@ object DedupOps {
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
       .withColumn("uni", col("n_a") + col("n_b") - col("n_inter"))
-      // threshold + rounding both in integer space: 2·|∩| ≥ |∪| is
-      // exactly J ≥ 0.5 with no float compare, and ratio4 rounds the
-      // true rational (a float J can land on an odd/32 tie)
-      .filter(col("n_inter") * 2 >= col("uni"))
+      .filter(col("n_inter") * q >= col("uni") * p)
+      .select(col("id_a"), col("id_b"),
+        ExactNum.ratio4(col("n_inter"), col("uni")).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Prefix-filtered candidate generation (the AllPairs/PPJoin
+    * prefix + length filters), keyed on xxhash64(shingle) — a hash
+    * collision can only ADD candidates (superset semantics, verify
+    * is exact on strings), and the three token-stream shuffles carry
+    * 8-byte longs instead of ~30-byte trigram strings (measured
+    * 18.6 → 11.7 s at 10×).
+    *
+    *   1. canonical order = corpus df asc, hash asc (rarest first) —
+    *      the df table is vocabulary-sized;
+    *   2. each doc keeps the FIRST n−⌈τ·n⌉+1 of its n shingles in
+    *      that order. If J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·|A|⌉ (since
+    *      |A∪B| ≥ |A|), so the globally smallest common shingle sits
+    *      inside BOTH prefixes — true pairs always collide;
+    *   3. the q·min(|A|,|B|) ≥ p·max(|A|,|B|) length filter
+    *      (J ≤ min/max) rides the join condition.
+    *
+    * Scale shape: explode + df join + per-doc row_number window, all
+    * linear in the token stream; the self-join buckets are per
+    * PREFIX-shingle, so a boilerplate shingle in k docs costs
+    * nothing (it is in nobody's prefix) instead of k². */
+  private[graft] def ngramPrefixCandidates(s: SparkSession, dir: String,
+      p: Int, q: Int): DataFrame = {
+    val sets = shingled(s, dir)
+    // n_sh rides the explode (set size is known before the explode —
+    // a count window over the token stream would cost a second frame
+    // pass on the same shuffle)
+    val tok = sets.select(col("doc_id"),
+      size(col("shingles")).cast("long").as("n_sh"),
+      explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("h"))
+    val docFreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("h"))
+    val prefix = tok.join(docFreq, "h")
+      .withColumn("pos", row_number().over(byRarity))
+      // pos ≤ n − ⌈p·n/q⌉ + 1, all-integer (div is integer division)
+      .filter(col("pos") <=
+        col("n_sh") - expr(s"(n_sh * $p + ${q - 1}) div $q") + 1)
+      .select(col("doc_id"), col("h"), col("n_sh"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n_sh"), col("b.n_sh")) * p <=
+            least(col("a.n_sh"), col("b.n_sh")) * q)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact verify of (id_a, id_b) candidates over the full
+    * distinct-shingle STRING arrays (hash collisions cannot reach
+    * the output). Array payloads only ever join onto the
+    * candidate-pair frame — fine when candidates ∝ output, which is
+    * what the ≥-crossover dispatch guarantees. */
+  private[graft] def ngramVerify(s: SparkSession, dir: String,
+      p: Int, q: Int, cands: DataFrame): DataFrame = {
+    val sets = shingled(s, dir)
+    cands
+      .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")) - col("n_inter"))
+      .filter(col("n_inter") * q >= col("uni") * p)
       .select(col("id_a"), col("id_b"),
         ExactNum.ratio4(col("n_inter"), col("uni")).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -626,6 +742,7 @@ object DedupOps {
   val queries: ListMap[String, Q] = ListMap(
     "d_exact_dedup" -> (dExactDedup _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
+    "d_ngram_jaccard_hi" -> (dNgramJaccardHi _),
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_simhash" -> (dSimhash _),
     "d_embed_cosine" -> (dEmbedCosine _),
@@ -678,6 +795,26 @@ object DedupOps {
          |JOIN sizes sa ON i.id_a = sa.doc_id
          |JOIN sizes sb ON i.id_b = sb.doc_id
          |WHERE 2 * i.n_inter >= sa.n_sh + sb.n_sh - i.n_inter
+         |ORDER BY id_a, id_b""".stripMargin,
+    // Same CTE chain at the production threshold τ = 4/5 — the
+    // engine side dispatches to the prefix-filtered tier here, so
+    // the naive mirror is a fully independent formulation
+    "d_ngram_jaccard_hi" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         range(1, greatest(len(w) - 1, 2)),
+         |         i -> array_to_string(list_slice(w, i, i+2), ' ')))) AS shingle
+         |       FROM t),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b,
+         |  ${ExactNum.ratioSql("i.n_inter", "sa.n_sh + sb.n_sh - i.n_inter")} AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON i.id_a = sa.doc_id
+         |JOIN sizes sb ON i.id_b = sb.doc_id
+         |WHERE 5 * i.n_inter >= 4 * (sa.n_sh + sb.n_sh - i.n_inter)
          |ORDER BY id_a, id_b""".stripMargin,
     // Exact mirror of the full MinHash-LSH pipeline: poly_hash31 per
     // shingle (list_reduce fold), the expression's own permutation

@@ -97,6 +97,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("band_idx") && p.contains("band_key"), p)
   }
 
+  test("d_ngram_jaccard: τ=1/2 dispatches to the fused kernel — equi-join + map-side partial count") {
+    val p = plan(DedupOps.dNgramJaccard(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("partial_count"), p)
+    // the kernel has no window machinery — that is the prefix tier's
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("d_ngram_jaccard_hi: τ=4/5 dispatches to the prefix tier — per-doc windows, hash-keyed equi-join") {
+    val p = plan(DedupOps.dNgramJaccardHi(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // prefix selection windows partition by doc_id (bounded by doc
+    // length), never a global window
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+    // the candidate join is keyed on xxhash64(shingle) with the
+    // p·max ≤ q·min length filter attached as its residual condition
+    assert(p.contains("xxhash64"), p)
+    assert(p.contains("greatest") && p.contains("least"), p)
+  }
+
   test("d_simhash: banded blocking equi-join, never cartesian") {
     assert(!plan(DedupOps.dSimhash(spark, sfDir)).contains("CartesianProduct"))
   }
