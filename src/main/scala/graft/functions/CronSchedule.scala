@@ -204,10 +204,15 @@ object CronSchedule {
       } else if (kind == 'W' && up.endsWith("L")) {
         sp.dowLast += atom(up.dropRight(1)) % 7; Nil
       } else if (kind == 'W' && up.contains('#')) {
-        val Array(x, n) = up.split('#')
-        val nth = n.toInt
+        // split('#') drops a TRAILING empty segment ("5#" → ["5"]),
+        // so destructuring would MatchError instead of the grammar's
+        // IllegalArgumentException — validate the shape explicitly
+        val halves = up.split('#')
+        require(halves.length == 2 && halves(1).nonEmpty, s"bad cron part '$part'")
+        val nth = halves(1).toIntOption.getOrElse(
+          throw new IllegalArgumentException(s"bad # ordinal in '$part'"))
         require(nth >= 1 && nth <= 5, s"bad # ordinal in '$part'")
-        sp.dowNth += ((atom(x) % 7, nth)); Nil
+        sp.dowNth += ((atom(halves(0)) % 7, nth)); Nil
       } else {
         val (rangePart, step) = part.split('/') match {
           case Array(r) => (r, 1)
@@ -216,7 +221,10 @@ object CronSchedule {
         }
         require(step >= 1, s"bad cron step in '$part'")
         val (a, b) = rangePart match {
-          case "*" | "?" => (lo, hi)
+          case "*" => (lo, hi)
+          // cronexpr permits '?' ONLY in dom/dow — elsewhere it is a
+          // parse error, not a silent full-range wildcard
+          case "?" if kind == 'D' || kind == 'W' => (lo, hi)
           case r if r.contains('-') =>
             val Array(x, y) = r.split('-'); (atom(x), atom(y))
           // bare value with a step means "value to max" (cronexpr rule)

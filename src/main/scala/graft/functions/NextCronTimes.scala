@@ -43,15 +43,22 @@ case class NextCronTimes(first: Expression, second: Expression, third: Expressio
 
   // Parsed-schedule memo: timer tables repeat a handful of cron
   // strings across millions of rows; parsing each row would dominate.
-  @transient private[this] var lastCron: UTF8String = _
-  @transient private[this] var lastSchedule: CronSchedule = _
+  // A MAP, not a last-seen slot: the derived timer table interleaves
+  // several cron spellings in timer_id order, which drops a
+  // single-entry memo's hit rate to ~0 (re-parsing the full grammar
+  // per row). Vocabulary of distinct cron strings per task is tiny;
+  // a defensive cap guards a pathological per-row-unique column.
+  @transient private[this] var cache: java.util.HashMap[String, CronSchedule] = _
 
   private def scheduleFor(cron: UTF8String): CronSchedule = {
-    if (lastCron == null || !lastCron.equals(cron)) {
-      lastSchedule = CronSchedule.parse(cron.toString)
-      lastCron = cron.clone()
+    if (cache == null) cache = new java.util.HashMap[String, CronSchedule]()
+    val key = cron.toString
+    var s = cache.get(key)
+    if (s == null) {
+      s = CronSchedule.parse(key)
+      if (cache.size < 10000) cache.put(key, s)
     }
-    lastSchedule
+    s
   }
 
   private def toLdt(micros: Long): LocalDateTime =

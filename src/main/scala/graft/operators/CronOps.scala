@@ -144,8 +144,9 @@ object CronOps {
     * STRICTLY after now, plus the wait in whole seconds. Runs over
     * ALL timers (the preview happens while the timer is still
     * disabled), with the status column carried. Scale: one explode-
-    * free per-row expression — cron_times over a constant 25-min
-    * horizon returns ≤ 5 activations, array_min picks the first; no
+    * free per-row expression — cron_times over the constant
+    * NextHorizonMin-minute horizon returns a bounded handful of
+    * activations (≤ horizon/step + 1), array_min picks the first; no
     * shuffle anywhere but the presentational sort. */
   def tNextFire(s: SparkSession, dir: String): DataFrame =
     timers(s, dir)

@@ -472,7 +472,15 @@ object DedupOps {
     * analog of CronOps' derived timer table). The result is the
     * planted (origin, origin+offset) pairs found by bucket collision
     * + exact refine; the oracle recomputes them by brute force. */
-  def dEmbedCosineHi(s: SparkSession, dir: String): DataFrame = {
+  def dEmbedCosineHi(s: SparkSession, dir: String): DataFrame =
+    embedPairs(augmentedEmbeddings(s, dir), 0.9)
+
+  /** The corpus + planted near-dup slice — ONE construction shared
+    * by the LSH tier and its exact recall reference, so the two
+    * sides of the recall-1.0 spec pin can never drift onto different
+    * augmented inputs (the SQL oracle is necessarily a third copy,
+    * kept in sync by the hash gate itself). */
+  private def augmentedEmbeddings(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val planted = e.filter(pmod(col("vec_id"), lit(5)) === 0)
@@ -480,7 +488,7 @@ object DedupOps {
         concat(
           array(element_at(col("embedding"), 1) + PlantedDelta),
           expr("slice(embedding, 2, size(embedding) - 1)")).as("embedding"))
-    embedPairs(e.unionAll(planted), 0.9)
+    e.unionAll(planted)
   }
 
   /** Timeit baseline alias kept for SCALING.md continuity: at
@@ -493,14 +501,7 @@ object DedupOps {
     * — the recall-1.0 reference its spec pins the LSH tier against,
     * and the 10× timing baseline for the crossover table. */
   private[graft] def dEmbedCosineHiExact(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val planted = e.filter(pmod(col("vec_id"), lit(5)) === 0)
-      .select((col("vec_id") + PlantedIdOffset).as("vec_id"),
-        concat(
-          array(element_at(col("embedding"), 1) + PlantedDelta),
-          expr("slice(embedding, 2, size(embedding) - 1)")).as("embedding"))
-    val aug = e.unionAll(planted)
+    val aug = augmentedEmbeddings(s, dir)
     aug.as("a").join(aug.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", expr("cosine_similarity(a.embedding, b.embedding)"))
       .filter(col("cos") >= 0.9)

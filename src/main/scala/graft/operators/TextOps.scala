@@ -745,9 +745,16 @@ object TextOps {
         .otherwise(concat(acc, array(x))))
 
   /** Pair-frequency table of a segmented vocab (overlapping adjacent
-    * pairs, weighted by word freq — Sennrich's get_stats). */
+    * pairs, weighted by word freq — Sennrich's get_stats). Words
+    * fully merged to ONE symbol contribute no pairs and MUST be
+    * filtered before the sequence(): sequence(1, 0) is a DESCENDING
+    * [1, 0] in Spark, and element_at(syms, 0) throws under ANSI —
+    * a single-letter word whose (char, </w>) pair wins an early
+    * merge would crash the next training round (the oracle's
+    * range(1, 1) is empty, so only the engine side would die). */
   private def bpePairCounts(vocab: DataFrame): DataFrame =
-    vocab.select(col("freq"), explode(expr(
+    vocab.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
       """transform(sequence(1, size(syms) - 1),
         |  i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"""
         .stripMargin)).as("p"))
@@ -772,12 +779,22 @@ object TextOps {
         try {
           val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
           var vocab: DataFrame = v0
+          var exhausted = false
           (1 to BpeMerges).foreach { _ =>
-            val best = bpePairCounts(vocab)
-              .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()(0)
-            val (a, b) = (best.getString(0), best.getString(1))
-            merges += ((a, b))
-            vocab = vocab.withColumn("syms", mergeSyms(col("syms"), a, b))
+            if (!exhausted) {
+              // limit(1).collect() may be EMPTY on a tiny corpus whose
+              // vocab fully merges before BpeMerges rounds — stop
+              // early instead of indexing into nothing (Sennrich's
+              // loop terminates the same way when stats run dry)
+              val best = bpePairCounts(vocab)
+                .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+              if (best.isEmpty) exhausted = true
+              else {
+                val (a, b) = (best(0).getString(0), best(0).getString(1))
+                merges += ((a, b))
+                vocab = vocab.withColumn("syms", mergeSyms(col("syms"), a, b))
+              }
+            }
           }
           merges.toSeq
         } finally v0.unpersist()

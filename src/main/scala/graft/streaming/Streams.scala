@@ -528,7 +528,7 @@ object Streams {
     events
       .filter(_.ts != null)
       .withWatermark("ts", "10 minutes")
-      .groupByKey(e => ((e.user_id % graft.operators.TimerOps.AppCount) + graft.operators.TimerOps.AppCount) % graft.operators.TimerOps.AppCount)
+      .groupByKey(e => graft.operators.TimerOps.appShardOf(e.user_id))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (app: Long, it: Iterator[TaskEvent], state: GroupState[GapState]) => {
           val wm = state.getCurrentWatermarkMs()
@@ -563,7 +563,7 @@ object Streams {
       // the Dataset decode, same as every job in this package)
       .filter(_.ts != null)
       .withWatermark("ts", "10 minutes")
-      .groupByKey(e => ((e.user_id % graft.operators.TimerOps.AppCount) + graft.operators.TimerOps.AppCount) % graft.operators.TimerOps.AppCount)
+      .groupByKey(e => graft.operators.TimerOps.appShardOf(e.user_id))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (app: Long, it: Iterator[TaskEvent], state: GroupState[GaugeState]) => {
           val st = state.getOption.getOrElse(GaugeState(0L, Nil, Map.empty))

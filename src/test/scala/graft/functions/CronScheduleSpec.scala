@@ -78,6 +78,29 @@ class CronScheduleSpec extends AnyFunSuite {
     assert(intercept[Exception](CronSchedule.parse("a * * * *")) != null)
   }
 
+  test("? is rejected outside dom/dow (cronexpr permits it only there)") {
+    // a typo'd '? ?' must NOT silently become an every-minute wildcard
+    assert(intercept[IllegalArgumentException](
+      CronSchedule.parse("? ? * * *")) != null)
+    assert(intercept[IllegalArgumentException](
+      CronSchedule.parse("? 0 * * * *")) != null) // 6-field seconds slot
+    assert(intercept[IllegalArgumentException](
+      CronSchedule.parse("0 0 1 ? *")) != null)   // month slot
+  }
+
+  test("malformed # atoms throw the grammar's IllegalArgumentException, not MatchError/NumberFormat") {
+    // "5#" splits to a 1-element array (trailing empty dropped) —
+    // destructuring would MatchError; "5#x" would NumberFormat
+    assert(intercept[IllegalArgumentException](
+      CronSchedule.parse("0 0 * * 5#")) != null)
+    assert(intercept[IllegalArgumentException](
+      CronSchedule.parse("0 0 * * 5#x")) != null)
+    assert(intercept[IllegalArgumentException](
+      CronSchedule.parse("0 0 * * 5#0")) != null)
+    assert(intercept[IllegalArgumentException](
+      CronSchedule.parse("0 0 * * 5#6")) != null)
+  }
+
   test("february 30 never fires within horizon") {
     val c = CronSchedule.parse("0 0 30 2 *")
     assert(c.next(t("2024-01-01T00:00:00")).isEmpty)

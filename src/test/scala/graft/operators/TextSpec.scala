@@ -555,6 +555,29 @@ class TextSpec extends SparkSpec {
     assert(finalVocab.values.exists(_.exists(_.length > 1)), "no merge ever applied")
   }
 
+  test("bpe train survives single-symbol words and pair exhaustion (ANSI sequence(1,0) regression)") {
+    import org.apache.spark.sql.functions.lit
+    val session = spark
+    import session.implicits._
+    // 'a' → syms [a, </w>]; its merge wins round 1 (freq 9) and the
+    // word collapses to ONE symbol — the next round's pair explode
+    // evaluated sequence(1, 0) = [1, 0] and element_at(syms, 0) threw
+    // under ANSI before the size >= 2 guard. The tiny vocab also runs
+    // dry before the 10-merge budget, exercising the early-stop.
+    val docs = Seq((1L, "a a a a a a bc bc de"), (2L, "a a a bc de de"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_1sym").toString
+    docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = TextOps.xBpeTrain(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(merges.nonEmpty && merges.head == (("a", "</w>")),
+      s"top merge should be (a, </w>): ${merges.toSeq}")
+    assert(merges.length < 10, "tiny vocab must exhaust before the merge budget")
+    // apply-encode over the same learned merges must also survive
+    val enc = TextOps.xBpeEncode(spark, dir).collect()
+    assert(enc.map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("bigram lm: counts and scores agree with a naive model recompute") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
