@@ -202,7 +202,11 @@ object CronSchedule {
         require(n >= 1 && n <= 31, s"bad W day '$part'")
         sp.domWeekdays += n; Nil
       } else if (kind == 'W' && up.endsWith("L")) {
-        sp.dowLast += atom(up.dropRight(1)) % 7; Nil
+        // the weekday atom obeys the field range (0–7, 7≡0) exactly as
+        // plain atoms do — cronexpr rejects '9L', it does not wrap it
+        val d = atom(up.dropRight(1))
+        require(d >= lo && d <= hi, s"bad dow in '$part'")
+        sp.dowLast += d % 7; Nil
       } else if (kind == 'W' && up.contains('#')) {
         // split('#') drops a TRAILING empty segment ("5#" → ["5"]),
         // so destructuring would MatchError instead of the grammar's
@@ -212,7 +216,9 @@ object CronSchedule {
         val nth = halves(1).toIntOption.getOrElse(
           throw new IllegalArgumentException(s"bad # ordinal in '$part'"))
         require(nth >= 1 && nth <= 5, s"bad # ordinal in '$part'")
-        sp.dowNth += ((atom(halves(0)) % 7, nth)); Nil
+        val d = atom(halves(0))
+        require(d >= lo && d <= hi, s"bad dow in '$part'")
+        sp.dowNth += ((d % 7, nth)); Nil
       } else {
         val (rangePart, step) = part.split('/') match {
           case Array(r) => (r, 1)

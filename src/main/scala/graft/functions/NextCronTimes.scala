@@ -48,15 +48,18 @@ case class NextCronTimes(first: Expression, second: Expression, third: Expressio
   // single-entry memo's hit rate to ~0 (re-parsing the full grammar
   // per row). Vocabulary of distinct cron strings per task is tiny;
   // a defensive cap guards a pathological per-row-unique column.
-  @transient private[this] var cache: java.util.HashMap[String, CronSchedule] = _
+  // Keyed by UTF8String (bytes-based equals/hashCode) so the hit path
+  // probes with the incoming buffer-backed value directly — no per-row
+  // UTF-8 decode; the String materializes only on a parse miss, and
+  // the stored key is clone()d off the transient row buffer.
+  @transient private[this] var cache: java.util.HashMap[UTF8String, CronSchedule] = _
 
   private def scheduleFor(cron: UTF8String): CronSchedule = {
-    if (cache == null) cache = new java.util.HashMap[String, CronSchedule]()
-    val key = cron.toString
-    var s = cache.get(key)
+    if (cache == null) cache = new java.util.HashMap[UTF8String, CronSchedule]()
+    var s = cache.get(cron)
     if (s == null) {
-      s = CronSchedule.parse(key)
-      if (cache.size < 10000) cache.put(key, s)
+      s = CronSchedule.parse(cron.toString)
+      if (cache.size < 10000) cache.put(cron.clone(), s)
     }
     s
   }

@@ -11,14 +11,18 @@ import graft.Tables
 /** §2c deduplication family over the documents table — the exact and
   * near-dup stages of a training-data pipeline.
   *
-  * Scale design (SURVEY §5): nothing here is all-pairs. Exact dedup
-  * is a hash groupBy; the exact ngram-Jaccard join is τ-adaptive
-  * (r10): a collision-proportional group-count kernel below the
-  * τ = 0.7 crossover, an AllPairs/PPJoin prefix-filtered join at and
-  * above it (immune to boilerplate-shingle df² blowup); MinHash-LSH
-  * compares only band-bucket collisions (shuffle on band key);
-  * SimHash blocks on rotated 16-bit bands — all stay candidates ∝
-  * collisions, not n².
+  * Scale design (SURVEY §5): candidates ∝ collisions, not n², with
+  * ONE carve-out. Exact dedup is a hash groupBy; the exact
+  * ngram-Jaccard join is τ-adaptive (r10): a collision-proportional
+  * group-count kernel below the τ = 0.7 crossover, an AllPairs/PPJoin
+  * prefix-filtered join at and above it (immune to boilerplate-shingle
+  * df² blowup); MinHash-LSH compares only band-bucket collisions
+  * (shuffle on band key); SimHash blocks on rotated 16-bit bands.
+  * The carve-out: embedPairs' τ < 0.65 tier is a DELIBERATE all-pairs
+  * broadcast nested loop — at low τ the hyperplane bucketing cannot
+  * prune (p_bit too high, SCALING.md crossover table) and exact
+  * compare is the cheaper plan; above the crossover the LSH tier
+  * takes over and the nested loop never runs.
   */
 object DedupOps {
 
@@ -225,21 +229,16 @@ object DedupOps {
     * only drops the CacheManager registration — the memo re-registers
     * it here, so consumers never silently fall back to recomputing
     * the signature pipeline 3×. */
-  private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val sigCache = new SessionMemo[DataFrame]
   /** Monotonic suffix for dCcRecursive's per-invocation temp view. */
   private val ccViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-  private[graft] def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    sigCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(sigCache.remove)
-    val df = sigCache.getOrElseUpdate((s, dir),
+  private[graft] def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    SessionMemo.frame(sigCache, s, dir) {
       shingled(s, dir)
         .withColumn("hashes", expr("transform(shingles, x -> poly_hash31(x))"))
         .withColumn("sig", expr("minhash_signature(hashes, 64, 42)"))
-        .select(col("doc_id"), col("hashes"), col("sig")))
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
-    df
-  }
+        .select(col("doc_id"), col("hashes"), col("sig"))
+    }
 
   /** Exact-Jaccard verification of candidate pairs over the shared
     * shingle-hash sets (τ = 1/2, integer threshold) — ONE

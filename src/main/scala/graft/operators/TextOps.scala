@@ -768,13 +768,9 @@ object TextOps {
     * pattern); ties break (cnt desc, a, b) identically to the
     * oracle's ORDER BY. The initial vocab is cached for the loop and
     * unpersisted before returning. */
-  private val bpeMergeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(String, String)]]
+  private val bpeMergeCache = new SessionMemo[Seq[(String, String)]]
   private[operators] def bpeTrainedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
-    bpeMergeCache.synchronized {
-      bpeMergeCache.keys.filter(_._1.sparkContext.isStopped)
-        .foreach(bpeMergeCache.remove)
-      bpeMergeCache.getOrElseUpdate((s, dir), {
+    bpeMergeCache.getOrElseUpdate(s, dir) {
         val v0 = bpeVocab0(s, dir).cache()
         try {
           val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -798,7 +794,6 @@ object TextOps {
           }
           merges.toSeq
         } finally v0.unpersist()
-      })
     }
 
   /** Iterative BPE merge TRAINING (the full Sennrich 2016 §3.2 loop;
@@ -849,18 +844,12 @@ object TextOps {
     * pushdown at the cache boundary, and is also the production
     * story — the encoded vocab IS the tokenizer artifact a 100 TB
     * deployment persists next to the merge table. */
-  private val bpeVocabCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val bpeVocabCache = new SessionMemo[DataFrame]
   private def bpeEncodedVocab(s: SparkSession, dir: String): DataFrame =
-    bpeVocabCache.synchronized {
-      bpeVocabCache.keys.filter(_._1.sparkContext.isStopped)
-        .foreach(bpeVocabCache.remove)
-      val df = bpeVocabCache.getOrElseUpdate((s, dir),
-        bpeTrainedMerges(s, dir).foldLeft(bpeVocab0(s, dir)) { case (v, (a, b)) =>
-          v.withColumn("syms", mergeSyms(col("syms"), a, b))
-        })
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
-      df
+    SessionMemo.frame(bpeVocabCache, s, dir) {
+      bpeTrainedMerges(s, dir).foldLeft(bpeVocab0(s, dir)) { case (v, (a, b)) =>
+        v.withColumn("syms", mergeSyms(col("syms"), a, b))
+      }
     }
 
   def xBpeEncode(s: SparkSession, dir: String): DataFrame = {

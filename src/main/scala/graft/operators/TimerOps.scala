@@ -616,10 +616,12 @@ object TimerOps {
     * 1970-01-01 was a Thursday) instead of each engine's dayofweek()
     * builtin, whose numbering conventions differ (Spark: Sun=1;
     * DuckDB: Sun=0) — pure integer arithmetic cannot drift. Both
-    * sides use FLOOR-division day/offset arithmetic (Spark via
-    * t − pmod(t, L); DuckDB via // plus a pmod-shaped % wrap —
-    * ADVICE r9), so the engines agree for pre-1970 timestamps too,
-    * not just on the positive-epoch corpus. Scale:
+    * sides use FLOOR-division day/offset arithmetic — Spark via
+    * t − pmod(t, L); DuckDB by subtracting the same pmod-shaped
+    * remainder BEFORE its truncating `//` (exactly-divisible dividend
+    * ⇒ truncation ≡ floor; ADVICE r9) — so the engines agree for
+    * pre-1970 timestamps too, not just on the positive-epoch corpus.
+    * Scale:
     * one partial agg into ≤ 168 groups; the exact distinct-timer
     * count is the only expensive member (Expand + two-phase — swap
     * approx_count_distinct at 100 TB, the t_time_bucket_shard
@@ -1020,10 +1022,14 @@ object TimerOps {
         |FROM g GROUP BY user_id, sid
         |ORDER BY timer_id, session_start""".stripMargin,
     // arithmetic dow (epoch days + 4 mod 7) — engine dayofweek()
-    // numbering conventions differ, integer arithmetic cannot; all
-    // epochs positive so % ≡ pmod
+    // numbering conventions differ, integer arithmetic cannot. duck's
+    // `//` truncates toward zero on negatives, so the day index
+    // subtracts the (always non-negative) pmod-shaped remainder FIRST:
+    // the dividend becomes exactly divisible and truncation ≡ floor,
+    // matching the engine's t − pmod(t, L) for pre-1970 epochs too
     "t_dow_profile" ->
-      s"""SELECT ((((epoch_ms(ts) // 86400000) + 4) % 7) + 7) % 7 AS dow,
+      s"""SELECT ((((((epoch_ms(ts) - (((epoch_ms(ts) % 86400000) + 86400000) % 86400000))
+         |      // 86400000) + 4) % 7) + 7) % 7) AS dow,
          |  (((epoch_ms(ts) % 86400000) + 86400000) % 86400000) // 3600000 AS hour,
          |  count(*) AS n_tasks,
          |  count(DISTINCT user_id) AS n_timers,

@@ -252,8 +252,7 @@ object TrainingPipeline {
     * mirror it. */
   /** takedown's seed-bounded exact-match frame, memoized per
     * (session, dir) — see the comment at the use site. */
-  private val takedownExactCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val takedownExactCache = new SessionMemo[DataFrame]
 
   private val TakedownMod = 83L
   private val TakedownCap = 32L
@@ -291,19 +290,13 @@ object TrainingPipeline {
     // lifetime (ADVICE r9 — the bench loop runs the full inventory in
     // one session). Same discipline as DedupOps.minhashSigs; the
     // frame itself is seed-bounded, so the one cache is tiny.
-    val exact = TrainingPipeline.takedownExactCache.synchronized {
-      TrainingPipeline.takedownExactCache.keys
-        .filter(_._1.sparkContext.isStopped)
-        .foreach(TrainingPipeline.takedownExactCache.remove)
-      TrainingPipeline.takedownExactCache.getOrElseUpdate((s, dir),
-        fps.filter(!isSeed)
-          .join(broadcast(fps.filter(isSeed)
-            .select(col("fp"), col("doc_id").as("seed_id"))), Seq("fp"))
-          .groupBy(col("doc_id")).agg(min(col("seed_id")).as("matched_seed"))
-          .withColumn("reason", lit("exact")))
+    val exact = SessionMemo.frame(TrainingPipeline.takedownExactCache, s, dir) {
+      fps.filter(!isSeed)
+        .join(broadcast(fps.filter(isSeed)
+          .select(col("fp"), col("doc_id").as("seed_id"))), Seq("fp"))
+        .groupBy(col("doc_id")).agg(min(col("seed_id")).as("matched_seed"))
+        .withColumn("reason", lit("exact"))
     }
-    if (exact.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      exact.cache()
     val sigs = DedupOps.minhashSigs(s, dir)
     val bands = DedupOps.minhashBands(sigs)
     val cand = bands.filter(!isSeed)

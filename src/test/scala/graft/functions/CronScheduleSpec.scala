@@ -101,6 +101,18 @@ class CronScheduleSpec extends AnyFunSuite {
       CronSchedule.parse("0 0 * * 5#6")) != null)
   }
 
+  test("xL / x#n weekday atoms obey the 0-7 field range like plain atoms") {
+    // cronexpr rejects out-of-range weekdays — '9L' must NOT silently
+    // wrap mod 7 and schedule the last Tuesday forever
+    assert(intercept[IllegalArgumentException](
+      CronSchedule.parse("0 0 * * 9L")) != null)
+    assert(intercept[IllegalArgumentException](
+      CronSchedule.parse("0 0 * * 12#3")) != null)
+    // in-range forms still parse, with 7 ≡ 0 (Sunday)
+    assert(CronSchedule.parse("0 0 * * 7L").dowLast.toSeq == Seq(0))
+    assert(CronSchedule.parse("0 0 * * 7#2").dowNth.toSeq == Seq((0, 2)))
+  }
+
   test("february 30 never fires within horizon") {
     val c = CronSchedule.parse("0 0 30 2 *")
     assert(c.next(t("2024-01-01T00:00:00")).isEmpty)
