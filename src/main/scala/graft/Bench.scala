@@ -47,7 +47,8 @@ object Bench {
     "q31_full_outer", "t_gap_fill", "t_backlog",
     "t_hist_quantile", "q32_pivot", "p_takedown", "t_session_window",
     "t_dow_profile", "m_variant_extract", "d_embed_cosine_hi",
-    "x_bpe_train", "x_bpe_encode", "d_ngram_jaccard", "d_ngram_jaccard_hi")
+    "x_bpe_train", "x_bpe_encode", "d_ngram_jaccard", "d_ngram_jaccard_hi",
+    "s_recall_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

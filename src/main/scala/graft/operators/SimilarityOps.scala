@@ -144,6 +144,46 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Recall@K evaluation of the ANN tiers against exact ground truth
+    * — the acceptance metric every ANN deployment publishes before a
+    * parameter change ships (FAISS benchmarks report exactly this;
+    * SimilaritySpec's recall floor becomes a first-class oracled
+    * QUERY here, so the driver's hash gate pins the measured recall
+    * itself, not just a ≥ bound). Per query: the fraction of the
+    * exact cosine top-K (sAnnBruteforce) recovered by the
+    * single-probe LSH index and by the hamming-1 multiprobe sweep of
+    * the SAME index — the two operating points a production tuner
+    * chooses between (multiprobe buys recall query-side; more tables
+    * buy it storage-side).
+    *
+    * Scale shape: the three underlying pipelines run as-is (each
+    * documented at its own def); their OUTPUTS are K·NumQueries-row
+    * frames, so the recall join+agg is constant-sized — at 100 TB
+    * the eval costs one exact scan (the ground truth, over a
+    * SAMPLED query set exactly like this one) plus the index probes
+    * being evaluated. recall_lsh/recall_multi stay in integer space
+    * until the final ratio4 (hits and K are exact longs); multiprobe
+    * recall ≥ LSH recall BY CONSTRUCTION (superset candidates) —
+    * spec-pinned, and visible directly in the oracled output. */
+  def sRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = sAnnBruteforce(s, dir).select(col("q_id"), col("vec_id"))
+    val lsh = sAnnLsh(s, dir)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit_lsh"))
+    val mp = sAnnMultiprobe(s, dir)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit_multi"))
+    truth
+      .join(lsh, Seq("q_id", "vec_id"), "left")
+      .join(mp, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit_lsh"), lit(0L))).as("n_hit_lsh"),
+        sum(coalesce(col("hit_multi"), lit(0L))).as("n_hit_multi"))
+      .select(col("q_id"),
+        ExactNum.ratio4(col("n_hit_lsh"), col("k")).as("recall_lsh"),
+        ExactNum.ratio4(col("n_hit_multi"), col("k")).as("recall_multi"))
+      .orderBy(col("q_id"))
+  }
+
   /** kNN label classification over the embedding space — the
     * classifier-curation step of modern data pipelines (DCLM/
     * fastText-style quality and domain classifiers assign each
@@ -642,6 +682,7 @@ object SimilarityOps {
     "s_range_search" -> (sRangeSearch _),
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_multiprobe" -> (sAnnMultiprobe _),
+    "s_recall_eval" -> (sRecallEval _),
     "s_knn_classify" -> (sKnnClassify _),
     "s_ann_ivf" -> (sAnnIvf _),
     "s_quantize" -> (sQuantize _),
@@ -817,6 +858,42 @@ object SimilarityOps {
        |SELECT q_id, rank, vec_id, round(cos, 4) AS cos
        |FROM scored WHERE rank <= $K""".stripMargin
 
+  // The three ANN result-set mirrors, bound to vals so the recall
+  // oracle can compose them as nested-WITH CTE bodies (DuckDB
+  // supports WITH inside a CTE definition).
+  private lazy val annBruteforceSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |           WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+       |                           CAST(e.embedding AS DOUBLE[])) AS cos,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+       |                                      CAST(e.embedding AS DOUBLE[])) DESC,
+       |        e.vec_id) AS rank
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id, round(cos, 4) AS cos
+       |FROM scored WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
+  private lazy val annLshSql: String =
+    s"""WITH $lshBucketedCtes,
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, tbl, bucket
+       |      FROM v WHERE vec_id < $NumQueries),
+       |$lshRerankCtes
+       |ORDER BY q_id, rank""".stripMargin
+
+  private lazy val annMultiprobeSql: String =
+    s"""WITH $lshBucketedCtes,
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, tbl,
+       |        CASE WHEN j = $Bits THEN bucket
+       |             ELSE xor(bucket, 1 << j) END AS bucket
+       |      FROM v CROSS JOIN (SELECT unnest(range(0, ${Bits + 1})) AS j)
+       |      WHERE vec_id < $NumQueries),
+       |$lshRerankCtes
+       |ORDER BY q_id, rank""".stripMargin
+
   val oracles: ListMap[String, String] = ListMap(
     // identical left-associated float arithmetic and index-order fold
     // as the Spark expressions; dim pinned to 64 (a different dim
@@ -839,21 +916,7 @@ object SimilarityOps {
          |FROM m
          |ORDER BY vec_id""".stripMargin
     },
-    "s_ann_bruteforce" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-         |           WHERE vec_id < $NumQueries),
-         |scored AS (
-         |  SELECT q.q_id, e.vec_id,
-         |    list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
-         |                           CAST(e.embedding AS DOUBLE[])) AS cos,
-         |    row_number() OVER (PARTITION BY q.q_id
-         |      ORDER BY list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
-         |                                      CAST(e.embedding AS DOUBLE[])) DESC,
-         |        e.vec_id) AS rank
-         |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
-         |SELECT q_id, rank, vec_id, round(cos, 4) AS cos
-         |FROM scored WHERE rank <= $K
-         |ORDER BY q_id, rank""".stripMargin,
+    "s_ann_bruteforce" -> annBruteforceSql,
     // same exact scored scan, radius filter instead of top-k rank;
     // τ interpolated from RangeTau (the threshold literal parses to
     // the identical IEEE double on both engines — the d_embed_cosine
@@ -875,25 +938,28 @@ object SimilarityOps {
     // sign decisions match bit-for-bit), then the same bucket join +
     // exact re-rank as the bruteforce oracle. Dim is pinned to the
     // embeddings table's 64 — a different dim would diff loudly.
-    "s_ann_lsh" ->
-      s"""WITH $lshBucketedCtes,
-         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, tbl, bucket
-         |      FROM v WHERE vec_id < $NumQueries),
-         |$lshRerankCtes
-         |ORDER BY q_id, rank""".stripMargin,
+    "s_ann_lsh" -> annLshSql,
     // same shared bucketed index + re-rank as s_ann_lsh; only the q
     // CTE differs — each query probes its own code plus the Bits
     // hamming-1 neighbors (xor of each code bit), so candidates are a
     // superset of the single-probe run's by construction
-    "s_ann_multiprobe" ->
-      s"""WITH $lshBucketedCtes,
-         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, tbl,
-         |        CASE WHEN j = $Bits THEN bucket
-         |             ELSE xor(bucket, 1 << j) END AS bucket
-         |      FROM v CROSS JOIN (SELECT unnest(range(0, ${Bits + 1})) AS j)
-         |      WHERE vec_id < $NumQueries),
-         |$lshRerankCtes
-         |ORDER BY q_id, rank""".stripMargin,
+    "s_ann_multiprobe" -> annMultiprobeSql,
+    // the three result-set mirrors above, composed as nested-WITH CTE
+    // bodies; hits stay integer until the final ratio4 mirror
+    "s_recall_eval" ->
+      s"""WITH truth AS ($annBruteforceSql),
+         |lsh AS ($annLshSql),
+         |mp AS ($annMultiprobeSql),
+         |j AS (SELECT t.q_id,
+         |        CASE WHEN l.vec_id IS NULL THEN 0 ELSE 1 END AS hit_lsh,
+         |        CASE WHEN m.vec_id IS NULL THEN 0 ELSE 1 END AS hit_multi
+         |      FROM truth t
+         |      LEFT JOIN lsh l ON l.q_id = t.q_id AND l.vec_id = t.vec_id
+         |      LEFT JOIN mp m ON m.q_id = t.q_id AND m.vec_id = t.vec_id)
+         |SELECT q_id,
+         |  ${ExactNum.ratioSql("sum(hit_lsh)", "count(*)")} AS recall_lsh,
+         |  ${ExactNum.ratioSql("sum(hit_multi)", "count(*)")} AS recall_multi
+         |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin,
     // same exact-scored scan as the bruteforce mirror, then the
     // majority vote; prediction ties (votes desc, label asc)
     "s_knn_classify" ->

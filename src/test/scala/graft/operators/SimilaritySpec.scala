@@ -53,6 +53,25 @@ class SimilaritySpec extends SparkSpec {
       "multiprobe returned identical top-k everywhere with recall < 1")
   }
 
+  test("s_recall_eval agrees with a driver-side recompute from the three result sets") {
+    val exact = topk(SimilarityOps.sAnnBruteforce(spark, sfDir))
+    val single = topk(SimilarityOps.sAnnLsh(spark, sfDir))
+    val multi = topk(SimilarityOps.sAnnMultiprobe(spark, sfDir))
+    val rows = SimilarityOps.sRecallEval(spark, sfDir).collect()
+    assert(rows.length == exact.size)
+    rows.foreach { r =>
+      val (q, rl, rm) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      val e = exact(q)
+      def recall(a: Map[Long, Set[Long]]): Double =
+        // ratio4 semantics: round-half-up at 4 dp in integer space
+        ((e & a.getOrElse(q, Set.empty)).size.toLong * 20000 + e.size) / (2L * e.size) / 10000.0
+      assert(rl == recall(single), s"q=$q recall_lsh $rl != ${recall(single)}")
+      assert(rm == recall(multi), s"q=$q recall_multi $rm != ${recall(multi)}")
+      assert(rm >= rl, s"q=$q multiprobe recall below single-probe")
+      assert(rl >= 0.0 && rm <= 1.0)
+    }
+  }
+
   test("range search: equals a naive full-scan radius filter; consistent with bruteforce top-k") {
     import org.apache.spark.sql.functions._
     val range = SimilarityOps.sRangeSearch(spark, sfDir)
