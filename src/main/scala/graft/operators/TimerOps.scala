@@ -828,7 +828,8 @@ object TimerOps {
         |          sum(delta) OVER (PARTITION BY app ORDER BY t, delta, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
         |        FROM pts)
-        |SELECT app, make_timestamp((t // 3600000) * 3600000000) AS hour_start,
+        |SELECT app, make_timestamp(
+        |    (t - (((t % 3600000) + 3600000) % 3600000)) * 1000) AS hour_start,
         |  CAST(max(conc) AS BIGINT) AS peak_inflight,
         |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
         |FROM run GROUP BY 1, 2 ORDER BY app, hour_start""".stripMargin,
@@ -963,7 +964,8 @@ object TimerOps {
         |WHERE rn = 1
         |ORDER BY timer_id, minute""".stripMargin,
     "t_stream_window_agg" ->
-      """SELECT make_timestamp((epoch_ms(ts) // 300000) * 300000000) AS window_start,
+      """SELECT make_timestamp((epoch_ms(ts)
+        |    - (((epoch_ms(ts) % 300000) + 300000) % 300000)) * 1000) AS window_start,
         |  event_type, count(*) AS n_events,
         |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
