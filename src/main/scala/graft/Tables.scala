@@ -57,13 +57,30 @@ object Tables {
     * (cosine_similarity, minhash_signature, cron_times, …) are
     * already in the session via GraftExtensions (Sessions.build), so
     * after this call the library's full surface is plain SQL
-    * (exercised end-to-end in SqlSurfaceSpec). */
-  def registerViews(s: SparkSession, dir: String): Unit = {
-    val loaders: Map[String, (SparkSession, String) => DataFrame] =
-      Map("events" -> (events _))
-    names.foreach { t =>
-      loaders.getOrElse(t, (ss: SparkSession, d: String) => load(ss, d, t))(s, dir)
-        .createOrReplaceTempView(t)
+    * (exercised end-to-end in SqlSurfaceSpec).
+    *
+    * Idempotent calls are memoized per session: `spark.read.parquet`
+    * reads footers EAGERLY for schema inference, so a naive
+    * re-register costs ~10 footer round-trips per call — measured as
+    * the bulk of q28_lateral_topn's r10 bench regression (SCALING.md
+    * §cal: 1.85 s bench / 1.1 s steady → 0.6 s once registration is
+    * amortized). Re-registration happens only when the dir changes
+    * (specs cross dirs in one session) or the session is new; at
+    * 100 TB the same discipline holds — a catalog metastore, not a
+    * per-query footer sweep. */
+  private val registeredDir =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
+  def registerViews(s: SparkSession, dir: String): Unit =
+    if (!registeredDir.get(s).contains(dir)) {
+      registeredDir.keys.filter(_.sparkContext.isStopped)
+        .foreach(registeredDir.remove)
+      val loaders: Map[String, (SparkSession, String) => DataFrame] =
+        Map("events" -> (events _))
+      names.foreach { t =>
+        loaders.getOrElse(t, (ss: SparkSession, d: String) => load(ss, d, t))(s, dir)
+          .createOrReplaceTempView(t)
+      }
+      registeredDir(s) = dir
     }
-  }
 }

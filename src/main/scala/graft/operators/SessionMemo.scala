@@ -13,13 +13,21 @@ import org.apache.spark.storage.StorageLevel
   * build runs at most once per live (session, dir) key.
   */
 private[graft] final class SessionMemo[V] {
-  private val m = TrieMap.empty[(SparkSession, String), V]
+  private val m = TrieMap.empty[(SparkSession, String), () => V]
 
-  def getOrElseUpdate(s: SparkSession, dir: String)(build: => V): V =
-    m.synchronized {
+  /** Per-KEY once-only: the memo lock only installs a lazy holder —
+    * `build` itself runs OUTSIDE the memo-wide monitor (forced via the
+    * holder's own lazy-val latch, so racing callers of the SAME key
+    * still build once). A long build (bpeTrainedMerges is a full
+    * iterative training loop) therefore never blocks an unrelated
+    * (session, dir) entry of the same memo (ADVICE r10). */
+  def getOrElseUpdate(s: SparkSession, dir: String)(build: => V): V = {
+    val holder = m.synchronized {
       m.keys.filter(_._1.sparkContext.isStopped).foreach(m.remove)
-      m.getOrElseUpdate((s, dir), build)
+      m.getOrElseUpdate((s, dir), { lazy val v = build; () => v })
     }
+    holder()
+  }
 }
 
 private[graft] object SessionMemo {
