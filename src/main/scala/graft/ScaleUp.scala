@@ -69,8 +69,19 @@ object ScaleUp {
     write("lineitem",
       scaled(Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey", "l_suppkey"))
     // events round-trips through the loader, so ts lands as a plain
-    // µs timestamp — Tables.events passes a TimestampType through
-    write("events", scaled(Tables.events(spark, sfDir), "event_id", "user_id"))
+    // µs timestamp — Tables.events passes a TimestampType through.
+    // SPARK_GRAFT_TIME_STRETCH=1: replica r also shifts ts by r × 32
+    // days, so the factor multiplies RETENTION (distinct days/minutes)
+    // instead of per-minute volume — the axis the two-level prefix-sum
+    // operators (t_backlog, t_concurrency) must survive at multi-year
+    // 100 TB retention. Default off: the hash-parity sf1 runs replicate
+    // in place.
+    val stretch = sys.env.getOrElse("SPARK_GRAFT_TIME_STRETCH", "0") == "1"
+    val evScaled = scaled(Tables.events(spark, sfDir), "event_id", "user_id")
+    write("events",
+      if (!stretch) evScaled
+      else evScaled.withColumn("ts", expr(
+        s"timestampadd(DAY, CAST((event_id div ${Offset}L) * 32 AS INT), ts)")))
     assertKeyRange(Tables.documents(spark, sfDir), Seq("doc_id"))
     write("documents", Tables.documents(spark, sfDir).crossJoin(rep)
       .withColumn("text", when(col("rep") === 0, col("text"))

@@ -16,7 +16,9 @@ object Timeit {
     "d_ngram_kernel_hi" -> ((s, d) => operators.DedupOps.ngramKernelPairs(s, d, 4, 5)),
     "d_ngram_prefix_lo" -> ((s, d) =>
       operators.DedupOps.ngramVerify(s, d, 1, 2, operators.DedupOps.ngramPrefixCandidates(s, d, 1, 2))),
-    "d_ngram_cands_hi" -> ((s, d) => operators.DedupOps.ngramPrefixCandidates(s, d, 4, 5)))
+    "d_ngram_cands_hi" -> ((s, d) => operators.DedupOps.ngramPrefixCandidates(s, d, 4, 5)),
+    "t_backlog_global" -> ((s, d) => operators.TimerOps.tBacklogGlobal(s, d)),
+    "t_concurrency_global" -> ((s, d) => operators.TimerOps.tConcurrencyGlobal(s, d)))
 
   def main(args: Array[String]): Unit = {
     val name = args(0)

@@ -30,6 +30,21 @@ object TimerOps {
 
   private def minuteCol(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm")
 
+  /** Zone-aware minute key: the reference builds its "yyyy-MM-dd
+    * HH:mm" bucket keys in the deployment's LOCAL zone
+    * (gotimer_executor/common/utils/time.go:10 GetStartMinute parses
+    * in time.Local; common/utils/timer.go:65,76 format the same way),
+    * while graft pins the session to UTC for oracle exactness — a
+    * non-UTC deployment migrating to graft passes its zone here and
+    * gets byte-identical bucket keys. Implemented as a shift of the
+    * UTC instant into the zone's wall clock (from_utc_timestamp), so
+    * the session stays UTC and every other operator is untouched; the
+    * zone database is the JVM's tzdata — DST transitions follow the
+    * zone's rules exactly as Go's time.Local does. */
+  private def minuteCol(c: Column, zone: String): Column =
+    if (zone == "UTC") minuteCol(c)
+    else date_format(from_utc_timestamp(c, zone), "yyyy-MM-dd HH:mm")
+
   /** Reference status enum (gotimer_executor/common/consts/timer.go:25-28:
     * NotRunned 0 → Running 1 → Successed 2 / Failed 3) mapped onto the
     * 5 event types. */
@@ -44,8 +59,15 @@ object TimerOps {
     * (gotimer_web/dao/task/sql.go:3 SQLGetMinuteTaskCnt:
     * SELECT LEFT(run_timer,16), count(*) ... GROUP BY). */
   def tMinuteTaskCnt(s: SparkSession, dir: String): DataFrame =
+    tMinuteTaskCnt(s, dir, "UTC")
+
+  /** Zone-parameterized form (minuteCol's doc): same plan — the zone
+    * shift is a per-row scalar inside the scan projection, so the
+    * groupBy still map-side combines into |minutes| groups and the
+    * shuffle stays calendar-bounded at any scale. */
+  def tMinuteTaskCnt(s: SparkSession, dir: String, zone: String): DataFrame =
     Tables.events(s, dir)
-      .groupBy(minuteCol(col("ts")).as("minute"))
+      .groupBy(minuteCol(col("ts"), zone).as("minute"))
       .agg(count(lit(1)).as("task_cnt"))
       .orderBy(col("minute"))
 
@@ -53,6 +75,9 @@ object TimerOps {
     * (gotimer_executor/common/utils/timer.go:29 GetSliceMsgKey:
     * "time_bucketID"; bucket = id % maxBucket). */
   def tTimeBucketShard(s: SparkSession, dir: String): DataFrame =
+    tTimeBucketShard(s, dir, "UTC")
+
+  def tTimeBucketShard(s: SparkSession, dir: String, zone: String): DataFrame =
     // Exact distinct via two-level aggregation instead of
     // countDistinct: the expand-based distinct plan shuffles every
     // row TWICE (one copy per aggregate); pre-aggregating on
@@ -61,7 +86,7 @@ object TimerOps {
     // the 100 TB approximation (approx_count_distinct) is proven in
     // ApproxSwapSpec.
     Tables.events(s, dir)
-      .groupBy(minuteCol(col("ts")).as("minute"),
+      .groupBy(minuteCol(col("ts"), zone).as("minute"),
         pmod(col("user_id"), lit(NumBuckets)).as("bucket"),
         col("user_id"))
       .agg(count(lit(1)).as("cnt"))
@@ -507,6 +532,52 @@ object TimerOps {
       .orderBy(col("minute"))
   }
 
+  /** Scale-NAIVE single-window form of tBacklog — NOT in the
+    * inventory; it exists so SCALING.md's "two-level beats the
+    * single-partition window at multi-year retention" claim is a
+    * measured curve, not an argument (Timeit baseline
+    * `t_backlog_global`; BacklogSpec pins result equality by
+    * re-accumulating the operator's own flows). The whole minute
+    * series serializes through ONE task here — the plan the two-level
+    * decomposition exists to avoid. */
+  private[graft] def tBacklogGlobal(s: SparkSession, dir: String): DataFrame = {
+    val perMin = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(minuteCol(col("ts")).as("minute"))
+      .agg(count(lit(1)).as("arrived"),
+        sum(when(statusCode >= 2, 1L).otherwise(0L)).as("completed"))
+    val w = Window.orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perMin
+      .withColumn("backlog", sum(col("arrived") - col("completed")).over(w))
+      .select(col("minute"), col("arrived"), col("completed"), col("backlog"))
+      .orderBy(col("minute"))
+  }
+
+  /** Scale-NAIVE single-window form of tConcurrency (Timeit baseline
+    * `t_concurrency_global`; ConcurrencySpec pins two-level ≡ this).
+    * The per-app point stream — 2 rows per event — serializes through
+    * |apps| tasks. */
+  private[graft] def tConcurrencyGlobal(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(pmod(col("user_id"), lit(AppCount.toLong)).as("app"),
+        unix_millis(col("ts")).as("t0"),
+        (unix_millis(col("ts")) + ExactNum.cents(col("value"))).as("t1"),
+        col("event_id"))
+    val pts = ev.select(col("app"), col("t0").as("t"), lit(1L).as("delta"), col("event_id"))
+      .unionAll(ev.select(col("app"), col("t1").as("t"), lit(-1L).as("delta"), col("event_id")))
+    val w = Window.partitionBy(col("app"))
+      .orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("conc", sum(col("delta")).over(w))
+      .groupBy(col("app"),
+        timestamp_millis(expr("t - pmod(t, 3600000)")).as("hour_start"))
+      .agg(max(col("conc")).as("peak_inflight"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
+      .orderBy(col("app"), col("hour_start"))
+  }
+
   /** Idempotent dedup on (timer_id, minute), keep earliest — the
     * task table's unique index idx_def_timer on (timer_id, run_timer)
     * (gotimer_web/dao/task/po.go). */
@@ -710,8 +781,10 @@ object TimerOps {
   }
 
   val queries: ListMap[String, Q] = ListMap(
-    "t_minute_task_cnt" -> (tMinuteTaskCnt _),
-    "t_time_bucket_shard" -> (tTimeBucketShard _),
+    "t_minute_task_cnt" -> ((s: SparkSession, d: String) => tMinuteTaskCnt(s, d)),
+    "t_minute_task_cnt_tz" ->
+      ((s: SparkSession, d: String) => tMinuteTaskCnt(s, d, "Asia/Shanghai")),
+    "t_time_bucket_shard" -> ((s: SparkSession, d: String) => tTimeBucketShard(s, d)),
     "t_time_window_slice" -> (tTimeWindowSlice _),
     "t_union_key_roundtrip" -> (tUnionKeyRoundtrip _),
     "t_status_lifecycle" -> (tStatusLifecycle _),
@@ -741,6 +814,14 @@ object TimerOps {
   val oracles: ListMap[String, String] = ListMap(
     "t_minute_task_cnt" ->
       """SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, count(*) AS task_cnt
+        |FROM events GROUP BY 1 ORDER BY minute""".stripMargin,
+    // the naive parquet ts is pinned to an instant (AT TIME ZONE
+    // 'UTC' → TIMESTAMPTZ), then rendered on the reference
+    // deployment's wall clock — DuckDB's ICU tzdata vs the JVM's,
+    // two independent zone databases agreeing on every key
+    "t_minute_task_cnt_tz" ->
+      """SELECT strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Shanghai',
+        |  '%Y-%m-%d %H:%M') AS minute, count(*) AS task_cnt
         |FROM events GROUP BY 1 ORDER BY minute""".stripMargin,
     "t_time_bucket_shard" ->
       s"""SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, ((user_id % $AppCount) + $AppCount) % $AppCount AS bucket,

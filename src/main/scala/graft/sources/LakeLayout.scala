@@ -209,7 +209,11 @@ object LakeLayout {
     * new, never a mix of rows, and untouched days are never at risk.
     * What is NOT atomic, stated honestly (true multi-partition
     * atomicity needs a metadata layer — it is exactly the commit-log
-    * swap Delta/Iceberg sell):
+    * swap Delta/Iceberg sell, and graft now ships it: ManifestLake
+    * wraps the same merge semantics in a versioned manifest whose
+    * single rename IS the commit, closing every window below —
+    * ManifestLakeSpec crash-sims each one; use ManifestLake when a
+    * takedown must be all-or-nothing across days):
     *   1. ACROSS days the commit is sequential: a mid-commit crash
     *      can leave some affected days new and others old;
     *   2. the drained-day removal runs AFTER the commit: a crash in

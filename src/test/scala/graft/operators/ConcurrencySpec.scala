@@ -12,26 +12,10 @@ import graft.{SparkSpec, Tables}
 class ConcurrencySpec extends SparkSpec {
 
   /** The scale-naive form: ONE window per app over the whole point
-    * stream (what the oracle runs in DuckDB). */
-  private def globalSweep() = {
-    val s = spark
-    val ev = Tables.events(s, sfDir)
-      .filter(col("value").isNotNull && col("ts").isNotNull)
-      .select(pmod(col("user_id"), lit(8L)).as("app"),
-        unix_millis(col("ts")).as("t0"),
-        (unix_millis(col("ts")) + ExactNum.cents(col("value"))).as("t1"),
-        col("event_id"))
-    val pts = ev.select(col("app"), col("t0").as("t"), lit(1L).as("delta"), col("event_id"))
-      .unionAll(ev.select(col("app"), col("t1").as("t"), lit(-1L).as("delta"), col("event_id")))
-    val w = Window.partitionBy(col("app"))
-      .orderBy(col("t"), col("delta"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pts.withColumn("conc", sum(col("delta")).over(w))
-      .groupBy(col("app"),
-        timestamp_millis(expr("t - pmod(t, 3600000)")).as("hour_start"))
-      .agg(max(col("conc")).as("peak_inflight"),
-        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
-  }
+    * stream (what the oracle runs in DuckDB) — the SAME definition
+    * Timeit measures as `t_concurrency_global`, so the equality pin
+    * and the SCALING.md curve describe one baseline. */
+  private def globalSweep() = TimerOps.tConcurrencyGlobal(spark, sfDir)
 
   test("two-level day-carry sweep == single global window sweep") {
     val twoLevel = TimerOps.tConcurrency(spark, sfDir)

@@ -70,4 +70,43 @@ class MultimodalSpec extends SparkSpec {
     // the unrelated payload is near nothing
     assert(out(3L)._4 == 0L, s"unrelated matched: ${out(3L)}")
   }
+
+  test("shift-tolerant tier: aligned AND header-shifted re-encodes land within hamming<=3") {
+    val session = spark
+    import session.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).trim
+    val aligned = base.updated(10, 'x').updated(400, 'y') // in-place re-encode
+    // header insertions — the byte-shift that defeats the single grid
+    // (4-, 8- and 12-byte prefixes, the offsets knob's widths)
+    val shift4 = "HDR " + base
+    val shift8 = "HEADER8 " + base
+    val shift12 = "CONTAINER12 " + base.updated(200, 'q') // shift AND re-encode
+    val unrelated = base.reverse.replace(' ', 'z').take(base.length)
+    val docs = Seq((1L, base), (2L, aligned), (3L, shift4), (4L, shift8),
+      (5L, shift12), (6L, unrelated)).toDF("doc_id", "text")
+
+    val pairs = MultimodalOps.phashShiftPairs(docs, Seq(0, 4, 8, 12))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    def near(a: Long, b: Long): Boolean =
+      pairs.get((math.min(a, b), math.max(a, b))).exists(_ <= 3)
+    // every re-encode of the base — aligned or shifted — is within the
+    // hamming<=3 band of it under the multi-offset minimum
+    Seq(2L, 3L, 4L, 5L).foreach { id =>
+      assert(near(1L, id), s"doc $id not detected: ${pairs.filter(_._1._2 == id)}")
+    }
+    // the unrelated payload stays outside the band against everything
+    (1L to 5L).foreach { id =>
+      assert(!near(id, 6L), s"unrelated matched doc $id: ${pairs.get((id, 6L))}")
+    }
+    // and the single-grid index, by contrast, cannot see the shifted
+    // ones (this is the documented limitation the tier closes; if this
+    // ever starts passing the doc comment should change, not the test)
+    val singleGrid = MultimodalOps.phashShiftPairs(docs, Seq(0))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(singleGrid.get((1L, 2L)).exists(_ <= 3), "aligned must stay detected")
+    Seq(3L, 4L, 5L).foreach { id =>
+      assert(!singleGrid.get((1L, id)).exists(_ <= 3),
+        s"single grid unexpectedly detected shifted doc $id")
+    }
+  }
 }

