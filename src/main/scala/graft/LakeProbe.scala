@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestLake
+
+/** ManifestLake cost measurement (SCALING.md §r11): builds the
+  * transactional lake from a (stretched) events table and times the
+  * write-path operations a compliance owner actually runs — create,
+  * a one-day-targeted takedown, a scattered (all-days) takedown, an
+  * upsert touching one day, vacuum. Affected-day counts ride along so
+  * the "cost ∝ affected days, commit O(1)" claim is checkable.
+  *
+  *   SPARK_GRAFT_SF_DIR=/tmp/graft_soak10 sbt "runMain graft.LakeProbe"
+  */
+object LakeProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_soak10")
+    val out = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR", "/tmp/graft_lake_probe")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.build("graft-lakeprobe", cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val events = Tables.events(spark, sfDir).filter(col("ts").isNotNull)
+    val (_, tCreate) = time(ManifestLake.create(spark, out, events, "ts"))
+    val nDays = ManifestLake.snapshot(spark, out).days.size
+
+    // one-day takedown: predicate bounded to a single day's keys,
+    // with the manifest-level day bound pruning the discovery scan
+    val day = ManifestLake.snapshot(spark, out).days.keys.toSeq.sorted.apply(nDays / 2)
+    val (_, tDelDay) = time(ManifestLake.deleteWhere(spark, out,
+      col("day") === day && col("user_id") % 7 === 3,
+      dayBound = Some(_ == day)))
+
+    // scattered takedown: ~1% of keys across EVERY day (worst case —
+    // the whole lake rewrites, but still in ONE atomic commit)
+    val (nDel, tDelAll) = time(ManifestLake.deleteWhere(spark, out,
+      col("user_id") % 101 === 7))
+
+    // upsert: re-fire one day's surviving rows an hour later (same day)
+    val upd = ManifestLake.readDays(spark, out, _ == day)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+      .drop("day")
+    val (_, tUpsert) = time(ManifestLake.upsert(spark, out, upd,
+      Seq("user_id", "event_id"), "ts"))
+
+    val (nVac, tVac) = time(ManifestLake.vacuum(spark, out, retentionMs = 0L).size)
+
+    println(s"""{"metric":"lakeprobe","dir":"$sfDir","days":$nDays,""" +
+      f""""create_sec":$tCreate%.3f,"delete_one_day_sec":$tDelDay%.3f,""" +
+      f""""delete_scattered_sec":$tDelAll%.3f,"deleted_rows":$nDel,""" +
+      f""""upsert_one_day_sec":$tUpsert%.3f,"vacuum_sec":$tVac%.3f,""" +
+      s""""vacuumed_paths":$nVac}""")
+    spark.stop()
+  }
+}

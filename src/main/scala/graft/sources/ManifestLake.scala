@@ -239,10 +239,23 @@ object ManifestLake {
     * none. Returns the number of rows deleted. */
   def deleteWhere(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
-      beforeCommit: () => Unit = () => ()): Long = {
+      beforeCommit: () => Unit = () => (),
+      dayBound: Option[String => Boolean] = None): Long = {
     val snap = snapshot(spark, path)
     val hit = coalesce(predicate, lit(false))
-    val matched = read(spark, path).filter(hit)
+    // dayBound prunes the DISCOVERY scan at the manifest level — a
+    // takedown known to be day-bounded (the common compliance case:
+    // "remove document X ingested on day D") opens only those
+    // directories instead of sweeping the lake (LakeProbe: the full
+    // sweep is the dominant term once the rewrite is one day). The
+    // bound is a promise, not a filter: rows outside it survive even
+    // if the predicate would match them — callers who cannot bound
+    // pass None and pay the honest full scan.
+    val scanBase = dayBound match {
+      case Some(keep) => readDays(spark, path, keep)
+      case None => read(spark, path)
+    }
+    val matched = scanBase.filter(hit)
       .groupBy(dayKey.as("d")).count().collect()
     if (matched.isEmpty) return 0L
     val days = matched.map(_.getString(0)).toSet

@@ -119,6 +119,25 @@ class ManifestLakeSpec extends SparkSpec {
     assert(ManifestLake.snapshot(spark, dir).version == v)
   }
 
+  test("day-bounded takedown prunes discovery to the bound and never deletes outside it") {
+    val dir = Files.createTempDirectory("graft_ml_bound").toString
+    val base = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "evil"),
+      (2L, ts("2024-01-02 10:00:00"), "evil"),
+      (3L, ts("2024-01-02 11:00:00"), "fine"))
+      .toDF("doc_id", "ts", "tag")
+    ManifestLake.create(spark, dir, base, "ts")
+    // the bound is a promise: day 1's matching row is OUTSIDE it and
+    // must survive — only day 2's evil row goes
+    val n = ManifestLake.deleteWhere(spark, dir, col("tag") === "evil",
+      dayBound = Some(_ == "2024-01-02"))
+    assert(n == 1L)
+    assert(ManifestLake.read(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // day 1's directory is physically untouched (same manifest entry)
+    assert(ManifestLake.snapshot(spark, dir).days.contains("2024-01-01"))
+  }
+
   test("null event time lands in the null partition and deletes like any row") {
     val dir = Files.createTempDirectory("graft_ml_null").toString
     val base = Seq((1L, Some("2024-01-01 10:00:00")), (2L, None), (3L, None))

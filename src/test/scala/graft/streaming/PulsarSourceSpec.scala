@@ -48,6 +48,45 @@ class PulsarSourceSpec extends SparkSpec {
     assert(rows.forall(!_.isNullAt(3)))
   }
 
+  test("conformance: the parse binds against the connector's FULL published source schema") {
+    // The StreamNative pulsar-spark connector's documented source
+    // schema for a bytes-schema topic, field for field (value payload
+    // + __-prefixed broker metadata incl. the properties map). The
+    // connector itself cannot be on this classpath (offline build —
+    // SURVEY §8f), so this constant IS the contract: pulsarSliceStream
+    // binds by name/type against exactly these columns, and a
+    // connector upgrade that changes them must break THIS spec first.
+    import org.apache.spark.sql.types._
+    val published = StructType(Seq(
+      StructField("value", BinaryType),
+      StructField("__key", BinaryType),
+      StructField("__topic", StringType),
+      StructField("__messageId", BinaryType),
+      StructField("__publishTime", TimestampType),
+      StructField("__eventTime", TimestampType),
+      StructField("__messageProperties", MapType(StringType, StringType))))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row("2024-01-15 00:37_3".getBytes(UTF_8),
+        null, "persistent://public/default/scheduler-topic",
+        Array[Byte](0, 1, 2), Timestamp.valueOf("2024-01-15 00:37:02"),
+        Timestamp.valueOf("2024-01-15 00:37:01"),
+        scala.collection.immutable.Map.empty[String, String]))
+    val parsed = Streams.parseSliceKeys(spark.createDataFrame(rows, published))
+    val r = parsed.collect().head
+    assert(r.getTimestamp(0) == Timestamp.valueOf("2024-01-15 00:37:00"))
+    assert(r.getInt(1) == 3)
+    // the local PulsarWire fixture used by the other tests is a strict
+    // projection of the published schema — no invented columns/types
+    val session = spark
+    import session.implicits._
+    val fixture = Seq.empty[PulsarWire].toDF().schema
+    fixture.fields.foreach { f =>
+      val pub = published.fields.find(_.name == f.name)
+      assert(pub.exists(_.dataType == f.dataType),
+        s"fixture column ${f.name}:${f.dataType} not in the published schema")
+    }
+  }
+
   test("producer serialization roundtrips losslessly through the consumer parse") {
     val session = spark
     import session.implicits._
