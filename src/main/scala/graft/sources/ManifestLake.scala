@@ -118,12 +118,28 @@ object ManifestLake {
   }
 
   /** Write `rows` (already carrying a string `day` column) into a
-    * fresh generation dir; returns day key → relative leaf path. */
+    * fresh generation dir; returns day key → relative leaf path.
+    *
+    * `filesPerDay` bounds BOTH sides of the file-count trade: the
+    * repartition key is (pday, row-hash % filesPerDay), so a day's
+    * rows spread over ≤ filesPerDay write tasks (a 100 TB day through
+    * ONE task would serialize the rewrite — the x_seq_pack lesson)
+    * while a thousand-day merge still cannot explode into
+    * tasks × days files. Default 1 matches test scale; a production
+    * merge sizes it to day_bytes / targetFileBytes, then compactDay
+    * trims stragglers. */
   private def writeGen(spark: SparkSession, path: String,
-      rows: DataFrame): Map[String, String] = {
+      rows: DataFrame, filesPerDay: Int = 1): Map[String, String] = {
     val gen = s"$DataDir/g-${UUID.randomUUID()}"
+    val spread = pmod(xxhash64(rows.columns.map(col).toIndexedSeq: _*),
+      lit(filesPerDay.toLong))
+    // explicit partition count: a bare repartition(cols…) is AQE-
+    // coalescible, which would fold the per-day spread right back
+    // into one task on a small merge
+    val shufflePartitions =
+      rows.sparkSession.sessionState.conf.numShufflePartitions
     rows.withColumn("pday", col("day"))
-      .repartition(col("pday"))
+      .repartition(shufflePartitions, col("pday"), spread)
       .write.partitionBy("pday").mode("errorifexists")
       .parquet(s"$path/$gen")
     val (fs, root) = fsOf(spark, path)
@@ -142,11 +158,11 @@ object ManifestLake {
     * commit manifest v1. A 0-row schema anchor is kept under the log
     * dir so a fully-drained table still reads with its schema. */
   def create(spark: SparkSession, path: String, df: DataFrame,
-      ordCol: String): Long = {
+      ordCol: String, filesPerDay: Int = 1): Long = {
     val rows = df.withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
     rows.limit(0).write.mode("overwrite").parquet(s"$path/$SchemaDir")
     val dayMap = writeGen(spark, path,
-      rows.withColumn("day", dayKey))
+      rows.withColumn("day", dayKey), filesPerDay)
       .map { case (d, p) => d -> p }
     val (fs, root) = fsOf(spark, path)
     commit(fs, root, 1L, dayMap)
@@ -197,7 +213,8 @@ object ManifestLake {
     * the wholly-old snapshot. Returns the committed version. */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], ordCol: String,
-      beforeCommit: () => Unit = () => ()): Long = {
+      beforeCommit: () => Unit = () => (),
+      filesPerDay: Int = 1): Long = {
     val snap = snapshot(spark, path)
     val upd = updates
       .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
@@ -222,7 +239,7 @@ object ManifestLake {
       .filter(col("rn") === 1).drop("rn", "src")
       .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
       .withColumn("day", dayKey)
-    val newDirs = writeGen(spark, path, merged)
+    val newDirs = writeGen(spark, path, merged, filesPerDay)
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
     // affected days remap to the new generation (or vanish when
@@ -240,7 +257,8 @@ object ManifestLake {
   def deleteWhere(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
       beforeCommit: () => Unit = () => (),
-      dayBound: Option[String => Boolean] = None): Long = {
+      dayBound: Option[String => Boolean] = None,
+      filesPerDay: Int = 1): Long = {
     val snap = snapshot(spark, path)
     val hit = coalesce(predicate, lit(false))
     // dayBound prunes the DISCOVERY scan at the manifest level — a
@@ -262,7 +280,7 @@ object ManifestLake {
     val deleted = matched.map(_.getLong(1)).sum
     val kept = readDays(spark, path, days.contains).filter(!hit)
       .withColumn("day", dayKey)
-    val newDirs = writeGen(spark, path, kept)
+    val newDirs = writeGen(spark, path, kept, filesPerDay)
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
     commit(fs, root, snap.version + 1, (snap.days -- days) ++ newDirs)

@@ -213,6 +213,23 @@ class ManifestLakeSpec extends SparkSpec {
     assert(ManifestLake.compactDay(spark, dir, "1999-01-01") == 2L)
   }
 
+  test("filesPerDay spreads a big day across write tasks, content preserved") {
+    val dir = Files.createTempDirectory("graft_ml_spread").toString
+    val oneDay = spark.range(2000)
+      .withColumn("user_id", col("id")).withColumn("event_id", col("id"))
+      .withColumn("ts", lit(ts("2024-01-05 10:00:00")))
+      .withColumn("event_type", lit("click")).withColumn("value", lit(1.0))
+      .drop("id")
+    ManifestLake.create(spark, dir, oneDay, "ts", filesPerDay = 4)
+    val rel = ManifestLake.snapshot(spark, dir).days("2024-01-05")
+    val nFiles = new java.io.File(s"$dir/$rel").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // the hash-spread puts the day's rows through up to 4 tasks (≥2
+    // proves it is no longer single-task; ≤4 proves the bound)
+    assert(nFiles >= 2 && nFiles <= 4, s"expected 2..4 files, got $nFiles")
+    assert(ManifestLake.read(spark, dir).count() == 2000L)
+  }
+
   test("vacuum: reclaims orphaned generations + expired manifests, keeps the live set") {
     val dir = Files.createTempDirectory("graft_ml_vacuum").toString
     ManifestLake.create(spark, dir, mkBase(), "ts")
