@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   *     `data/g-<uuid>/pday=<day>/` directory; committed files are
   *     never modified or overwritten in place;
   *   - **a versioned manifest** `_graft_log/<v>.manifest` mapping each
-  *     day partition to the generation directory that currently holds
-  *     it. Readers resolve the HIGHEST committed manifest and read
-  *     exactly the directories it lists — an uncommitted or crashed
-  *     write is invisible because nothing references it;
+  *     day partition to the generation directories that currently
+  *     hold it (one after a merge; one per micro-batch under
+  *     streaming append, until compactDay folds them), plus the
+  *     exactly-once streaming batch cursor. Readers resolve the
+  *     HIGHEST committed manifest and read exactly the directories it
+  *     lists — an uncommitted or crashed write is invisible because
+  *     nothing references it;
   *   - **one atomic commit point**: the new manifest is written to a
   *     temp name and renamed into place. The rename is the entire
   *     commit — before it readers see the old snapshot for EVERY day,
@@ -61,9 +64,13 @@ object ManifestLake {
   private val NullPart = "__HIVE_DEFAULT_PARTITION__"
   private val ManifestRe = "([0-9]{8})\\.manifest".r
 
-  /** One committed version: day partition key → table-relative data
-    * directory currently holding that day. */
-  final case class Snapshot(version: Long, days: Map[String, String])
+  /** One committed version: day partition key → the table-relative
+    * data directories currently holding that day (several after
+    * streaming appends; compactDay folds them back to one), plus the
+    * highest streaming batch id committed (−1 = none) — the
+    * exactly-once cursor for appendBatch. */
+  final case class Snapshot(version: Long, days: Map[String, Seq[String]],
+      lastBatch: Long = -1L)
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -83,11 +90,16 @@ object ManifestLake {
     val in = fs.open(new Path(root, f"$LogDir/$v%08d.manifest"))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    val days = txt.split('\n').filter(_.nonEmpty).map { line =>
-      val Array(d, p) = line.split('\t')
-      d -> p
-    }.toMap
-    Snapshot(v, days)
+    val lines = txt.split('\n').filter(_.nonEmpty)
+    val lastBatch = lines.collectFirst {
+      case l if l.startsWith("#batch\t") => l.stripPrefix("#batch\t").toLong
+    }.getOrElse(-1L)
+    val days = lines.filterNot(_.startsWith("#"))
+      .map { line =>
+        val Array(d, p) = line.split('\t')
+        d -> p
+      }.groupBy(_._1).map { case (d, ps) => d -> ps.map(_._2).toSeq }
+    Snapshot(v, days, lastBatch)
   }
 
   /** The latest committed snapshot (version 0 = empty table). */
@@ -102,15 +114,17 @@ object ManifestLake {
     * rename into place. Throws ConcurrentModificationException if
     * `next` is already committed (another writer won the race). */
   private def commit(fs: FileSystem, root: Path, next: Long,
-      days: Map[String, String]): Unit = {
+      days: Map[String, Seq[String]], lastBatch: Long = -1L): Unit = {
     val target = new Path(root, f"$LogDir/$next%08d.manifest")
     if (fs.exists(target))
       throw new java.util.ConcurrentModificationException(
         s"manifest version $next already committed by another writer")
     val tmp = new Path(root, s"$LogDir/.tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, /* overwrite = */ false)
-    try out.write(days.toSeq.sortBy(_._1)
-      .map { case (d, p) => s"$d\t$p" }.mkString("\n").getBytes("UTF-8"))
+    val header = if (lastBatch >= 0) Seq(s"#batch\t$lastBatch") else Seq.empty
+    val body = days.toSeq.sortBy(_._1)
+      .flatMap { case (d, ps) => ps.sorted.map(p => s"$d\t$p") }
+    try out.write((header ++ body).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, target))
       throw new java.util.ConcurrentModificationException(
@@ -163,7 +177,7 @@ object ManifestLake {
     rows.limit(0).write.mode("overwrite").parquet(s"$path/$SchemaDir")
     val dayMap = writeGen(spark, path,
       rows.withColumn("day", dayKey), filesPerDay)
-      .map { case (d, p) => d -> p }
+      .map { case (d, p) => d -> Seq(p) }
     val (fs, root) = fsOf(spark, path)
     commit(fs, root, 1L, dayMap)
     1L
@@ -178,7 +192,8 @@ object ManifestLake {
   def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
     val (fs, root) = fsOf(spark, path)
     val snap = if (v == 0L) Snapshot(0L, Map.empty) else readManifest(fs, root, v)
-    val dirs = s"$path/$SchemaDir" +: snap.days.values.toSeq.sorted.map(p => s"$path/$p")
+    val dirs = s"$path/$SchemaDir" +:
+      snap.days.values.flatten.toSeq.sorted.map(p => s"$path/$p")
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)
       .withColumn("day", when(col("day") === NullPart, lit(null:
         String)).otherwise(col("day")))
@@ -196,7 +211,8 @@ object ManifestLake {
       keep: String => Boolean): DataFrame = {
     val snap = snapshot(spark, path)
     val dirs = s"$path/$SchemaDir" +:
-      snap.days.filter(kv => keep(kv._1)).values.toSeq.sorted.map(p => s"$path/$p")
+      snap.days.filter(kv => keep(kv._1)).values.flatten.toSeq.sorted
+        .map(p => s"$path/$p")
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)
       .withColumn("day", when(col("day") === NullPart, lit(null:
         String)).otherwise(col("day")))
@@ -243,8 +259,11 @@ object ManifestLake {
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
     // affected days remap to the new generation (or vanish when
-    // drained); untouched days keep their existing directories
-    commit(fs, root, snap.version + 1, (snap.days -- days) ++ newDirs)
+    // drained); untouched days keep their existing directories; a
+    // merge incidentally COMPACTS its days (many appended dirs → one)
+    commit(fs, root, snap.version + 1,
+      (snap.days -- days) ++ newDirs.map { case (d, p) => d -> Seq(p) },
+      snap.lastBatch)
     snap.version + 1
   }
 
@@ -283,23 +302,29 @@ object ManifestLake {
     val newDirs = writeGen(spark, path, kept, filesPerDay)
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
-    commit(fs, root, snap.version + 1, (snap.days -- days) ++ newDirs)
+    commit(fs, root, snap.version + 1,
+      (snap.days -- days) ++ newDirs.map { case (d, p) => d -> Seq(p) },
+      snap.lastBatch)
     deleted
   }
 
   /** Compact one day into ⌈bytes/target⌉ files — LakeLayout.compact
     * with the output swapped in ATOMICALLY via the manifest (readers
     * see the old file set or the new one, never a half-written out
-    * dir; the input generation is untouched and reclaimed by vacuum
-    * once unreferenced). Returns the committed version (snap.version
-    * if the day does not exist). */
+    * dir; the input generations are untouched and reclaimed by vacuum
+    * once unreferenced). After streaming appends a day holds MANY
+    * directories (one per batch) — compaction folds them back to one,
+    * which is the maintenance loop every commit-log lake runs behind
+    * its ingest. Returns the committed version (snap.version if the
+    * day does not exist). */
   def compactDay(spark: SparkSession, path: String, day: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val snap = snapshot(spark, path)
-    val rel = snap.days.getOrElse(day, return snap.version)
-    val df = spark.read.parquet(s"$path/$rel")
+    val rels = snap.days.getOrElse(day, return snap.version)
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(rels.map(p => s"$path/$p"): _*)
     val (fs, root) = fsOf(spark, path)
-    val bytes = fs.listStatus(new Path(root, rel)).toSeq
+    val bytes = rels.flatMap(rel => fs.listStatus(new Path(root, rel)).toSeq)
       .filter(_.isFile).map(_.getLen).sum
     if (bytes == 0L) return snap.version
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
@@ -308,8 +333,54 @@ object ManifestLake {
     df.repartition(nFiles.toInt)
       .write.mode("errorifexists").parquet(s"$path/$gen/pday=$day")
     commit(fs, root, snap.version + 1,
-      snap.days + (day -> s"$gen/pday=$day"))
+      snap.days + (day -> Seq(s"$gen/pday=$day")), snap.lastBatch)
     snap.version + 1
+  }
+
+  /** Exactly-once streaming APPEND — the foreachBatch body that turns
+    * a Structured Streaming query into transactional lake ingest (the
+    * Delta streaming-sink pattern): each micro-batch lands as a fresh
+    * generation and ONE manifest commit that also advances the
+    * `lastBatch` cursor. Idempotence is the cursor check: Spark
+    * re-runs a failed batch with the SAME batchId, and a batch whose
+    * id is ≤ the committed cursor is skipped — the data either
+    * committed (cursor advanced atomically WITH the data) or it
+    * didn't (orphaned generation, invisible, vacuumed later). A crash
+    * between data write and commit therefore re-appends the same
+    * batch without duplication, which is exactly-once from the
+    * reader's seat. Single-writer per table, like every log-ordered
+    * sink. Returns the committed version (snap.version on a skip). */
+  def appendBatch(spark: SparkSession, path: String, batch: DataFrame,
+      ordCol: String, batchId: Long, filesPerDay: Int = 1,
+      beforeCommit: () => Unit = () => ()): Long = {
+    val snap = snapshot(spark, path)
+    if (batchId <= snap.lastBatch) return snap.version // replayed batch
+    val rows = batch
+      .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
+      .withColumn("day", dayKey)
+    val newDirs = writeGen(spark, path, rows, filesPerDay)
+    beforeCommit()
+    val (fs, root) = fsOf(spark, path)
+    val merged = newDirs.foldLeft(snap.days) { case (m, (d, p)) =>
+      m.updated(d, m.getOrElse(d, Seq.empty) :+ p)
+    }
+    commit(fs, root, snap.version + 1, merged, batchId)
+    snap.version + 1
+  }
+
+  /** The writeStream adapter: `stream.writeStream.foreachBatch(
+    * ManifestLake.sink(path, "ts")).start()`. The first batch of a
+    * fresh table also writes the schema anchor. */
+  def sink(path: String, ordCol: String, filesPerDay: Int = 1):
+      (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val anchor = new Path(s"$path/$SchemaDir")
+    val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(anchor))
+      batch.withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
+        .limit(0).write.mode("overwrite").parquet(s"$path/$SchemaDir")
+    appendBatch(spark, path, batch, ordCol, batchId, filesPerDay)
+    ()
   }
 
   /** Reclaim data leaf dirs no retained manifest references and
@@ -338,7 +409,7 @@ object ManifestLake {
       fs.delete(p, false); deleted += p.toUri.getPath
     }
     val retained = (keep ++ old.diff(expired))
-      .map(readManifest(fs, root, _).days.values.toSet)
+      .map(readManifest(fs, root, _).days.values.flatten.toSet)
       .foldLeft(Set.empty[String])(_ ++ _)
     val data = new Path(root, DataDir)
     if (fs.exists(data)) fs.listStatus(data).foreach { gen =>
