@@ -455,21 +455,35 @@ object TrainingPipeline {
     * (85·Σ contrib) div 100. Sums of longs are order-independent,
     * division is floor — no float accumulation anywhere.
     *
-    * Scale shape: each iteration is one equi-join of edges against
-    * ranks (shuffle on the node id, the partitioning REUSED across
-    * iterations since every join keys on the same column) + one
-    * map-side-partial sum — the standard distributed PageRank shape;
-    * K is fixed so lineage stays linear (the CC contraction loop's
-    * localCheckpoint lesson does not arise). Edges come from the
-    * SAME shared signature pipeline as d_minhash_lsh (memoized
-    * cache); n is a one-scalar driver aggregate (the BloomOps
-    * pattern). */
+    * Scale shape: the EDGE table — the only term that grows with the
+    * corpus — is hash-partitioned on src ONCE and cached in that
+    * layout, so every iteration's edges⋈contrib probe finds its
+    * required partitioning already in place and only the NODE-sized
+    * frames (contrib, inbound, state) shuffle per round (r11: the
+    * previous form re-exchanged the cached-but-unpartitioned edges
+    * every iteration and joined deg back twice per round; the rewrite
+    * removes the edge-sized exchanges and one join per round —
+    * plan-level wins that are noise at sf0.1, where the ~4.4 s bench
+    * entry is stage-scheduling overhead on a tiny graph [measured:
+    * unchanged pre/post rewrite], and exactly the terms that dominate
+    * once edges are corpus-sized). deg rides inside the rank state,
+    * so an iteration is exactly two node-keyed joins + one
+    * map-side-partial sum — the standard distributed PageRank
+    * shape. K is fixed so lineage stays linear
+    * (the CC contraction loop's localCheckpoint lesson does not
+    * arise). Edges come from the SAME shared signature pipeline as
+    * d_minhash_lsh (memoized cache); n is a one-scalar driver
+    * aggregate (the BloomOps pattern). Ranks are NOT broadcast
+    * deliberately: at 100 TB the node table is itself billions of
+    * rows — node-keyed shuffles are the scale-safe side of that
+    * trade. */
   def graphRank(s: SparkSession, dir: String): DataFrame = {
     val pairs = DedupOps.minhashLshPairs(s, dir, Int.MaxValue)
       .select(col("id_a"), col("id_b"))
     val edges = pairs
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .repartition(col("src"))
       .cache()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
     val n = deg.count() // one scalar; the graph node count
@@ -484,15 +498,16 @@ object TrainingPipeline {
           org.apache.spark.sql.types.LongType))))
     val r0 = RankScale / n
     val base = (15L * r0) / 100L
-    var rank = deg.select(col("src").as("id"), lit(r0).as("rank"))
+    // deg rides IN the state so no per-iteration deg joins are needed;
+    // the arithmetic is bit-identical to the unrolled oracle
+    var state = deg.select(col("src").as("id"), col("deg"), lit(r0).as("rank"))
     (1 to RankIters).foreach { _ =>
-      val contrib = rank.join(deg, rank("id") === deg("src"))
-        .select(col("id"), expr("rank div deg").as("c"))
+      val contrib = state.select(col("id"), expr("rank div deg").as("c"))
       val inbound = edges.join(contrib, edges("src") === contrib("id"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      rank = deg.select(col("src").as("id"))
+      state = state.select(col("id"), col("deg"))
         .join(inbound, col("id") === col("dst"), "left")
-        .select(col("id"),
+        .select(col("id"), col("deg"),
           expr(s"${base}L + (85L * coalesce(sc, 0L)) div 100L").as("rank"))
     }
     // materialize the final ranks, then release the per-call caches:
@@ -500,8 +515,7 @@ object TrainingPipeline {
     // stacks a fresh edges+deg pair in storage memory for the session
     // lifetime — the same cache-stacking class ADVICE r8 flagged for
     // minhashSigs
-    val out = rank.join(deg, rank("id") === deg("src"))
-      .select(col("id").as("doc_id"), col("deg"), col("rank"))
+    val out = state.select(col("id").as("doc_id"), col("deg"), col("rank"))
       .localCheckpoint(true)
     edges.unpersist(false)
     deg.unpersist(false)
