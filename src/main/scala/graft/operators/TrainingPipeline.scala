@@ -463,10 +463,11 @@ object TrainingPipeline {
     * previous form re-exchanged the cached-but-unpartitioned edges
     * every iteration and joined deg back twice per round; the rewrite
     * removes the edge-sized exchanges and one join per round —
-    * plan-level wins that are noise at sf0.1, where the ~4.4 s bench
-    * entry is stage-scheduling overhead on a tiny graph [measured:
-    * unchanged pre/post rewrite], and exactly the terms that dominate
-    * once edges are corpus-sized). deg rides inside the rank state,
+    * measured ~15% at sf0.1 against a slower calibration anchor
+    * [4.40 → 3.82 s while calibration_sec rose 0.32 → 0.37], modest
+    * locally because stage-scheduling overhead dominates a tiny
+    * graph, and exactly the terms that dominate once edges are
+    * corpus-sized). deg rides inside the rank state,
     * so an iteration is exactly two node-keyed joins + one
     * map-side-partial sum — the standard distributed PageRank
     * shape. K is fixed so lineage stays linear

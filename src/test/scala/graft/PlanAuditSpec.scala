@@ -67,6 +67,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.split("Exchange").length - 1 <= 2, p) // agg + final sort only
   }
 
+  test("t_minute_task_cnt_tz: the zone shift is a scan-side scalar — plan identical to UTC") {
+    val p = plan(TimerOps.tMinuteTaskCnt(spark, sfDir, "Asia/Shanghai"))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.split("Exchange").length - 1 <= 2, p) // agg + final sort only
+    // the conversion compiles to from_utc_timestamp inside the
+    // projection, never a join or extra shuffle
+    assert(p.contains("from_utc_timestamp"), p)
+  }
+
   test("t_pending_overdue: paged scan is a top-k; raw-nanos time bound pushed") {
     val df = TimerOps.tPendingOverdue(spark, sfDir)
     assert(plan(df).contains("TakeOrderedAndProject"), plan(df))
