@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{SparkSpec, Tables}
+import graft.SparkSpec
 
 /** t_concurrency invariants: the distributed two-level prefix sum
   * (per-(app, day) windows + day-carry broadcast) must equal the
