@@ -187,7 +187,15 @@ object ManifestLake {
     * schema anchor is always included so an empty snapshot reads as
     * an empty table WITH the schema; mergeSchema unions footers so
     * additive evolution across generations surfaces table-wide
-    * (LakeLayout.readEvolved's argument). `day` comes back as the
+    * (LakeLayout.readEvolved's argument — and the r9 lesson that a
+    * single-footer read silently drops late-added columns from a
+    * takedown rewrite, which is why correctness keeps it ON here).
+    * The cost is one footer per file at planning; it is bounded by
+    * the same maintenance that bounds file counts — compactDay folds
+    * a day's appended generations, so footer count tracks compacted
+    * days, not batches ingested. (A production deployment would also
+    * checkpoint the union schema into the log, the Delta approach —
+    * noted, not needed at this file count.) `day` comes back as the
     * stored column; the NullPart marker is restored to NULL. */
   def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
     val (fs, root) = fsOf(spark, path)
@@ -389,7 +397,13 @@ object ManifestLake {
     * canonical garbage here — they were invisible to every reader, so
     * deletion is always safe once past the in-flight retention guard.
     * Deleting old manifests bounds time travel, exactly like
-    * Delta/Iceberg expire-snapshots. Returns deleted paths. */
+    * Delta/Iceberg expire-snapshots — and it also bounds the
+    * snapshot() listing itself: a streaming sink commits one
+    * manifest per micro-batch, so without expiry the log dir grows
+    * with trigger count (Delta caps this with log checkpoints every
+    * N commits; here retention expiry is the cap, and at a 7-day
+    * retention × minute triggers the listing is ~10⁴ names — a
+    * single RPC page). Returns deleted paths. */
   def vacuum(spark: SparkSession, path: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val (fs, root) = fsOf(spark, path)
