@@ -1,0 +1,116 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Randomized MODEL test for the transactional lake: a seeded
+  * sequence of appendBatch / upsert / deleteWhere / compactDay /
+  * crash-injected ops runs against both the real ManifestLake and a
+  * driver-side Map model implementing the same semantics
+  * (latest-wins per key, TRUE-only delete, append adds). After every
+  * op the committed read must equal the model EXACTLY — including
+  * after injected crashes, where the model (correctly) does not
+  * advance. Point specs pin each behavior once; this pins their
+  * COMPOSITION, which is where transactional layers actually break
+  * (a stale snapshot read inside op N+1 after op N's commit, a
+  * cursor that advances on a crashed append, a compaction that
+  * resurrects deleted rows). */
+class ManifestLakeModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+  private val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+  private val DayMs = 86400000L
+
+  // key → (ts, value); the model's latest-wins state
+  private type Model = Map[Long, (Long, Double)]
+
+  private def toDf(rows: Seq[(Long, Long, Double)]) =
+    rows.map { case (k, t, v) => (k, ts(t), v) }
+      .toDF("k", "ts", "value")
+
+  private def lakeState(dir: String): Model =
+    ManifestLake.read(spark, dir)
+      .select("k", "ts", "value").collect()
+      .map(r => r.getLong(0) -> ((r.getTimestamp(1).getTime, r.getDouble(2))))
+      .toMap
+
+  test("random op sequence: lake == driver-side model after every committed op (seed 1107)") {
+    val rnd = new scala.util.Random(1107)
+    val dir = Files.createTempDirectory("graft_ml_model").toString
+    def rk() = rnd.nextInt(40).toLong                 // small key space → real collisions
+    def rt() = base + rnd.nextInt(5) * DayMs + rnd.nextInt(86400) * 1000L
+    def rv() = (rnd.nextInt(1000) + 1) / 100.0
+
+    // init: 12 distinct keys
+    val init = Seq.tabulate(12)(i => (i.toLong, rt(), rv()))
+    ManifestLake.create(spark, dir, toDf(init), "ts")
+    var model: Model = init.map { case (k, t, v) => k -> ((t, v)) }.toMap
+    var nextBatch = 0L
+
+    def checkEq(opName: String, op: Int): Unit = {
+      val got = lakeState(dir)
+      assert(got == model, s"op $op ($opName): lake ${got.toSeq.sortBy(_._1)} " +
+        s"!= model ${model.toSeq.sortBy(_._1)}")
+    }
+
+    (1 to 40).foreach { op =>
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 => // append new keys (fresh ids so append stays append)
+          val rows = Seq.tabulate(1 + rnd.nextInt(3))(i =>
+            (1000L + op * 10 + i, rt(), rv()))
+          ManifestLake.appendBatch(spark, dir, toDf(rows), "ts", nextBatch)
+          nextBatch += 1
+          model ++= rows.map { case (k, t, v) => k -> ((t, v)) }
+          checkEq("append", op)
+        case 3 => // replay of the PREVIOUS batch id: must be a no-op
+          if (nextBatch > 0) {
+            val rows = Seq((2000L + op, rt(), rv()))
+            ManifestLake.appendBatch(spark, dir, toDf(rows), "ts", nextBatch - 1)
+            checkEq("replayed-append(no-op)", op)
+          }
+        case 4 | 5 => // latest-wins upsert over existing + new keys
+          val rows = Seq.tabulate(1 + rnd.nextInt(3))(_ => (rk(), rt(), rv()))
+          ManifestLake.upsert(spark, dir, toDf(rows), Seq("k"), "ts")
+          rows.foreach { case (k, t, v) =>
+            val winner = model.get(k) match {
+              case Some((t0, _)) if t0 > t => model(k)
+              case _ => (t, v) // update wins ties (src desc)
+            }
+            model += k -> winner
+          }
+          checkEq("upsert", op)
+        case 6 | 7 => // takedown by value threshold (TRUE-only)
+          val cut = rv()
+          ManifestLake.deleteWhere(spark, dir, col("value") < cut)
+          model = model.filter { case (_, (_, v)) => !(v < cut) }
+          checkEq("delete", op)
+        case 8 => // compaction of a random live day: content-neutral
+          val days = ManifestLake.snapshot(spark, dir).days.keys.toSeq.sorted
+          if (days.nonEmpty) {
+            ManifestLake.compactDay(spark, dir, days(rnd.nextInt(days.size)))
+            checkEq("compact", op)
+          }
+        case 9 => // CRASH injection: a failed commit changes nothing
+          val rows = Seq((3000L + op, rt(), rv()))
+          intercept[RuntimeException] {
+            ManifestLake.appendBatch(spark, dir, toDf(rows), "ts", nextBatch,
+              beforeCommit = () => throw new RuntimeException("kill"))
+          }
+          // cursor must NOT have advanced; the same id re-lands once
+          ManifestLake.appendBatch(spark, dir, toDf(rows), "ts", nextBatch)
+          nextBatch += 1
+          model += rows.head._1 -> ((rows.head._2, rows.head._3))
+          checkEq("crash+retry", op)
+      }
+    }
+    // end state sanity: vacuum reclaims the crash orphans without
+    // changing the committed view
+    val before = lakeState(dir)
+    ManifestLake.vacuum(spark, dir, retentionMs = 0L)
+    assert(lakeState(dir) == before, "vacuum changed the committed view")
+  }
+}
