@@ -357,7 +357,12 @@ object ManifestLake {
     * between data write and commit therefore re-appends the same
     * batch without duplication, which is exactly-once from the
     * reader's seat. Single-writer per table, like every log-ordered
-    * sink. Returns the committed version (snap.version on a skip). */
+    * sink — and the cursor is married to the QUERY's checkpoint:
+    * batchIds restart at 0 under a fresh checkpoint, which the
+    * cursor would (correctly, from its seat) skip as replays — a
+    * re-pointed stream needs a new table or an explicit cursor
+    * reset, the same rule Delta's txn-version sinks state. Returns
+    * the committed version (snap.version on a skip). */
   def appendBatch(spark: SparkSession, path: String, batch: DataFrame,
       ordCol: String, batchId: Long, filesPerDay: Int = 1,
       beforeCommit: () => Unit = () => ()): Long = {
