@@ -29,8 +29,13 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("ERROR")
 
     val rep = spark.range(factor).toDF("rep")
-    def write(name: String, df: DataFrame): Unit =
-      df.repartition(cpus.toInt).write.mode("overwrite").parquet(s"$out/$name.parquet")
+    // SPARK_GRAFT_TABLES=events,documents — rebuild only the named
+    // tables (a 100× soak of one operator family shouldn't pay for a
+    // 60M-row lineitem it never reads)
+    val only = sys.env.get("SPARK_GRAFT_TABLES").map(_.split(",").toSet)
+    def write(name: String, df: => DataFrame): Unit =
+      if (only.forall(_.contains(name)))
+        df.repartition(cpus.toInt).write.mode("overwrite").parquet(s"$out/$name.parquet")
     // Remap precondition (ADVICE r5): every base key must be < Offset
     // (else replicas overlap and joins silently corrupt) and the top
     // replica offset must not overflow a long. Fail LOUDLY up front.
@@ -91,6 +96,7 @@ object ScaleUp {
     write("embeddings", scaled(Tables.embeddings(spark, sfDir), "vec_id"))
 
     val counts = Seq("lineitem", "events", "documents", "embeddings")
+      .filter(t => only.forall(_.contains(t)))
       .map(t => s""""$t":${spark.read.parquet(s"$out/$t.parquet").count()}""")
     println(s"""{"metric":"scaleup","factor":$factor,${counts.mkString(",")},"dir":"$out"}""")
     spark.stop()
