@@ -38,8 +38,9 @@ class ManifestLakeModelSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getTimestamp(1).getTime, r.getDouble(2))))
       .toMap
 
-  test("random op sequence: lake == driver-side model after every committed op (seed 1107)") {
-    val rnd = new scala.util.Random(1107)
+  for (seed <- Seq(1107, 2214))
+  test(s"random op sequence: lake == driver-side model after every committed op (seed $seed)") {
+    val rnd = new scala.util.Random(seed)
     val dir = Files.createTempDirectory("graft_ml_model").toString
     def rk() = rnd.nextInt(40).toLong                 // small key space → real collisions
     def rt() = base + rnd.nextInt(5) * DayMs + rnd.nextInt(86400) * 1000L
