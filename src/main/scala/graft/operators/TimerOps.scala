@@ -785,6 +785,8 @@ object TimerOps {
     "t_minute_task_cnt_tz" ->
       ((s: SparkSession, d: String) => tMinuteTaskCnt(s, d, "Asia/Shanghai")),
     "t_time_bucket_shard" -> ((s: SparkSession, d: String) => tTimeBucketShard(s, d)),
+    "t_time_bucket_shard_tz" ->
+      ((s: SparkSession, d: String) => tTimeBucketShard(s, d, "America/New_York")),
     "t_time_window_slice" -> (tTimeWindowSlice _),
     "t_union_key_roundtrip" -> (tUnionKeyRoundtrip _),
     "t_status_lifecycle" -> (tStatusLifecycle _),
@@ -825,6 +827,15 @@ object TimerOps {
         |FROM events GROUP BY 1 ORDER BY minute""".stripMargin,
     "t_time_bucket_shard" ->
       s"""SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, ((user_id % $AppCount) + $AppCount) % $AppCount AS bucket,
+        |  count(*) AS task_cnt, count(DISTINCT user_id) AS n_timers
+        |FROM events GROUP BY 1, 2 ORDER BY minute, bucket""".stripMargin,
+    // negative-offset DST zone (the shard keys cross the day boundary
+    // BACKWARD); same two-tzdata agreement argument as
+    // t_minute_task_cnt_tz
+    "t_time_bucket_shard_tz" ->
+      s"""SELECT strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York',
+        |    '%Y-%m-%d %H:%M') AS minute,
+        |  ((user_id % $AppCount) + $AppCount) % $AppCount AS bucket,
         |  count(*) AS task_cnt, count(DISTINCT user_id) AS n_timers
         |FROM events GROUP BY 1, 2 ORDER BY minute, bucket""".stripMargin,
     "t_time_window_slice" ->
