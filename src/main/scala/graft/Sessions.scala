@@ -21,6 +21,11 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NOTE: outputTimestampType stays INT96 (Spark's default): the
+      // adjusted-to-UTC INT64 form reads back as TIMESTAMPTZ in
+      // DuckDB, which would break the engine-wide naive-timestamp
+      // oracle convention for every Verify dump. ManifestLake opts
+      // into TIMESTAMP_MICROS around ITS writes only (footer stats).
       .config("spark.ui.enabled", "false")
       // NOTE: no spark.driver.memory here — in local mode the heap is
       // fixed by the already-running JVM; build.sbt sizes -Xmx from

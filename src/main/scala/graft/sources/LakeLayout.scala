@@ -89,29 +89,41 @@ object LakeLayout {
     * (z-order day=D after it closes), exactly like compact().
     * ZOrderSpec measures the skipping: both probe columns prune files
     * under the z-layout; the linear layout prunes only its sort key. */
-  def writeZOrdered(df: DataFrame, path: String, colA: String,
-      colB: String, numFiles: Int = 8): Unit = {
+  /** The 32-bit Morton z-value of (colA, colB) scaled to [0, 2¹⁶) by
+    * the frame's own min/max, as a builtins-only Column — None when
+    * the frame is empty or a cluster column is all-null (no range to
+    * interleave). Shared by writeZOrdered and
+    * ManifestLake.compactDay's two-column clustering. */
+  private[sources] def zValue(df: DataFrame, colA: String,
+      colB: String): Option[org.apache.spark.sql.Column] = {
     val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
-    if (r.isNullAt(0) || r.isNullAt(2)) {
+    if (r.isNullAt(0) || r.isNullAt(2)) None
+    else {
+      val (aMin, aMax, bMin, bMax) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      def scaled(c: String, lo: Long, hi: Long): String =
+        if (hi == lo) "0L"
+        else s"((CAST($c AS BIGINT) - ${lo}L) * 65535L) div ${hi - lo}L"
+      Some(expr(s"""aggregate(sequence(0, 15), 0L, (acc, i) ->
+        |  acc | shiftleft(shiftright(${scaled(colA, aMin, aMax)}, i) & 1L, 2 * i)
+        |      | shiftleft(shiftright(${scaled(colB, bMin, bMax)}, i) & 1L, 2 * i + 1))""".stripMargin))
+    }
+  }
+
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+      colB: String, numFiles: Int = 8): Unit = zValue(df, colA, colB) match {
+    case None =>
       // empty input (or all-null cluster columns): no range to
       // interleave — a maintenance rewrite of a quiet partition writes
       // it through unchanged instead of dying on a null aggregate
       df.write.mode("overwrite").parquet(path)
-      return
-    }
-    val (aMin, aMax, bMin, bMax) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    def scaled(c: String, lo: Long, hi: Long): String =
-      if (hi == lo) "0L"
-      else s"((CAST($c AS BIGINT) - ${lo}L) * 65535L) div ${hi - lo}L"
-    val z = s"""aggregate(sequence(0, 15), 0L, (acc, i) ->
-      |  acc | shiftleft(shiftright(${scaled(colA, aMin, aMax)}, i) & 1L, 2 * i)
-      |      | shiftleft(shiftright(${scaled(colB, bMin, bMax)}, i) & 1L, 2 * i + 1))""".stripMargin
-    df.withColumn("z", expr(z))
-      .repartitionByRange(numFiles, col("z"))
-      .sortWithinPartitions(col("z"))
-      .drop("z")
-      .write.mode("overwrite").parquet(path)
+    case Some(z) =>
+      df.withColumn("z", z)
+        .repartitionByRange(numFiles, col("z"))
+        .sortWithinPartitions(col("z"))
+        .drop("z")
+        .write.mode("overwrite").parquet(path)
   }
 
   /** Copy-on-write UPSERT into the day-partitioned lake — the lake

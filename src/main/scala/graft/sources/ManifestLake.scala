@@ -61,20 +61,55 @@ object ManifestLake {
   private val LogDir = "_graft_log"
   private val DataDir = "data"
   private val SchemaDir = s"$LogDir/schema"
+  private val StatsColsFile = s"$LogDir/stats_cols"
   private val NullPart = "__HIVE_DEFAULT_PARTITION__"
   private val ManifestRe = "([0-9]{8})\\.manifest".r
+
+  /** Per-file, per-column statistics carried in the manifest (the
+    * Delta/Iceberg data-skipping design, built from the public parquet
+    * footer API): `nulls` = null count (−1 when the writer didn't
+    * record it), `min`/`max` = canonical-string bounds valid only when
+    * `hasMM`, `dom` = the comparison domain the canonical strings live
+    * in — 'N' numeric (compare as BigDecimal), 'S' string (compare as
+    * unsigned UTF-8 bytes, parquet's own binary ordering), 'D' date
+    * (canonical epoch-day), 'T' timestamp (canonical epoch-micros). */
+  final case class ColStats(nulls: Long, hasMM: Boolean,
+      min: String, max: String, dom: Char)
+
+  /** One data file's manifest entry: total row count plus the stats of
+    * each indexed column present in the file. */
+  final case class FileMeta(rows: Long, stats: Map[String, ColStats])
 
   /** One committed version: day partition key → the table-relative
     * data directories currently holding that day (several after
     * streaming appends; compactDay folds them back to one), plus the
     * highest streaming batch id committed (−1 = none) — the
-    * exactly-once cursor for appendBatch. */
+    * exactly-once cursor for appendBatch — plus the per-file column
+    * statistics (`files`: table-relative file path → FileMeta) that
+    * back readWhere's file skipping. `files` is empty for tables
+    * created without statsCols — every reader then falls back to
+    * whole-directory reads, so stats are purely an optimization. */
   final case class Snapshot(version: Long, days: Map[String, Seq[String]],
-      lastBatch: Long = -1L)
+      lastBatch: Long = -1L, files: Map[String, FileMeta] = Map.empty)
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Run `f` with parquet timestamps written as standard INT64 micros
+    * instead of the session default (Spark's legacy INT96, whose
+    * footers carry no usable min/max — deprecated ordering upstream).
+    * Scoped to the lake's own writes: the engine-wide Verify/oracle
+    * convention reads INT96 back as naive timestamps in DuckDB, and
+    * flipping the session default would turn every dumped timestamp
+    * column into TIMESTAMPTZ there. Save/restore, not set/unset, so
+    * nesting and explicit user settings survive. */
+  private def withMicrosTimestamps[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try f finally spark.conf.set(key, prev)
   }
 
   private def manifestVersions(fs: FileSystem, root: Path): Seq[Long] = {
@@ -85,6 +120,11 @@ object ManifestLake {
       case _ => None
     }).sorted
   }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
 
   private def readManifest(fs: FileSystem, root: Path, v: Long): Snapshot = {
     val in = fs.open(new Path(root, f"$LogDir/$v%08d.manifest"))
@@ -99,7 +139,28 @@ object ManifestLake {
         val Array(d, p) = line.split('\t')
         d -> p
       }.groupBy(_._1).map { case (d, ps) => d -> ps.map(_._2).toSeq }
-    Snapshot(v, days, lastBatch)
+    // per-file stats: `#f <file> <rows>` registers a file, `#c <file>
+    // <col> <nulls> <0|1> <dom> <min> <max>` one indexed column of it.
+    // Unknown #-lines are skipped, so pre-stats manifests read clean
+    // and post-stats manifests stay readable by a stats-blind reader.
+    val fileRows = lines.collect {
+      case l if l.startsWith("#f\t") =>
+        val Array(_, f, r) = l.split('\t')
+        dec(f) -> r.toLong
+    }.toMap
+    val colStats = lines.collect {
+      case l if l.startsWith("#c\t") =>
+        // limit −1: hasMM=false rows carry EMPTY min/max fields, which
+        // a bare split would silently drop from the tail
+        val Array(_, f, c, nulls, mm, dom, mn, mx) = l.split("\t", -1)
+        (dec(f), c) -> ColStats(nulls.toLong, mm == "1", dec(mn), dec(mx),
+          dom.head)
+    }.groupBy(_._1._1)
+    val files = fileRows.map { case (f, rows) =>
+      f -> FileMeta(rows, colStats.getOrElse(f, Array.empty[((String, String),
+        ColStats)]).map { case ((_, c), st) => c -> st }.toMap)
+    }
+    Snapshot(v, days, lastBatch, files)
   }
 
   /** The latest committed snapshot (version 0 = empty table). */
@@ -114,7 +175,8 @@ object ManifestLake {
     * rename into place. Throws ConcurrentModificationException if
     * `next` is already committed (another writer won the race). */
   private def commit(fs: FileSystem, root: Path, next: Long,
-      days: Map[String, Seq[String]], lastBatch: Long = -1L): Unit = {
+      days: Map[String, Seq[String]], lastBatch: Long = -1L,
+      files: Map[String, FileMeta] = Map.empty): Unit = {
     val target = new Path(root, f"$LogDir/$next%08d.manifest")
     if (fs.exists(target))
       throw new java.util.ConcurrentModificationException(
@@ -124,11 +186,157 @@ object ManifestLake {
     val header = if (lastBatch >= 0) Seq(s"#batch\t$lastBatch") else Seq.empty
     val body = days.toSeq.sortBy(_._1)
       .flatMap { case (d, ps) => ps.sorted.map(p => s"$d\t$p") }
-    try out.write((header ++ body).mkString("\n").getBytes("UTF-8"))
+    val statLines = files.toSeq.sortBy(_._1).flatMap { case (f, m) =>
+      s"#f\t${enc(f)}\t${m.rows}" +:
+        m.stats.toSeq.sortBy(_._1).map { case (c, st) =>
+          s"#c\t${enc(f)}\t$c\t${st.nulls}\t${if (st.hasMM) 1 else 0}" +
+            s"\t${st.dom}\t${enc(st.min)}\t${enc(st.max)}"
+        }
+    }
+    try out.write((header ++ body ++ statLines).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, target))
       throw new java.util.ConcurrentModificationException(
         s"commit rename to $target failed (concurrent writer)")
+  }
+
+  /** The table's indexed-column list, fixed at create (the analog of
+    * Delta's dataSkippingNumIndexedCols table property). Empty = stats
+    * disabled; every write then skips collection entirely. */
+  def statsCols(spark: SparkSession, path: String): Seq[String] = {
+    val (fs, root) = fsOf(spark, path)
+    val p = new Path(root, StatsColsFile)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    }
+  }
+
+  /** Footer-derived per-file stats for `relFiles` (paths relative to
+    * the table root), restricted to `cols`. This is the Delta write
+    * path's stats collection done the Iceberg way — from the parquet
+    * footers the write already produced, so the numbers are exactly
+    * the row-group stats the scan itself would see, at zero extra
+    * passes over the data. Cost: one footer read per NEW file per
+    * commit — O(files written), never O(files in table) — and the
+    * same maintenance that bounds file counts (compactDay) bounds it.
+    *
+    * Type mapping is deliberately conservative: a column whose parquet
+    * physical/logical type falls outside the supported set (int32,
+    * int64, float, double, UTF-8 binary, date, micros-timestamp), or
+    * whose min/max is absent/non-finite in any row group, is recorded
+    * with hasMM=false — readers then keep the file, so an unsupported
+    * type degrades to "no skipping", never to a wrong prune. INT96
+    * timestamps are excluded the same way (their footer ordering is
+    * deprecated upstream for being unreliable). */
+  private def collectStats(spark: SparkSession, path: String,
+      relFiles: Seq[String], cols: Seq[String]): Map[String, FileMeta] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val want = cols.map(_.toLowerCase).toSet
+    relFiles.map { rel =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(s"$path/$rel"), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        // per column: fold row-group stats; any group without usable
+        // stats for the column poisons min/max (hasMM=false), and an
+        // unset null count poisons nulls (−1)
+        val perCol = blocks.flatMap(_.getColumns.asScala)
+          .filter(cc => cc.getPath.size == 1 &&
+            want.contains(cc.getPath.toDotString.toLowerCase))
+          .groupBy(_.getPath.toDotString.toLowerCase)
+        val stats = perCol.flatMap { case (name, chunks) =>
+          val prim = chunks.head.getPrimitiveType
+          val logical = Option(prim.getLogicalTypeAnnotation)
+          // canonical encoder for this parquet type, or None = unsupported
+          val canon: Option[(Any => Option[String], Char)] =
+            (prim.getPrimitiveTypeName, logical) match {
+              case (INT32, Some(_: LogicalTypeAnnotation.DateLogicalTypeAnnotation)) =>
+                Some((v => Some(v.asInstanceOf[Integer].toString), 'D'))
+              case (INT32, _) =>
+                Some((v => Some(v.asInstanceOf[Integer].toString), 'N'))
+              case (INT64, Some(t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation))
+                  if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+                Some((v => Some(v.asInstanceOf[java.lang.Long].toString), 'T'))
+              case (INT64, _) =>
+                Some((v => Some(v.asInstanceOf[java.lang.Long].toString), 'N'))
+              case (FLOAT, _) => Some((v => {
+                val f = v.asInstanceOf[java.lang.Float].floatValue()
+                if (java.lang.Float.isFinite(f))
+                  Some(new java.math.BigDecimal(f.toDouble).toString)
+                else None
+              }, 'N'))
+              case (DOUBLE, _) => Some((v => {
+                val d = v.asInstanceOf[java.lang.Double].doubleValue()
+                if (java.lang.Double.isFinite(d))
+                  Some(new java.math.BigDecimal(d).toString) else None
+              }, 'N'))
+              case (BINARY, Some(_: LogicalTypeAnnotation.StringLogicalTypeAnnotation)) =>
+                Some((v => Some(v.asInstanceOf[Binary].toStringUsingUTF8), 'S'))
+              case _ => None
+            }
+          canon.map { case (toCanon, dom) =>
+            val nulls =
+              if (chunks.forall(_.getStatistics != null) &&
+                  chunks.forall(_.getStatistics.isNumNullsSet))
+                chunks.map(_.getStatistics.getNumNulls).sum
+              else -1L
+            val allNull = nulls >= 0 && nulls == rows
+            val mms = chunks.map { cc =>
+              val st: org.apache.parquet.column.statistics.Statistics[_] =
+                cc.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else for {
+                mn <- toCanon(st.genericGetMin)
+                mx <- toCanon(st.genericGetMax)
+              } yield (mn, mx)
+            }
+            val agg =
+              if (allNull || mms.exists(_.isEmpty)) None
+              else {
+                val ms = mms.flatten
+                Some((ms.map(_._1).reduce((a, b) =>
+                    if (domCmp(dom, a, b) <= 0) a else b),
+                  ms.map(_._2).reduce((a, b) =>
+                    if (domCmp(dom, a, b) >= 0) a else b)))
+              }
+            name -> (agg match {
+              case Some((mn, mx)) => ColStats(nulls, hasMM = true, mn, mx, dom)
+              case None => ColStats(nulls, hasMM = false, "", "", dom)
+            })
+          }
+        }
+        rel -> FileMeta(rows, stats.toMap)
+      } finally reader.close()
+    }.toMap
+  }
+
+  /** Total order within a stats domain: numeric/date/timestamp canon
+    * strings compare as exact BigDecimal, string canon as unsigned
+    * UTF-8 bytes — the SAME ordering parquet used to compute the
+    * min/max, which is what makes pruning against them sound. */
+  private def domCmp(dom: Char, a: String, b: String): Int = dom match {
+    case 'S' =>
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    case _ => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
   }
 
   /** Write `rows` (already carrying a string `day` column) into a
@@ -143,7 +351,8 @@ object ManifestLake {
     * merge sizes it to day_bytes / targetFileBytes, then compactDay
     * trims stragglers. */
   private def writeGen(spark: SparkSession, path: String,
-      rows: DataFrame, filesPerDay: Int = 1): Map[String, String] = {
+      rows: DataFrame, filesPerDay: Int = 1)
+      : (Map[String, String], Map[String, FileMeta]) = {
     val gen = s"$DataDir/g-${UUID.randomUUID()}"
     val spread = pmod(xxhash64(rows.columns.map(col).toIndexedSeq: _*),
       lit(filesPerDay.toLong))
@@ -152,17 +361,54 @@ object ManifestLake {
     // into one task on a small merge
     val shufflePartitions =
       rows.sparkSession.sessionState.conf.numShufflePartitions
-    rows.withColumn("pday", col("day"))
-      .repartition(shufflePartitions, col("pday"), spread)
-      .write.partitionBy("pday").mode("errorifexists")
-      .parquet(s"$path/$gen")
+    withMicrosTimestamps(rows.sparkSession) {
+      rows.withColumn("pday", col("day"))
+        .repartition(shufflePartitions, col("pday"), spread)
+        .write.partitionBy("pday").mode("errorifexists")
+        .parquet(s"$path/$gen")
+    }
     val (fs, root) = fsOf(spark, path)
-    fs.listStatus(new Path(root, gen)).toSeq
+    val dayMap = fs.listStatus(new Path(root, gen)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("pday="))
       .map { st =>
         val d = st.getPath.getName.stripPrefix("pday=")
         d -> s"$gen/${st.getPath.getName}"
       }.toMap
+    (dayMap, genStats(spark, path, fs, root, dayMap.values.toSeq))
+  }
+
+  /** Stats for every data file under the just-written leaf dirs (all
+    * of them — a dir whose file set is only partially registered
+    * could not be pruned soundly). No-op when the table has no
+    * indexed columns. */
+  private def genStats(spark: SparkSession, path: String, fs: FileSystem,
+      root: Path, leafDirs: Seq[String]): Map[String, FileMeta] = {
+    val cols = statsCols(spark, path)
+    if (cols.isEmpty) Map.empty
+    else {
+      val files = leafDirs.flatMap { rel =>
+        fs.listStatus(new Path(root, rel)).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => s"$rel/${st.getPath.getName}")
+      }
+      collectStats(spark, path, files, cols)
+    }
+  }
+
+  /** The prior snapshot's file entries that survive a commit replacing
+    * `droppedDays`' directories: everything under a directory still
+    * referenced by `newDays`. */
+  private def carryFiles(snap: Snapshot,
+      newDays: Map[String, Seq[String]]): Map[String, FileMeta] = {
+    if (snap.files.isEmpty) Map.empty
+    else {
+      val live = newDays.values.flatten.toSet
+      snap.files.filter { case (f, _) =>
+        val i = f.lastIndexOf('/')
+        i > 0 && live.contains(f.substring(0, i))
+      }
+    }
   }
 
   private def dayKey: org.apache.spark.sql.Column =
@@ -172,14 +418,20 @@ object ManifestLake {
     * commit manifest v1. A 0-row schema anchor is kept under the log
     * dir so a fully-drained table still reads with its schema. */
   def create(spark: SparkSession, path: String, df: DataFrame,
-      ordCol: String, filesPerDay: Int = 1): Long = {
+      ordCol: String, filesPerDay: Int = 1,
+      statsCols: Seq[String] = Seq.empty): Long = {
     val rows = df.withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
     rows.limit(0).write.mode("overwrite").parquet(s"$path/$SchemaDir")
-    val dayMap = writeGen(spark, path,
-      rows.withColumn("day", dayKey), filesPerDay)
-      .map { case (d, p) => d -> Seq(p) }
     val (fs, root) = fsOf(spark, path)
-    commit(fs, root, 1L, dayMap)
+    if (statsCols.nonEmpty) {
+      val out = fs.create(new Path(root, StatsColsFile), true)
+      try out.write(statsCols.map(_.toLowerCase).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    val (dirs, metas) = writeGen(spark, path,
+      rows.withColumn("day", dayKey), filesPerDay)
+    commit(fs, root, 1L, dirs.map { case (d, p) => d -> Seq(p) },
+      files = metas)
     1L
   }
 
@@ -226,6 +478,254 @@ object ManifestLake {
         String)).otherwise(col("day")))
   }
 
+  // ---- data skipping (per-file stats → predicate-driven pruning) ----
+
+  private sealed trait Pred { def colName: String }
+  private final case class CmpPred(colName: String, op: String,
+      lit: org.apache.spark.sql.catalyst.expressions.Literal) extends Pred
+  private final case class NullPred(colName: String, isNull: Boolean)
+      extends Pred
+  private final case class InPred(colName: String,
+      lits: Seq[org.apache.spark.sql.catalyst.expressions.Literal]) extends Pred
+
+  /** The conjuncts of `e` this pruner understands. Soundness shape:
+    * the full predicate is (extracted ∧ residue), and a row matching
+    * the full predicate matches every extracted conjunct — so pruning
+    * a file only when an extracted conjunct can match NO row of it
+    * never drops a matching row, regardless of what the residue (OR
+    * trees, NOT, function calls…) contains. Unsupported nodes simply
+    * contribute nothing. */
+  private def extract(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[Pred] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def attr(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+        Some(a.nameParts.head.toLowerCase)
+      case _ => None
+    }
+    e match {
+      case And(l, r) => extract(l) ++ extract(r)
+      case EqualTo(a, l: Literal) if attr(a).isDefined =>
+        Seq(CmpPred(attr(a).get, "eq", l))
+      case EqualTo(l: Literal, a) if attr(a).isDefined =>
+        Seq(CmpPred(attr(a).get, "eq", l))
+      case GreaterThan(a, l: Literal) if attr(a).isDefined =>
+        Seq(CmpPred(attr(a).get, "gt", l))
+      case GreaterThan(l: Literal, a) if attr(a).isDefined =>
+        Seq(CmpPred(attr(a).get, "lt", l))
+      case GreaterThanOrEqual(a, l: Literal) if attr(a).isDefined =>
+        Seq(CmpPred(attr(a).get, "ge", l))
+      case GreaterThanOrEqual(l: Literal, a) if attr(a).isDefined =>
+        Seq(CmpPred(attr(a).get, "le", l))
+      case LessThan(a, l: Literal) if attr(a).isDefined =>
+        Seq(CmpPred(attr(a).get, "lt", l))
+      case LessThan(l: Literal, a) if attr(a).isDefined =>
+        Seq(CmpPred(attr(a).get, "gt", l))
+      case LessThanOrEqual(a, l: Literal) if attr(a).isDefined =>
+        Seq(CmpPred(attr(a).get, "le", l))
+      case LessThanOrEqual(l: Literal, a) if attr(a).isDefined =>
+        Seq(CmpPred(attr(a).get, "ge", l))
+      case IsNull(a) if attr(a).isDefined => Seq(NullPred(attr(a).get, true))
+      case IsNotNull(a) if attr(a).isDefined =>
+        Seq(NullPred(attr(a).get, false))
+      case In(a, vs) if attr(a).isDefined &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        Seq(InPred(attr(a).get, vs.map(_.asInstanceOf[Literal])))
+      case _ => Seq.empty
+    }
+  }
+
+  /** A literal rendered into a stats domain's canonical string, or
+    * None when the literal's type cannot be compared soundly in that
+    * domain (→ the conjunct is ignored for that column: kept file,
+    * never a wrong prune). */
+  private def litCanon(dom: Char,
+      l: org.apache.spark.sql.catalyst.expressions.Literal): Option[String] = {
+    import org.apache.spark.sql.types._
+    if (l.value == null) return None
+    def num: Option[java.math.BigDecimal] = l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(new java.math.BigDecimal(l.value.toString))
+      case FloatType =>
+        val f = l.value.asInstanceOf[Float]
+        if (java.lang.Float.isFinite(f))
+          Some(new java.math.BigDecimal(f.toDouble)) else None
+      case DoubleType =>
+        val d = l.value.asInstanceOf[Double]
+        if (java.lang.Double.isFinite(d))
+          Some(new java.math.BigDecimal(d)) else None
+      case _: DecimalType =>
+        Some(l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal)
+      case StringType =>
+        scala.util.Try(new java.math.BigDecimal(l.value.toString)).toOption
+      case _ => None
+    }
+    dom match {
+      case 'N' => num.map(_.toString)
+      case 'S' => l.dataType match {
+        case StringType => Some(l.value.toString)
+        case _ => None
+      }
+      case 'D' => l.dataType match {
+        case DateType => Some(l.value.toString) // epoch days already
+        case StringType => scala.util.Try(
+          java.time.LocalDate.parse(l.value.toString).toEpochDay.toString
+        ).toOption
+        case _ => None
+      }
+      case 'T' => l.dataType match {
+        case TimestampType => Some(l.value.toString) // epoch micros
+        case StringType => scala.util.Try {
+          val s = l.value.toString
+          val ldt =
+            if (s.length == 10) java.time.LocalDate.parse(s).atStartOfDay()
+            else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          val ins = ldt.toInstant(java.time.ZoneOffset.UTC)
+          (ins.getEpochSecond * 1000000L + ins.getNano / 1000L).toString
+        }.toOption
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Could any row of a file with stats `meta` satisfy conjunct `p`?
+    * Unknown stats always answer yes; comparisons never match NULLs,
+    * so an all-null column (nulls == rows) answers no for them. */
+  private def predMight(meta: FileMeta, p: Pred): Boolean = {
+    val st = meta.stats.get(p.colName) match {
+      case None => return true
+      case Some(s) => s
+    }
+    val allNull = st.nulls >= 0 && st.nulls == meta.rows
+    def inRange(dom: Char, op: String, v: String): Boolean = op match {
+      case "eq" => domCmp(dom, st.min, v) <= 0 && domCmp(dom, v, st.max) <= 0
+      case "lt" => domCmp(dom, st.min, v) < 0
+      case "le" => domCmp(dom, st.min, v) <= 0
+      case "gt" => domCmp(dom, st.max, v) > 0
+      case "ge" => domCmp(dom, st.max, v) >= 0
+    }
+    p match {
+      case NullPred(_, true) => st.nulls != 0
+      case NullPred(_, false) => !allNull
+      case CmpPred(_, op, l) =>
+        if (l.value == null || allNull) false
+        else if (!st.hasMM) true
+        else litCanon(st.dom, l) match {
+          case None => true
+          case Some(v) => inRange(st.dom, op, v)
+        }
+      case InPred(_, ls) =>
+        if (allNull || ls.forall(_.value == null)) false
+        else if (!st.hasMM) true
+        else ls.filter(_.value != null).exists { l =>
+          litCanon(st.dom, l) match {
+            case None => true
+            case Some(v) => inRange(st.dom, "eq", v)
+          }
+        }
+    }
+  }
+
+  /** Day-key pruning for conjuncts on the `day` column itself: the
+    * key is an exact value per directory (min = max = key), and the
+    * NullPart directory holds exactly the null-day rows. */
+  private def dayMight(key: Option[String], p: Pred): Boolean = p match {
+    case NullPred(_, isNull) => if (isNull) key.isEmpty else key.nonEmpty
+    case CmpPred(_, op, l) => key match {
+      case None => false
+      case Some(d) =>
+        if (l.value == null) false
+        else litCanon('S', l) match {
+          case None => true
+          case Some(v) => op match {
+            case "eq" => d == v
+            case "lt" => domCmp('S', d, v) < 0
+            case "le" => domCmp('S', d, v) <= 0
+            case "gt" => domCmp('S', d, v) > 0
+            case "ge" => domCmp('S', d, v) >= 0
+          }
+        }
+    }
+    case InPred(_, ls) => key match {
+      case None => false
+      case Some(d) => ls.filter(_.value != null).exists { l =>
+        litCanon('S', l) match {
+          case None => true
+          case Some(v) => v == d
+        }
+      }
+    }
+  }
+
+  /** What a predicate keeps: whole directories (no per-file stats
+    * registered for them — pre-stats commits or stats-disabled
+    * tables) plus individually surviving files of registered
+    * directories, with the totals for observability. */
+  final case class PruneReport(keptDirs: Seq[String], keptFiles: Seq[String],
+      totalDirs: Int, totalFiles: Int) {
+    def prunedFiles: Int = totalFiles - keptFiles.size
+    def scanPaths: Seq[String] = (keptDirs ++ keptFiles).sorted
+  }
+
+  /** Evaluate `predicateSql` against the latest snapshot's manifest
+    * stats: conjuncts on `day` prune whole day directories (the key
+    * is exact per dir), every other supported conjunct prunes at file
+    * granularity via the footer min/max/nullCount the manifest
+    * carries. Driver-side cost: O(|files| × |conjuncts|) map lookups
+    * — no FileSystem call at all, the log IS the index. */
+  def candidateFiles(spark: SparkSession, path: String,
+      predicateSql: String): PruneReport = {
+    val snap = snapshot(spark, path)
+    val preds = extract(
+      spark.sessionState.sqlParser.parseExpression(predicateSql))
+    val dayPreds = preds.filter(_.colName == "day")
+    val colPreds = preds.filterNot(_.colName == "day")
+    val byDir = snap.files.keys.toSeq
+      .groupBy(f => f.substring(0, f.lastIndexOf('/'))).withDefaultValue(Nil)
+    var keptDirs = Vector.empty[String]
+    var keptFiles = Vector.empty[String]
+    var totalFiles = 0
+    var totalDirs = 0
+    snap.days.toSeq.sortBy(_._1).foreach { case (dkey, dirs) =>
+      val key = if (dkey == NullPart) None else Some(dkey)
+      val dayLive = dayPreds.forall(dayMight(key, _))
+      dirs.foreach { dir =>
+        totalDirs += 1
+        val files = byDir(dir)
+        totalFiles += files.size
+        if (dayLive) {
+          if (files.isEmpty) keptDirs :+= dir
+          else keptFiles ++= files.filter(f =>
+            colPreds.forall(predMight(snap.files(f), _)))
+        }
+      }
+    }
+    PruneReport(keptDirs, keptFiles, totalDirs, totalFiles)
+  }
+
+  /** Stats-pruned read: open only the files the manifest's per-file
+    * stats say COULD hold a matching row, then apply the predicate in
+    * full (pruning is an optimization, the filter is the contract —
+    * an unsupported or mis-typed conjunct degrades to reading more,
+    * never to a wrong answer). At 100 TB this is the difference
+    * between "scan the lake" and "open the handful of files whose
+    * range covers the key" for any predicate on a clustered column —
+    * day predicates skip at the directory level for free, non-day
+    * predicates earn file-level skipping once compactDay(clusterBy=…)
+    * has laid the day out in key order. */
+  def readWhere(spark: SparkSession, path: String,
+      predicateSql: String): DataFrame = {
+    val rep = candidateFiles(spark, path, predicateSql)
+    val dirs = s"$path/$SchemaDir" +: rep.scanPaths.map(p => s"$path/$p")
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      .withColumn("day", when(col("day") === NullPart, lit(null:
+        String)).otherwise(col("day")))
+      .filter(predicateSql)
+  }
+
   /** Latest-wins MERGE with ONE atomic commit across every affected
     * day — LakeLayout.upsert's exact semantics (affected-day discovery
     * from both directions, cross-day version chains move the key,
@@ -263,15 +763,16 @@ object ManifestLake {
       .filter(col("rn") === 1).drop("rn", "src")
       .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
       .withColumn("day", dayKey)
-    val newDirs = writeGen(spark, path, merged, filesPerDay)
+    val (newDirs, metas) = writeGen(spark, path, merged, filesPerDay)
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
     // affected days remap to the new generation (or vanish when
     // drained); untouched days keep their existing directories; a
     // merge incidentally COMPACTS its days (many appended dirs → one)
-    commit(fs, root, snap.version + 1,
-      (snap.days -- days) ++ newDirs.map { case (d, p) => d -> Seq(p) },
-      snap.lastBatch)
+    val nextDays = (snap.days -- days) ++
+      newDirs.map { case (d, p) => d -> Seq(p) }
+    commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
+      carryFiles(snap, nextDays) ++ metas)
     snap.version + 1
   }
 
@@ -307,12 +808,13 @@ object ManifestLake {
     val deleted = matched.map(_.getLong(1)).sum
     val kept = readDays(spark, path, days.contains).filter(!hit)
       .withColumn("day", dayKey)
-    val newDirs = writeGen(spark, path, kept, filesPerDay)
+    val (newDirs, metas) = writeGen(spark, path, kept, filesPerDay)
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
-    commit(fs, root, snap.version + 1,
-      (snap.days -- days) ++ newDirs.map { case (d, p) => d -> Seq(p) },
-      snap.lastBatch)
+    val nextDays = (snap.days -- days) ++
+      newDirs.map { case (d, p) => d -> Seq(p) }
+    commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
+      carryFiles(snap, nextDays) ++ metas)
     deleted
   }
 
@@ -326,7 +828,9 @@ object ManifestLake {
     * its ingest. Returns the committed version (snap.version if the
     * day does not exist). */
   def compactDay(spark: SparkSession, path: String, day: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Seq.empty,
+      zOrder: Boolean = false): Long = {
     val snap = snapshot(spark, path)
     val rels = snap.days.getOrElse(day, return snap.version)
     val df = spark.read.option("mergeSchema", "true")
@@ -338,10 +842,37 @@ object ManifestLake {
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
     require(nFiles <= Int.MaxValue, s"target $nFiles files exceeds Int.MaxValue")
     val gen = s"$DataDir/g-${UUID.randomUUID()}"
-    df.repartition(nFiles.toInt)
-      .write.mode("errorifexists").parquet(s"$path/$gen/pday=$day")
-    commit(fs, root, snap.version + 1,
-      snap.days + (day -> Seq(s"$gen/pday=$day")), snap.lastBatch)
+    // clusterBy = the OPTIMIZE ZORDER analog: lay the day out in
+    // cluster-key order (linear — range-partition + in-file sort; or
+    // Morton-interleaved via LakeLayout.zValue when zOrder is set and
+    // two numeric columns are given, keeping BOTH columns' per-file
+    // envelopes narrow), so files end up with DISJOINT/narrow
+    // cluster-key ranges and the per-file min/max in the manifest
+    // turns a point/range predicate on that key into opening ~1 of
+    // the day's files instead of all of them (the in-file sort
+    // tightens parquet's own row-group stats the same way). Ingest
+    // writes hash-spread (writeGen), so skipping on non-day keys is
+    // EARNED by compaction — exactly the Delta OPTIMIZE contract.
+    // Explicit numPartitions again: a bare repartitionByRange(cols…)
+    // is AQE-coalescible.
+    val out =
+      if (clusterBy.isEmpty) df.repartition(nFiles.toInt)
+      else if (zOrder && clusterBy.size == 2)
+        LakeLayout.zValue(df, clusterBy.head, clusterBy(1)) match {
+          case Some(z) => df.withColumn("__z", z)
+            .repartitionByRange(nFiles.toInt, col("__z"))
+            .sortWithinPartitions(col("__z")).drop("__z")
+          case None => df.repartition(nFiles.toInt)
+        }
+      else df.repartitionByRange(nFiles.toInt, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    withMicrosTimestamps(spark) {
+      out.write.mode("errorifexists").parquet(s"$path/$gen/pday=$day")
+    }
+    val rel = s"$gen/pday=$day"
+    val nextDays = snap.days + (day -> Seq(rel))
+    commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
+      carryFiles(snap, nextDays) ++ genStats(spark, path, fs, root, Seq(rel)))
     snap.version + 1
   }
 
@@ -371,13 +902,14 @@ object ManifestLake {
     val rows = batch
       .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
       .withColumn("day", dayKey)
-    val newDirs = writeGen(spark, path, rows, filesPerDay)
+    val (newDirs, metas) = writeGen(spark, path, rows, filesPerDay)
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
     val merged = newDirs.foldLeft(snap.days) { case (m, (d, p)) =>
       m.updated(d, m.getOrElse(d, Seq.empty) :+ p)
     }
-    commit(fs, root, snap.version + 1, merged, batchId)
+    commit(fs, root, snap.version + 1, merged, batchId,
+      snap.files ++ metas)
     snap.version + 1
   }
 

@@ -1,0 +1,223 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Data skipping over the manifest's per-file footer stats (the
+  * Delta/Iceberg design): every test pins BOTH halves of the
+  * contract — readWhere ≡ read().filter (pruning never changes the
+  * answer) AND the PruneReport shows the files it promised to skip
+  * actually skipped. Soundness is by construction (a file is dropped
+  * only when a conjunct of the predicate can match no row of its
+  * min/max/nullCount envelope), so the tests concentrate on the
+  * envelope arithmetic: numeric/string/date domains, all-null
+  * columns, unsupported conjuncts degrading to no-pruning, and the
+  * clusterBy compaction that makes intra-day skipping possible at
+  * all (ingest is hash-spread).
+  */
+class ManifestLakeStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** 4 days × 100 uids, uid range disjoint per day (day k holds
+    * uids [100k, 100k+100)); cat cycles a/b/c; day 3's cat is NULL. */
+  private def mkBase(): DataFrame =
+    (0 until 400).map { i =>
+      val d = i / 100
+      (i.toLong, ts(f"2024-01-${d + 1}%02d 12:00:00"),
+        if (d == 3) null else Seq("a", "b", "c")(i % 3),
+        (i % 50) / 10.0)
+    }.toDF("uid", "ts", "cat", "amount")
+
+  private def agree(dir: String, pred: String): Unit = {
+    val viaStats = ManifestLake.readWhere(spark, dir, pred)
+      .collect().map(_.toString).sorted.toSeq
+    val full = ManifestLake.read(spark, dir).filter(pred)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaStats == full, s"pred [$pred]: stats-pruned read diverged")
+  }
+
+  test("file skipping on a day-disjoint uid: point and range predicates") {
+    val dir = Files.createTempDirectory("graft_mls_uid").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts",
+      statsCols = Seq("uid", "cat", "amount"))
+    val rep = ManifestLake.candidateFiles(spark, dir, "uid = 150")
+    assert(rep.totalFiles == 4 && rep.keptFiles.size == 1,
+      s"kept ${rep.keptFiles.size}/${rep.totalFiles}")
+    agree(dir, "uid = 150")
+    val range = ManifestLake.candidateFiles(spark, dir,
+      "uid >= 250 AND uid < 320")
+    assert(range.keptFiles.size == 2, range.keptFiles.mkString(","))
+    agree(dir, "uid >= 250 AND uid < 320")
+    // literal-first flip and a double-domain predicate
+    agree(dir, "100 > uid")
+    assert(ManifestLake.candidateFiles(spark, dir, "100 > uid")
+      .keptFiles.size == 1)
+    agree(dir, "amount <= 0.5")
+  }
+
+  test("day conjuncts prune at the directory level without file stats") {
+    val dir = Files.createTempDirectory("graft_mls_day").toString
+    // stats DISABLED: day pruning must still work off the manifest keys
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    val rep = ManifestLake.candidateFiles(spark, dir, "day = '2024-01-02'")
+    assert(rep.totalFiles == 0 && rep.keptDirs.size == 1,
+      s"dirs ${rep.keptDirs.size}/${rep.totalDirs}")
+    agree(dir, "day = '2024-01-02'")
+    agree(dir, "day >= '2024-01-03'")
+    agree(dir, "day IN ('2024-01-01', '2024-01-04')")
+    // and the pruned read really opens only the kept directory
+    val opened = ManifestLake.readWhere(spark, dir, "day = '2024-01-02'")
+      .inputFiles.filter(_.contains("/data/"))
+    assert(opened.nonEmpty && opened.forall(_.contains("pday=2024-01-02")))
+  }
+
+  test("all-null column: IS NULL / IS NOT NULL / comparisons prune correctly") {
+    val dir = Files.createTempDirectory("graft_mls_null").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts",
+      statsCols = Seq("uid", "cat"))
+    // day 4's cat is entirely NULL → 'cat IS NOT NULL' prunes its file,
+    // 'cat IS NULL' prunes the other three, and an equality can never
+    // match the all-null file
+    val notNull = ManifestLake.candidateFiles(spark, dir, "cat IS NOT NULL")
+    assert(notNull.keptFiles.size == 3, notNull.keptFiles.mkString(","))
+    val isNull = ManifestLake.candidateFiles(spark, dir, "cat IS NULL")
+    assert(isNull.keptFiles.size == 1, isNull.keptFiles.mkString(","))
+    val eq = ManifestLake.candidateFiles(spark, dir, "cat = 'b'")
+    assert(eq.keptFiles.size == 3)
+    agree(dir, "cat IS NOT NULL")
+    agree(dir, "cat IS NULL")
+    agree(dir, "cat = 'b'")
+    agree(dir, "cat IN ('a', 'zzz')")
+  }
+
+  test("unsupported conjuncts degrade to no pruning, never a wrong prune") {
+    val dir = Files.createTempDirectory("graft_mls_resid").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts", statsCols = Seq("uid"))
+    // OR at the top: nothing extractable → keep everything, stay correct
+    val or = ManifestLake.candidateFiles(spark, dir, "uid = 1 OR uid = 399")
+    assert(or.keptFiles.size == or.totalFiles)
+    agree(dir, "uid = 1 OR uid = 399")
+    // AND of (supported, unsupported): the supported half still prunes
+    val mixed = ManifestLake.candidateFiles(spark, dir,
+      "uid < 100 AND (cat = 'a' OR amount > 1.0)")
+    assert(mixed.keptFiles.size == 1)
+    agree(dir, "uid < 100 AND (cat = 'a' OR amount > 1.0)")
+    // string literal against the numeric column still prunes (the
+    // canon layer parses it into the numeric domain)
+    assert(ManifestLake.candidateFiles(spark, dir, "uid = '150'")
+      .keptFiles.size == 1)
+    agree(dir, "uid = '150'")
+  }
+
+  test("upsert and append keep stats fresh; carried days keep theirs") {
+    val dir = Files.createTempDirectory("graft_mls_upsert").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts",
+      statsCols = Seq("uid", "cat"))
+    // rewrite day 2 only: uid 150 moves to 1150
+    val upd = Seq((150L, ts("2024-01-02 13:00:00"), "z", 9.9))
+      .toDF("uid", "ts", "cat", "amount")
+    ManifestLake.upsert(spark, dir, upd, Seq("uid"), "ts")
+    val rep = ManifestLake.candidateFiles(spark, dir, "cat = 'z'")
+    // only the rewritten day-2 file can hold 'z'
+    assert(rep.totalFiles == 4 && rep.keptFiles.size == 1,
+      s"kept ${rep.keptFiles.size}/${rep.totalFiles}")
+    assert(rep.keptFiles.head.contains("pday=2024-01-02"))
+    agree(dir, "cat = 'z'")
+    agree(dir, "uid = 399") // untouched day's stats carried forward
+    assert(ManifestLake.candidateFiles(spark, dir, "uid = 399")
+      .keptFiles.size == 1)
+    // streaming-style append registers its files too
+    val extra = Seq((9999L, ts("2024-01-05 08:00:00"), "q", 1.0))
+      .toDF("uid", "ts", "cat", "amount")
+    ManifestLake.appendBatch(spark, dir, extra, "ts", batchId = 0L)
+    val rep2 = ManifestLake.candidateFiles(spark, dir, "uid >= 9000")
+    assert(rep2.totalFiles == 5 && rep2.keptFiles.size == 1)
+    agree(dir, "uid >= 9000")
+  }
+
+  test("clusterBy compaction earns intra-day skipping that hash-spread ingest cannot") {
+    val dir = Files.createTempDirectory("graft_mls_cluster").toString
+    val oneDay = (0 until 40000).map { i =>
+      (i.toLong, ts("2024-02-01 06:00:00"), s"doc-$i", i / 100.0)
+    }.toDF("uid", "ts", "cat", "amount")
+    ManifestLake.create(spark, dir, oneDay, "ts", filesPerDay = 4,
+      statsCols = Seq("uid"))
+    val before = ManifestLake.candidateFiles(spark, dir,
+      "uid >= 1000 AND uid < 1100")
+    // hash-spread ingest: every file covers ~the full uid range, so
+    // nothing skips (file COUNT is ≤ filesPerDay — spread values that
+    // hash-collide into one shuffle partition share a file)
+    assert(before.totalFiles >= 2 &&
+      before.keptFiles.size == before.totalFiles)
+    agree(dir, "uid >= 1000 AND uid < 1100")
+    ManifestLake.compactDay(spark, dir, "2024-02-01",
+      targetFileBytes = 64 * 1024, clusterBy = Seq("uid"))
+    val after = ManifestLake.candidateFiles(spark, dir,
+      "uid >= 1000 AND uid < 1100")
+    assert(after.totalFiles >= 3, s"compaction produced ${after.totalFiles}")
+    assert(after.keptFiles.size * 2 <= after.totalFiles,
+      s"kept ${after.keptFiles.size}/${after.totalFiles} after clustering")
+    agree(dir, "uid >= 1000 AND uid < 1100")
+    // the pruned read's actual file set matches the report
+    val opened = ManifestLake.readWhere(spark, dir,
+      "uid >= 1000 AND uid < 1100").inputFiles.filter(_.contains("/data/"))
+    assert(opened.length == after.keptFiles.size)
+  }
+
+  test("zOrder compaction keeps both cluster columns prunable") {
+    val dir = Files.createTempDirectory("graft_mls_z").toString
+    // two independent uniform dims on one day (the ZOrderSpec grid)
+    val grid = (0 until 20000).map { i =>
+      (i.toLong, (i % 141).toLong, ((i / 141) % 141).toLong,
+        ts("2024-03-01 00:00:00"))
+    }.toDF("id", "a", "b", "ts")
+    ManifestLake.create(spark, dir, grid, "ts", filesPerDay = 4,
+      statsCols = Seq("a", "b"))
+    ManifestLake.compactDay(spark, dir, "2024-03-01",
+      targetFileBytes = 24 * 1024, clusterBy = Seq("a", "b"), zOrder = true)
+    val onA = ManifestLake.candidateFiles(spark, dir, "a >= 10 AND a < 20")
+    val onB = ManifestLake.candidateFiles(spark, dir, "b >= 10 AND b < 20")
+    assert(onA.totalFiles >= 4, s"only ${onA.totalFiles} files")
+    assert(onA.keptFiles.size < onA.totalFiles, "a-dim did not prune")
+    assert(onB.keptFiles.size < onB.totalFiles, "b-dim did not prune")
+    agree(dir, "a >= 10 AND a < 20")
+    agree(dir, "b >= 10 AND b < 20")
+  }
+
+  test("timestamp and date literals prune in their own domains") {
+    val dir = Files.createTempDirectory("graft_mls_ts").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts", statsCols = Seq("ts"))
+    val rep = ManifestLake.candidateFiles(spark, dir,
+      "ts >= TIMESTAMP '2024-01-03 00:00:00'")
+    assert(rep.totalFiles == 4 && rep.keptFiles.size == 2,
+      s"kept ${rep.keptFiles.size}/${rep.totalFiles}")
+    agree(dir, "ts >= TIMESTAMP '2024-01-03 00:00:00'")
+    // a bare string literal against the timestamp column prunes too
+    val str = ManifestLake.candidateFiles(spark, dir,
+      "ts < '2024-01-02 00:00:00'")
+    assert(str.keptFiles.size == 1)
+    agree(dir, "ts < '2024-01-02 00:00:00'")
+  }
+
+  test("crash between data write and commit leaves old stats and old answer") {
+    val dir = Files.createTempDirectory("graft_mls_crash").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts", statsCols = Seq("cat"))
+    val before = ManifestLake.readWhere(spark, dir, "cat = 'a'")
+      .collect().map(_.toString).sorted.toSeq
+    val upd = Seq((1L, ts("2024-01-01 23:00:00"), "CRASHED", 0.0))
+      .toDF("uid", "ts", "cat", "amount")
+    intercept[RuntimeException] {
+      ManifestLake.upsert(spark, dir, upd, Seq("uid"), "ts",
+        beforeCommit = () => throw new RuntimeException("die"))
+    }
+    assert(ManifestLake.readWhere(spark, dir, "cat = 'CRASHED'").count() == 0)
+    assert(ManifestLake.readWhere(spark, dir, "cat = 'a'")
+      .collect().map(_.toString).sorted.toSeq == before)
+  }
+}
