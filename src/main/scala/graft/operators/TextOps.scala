@@ -901,7 +901,10 @@ object TextOps {
     * row per doc. At 100 TB the model trains once, persists, and the
     * scoring pass is a single broadcast-join scan — exactly how CCNet
     * deploys its LM. */
-  def xBigramLm(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc LM score frame (doc_id, n_bigrams, sum_ppm, lm_ppm) —
+    * the trained-and-applied bigram model shared by x_bigram_lm (the
+    * raw scores) and x_ppl_buckets (the CCNet split over them). */
+  private def bigramScored(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).withColumn("w", tokens)
     val docBigramCounts = docs.filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -925,6 +928,66 @@ object TextOps {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("sum_ppm"), lit(0L)).as("sum_ppm"))
       .withColumn("lm_ppm", ExactNum.ratio4(col("sum_ppm"), col("n_bigrams")))
+  }
+
+  def xBigramLm(s: SparkSession, dir: String): DataFrame =
+    bigramScored(s, dir).orderBy(col("doc_id"))
+
+  /** CCNet's head/middle/tail split (Wenzek 2020 §4.3): rank every
+    * doc by its LM score (high lm_ppm = low perplexity = head) and
+    * cut the corpus into exact rank terciles — the bucket assignment
+    * CCNet feeds downstream ("keep head+middle, drop tail" is the
+    * standard pretraining filter).
+    *
+    * The global rank is NOT a single-partition window (the
+    * scale-killer a naive `ntile(3) OVER (ORDER BY score)` hides):
+    * it is the two-level prefix-sum decomposition the timer family
+    * uses — (1) docs-with-greater-score counts aggregate per DISTINCT
+    * score, (2) those collapse into integer-ppm coarse buckets whose
+    * running sum is a window over ≤10⁶ rows (bounded by the SCORE
+    * DOMAIN, not the corpus), (3) the within-bucket remainder windows
+    * partition by bucket and the within-score tiebreak (doc_id)
+    * partitions by score — both distributed. The doc-side join keys
+    * on lm_ppm, and the row_number window reuses that exchange's
+    * partitioning. Tercile boundaries replicate ntile semantics
+    * exactly (first n mod 3 groups get the extra row) from (n div 3,
+    * n mod 3) — integer arithmetic, identical in both engines. At
+    * 100 TB: score once (one broadcast-join scan, the x_bigram_lm
+    * argument), rank via two domain-bounded aggregations — no global
+    * sort of the corpus anywhere. */
+  def xPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = bigramScored(s, dir).select(col("doc_id"), col("lm_ppm"))
+    val perScore = sc.groupBy(col("lm_ppm")).agg(count(lit(1)).as("c"))
+      .withColumn("b", floor(col("lm_ppm")).cast("long"))
+    val bucketCum = perScore.groupBy(col("b")).agg(sum(col("c")).as("bc"))
+      .withColumn("gt_b", coalesce(sum(col("bc")).over(
+        Window.orderBy(col("b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("gt_b"))
+    val scoreCum = perScore
+      .withColumn("gt_in_b", coalesce(sum(col("c")).over(
+        Window.partitionBy(col("b")).orderBy(col("lm_ppm").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(bucketCum), Seq("b"))
+      .select(col("lm_ppm"), (col("gt_b") + col("gt_in_b")).as("gt"))
+    val n = sc.agg(count(lit(1)).as("n"))
+    sc.join(scoreCum, Seq("lm_ppm"))
+      .withColumn("rn_in_s", row_number().over(
+        Window.partitionBy(col("lm_ppm")).orderBy(col("doc_id"))))
+      .withColumn("rnk", (col("gt") + col("rn_in_s")).cast("long"))
+      .crossJoin(broadcast(n))
+      .withColumn("q", expr("n div 3"))
+      .withColumn("r1",
+        col("q") + when(col("n") % 3 > 0, 1L).otherwise(0L))
+      .withColumn("r2", col("q") * 2 +
+        when(col("n") % 3 > 0, 1L).otherwise(0L) +
+        when(col("n") % 3 > 1, 1L).otherwise(0L))
+      .withColumn("ppl_bucket",
+        when(col("rnk") <= col("r1"), "head")
+          .when(col("rnk") <= col("r2"), "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lm_ppm"), col("rnk"), col("ppl_bucket"))
       .orderBy(col("doc_id"))
   }
 
@@ -954,6 +1017,7 @@ object TextOps {
     "x_bpe_train" -> (xBpeTrain _),
     "x_bpe_encode" -> (xBpeEncode _),
     "x_bigram_lm" -> (xBigramLm _),
+    "x_ppl_buckets" -> (xPplBuckets _),
   )
 
   /** Generated oracle CTE chain for the BPE tier: v0 (char-segmented
@@ -1420,28 +1484,56 @@ object TextOps {
     // exact integer MLE p(w2|w1) in parts-per-million; out-of-model
     // bigrams contribute 0 ppm but still count in n_bigrams
     "x_bigram_lm" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |b AS (SELECT doc_id,
-         |    unnest(list_transform(range(1, len(w)),
-         |      i -> w[i] || ' ' || w[i + 1])) AS bigram
-         |  FROM d WHERE len(w) >= 2),
-         |c2 AS (SELECT bigram, count(*) AS c2 FROM b GROUP BY 1),
-         |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
-         |    CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
-         |m AS (SELECT bigram, (c2 * 1000000) // c1 AS score_ppm
-         |  FROM (SELECT c2.bigram, c2.c2, c1.c1
-         |        FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1
-         |        ORDER BY c2.c2 DESC, c2.bigram LIMIT $BigramK)),
-         |sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
-         |    CAST(sum(coalesce(m.score_ppm, 0)) AS BIGINT) AS sum_ppm
-         |  FROM b LEFT JOIN m USING (bigram) GROUP BY 1)
-         |SELECT d.doc_id,
-         |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-         |  coalesce(sc.sum_ppm, 0) AS sum_ppm,
-         |  ${ExactNum.ratioSql("coalesce(sc.sum_ppm, 0)",
-              "coalesce(sc.n_bigrams, 0)")} AS lm_ppm
-         |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $bigramScoredCtes
+         |SELECT doc_id, n_bigrams, sum_ppm, lm_ppm
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    // the oracle computes the rank the naive way (one global window —
+    // fine for DuckDB); the Spark side's two-level decomposition must
+    // land every doc on the identical rank, which is exactly what the
+    // hash compare pins. Boundary arithmetic is ntile's, spelled out.
+    "x_ppl_buckets" ->
+      s"""WITH $bigramScoredCtes,
+         |r AS (SELECT doc_id, lm_ppm,
+         |    row_number() OVER (ORDER BY lm_ppm DESC, doc_id) AS rnk,
+         |    count(*) OVER () AS n
+         |  FROM scored)
+         |SELECT doc_id, lm_ppm, CAST(rnk AS BIGINT) AS rnk,
+         |  CASE WHEN rnk <= n // 3 + CASE WHEN n % 3 > 0 THEN 1 ELSE 0 END
+         |         THEN 'head'
+         |       WHEN rnk <= 2 * (n // 3)
+         |           + CASE WHEN n % 3 > 0 THEN 1 ELSE 0 END
+         |           + CASE WHEN n % 3 > 1 THEN 1 ELSE 0 END
+         |         THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM r ORDER BY doc_id""".stripMargin,
   )
+
+  /** The bigram-LM scoring pipeline as shared CTEs (ending in
+    * `scored`: doc_id, n_bigrams, sum_ppm, lm_ppm) — the single
+    * source both the x_bigram_lm and x_ppl_buckets oracles read, so
+    * the model and the split over it cannot drift. */
+  private def bigramScoredCtes: String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |b AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(w)),
+       |      i -> w[i] || ' ' || w[i + 1])) AS bigram
+       |  FROM d WHERE len(w) >= 2),
+       |c2 AS (SELECT bigram, count(*) AS c2 FROM b GROUP BY 1),
+       |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
+       |    CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |m AS (SELECT bigram, (c2 * 1000000) // c1 AS score_ppm
+       |  FROM (SELECT c2.bigram, c2.c2, c1.c1
+       |        FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1
+       |        ORDER BY c2.c2 DESC, c2.bigram LIMIT $BigramK)),
+       |sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(coalesce(m.score_ppm, 0)) AS BIGINT) AS sum_ppm
+       |  FROM b LEFT JOIN m USING (bigram) GROUP BY 1),
+       |scored AS (SELECT d.doc_id,
+       |    CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |    coalesce(sc.sum_ppm, 0) AS sum_ppm,
+       |    ${ExactNum.ratioSql("coalesce(sc.sum_ppm, 0)",
+              "coalesce(sc.n_bigrams, 0)")} AS lm_ppm
+       |  FROM d LEFT JOIN sc USING (doc_id))""".stripMargin
 
   /** The Gopher flag computation as shared CTEs (ending in `flags`) —
     * the single source both the x_gopher_rules and x_rule_attrition

@@ -602,6 +602,32 @@ class TextSpec extends SparkSpec {
     assert(c2.size > TextOps.BigramK, "corpus too small to exercise truncation")
   }
 
+  test("ppl buckets: two-level rank matches a naive global sort, sizes are ntile's") {
+    val scored = TextOps.xBigramLm(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3))
+    // naive reference: one global sort desc (score, asc doc_id), ntile cuts
+    val order = scored.sortBy { case (id, s) => (-s, id) }
+    val n = order.length
+    val (q, r) = (n / 3, n % 3)
+    val r1 = q + (if (r > 0) 1 else 0)
+    val r2 = 2 * q + (if (r > 0) 1 else 0) + (if (r > 1) 1 else 0)
+    val expect = order.zipWithIndex.map { case ((id, _), i) =>
+      id -> (if (i < r1) "head" else if (i < r2) "middle" else "tail")
+    }.toMap
+    val got = TextOps.xPplBuckets(spark, sfDir).collect()
+      .map(rw => (rw.getLong(0), rw.getLong(2), rw.getString(3)))
+    assert(got.length == n, "every doc bucketed")
+    got.foreach { case (id, rnk, bucket) =>
+      assert(bucket == expect(id), s"doc $id rank $rnk: $bucket != ${expect(id)}")
+    }
+    // distributed ranks are the exact 1..n permutation of the sort
+    assert(got.map(_._2).sorted.toSeq == (1L to n.toLong),
+      "ranks are not a permutation")
+    val sizes = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes == Map("head" -> r1, "middle" -> (r2 - r1),
+      "tail" -> (n - r2)), sizes.toString)
+  }
+
   test("dup-span oracle headroom covers the longest doc at every test scale") {
     val dirs = new java.io.File("/root/testdata").listFiles()
       .filter(f => f.isDirectory && new java.io.File(f, "documents.parquet").exists())
