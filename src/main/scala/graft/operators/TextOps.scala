@@ -957,7 +957,15 @@ object TextOps {
     * sort of the corpus anywhere. */
   def xPplBuckets(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one row per doc, consumed by three paths (score histogram, the
+    // doc-side join, the corpus count) — persist so the LM pipeline
+    // runs once instead of per consumer (the d_cc_recursive/LSH-sig
+    // precedent; Verify drops pinned caches between queries). At
+    // 100 TB this frame is the scored corpus — it persists as a table
+    // between the scoring and splitting jobs anyway (the CCNet
+    // deployment shape).
     val sc = bigramScored(s, dir).select(col("doc_id"), col("lm_ppm"))
+      .persist()
     val perScore = sc.groupBy(col("lm_ppm")).agg(count(lit(1)).as("c"))
       .withColumn("b", floor(col("lm_ppm")).cast("long"))
     val bucketCum = perScore.groupBy(col("b")).agg(sum(col("c")).as("bc"))

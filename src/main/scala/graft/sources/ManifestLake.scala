@@ -234,15 +234,36 @@ object ManifestLake {
     * deprecated upstream for being unreliable). */
   private def collectStats(spark: SparkSession, path: String,
       relFiles: Seq[String], cols: Seq[String]): Map[String, FileMeta] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val want = cols.map(_.toLowerCase).toSet
+    // footer reads are independent metadata IO — run them on a bounded
+    // pool so a many-file commit pays max(footer latencies), not their
+    // sum (a 10⁴-file merge at ~5 ms/footer would otherwise serialize
+    // ~50 s onto the driver; Delta pays this inside the write job, an
+    // optimization noted for when commits outgrow driver-side IO)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, relFiles.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = relFiles.map(rel => scala.concurrent.Future(
+        fileStats(path, rel, conf, want)))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf).toMap
+    } finally pool.shutdown()
+  }
+
+  private def fileStats(path: String, rel: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      want: Set[String]): (String, FileMeta) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import scala.jdk.CollectionConverters._
-    val conf = spark.sparkContext.hadoopConfiguration
-    val want = cols.map(_.toLowerCase).toSet
-    relFiles.map { rel =>
+    locally {
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(s"$path/$rel"), conf))
       try {
@@ -318,7 +339,7 @@ object ManifestLake {
         }
         rel -> FileMeta(rows, stats.toMap)
       } finally reader.close()
-    }.toMap
+    }
   }
 
   /** Total order within a stats domain: numeric/date/timestamp canon

@@ -457,6 +457,31 @@ class PlanAuditSpec extends SparkSpec {
       fin.contains("reused"), s"no exchange reuse in final plan:\n$fin")
   }
 
+  test("x_ppl_buckets: the only unpartitioned window runs over the bucket rollup, not docs") {
+    // the naive tercile split is `ntile OVER (ORDER BY score)` — one
+    // task holding the corpus. The two-level form may keep exactly ONE
+    // unpartitioned window, and its input must be the integer-ppm
+    // bucket table (sorted on `b`, ≤10⁶ rows by DOMAIN); every other
+    // window (within-bucket, within-score tiebreak) must be partitioned.
+    val df = TextOps.xPplBuckets(spark, sfDir)
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size >= 3, s"expected the 3-window decomposition: $wins")
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.size == 1, s"${unpart.size} unpartitioned windows")
+    val sortCols = unpart.flatMap(_.orderSpec.map(_.child)).collect {
+      case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+    }
+    assert(sortCols == Seq("b"), s"global window sorts on $sortCols, not the bucket key")
+    // double partition keys come wrapped (KnownFloatingPointNormalized
+    // over NormalizeNaNAndZero) — collect the underlying references
+    val partCols = wins.filterNot(_.partitionSpec.isEmpty)
+      .flatMap(_.partitionSpec).flatMap(_.references.toSeq.map(_.name)).toSet
+    assert(partCols.contains("lm_ppm"), s"tiebreak window not score-partitioned: $partCols")
+    assert(!plan(df).contains("CartesianProduct"), "cartesian in plan")
+  }
+
   test("s_ann_multiprobe: probe expansion is query-side; candidates from the bucket equi-join") {
     val p = plan(SimilarityOps.sAnnMultiprobe(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
