@@ -90,7 +90,8 @@ object ManifestLake {
     * created without statsCols — every reader then falls back to
     * whole-directory reads, so stats are purely an optimization. */
   final case class Snapshot(version: Long, days: Map[String, Seq[String]],
-      lastBatch: Long = -1L, files: Map[String, FileMeta] = Map.empty)
+      lastBatch: Long = -1L, files: Map[String, FileMeta] = Map.empty,
+      schemaJson: Option[String] = None)
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -160,7 +161,10 @@ object ManifestLake {
       f -> FileMeta(rows, colStats.getOrElse(f, Array.empty[((String, String),
         ColStats)]).map { case ((_, c), st) => c -> st }.toMap)
     }
-    Snapshot(v, days, lastBatch, files)
+    val schemaJson = lines.collectFirst {
+      case l if l.startsWith("#schema\t") => dec(l.stripPrefix("#schema\t"))
+    }
+    Snapshot(v, days, lastBatch, files, schemaJson)
   }
 
   /** The latest committed snapshot (version 0 = empty table). */
@@ -176,14 +180,16 @@ object ManifestLake {
     * `next` is already committed (another writer won the race). */
   private def commit(fs: FileSystem, root: Path, next: Long,
       days: Map[String, Seq[String]], lastBatch: Long = -1L,
-      files: Map[String, FileMeta] = Map.empty): Unit = {
+      files: Map[String, FileMeta] = Map.empty,
+      schemaJson: Option[String] = None): Unit = {
     val target = new Path(root, f"$LogDir/$next%08d.manifest")
     if (fs.exists(target))
       throw new java.util.ConcurrentModificationException(
         s"manifest version $next already committed by another writer")
     val tmp = new Path(root, s"$LogDir/.tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, /* overwrite = */ false)
-    val header = if (lastBatch >= 0) Seq(s"#batch\t$lastBatch") else Seq.empty
+    val header = (if (lastBatch >= 0) Seq(s"#batch\t$lastBatch") else Seq.empty) ++
+      schemaJson.map(j => s"#schema\t${enc(j)}").toSeq
     val body = days.toSeq.sortBy(_._1)
       .flatMap { case (d, ps) => ps.sorted.map(p => s"$d\t$p") }
     val statLines = files.toSeq.sortBy(_._1).flatMap { case (f, m) =>
@@ -435,6 +441,58 @@ object ManifestLake {
   private def dayKey: org.apache.spark.sql.Column =
     coalesce(col("day"), lit(NullPart))
 
+  /** Additive schema union for the checkpoint: base order preserved,
+    * genuinely-new fields appended; a same-name field changing its
+    * type is rejected (the Delta rule — silent widening would make
+    * old files unreadable under the checkpointed schema). */
+  private def unionSchema(base: org.apache.spark.sql.types.StructType,
+      add: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    base.fields.foreach { bf =>
+      add.fields.find(_.name.equalsIgnoreCase(bf.name)).foreach { af =>
+        require(af.dataType == bf.dataType,
+          s"incompatible schema evolution on '${bf.name}': " +
+            s"${bf.dataType.simpleString} vs ${af.dataType.simpleString}")
+      }
+    }
+    val baseNames = base.fieldNames.map(_.toLowerCase).toSet
+    org.apache.spark.sql.types.StructType(base.fields ++
+      add.fields.filterNot(f => baseNames.contains(f.name.toLowerCase)))
+  }
+
+  /** The snapshot's table schema: the checkpointed one when the
+    * manifest carries it (O(1) planning — the Delta approach,
+    * implemented r11), else the legacy footer-union (one mergeSchema
+    * planning pass; every WRITE through this version re-checkpoints,
+    * so a pre-checkpoint lake upgrades itself on its next commit). */
+  private def tableSchema(spark: SparkSession, path: String,
+      snap: Snapshot): org.apache.spark.sql.types.StructType =
+    snap.schemaJson match {
+      case Some(j) => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      case None =>
+        val dirs = s"$path/$SchemaDir" +:
+          snap.days.values.flatten.toSeq.sorted.map(p => s"$path/$p")
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*).schema
+    }
+
+  /** The one snapshot-read primitive: explicit checkpointed schema
+    * when available (no footer is opened at planning — a file missing
+    * a late-added column reads it as NULL, the standard parquet
+    * evolution contract), mergeSchema fallback for pre-checkpoint
+    * manifests. */
+  private def readPaths(spark: SparkSession, path: String,
+      snap: Snapshot, rels: Seq[String]): DataFrame = {
+    val all = s"$path/$SchemaDir" +: rels.map(p => s"$path/$p")
+    val base = snap.schemaJson match {
+      case Some(_) => spark.read.schema(tableSchema(spark, path, snap))
+        .parquet(all: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(all: _*)
+    }
+    base.withColumn("day", when(col("day") === NullPart, lit(null:
+      String)).otherwise(col("day")))
+  }
+
   /** Initial snapshot: derive `day` from `ordCol`, write generation 1,
     * commit manifest v1. A 0-row schema anchor is kept under the log
     * dir so a fully-drained table still reads with its schema. */
@@ -449,35 +507,31 @@ object ManifestLake {
       try out.write(statsCols.map(_.toLowerCase).mkString("\n").getBytes("UTF-8"))
       finally out.close()
     }
-    val (dirs, metas) = writeGen(spark, path,
-      rows.withColumn("day", dayKey), filesPerDay)
+    val withDay = rows.withColumn("day", dayKey)
+    val (dirs, metas) = writeGen(spark, path, withDay, filesPerDay)
     commit(fs, root, 1L, dirs.map { case (d, p) => d -> Seq(p) },
-      files = metas)
+      files = metas, schemaJson = Some(withDay.schema.json))
     1L
   }
 
   /** Read a specific committed version (time travel). The 0-row
     * schema anchor is always included so an empty snapshot reads as
-    * an empty table WITH the schema; mergeSchema unions footers so
-    * additive evolution across generations surfaces table-wide
-    * (LakeLayout.readEvolved's argument — and the r9 lesson that a
-    * single-footer read silently drops late-added columns from a
-    * takedown rewrite, which is why correctness keeps it ON here).
-    * The cost is one footer per file at planning; it is bounded by
-    * the same maintenance that bounds file counts — compactDay folds
-    * a day's appended generations, so footer count tracks compacted
-    * days, not batches ingested. (A production deployment would also
-    * checkpoint the union schema into the log, the Delta approach —
-    * noted, not needed at this file count.) `day` comes back as the
-    * stored column; the NullPart marker is restored to NULL. */
+    * an empty table WITH the schema. Since r11 each manifest
+    * CHECKPOINTS its union schema (the Delta approach): planning
+    * opens ZERO footers — the schema is one log line, and a file
+    * missing a late-added column reads it as NULL (the r9 lesson that
+    * a single-footer read silently drops late-added columns is closed
+    * structurally: the union is maintained at COMMIT time, where the
+    * writer already holds both sides). Pre-checkpoint manifests fall
+    * back to the mergeSchema footer union — one footer per file,
+    * bounded by compactDay folding appended generations — and any
+    * write through this version re-checkpoints them. `day` comes
+    * back as the stored column; the NullPart marker is restored to
+    * NULL. */
   def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
     val (fs, root) = fsOf(spark, path)
     val snap = if (v == 0L) Snapshot(0L, Map.empty) else readManifest(fs, root, v)
-    val dirs = s"$path/$SchemaDir" +:
-      snap.days.values.flatten.toSeq.sorted.map(p => s"$path/$p")
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
-      .withColumn("day", when(col("day") === NullPart, lit(null:
-        String)).otherwise(col("day")))
+    readPaths(spark, path, snap, snap.days.values.flatten.toSeq.sorted)
   }
 
   /** Read the latest committed snapshot. */
@@ -491,12 +545,8 @@ object ManifestLake {
   def readDays(spark: SparkSession, path: String,
       keep: String => Boolean): DataFrame = {
     val snap = snapshot(spark, path)
-    val dirs = s"$path/$SchemaDir" +:
-      snap.days.filter(kv => keep(kv._1)).values.flatten.toSeq.sorted
-        .map(p => s"$path/$p")
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
-      .withColumn("day", when(col("day") === NullPart, lit(null:
-        String)).otherwise(col("day")))
+    readPaths(spark, path, snap,
+      snap.days.filter(kv => keep(kv._1)).values.flatten.toSeq.sorted)
   }
 
   // ---- data skipping (per-file stats → predicate-driven pruning) ----
@@ -740,10 +790,7 @@ object ManifestLake {
   def readWhere(spark: SparkSession, path: String,
       predicateSql: String): DataFrame = {
     val rep = candidateFiles(spark, path, predicateSql)
-    val dirs = s"$path/$SchemaDir" +: rep.scanPaths.map(p => s"$path/$p")
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
-      .withColumn("day", when(col("day") === NullPart, lit(null:
-        String)).otherwise(col("day")))
+    readPaths(spark, path, snapshot(spark, path), rep.scanPaths)
       .filter(predicateSql)
   }
 
@@ -793,7 +840,13 @@ object ManifestLake {
     val nextDays = (snap.days -- days) ++
       newDirs.map { case (d, p) => d -> Seq(p) }
     commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
-      carryFiles(snap, nextDays) ++ metas)
+      carryFiles(snap, nextDays) ++ metas,
+      // union with the FULL table schema, not merged's: under a
+      // pre-checkpoint manifest the merge frame was planned from the
+      // affected days only, and a column living solely in untouched
+      // days must survive the checkpoint
+      schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
+        merged.schema).json))
     snap.version + 1
   }
 
@@ -835,7 +888,9 @@ object ManifestLake {
     val nextDays = (snap.days -- days) ++
       newDirs.map { case (d, p) => d -> Seq(p) }
     commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
-      carryFiles(snap, nextDays) ++ metas)
+      carryFiles(snap, nextDays) ++ metas,
+      schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
+        kept.schema).json))
     deleted
   }
 
@@ -854,8 +909,16 @@ object ManifestLake {
       zOrder: Boolean = false): Long = {
     val snap = snapshot(spark, path)
     val rels = snap.days.getOrElse(day, return snap.version)
-    val df = spark.read.option("mergeSchema", "true")
-      .parquet(rels.map(p => s"$path/$p"): _*)
+    // checkpointed schema when available (zero footers at planning);
+    // raw read either way — the NullPart day marker is preserved in
+    // the rewritten bytes, not restored to NULL
+    val dayPaths = rels.map(p => s"$path/$p")
+    val df = snap.schemaJson match {
+      case Some(_) => spark.read.schema(tableSchema(spark, path, snap))
+        .parquet(dayPaths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(dayPaths: _*)
+    }
     val (fs, root) = fsOf(spark, path)
     val bytes = rels.flatMap(rel => fs.listStatus(new Path(root, rel)).toSeq)
       .filter(_.isFile).map(_.getLen).sum
@@ -893,7 +956,9 @@ object ManifestLake {
     val rel = s"$gen/pday=$day"
     val nextDays = snap.days + (day -> Seq(rel))
     commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
-      carryFiles(snap, nextDays) ++ genStats(spark, path, fs, root, Seq(rel)))
+      carryFiles(snap, nextDays) ++ genStats(spark, path, fs, root, Seq(rel)),
+      schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
+        df.schema).json))
     snap.version + 1
   }
 
@@ -930,7 +995,12 @@ object ManifestLake {
       m.updated(d, m.getOrElse(d, Seq.empty) :+ p)
     }
     commit(fs, root, snap.version + 1, merged, batchId,
-      snap.files ++ metas)
+      snap.files ++ metas,
+      // additive evolution lands HERE: a batch carrying a new column
+      // widens the checkpoint, and every already-committed file reads
+      // the new column as NULL under it
+      schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
+        rows.schema).json))
     snap.version + 1
   }
 

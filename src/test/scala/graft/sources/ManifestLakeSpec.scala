@@ -348,4 +348,67 @@ class ManifestLakeSpec extends SparkSpec {
     assert(ManifestLake.snapshot(spark, dir).days("2024-01-02")
       .exists(_.contains("g-")), "day 2 entry malformed")
   }
+
+  test("schema checkpoint: additive evolution via append; old files read NULL; time travel keeps the old schema") {
+    val dir = Files.createTempDirectory("graft_ml_schema").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    val v1 = ManifestLake.snapshot(spark, dir)
+    assert(v1.schemaJson.isDefined, "create did not checkpoint a schema")
+    // append a batch that carries a NEW column
+    val extra = Seq((9L, 90L, ts("2024-01-05 08:00:00"), "click", 1.0, "eu-w1"))
+      .toDF("user_id", "event_id", "ts", "event_type", "value", "region")
+    ManifestLake.appendBatch(spark, dir, extra, "ts", batchId = 0L)
+    val df = ManifestLake.read(spark, dir)
+    assert(df.columns.contains("region"), df.columns.mkString(","))
+    assert(df.count() == 5)
+    // pre-evolution rows surface the new column as NULL
+    assert(df.filter(col("region").isNull).count() == 4)
+    assert(df.filter(col("region") === "eu-w1").count() == 1)
+    // time travel to v1 reads the ORIGINAL schema (no region)
+    val old = ManifestLake.readVersion(spark, dir, 1L)
+    assert(!old.columns.contains("region"), old.columns.mkString(","))
+    assert(old.count() == 4)
+  }
+
+  test("schema checkpoint: a pre-checkpoint manifest falls back to footers and self-upgrades on the next commit") {
+    val dir = Files.createTempDirectory("graft_ml_legacy").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    // simulate a legacy manifest: strip the #schema line in place
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = new org.apache.hadoop.fs.Path(s"$dir/_graft_log/00000001.manifest")
+    val txt = {
+      val in = fs.open(mf)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val stripped = txt.split('\n').filterNot(_.startsWith("#schema"))
+      .mkString("\n")
+    val out = fs.create(mf, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    assert(ManifestLake.snapshot(spark, dir).schemaJson.isEmpty)
+    // legacy read path (mergeSchema) still answers
+    assert(ManifestLake.read(spark, dir).count() == 4)
+    // any write re-checkpoints
+    val upd = Seq((1L, 10L, ts("2024-01-01 23:59:30"), "purchase", 2.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.upsert(spark, dir, upd, Seq("user_id", "event_id"), "ts")
+    assert(ManifestLake.snapshot(spark, dir).schemaJson.isDefined,
+      "upsert did not re-checkpoint the schema")
+    assert(ManifestLake.read(spark, dir).count() == 4)
+  }
+
+  test("schema checkpoint: a type-changing column is rejected, not silently widened") {
+    val dir = Files.createTempDirectory("graft_ml_conflict").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    val bad = Seq((9L, "ninety", ts("2024-01-05 08:00:00"), "click", 1.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.appendBatch(spark, dir, bad, "ts", batchId = 0L)
+    }
+    assert(e.getMessage.contains("event_id"), e.getMessage)
+    // the failed append left no committed trace
+    assert(ManifestLake.snapshot(spark, dir).version == 1L)
+    assert(ManifestLake.read(spark, dir).count() == 4)
+  }
 }
