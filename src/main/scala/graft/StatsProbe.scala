@@ -46,7 +46,11 @@ object StatsProbe {
     val (_, tCreate) = time(ManifestLake.create(spark, out, events, "ts",
       filesPerDay = filesPerDay, statsCols = Seq("user_id", "value")))
     val days = ManifestLake.snapshot(spark, out).days.keys.toSeq.sorted
-    val probeUid = events.agg(max(col("user_id")) / 2).head().getDouble(0).toLong
+    // an OBSERVED median uid (percentile_approx returns an element of
+    // the data, so the point probe always hits rows — a computed
+    // midpoint can fall into an id gap on stretched corpora)
+    val probeUid = events.agg(
+      expr("percentile_approx(user_id, 0.5)")).head().getLong(0)
     val pred = s"user_id = $probeUid"
     val rangePred = s"user_id >= $probeUid AND user_id < ${probeUid + 50}"
 
