@@ -353,16 +353,7 @@ object ManifestLake {
     * UTF-8 bytes — the SAME ordering parquet used to compute the
     * min/max, which is what makes pruning against them sound. */
   private def domCmp(dom: Char, a: String, b: String): Int = dom match {
-    case 'S' =>
-      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
-      val n = math.min(x.length, y.length)
-      var i = 0
-      while (i < n) {
-        val c = (x(i) & 0xff) - (y(i) & 0xff)
-        if (c != 0) return c
-        i += 1
-      }
-      x.length - y.length
+    case 'S' => cmpBytes(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
     case _ => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
   }
 
@@ -558,6 +549,8 @@ object ManifestLake {
       extends Pred
   private final case class InPred(colName: String,
       lits: Seq[org.apache.spark.sql.catalyst.expressions.Literal]) extends Pred
+  private final case class PrefixPred(colName: String, prefix: String)
+      extends Pred
 
   /** The conjuncts of `e` this pruner understands. Soundness shape:
     * the full predicate is (extracted ∧ residue), and a row matching
@@ -603,8 +596,46 @@ object ManifestLake {
       case In(a, vs) if attr(a).isDefined &&
           vs.forall(_.isInstanceOf[Literal]) =>
         Seq(InPred(attr(a).get, vs.map(_.asInstanceOf[Literal])))
+      case Like(a, p: Literal, esc) if attr(a).isDefined && p.value != null =>
+        // prefix-only LIKE ('abc%'): literal chars then ONE trailing %,
+        // no other wildcard and no escape usage — anything else is
+        // residue (Delta prunes the same shape)
+        val pat = p.value.toString
+        if (pat.length > 1 && pat.endsWith("%") &&
+            !pat.contains("_") && !pat.contains(esc.toString) &&
+            pat.indexOf('%') == pat.length - 1)
+          Seq(PrefixPred(attr(a).get, pat.dropRight(1)))
+        else Seq.empty
       case _ => Seq.empty
     }
+  }
+
+  /** The tight exclusive upper bound of the prefix range in unsigned
+    * byte order: increment the last non-0xFF byte and truncate — every
+    * string starting with `p` sorts in [p, nextPrefix(p)); None when
+    * p is all 0xFF (no upper bound). */
+  private def nextPrefix(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0) {
+      if ((p(i) & 0xff) != 0xff) {
+        val b = p.take(i + 1)
+        b(i) = (b(i) + 1).toByte
+        return Some(b)
+      }
+      i -= 1
+    }
+    None
+  }
+
+  private def cmpBytes(x: Array[Byte], y: Array[Byte]): Int = {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** A literal rendered into a stats domain's canonical string, or
@@ -697,6 +728,17 @@ object ManifestLake {
             case Some(v) => inRange(st.dom, "eq", v)
           }
         }
+      case PrefixPred(_, pre) =>
+        // all matches sort in [prefix, nextPrefix) under the same
+        // unsigned-byte order the string min/max live in
+        if (allNull) false
+        else if (!st.hasMM || st.dom != 'S') true
+        else {
+          val p = pre.getBytes("UTF-8")
+          cmpBytes(st.max.getBytes("UTF-8"), p) >= 0 &&
+            nextPrefix(p).forall(np =>
+              cmpBytes(st.min.getBytes("UTF-8"), np) < 0)
+        }
     }
   }
 
@@ -729,6 +771,7 @@ object ManifestLake {
         }
       }
     }
+    case PrefixPred(_, pre) => key.exists(_.startsWith(pre))
   }
 
   /** What a predicate keeps: whole directories (no per-file stats
@@ -1007,14 +1050,22 @@ object ManifestLake {
   /** The writeStream adapter: `stream.writeStream.foreachBatch(
     * ManifestLake.sink(path, "ts")).start()`. The first batch of a
     * fresh table also writes the schema anchor. */
-  def sink(path: String, ordCol: String, filesPerDay: Int = 1):
+  def sink(path: String, ordCol: String, filesPerDay: Int = 1,
+      statsCols: Seq[String] = Seq.empty):
       (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     val anchor = new Path(s"$path/$SchemaDir")
     val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(anchor))
+    if (!fs.exists(anchor)) {
       batch.withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
         .limit(0).write.mode("overwrite").parquet(s"$path/$SchemaDir")
+      if (statsCols.nonEmpty) {
+        val out = fs.create(new Path(s"$path/$StatsColsFile"), true)
+        try out.write(
+          statsCols.map(_.toLowerCase).mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+    }
     appendBatch(spark, path, batch, ordCol, batchId, filesPerDay)
     ()
   }

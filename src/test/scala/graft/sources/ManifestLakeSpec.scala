@@ -349,6 +349,38 @@ class ManifestLakeSpec extends SparkSpec {
       .exists(_.contains("g-")), "day 2 entry malformed")
   }
 
+  test("two-writer race: the loser's commit is rejected, a retry from the fresh snapshot converges") {
+    val dir = Files.createTempDirectory("graft_ml_race").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    val updA = Seq((2L, 20L, ts("2024-01-02 12:00:00"), "a-wins", 5.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val updB = Seq((3L, 30L, ts("2024-01-02 12:30:00"), "b-wins", 6.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    // writer A pauses between its data write and its commit; writer B
+    // commits the SAME base version in that window — the no-overwrite
+    // manifest create must reject A
+    val boom = intercept[java.util.ConcurrentModificationException] {
+      ManifestLake.upsert(spark, dir, updA, Seq("user_id", "event_id"), "ts",
+        beforeCommit = () => {
+          ManifestLake.upsert(spark, dir, updB, Seq("user_id", "event_id"), "ts")
+          ()
+        })
+    }
+    assert(boom.getMessage.contains("already committed"), boom.getMessage)
+    // B's commit is the visible one; A's generation is invisible garbage
+    val afterRace = ManifestLake.read(spark, dir)
+      .filter(col("event_type") === "a-wins").count()
+    assert(afterRace == 0, "loser's data leaked into the table")
+    assert(ManifestLake.read(spark, dir)
+      .filter(col("event_type") === "b-wins").count() == 1)
+    // the standard OCC loop: re-read the snapshot, reapply, commit
+    ManifestLake.upsert(spark, dir, updA, Seq("user_id", "event_id"), "ts")
+    val finalState = ManifestLake.read(spark, dir)
+    assert(finalState.filter(col("event_type") === "a-wins").count() == 1)
+    assert(finalState.filter(col("event_type") === "b-wins").count() == 1)
+    assert(finalState.count() == 4)
+  }
+
   test("schema checkpoint: additive evolution via append; old files read NULL; time travel keeps the old schema") {
     val dir = Files.createTempDirectory("graft_ml_schema").toString
     ManifestLake.create(spark, dir, mkBase(), "ts")

@@ -205,6 +205,54 @@ class ManifestLakeStatsSpec extends SparkSpec {
     agree(dir, "ts < '2024-01-02 00:00:00'")
   }
 
+  test("prefix LIKE prunes string files and day directories") {
+    val dir = Files.createTempDirectory("graft_mls_prefix").toString
+    // cat carries a per-day prefix: day k's values are pk-<uid>
+    val rows = (0 until 400).map { i =>
+      val d = i / 100
+      (i.toLong, ts(f"2024-01-${d + 1}%02d 12:00:00"), s"p$d-$i", 1.0)
+    }.toDF("uid", "ts", "cat", "amount")
+    ManifestLake.create(spark, dir, rows, "ts", statsCols = Seq("cat"))
+    val rep = ManifestLake.candidateFiles(spark, dir, "cat LIKE 'p2-%'")
+    assert(rep.totalFiles == 4 && rep.keptFiles.size == 1,
+      s"kept ${rep.keptFiles.size}/${rep.totalFiles}")
+    agree(dir, "cat LIKE 'p2-%'")
+    // day-key prefixes prune directories too
+    val dayRep = ManifestLake.candidateFiles(spark, dir, "day LIKE '2024-01-0%'")
+    assert(dayRep.keptFiles.size == 4) // all 4 days share the prefix
+    agree(dir, "day LIKE '2024-01-0%'")
+    // non-prefix patterns are residue: kept, correct
+    val residue = ManifestLake.candidateFiles(spark, dir, "cat LIKE '%-250'")
+    assert(residue.keptFiles.size == residue.totalFiles)
+    agree(dir, "cat LIKE '%-250'")
+    agree(dir, "cat LIKE 'p_-250'") // _ wildcard → residue
+  }
+
+  test("streaming-shape appends: a time-range predicate opens only the covering batches' files") {
+    val dir = Files.createTempDirectory("graft_mls_stream").toString
+    // seed the table (day 1) with ts indexed, then 5 batch appends
+    // with advancing timestamps — the sink layout before compaction
+    val seed = Seq((0L, ts("2024-06-01 00:00:30"), 0.0))
+      .toDF("uid", "ts", "value")
+    ManifestLake.create(spark, dir, seed, "ts", statsCols = Seq("ts", "uid"))
+    (0 until 5).foreach { b =>
+      val batch = (0 until 100).map { i =>
+        (100L * b + i, ts(f"2024-06-01 0$b:${i % 60}%02d:00"), i.toDouble)
+      }.toDF("uid", "ts", "value")
+      ManifestLake.appendBatch(spark, dir, batch, "ts", batchId = b.toLong)
+    }
+    // one day directory, 6 files (seed + 5 batches); a predicate on
+    // the last hour must open only the file whose ts range covers it
+    val pred = "ts >= TIMESTAMP '2024-06-01 04:00:00'"
+    val rep = ManifestLake.candidateFiles(spark, dir, pred)
+    assert(rep.totalFiles == 6, s"${rep.totalFiles} files")
+    assert(rep.keptFiles.size == 1, s"kept ${rep.keptFiles.mkString(",")}")
+    agree(dir, pred)
+    agree(dir, "ts < TIMESTAMP '2024-06-01 01:00:00'")
+    assert(ManifestLake.candidateFiles(spark, dir,
+      "ts < TIMESTAMP '2024-06-01 01:00:00'").keptFiles.size == 2)
+  }
+
   test("crash between data write and commit leaves old stats and old answer") {
     val dir = Files.createTempDirectory("graft_mls_crash").toString
     ManifestLake.create(spark, dir, mkBase(), "ts", statsCols = Seq("cat"))
