@@ -22,7 +22,8 @@ object SparkEntry {
     ListMap.empty[String, (SparkSession, String) => DataFrame] ++
       RelationalOps.queries ++ TimerOps.queries ++ CronOps.queries ++
       BloomOps.queries ++ TextOps.queries ++ MultimodalOps.queries ++
-      DedupOps.queries ++ SimilarityOps.queries ++ TrainingPipeline.queries
+      DedupOps.queries ++ SimilarityOps.queries ++
+      TrainingPipeline.queries ++ LakeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -30,5 +31,6 @@ object SparkEntry {
     ListMap.empty[String, String] ++
       RelationalOps.oracles ++ TimerOps.oracles ++ CronOps.oracles ++
       BloomOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles ++
-      DedupOps.oracles ++ SimilarityOps.oracles ++ TrainingPipeline.oracles
+      DedupOps.oracles ++ SimilarityOps.oracles ++
+      TrainingPipeline.oracles ++ LakeOps.oracles
 }
