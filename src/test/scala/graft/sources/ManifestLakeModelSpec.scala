@@ -46,9 +46,11 @@ class ManifestLakeModelSpec extends SparkSpec {
     def rt() = base + rnd.nextInt(5) * DayMs + rnd.nextInt(86400) * 1000L
     def rv() = (rnd.nextInt(1000) + 1) / 100.0
 
-    // init: 12 distinct keys
+    // init: 12 distinct keys; stats ON so every op composition also
+    // exercises collection, carry-forward, and pruning (r11)
     val init = Seq.tabulate(12)(i => (i.toLong, rt(), rv()))
-    ManifestLake.create(spark, dir, toDf(init), "ts")
+    ManifestLake.create(spark, dir, toDf(init), "ts",
+      statsCols = Seq("k", "value"))
     var model: Model = init.map { case (k, t, v) => k -> ((t, v)) }.toMap
     var nextBatch = 0L
 
@@ -56,6 +58,16 @@ class ManifestLakeModelSpec extends SparkSpec {
       val got = lakeState(dir)
       assert(got == model, s"op $op ($opName): lake ${got.toSeq.sortBy(_._1)} " +
         s"!= model ${model.toSeq.sortBy(_._1)}")
+      // the stats-pruned read must agree with the model's filter after
+      // EVERY committed op — stale or wrong per-file stats would
+      // surface here as a dropped (or resurrected) row
+      val pruned = ManifestLake.readWhere(spark, dir,
+        "k < 20 AND value >= 2.5")
+        .select("k", "ts", "value").collect()
+        .map(r => r.getLong(0) -> ((r.getTimestamp(1).getTime,
+          r.getDouble(2)))).toMap
+      val expect = model.filter { case (k, (_, v)) => k < 20 && v >= 2.5 }
+      assert(pruned == expect, s"op $op ($opName): readWhere diverged")
     }
 
     (1 to 40).foreach { op =>
@@ -89,10 +101,13 @@ class ManifestLakeModelSpec extends SparkSpec {
           ManifestLake.deleteWhere(spark, dir, col("value") < cut)
           model = model.filter { case (_, (_, v)) => !(v < cut) }
           checkEq("delete", op)
-        case 8 => // compaction of a random live day: content-neutral
+        case 8 => // compaction of a random live day (sometimes
+          // clustered): content-neutral either way
           val days = ManifestLake.snapshot(spark, dir).days.keys.toSeq.sorted
           if (days.nonEmpty) {
-            ManifestLake.compactDay(spark, dir, days(rnd.nextInt(days.size)))
+            val clusterBy = if (rnd.nextBoolean()) Seq("k") else Seq.empty
+            ManifestLake.compactDay(spark, dir, days(rnd.nextInt(days.size)),
+              clusterBy = clusterBy)
             checkEq("compact", op)
           }
         case 9 => // CRASH injection: a failed commit changes nothing
