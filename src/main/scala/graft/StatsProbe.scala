@@ -76,6 +76,15 @@ object StatsProbe {
       s"pruned reads diverged: $nFull/$nPre/$nPost")
     require(nRange == nRangeFull, s"range diverged: $nRange/$nRangeFull")
 
+    // planning-cost pair: the r11 schema checkpoint (one log line) vs
+    // the legacy mergeSchema footer union over every live file —
+    // .schema forces ONLY planning, no data task runs
+    val liveDirs = ManifestLake.snapshot(spark, out).days.values
+      .flatten.toSeq.sorted.map(p => s"$out/$p")
+    val (_, tPlanCkpt) = time(ManifestLake.read(spark, out).schema)
+    val (_, tPlanMerge) = time(
+      spark.read.option("mergeSchema", "true").parquet(liveDirs: _*).schema)
+
     println(s"""{"metric":"statsprobe","dir":"$sfDir","days":${days.size},""" +
       f""""create_sec":$tCreate%.3f,"compact_all_days_sec":$tCompact%.3f,""" +
       s""""point_rows":$nFull,""" +
@@ -87,7 +96,8 @@ object StatsProbe {
       s""""post_total_files":${repAfter.totalFiles},""" +
       f""""range_sec":$tRange%.3f,"range_full_sec":$tRangeFull%.3f,""" +
       s""""range_kept_files":${repRange.keptFiles.size},""" +
-      s""""range_rows":$nRange}""")
+      s""""range_rows":$nRange,""" +
+      f""""plan_ckpt_sec":$tPlanCkpt%.3f,"plan_merge_sec":$tPlanMerge%.3f}""")
     spark.stop()
   }
 }
