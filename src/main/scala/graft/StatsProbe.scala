@@ -44,7 +44,8 @@ object StatsProbe {
     }
     val events = Tables.events(spark, sfDir).filter(col("ts").isNotNull)
     val (_, tCreate) = time(ManifestLake.create(spark, out, events, "ts",
-      filesPerDay = filesPerDay, statsCols = Seq("user_id", "value")))
+      filesPerDay = filesPerDay, statsCols = Seq("user_id", "value"),
+      bloomCols = Seq("user_id")))
     val days = ManifestLake.snapshot(spark, out).days.keys.toSeq.sorted
     // an OBSERVED median uid (percentile_approx returns an element of
     // the data, so the point probe always hits rows — a computed

@@ -59,6 +59,13 @@ object BloomFunctions {
     * murmur3_32. */
   def bloomPos2(key: Column, m: Int): Column =
     pmod(hash(key).cast(LongType), lit(m.toLong))
+
+  /** md5-route bit position (ManifestLake's file bloom index): same
+    * first-15-hex-chars construction as bloomPos1 but over md5, so a
+    * DRIVER-side prober can recompute both positions with plain
+    * MessageDigest — no dependency on Spark's typed murmur3. */
+  def bloomPosMd5(key: Column, m: Int): Column =
+    pmod(conv(substring(md5(key.cast(BinaryType)), 1, 15), 16, 10).cast(LongType), lit(m.toLong))
 }
 
 /** bloom_might_contain(bloom, p1, p2): true iff both bit positions

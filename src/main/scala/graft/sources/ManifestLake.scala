@@ -62,6 +62,8 @@ object ManifestLake {
   private val DataDir = "data"
   private val SchemaDir = s"$LogDir/schema"
   private val StatsColsFile = s"$LogDir/stats_cols"
+  private val BloomColsFile = s"$LogDir/bloom_cols"
+  private val BloomDir = s"$LogDir/bloom"
   private val NullPart = "__HIVE_DEFAULT_PARTITION__"
   private val ManifestRe = "([0-9]{8})\\.manifest".r
 
@@ -348,6 +350,123 @@ object ManifestLake {
     }
   }
 
+  // ---- per-file bloom index (the Delta bloom-filter-index analog) ----
+
+  /** Opt-in equality index for columns whose values hash-spread so
+    * widely that min/max envelopes never prune (a point lookup on
+    * UNclustered ingest keeps every file — the measured negative
+    * control in SCALING §r11). One fixed-size bloom per (file,
+    * indexed column), built from the generation's own rows in ONE
+    * read-back pass at commit, stored in an IMMUTABLE per-generation
+    * sidecar under _graft_log/bloom/ (never rewritten — manifest
+    * lines would re-serialize every bloom on every commit). Bit
+    * positions are the sha1/md5 first-15-hex construction over the
+    * value CAST TO STRING, so the driver-side prober recomputes them
+    * with plain MessageDigest — no Spark internals, and build/probe
+    * cannot drift. Indexable column types are integers and strings
+    * (rendering-exact casts); enforced at create. */
+  final case class BloomEntry(m: Int, bits: Array[Byte]) {
+    def mightContain(s: String): Boolean = {
+      def hit(pos: Long): Boolean = {
+        val p = pos.toInt
+        (bits(p >> 3) & (1 << (p & 7))) != 0
+      }
+      hit(hashPos(s, "SHA-1")) && hit(hashPos(s, "MD5"))
+    }
+    private def hashPos(s: String, algo: String): Long = {
+      val d = java.security.MessageDigest.getInstance(algo)
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+      val v = java.lang.Long.parseLong(hex, 16)
+      ((v % m) + m) % m
+    }
+  }
+
+  /** (bloomCols, bits) for the table; empty cols = index disabled. */
+  def bloomConfig(spark: SparkSession, path: String): (Seq[String], Int) = {
+    val (fs, root) = fsOf(spark, path)
+    val p = new Path(root, BloomColsFile)
+    if (!fs.exists(p)) (Seq.empty, 0)
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val lines = txt.split('\n').map(_.trim).filter(_.nonEmpty)
+      (lines.tail.toSeq, lines.head.stripPrefix("m=").toInt)
+    }
+  }
+
+  /** Build and persist the generation's bloom sidecar: read the new
+    * leaves back once, aggregate one fixed-size bitset per (file,
+    * col) via the partial-agg bitset-OR (BloomFunctions). Cost is one
+    * pass over the NEW data only; the sidecar is ~m/8 bytes per
+    * file·col and immutable. Runs before the manifest commit, so a
+    * crash leaves an orphan sidecar next to the orphan generation —
+    * both invisible, both vacuumed. */
+  private def genBlooms(spark: SparkSession, path: String, fs: FileSystem,
+      root: Path, leafDirs: Seq[String]): Unit = {
+    val (cols, m) = bloomConfig(spark, path)
+    if (cols.isEmpty || leafDirs.isEmpty) return
+    val gen = leafDirs.head.split('/').take(2).mkString("/") // data/g-<uuid>
+    val genName = gen.split('/').last
+    val df = spark.read.parquet(leafDirs.map(p => s"$path/$p"): _*)
+      .withColumn("__file", input_file_name())
+    val rootUri = fs.makeQualified(root).toUri.getPath
+    val rows = cols.filter(df.columns.map(_.toLowerCase).contains).flatMap { c =>
+      import graft.functions.BloomFunctions
+      val key = col(c).cast("string")
+      df.filter(col(c).isNotNull)
+        .select(col("__file"),
+          BloomFunctions.bloomPos1(key, m).as("p1"),
+          BloomFunctions.bloomPosMd5(key, m).as("p2"))
+        .groupBy(col("__file"))
+        .agg(BloomFunctions.bloomAgg(m)(col("p1"), col("p2")).as("bits"))
+        .collect()
+        .map { r =>
+          val abs = new java.net.URI(r.getString(0)).getPath
+          val rel = abs.stripPrefix(rootUri).stripPrefix("/")
+          val b64 = java.util.Base64.getEncoder
+            .encodeToString(r.getAs[Array[Byte]]("bits"))
+          s"${enc(rel)}\t$c\t$b64"
+        }
+    }
+    val out = fs.create(new Path(root, s"$BloomDir/$genName.idx"), true)
+    try out.write((s"#m\t$m" +: rows).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The generation's bloom sidecar as (relFile, col) → entry; empty
+    * when the gen predates the index or the index is off. */
+  private def readBlooms(fs: FileSystem, root: Path,
+      genName: String): Map[(String, String), BloomEntry] = {
+    val p = new Path(root, s"$BloomDir/$genName.idx")
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = txt.split('\n').filter(_.nonEmpty)
+    val m = lines.head.stripPrefix("#m\t").toInt
+    lines.tail.map { l =>
+      val Array(f, c, b64) = l.split('\t')
+      (dec(f), c) -> BloomEntry(m, java.util.Base64.getDecoder.decode(b64))
+    }.toMap
+  }
+
+  /** A literal rendered exactly as Spark's cast-to-string of an
+    * indexed (integer/string) column value — None for types whose
+    * rendering is not trivially canonical (doubles, timestamps):
+    * those skip the bloom and keep the file. */
+  private def bloomCanon(
+      l: org.apache.spark.sql.catalyst.expressions.Literal): Option[String] = {
+    import org.apache.spark.sql.types._
+    if (l.value == null) None
+    else l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType =>
+        Some(l.value.toString)
+      case _ => None
+    }
+  }
+
   /** Total order within a stats domain: numeric/date/timestamp canon
     * strings compare as exact BigDecimal, string canon as unsigned
     * UTF-8 bytes — the SAME ordering parquet used to compute the
@@ -392,6 +511,7 @@ object ManifestLake {
         val d = st.getPath.getName.stripPrefix("pday=")
         d -> s"$gen/${st.getPath.getName}"
       }.toMap
+    genBlooms(spark, path, fs, root, dayMap.values.toSeq)
     (dayMap, genStats(spark, path, fs, root, dayMap.values.toSeq))
   }
 
@@ -402,7 +522,10 @@ object ManifestLake {
   private def genStats(spark: SparkSession, path: String, fs: FileSystem,
       root: Path, leafDirs: Seq[String]): Map[String, FileMeta] = {
     val cols = statsCols(spark, path)
-    if (cols.isEmpty) Map.empty
+    // a bloom-only table still needs its files REGISTERED (rows-only
+    // metas) — the pruner walks registered files, dirs stay whole
+    // otherwise
+    if (cols.isEmpty && bloomConfig(spark, path)._1.isEmpty) Map.empty
     else {
       val files = leafDirs.flatMap { rel =>
         fs.listStatus(new Path(root, rel)).toSeq
@@ -489,13 +612,32 @@ object ManifestLake {
     * dir so a fully-drained table still reads with its schema. */
   def create(spark: SparkSession, path: String, df: DataFrame,
       ordCol: String, filesPerDay: Int = 1,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty,
+      bloomBits: Int = 1 << 16): Long = {
     val rows = df.withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
     rows.limit(0).write.mode("overwrite").parquet(s"$path/$SchemaDir")
     val (fs, root) = fsOf(spark, path)
     if (statsCols.nonEmpty) {
       val out = fs.create(new Path(root, StatsColsFile), true)
       try out.write(statsCols.map(_.toLowerCase).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    if (bloomCols.nonEmpty) {
+      import org.apache.spark.sql.types._
+      require(bloomBits % 8 == 0, "bloomBits must be byte-aligned")
+      bloomCols.foreach { c =>
+        val f = df.schema.fields.find(_.name.equalsIgnoreCase(c))
+          .getOrElse(throw new IllegalArgumentException(s"no column '$c'"))
+        require(Seq(ByteType, ShortType, IntegerType, LongType, StringType)
+          .contains(f.dataType),
+          s"bloom index needs an integer/string column, '$c' is " +
+            f.dataType.simpleString + " (cast-to-string rendering must " +
+            "be canonical for build and probe to agree)")
+      }
+      val out = fs.create(new Path(root, BloomColsFile), true)
+      try out.write((s"m=$bloomBits" +: bloomCols.map(_.toLowerCase))
+        .mkString("\n").getBytes("UTF-8"))
       finally out.close()
     }
     val withDay = rows.withColumn("day", dayKey)
@@ -797,6 +939,34 @@ object ManifestLake {
       spark.sessionState.sqlParser.parseExpression(predicateSql))
     val dayPreds = preds.filter(_.colName == "day")
     val colPreds = preds.filterNot(_.colName == "day")
+    // equality conjuncts testable against the per-file bloom index:
+    // (col → the literal renderings that must ALL miss to drop a
+    // file). An un-renderable element keeps the file (None marker).
+    val (bloomColsList, _) = bloomConfig(spark, path)
+    val bloomChecks: Seq[(String, Option[Seq[String]])] =
+      if (bloomColsList.isEmpty) Seq.empty
+      else colPreds.collect {
+        case CmpPred(c, "eq", l) if bloomColsList.contains(c) =>
+          c -> bloomCanon(l).map(Seq(_))
+        case InPred(c, ls) if bloomColsList.contains(c) =>
+          val canons = ls.filter(_.value != null).map(bloomCanon)
+          c -> (if (canons.exists(_.isEmpty)) None
+                else Some(canons.flatten))
+      }.filter(_._2.isDefined).map { case (c, v) => (c, v) }
+    val (fs, root) = fsOf(spark, path)
+    val bloomCache = scala.collection.mutable.Map
+      .empty[String, Map[(String, String), BloomEntry]]
+    def bloomKeeps(file: String): Boolean = bloomChecks.forall {
+      case (c, Some(values)) =>
+        val genName = file.split('/')(1)
+        val blooms = bloomCache.getOrElseUpdate(genName,
+          readBlooms(fs, root, genName))
+        blooms.get((file, c)) match {
+          case None => true // gen predates the index → keep
+          case Some(entry) => values.exists(entry.mightContain)
+        }
+      case _ => true
+    }
     val byDir = snap.files.keys.toSeq
       .groupBy(f => f.substring(0, f.lastIndexOf('/'))).withDefaultValue(Nil)
     var keptDirs = Vector.empty[String]
@@ -813,7 +983,7 @@ object ManifestLake {
         if (dayLive) {
           if (files.isEmpty) keptDirs :+= dir
           else keptFiles ++= files.filter(f =>
-            colPreds.forall(predMight(snap.files(f), _)))
+            colPreds.forall(predMight(snap.files(f), _)) && bloomKeeps(f))
         }
       }
     }
@@ -997,6 +1167,7 @@ object ManifestLake {
       out.write.mode("errorifexists").parquet(s"$path/$gen/pday=$day")
     }
     val rel = s"$gen/pday=$day"
+    genBlooms(spark, path, fs, root, Seq(rel))
     val nextDays = snap.days + (day -> Seq(rel))
     commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
       carryFiles(snap, nextDays) ++ genStats(spark, path, fs, root, Seq(rel)),
@@ -1114,6 +1285,15 @@ object ManifestLake {
         }
       }
       if (fs.listStatus(gen.getPath).isEmpty) fs.delete(gen.getPath, true)
+    }
+    // bloom sidecars of vanished generations are garbage too
+    val bloomDir = new Path(root, BloomDir)
+    if (fs.exists(bloomDir)) fs.listStatus(bloomDir).foreach { st =>
+      val genName = st.getPath.getName.stripSuffix(".idx")
+      if (!fs.exists(new Path(root, s"$DataDir/$genName")) &&
+          st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, false); deleted += st.getPath.toUri.getPath
+      }
     }
     deleted.result()
   }

@@ -39,7 +39,8 @@ class ManifestLakeStatsFuzzSpec extends SparkSpec {
         (i % 200) / 8.0)
     }.toDF("uid", "ts", "cat", "amount")
     ManifestLake.create(spark, dir, rows, "ts", filesPerDay = 3,
-      statsCols = Seq("uid", "cat", "amount", "ts"))
+      statsCols = Seq("uid", "cat", "amount", "ts"),
+      bloomCols = Seq("uid", "cat"))
     // cluster alternating keys so different predicates exercise
     // different layouts (and one day stays hash-spread)
     ManifestLake.compactDay(spark, dir, "2024-04-01",

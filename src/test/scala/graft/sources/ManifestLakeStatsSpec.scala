@@ -253,6 +253,63 @@ class ManifestLakeStatsSpec extends SparkSpec {
       "ts < TIMESTAMP '2024-06-01 01:00:00'").keptFiles.size == 2)
   }
 
+  test("bloom index prunes equality on UNclustered ingest where min/max cannot") {
+    val dir = Files.createTempDirectory("graft_mls_bloom").toString
+    // one day, 8 hash-spread files: every file spans ~the full uid
+    // range, so the min/max envelope keeps everything — the exact
+    // case the bloom index exists for
+    val rows = (0 until 4000).map { i =>
+      (i.toLong, ts("2024-05-01 06:00:00"), s"c${i % 3}", i / 10.0)
+    }.toDF("uid", "ts", "cat", "amount")
+    ManifestLake.create(spark, dir, rows, "ts", filesPerDay = 8,
+      statsCols = Seq("uid"), bloomCols = Seq("uid", "cat"))
+    val stats = ManifestLake.candidateFiles(spark, dir, "uid = 1234")
+    assert(stats.totalFiles >= 4, s"${stats.totalFiles} files")
+    // the uid lives in exactly ONE file; blooms find it (≤1 fp slack)
+    assert(stats.keptFiles.size <= 2,
+      s"bloom kept ${stats.keptFiles.size}/${stats.totalFiles}")
+    agree(dir, "uid = 1234")
+    // IN-list: union of the members' files
+    val in = ManifestLake.candidateFiles(spark, dir, "uid IN (7, 1234, 3999)")
+    assert(in.keptFiles.size <= 4, s"kept ${in.keptFiles.size}")
+    agree(dir, "uid IN (7, 1234, 3999)")
+    // absent key: nothing to open (deterministic corpus+hashes)
+    val absent = ManifestLake.candidateFiles(spark, dir, "uid = 999999")
+    assert(absent.keptFiles.isEmpty, absent.keptFiles.mkString(","))
+    agree(dir, "uid = 999999")
+    // string column: low-cardinality cat is in EVERY file — blooms
+    // honestly keep everything, and the answer stays right
+    val catEq = ManifestLake.candidateFiles(spark, dir, "cat = 'c1'")
+    assert(catEq.keptFiles.size == catEq.totalFiles)
+    agree(dir, "cat = 'c1'")
+    // range conjuncts don't consult blooms — still correct via stats
+    agree(dir, "uid >= 100 AND uid < 200")
+  }
+
+  test("bloom-only table registers files; blooms survive upsert and compaction rebuilds") {
+    val dir = Files.createTempDirectory("graft_mls_bloom2").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts",
+      bloomCols = Seq("uid"))
+    val rep = ManifestLake.candidateFiles(spark, dir, "uid = 150")
+    assert(rep.totalFiles == 4 && rep.keptFiles.size == 1,
+      s"kept ${rep.keptFiles.size}/${rep.totalFiles}")
+    agree(dir, "uid = 150")
+    // upsert rewrites day 2 → its new generation gets a fresh sidecar
+    val upd = Seq((150L, ts("2024-01-02 13:00:00"), "z", 9.9))
+      .toDF("uid", "ts", "cat", "amount")
+    ManifestLake.upsert(spark, dir, upd, Seq("uid"), "ts")
+    assert(ManifestLake.candidateFiles(spark, dir, "uid = 150")
+      .keptFiles.size == 1)
+    agree(dir, "uid = 150")
+    ManifestLake.compactDay(spark, dir, "2024-01-02")
+    assert(ManifestLake.candidateFiles(spark, dir, "uid = 150")
+      .keptFiles.size == 1)
+    agree(dir, "uid = 150")
+    // a type the canonical rendering excludes (double literal against
+    // the long column) skips the bloom, keeps files, stays correct
+    agree(dir, "uid = 150.0")
+  }
+
   test("crash between data write and commit leaves old stats and old answer") {
     val dir = Files.createTempDirectory("graft_mls_crash").toString
     ManifestLake.create(spark, dir, mkBase(), "ts", statsCols = Seq("cat"))
