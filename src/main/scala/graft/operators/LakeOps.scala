@@ -43,7 +43,8 @@ object LakeOps {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(p, true)
       ManifestLake.create(s, out, Tables.events(s, dir), "ts",
-        filesPerDay = 4, statsCols = Seq("user_id", "ts"))
+        filesPerDay = 4, statsCols = Seq("user_id", "ts"),
+        bloomCols = Seq("user_id"))
       ManifestLake.snapshot(s, out).days.keys.foreach { d =>
         ManifestLake.compactDay(s, out, d, targetFileBytes = 8L * 1024 * 1024,
           clusterBy = Seq("user_id"))
@@ -64,8 +65,21 @@ object LakeOps {
         col("event_type"), col("value"), col("day"))
       .orderBy(col("user_id"), col("event_id"), col("ts"))
 
+  /** Point-lookup flavor: an IN-list of uids that exist at every sf.
+    * This is the bloom index's oracle — the uid hash-spreads across
+    * every ingest file, so min/max cannot prune and the per-file
+    * blooms carry the skipping; a bloom false NEGATIVE (the only
+    * unsound failure a bloom can have) would drop rows and break the
+    * hash here. */
+  def lPointLookup(s: SparkSession, dir: String): DataFrame =
+    ManifestLake.readWhere(s, statsLake(s, dir), "user_id IN (7, 11, 13)")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"), col("day"))
+      .orderBy(col("user_id"), col("event_id"), col("ts"))
+
   val queries: ListMap[String, Q] = ListMap(
     "l_scan_prune" -> (lScanPrune _),
+    "l_point_lookup" -> (lPointLookup _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -74,6 +88,12 @@ object LakeOps {
          |  strftime(ts, '%Y-%m-%d') AS day
          |FROM events
          |WHERE user_id < 500 AND strftime(ts, '%Y-%m-%d') >= '2024-01-10'
+         |ORDER BY user_id, event_id, ts""".stripMargin,
+    "l_point_lookup" ->
+      s"""SELECT user_id, event_id, ts, event_type, value,
+         |  strftime(ts, '%Y-%m-%d') AS day
+         |FROM events
+         |WHERE user_id IN (7, 11, 13)
          |ORDER BY user_id, event_id, ts""".stripMargin,
   )
 }
