@@ -30,7 +30,11 @@ object BloomFunctions {
       b(p >> 3) = (b(p >> 3) | (1 << (p & 7))).toByte
     }
     override def reduce(b: Array[Byte], a: (Long, Long)): Array[Byte] = {
-      set(b, a._1); set(b, a._2); b
+      // negative positions are the NULL-input sentinel (ManifestLake's
+      // multi-column bloom build coalesces a null key's positions to
+      // −1 so one pass can aggregate every column): contribute nothing
+      if (a._1 >= 0) { set(b, a._1); set(b, a._2) }
+      b
     }
     override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
       var i = 0

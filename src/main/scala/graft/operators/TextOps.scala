@@ -957,17 +957,18 @@ object TextOps {
     * sort of the corpus anywhere. */
   def xPplBuckets(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // one row per doc, consumed by three paths (score histogram, the
-    // doc-side join, the corpus count) — persist so the LM pipeline
-    // runs once instead of per consumer (the d_cc_recursive/LSH-sig
-    // precedent; Verify drops pinned caches between queries). At
-    // 100 TB this frame is the scored corpus — it persists as a table
-    // between the scoring and splitting jobs anyway (the CCNet
-    // deployment shape).
-    val sc = bigramScored(s, dir).select(col("doc_id"), col("lm_ppm"))
-      .persist()
-    val perScore = sc.groupBy(col("lm_ppm")).agg(count(lit(1)).as("c"))
-      .withColumn("b", floor(col("lm_ppm")).cast("long"))
+    // rk = the RANKING key: a 0-bigram doc's lm_ppm is NULL (ratio4
+    // den ≤ 0), and a NULL key would silently vanish from the score
+    // equi-join below — coalesce to −1 (every real score is ≥ 0) so
+    // degenerate docs rank LAST into the tail on both engines, while
+    // the OUTPUT lm_ppm stays NULL. The frame is consumed by three
+    // paths; AQE's ReusedExchange dedupes the shared LM pipeline at
+    // execution (the x_bigram_lm plan-audit precedent — a persist
+    // here measured ~equal and would pin cache across bench reps).
+    val sc = bigramScored(s, dir).select(col("doc_id"), col("lm_ppm"),
+      coalesce(col("lm_ppm"), lit(-1.0)).as("rk"))
+    val perScore = sc.groupBy(col("rk")).agg(count(lit(1)).as("c"))
+      .withColumn("b", floor(col("rk")).cast("long"))
     val bucketCum = perScore.groupBy(col("b")).agg(sum(col("c")).as("bc"))
       .withColumn("gt_b", coalesce(sum(col("bc")).over(
         Window.orderBy(col("b").desc)
@@ -975,14 +976,14 @@ object TextOps {
       .select(col("b"), col("gt_b"))
     val scoreCum = perScore
       .withColumn("gt_in_b", coalesce(sum(col("c")).over(
-        Window.partitionBy(col("b")).orderBy(col("lm_ppm").desc)
+        Window.partitionBy(col("b")).orderBy(col("rk").desc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .join(broadcast(bucketCum), Seq("b"))
-      .select(col("lm_ppm"), (col("gt_b") + col("gt_in_b")).as("gt"))
+      .select(col("rk"), (col("gt_b") + col("gt_in_b")).as("gt"))
     val n = sc.agg(count(lit(1)).as("n"))
-    sc.join(scoreCum, Seq("lm_ppm"))
+    sc.join(scoreCum, Seq("rk"))
       .withColumn("rn_in_s", row_number().over(
-        Window.partitionBy(col("lm_ppm")).orderBy(col("doc_id"))))
+        Window.partitionBy(col("rk")).orderBy(col("doc_id"))))
       .withColumn("rnk", (col("gt") + col("rn_in_s")).cast("long"))
       .crossJoin(broadcast(n))
       .withColumn("q", expr("n div 3"))
@@ -1499,10 +1500,14 @@ object TextOps {
     // fine for DuckDB); the Spark side's two-level decomposition must
     // land every doc on the identical rank, which is exactly what the
     // hash compare pins. Boundary arithmetic is ntile's, spelled out.
+    // coalesce(lm_ppm, −1) mirrors the Spark side's ranking key: a
+    // 0-bigram doc (NULL score) ranks LAST deterministically instead
+    // of riding each engine's NULL-ordering default.
     "x_ppl_buckets" ->
       s"""WITH $bigramScoredCtes,
          |r AS (SELECT doc_id, lm_ppm,
-         |    row_number() OVER (ORDER BY lm_ppm DESC, doc_id) AS rnk,
+         |    row_number() OVER (ORDER BY coalesce(lm_ppm, -1) DESC,
+         |      doc_id) AS rnk,
          |    count(*) OVER () AS n
          |  FROM scored)
          |SELECT doc_id, lm_ppm, CAST(rnk AS BIGINT) AS rnk,

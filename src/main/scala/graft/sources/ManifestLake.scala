@@ -290,6 +290,11 @@ object ManifestLake {
           // canonical encoder for this parquet type, or None = unsupported
           val canon: Option[(Any => Option[String], Char)] =
             (prim.getPrimitiveTypeName, logical) match {
+              // decimal-annotated ints carry UNSCALED values — indexing
+              // them raw would prune on 100× the real numbers; excluded
+              // until a scaled domain exists (degrades to hasMM=false)
+              case (_, Some(_: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation)) =>
+                None
               case (INT32, Some(_: LogicalTypeAnnotation.DateLogicalTypeAnnotation)) =>
                 Some((v => Some(v.asInstanceOf[Integer].toString), 'D'))
               case (INT32, _) =>
@@ -299,17 +304,21 @@ object ManifestLake {
                 Some((v => Some(v.asInstanceOf[java.lang.Long].toString), 'T'))
               case (INT64, _) =>
                 Some((v => Some(v.asInstanceOf[java.lang.Long].toString), 'N'))
+              // floats live in their own domain 'F': prune-time
+              // comparisons happen in DOUBLE space, because that is the
+              // space Spark's filter coerces mixed comparisons into —
+              // exact-decimal compares here would disagree with the
+              // engine at representability boundaries
               case (FLOAT, _) => Some((v => {
                 val f = v.asInstanceOf[java.lang.Float].floatValue()
                 if (java.lang.Float.isFinite(f))
-                  Some(new java.math.BigDecimal(f.toDouble).toString)
-                else None
-              }, 'N'))
+                  Some(f.toDouble.toString) else None
+              }, 'F'))
               case (DOUBLE, _) => Some((v => {
                 val d = v.asInstanceOf[java.lang.Double].doubleValue()
                 if (java.lang.Double.isFinite(d))
-                  Some(new java.math.BigDecimal(d).toString) else None
-              }, 'N'))
+                  Some(d.toString) else None
+              }, 'F'))
               case (BINARY, Some(_: LogicalTypeAnnotation.StringLogicalTypeAnnotation)) =>
                 Some((v => Some(v.asInstanceOf[Binary].toStringUsingUTF8), 'S'))
               case _ => None
@@ -382,8 +391,14 @@ object ManifestLake {
     }
   }
 
-  /** (bloomCols, bits) for the table; empty cols = index disabled. */
-  def bloomConfig(spark: SparkSession, path: String): (Seq[String], Int) = {
+  /** ((col, kind) pairs, bits) for the table; kind 'i' = integral,
+    * 's' = string — recorded at create so the PROBE can refuse a
+    * cross-typed literal (Spark would coerce the comparison into a
+    * different value space than the bloom was built over, and a
+    * bloom consulted with the wrong rendering prunes unsoundly).
+    * Empty cols = index disabled. */
+  def bloomConfig(spark: SparkSession, path: String)
+      : (Seq[(String, Char)], Int) = {
     val (fs, root) = fsOf(spark, path)
     val p = new Path(root, BloomColsFile)
     if (!fs.exists(p)) (Seq.empty, 0)
@@ -392,8 +407,39 @@ object ManifestLake {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       val lines = txt.split('\n').map(_.trim).filter(_.nonEmpty)
-      (lines.tail.toSeq, lines.head.stripPrefix("m=").toInt)
+      val cols = lines.tail.toSeq.flatMap { l =>
+        l.split('\t') match {
+          case Array(c, k) if k.length == 1 => Some(c -> k.head)
+          case _ => None // unknown line shape → that column never probes
+        }
+      }
+      (cols, lines.head.stripPrefix("m=").toInt)
     }
+  }
+
+  /** Validate + persist the bloom column list with each column's
+    * kind ('i' integral / 's' string), derived from the frame's
+    * schema at create. */
+  private def writeBloomConfig(fs: FileSystem, root: Path, df: DataFrame,
+      bloomCols: Seq[String], bloomBits: Int): Unit = {
+    import org.apache.spark.sql.types._
+    require(bloomBits % 8 == 0, "bloomBits must be byte-aligned")
+    val kinds = bloomCols.map { c =>
+      val f = df.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(s"no column '$c'"))
+      val kind = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => 'i'
+        case StringType => 's'
+        case other => throw new IllegalArgumentException(
+          s"bloom index needs an integer/string column, '$c' is " +
+            other.simpleString + " (cast-to-string rendering must be " +
+            "canonical for build and probe to agree)")
+      }
+      s"${c.toLowerCase}\t$kind"
+    }
+    val out = fs.create(new Path(root, BloomColsFile), true)
+    try out.write((s"m=$bloomBits" +: kinds).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Build and persist the generation's bloom sidecar: read the new
@@ -405,33 +451,38 @@ object ManifestLake {
     * both invisible, both vacuumed. */
   private def genBlooms(spark: SparkSession, path: String, fs: FileSystem,
       root: Path, leafDirs: Seq[String]): Unit = {
-    val (cols, m) = bloomConfig(spark, path)
-    if (cols.isEmpty || leafDirs.isEmpty) return
-    val gen = leafDirs.head.split('/').take(2).mkString("/") // data/g-<uuid>
-    val genName = gen.split('/').last
+    import graft.functions.BloomFunctions
+    val (colKinds, m) = bloomConfig(spark, path)
+    if (colKinds.isEmpty || leafDirs.isEmpty) return
+    val genName = leafDirs.head.split('/')(1) // data/<g-uuid>/…
     val df = spark.read.parquet(leafDirs.map(p => s"$path/$p"): _*)
       .withColumn("__file", input_file_name())
-    val rootUri = fs.makeQualified(root).toUri.getPath
-    val rows = cols.filter(df.columns.map(_.toLowerCase).contains).flatMap { c =>
-      import graft.functions.BloomFunctions
+    val present = df.columns.map(_.toLowerCase).toSet
+    val cols = colKinds.map(_._1).filter(present.contains)
+    if (cols.isEmpty) return
+    // ONE pass over the new generation: every column's bitset
+    // aggregates in the same groupBy(__file) job; a NULL key's
+    // positions coalesce to the −1 sentinel the aggregator skips
+    val aggs = cols.map { c =>
       val key = col(c).cast("string")
-      df.filter(col(c).isNotNull)
-        .select(col("__file"),
-          BloomFunctions.bloomPos1(key, m).as("p1"),
-          BloomFunctions.bloomPosMd5(key, m).as("p2"))
-        .groupBy(col("__file"))
-        .agg(BloomFunctions.bloomAgg(m)(col("p1"), col("p2")).as("bits"))
-        .collect()
-        .map { r =>
-          val abs = new java.net.URI(r.getString(0)).getPath
-          val rel = abs.stripPrefix(rootUri).stripPrefix("/")
+      BloomFunctions.bloomAgg(m)(
+        coalesce(BloomFunctions.bloomPos1(key, m), lit(-1L)),
+        coalesce(BloomFunctions.bloomPosMd5(key, m), lit(-1L))).as(s"__b_$c")
+    }
+    val rootUri = fs.makeQualified(root).toUri.getPath
+    val rows = df.groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .flatMap { r =>
+        val abs = new java.net.URI(r.getString(0)).getPath
+        val rel = abs.stripPrefix(rootUri).stripPrefix("/")
+        cols.map { c =>
           val b64 = java.util.Base64.getEncoder
-            .encodeToString(r.getAs[Array[Byte]]("bits"))
+            .encodeToString(r.getAs[Array[Byte]](s"__b_$c"))
           s"${enc(rel)}\t$c\t$b64"
         }
-    }
+      }
     val out = fs.create(new Path(root, s"$BloomDir/$genName.idx"), true)
-    try out.write((s"#m\t$m" +: rows).mkString("\n").getBytes("UTF-8"))
+    try out.write((s"#m\t$m" +: rows.toSeq).mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -453,16 +504,21 @@ object ManifestLake {
   }
 
   /** A literal rendered exactly as Spark's cast-to-string of an
-    * indexed (integer/string) column value — None for types whose
-    * rendering is not trivially canonical (doubles, timestamps):
-    * those skip the bloom and keep the file. */
-  private def bloomCanon(
+    * indexed column value — None unless the literal's type MATCHES
+    * the column's recorded kind (an integral literal for an 'i'
+    * column, a string literal for an 's' column). A cross-typed
+    * equality (uid = '150.0', cat = 5) coerces the engine comparison
+    * into another value space entirely, so probing the bloom with
+    * the literal's own rendering could miss files holding matching
+    * rows — those conjuncts skip the bloom and keep the file. */
+  private def bloomCanon(kind: Char,
       l: org.apache.spark.sql.catalyst.expressions.Literal): Option[String] = {
     import org.apache.spark.sql.types._
     if (l.value == null) None
-    else l.dataType match {
-      case ByteType | ShortType | IntegerType | LongType | StringType =>
+    else (kind, l.dataType) match {
+      case ('i', ByteType | ShortType | IntegerType | LongType) =>
         Some(l.value.toString)
+      case ('s', StringType) => Some(l.value.toString)
       case _ => None
     }
   }
@@ -473,6 +529,9 @@ object ManifestLake {
     * min/max, which is what makes pruning against them sound. */
   private def domCmp(dom: Char, a: String, b: String): Int = dom match {
     case 'S' => cmpBytes(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    // float/double domain compares in DOUBLE space — the space Spark's
+    // filter actually evaluates mixed numeric comparisons in
+    case 'F' => java.lang.Double.compare(a.toDouble, b.toDouble)
     case _ => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
   }
 
@@ -623,23 +682,8 @@ object ManifestLake {
       try out.write(statsCols.map(_.toLowerCase).mkString("\n").getBytes("UTF-8"))
       finally out.close()
     }
-    if (bloomCols.nonEmpty) {
-      import org.apache.spark.sql.types._
-      require(bloomBits % 8 == 0, "bloomBits must be byte-aligned")
-      bloomCols.foreach { c =>
-        val f = df.schema.fields.find(_.name.equalsIgnoreCase(c))
-          .getOrElse(throw new IllegalArgumentException(s"no column '$c'"))
-        require(Seq(ByteType, ShortType, IntegerType, LongType, StringType)
-          .contains(f.dataType),
-          s"bloom index needs an integer/string column, '$c' is " +
-            f.dataType.simpleString + " (cast-to-string rendering must " +
-            "be canonical for build and probe to agree)")
-      }
-      val out = fs.create(new Path(root, BloomColsFile), true)
-      try out.write((s"m=$bloomBits" +: bloomCols.map(_.toLowerCase))
-        .mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-    }
+    if (bloomCols.nonEmpty)
+      writeBloomConfig(fs, root, df, bloomCols, bloomBits)
     val withDay = rows.withColumn("day", dayKey)
     val (dirs, metas) = writeGen(spark, path, withDay, filesPerDay)
     commit(fs, root, 1L, dirs.map { case (d, p) => d -> Seq(p) },
@@ -788,26 +832,37 @@ object ManifestLake {
       l: org.apache.spark.sql.catalyst.expressions.Literal): Option[String] = {
     import org.apache.spark.sql.types._
     if (l.value == null) return None
-    def num: Option[java.math.BigDecimal] = l.dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        Some(new java.math.BigDecimal(l.value.toString))
-      case FloatType =>
-        val f = l.value.asInstanceOf[Float]
-        if (java.lang.Float.isFinite(f))
-          Some(new java.math.BigDecimal(f.toDouble)) else None
-      case DoubleType =>
-        val d = l.value.asInstanceOf[Double]
-        if (java.lang.Double.isFinite(d))
-          Some(new java.math.BigDecimal(d)) else None
-      case _: DecimalType =>
-        Some(l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
-          .toJavaBigDecimal)
-      case StringType =>
-        scala.util.Try(new java.math.BigDecimal(l.value.toString)).toOption
-      case _ => None
-    }
     dom match {
-      case 'N' => num.map(_.toString)
+      // integral domain: exact comparisons are sound only for literal
+      // types Spark ALSO compares exactly against an integral column
+      // (integrals and decimals). A double or string literal coerces
+      // the comparison into DOUBLE space, where 2⁶³-scale columns lose
+      // precision — those conjuncts skip pruning (kept file) rather
+      // than model the wrong arithmetic.
+      case 'N' => l.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(new java.math.BigDecimal(l.value.toString).toString)
+        case _: DecimalType =>
+          Some(l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
+            .toJavaBigDecimal.toString)
+        case _ => None
+      }
+      // float/double domain: render the literal exactly as Spark's
+      // coercion would — everything becomes a double
+      case 'F' => l.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(l.value.toString.toLong.toDouble.toString)
+        case FloatType =>
+          val f = l.value.asInstanceOf[Float]
+          if (java.lang.Float.isFinite(f)) Some(f.toDouble.toString) else None
+        case DoubleType =>
+          val d = l.value.asInstanceOf[Double]
+          if (java.lang.Double.isFinite(d)) Some(d.toString) else None
+        case _: DecimalType =>
+          Some(l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
+            .toJavaBigDecimal.doubleValue.toString)
+        case _ => None
+      }
       case 'S' => l.dataType match {
         case StringType => Some(l.value.toString)
         case _ => None
@@ -933,31 +988,37 @@ object ManifestLake {
     * carries. Driver-side cost: O(|files| × |conjuncts|) map lookups
     * — no FileSystem call at all, the log IS the index. */
   def candidateFiles(spark: SparkSession, path: String,
-      predicateSql: String): PruneReport = {
-    val snap = snapshot(spark, path)
+      predicateSql: String): PruneReport =
+    candidateFilesOf(spark, path, snapshot(spark, path), predicateSql)
+
+  private def candidateFilesOf(spark: SparkSession, path: String,
+      snap: Snapshot, predicateSql: String): PruneReport = {
     val preds = extract(
       spark.sessionState.sqlParser.parseExpression(predicateSql))
     val dayPreds = preds.filter(_.colName == "day")
     val colPreds = preds.filterNot(_.colName == "day")
     // equality conjuncts testable against the per-file bloom index:
-    // (col → the literal renderings that must ALL miss to drop a
-    // file). An un-renderable element keeps the file (None marker).
-    val (bloomColsList, _) = bloomConfig(spark, path)
-    val bloomChecks: Seq[(String, Option[Seq[String]])] =
-      if (bloomColsList.isEmpty) Seq.empty
+    // col → the literal renderings that must ALL miss to drop a file.
+    // A kind-mismatched or un-renderable element drops the whole
+    // check (kept file), never a partial probe.
+    val (bloomKinds, _) = bloomConfig(spark, path)
+    val kindOf = bloomKinds.toMap
+    val bloomChecks: Seq[(String, Seq[String])] =
+      if (bloomKinds.isEmpty) Seq.empty
       else colPreds.collect {
-        case CmpPred(c, "eq", l) if bloomColsList.contains(c) =>
-          c -> bloomCanon(l).map(Seq(_))
-        case InPred(c, ls) if bloomColsList.contains(c) =>
-          val canons = ls.filter(_.value != null).map(bloomCanon)
+        case CmpPred(c, "eq", l) if kindOf.contains(c) =>
+          c -> bloomCanon(kindOf(c), l).map(Seq(_))
+        case InPred(c, ls) if kindOf.contains(c) =>
+          val canons = ls.filter(_.value != null)
+            .map(bloomCanon(kindOf(c), _))
           c -> (if (canons.exists(_.isEmpty)) None
                 else Some(canons.flatten))
-      }.filter(_._2.isDefined).map { case (c, v) => (c, v) }
+      }.collect { case (c, Some(vs)) => c -> vs }
     val (fs, root) = fsOf(spark, path)
     val bloomCache = scala.collection.mutable.Map
       .empty[String, Map[(String, String), BloomEntry]]
     def bloomKeeps(file: String): Boolean = bloomChecks.forall {
-      case (c, Some(values)) =>
+      case (c, values) =>
         val genName = file.split('/')(1)
         val blooms = bloomCache.getOrElseUpdate(genName,
           readBlooms(fs, root, genName))
@@ -965,7 +1026,6 @@ object ManifestLake {
           case None => true // gen predates the index → keep
           case Some(entry) => values.exists(entry.mightContain)
         }
-      case _ => true
     }
     val byDir = snap.files.keys.toSeq
       .groupBy(f => f.substring(0, f.lastIndexOf('/'))).withDefaultValue(Nil)
@@ -1002,9 +1062,12 @@ object ManifestLake {
     * has laid the day out in key order. */
   def readWhere(spark: SparkSession, path: String,
       predicateSql: String): DataFrame = {
-    val rep = candidateFiles(spark, path, predicateSql)
-    readPaths(spark, path, snapshot(spark, path), rep.scanPaths)
-      .filter(predicateSql)
+    // ONE snapshot read shared by pruning and the scan — reading it
+    // twice could mix versions under a concurrent committer (paths
+    // from v, schema from v+1, or vacuumed-away files)
+    val snap = snapshot(spark, path)
+    val rep = candidateFilesOf(spark, path, snap, predicateSql)
+    readPaths(spark, path, snap, rep.scanPaths).filter(predicateSql)
   }
 
   /** Latest-wins MERGE with ONE atomic commit across every affected

@@ -478,7 +478,7 @@ class PlanAuditSpec extends SparkSpec {
     // over NormalizeNaNAndZero) — collect the underlying references
     val partCols = wins.filterNot(_.partitionSpec.isEmpty)
       .flatMap(_.partitionSpec).flatMap(_.references.toSeq.map(_.name)).toSet
-    assert(partCols.contains("lm_ppm"), s"tiebreak window not score-partitioned: $partCols")
+    assert(partCols.contains("rk"), s"tiebreak window not score-partitioned: $partCols")
     assert(!plan(df).contains("CartesianProduct"), "cartesian in plan")
   }
 

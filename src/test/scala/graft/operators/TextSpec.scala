@@ -604,7 +604,8 @@ class TextSpec extends SparkSpec {
 
   test("ppl buckets: two-level rank matches a naive global sort, sizes are ntile's") {
     val scored = TextOps.xBigramLm(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> r.getDouble(3))
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1.0 else r.getDouble(3))) // NULL ranks last
     // naive reference: one global sort desc (score, asc doc_id), ntile cuts
     val order = scored.sortBy { case (id, s) => (-s, id) }
     val n = order.length
@@ -626,6 +627,38 @@ class TextSpec extends SparkSpec {
     val sizes = got.groupBy(_._3).view.mapValues(_.length).toMap
     assert(sizes == Map("head" -> r1, "middle" -> (r2 - r1),
       "tail" -> (n - r2)), sizes.toString)
+  }
+
+  test("ppl buckets: 0-bigram docs (NULL score) rank into the tail, never vanish") {
+    // a synthetic documents table holding the degenerate shapes the
+    // real corpus happens to lack: an empty doc and a one-word doc
+    // have NO bigrams → lm_ppm NULL → a bare equi-join on the score
+    // would silently drop them (the r11 review finding)
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ppl_degen").toString
+    Seq(
+      (1L, "the cat sat on the mat", "en", "web", 22L),
+      (2L, "", "en", "web", 0L),
+      (3L, "singleton", "en", "web", 9L),
+      (4L, "the cat sat on the mat again", "en", "web", 28L),
+      (5L, "a b a b a b", "en", "web", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.xPplBuckets(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.isNullAt(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got.size == 5, s"docs dropped: ${got.keys.toSeq.sorted}")
+    // the two degenerate docs carry NULL scores and the LAST ranks
+    // (4 and 5 of 5 — under ntile sizes 2/2/1 that is one middle,
+    // one tail; the point is they RANK LAST, not a fixed bucket)
+    assert(got(2L)._1 && got(3L)._1, "degenerate docs should score NULL")
+    assert(Seq(got(2L)._2, got(3L)._2).sorted == Seq(4L, 5L),
+      s"NULL-score docs must rank last: $got")
+    assert(got(2L)._3 == "middle" && got(3L)._3 == "tail", got.toString)
+    // scored docs hold the head and ranks are the full permutation
+    assert(got.values.count(_._3 == "head") == 2) // n=5 → 2/2/1
+    assert(got.values.map(_._2).toSeq.sorted == (1L to 5L))
   }
 
   test("dup-span oracle headroom covers the longest doc at every test scale") {

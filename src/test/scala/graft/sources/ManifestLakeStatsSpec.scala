@@ -108,10 +108,12 @@ class ManifestLakeStatsSpec extends SparkSpec {
       "uid < 100 AND (cat = 'a' OR amount > 1.0)")
     assert(mixed.keptFiles.size == 1)
     agree(dir, "uid < 100 AND (cat = 'a' OR amount > 1.0)")
-    // string literal against the numeric column still prunes (the
-    // canon layer parses it into the numeric domain)
-    assert(ManifestLake.candidateFiles(spark, dir, "uid = '150'")
-      .keptFiles.size == 1)
+    // a string literal against the numeric column coerces the engine
+    // comparison into DOUBLE space — the pruner deliberately refuses
+    // to model that (keeps every file) rather than risk an unsound
+    // exact-decimal prune at representability boundaries
+    val strLit = ManifestLake.candidateFiles(spark, dir, "uid = '150'")
+    assert(strLit.keptFiles.size == strLit.totalFiles)
     agree(dir, "uid = '150'")
   }
 
@@ -253,6 +255,28 @@ class ManifestLakeStatsSpec extends SparkSpec {
       "ts < TIMESTAMP '2024-06-01 01:00:00'").keptFiles.size == 2)
   }
 
+  test("double boundary literals prune in Spark's coercion space, not exact-decimal space") {
+    val dir = Files.createTempDirectory("graft_mls_dbl").toString
+    // day 1's amounts start at exactly 0.1d; day 2's at 1.1d. The
+    // decimal literal 0.1 ≠ double 0.1 in exact-decimal space, so an
+    // exact-space pruner would wrongly drop day 1 for `amount <= 0.1`
+    // (the r11 review finding); the 'F' domain compares as doubles,
+    // the space Spark's filter actually evaluates in.
+    val rows =
+      (0 until 50).map(i => (i.toLong, ts("2024-07-01 10:00:00"), 0.1 + i / 10.0)) ++
+      (0 until 50).map(i => (100L + i, ts("2024-07-02 10:00:00"), 1.1 + i / 10.0))
+    ManifestLake.create(spark, dir, rows.toDF("uid", "ts", "amount"), "ts",
+      statsCols = Seq("amount"))
+    val rep = ManifestLake.candidateFiles(spark, dir, "amount <= 0.1")
+    assert(rep.totalFiles == 2 && rep.keptFiles.size == 1,
+      s"kept ${rep.keptFiles.size}/${rep.totalFiles} — day 1 holds matches")
+    agree(dir, "amount <= 0.1")
+    // a literal past day 1's whole range prunes it; day 2 stays
+    agree(dir, "amount > 5.5")
+    assert(ManifestLake.candidateFiles(spark, dir, "amount > 5.5")
+      .keptFiles.size == 1)
+  }
+
   test("bloom index prunes equality on UNclustered ingest where min/max cannot") {
     val dir = Files.createTempDirectory("graft_mls_bloom").toString
     // one day, 8 hash-spread files: every file spans ~the full uid
@@ -305,9 +329,17 @@ class ManifestLakeStatsSpec extends SparkSpec {
     assert(ManifestLake.candidateFiles(spark, dir, "uid = 150")
       .keptFiles.size == 1)
     agree(dir, "uid = 150")
-    // a type the canonical rendering excludes (double literal against
-    // the long column) skips the bloom, keeps files, stays correct
+    // kind-mismatched literals must SKIP the bloom entirely (keep all
+    // files) — probing with the literal's own rendering against a
+    // bloom built over cast-to-string of the column would miss files
+    // holding matching rows under Spark's coercion (review finding)
+    val dbl = ManifestLake.candidateFiles(spark, dir, "uid = 150.0")
+    assert(dbl.keptFiles.size == dbl.totalFiles, "double literal probed bloom")
     agree(dir, "uid = 150.0")
+    val strLit = ManifestLake.candidateFiles(spark, dir, "uid = '150'")
+    assert(strLit.keptFiles.size == strLit.totalFiles,
+      "string literal probed the integral bloom")
+    agree(dir, "uid = '150'")
   }
 
   test("crash between data write and commit leaves old stats and old answer") {
