@@ -53,7 +53,7 @@ class ManifestLakeStatsFuzzSpec extends SparkSpec {
   }
 
   private def randomPred(rnd: Random): String = {
-    def leaf(): String = rnd.nextInt(12) match {
+    def leaf(): String = rnd.nextInt(15) match {
       case 0 => s"uid = ${rnd.nextInt(3500) - 200}"
       case 1 => s"uid >= ${rnd.nextInt(3000)} AND uid < ${rnd.nextInt(3000) + 500}"
       case 2 => s"cat = 's${rnd.nextInt(9)}-${rnd.nextInt(110)}'"
@@ -66,6 +66,12 @@ class ManifestLakeStatsFuzzSpec extends SparkSpec {
       case 9 => s"day >= '2024-04-0${rnd.nextInt(6) + 1}'"
       case 10 => s"ts < TIMESTAMP '2024-04-0${rnd.nextInt(5) + 1} 12:00:00'"
       case 11 => s"uid IN (${Seq.fill(3)(rnd.nextInt(3500)).mkString(", ")})"
+      // the review-fix paths: double-space boundary literals against
+      // the float column, and cross-typed literals that must SKIP
+      // pruning (string vs integral stats/bloom) yet stay correct
+      case 12 => f"amount = ${rnd.nextInt(25)}%d.${rnd.nextInt(100)}%02d"
+      case 13 => s"uid = '${rnd.nextInt(3500)}'"
+      case 14 => s"ts >= '2024-04-0${rnd.nextInt(5) + 1} 06:00:00'"
     }
     val n = rnd.nextInt(3) + 1
     val parts = Seq.fill(n)(leaf())
