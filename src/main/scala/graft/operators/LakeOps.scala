@@ -77,9 +77,77 @@ object LakeOps {
         col("event_type"), col("value"), col("day"))
       .orderBy(col("user_id"), col("event_id"), col("ts"))
 
+  private val historyMemo = new SessionMemo[String]
+
+  /** Deterministic three-commit mutation history (once per
+    * session+dir): v1 CREATE from events → v2 latest-wins UPSERT
+    * (every user_id≡3 (mod 7) key re-arrives one day later as an
+    * 'updated' row with value+100 — strictly newer ord, so the update
+    * wins everywhere, and the +1-day shift moves each key ACROSS its
+    * day partition, the cross-day version-chain case) → v3
+    * copy-on-write DELETE of user_id≡0 (mod 5). Every step is
+    * SQL-expressible, so the committed SNAPSHOTS themselves go under
+    * the DuckDB hash oracle: v1 via time travel, v3 via head read,
+    * and the v1→v3 net change feed via readChanges. */
+  private def historyLake(s: SparkSession, dir: String): String =
+    historyMemo.getOrElseUpdate(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_lake_history/" +
+        math.abs((dir + "|" + s.sparkContext.applicationId).hashCode).toString
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val ev = Tables.events(s, dir)
+      ManifestLake.create(s, out, ev, "ts", filesPerDay = 2)
+      val upd = ev
+        .filter(col("user_id") % 7 === 3 && col("ts").isNotNull)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY"))
+        .withColumn("event_type", lit("updated"))
+        .withColumn("value", col("value") + lit(100.0))
+      ManifestLake.upsert(s, out, upd, Seq("event_id"), "ts")
+      ManifestLake.deleteWhere(s, out, col("user_id") % 5 === 0)
+      out
+    }
+
+  private val histCols = Seq("event_id", "ts", "user_id", "event_type",
+    "value", "props", "day")
+
+  /** Time travel under the oracle: after two further commits mutated
+    * the table, version 1 must still read as EXACTLY the base events
+    * table — a versioned read that leaks any later generation (or
+    * loses a pre-mutation row) breaks the hash. */
+  def lTimeTravel(s: SparkSession, dir: String): DataFrame =
+    ManifestLake.readVersion(s, historyLake(s, dir), 1L)
+      .select(histCols.map(col): _*).orderBy(col("event_id"))
+
+  /** The MERGE+DELETE head state under the oracle: latest-wins
+    * upsert semantics (ord-desc winner, cross-day key moves, drained
+    * days) and TRUE-only deletion, replayed independently by DuckDB
+    * as plain SQL over the raw parquet. */
+  def lMergeHead(s: SparkSession, dir: String): DataFrame =
+    ManifestLake.read(s, historyLake(s, dir))
+      .select(histCols.map(col): _*).orderBy(col("event_id"))
+
+  /** The net change feed v1→head under the oracle: updates must
+    * surface as delete+insert pairs, deletes as deletes, and rows
+    * untouched by either commit must NOT appear (the manifest-level
+    * day skip and the exceptAll cancellation both land here — a
+    * rewritten-but-identical row leaking into the feed breaks the
+    * hash). DuckDB replays it as the EXCEPT ALL diff of the two
+    * snapshot states. */
+  def lCdf(s: SparkSession, dir: String): DataFrame = {
+    val lake = historyLake(s, dir)
+    val head = ManifestLake.snapshot(s, lake).version
+    ManifestLake.readChanges(s, lake, 1L, head)
+      .select((histCols :+ "_change_type").map(col): _*)
+      .orderBy(col("_change_type"), col("event_id"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "l_scan_prune" -> (lScanPrune _),
     "l_point_lookup" -> (lPointLookup _),
+    "l_time_travel" -> (lTimeTravel _),
+    "l_merge_head" -> (lMergeHead _),
+    "l_cdf" -> (lCdf _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -95,5 +163,46 @@ object LakeOps {
          |FROM events
          |WHERE user_id IN (7, 11, 13)
          |ORDER BY user_id, event_id, ts""".stripMargin,
+    "l_time_travel" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day
+         |FROM events
+         |ORDER BY event_id""".stripMargin,
+    "l_merge_head" ->
+      s"""WITH merged AS (
+         |  SELECT event_id, ts + INTERVAL 1 DAY AS ts, user_id,
+         |         'updated' AS event_type, value + 100.0 AS value, props
+         |  FROM events WHERE user_id % 7 = 3 AND ts IS NOT NULL
+         |  UNION ALL
+         |  SELECT event_id, ts, user_id, event_type, value, props
+         |  FROM events WHERE NOT (user_id % 7 = 3 AND ts IS NOT NULL)
+         |)
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day
+         |FROM merged
+         |WHERE NOT coalesce(user_id % 5 = 0, FALSE)
+         |ORDER BY event_id""".stripMargin,
+    "l_cdf" ->
+      s"""WITH v1 AS (
+         |  SELECT event_id, ts, user_id, event_type, value, props FROM events
+         |), head AS (
+         |  SELECT event_id, ts + INTERVAL 1 DAY AS ts, user_id,
+         |         'updated' AS event_type, value + 100.0 AS value, props
+         |  FROM events
+         |  WHERE user_id % 7 = 3 AND ts IS NOT NULL
+         |    AND NOT coalesce(user_id % 5 = 0, FALSE)
+         |  UNION ALL
+         |  SELECT event_id, ts, user_id, event_type, value, props
+         |  FROM events
+         |  WHERE NOT (user_id % 7 = 3 AND ts IS NOT NULL)
+         |    AND NOT coalesce(user_id % 5 = 0, FALSE)
+         |), ins AS (SELECT * FROM head EXCEPT ALL SELECT * FROM v1),
+         |   del AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM head)
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day, 'insert' AS _change_type FROM ins
+         |UNION ALL
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day, 'delete' AS _change_type FROM del
+         |ORDER BY _change_type, event_id""".stripMargin,
   )
 }

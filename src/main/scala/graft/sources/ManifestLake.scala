@@ -1070,6 +1070,71 @@ object ManifestLake {
     readPaths(spark, path, snap, rep.scanPaths).filter(predicateSql)
   }
 
+  /** Net-effect change feed between two committed versions (the batch
+    * CDC read every downstream incremental consumer needs): every row
+    * the table gained between `fromV` and `toV` comes back tagged
+    * `_change_type = 'insert'`, every row it lost `'delete'`; an
+    * update is its delete+insert pair, and a row inserted AND removed
+    * within the window nets out (endpoint-snapshot semantics — the
+    * collapsed form of Delta's CDF, computed from the manifests alone
+    * rather than persisted change files).
+    *
+    * Cost shape is the whole point: the two manifests are compared
+    * day-by-day FIRST, so only days whose directory set changed are
+    * ever read —
+    *   - unchanged day (same dirs): skipped, zero IO;
+    *   - append-only day (old dirs ⊆ new): ONLY the added directories
+    *     are read, emitted as inserts with no diff shuffle at all —
+    *     the streaming-ingest tail is a pure incremental scan;
+    *   - rewritten day (upsert/delete/compaction): both generations
+    *     of THAT DAY are read and diffed with exceptAll (hash shuffle
+    *     on the row, cost ∝ the rewritten days, never the lake); a
+    *     pure compaction nets to zero rows by construction.
+    * At 100 TB a day-bounded takedown therefore feeds a CDC consumer
+    * the affected days only — the same pruning discipline as the
+    * write that produced it.
+    *
+    * Both sides read under `toV`'s checkpointed schema (schema
+    * evolution is additive-only, so it is a superset of `fromV`'s; a
+    * late-added column reads as NULL from old files and diffs
+    * exactly). `fromV = 0` is the empty table — the full snapshot
+    * comes back as inserts, the natural first batch of a mirror. */
+  def readChanges(spark: SparkSession, path: String, fromV: Long,
+      toV: Long): DataFrame = {
+    require(fromV <= toV, s"readChanges: fromV $fromV > toV $toV")
+    val (fs, root) = fsOf(spark, path)
+    def snapAt(v: Long): Snapshot =
+      if (v == 0L) Snapshot(0L, Map.empty) else readManifest(fs, root, v)
+    val from = snapAt(fromV)
+    val to = snapAt(toV)
+    var insertDirs = Vector.empty[String] // append fast path: new dirs only
+    var deleteDirs = Vector.empty[String] // day drained: old dirs only
+    var diffOld = Vector.empty[String]
+    var diffNew = Vector.empty[String]
+    (from.days.keySet ++ to.days.keySet).toSeq.sorted.foreach { d =>
+      val o = from.days.getOrElse(d, Seq.empty).toSet
+      val n = to.days.getOrElse(d, Seq.empty).toSet
+      if (o == n) () // untouched day: zero IO
+      else if (o.subsetOf(n)) insertDirs ++= (n -- o).toSeq.sorted
+      else if (n.isEmpty) deleteDirs ++= o.toSeq.sorted
+      else { diffOld ++= o.toSeq.sorted; diffNew ++= n.toSeq.sorted }
+    }
+    def rd(dirs: Seq[String]): DataFrame = readPaths(spark, path, to, dirs)
+    val zero = rd(Seq.empty) // schema anchor only: 0 rows, full schema
+    val fastIns = if (insertDirs.nonEmpty) rd(insertDirs) else zero
+    val fastDel = if (deleteDirs.nonEmpty) rd(deleteDirs) else zero
+    val (diffIns, diffDel) =
+      if (diffOld.isEmpty) (zero, zero)
+      else {
+        val o = rd(diffOld)
+        val n = rd(diffNew)
+        (n.exceptAll(o), o.exceptAll(n))
+      }
+    fastIns.unionByName(diffIns).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        fastDel.unionByName(diffDel).withColumn("_change_type", lit("delete")))
+  }
+
   /** Latest-wins MERGE with ONE atomic commit across every affected
     * day — LakeLayout.upsert's exact semantics (affected-day discovery
     * from both directions, cross-day version chains move the key,
@@ -1302,6 +1367,61 @@ object ManifestLake {
     }
     appendBatch(spark, path, batch, ordCol, batchId, filesPerDay)
     ()
+  }
+
+  /** One round of exactly-once incremental replication: apply the
+    * source lake's APPENDS since the last replicated version into
+    * `dstPath`, advancing dst's batch cursor to the src version in the
+    * SAME atomic commit as the data (appendBatch's contract, with the
+    * src manifest version as the batch id). Re-running after any
+    * crash — before or after the dst commit — converges: either the
+    * cursor never moved (the whole round replays) or it moved with
+    * the data (the round is skipped). This is the lake→lake mirror /
+    * incremental-ETL primitive: each call costs ONLY the newly added
+    * generations (readChanges' append fast path — no diff shuffle, no
+    * full-table scan), so a mirror staying close to its source pays
+    * O(new data) per round regardless of lake size.
+    *
+    * Append-only sources ONLY, checked at the MANIFEST level before
+    * any data is read: a source day that lost a directory (upsert /
+    * deleteWhere / compaction rewrote it) throws — an append mirror
+    * cannot represent a rewrite, and silently re-appending it would
+    * duplicate rows. The escape hatch is the same as Delta's
+    * streaming source without ignoreChanges: re-seed the mirror (or
+    * replicate the rewrite through a dst upsert by hand). The dst is
+    * the mirror's alone (single-writer, like every cursor-carrying
+    * sink): foreign commits to it would desynchronize the cursor.
+    * Returns dst's committed version (unchanged when caught up). */
+  def replicateOnce(spark: SparkSession, srcPath: String, dstPath: String,
+      ordCol: String, filesPerDay: Int = 1,
+      beforeCommit: () => Unit = () => ()): Long = {
+    val srcSnap = snapshot(spark, srcPath)
+    val dstSnap = snapshot(spark, dstPath)
+    val fromV = math.max(0L, dstSnap.lastBatch)
+    if (srcSnap.version <= fromV) return dstSnap.version // caught up
+    val (fs, root) = fsOf(spark, srcPath)
+    val from =
+      if (fromV == 0L) Snapshot(0L, Map.empty)
+      else readManifest(fs, root, fromV)
+    from.days.foreach { case (d, oldDirs) =>
+      val now = srcSnap.days.getOrElse(d, Seq.empty).toSet
+      if (!oldDirs.toSet.subsetOf(now))
+        throw new IllegalStateException(
+          s"replicateOnce: source day $d was rewritten between versions " +
+            s"$fromV and ${srcSnap.version} (upsert/delete/compaction) — " +
+            "an append-only mirror cannot represent it; re-seed the mirror")
+    }
+    val inserts = readChanges(spark, srcPath, fromV, srcSnap.version)
+      .filter(col("_change_type") === lit("insert"))
+      .drop("_change_type", "day")
+    // first round bootstraps the dst schema anchor (the sink's rule)
+    val anchor = new Path(s"$dstPath/$SchemaDir")
+    val dfs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!dfs.exists(anchor))
+      inserts.withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
+        .limit(0).write.mode("overwrite").parquet(s"$dstPath/$SchemaDir")
+    appendBatch(spark, dstPath, inserts, ordCol, batchId = srcSnap.version,
+      filesPerDay = filesPerDay, beforeCommit = beforeCommit)
   }
 
   /** Reclaim data leaf dirs no retained manifest references and

@@ -1,0 +1,190 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The net-effect change feed (readChanges) and the exactly-once
+  * incremental mirror built on it (replicateOnce). The contracts
+  * pinned here:
+  *   - changes are computed from the MANIFESTS day-by-day: untouched
+  *     days contribute zero IO, append-only days are read without any
+  *     diff shuffle, and a rewritten-but-identical row never appears
+  *     in the feed;
+  *   - an update surfaces as its delete+insert pair, a takedown as
+  *     deletes, a compaction as nothing;
+  *   - the mirror applies each source version window exactly once
+  *     (cursor committed atomically WITH the data), converges across
+  *     mid-commit crashes, and refuses a rewritten source instead of
+  *     silently duplicating it.
+  * The oracled twin is l_cdf (LakeOps): the same feed hash-compared
+  * against DuckDB's EXCEPT ALL diff of the two snapshot states. */
+class ManifestLakeCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def mkBase() = Seq(
+    (1L, 10L, ts("2024-01-01 23:59:00"), "click", 1.0),
+    (2L, 20L, ts("2024-01-02 10:00:00"), "click", 1.0),
+    (3L, 30L, ts("2024-01-02 11:00:00"), "click", 1.0),
+    (4L, 40L, ts("2024-01-03 09:00:00"), "click", 1.0))
+    .toDF("user_id", "event_id", "ts", "event_type", "value")
+
+  private def changeSet(dir: String, fromV: Long, toV: Long) =
+    ManifestLake.readChanges(spark, dir, fromV, toV)
+      .select("_change_type", "user_id", "event_id", "event_type", "value", "day")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getString(5)))
+      .toSet
+
+  test("seed read: changes from version 0 are the full snapshot as inserts") {
+    val dir = Files.createTempDirectory("graft_cdc_seed").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    val ch = changeSet(dir, 0L, 1L)
+    assert(ch.size == 4 && ch.forall(_._1 == "insert"), ch)
+  }
+
+  test("append window: inserts only, and ONLY the appended generation is read") {
+    val dir = Files.createTempDirectory("graft_cdc_app").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    val b = Seq((11L, 101L, ts("2024-01-02 12:00:00"), "click", 7.0),
+      (12L, 102L, ts("2024-01-04 09:00:00"), "click", 8.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.appendBatch(spark, dir, b, "ts", batchId = 0L)
+    val ch = changeSet(dir, 1L, 2L)
+    assert(ch == Set(
+      ("insert", 11L, 101L, "click", 7.0, "2024-01-02"),
+      ("insert", 12L, 102L, "click", 8.0, "2024-01-04")), ch)
+    // append fast path: the feed's scan opens nothing from gen 1 —
+    // existing data is never re-read to compute an append window
+    val gen1Dirs = ManifestLake.readVersion(spark, dir, 1L)
+      .inputFiles.filter(_.contains("/data/")).map(_.split("/data/")(1)
+        .split('/').head).toSet
+    val opened = ManifestLake.readChanges(spark, dir, 1L, 2L)
+      .inputFiles.filter(_.contains("/data/"))
+    assert(opened.nonEmpty &&
+      opened.forall(f => !gen1Dirs.exists(g => f.contains(s"/data/$g/"))),
+      s"append window re-read the base generation: ${opened.mkString(",")}")
+  }
+
+  test("upsert window: delete+insert pair for the changed key, nothing for rewritten-identical rows, zero IO for untouched days") {
+    val dir = Files.createTempDirectory("graft_cdc_ups").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    // rewrites day 2 (key 20 updated; key 30 rewritten identically)
+    val upd = Seq((2L, 20L, ts("2024-01-02 12:00:00"), "purchase", 3.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.upsert(spark, dir, upd, Seq("user_id", "event_id"), "ts")
+    val ch = changeSet(dir, 1L, 2L)
+    assert(ch == Set(
+      ("delete", 2L, 20L, "click", 1.0, "2024-01-02"),
+      ("insert", 2L, 20L, "purchase", 3.0, "2024-01-02")), ch)
+    // day-level skip: days 1 and 3 were untouched — their directories
+    // must not appear in the feed's scan at all
+    val opened = ManifestLake.readChanges(spark, dir, 1L, 2L)
+      .inputFiles.filter(_.contains("/data/"))
+    assert(opened.nonEmpty && opened.forall(_.contains("pday=2024-01-02")),
+      s"untouched days were read: ${opened.mkString(",")}")
+  }
+
+  test("takedown window: deletes only; a drained day's rows all surface") {
+    val dir = Files.createTempDirectory("graft_cdc_del").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    ManifestLake.deleteWhere(spark, dir, col("day") === "2024-01-02")
+    val ch = changeSet(dir, 1L, 2L)
+    assert(ch == Set(
+      ("delete", 2L, 20L, "click", 1.0, "2024-01-02"),
+      ("delete", 3L, 30L, "click", 1.0, "2024-01-02")), ch)
+  }
+
+  test("compaction nets to zero changes; cross-window net effect collapses") {
+    val dir = Files.createTempDirectory("graft_cdc_net").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    val b = Seq((11L, 101L, ts("2024-01-02 12:00:00"), "click", 7.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.appendBatch(spark, dir, b, "ts", batchId = 0L) // v2
+    ManifestLake.compactDay(spark, dir, "2024-01-02") // v3
+    assert(changeSet(dir, 2L, 3L).isEmpty, "compaction leaked into the feed")
+    // v1→v3 net effect: just the appended row (the compaction rewrite
+    // of day 2 cancels row-for-row in the diff)
+    assert(changeSet(dir, 1L, 3L) ==
+      Set(("insert", 11L, 101L, "click", 7.0, "2024-01-02")))
+    // insert-then-delete within one window nets out: v1 and v4 hold
+    // the same rows, so the feed across them is empty — while the
+    // narrower v2→v4 window correctly reports the delete of the row
+    // that existed at its start
+    ManifestLake.deleteWhere(spark, dir, col("event_id") === 101L) // v4
+    assert(changeSet(dir, 1L, 4L).isEmpty,
+      "a row appended and deleted inside the window must cancel")
+    assert(changeSet(dir, 2L, 4L) ==
+      Set(("delete", 11L, 101L, "click", 7.0, "2024-01-02")))
+  }
+
+  test("schema evolution across the window: old-side rows read the new column as NULL") {
+    val dir = Files.createTempDirectory("graft_cdc_schema").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    val extra = Seq((9L, 90L, ts("2024-01-05 08:00:00"), "click", 1.0, "eu-w1"))
+      .toDF("user_id", "event_id", "ts", "event_type", "value", "region")
+    ManifestLake.appendBatch(spark, dir, extra, "ts", batchId = 0L)
+    val ch = ManifestLake.readChanges(spark, dir, 1L, 2L)
+    assert(ch.columns.contains("region"))
+    assert(ch.count() == 1)
+    assert(ch.head().getAs[String]("region") == "eu-w1")
+  }
+
+  test("replicateOnce: incremental mirror converges, replays are no-ops, crash mid-commit is exactly-once") {
+    val src = Files.createTempDirectory("graft_cdc_src").toString
+    val dst = Files.createTempDirectory("graft_cdc_dst").toString + "/mirror"
+    ManifestLake.create(spark, src, mkBase(), "ts")
+    def table(d: String) = ManifestLake.read(spark, d)
+      .select("user_id", "event_id", "ts", "event_type", "value", "day")
+      .collect().map(_.toString).sorted.toSeq
+
+    // seed: the full snapshot arrives as the first batch
+    ManifestLake.replicateOnce(spark, src, dst, "ts")
+    assert(table(dst) == table(src))
+    // caught up: version unchanged, no empty commits
+    val v = ManifestLake.snapshot(spark, dst).version
+    assert(ManifestLake.replicateOnce(spark, src, dst, "ts") == v)
+    assert(ManifestLake.snapshot(spark, dst).version == v)
+
+    // two source appends, one replication round carries both
+    val b0 = Seq((11L, 101L, ts("2024-01-02 12:00:00"), "click", 7.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val b1 = Seq((12L, 102L, ts("2024-01-04 09:00:00"), "click", 8.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.appendBatch(spark, src, b0, "ts", batchId = 0L)
+    ManifestLake.appendBatch(spark, src, b1, "ts", batchId = 1L)
+
+    // crash between the mirror's data write and its cursor commit:
+    // nothing lands…
+    intercept[RuntimeException] {
+      ManifestLake.replicateOnce(spark, src, dst, "ts",
+        beforeCommit = () => throw new RuntimeException("kill -9"))
+    }
+    assert(ManifestLake.read(spark, dst).count() == 4, "crashed round leaked")
+    // …and the re-run applies the window exactly once
+    ManifestLake.replicateOnce(spark, src, dst, "ts")
+    assert(table(dst) == table(src))
+    assert(ManifestLake.read(spark, dst).count() == 6)
+  }
+
+  test("replicateOnce: a rewritten source day is refused, never silently duplicated") {
+    val src = Files.createTempDirectory("graft_cdc_rw_src").toString
+    val dst = Files.createTempDirectory("graft_cdc_rw_dst").toString + "/mirror"
+    ManifestLake.create(spark, src, mkBase(), "ts")
+    ManifestLake.replicateOnce(spark, src, dst, "ts")
+    val upd = Seq((2L, 20L, ts("2024-01-02 12:00:00"), "purchase", 3.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.upsert(spark, src, upd, Seq("user_id", "event_id"), "ts")
+    val e = intercept[IllegalStateException] {
+      ManifestLake.replicateOnce(spark, src, dst, "ts")
+    }
+    assert(e.getMessage.contains("rewritten"), e.getMessage)
+    // the mirror is intact at its pre-refusal state
+    assert(ManifestLake.read(spark, dst).count() == 4)
+  }
+}
