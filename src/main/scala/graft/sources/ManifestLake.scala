@@ -1386,14 +1386,17 @@ object ManifestLake {
     * any data is read: a source day that lost a directory (upsert /
     * deleteWhere / compaction rewrote it) throws — an append mirror
     * cannot represent a rewrite, and silently re-appending it would
-    * duplicate rows. The escape hatch is the same as Delta's
-    * streaming source without ignoreChanges: re-seed the mirror (or
-    * replicate the rewrite through a dst upsert by hand). The dst is
-    * the mirror's alone (single-writer, like every cursor-carrying
+    * duplicate rows. Two escape hatches, both Delta's streaming-source
+    * vocabulary: re-seed the mirror (the ignoreChanges-free default),
+    * or `skipRewrites = true` — the skipChangeCommits analog, which
+    * advances past rewritten days WITHOUT emitting them (the mirror
+    * knowingly diverges on those days; appends keep flowing). The dst
+    * is the mirror's alone (single-writer, like every cursor-carrying
     * sink): foreign commits to it would desynchronize the cursor.
     * Returns dst's committed version (unchanged when caught up). */
   def replicateOnce(spark: SparkSession, srcPath: String, dstPath: String,
       ordCol: String, filesPerDay: Int = 1,
+      skipRewrites: Boolean = false,
       beforeCommit: () => Unit = () => ()): Long = {
     val srcSnap = snapshot(spark, srcPath)
     val dstSnap = snapshot(spark, dstPath)
@@ -1403,17 +1406,24 @@ object ManifestLake {
     val from =
       if (fromV == 0L) Snapshot(0L, Map.empty)
       else readManifest(fs, root, fromV)
-    from.days.foreach { case (d, oldDirs) =>
-      val now = srcSnap.days.getOrElse(d, Seq.empty).toSet
-      if (!oldDirs.toSet.subsetOf(now))
-        throw new IllegalStateException(
+    // the append fast path, computed directly: per day, the window's
+    // ADDED directories; a day that lost one (upsert/delete/compaction
+    // rewrote it) is refused or — under skipRewrites — passed over
+    val addedDirs = (from.days.keySet ++ srcSnap.days.keySet).toSeq.sorted
+      .flatMap { d =>
+        val o = from.days.getOrElse(d, Seq.empty).toSet
+        val n = srcSnap.days.getOrElse(d, Seq.empty).toSet
+        if (o.subsetOf(n)) (n -- o).toSeq.sorted
+        else if (skipRewrites) Seq.empty
+        else throw new IllegalStateException(
           s"replicateOnce: source day $d was rewritten between versions " +
             s"$fromV and ${srcSnap.version} (upsert/delete/compaction) — " +
-            "an append-only mirror cannot represent it; re-seed the mirror")
-    }
-    val inserts = readChanges(spark, srcPath, fromV, srcSnap.version)
-      .filter(col("_change_type") === lit("insert"))
-      .drop("_change_type", "day")
+            "an append-only mirror cannot represent it; re-seed the " +
+            "mirror, or pass skipRewrites = true to advance past it " +
+            "(the skipChangeCommits contract: those days' changes are " +
+            "knowingly not mirrored)")
+      }
+    val inserts = readPaths(spark, srcPath, srcSnap, addedDirs).drop("day")
     // first round bootstraps the dst schema anchor (the sink's rule)
     val anchor = new Path(s"$dstPath/$SchemaDir")
     val dfs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -186,5 +186,19 @@ class ManifestLakeCdcSpec extends SparkSpec {
     assert(e.getMessage.contains("rewritten"), e.getMessage)
     // the mirror is intact at its pre-refusal state
     assert(ManifestLake.read(spark, dst).count() == 4)
+
+    // the skipChangeCommits analog: skipRewrites advances PAST the
+    // rewritten day without emitting it (knowing divergence), and
+    // subsequent appends flow again
+    ManifestLake.replicateOnce(spark, src, dst, "ts", skipRewrites = true)
+    assert(ManifestLake.read(spark, dst).count() == 4, "rewrite leaked")
+    val b = Seq((11L, 101L, ts("2024-01-04 12:00:00"), "click", 7.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.appendBatch(spark, src, b, "ts", batchId = 0L)
+    ManifestLake.replicateOnce(spark, src, dst, "ts")
+    assert(ManifestLake.read(spark, dst).count() == 5,
+      "appends after a skipped rewrite did not replicate")
+    assert(ManifestLake.read(spark, dst)
+      .filter(col("event_id") === 101L).count() == 1)
   }
 }
