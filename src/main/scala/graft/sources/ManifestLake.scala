@@ -64,6 +64,7 @@ object ManifestLake {
   private val StatsColsFile = s"$LogDir/stats_cols"
   private val BloomColsFile = s"$LogDir/bloom_cols"
   private val BloomDir = s"$LogDir/bloom"
+  private val StatsDir = s"$LogDir/stats"
   private val NullPart = "__HIVE_DEFAULT_PARTITION__"
   private val ManifestRe = "([0-9]{8})\\.manifest".r
 
@@ -90,10 +91,24 @@ object ManifestLake {
     * statistics (`files`: table-relative file path → FileMeta) that
     * back readWhere's file skipping. `files` is empty for tables
     * created without statsCols — every reader then falls back to
-    * whole-directory reads, so stats are purely an optimization. */
+    * whole-directory reads, so stats are purely an optimization.
+    *
+    * Since r11 stats live in IMMUTABLE per-generation sidecars
+    * (`_graft_log/stats/<gen>.idx` — the bloom-sidecar design applied
+    * to min/max): `files` here is the ASSEMBLED view (`snapshot()`
+    * joins the live generations' sidecars onto the manifest), while
+    * `legacyFiles` holds only stats parsed from `#f`/`#c` lines of a
+    * pre-sidecar manifest — the carry-forward set a writer must keep
+    * re-serializing until compaction rewrites those generations with
+    * sidecars. Splitting the two is what caps commit cost: a commit
+    * writes O(dirs) manifest lines + one O(new files) sidecar, never
+    * O(all files in the table) — at 10⁶ files (100 TB at 128 MB
+    * targets) the difference between a kilobyte manifest append and
+    * re-serializing ~100 MB of stats on EVERY commit. */
   final case class Snapshot(version: Long, days: Map[String, Seq[String]],
       lastBatch: Long = -1L, files: Map[String, FileMeta] = Map.empty,
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      legacyFiles: Map[String, FileMeta] = Map.empty)
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -146,6 +161,19 @@ object ManifestLake {
     // <col> <nulls> <0|1> <dom> <min> <max>` one indexed column of it.
     // Unknown #-lines are skipped, so pre-stats manifests read clean
     // and post-stats manifests stay readable by a stats-blind reader.
+    // Since the sidecar move these lines appear only as the LEGACY
+    // carry of pre-sidecar commits; new generations register through
+    // their own `_graft_log/stats/<gen>.idx`, assembled by snapshot().
+    val legacy = parseFileLines(lines.toIndexedSeq)
+    val schemaJson = lines.collectFirst {
+      case l if l.startsWith("#schema\t") => dec(l.stripPrefix("#schema\t"))
+    }
+    Snapshot(v, days, lastBatch, legacy, schemaJson, legacy)
+  }
+
+  /** Parse `#f`/`#c` stat lines (shared by the manifest's legacy carry
+    * and the per-generation sidecars — one wire format, two homes). */
+  private def parseFileLines(lines: Seq[String]): Map[String, FileMeta] = {
     val fileRows = lines.collect {
       case l if l.startsWith("#f\t") =>
         val Array(_, f, r) = l.split('\t')
@@ -159,30 +187,101 @@ object ManifestLake {
         (dec(f), c) -> ColStats(nulls.toLong, mm == "1", dec(mn), dec(mx),
           dom.head)
     }.groupBy(_._1._1)
-    val files = fileRows.map { case (f, rows) =>
-      f -> FileMeta(rows, colStats.getOrElse(f, Array.empty[((String, String),
+    fileRows.map { case (f, rows) =>
+      f -> FileMeta(rows, colStats.getOrElse(f, Seq.empty[((String, String),
         ColStats)]).map { case ((_, c), st) => c -> st }.toMap)
     }
-    val schemaJson = lines.collectFirst {
-      case l if l.startsWith("#schema\t") => dec(l.stripPrefix("#schema\t"))
-    }
-    Snapshot(v, days, lastBatch, files, schemaJson)
   }
 
-  /** The latest committed snapshot (version 0 = empty table). */
+  /** Render per-file stats as `#f`/`#c` lines (the inverse of
+    * parseFileLines). */
+  private def fmtFileLines(files: Map[String, FileMeta]): Seq[String] =
+    files.toSeq.sortBy(_._1).flatMap { case (f, m) =>
+      s"#f\t${enc(f)}\t${m.rows}" +:
+        m.stats.toSeq.sortBy(_._1).map { case (c, st) =>
+          s"#c\t${enc(f)}\t$c\t${st.nulls}\t${if (st.hasMM) 1 else 0}" +
+            s"\t${st.dom}\t${enc(st.min)}\t${enc(st.max)}"
+        }
+    }
+
+  /** JVM-wide cache of generation stats sidecars, keyed by absolute
+    * sidecar path. Sound because sidecars are IMMUTABLE once written
+    * (new stats mean a new generation, hence a new key); a steady
+    * session therefore assembles snapshots from memory, and only a
+    * cold start pays one metadata read per live generation — the same
+    * amortization Delta's driver-side snapshot cache provides. */
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, FileMeta]]
+
+  /** The generation's stats sidecar (empty when the gen predates
+    * sidecars or stats are off). */
+  private def readStatsSidecar(fs: FileSystem, root: Path,
+      genName: String): Map[String, FileMeta] = {
+    val p = fs.makeQualified(new Path(root, s"$StatsDir/$genName.idx"))
+    statsCache.getOrElseUpdate(p.toString, {
+      if (!fs.exists(p)) Map.empty
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        parseFileLines(txt.split('\n').filter(_.nonEmpty).toIndexedSeq)
+      }
+    })
+  }
+
+  /** Join the live generations' stats sidecars onto a manifest
+    * snapshot: the assembled per-file view candidateFiles prunes
+    * against. Uncached sidecars are fetched on a bounded pool (cold
+    * start on a many-generation lake pays max-latency batches, not
+    * the serial sum); entries for dirs the snapshot no longer
+    * references (a gen with some days superseded) are dropped. */
+  private def assembleFiles(fs: FileSystem, root: Path,
+      snap: Snapshot): Map[String, FileMeta] = {
+    val liveDirs = snap.days.values.flatten.toSet
+    val gens = liveDirs.map(_.split('/')(1)).toSeq.sorted
+    val sidecars: Seq[Map[String, FileMeta]] =
+      if (gens.size <= 2) gens.map(readStatsSidecar(fs, root, _))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, gens.size))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(gens.map(g =>
+            scala.concurrent.Future(readStatsSidecar(fs, root, g)))),
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      }
+    val side = sidecars.flatten.filter { case (f, _) =>
+      val i = f.lastIndexOf('/')
+      i > 0 && liveDirs.contains(f.substring(0, i))
+    }
+    snap.legacyFiles ++ side
+  }
+
+  /** The latest committed snapshot (version 0 = empty table), with
+    * the per-file stats view assembled from the live sidecars. */
   def snapshot(spark: SparkSession, path: String): Snapshot = {
     val (fs, root) = fsOf(spark, path)
     manifestVersions(fs, root).lastOption
-      .map(readManifest(fs, root, _))
+      .map { v =>
+        val s = readManifest(fs, root, v)
+        s.copy(files = assembleFiles(fs, root, s))
+      }
       .getOrElse(Snapshot(0L, Map.empty))
   }
 
   /** Atomic commit: write the manifest for `next` to a temp name, then
     * rename into place. Throws ConcurrentModificationException if
-    * `next` is already committed (another writer won the race). */
+    * `next` is already committed (another writer won the race).
+    * `legacyFiles` is ONLY the carry of pre-sidecar manifest stats —
+    * new generations register through their immutable sidecar, so the
+    * manifest body stays O(live dirs) regardless of table file count
+    * (and the legacy carry shrinks to nothing as compaction rewrites
+    * pre-sidecar generations). */
   private def commit(fs: FileSystem, root: Path, next: Long,
       days: Map[String, Seq[String]], lastBatch: Long = -1L,
-      files: Map[String, FileMeta] = Map.empty,
+      legacyFiles: Map[String, FileMeta] = Map.empty,
       schemaJson: Option[String] = None): Unit = {
     val target = new Path(root, f"$LogDir/$next%08d.manifest")
     if (fs.exists(target))
@@ -194,14 +293,8 @@ object ManifestLake {
       schemaJson.map(j => s"#schema\t${enc(j)}").toSeq
     val body = days.toSeq.sortBy(_._1)
       .flatMap { case (d, ps) => ps.sorted.map(p => s"$d\t$p") }
-    val statLines = files.toSeq.sortBy(_._1).flatMap { case (f, m) =>
-      s"#f\t${enc(f)}\t${m.rows}" +:
-        m.stats.toSeq.sortBy(_._1).map { case (c, st) =>
-          s"#c\t${enc(f)}\t$c\t${st.nulls}\t${if (st.hasMM) 1 else 0}" +
-            s"\t${st.dom}\t${enc(st.min)}\t${enc(st.max)}"
-        }
-    }
-    try out.write((header ++ body ++ statLines).mkString("\n").getBytes("UTF-8"))
+    try out.write((header ++ body ++ fmtFileLines(legacyFiles))
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, target))
       throw new java.util.ConcurrentModificationException(
@@ -547,8 +640,7 @@ object ManifestLake {
     * merge sizes it to day_bytes / targetFileBytes, then compactDay
     * trims stragglers. */
   private def writeGen(spark: SparkSession, path: String,
-      rows: DataFrame, filesPerDay: Int = 1)
-      : (Map[String, String], Map[String, FileMeta]) = {
+      rows: DataFrame, filesPerDay: Int = 1): Map[String, String] = {
     val gen = s"$DataDir/g-${UUID.randomUUID()}"
     val spread = pmod(xxhash64(rows.columns.map(col).toIndexedSeq: _*),
       lit(filesPerDay.toLong))
@@ -571,40 +663,48 @@ object ManifestLake {
         d -> s"$gen/${st.getPath.getName}"
       }.toMap
     genBlooms(spark, path, fs, root, dayMap.values.toSeq)
-    (dayMap, genStats(spark, path, fs, root, dayMap.values.toSeq))
+    writeGenStats(spark, path, fs, root, dayMap.values.toSeq)
+    dayMap
   }
 
-  /** Stats for every data file under the just-written leaf dirs (all
-    * of them — a dir whose file set is only partially registered
-    * could not be pruned soundly). No-op when the table has no
-    * indexed columns. */
-  private def genStats(spark: SparkSession, path: String, fs: FileSystem,
-      root: Path, leafDirs: Seq[String]): Map[String, FileMeta] = {
+  /** Collect footer stats for every data file under the just-written
+    * generation's leaf dirs (all of them — a dir whose file set is
+    * only partially registered could not be pruned soundly) and write
+    * the generation's IMMUTABLE stats sidecar. No-op when the table
+    * has no indexed columns; a bloom-only table still registers its
+    * files (rows-only metas) — the pruner walks registered files,
+    * dirs stay whole otherwise. Runs before the manifest commit: a
+    * crash leaves an orphan sidecar next to the orphan generation,
+    * both invisible, both vacuumed. */
+  private def writeGenStats(spark: SparkSession, path: String,
+      fs: FileSystem, root: Path, leafDirs: Seq[String]): Unit = {
     val cols = statsCols(spark, path)
-    // a bloom-only table still needs its files REGISTERED (rows-only
-    // metas) — the pruner walks registered files, dirs stay whole
-    // otherwise
-    if (cols.isEmpty && bloomConfig(spark, path)._1.isEmpty) Map.empty
-    else {
-      val files = leafDirs.flatMap { rel =>
-        fs.listStatus(new Path(root, rel)).toSeq
-          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith("."))
-          .map(st => s"$rel/${st.getPath.getName}")
-      }
-      collectStats(spark, path, files, cols)
+    if (leafDirs.isEmpty ||
+        (cols.isEmpty && bloomConfig(spark, path)._1.isEmpty)) return
+    val files = leafDirs.flatMap { rel =>
+      fs.listStatus(new Path(root, rel)).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => s"$rel/${st.getPath.getName}")
     }
+    val metas = collectStats(spark, path, files, cols)
+    val genName = leafDirs.head.split('/')(1)
+    val target = fs.makeQualified(new Path(root, s"$StatsDir/$genName.idx"))
+    val out = fs.create(target, true)
+    try out.write(fmtFileLines(metas).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
-  /** The prior snapshot's file entries that survive a commit replacing
-    * `droppedDays`' directories: everything under a directory still
-    * referenced by `newDays`. */
+  /** The prior snapshot's LEGACY (manifest-resident) file entries that
+    * survive a commit: everything under a directory still referenced
+    * by `newDays`. Sidecar-registered files need no carry — their
+    * sidecars are immutable and liveness is the manifest's dir list. */
   private def carryFiles(snap: Snapshot,
       newDays: Map[String, Seq[String]]): Map[String, FileMeta] = {
-    if (snap.files.isEmpty) Map.empty
+    if (snap.legacyFiles.isEmpty) Map.empty
     else {
       val live = newDays.values.flatten.toSet
-      snap.files.filter { case (f, _) =>
+      snap.legacyFiles.filter { case (f, _) =>
         val i = f.lastIndexOf('/')
         i > 0 && live.contains(f.substring(0, i))
       }
@@ -685,9 +785,9 @@ object ManifestLake {
     if (bloomCols.nonEmpty)
       writeBloomConfig(fs, root, df, bloomCols, bloomBits)
     val withDay = rows.withColumn("day", dayKey)
-    val (dirs, metas) = writeGen(spark, path, withDay, filesPerDay)
+    val dirs = writeGen(spark, path, withDay, filesPerDay)
     commit(fs, root, 1L, dirs.map { case (d, p) => d -> Seq(p) },
-      files = metas, schemaJson = Some(withDay.schema.json))
+      schemaJson = Some(withDay.schema.json))
     1L
   }
 
@@ -1172,7 +1272,7 @@ object ManifestLake {
       .filter(col("rn") === 1).drop("rn", "src")
       .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
       .withColumn("day", dayKey)
-    val (newDirs, metas) = writeGen(spark, path, merged, filesPerDay)
+    val newDirs = writeGen(spark, path, merged, filesPerDay)
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
     // affected days remap to the new generation (or vanish when
@@ -1181,7 +1281,7 @@ object ManifestLake {
     val nextDays = (snap.days -- days) ++
       newDirs.map { case (d, p) => d -> Seq(p) }
     commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
-      carryFiles(snap, nextDays) ++ metas,
+      carryFiles(snap, nextDays),
       // union with the FULL table schema, not merged's: under a
       // pre-checkpoint manifest the merge frame was planned from the
       // affected days only, and a column living solely in untouched
@@ -1223,13 +1323,13 @@ object ManifestLake {
     val deleted = matched.map(_.getLong(1)).sum
     val kept = readDays(spark, path, days.contains).filter(!hit)
       .withColumn("day", dayKey)
-    val (newDirs, metas) = writeGen(spark, path, kept, filesPerDay)
+    val newDirs = writeGen(spark, path, kept, filesPerDay)
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
     val nextDays = (snap.days -- days) ++
       newDirs.map { case (d, p) => d -> Seq(p) }
     commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
-      carryFiles(snap, nextDays) ++ metas,
+      carryFiles(snap, nextDays),
       schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
         kept.schema).json))
     deleted
@@ -1296,9 +1396,10 @@ object ManifestLake {
     }
     val rel = s"$gen/pday=$day"
     genBlooms(spark, path, fs, root, Seq(rel))
+    writeGenStats(spark, path, fs, root, Seq(rel))
     val nextDays = snap.days + (day -> Seq(rel))
     commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
-      carryFiles(snap, nextDays) ++ genStats(spark, path, fs, root, Seq(rel)),
+      carryFiles(snap, nextDays),
       schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
         df.schema).json))
     snap.version + 1
@@ -1330,14 +1431,14 @@ object ManifestLake {
     val rows = batch
       .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
       .withColumn("day", dayKey)
-    val (newDirs, metas) = writeGen(spark, path, rows, filesPerDay)
+    val newDirs = writeGen(spark, path, rows, filesPerDay)
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
     val merged = newDirs.foldLeft(snap.days) { case (m, (d, p)) =>
       m.updated(d, m.getOrElse(d, Seq.empty) :+ p)
     }
     commit(fs, root, snap.version + 1, merged, batchId,
-      snap.files ++ metas,
+      snap.legacyFiles,
       // additive evolution lands HERE: a batch carrying a new column
       // widens the checkpoint, and every already-committed file reads
       // the new column as NULL under it
@@ -1477,15 +1578,24 @@ object ManifestLake {
           fs.delete(leaf.getPath, true); deleted += leaf.getPath.toUri.getPath
         }
       }
-      if (fs.listStatus(gen.getPath).isEmpty) fs.delete(gen.getPath, true)
+      // a generation whose every leaf is gone still holds write-time
+      // metadata residue (_SUCCESS, .crc) — data lives only in pday=
+      // leaf DIRS, so a dir with no remaining subdirectory is garbage
+      val rest = fs.listStatus(gen.getPath).toSeq
+      if (rest.forall(st => st.isFile &&
+          (st.getPath.getName.startsWith("_") ||
+            st.getPath.getName.startsWith("."))))
+        fs.delete(gen.getPath, true)
     }
-    // bloom sidecars of vanished generations are garbage too
-    val bloomDir = new Path(root, BloomDir)
-    if (fs.exists(bloomDir)) fs.listStatus(bloomDir).foreach { st =>
-      val genName = st.getPath.getName.stripSuffix(".idx")
-      if (!fs.exists(new Path(root, s"$DataDir/$genName")) &&
-          st.getModificationTime < cutoff) {
-        fs.delete(st.getPath, false); deleted += st.getPath.toUri.getPath
+    // bloom and stats sidecars of vanished generations are garbage too
+    Seq(BloomDir, StatsDir).foreach { d =>
+      val sideDir = new Path(root, d)
+      if (fs.exists(sideDir)) fs.listStatus(sideDir).foreach { st =>
+        val genName = st.getPath.getName.stripSuffix(".idx")
+        if (!fs.exists(new Path(root, s"$DataDir/$genName")) &&
+            st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, false); deleted += st.getPath.toUri.getPath
+        }
       }
     }
     deleted.result()

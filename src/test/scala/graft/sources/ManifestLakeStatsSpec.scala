@@ -357,4 +357,114 @@ class ManifestLakeStatsSpec extends SparkSpec {
     assert(ManifestLake.readWhere(spark, dir, "cat = 'a'")
       .collect().map(_.toString).sorted.toSeq == before)
   }
+
+  test("stats live in per-generation sidecars: the manifest stays O(dirs) across commits") {
+    val dir = Files.createTempDirectory("graft_mls_side").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts",
+      statsCols = Seq("uid", "cat"))
+    def manifestStatLines(v: Long): Int = {
+      val src = scala.io.Source.fromFile(
+        f"$dir/_graft_log/$v%08d.manifest", "UTF-8")
+      try src.getLines().count(l => l.startsWith("#f") || l.startsWith("#c"))
+      finally src.close()
+    }
+    assert(manifestStatLines(1L) == 0,
+      "a sidecar-era manifest must carry no per-file stat lines")
+    // sidecar written for the create generation; pruning works off it
+    assert(new java.io.File(s"$dir/_graft_log/stats").listFiles()
+      .count(_.getName.endsWith(".idx")) == 1)
+    assert(ManifestLake.candidateFiles(spark, dir, "uid = 150")
+      .keptFiles.size == 1)
+    // an append adds ONE sidecar and zero manifest stat lines — the
+    // commit's metadata cost is O(new files), not O(table files)
+    val extra = Seq((9999L, ts("2024-01-05 08:00:00"), "q", 1.0))
+      .toDF("uid", "ts", "cat", "amount")
+    ManifestLake.appendBatch(spark, dir, extra, "ts", batchId = 0L)
+    assert(manifestStatLines(2L) == 0)
+    assert(new java.io.File(s"$dir/_graft_log/stats").listFiles()
+      .count(_.getName.endsWith(".idx")) == 2)
+    val rep = ManifestLake.candidateFiles(spark, dir, "uid >= 9000")
+    assert(rep.totalFiles == 5 && rep.keptFiles.size == 1)
+    agree(dir, "uid >= 9000")
+    // an upsert retires the rewritten generation's entries by liveness
+    // (the dropped dir no longer appears in the manifest) — files from
+    // a PARTIALLY superseded generation must not resurface
+    val upd = Seq((150L, ts("2024-01-02 13:00:00"), "z", 9.9))
+      .toDF("uid", "ts", "cat", "amount")
+    ManifestLake.upsert(spark, dir, upd, Seq("uid"), "ts")
+    val rep2 = ManifestLake.candidateFiles(spark, dir, "cat = 'z'")
+    assert(rep2.totalFiles == 5 && rep2.keptFiles.size == 1, rep2.keptFiles)
+    agree(dir, "cat = 'z'")
+    // a PARTIALLY superseded generation keeps its sidecar (days 1/3/4
+    // still live in it); compacting the single-day append generation
+    // makes THAT one fully unreferenced, and vacuum reclaims its
+    // sidecar together with the data
+    ManifestLake.compactDay(spark, dir, "2024-01-05")
+    val statsBefore = new java.io.File(s"$dir/_graft_log/stats")
+      .listFiles().count(_.getName.endsWith(".idx"))
+    ManifestLake.vacuum(spark, dir, retentionMs = 0L)
+    val statsAfter = new java.io.File(s"$dir/_graft_log/stats")
+      .listFiles().count(_.getName.endsWith(".idx"))
+    assert(statsAfter < statsBefore, "orphan sidecar not reclaimed")
+    agree(dir, "cat = 'z'")
+    agree(dir, "uid >= 9000")
+  }
+
+  test("pre-sidecar manifests: legacy stat lines prune, carry across commits, and retire via compaction") {
+    val dir = Files.createTempDirectory("graft_mls_legacy").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts",
+      statsCols = Seq("uid", "cat"))
+    // devolve to the pre-sidecar format: fold every sidecar's lines
+    // into the manifest body and delete the sidecar dir — the on-disk
+    // state an upgrading deployment starts from
+    val statsDir = new java.io.File(s"$dir/_graft_log/stats")
+    val sideLines = statsDir.listFiles().filter(_.getName.endsWith(".idx"))
+      .flatMap { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().toArray finally src.close()
+      }
+    assert(sideLines.nonEmpty)
+    // rewrite through the Hadoop FS so the local checksum sidecar
+    // stays consistent (a raw java.io write would poison the .crc)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = new org.apache.hadoop.fs.Path(s"$dir/_graft_log/00000001.manifest")
+    val txt = {
+      val in = fs.open(mf)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val out = fs.create(mf, true)
+    try out.write((txt.split('\n').filter(_.nonEmpty) ++ sideLines)
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    statsDir.listFiles().foreach(_.delete()); statsDir.delete()
+    // legacy lines prune exactly as sidecar entries did
+    assert(ManifestLake.candidateFiles(spark, dir, "uid = 150")
+      .keptFiles.size == 1)
+    agree(dir, "uid = 150")
+    // a new commit CARRIES the legacy stats (manifest-resident) while
+    // registering its own generation via sidecar — both prune
+    val extra = Seq((9999L, ts("2024-01-05 08:00:00"), "q", 1.0))
+      .toDF("uid", "ts", "cat", "amount")
+    ManifestLake.appendBatch(spark, dir, extra, "ts", batchId = 0L)
+    val rep = ManifestLake.candidateFiles(spark, dir, "uid = 150")
+    assert(rep.totalFiles == 5 && rep.keptFiles.size == 1)
+    agree(dir, "uid = 150")
+    assert(ManifestLake.candidateFiles(spark, dir, "uid >= 9000")
+      .keptFiles.size == 1)
+    // compacting a legacy day rewrites it WITH a sidecar and retires
+    // its manifest-resident lines — the upgrade completes day by day
+    ManifestLake.compactDay(spark, dir, "2024-01-02")
+    val v = ManifestLake.snapshot(spark, dir).version
+    val mfN = new java.io.File(f"$dir/_graft_log/$v%08d.manifest")
+    val srcN = scala.io.Source.fromFile(mfN, "UTF-8")
+    val legacyLeft = try srcN.getLines()
+      .count(l => l.startsWith("#f") && l.contains("2024-01-02"))
+    finally srcN.close()
+    assert(legacyLeft == 0, "compacted day's legacy stat lines survived")
+    assert(ManifestLake.candidateFiles(spark, dir, "uid = 150")
+      .keptFiles.size == 1)
+    agree(dir, "uid = 150")
+  }
 }
