@@ -142,12 +142,41 @@ object LakeOps {
       .orderBy(col("_change_type"), col("event_id"))
   }
 
+  private val dvMemo = new SessionMemo[String]
+
+  /** Merge-on-read lake (once per session+dir): create from events,
+    * then ONE deletion-vector takedown of user_id≡2 (mod 7) — no day
+    * is rewritten, the deletes live purely in the position sidecar
+    * the read path anti-joins out. */
+  private def dvLake(s: SparkSession, dir: String): String =
+    dvMemo.getOrElseUpdate(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_lake_dv/" +
+        math.abs((dir + "|" + s.sparkContext.applicationId).hashCode).toString
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      ManifestLake.create(s, out, Tables.events(s, dir), "ts", filesPerDay = 2)
+      ManifestLake.deleteWhereDV(s, out, col("user_id") % 7 === 2)
+      out
+    }
+
+  /** The deletion-vector read path under the oracle: every surviving
+    * row of a merge-on-read takedown, hash-compared against DuckDB
+    * filtering the raw parquet. A position off by one (row-index
+    * drift), a dropped anti-join, or a DV row leaking into the
+    * result all break the hash; that ZERO data files were rewritten
+    * is pinned by ManifestLakeDvSpec. */
+  def lDvTakedown(s: SparkSession, dir: String): DataFrame =
+    ManifestLake.read(s, dvLake(s, dir))
+      .select(histCols.map(col): _*).orderBy(col("event_id"))
+
   val queries: ListMap[String, Q] = ListMap(
     "l_scan_prune" -> (lScanPrune _),
     "l_point_lookup" -> (lPointLookup _),
     "l_time_travel" -> (lTimeTravel _),
     "l_merge_head" -> (lMergeHead _),
     "l_cdf" -> (lCdf _),
+    "l_dv_takedown" -> (lDvTakedown _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -204,5 +233,11 @@ object LakeOps {
          |SELECT event_id, ts, user_id, event_type, value, props,
          |  strftime(ts, '%Y-%m-%d') AS day, 'delete' AS _change_type FROM del
          |ORDER BY _change_type, event_id""".stripMargin,
+    "l_dv_takedown" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day
+         |FROM events
+         |WHERE NOT coalesce(user_id % 7 = 2, FALSE)
+         |ORDER BY event_id""".stripMargin,
   )
 }

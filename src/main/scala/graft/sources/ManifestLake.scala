@@ -65,6 +65,7 @@ object ManifestLake {
   private val BloomColsFile = s"$LogDir/bloom_cols"
   private val BloomDir = s"$LogDir/bloom"
   private val StatsDir = s"$LogDir/stats"
+  private val DvDir = s"$LogDir/dv"
   private val NullPart = "__HIVE_DEFAULT_PARTITION__"
   private val ManifestRe = "([0-9]{8})\\.manifest".r
 
@@ -105,10 +106,20 @@ object ManifestLake {
     * O(all files in the table) — at 10⁶ files (100 TB at 128 MB
     * targets) the difference between a kilobyte manifest append and
     * re-serializing ~100 MB of stats on EVERY commit. */
+  /** `dvs` — the active DELETION VECTORS (merge-on-read deletes, the
+    * Delta DV design on public primitives): each entry is an immutable
+    * parquet dir of (f, i) = (table-relative file, row index) deleted
+    * positions, paired with the DATA DIRS it covers. Readers anti-join
+    * the positions out; a copy-on-write rewrite of a covered dir
+    * applies the DV (its read is DV-aware) and the ref's dir list
+    * shrinks by manifest arithmetic alone — a ref whose every covered
+    * dir was rewritten disappears, so the active set is bounded by
+    * the compaction cadence, never append-only. */
   final case class Snapshot(version: Long, days: Map[String, Seq[String]],
       lastBatch: Long = -1L, files: Map[String, FileMeta] = Map.empty,
       schemaJson: Option[String] = None,
-      legacyFiles: Map[String, FileMeta] = Map.empty)
+      legacyFiles: Map[String, FileMeta] = Map.empty,
+      dvs: Seq[(String, Seq[String])] = Seq.empty)
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -168,7 +179,13 @@ object ManifestLake {
     val schemaJson = lines.collectFirst {
       case l if l.startsWith("#schema\t") => dec(l.stripPrefix("#schema\t"))
     }
-    Snapshot(v, days, lastBatch, legacy, schemaJson, legacy)
+    // `#dv <dvdir> <covered-dir>...` — active deletion vectors
+    val dvs = lines.collect {
+      case l if l.startsWith("#dv\t") =>
+        val parts = l.split('\t')
+        dec(parts(1)) -> parts.drop(2).toSeq.map(dec)
+    }.toSeq
+    Snapshot(v, days, lastBatch, legacy, schemaJson, legacy, dvs)
   }
 
   /** Parse `#f`/`#c` stat lines (shared by the manifest's legacy carry
@@ -282,7 +299,8 @@ object ManifestLake {
   private def commit(fs: FileSystem, root: Path, next: Long,
       days: Map[String, Seq[String]], lastBatch: Long = -1L,
       legacyFiles: Map[String, FileMeta] = Map.empty,
-      schemaJson: Option[String] = None): Unit = {
+      schemaJson: Option[String] = None,
+      dvs: Seq[(String, Seq[String])] = Seq.empty): Unit = {
     val target = new Path(root, f"$LogDir/$next%08d.manifest")
     if (fs.exists(target))
       throw new java.util.ConcurrentModificationException(
@@ -293,7 +311,10 @@ object ManifestLake {
       schemaJson.map(j => s"#schema\t${enc(j)}").toSeq
     val body = days.toSeq.sortBy(_._1)
       .flatMap { case (d, ps) => ps.sorted.map(p => s"$d\t$p") }
-    try out.write((header ++ body ++ fmtFileLines(legacyFiles))
+    val dvLines = dvs.sortBy(_._1).map { case (d, dirs) =>
+      (s"#dv\t${enc(d)}" +: dirs.sorted.map(enc)).mkString("\t")
+    }
+    try out.write((header ++ body ++ fmtFileLines(legacyFiles) ++ dvLines)
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, target))
@@ -749,21 +770,78 @@ object ManifestLake {
         spark.read.option("mergeSchema", "true").parquet(dirs: _*).schema
     }
 
+  /** SQL expression rendering a scanned row's table-relative file
+    * path, derived from `_metadata.file_path` by stripping the
+    * qualified table root — length-based, so a root that itself
+    * contains "data/" segments cannot confuse it. Both the DV write
+    * and the DV read derive positions through THIS expression, so
+    * build and probe cannot drift. */
+  private def relFileExpr(spark: SparkSession, path: String)
+      : org.apache.spark.sql.Column = {
+    val (fs, root) = fsOf(spark, path)
+    val rootStr = fs.makeQualified(root).toString
+    expr(s"substring(_metadata.file_path, ${rootStr.length + 2})")
+  }
+
+  /** Attach the two position columns every DV operation keys on:
+    * `__pos_f` (table-relative file) and `__pos_i` (row index within
+    * the file — Spark's parquet `_metadata.row_index`, stable because
+    * committed files are immutable). Must be applied directly over a
+    * scan (the `_metadata` column lives on the file-source relation). */
+  private def withPos(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame =
+    df.withColumn("__pos_f", relFileExpr(spark, path))
+      .withColumn("__pos_i", col("_metadata.row_index"))
+
+  /** Anti-join the active deletion vectors' positions out of a frame
+    * carrying the position columns. The DV side is tiny relative to
+    * the fact scan (positions of deleted rows only) — AQE broadcasts
+    * it; with no active DV the frame passes through untouched. */
+  private def applyDvs(spark: SparkSession, path: String,
+      dvs: Seq[(String, Seq[String])], df: DataFrame): DataFrame =
+    if (dvs.isEmpty) df
+    else {
+      val dv = spark.read.parquet(dvs.map(d => s"$path/${d._1}"): _*)
+      df.join(dv, df("__pos_f") === dv("f") && df("__pos_i") === dv("i"),
+        "left_anti")
+    }
+
+  /** Intersect each DV ref's covered-dir list with the dirs that stay
+    * live after a commit: a ref whose every covered dir was rewritten
+    * vanishes (the rewrite read was DV-aware, so its deletes are now
+    * physical). Pure manifest arithmetic — no DV file is read. */
+  private def pruneDvs(dvs: Seq[(String, Seq[String])],
+      liveDirs: Set[String]): Seq[(String, Seq[String])] =
+    dvs.map { case (d, dirs) => d -> dirs.filter(liveDirs.contains) }
+      .filter(_._2.nonEmpty)
+
   /** The one snapshot-read primitive: explicit checkpointed schema
     * when available (no footer is opened at planning — a file missing
     * a late-added column reads it as NULL, the standard parquet
     * evolution contract), mergeSchema fallback for pre-checkpoint
-    * manifests. */
+    * manifests. Active deletion vectors are anti-joined out here, so
+    * EVERY read path (read / readDays / readWhere / readVersion /
+    * readChanges / the CoW rewrite scans) observes merge-on-read
+    * deletes; `dvsOverride` lets readChanges apply a DIFFERENT
+    * version's DV state than the schema snapshot's. `keepPos` keeps
+    * the position columns for callers that write DVs themselves. */
   private def readPaths(spark: SparkSession, path: String,
-      snap: Snapshot, rels: Seq[String]): DataFrame = {
+      snap: Snapshot, rels: Seq[String],
+      dvsOverride: Option[Seq[(String, Seq[String])]] = None,
+      keepPos: Boolean = false): DataFrame = {
+    val dvs = dvsOverride.getOrElse(snap.dvs)
     val all = s"$path/$SchemaDir" +: rels.map(p => s"$path/$p")
     val base = snap.schemaJson match {
       case Some(_) => spark.read.schema(tableSchema(spark, path, snap))
         .parquet(all: _*)
       case None => spark.read.option("mergeSchema", "true").parquet(all: _*)
     }
-    base.withColumn("day", when(col("day") === NullPart, lit(null:
-      String)).otherwise(col("day")))
+    val posed =
+      if (dvs.isEmpty && !keepPos) base
+      else applyDvs(spark, path, dvs, withPos(spark, path, base))
+    val restored = posed.withColumn("day", when(col("day") === NullPart,
+      lit(null: String)).otherwise(col("day")))
+    if (keepPos) restored else restored.drop("__pos_f", "__pos_i")
   }
 
   /** Initial snapshot: derive `day` from `ordCol`, write generation 1,
@@ -1207,6 +1285,17 @@ object ManifestLake {
       if (v == 0L) Snapshot(0L, Map.empty) else readManifest(fs, root, v)
     val from = snapAt(fromV)
     val to = snapAt(toV)
+    // deletion-vector coverage per dir: the set of DV refs whose
+    // positions touch it. DV sidecars are immutable, so equal ref
+    // sets ⇒ equal deleted positions ⇒ the dir's visible rows did
+    // not change through DVs in this window.
+    def cov(s: Snapshot): Map[String, Set[String]] =
+      s.dvs.flatMap { case (d, dirs) => dirs.map(_ -> d) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val covF = cov(from)
+    val covT = cov(to)
+    def dvSame(dir: String): Boolean =
+      covF.getOrElse(dir, Set.empty) == covT.getOrElse(dir, Set.empty)
     var insertDirs = Vector.empty[String] // append fast path: new dirs only
     var deleteDirs = Vector.empty[String] // day drained: old dirs only
     var diffOld = Vector.empty[String]
@@ -1214,20 +1303,29 @@ object ManifestLake {
     (from.days.keySet ++ to.days.keySet).toSeq.sorted.foreach { d =>
       val o = from.days.getOrElse(d, Seq.empty).toSet
       val n = to.days.getOrElse(d, Seq.empty).toSet
-      if (o == n) () // untouched day: zero IO
-      else if (o.subsetOf(n)) insertDirs ++= (n -- o).toSeq.sorted
+      if (o == n && o.forall(dvSame)) () // untouched day: zero IO
+      // append fast path needs the RETAINED dirs untouched by DV
+      // changes too; added dirs may carry later DVs — they are read
+      // under the TO state below, so that is still insert-only
+      else if (o.subsetOf(n) && o.forall(dvSame))
+        insertDirs ++= (n -- o).toSeq.sorted
       else if (n.isEmpty) deleteDirs ++= o.toSeq.sorted
       else { diffOld ++= o.toSeq.sorted; diffNew ++= n.toSeq.sorted }
     }
-    def rd(dirs: Seq[String]): DataFrame = readPaths(spark, path, to, dirs)
-    val zero = rd(Seq.empty) // schema anchor only: 0 rows, full schema
-    val fastIns = if (insertDirs.nonEmpty) rd(insertDirs) else zero
-    val fastDel = if (deleteDirs.nonEmpty) rd(deleteDirs) else zero
+    // old-side reads apply the FROM version's DV state (a row already
+    // DV-deleted at fromV must not resurface as a feed delete), new
+    // sides the TO state; schema is TO's either way (additive ⊇).
+    def rdTo(dirs: Seq[String]): DataFrame = readPaths(spark, path, to, dirs)
+    def rdFrom(dirs: Seq[String]): DataFrame =
+      readPaths(spark, path, to, dirs, dvsOverride = Some(from.dvs))
+    val zero = rdTo(Seq.empty) // schema anchor only: 0 rows, full schema
+    val fastIns = if (insertDirs.nonEmpty) rdTo(insertDirs) else zero
+    val fastDel = if (deleteDirs.nonEmpty) rdFrom(deleteDirs) else zero
     val (diffIns, diffDel) =
       if (diffOld.isEmpty) (zero, zero)
       else {
-        val o = rd(diffOld)
-        val n = rd(diffNew)
+        val o = rdFrom(diffOld)
+        val n = rdTo(diffNew)
         (n.exceptAll(o), o.exceptAll(n))
       }
     fastIns.unionByName(diffIns).withColumn("_change_type", lit("insert"))
@@ -1287,7 +1385,8 @@ object ManifestLake {
       // affected days only, and a column living solely in untouched
       // days must survive the checkpoint
       schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
-        merged.schema).json))
+        merged.schema).json),
+      dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet))
     snap.version + 1
   }
 
@@ -1331,7 +1430,62 @@ object ManifestLake {
     commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
       carryFiles(snap, nextDays),
       schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
-        kept.schema).json))
+        kept.schema).json),
+      dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet))
+    deleted
+  }
+
+  /** Merge-on-read DELETE (the Delta deletion-vector design on public
+    * primitives): instead of rewriting every affected day —
+    * deleteWhere's copy-on-write, whose cost is the BYTES of the
+    * affected days — record the matched rows' (file, row-index)
+    * positions in an immutable parquet sidecar under _graft_log/dv/
+    * and activate it with one manifest commit. No data file is
+    * touched: a compliance takedown of a thousand rows spread over a
+    * thousand days costs one position write (kilobytes) + one rename,
+    * not a thousand-day rewrite. Readers anti-join the positions out
+    * (AQE broadcasts the tiny DV side); row indexes are stable
+    * because committed files are immutable. The read-side overhead is
+    * retired by the NEXT copy-on-write pass over each covered day
+    * (upsert/deleteWhere/compactDay read DV-aware, so their rewrite
+    * applies the deletes physically and the ref's covered-dir list
+    * shrinks to nothing by manifest arithmetic) — the standard
+    * merge-on-read contract: deletes are O(matched rows) now,
+    * physical cleanup rides the maintenance you already run.
+    * Crash-safe like every other write: the sidecar lands before the
+    * commit, an uncommitted one is invisible garbage for vacuum.
+    * `dayBound` prunes the discovery scan exactly as in deleteWhere.
+    * Returns the number of rows deleted (0 = no commit). */
+  def deleteWhereDV(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      beforeCommit: () => Unit = () => (),
+      dayBound: Option[String => Boolean] = None): Long = {
+    val snap = snapshot(spark, path)
+    val hit = coalesce(predicate, lit(false))
+    val rels = (dayBound match {
+      case Some(keep) => snap.days.filter(kv => keep(kv._1))
+      case None => snap.days
+    }).values.flatten.toSeq.sorted
+    val pos = readPaths(spark, path, snap, rels, keepPos = true)
+      .filter(hit)
+      .select(col("__pos_f").as("f"), col("__pos_i").as("i"))
+    val deleted = pos.count()
+    if (deleted == 0L) return 0L
+    val dvRel = s"$DvDir/g-${UUID.randomUUID()}"
+    pos.write.mode("errorifexists").parquet(s"$path/$dvRel")
+    // covered dirs off the written sidecar (tiny read-back): the
+    // liveness keys that retire this ref once every dir is rewritten
+    val dirs = spark.read.parquet(s"$path/$dvRel")
+      .select(expr(
+        "substring(f, 1, length(f) - locate('/', reverse(f)))").as("d"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    beforeCommit()
+    val (fs, root) = fsOf(spark, path)
+    commit(fs, root, snap.version + 1, snap.days, snap.lastBatch,
+      snap.legacyFiles,
+      schemaJson = Some(tableSchema(spark, path, snap).json),
+      dvs = pruneDvs(snap.dvs, snap.days.values.flatten.toSet) :+
+        (dvRel -> dirs))
     deleted
   }
 
@@ -1352,14 +1506,20 @@ object ManifestLake {
     val rels = snap.days.getOrElse(day, return snap.version)
     // checkpointed schema when available (zero footers at planning);
     // raw read either way — the NullPart day marker is preserved in
-    // the rewritten bytes, not restored to NULL
+    // the rewritten bytes, not restored to NULL. DV-aware: active
+    // deletion vectors on this day are applied HERE, which is what
+    // makes compaction the pass that retires them physically.
     val dayPaths = rels.map(p => s"$path/$p")
-    val df = snap.schemaJson match {
+    val raw = snap.schemaJson match {
       case Some(_) => spark.read.schema(tableSchema(spark, path, snap))
         .parquet(dayPaths: _*)
       case None =>
         spark.read.option("mergeSchema", "true").parquet(dayPaths: _*)
     }
+    val df =
+      if (snap.dvs.isEmpty) raw
+      else applyDvs(spark, path, snap.dvs, withPos(spark, path, raw))
+        .drop("__pos_f", "__pos_i")
     val (fs, root) = fsOf(spark, path)
     val bytes = rels.flatMap(rel => fs.listStatus(new Path(root, rel)).toSeq)
       .filter(_.isFile).map(_.getLen).sum
@@ -1401,7 +1561,8 @@ object ManifestLake {
     commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
       carryFiles(snap, nextDays),
       schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
-        df.schema).json))
+        df.schema).json),
+      dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet))
     snap.version + 1
   }
 
@@ -1443,7 +1604,8 @@ object ManifestLake {
       // widens the checkpoint, and every already-committed file reads
       // the new column as NULL under it
       schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
-        rows.schema).json))
+        rows.schema).json),
+      dvs = snap.dvs)
     snap.version + 1
   }
 
@@ -1509,20 +1671,29 @@ object ManifestLake {
       else readManifest(fs, root, fromV)
     // the append fast path, computed directly: per day, the window's
     // ADDED directories; a day that lost one (upsert/delete/compaction
-    // rewrote it) is refused or — under skipRewrites — passed over
+    // rewrote it) OR whose deletion-vector coverage changed (a DV
+    // delete removes rows without touching any dir) is refused or —
+    // under skipRewrites — passed over
+    def cov(s: Snapshot): Map[String, Set[String]] =
+      s.dvs.flatMap { case (d, dirs) => dirs.map(_ -> d) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val covF = cov(from)
+    val covT = cov(srcSnap)
+    def dvSame(dir: String): Boolean =
+      covF.getOrElse(dir, Set.empty) == covT.getOrElse(dir, Set.empty)
     val addedDirs = (from.days.keySet ++ srcSnap.days.keySet).toSeq.sorted
       .flatMap { d =>
         val o = from.days.getOrElse(d, Seq.empty).toSet
         val n = srcSnap.days.getOrElse(d, Seq.empty).toSet
-        if (o.subsetOf(n)) (n -- o).toSeq.sorted
+        if (o.subsetOf(n) && o.forall(dvSame)) (n -- o).toSeq.sorted
         else if (skipRewrites) Seq.empty
         else throw new IllegalStateException(
           s"replicateOnce: source day $d was rewritten between versions " +
-            s"$fromV and ${srcSnap.version} (upsert/delete/compaction) — " +
-            "an append-only mirror cannot represent it; re-seed the " +
-            "mirror, or pass skipRewrites = true to advance past it " +
-            "(the skipChangeCommits contract: those days' changes are " +
-            "knowingly not mirrored)")
+            s"$fromV and ${srcSnap.version} (upsert/delete/compaction/" +
+            "DV delete) — an append-only mirror cannot represent it; " +
+            "re-seed the mirror, or pass skipRewrites = true to advance " +
+            "past it (the skipChangeCommits contract: those days' " +
+            "changes are knowingly not mirrored)")
       }
     val inserts = readPaths(spark, srcPath, srcSnap, addedDirs).drop("day")
     // first round bootstraps the dst schema anchor (the sink's rule)
@@ -1566,9 +1737,20 @@ object ManifestLake {
       val p = new Path(root, f"$LogDir/$v%08d.manifest")
       fs.delete(p, false); deleted += p.toUri.getPath
     }
-    val retained = (keep ++ old.diff(expired))
-      .map(readManifest(fs, root, _).days.values.flatten.toSet)
-      .foldLeft(Set.empty[String])(_ ++ _)
+    val retainedSnaps = (keep ++ old.diff(expired)).map(readManifest(fs, root, _))
+    val retained = retainedSnaps
+      .map(_.days.values.flatten.toSet).foldLeft(Set.empty[String])(_ ++ _)
+    val retainedDvs = retainedSnaps
+      .map(_.dvs.map(_._1).toSet).foldLeft(Set.empty[String])(_ ++ _)
+    // deletion-vector sidecars: crashed-delete orphans and refs only
+    // expired manifests still name are garbage like any generation
+    val dvRoot = new Path(root, DvDir)
+    if (fs.exists(dvRoot)) fs.listStatus(dvRoot).foreach { st =>
+      val rel = s"$DvDir/${st.getPath.getName}"
+      if (!retainedDvs.contains(rel) && st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, true); deleted += st.getPath.toUri.getPath
+      }
+    }
     val data = new Path(root, DataDir)
     if (fs.exists(data)) fs.listStatus(data).foreach { gen =>
       val leaves = fs.listStatus(gen.getPath).toSeq.filter(_.isDirectory)
