@@ -40,8 +40,19 @@ object LakeProbe {
       col("day") === day && col("user_id") % 7 === 3,
       dayBound = Some(_ == day)))
 
+    // the DV counterpart FIRST, on its own key set: ~1% of keys
+    // across every day through a deletion vector — the position
+    // write replaces the full-lake rewrite, so this is the number
+    // that should stay flat as the lake grows
+    val (nRead0, tRead0) = time(ManifestLake.read(spark, out).count())
+    val (nDvDel, tDvDel) = time(ManifestLake.deleteWhereDV(spark, out,
+      col("user_id") % 103 === 11))
+    // read-side price of the active DV (anti-join vs the plain scan)
+    val (_, tReadDv) = time(ManifestLake.read(spark, out).count())
+
     // scattered takedown: ~1% of keys across EVERY day (worst case —
-    // the whole lake rewrites, but still in ONE atomic commit)
+    // the whole lake rewrites, but still in ONE atomic commit; its
+    // DV-aware rewrite also retires the vector above)
     val (nDel, tDelAll) = time(ManifestLake.deleteWhere(spark, out,
       col("user_id") % 101 === 7))
 
@@ -56,6 +67,9 @@ object LakeProbe {
 
     println(s"""{"metric":"lakeprobe","dir":"$sfDir","days":$nDays,""" +
       f""""create_sec":$tCreate%.3f,"delete_one_day_sec":$tDelDay%.3f,""" +
+      f""""dv_delete_scattered_sec":$tDvDel%.3f,"dv_deleted_rows":$nDvDel,""" +
+      f""""read_sec":$tRead0%.3f,"read_with_dv_sec":$tReadDv%.3f,""" +
+      s""""read_rows":$nRead0,""" +
       f""""delete_scattered_sec":$tDelAll%.3f,"deleted_rows":$nDel,""" +
       f""""upsert_one_day_sec":$tUpsert%.3f,"vacuum_sec":$tVac%.3f,""" +
       s""""vacuumed_paths":$nVac}""")

@@ -96,11 +96,20 @@ class ManifestLakeModelSpec extends SparkSpec {
             model += k -> winner
           }
           checkEq("upsert", op)
-        case 6 | 7 => // takedown by value threshold (TRUE-only)
+        case 6 => // copy-on-write takedown by value threshold (TRUE-only)
           val cut = rv()
           ManifestLake.deleteWhere(spark, dir, col("value") < cut)
           model = model.filter { case (_, (_, v)) => !(v < cut) }
           checkEq("delete", op)
+        case 7 => // the SAME semantics through a deletion vector —
+          // identical model transition, merge-on-read mechanism; every
+          // later op in the sequence then composes against active DVs
+          // (upsert/compaction must retire them, appends must not
+          // disturb them, readWhere must anti-join through its pruning)
+          val cutDv = rv()
+          ManifestLake.deleteWhereDV(spark, dir, col("value") < cutDv)
+          model = model.filter { case (_, (_, v)) => !(v < cutDv) }
+          checkEq("dv-delete", op)
         case 8 => // compaction of a random live day (sometimes
           // clustered): content-neutral either way
           val days = ManifestLake.snapshot(spark, dir).days.keys.toSeq.sorted
