@@ -566,4 +566,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(win >= 0 && agg > win, s"window/agg order:\n$p")
     assert(p.contains("partial_count"), p)
   }
+
+  test("deletion-vector read: the position anti-join broadcasts the DV side, never sort-merges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_pa_dv").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val base = (0 until 2000).map(i => (i.toLong,
+      new java.sql.Timestamp(t0 + (i % 3) * 86400000L), i % 11))
+      .toDF("id", "ts", "tag")
+    graft.sources.ManifestLake.create(spark, dir, base, "ts")
+    graft.sources.ManifestLake.deleteWhereDV(spark, dir, col("tag") === 7)
+    val df = graft.sources.ManifestLake.read(spark, dir)
+    df.collect()
+    // AQE sizes the DV side at runtime: positions of matched rows are
+    // O(deleted), so the anti-join must come out broadcast — a
+    // sort-merge here would shuffle the whole fact scan per read
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("BroadcastHashJoin") && fin.contains("LeftAnti"), fin)
+    assert(!fin.contains("SortMergeJoin"), fin)
+  }
 }
