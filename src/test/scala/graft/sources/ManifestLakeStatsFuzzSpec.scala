@@ -81,14 +81,13 @@ class ManifestLakeStatsFuzzSpec extends SparkSpec {
     else conj
   }
 
-  test("40 seeded random predicates: pruned ≡ full, and every dropped file is truly empty under the predicate") {
-    val dir = buildLake()
+  private def fuzz(dir: String, phase: String): Unit = {
     val snapFiles = ManifestLake.snapshot(spark, dir).files.keys.toSet
     Seq(7L, 20260814L).foreach { seed =>
       val rnd = new Random(seed)
       (1 to 20).foreach { i =>
         val pred = randomPred(rnd)
-        withClue(s"seed=$seed #$i pred=[$pred]: ") {
+        withClue(s"$phase seed=$seed #$i pred=[$pred]: ") {
           val got = ManifestLake.readWhere(spark, dir, pred)
             .collect().map(_.toString).sorted.toSeq
           val want = ManifestLake.read(spark, dir).filter(pred)
@@ -98,7 +97,9 @@ class ManifestLakeStatsFuzzSpec extends SparkSpec {
           val dropped = snapFiles -- rep.keptFiles.toSet
           if (dropped.nonEmpty) {
             // a dropped file re-read under the predicate must be empty
-            // (day restored from the path segment, as readPaths does)
+            // (day restored from the path segment, as readPaths does).
+            // The check is against RAW rows deliberately: pruning must
+            // be sound on the file's contents, DVs only subtract more.
             val reread = spark.read
               .schema(ManifestLake.read(spark, dir).schema)
               .parquet(dropped.map(f => s"$dir/$f").toSeq: _*)
@@ -111,5 +112,19 @@ class ManifestLakeStatsFuzzSpec extends SparkSpec {
         }
       }
     }
+  }
+
+  test("40 seeded random predicates: pruned ≡ full, and every dropped file is truly empty under the predicate") {
+    val dir = buildLake()
+    fuzz(dir, "plain")
+    // the same battery with a deletion vector active: stats pruning,
+    // bloom probes, and the position anti-join must compose for every
+    // predicate shape — the file SET is untouched by the DV (no
+    // rewrite), so the dropped-file arithmetic is identical and only
+    // the surviving-row sets shrink on both sides equally
+    val nDv = ManifestLake.deleteWhereDV(spark, dir,
+      expr("uid % 13 = 4 OR cat LIKE 's3-%'"))
+    assert(nDv > 0L, "DV phase deleted nothing — predicate went stale")
+    fuzz(dir, "dv-active")
   }
 }
