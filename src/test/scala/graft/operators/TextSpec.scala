@@ -673,4 +673,39 @@ class TextSpec extends SparkSpec {
         s"${d.getName}: $maxPos gram positions > DupSpanHeadroom ${TextOps.DupSpanHeadroom}")
     }
   }
+
+  test("char entropy: constant text scores 0, uniform alphabet scores ln(k), micro-nat parity with a naive recompute") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaaa"),             // one symbol: H = 0
+      (2L, "abcdabcdabcdabcd"),             // uniform over 4: H = ln 4
+      (3L, "the quick brown fox jumps"),    // generic mixed text
+      (4L, "aab"))                          // tiny asymmetric case
+      .toDF("doc_id", "text")
+    val d = java.nio.file.Files.createTempDirectory("graft_entropy").toString
+    docs.write.parquet(s"$d/documents.parquet")
+    val got = TextOps.xCharEntropy(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // naive driver-side recompute with the SAME micro-nat construction
+    def naive(text: String): (Long, Long, Long) = {
+      val counts = text.groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val s = counts.map(c => math.round(1e6 * c * math.log(c.toDouble))).sum
+      val h = math.round(1e6 * math.log(n.toDouble)) - math.round(s.toDouble / n)
+      (n, s, h)
+    }
+    Map(1L -> "aaaaaaaaaaaaaaaa", 2L -> "abcdabcdabcdabcd",
+      3L -> "the quick brown fox jumps", 4L -> "aab").foreach {
+      case (id, text) =>
+        assert(got(id) == naive(text), s"doc $id: ${got(id)} != ${naive(text)}")
+    }
+    // the two closed-form anchors, in micro-nats — within the ±2
+    // micro-nat slack the per-term rounding construction itself
+    // carries (the construction is exact and engine-identical; it is
+    // not the infinite-precision entropy to the last micro-nat)
+    assert(math.abs(got(1L)._3) <= 2L, s"constant text must score ~0: ${got(1L)}")
+    assert(math.abs(got(2L)._3 - math.round(1e6 * math.log(4.0))) <= 2L,
+      s"uniform-4 text must score ~ln(4): ${got(2L)}")
+  }
 }
