@@ -226,16 +226,27 @@ object ManifestLake {
     * (new stats mean a new generation, hence a new key); a steady
     * session therefore assembles snapshots from memory, and only a
     * cold start pays one metadata read per live generation — the same
-    * amortization Delta's driver-side snapshot cache provides. */
+    * amortization Delta's driver-side snapshot cache provides.
+    * BOUNDED: a long-lived driver (a streaming sink commits one
+    * generation per micro-batch; vacuumed generations never probe
+    * again but their entries would linger) must not grow the cache
+    * forever — past the cap the whole cache resets and the working
+    * set re-reads, which costs one cold assembly, never correctness.
+    * The cap is far above any compaction-maintained live-gen count. */
+  private val StatsCacheMax = 8192
   private val statsCache =
     scala.collection.concurrent.TrieMap.empty[String, Map[String, FileMeta]]
+
+  private def sidecarKey(fs: FileSystem, root: Path, genName: String): String =
+    fs.makeQualified(new Path(root, s"$StatsDir/$genName.idx")).toString
 
   /** The generation's stats sidecar (empty when the gen predates
     * sidecars or stats are off). */
   private def readStatsSidecar(fs: FileSystem, root: Path,
       genName: String): Map[String, FileMeta] = {
-    val p = fs.makeQualified(new Path(root, s"$StatsDir/$genName.idx"))
-    statsCache.getOrElseUpdate(p.toString, {
+    if (statsCache.size >= StatsCacheMax) statsCache.clear()
+    statsCache.getOrElseUpdate(sidecarKey(fs, root, genName), {
+      val p = new Path(root, s"$StatsDir/$genName.idx")
       if (!fs.exists(p)) Map.empty
       else {
         val in = fs.open(p)
@@ -248,27 +259,30 @@ object ManifestLake {
 
   /** Join the live generations' stats sidecars onto a manifest
     * snapshot: the assembled per-file view candidateFiles prunes
-    * against. Uncached sidecars are fetched on a bounded pool (cold
-    * start on a many-generation lake pays max-latency batches, not
-    * the serial sum); entries for dirs the snapshot no longer
-    * references (a gen with some days superseded) are dropped. */
+    * against. Only UNCACHED sidecars are fetched, on a bounded pool
+    * (cold start on a many-generation lake pays max-latency batches,
+    * not the serial sum; the steady-state warm path is pure map
+    * lookups with no pool churn); entries for dirs the snapshot no
+    * longer references (a gen with some days superseded) are
+    * dropped. */
   private def assembleFiles(fs: FileSystem, root: Path,
       snap: Snapshot): Map[String, FileMeta] = {
     val liveDirs = snap.days.values.flatten.toSet
     val gens = liveDirs.map(_.split('/')(1)).toSeq.sorted
-    val sidecars: Seq[Map[String, FileMeta]] =
-      if (gens.size <= 2) gens.map(readStatsSidecar(fs, root, _))
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(16, gens.size))
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutorService(pool)
-        try scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(gens.map(g =>
-            scala.concurrent.Future(readStatsSidecar(fs, root, g)))),
-          scala.concurrent.duration.Duration.Inf)
-        finally pool.shutdown()
-      }
+    val (warm, cold) =
+      gens.partition(g => statsCache.contains(sidecarKey(fs, root, g)))
+    if (cold.size > 2) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, cold.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(cold.map(g =>
+          scala.concurrent.Future(readStatsSidecar(fs, root, g)))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
+    val sidecars = (warm ++ cold).map(readStatsSidecar(fs, root, _))
     val side = sidecars.flatten.filter { case (f, _) =>
       val i = f.lastIndexOf('/')
       i > 0 && liveDirs.contains(f.substring(0, i))
@@ -773,14 +787,24 @@ object ManifestLake {
   /** SQL expression rendering a scanned row's table-relative file
     * path, derived from `_metadata.file_path` by stripping the
     * qualified table root — length-based, so a root that itself
-    * contains "data/" segments cannot confuse it. Both the DV write
-    * and the DV read derive positions through THIS expression, so
-    * build and probe cannot drift. */
+    * contains "data/" segments cannot confuse it. `_metadata
+    * .file_path` is PERCENT-ENCODED (measured: a space in the root
+    * renders %20) while `makeQualified.toString` is plain, so the
+    * path is url_decode'd first; percent-decoding restores the plain
+    * rendering character-for-character, so the length offset stays
+    * exact for any root, and the relative tail (gen uuid / pday= /
+    * part file) is writer-controlled ASCII that never encodes. Both
+    * the DV write and the DV read derive positions through THIS
+    * expression, so build and probe cannot drift — and the derived
+    * dirs must equal the MANIFEST's plain dir strings, which is what
+    * ref retirement and feed classification key on (a shifted path
+    * here would silently drop DV refs and resurface deleted rows —
+    * spec-pinned on a root with a space and a percent). */
   private def relFileExpr(spark: SparkSession, path: String)
       : org.apache.spark.sql.Column = {
     val (fs, root) = fsOf(spark, path)
     val rootStr = fs.makeQualified(root).toString
-    expr(s"substring(_metadata.file_path, ${rootStr.length + 2})")
+    expr(s"substring(url_decode(_metadata.file_path), ${rootStr.length + 2})")
   }
 
   /** Attach the two position columns every DV operation keys on:
@@ -792,6 +816,17 @@ object ManifestLake {
       df: DataFrame): DataFrame =
     df.withColumn("__pos_f", relFileExpr(spark, path))
       .withColumn("__pos_i", col("_metadata.row_index"))
+
+  /** The DV refs that can touch a scan of `rels` (dirs or files):
+    * each ref carries its covered-dir list, so refs covering only
+    * other days are skipped without opening their sidecars — a
+    * single-day read on a lake with many scattered DVs anti-joins
+    * against that day's positions only. */
+  private def dvsFor(dvs: Seq[(String, Seq[String])],
+      rels: Seq[String]): Seq[(String, Seq[String])] =
+    dvs.filter { case (_, dirs) =>
+      dirs.exists(d => rels.exists(r => r == d || r.startsWith(d + "/")))
+    }
 
   /** Anti-join the active deletion vectors' positions out of a frame
     * carrying the position columns. The DV side is tiny relative to
@@ -805,6 +840,15 @@ object ManifestLake {
       df.join(dv, df("__pos_f") === dv("f") && df("__pos_i") === dv("i"),
         "left_anti")
     }
+
+  /** dir → the set of DV refs whose positions touch it. DV sidecars
+    * are immutable, so equal ref sets ⇒ equal deleted positions ⇒
+    * the dir's visible rows did not change through DVs — the one
+    * comparison both the change feed's day classification and the
+    * mirror's append-only check rest on. */
+  private def dvCoverage(s: Snapshot): Map[String, Set[String]] =
+    s.dvs.flatMap { case (d, dirs) => dirs.map(_ -> d) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
 
   /** Intersect each DV ref's covered-dir list with the dirs that stay
     * live after a commit: a ref whose every covered dir was rewritten
@@ -829,7 +873,7 @@ object ManifestLake {
       snap: Snapshot, rels: Seq[String],
       dvsOverride: Option[Seq[(String, Seq[String])]] = None,
       keepPos: Boolean = false): DataFrame = {
-    val dvs = dvsOverride.getOrElse(snap.dvs)
+    val dvs = dvsFor(dvsOverride.getOrElse(snap.dvs), rels)
     val all = s"$path/$SchemaDir" +: rels.map(p => s"$path/$p")
     val base = snap.schemaJson match {
       case Some(_) => spark.read.schema(tableSchema(spark, path, snap))
@@ -1285,15 +1329,8 @@ object ManifestLake {
       if (v == 0L) Snapshot(0L, Map.empty) else readManifest(fs, root, v)
     val from = snapAt(fromV)
     val to = snapAt(toV)
-    // deletion-vector coverage per dir: the set of DV refs whose
-    // positions touch it. DV sidecars are immutable, so equal ref
-    // sets ⇒ equal deleted positions ⇒ the dir's visible rows did
-    // not change through DVs in this window.
-    def cov(s: Snapshot): Map[String, Set[String]] =
-      s.dvs.flatMap { case (d, dirs) => dirs.map(_ -> d) }
-        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-    val covF = cov(from)
-    val covT = cov(to)
+    val covF = dvCoverage(from)
+    val covT = dvCoverage(to)
     def dvSame(dir: String): Boolean =
       covF.getOrElse(dir, Set.empty) == covT.getOrElse(dir, Set.empty)
     var insertDirs = Vector.empty[String] // append fast path: new dirs only
@@ -1315,9 +1352,23 @@ object ManifestLake {
     // old-side reads apply the FROM version's DV state (a row already
     // DV-deleted at fromV must not resurface as a feed delete), new
     // sides the TO state; schema is TO's either way (additive ⊇).
-    def rdTo(dirs: Seq[String]): DataFrame = readPaths(spark, path, to, dirs)
+    // A pre-checkpoint `to` has no schema line — resolve ONE union
+    // schema over every dir this window touches, so both diff sides
+    // read the same columns (a column added inside the window reads
+    // NULL from the old side instead of failing the exceptAll on a
+    // column-count mismatch).
+    val schemaSnap =
+      if (to.schemaJson.isDefined) to
+      else {
+        val touched = insertDirs ++ deleteDirs ++ diffOld ++ diffNew
+        val all = s"$path/$SchemaDir" +: touched.map(p => s"$path/$p")
+        to.copy(schemaJson = Some(spark.read.option("mergeSchema", "true")
+          .parquet(all.distinct: _*).schema.json))
+      }
+    def rdTo(dirs: Seq[String]): DataFrame =
+      readPaths(spark, path, schemaSnap, dirs)
     def rdFrom(dirs: Seq[String]): DataFrame =
-      readPaths(spark, path, to, dirs, dvsOverride = Some(from.dvs))
+      readPaths(spark, path, schemaSnap, dirs, dvsOverride = Some(from.dvs))
     val zero = rdTo(Seq.empty) // schema anchor only: 0 rows, full schema
     val fastIns = if (insertDirs.nonEmpty) rdTo(insertDirs) else zero
     val fastDel = if (deleteDirs.nonEmpty) rdFrom(deleteDirs) else zero
@@ -1469,18 +1520,24 @@ object ManifestLake {
     val pos = readPaths(spark, path, snap, rels, keepPos = true)
       .filter(hit)
       .select(col("__pos_f").as("f"), col("__pos_i").as("i"))
-    val deleted = pos.count()
-    if (deleted == 0L) return 0L
+    // ONE discovery scan: the sidecar is written directly, and the
+    // count + covered dirs (the liveness keys that retire this ref
+    // once every dir is rewritten) come from the tiny read-back; a
+    // zero-match write is deleted again — no rows, no commit
     val dvRel = s"$DvDir/g-${UUID.randomUUID()}"
     pos.write.mode("errorifexists").parquet(s"$path/$dvRel")
-    // covered dirs off the written sidecar (tiny read-back): the
-    // liveness keys that retire this ref once every dir is rewritten
-    val dirs = spark.read.parquet(s"$path/$dvRel")
-      .select(expr(
-        "substring(f, 1, length(f) - locate('/', reverse(f)))").as("d"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    beforeCommit()
     val (fs, root) = fsOf(spark, path)
+    val summary = spark.read.parquet(s"$path/$dvRel")
+      .agg(count(lit(1)).as("n"), collect_set(expr(
+        "substring(f, 1, length(f) - locate('/', reverse(f)))")).as("ds"))
+      .head()
+    val deleted = summary.getLong(0)
+    if (deleted == 0L) {
+      fs.delete(new Path(s"$path/$dvRel"), true)
+      return 0L
+    }
+    val dirs = summary.getSeq[String](1)
+    beforeCommit()
     commit(fs, root, snap.version + 1, snap.days, snap.lastBatch,
       snap.legacyFiles,
       schemaJson = Some(tableSchema(spark, path, snap).json),
@@ -1516,9 +1573,10 @@ object ManifestLake {
       case None =>
         spark.read.option("mergeSchema", "true").parquet(dayPaths: _*)
     }
+    val dayDvs = dvsFor(snap.dvs, rels)
     val df =
-      if (snap.dvs.isEmpty) raw
-      else applyDvs(spark, path, snap.dvs, withPos(spark, path, raw))
+      if (dayDvs.isEmpty) raw
+      else applyDvs(spark, path, dayDvs, withPos(spark, path, raw))
         .drop("__pos_f", "__pos_i")
     val (fs, root) = fsOf(spark, path)
     val bytes = rels.flatMap(rel => fs.listStatus(new Path(root, rel)).toSeq)
@@ -1674,11 +1732,8 @@ object ManifestLake {
     // rewrote it) OR whose deletion-vector coverage changed (a DV
     // delete removes rows without touching any dir) is refused or —
     // under skipRewrites — passed over
-    def cov(s: Snapshot): Map[String, Set[String]] =
-      s.dvs.flatMap { case (d, dirs) => dirs.map(_ -> d) }
-        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-    val covF = cov(from)
-    val covT = cov(srcSnap)
+    val covF = dvCoverage(from)
+    val covT = dvCoverage(srcSnap)
     def dvSame(dir: String): Boolean =
       covF.getOrElse(dir, Set.empty) == covT.getOrElse(dir, Set.empty)
     val addedDirs = (from.days.keySet ++ srcSnap.days.keySet).toSeq.sorted

@@ -175,6 +175,35 @@ class ManifestLakeDvSpec extends SparkSpec {
     assert(ManifestLake.read(spark, dst).count() == 4) // knowingly diverged
   }
 
+  test("DV positions survive a table root that URL-encodes (space, percent): refs retire correctly, rows never resurface") {
+    // _metadata.file_path percent-encodes ('a b' → 'a%20b') while the
+    // manifest stores plain dirs — a length-shifted derivation here
+    // silently drops DV refs at the next commit and resurrects every
+    // deleted row (the review-found failure mode, pinned)
+    val dir = Files.createTempDirectory("graft dv%enc").toString + "/my lake"
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    assert(ManifestLake.deleteWhereDV(spark, dir,
+      col("event_type") === "evil") == 2L)
+    assert(ids(dir) == Set(20L, 40L))
+    // covered dirs must equal MANIFEST dir strings exactly
+    val snap = ManifestLake.snapshot(spark, dir)
+    val live = snap.days.values.flatten.toSet
+    assert(snap.dvs.head._2.forall(live.contains),
+      s"derived dirs ${snap.dvs.head._2} not in manifest dirs $live")
+    // an append commit must CARRY the ref (prune-by-liveness keeps it)
+    val b = Seq((9L, 90L, ts("2024-01-04 08:00:00"), "fine", 1.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.appendBatch(spark, dir, b, "ts", batchId = 0L)
+    assert(ManifestLake.snapshot(spark, dir).dvs.nonEmpty,
+      "DV ref dropped by the commit — deleted rows resurface")
+    assert(ids(dir) == Set(20L, 40L, 90L))
+    // and compaction of a covered day retires it for real
+    ManifestLake.compactDay(spark, dir, "2024-01-01")
+    ManifestLake.compactDay(spark, dir, "2024-01-02")
+    assert(ManifestLake.snapshot(spark, dir).dvs.isEmpty)
+    assert(ids(dir) == Set(20L, 40L, 90L))
+  }
+
   test("DV composes with stats/bloom pruning: readWhere stays exact on an indexed lake") {
     val dir = Files.createTempDirectory("graft_dv_stats").toString
     val wide = (0 until 400).map { i =>
