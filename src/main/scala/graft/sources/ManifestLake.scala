@@ -1292,6 +1292,45 @@ object ManifestLake {
     readPaths(spark, path, snap, rep.scanPaths).filter(predicateSql)
   }
 
+  /** Stats-pruned TIME-TRAVEL read: readWhere against a specific
+    * committed version. The sidecars an old manifest references are
+    * immutable and survive until vacuum expires that manifest, so a
+    * historical audit query ("what did the takedown remove — scan
+    * the pre-delete snapshot for the key") prunes exactly like a
+    * head read; past the vacuum horizon the data itself is gone and
+    * the read fails like any expired time travel. */
+  def readWhereAt(spark: SparkSession, path: String, v: Long,
+      predicateSql: String): DataFrame = {
+    val (fs, root) = fsOf(spark, path)
+    val base = if (v == 0L) Snapshot(0L, Map.empty)
+      else readManifest(fs, root, v)
+    val snap = base.copy(files = assembleFiles(fs, root, base))
+    val rep = candidateFilesOf(spark, path, snap, predicateSql)
+    readPaths(spark, path, snap, rep.scanPaths).filter(predicateSql)
+  }
+
+  /** One maintenance pass — the loop every commit-log lake runs
+    * behind its ingest: compact every day that needs it, where
+    * "needs" = more than one directory (streaming appends
+    * accumulated) OR an active deletion vector covers it (compaction
+    * applies the DV physically and retires the ref). Returns the
+    * days compacted. After a pass: every day is one directory,
+    * `dvs` is empty, file counts bounded by targetFileBytes — the
+    * state the skipping tier and the read path are fastest in. */
+  def maintain(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Seq.empty,
+      zOrder: Boolean = false): Seq[String] = {
+    val snap = snapshot(spark, path)
+    val covered = snap.dvs.flatMap(_._2).toSet
+    val days = snap.days.filter { case (_, dirs) =>
+      dirs.size > 1 || dirs.exists(covered.contains)
+    }.keys.toSeq.sorted
+    days.foreach(d =>
+      compactDay(spark, path, d, targetFileBytes, clusterBy, zOrder))
+    days
+  }
+
   /** Net-effect change feed between two committed versions (the batch
     * CDC read every downstream incremental consumer needs): every row
     * the table gained between `fromV` and `toV` comes back tagged
@@ -1411,12 +1450,17 @@ object ManifestLake {
       .select("day").distinct().collect().map(_.getString(0)).toSet
     val days = updDays ++ keyDays
     val base = readDays(spark, path, days.contains)
-    val cols = base.columns.toSeq
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(ordCol).desc, col("src").desc)
+    // allowMissingColumns carries additive evolution through MERGE in
+    // both directions: an update batch missing a late-added table
+    // column writes it NULL (the normal narrower-producer case), and
+    // a batch carrying a NEW column widens the table (the checkpoint
+    // union picks it up) instead of silently dropping it
     val merged = base.withColumn("src", lit(0))
-      .unionByName(upd.select(cols.map(col): _*).withColumn("src", lit(1)))
+      .unionByName(upd.withColumn("src", lit(1)),
+        allowMissingColumns = true)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn", "src")
       .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))

@@ -135,6 +135,46 @@ class ManifestLakeCdcSpec extends SparkSpec {
     assert(ch.head().getAs[String]("region") == "eu-w1")
   }
 
+  test("legacy (pre-checkpoint) manifests: a feed window spanning a column add still diffs, old side reads NULL") {
+    val dir = Files.createTempDirectory("graft_cdc_legacy").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    // evolve: append a batch carrying a NEW column (v2), then rewrite
+    // a day (v3) so the diff path must read old and new sides
+    val extra = Seq((9L, 90L, ts("2024-01-02 12:00:00"), "click", 1.0, "eu-w1"))
+      .toDF("user_id", "event_id", "ts", "event_type", "value", "region")
+    ManifestLake.appendBatch(spark, dir, extra, "ts", batchId = 0L)
+    val upd = Seq((2L, 20L, ts("2024-01-02 13:00:00"), "purchase", 3.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.upsert(spark, dir, upd, Seq("user_id", "event_id"), "ts")
+    // devolve EVERY manifest to the pre-checkpoint format
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1L to 3L).foreach { v =>
+      val mf = new org.apache.hadoop.fs.Path(f"$dir/_graft_log/$v%08d.manifest")
+      val txt = {
+        val in = fs.open(mf)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      val out = fs.create(mf, true)
+      try out.write(txt.split('\n').filterNot(_.startsWith("#schema"))
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    assert(ManifestLake.snapshot(spark, dir).schemaJson.isEmpty)
+    // the diff window crosses the column add AND the rewrite: both
+    // sides must resolve ONE union schema (old files read region as
+    // NULL) instead of failing exceptAll on a column-count mismatch
+    val ch = ManifestLake.readChanges(spark, dir, 1L, 3L)
+      .select("_change_type", "event_id", "event_type", "region").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(ch == Set(
+      ("insert", 90L, "click", Some("eu-w1")),
+      ("insert", 20L, "purchase", None),
+      ("delete", 20L, "click", None)), ch)
+  }
+
   test("replicateOnce: incremental mirror converges, replays are no-ops, crash mid-commit is exactly-once") {
     val src = Files.createTempDirectory("graft_cdc_src").toString
     val dst = Files.createTempDirectory("graft_cdc_dst").toString + "/mirror"

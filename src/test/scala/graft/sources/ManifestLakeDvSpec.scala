@@ -204,6 +204,49 @@ class ManifestLakeDvSpec extends SparkSpec {
     assert(ids(dir) == Set(20L, 40L, 90L))
   }
 
+  test("maintain: one pass folds appended days, retires active DVs, touches nothing else") {
+    val dir = Files.createTempDirectory("graft_dv_maint").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    val b = Seq((11L, 101L, ts("2024-01-02 12:00:00"), "fine", 7.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.appendBatch(spark, dir, b, "ts", batchId = 0L)
+    ManifestLake.deleteWhereDV(spark, dir, col("event_type") === "evil")
+    val before = ids(dir)
+    val days = ManifestLake.maintain(spark, dir)
+    // day 1 (DV-covered) and day 2 (two dirs AND covered) compact;
+    // day 3 is single-dir and uncovered — untouched
+    assert(days == Seq("2024-01-01", "2024-01-02"), days)
+    val snap = ManifestLake.snapshot(spark, dir)
+    assert(snap.days.values.forall(_.size == 1), snap.days)
+    assert(snap.dvs.isEmpty, "maintain left an active DV")
+    assert(ids(dir) == before && before == Set(20L, 40L, 101L))
+    // a second pass finds nothing to do
+    assert(ManifestLake.maintain(spark, dir).isEmpty)
+  }
+
+  test("readWhereAt: pruned time travel — the pre-delete snapshot answers with the deleted rows") {
+    val dir = Files.createTempDirectory("graft_dv_twa").toString
+    val wide = (0 until 400).map { i =>
+      (i.toLong, ts(f"2024-01-${i / 100 + 1}%02d 12:00:00"), i % 7)
+    }.toDF("uid", "ts", "tag")
+    ManifestLake.create(spark, dir, wide, "ts", statsCols = Seq("uid"))
+    // cluster so uid actually prunes, then DV-delete tag 3 (v-head)
+    ManifestLake.snapshot(spark, dir).days.keys.foreach(d =>
+      ManifestLake.compactDay(spark, dir, d, targetFileBytes = 4 * 1024,
+        clusterBy = Seq("uid")))
+    val preDelete = ManifestLake.snapshot(spark, dir).version
+    ManifestLake.deleteWhereDV(spark, dir, col("tag") === 3)
+    // uid 3 has tag 3: gone at head, present at the audit version
+    assert(ManifestLake.readWhere(spark, dir, "uid = 3").count() == 0)
+    val audit = ManifestLake.readWhereAt(spark, dir, preDelete, "uid = 3")
+    assert(audit.count() == 1)
+    // and the audit read PRUNED: it opened a strict subset of files
+    val opened = audit.inputFiles.filter(_.contains("/data/")).length
+    val total = ManifestLake.readVersion(spark, dir, preDelete)
+      .inputFiles.count(_.contains("/data/"))
+    assert(opened < total, s"no pruning: opened $opened of $total")
+  }
+
   test("DV composes with stats/bloom pruning: readWhere stays exact on an indexed lake") {
     val dir = Files.createTempDirectory("graft_dv_stats").toString
     val wide = (0 until 400).map { i =>

@@ -430,6 +430,33 @@ class ManifestLakeSpec extends SparkSpec {
     assert(ManifestLake.read(spark, dir).count() == 4)
   }
 
+  test("upsert schema evolution both ways: a narrower batch writes NULL, a wider batch widens the table") {
+    val dir = Files.createTempDirectory("graft_ml_upsevo").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    // widen via append (region), then upsert WITHOUT region: the
+    // update must land with region NULL, not fail resolution
+    val extra = Seq((9L, 90L, ts("2024-01-05 08:00:00"), "click", 1.0, "eu-w1"))
+      .toDF("user_id", "event_id", "ts", "event_type", "value", "region")
+    ManifestLake.appendBatch(spark, dir, extra, "ts", batchId = 0L)
+    val narrow = Seq((2L, 20L, ts("2024-01-02 12:00:00"), "purchase", 3.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.upsert(spark, dir, narrow, Seq("user_id", "event_id"), "ts")
+    val got = ManifestLake.read(spark, dir)
+      .filter(col("event_id") === 20L)
+      .select("event_type", "region").head()
+    assert(got.getString(0) == "purchase" && got.isNullAt(1))
+    assert(ManifestLake.read(spark, dir)
+      .filter(col("region") === "eu-w1").count() == 1)
+    // and the reverse: an upsert CARRYING a new column widens
+    val wide = Seq((3L, 30L, ts("2024-01-02 13:00:00"), "click", 1.0, "mobile"))
+      .toDF("user_id", "event_id", "ts", "event_type", "value", "channel")
+    ManifestLake.upsert(spark, dir, wide, Seq("user_id", "event_id"), "ts")
+    val df = ManifestLake.read(spark, dir)
+    assert(df.columns.contains("channel"), df.columns.mkString(","))
+    assert(df.filter(col("channel") === "mobile").count() == 1)
+    assert(df.filter(col("channel").isNull).count() == df.count() - 1)
+  }
+
   test("schema checkpoint: a type-changing column is rejected, not silently widened") {
     val dir = Files.createTempDirectory("graft_ml_conflict").toString
     ManifestLake.create(spark, dir, mkBase(), "ts")
