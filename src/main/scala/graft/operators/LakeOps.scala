@@ -170,6 +170,17 @@ object LakeOps {
     ManifestLake.read(s, dvLake(s, dir))
       .select(histCols.map(col): _*).orderBy(col("event_id"))
 
+  /** Stats-pruned TIME TRAVEL under the oracle: the takedown-audit
+    * query — readWhereAt against the PRE-delete version of the DV
+    * lake must return the predicate's rows INCLUDING the ones the
+    * later deletion vector removed (the audit's whole point), and
+    * hash-equal DuckDB filtering the raw parquet. A version mix-up
+    * (head DV state leaking into the historical read) silently drops
+    * the deleted rows and breaks the hash. */
+  def lAuditTravel(s: SparkSession, dir: String): DataFrame =
+    ManifestLake.readWhereAt(s, dvLake(s, dir), 1L, "user_id < 40")
+      .select(histCols.map(col): _*).orderBy(col("event_id"))
+
   val queries: ListMap[String, Q] = ListMap(
     "l_scan_prune" -> (lScanPrune _),
     "l_point_lookup" -> (lPointLookup _),
@@ -177,6 +188,7 @@ object LakeOps {
     "l_merge_head" -> (lMergeHead _),
     "l_cdf" -> (lCdf _),
     "l_dv_takedown" -> (lDvTakedown _),
+    "l_audit_travel" -> (lAuditTravel _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -238,6 +250,12 @@ object LakeOps {
          |  strftime(ts, '%Y-%m-%d') AS day
          |FROM events
          |WHERE NOT coalesce(user_id % 7 = 2, FALSE)
+         |ORDER BY event_id""".stripMargin,
+    "l_audit_travel" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day
+         |FROM events
+         |WHERE user_id < 40
          |ORDER BY event_id""".stripMargin,
   )
 }

@@ -1805,6 +1805,33 @@ object ManifestLake {
       filesPerDay = filesPerDay, beforeCommit = beforeCommit)
   }
 
+  /** Continuous replication as a Structured Streaming query: every
+    * trigger runs one replicateOnce round, so a mirror follows its
+    * source at the trigger cadence with the engine supervising
+    * restarts. The rate source is ONLY the clock — exactly-once does
+    * not depend on the streaming checkpoint at all, because the dst
+    * batch cursor (src manifest version, committed atomically with
+    * the data) already makes every round idempotent; a deleted
+    * checkpoint or a re-pointed query resumes correctly from the
+    * mirror's own cursor. Stop with `query.stop()`; a rewritten
+    * source day surfaces as the query's terminating exception unless
+    * skipRewrites rides through it. */
+  def mirrorStream(spark: SparkSession, srcPath: String, dstPath: String,
+      ordCol: String, checkpoint: String, intervalMs: Long = 10000L,
+      filesPerDay: Int = 1, skipRewrites: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", 1L).load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(intervalMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        replicateOnce(spark, srcPath, dstPath, ordCol,
+          filesPerDay = filesPerDay, skipRewrites = skipRewrites)
+        ()
+      }
+      .start()
+
   /** Reclaim data leaf dirs no retained manifest references and
     * manifests older than `retentionMs` (the latest always survives).
     * Crashed writes (generation written, never committed) are the

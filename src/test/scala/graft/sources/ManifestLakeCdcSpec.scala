@@ -212,6 +212,43 @@ class ManifestLakeCdcSpec extends SparkSpec {
     assert(ManifestLake.read(spark, dst).count() == 6)
   }
 
+  test("mirrorStream: a live streaming query keeps the mirror converged; restart resumes from the mirror's own cursor") {
+    val src = Files.createTempDirectory("graft_cdc_ms_src").toString
+    val dst = Files.createTempDirectory("graft_cdc_ms_dst").toString + "/m"
+    val cp = Files.createTempDirectory("graft_cdc_ms_cp").toString
+    ManifestLake.create(spark, src, mkBase(), "ts")
+    def rows(d: String): Long =
+      try ManifestLake.read(spark, d).count() catch { case _: Throwable => -1L }
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (rows(dst) != n && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(rows(dst) == n, s"mirror stuck at ${rows(dst)}, want $n")
+    }
+    val q = ManifestLake.mirrorStream(spark, src, dst, "ts", cp,
+      intervalMs = 200L)
+    try {
+      awaitRows(4) // seed round
+      val b = Seq((11L, 101L, ts("2024-01-04 12:00:00"), "click", 7.0))
+        .toDF("user_id", "event_id", "ts", "event_type", "value")
+      ManifestLake.appendBatch(spark, src, b, "ts", batchId = 0L)
+      awaitRows(5) // caught the append
+    } finally q.stop()
+    // restart with a FRESH checkpoint: the rate offsets are gone but
+    // exactly-once never lived there — the mirror's own cursor is in
+    // its commit log, so nothing replays and new appends still flow
+    val cp2 = Files.createTempDirectory("graft_cdc_ms_cp2").toString
+    val b2 = Seq((12L, 102L, ts("2024-01-05 09:00:00"), "click", 8.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.appendBatch(spark, src, b2, "ts", batchId = 1L)
+    val q2 = ManifestLake.mirrorStream(spark, src, dst, "ts", cp2,
+      intervalMs = 200L)
+    try awaitRows(6) finally q2.stop()
+    assert(ManifestLake.read(spark, dst).select("event_id").collect()
+      .map(_.getLong(0)).toSet ==
+      Set(10L, 20L, 30L, 40L, 101L, 102L))
+  }
+
   test("replicateOnce: a rewritten source day is refused, never silently duplicated") {
     val src = Files.createTempDirectory("graft_cdc_rw_src").toString
     val dst = Files.createTempDirectory("graft_cdc_rw_dst").toString + "/mirror"
