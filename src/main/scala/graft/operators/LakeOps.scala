@@ -181,6 +181,92 @@ object LakeOps {
     ManifestLake.readWhereAt(s, dvLake(s, dir), 1L, "user_id < 40")
       .select(histCols.map(col): _*).orderBy(col("event_id"))
 
+  private val mergeMemo = new SessionMemo[String]
+
+  /** Generic-MERGE lake (once per session+dir): create from events,
+    * then ONE mergeInto exercising all four clause families at once —
+    * conditional matched UPDATE (uid even: event_type/value overwritten
+    * from the source), conditional matched DELETE (uid ≡ 1 mod 4),
+    * matched-no-clause (uid ≡ 3 mod 4: row must survive unchanged),
+    * NOT-MATCHED INSERT (a disjoint-key slice, ts shifted +3 days →
+    * new day dirs appended), and NOT-MATCHED-BY-SOURCE DELETE
+    * (uid ≡ 6 mod 31 among unmatched rows). Every clause path lands
+    * rows in the head state, so DuckDB can replay the whole decision
+    * table independently. */
+  private def mergeLake(s: SparkSession, dir: String): String =
+    mergeMemo.getOrElseUpdate(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_lake_merge/" +
+        math.abs((dir + "|" + s.sparkContext.applicationId).hashCode).toString
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val ev = Tables.events(s, dir)
+      ManifestLake.create(s, out, ev, "ts", filesPerDay = 2)
+      val src1 = ev.filter(col("user_id") % 9 === 4 && col("ts").isNotNull)
+        .withColumn("event_type", lit("merged"))
+        .withColumn("value", col("value") * 2)
+      val src2 = ev.filter(col("user_id") % 9 === 5 && col("ts").isNotNull)
+        .withColumn("event_id", col("event_id") + lit(100000000L))
+        .withColumn("ts", col("ts") + expr("INTERVAL 3 DAY"))
+        .withColumn("event_type", lit("inserted"))
+      ManifestLake.mergeInto(s, out, src1.unionByName(src2),
+        keyCols = Seq("event_id"), ordCol = "ts", clauses = Seq(
+          ManifestLake.MatchedUpdate(
+            Map("event_type" -> col("s.event_type"), "value" -> col("s.value")),
+            cond = Some(expr("t.user_id % 2 = 0"))),
+          ManifestLake.MatchedDelete(cond = Some(expr("t.user_id % 4 = 1"))),
+          ManifestLake.NotMatchedInsert(),
+          ManifestLake.NotMatchedBySourceDelete(
+            cond = Some(expr("t.user_id % 31 = 6")))))
+      out
+    }
+
+  /** The full MERGE decision table under the oracle: first-applicable
+    * clause per row (update beats delete in caller order), unmatched
+    * rows pass the by-source filter, inserts land day-appended —
+    * DuckDB replays every branch as plain SQL over the raw parquet.
+    * A precedence slip (delete before update on even uids), a clause
+    * leaking to the wrong match side, or an insert duplicated into a
+    * rewritten day all break the hash. */
+  def lMergeClauses(s: SparkSession, dir: String): DataFrame =
+    ManifestLake.read(s, mergeLake(s, dir))
+      .select(histCols.map(col): _*).orderBy(col("event_id"))
+
+  private val restoreMemo = new SessionMemo[String]
+
+  /** RESTORE lake (once per session+dir): create (v1) → copy-on-write
+    * DELETE of uid ≡ 0 (mod 5) (v2, the "bad takedown") → restore(1)
+    * (v3 — the rollback) → latest-wins upsert of the uid ≡ 3 (mod 7)
+    * slice, ts+1 day (v4). Head must show the upsert applied to the
+    * FULL pre-delete table: if restore leaked any of v2's deletions,
+    * the mod-5 rows are missing and the hash breaks; if it replayed
+    * data instead of re-pointing, the upsert's cross-day moves break
+    * row counts. */
+  private def restoreLake(s: SparkSession, dir: String): String =
+    restoreMemo.getOrElseUpdate(s, dir) {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_lake_restore/" +
+        math.abs((dir + "|" + s.sparkContext.applicationId).hashCode).toString
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val ev = Tables.events(s, dir)
+      ManifestLake.create(s, out, ev, "ts", filesPerDay = 2)
+      ManifestLake.deleteWhere(s, out, col("user_id") % 5 === 0)
+      ManifestLake.restore(s, out, 1L)
+      val upd = ev
+        .filter(col("user_id") % 7 === 3 && col("ts").isNotNull)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY"))
+        .withColumn("event_type", lit("updated"))
+        .withColumn("value", col("value") + lit(100.0))
+      ManifestLake.upsert(s, out, upd, Seq("event_id"), "ts")
+      out
+    }
+
+  /** Rollback-then-write-on-top under the oracle (see restoreLake). */
+  def lRestore(s: SparkSession, dir: String): DataFrame =
+    ManifestLake.read(s, restoreLake(s, dir))
+      .select(histCols.map(col): _*).orderBy(col("event_id"))
+
   val queries: ListMap[String, Q] = ListMap(
     "l_scan_prune" -> (lScanPrune _),
     "l_point_lookup" -> (lPointLookup _),
@@ -189,6 +275,8 @@ object LakeOps {
     "l_cdf" -> (lCdf _),
     "l_dv_takedown" -> (lDvTakedown _),
     "l_audit_travel" -> (lAuditTravel _),
+    "l_merge_clauses" -> (lMergeClauses _),
+    "l_restore" -> (lRestore _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -257,5 +345,51 @@ object LakeOps {
          |FROM events
          |WHERE user_id < 40
          |ORDER BY event_id""".stripMargin,
+    // the MERGE decision table replayed branch by branch: matched rows
+    // (the uid%9=4 slice IS the src1 key set) split update/delete/kept
+    // by first-applicable clause; unmatched rows pass the by-source
+    // delete; the shifted-key slice inserts
+    "l_merge_clauses" ->
+      s"""WITH matched AS (
+         |  SELECT event_id, ts, user_id, event_type, value, props
+         |  FROM events WHERE user_id % 9 = 4 AND ts IS NOT NULL
+         |), upd AS (
+         |  SELECT event_id, ts, user_id, 'merged' AS event_type,
+         |         value * 2 AS value, props
+         |  FROM matched WHERE user_id % 2 = 0
+         |), kept_m AS (
+         |  SELECT * FROM matched
+         |  WHERE user_id % 2 <> 0 AND user_id % 4 <> 1
+         |), unmatched AS (
+         |  SELECT event_id, ts, user_id, event_type, value, props
+         |  FROM events
+         |  WHERE NOT (user_id % 9 = 4 AND ts IS NOT NULL)
+         |    AND NOT coalesce(user_id % 31 = 6, FALSE)
+         |), ins AS (
+         |  SELECT event_id + 100000000 AS event_id,
+         |         ts + INTERVAL 3 DAY AS ts, user_id,
+         |         'inserted' AS event_type, value, props
+         |  FROM events WHERE user_id % 9 = 5 AND ts IS NOT NULL
+         |), merged AS (
+         |  SELECT * FROM upd UNION ALL SELECT * FROM kept_m
+         |  UNION ALL SELECT * FROM unmatched UNION ALL SELECT * FROM ins
+         |)
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day
+         |FROM merged ORDER BY event_id""".stripMargin,
+    // restore undid the mod-5 delete entirely, so the head replay is
+    // the upsert alone over the FULL base table
+    "l_restore" ->
+      s"""WITH merged AS (
+         |  SELECT event_id, ts + INTERVAL 1 DAY AS ts, user_id,
+         |         'updated' AS event_type, value + 100.0 AS value, props
+         |  FROM events WHERE user_id % 7 = 3 AND ts IS NOT NULL
+         |  UNION ALL
+         |  SELECT event_id, ts, user_id, event_type, value, props
+         |  FROM events WHERE NOT (user_id % 7 = 3 AND ts IS NOT NULL)
+         |)
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day
+         |FROM merged ORDER BY event_id""".stripMargin,
   )
 }
