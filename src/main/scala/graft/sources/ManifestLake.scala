@@ -115,11 +115,17 @@ object ManifestLake {
     * shrinks by manifest arithmetic alone — a ref whose every covered
     * dir was rewritten disappears, so the active set is bounded by
     * the compaction cadence, never append-only. */
+  /** `checks` — the table's CHECK constraints (name → predicate SQL),
+    * versioned WITH the data in the manifest (the Delta constraint
+    * design): every commit that adds rows validates them first, so a
+    * committed snapshot never holds a violating row; SQL CHECK
+    * semantics — NULL passes, only FALSE violates. */
   final case class Snapshot(version: Long, days: Map[String, Seq[String]],
       lastBatch: Long = -1L, files: Map[String, FileMeta] = Map.empty,
       schemaJson: Option[String] = None,
       legacyFiles: Map[String, FileMeta] = Map.empty,
-      dvs: Seq[(String, Seq[String])] = Seq.empty)
+      dvs: Seq[(String, Seq[String])] = Seq.empty,
+      checks: Seq[(String, String)] = Seq.empty)
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -185,7 +191,13 @@ object ManifestLake {
         val parts = l.split('\t')
         dec(parts(1)) -> parts.drop(2).toSeq.map(dec)
     }.toSeq
-    Snapshot(v, days, lastBatch, legacy, schemaJson, legacy, dvs)
+    // `#check <name> <sql>` — CHECK constraints in force at this version
+    val checks = lines.collect {
+      case l if l.startsWith("#check\t") =>
+        val parts = l.split('\t')
+        dec(parts(1)) -> dec(parts(2))
+    }.toSeq
+    Snapshot(v, days, lastBatch, legacy, schemaJson, legacy, dvs, checks)
   }
 
   /** Parse `#f`/`#c` stat lines (shared by the manifest's legacy carry
@@ -314,7 +326,8 @@ object ManifestLake {
       days: Map[String, Seq[String]], lastBatch: Long = -1L,
       legacyFiles: Map[String, FileMeta] = Map.empty,
       schemaJson: Option[String] = None,
-      dvs: Seq[(String, Seq[String])] = Seq.empty): Unit = {
+      dvs: Seq[(String, Seq[String])] = Seq.empty,
+      checks: Seq[(String, String)] = Seq.empty): Unit = {
     val target = new Path(root, f"$LogDir/$next%08d.manifest")
     if (fs.exists(target))
       throw new java.util.ConcurrentModificationException(
@@ -328,8 +341,11 @@ object ManifestLake {
     val dvLines = dvs.sortBy(_._1).map { case (d, dirs) =>
       (s"#dv\t${enc(d)}" +: dirs.sorted.map(enc)).mkString("\t")
     }
-    try out.write((header ++ body ++ fmtFileLines(legacyFiles) ++ dvLines)
-      .mkString("\n").getBytes("UTF-8"))
+    val checkLines = checks.map { case (n, sql) =>
+      s"#check\t${enc(n)}\t${enc(sql)}"
+    }
+    try out.write((header ++ body ++ fmtFileLines(legacyFiles) ++ dvLines ++
+      checkLines).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, target))
       throw new java.util.ConcurrentModificationException(
@@ -1370,9 +1386,79 @@ object ManifestLake {
     beforeCommit()
     commit(fs, root, head.version + 1, old.days,
       math.max(head.lastBatch, old.lastBatch), old.legacyFiles,
-      schemaJson = old.schemaJson, dvs = old.dvs)
+      schemaJson = old.schemaJson, dvs = old.dvs, checks = old.checks)
     head.version + 1
   }
+
+  // ---- CHECK constraints (commit-time invariants, the Delta design) ----
+
+  /** Throw if `rows` violates any of `checks` — SQL CHECK semantics:
+    * NULL passes, only FALSE violates. ONE aggregate pass computes a
+    * per-constraint violation count (the message names every violated
+    * constraint, not just the first); a check-free table pays nothing.
+    * Delta validates inline inside its write exec node — the extra
+    * pass here is the cost of staying on public DataFrame surface,
+    * bounded by the rows being WRITTEN, never the table. */
+  private def enforceChecks(rows: DataFrame,
+      checks: Seq[(String, String)], op: String): Unit = {
+    if (checks.isEmpty) return
+    val aggs = checks.map { case (n, sql) =>
+      count(when(!coalesce(expr(sql), lit(true)), 1)).as(n)
+    }
+    val row = rows.agg(aggs.head, aggs.tail: _*).head()
+    val bad = checks.zipWithIndex.collect {
+      case ((n, sql), i) if row.getLong(i) > 0 =>
+        s"$n (CHECK $sql: ${row.getLong(i)} violating rows)"
+    }
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"$op rejected by CHECK constraint ${bad.mkString("; ")} — " +
+        "nothing was committed")
+  }
+
+  /** Add a CHECK constraint (the ALTER TABLE ADD CONSTRAINT contract):
+    * the EXISTING table must already satisfy the predicate — validated
+    * with one aggregate scan, exactly like Delta — then the constraint
+    * commits as one manifest line, versioned WITH the data. From that
+    * version on, every row-adding commit (appendBatch and the
+    * streaming sink/mirror through it, upsert, mergeInto) validates
+    * the rows it is about to publish and throws BEFORE its manifest
+    * rename on any violation — the failed write's generation is
+    * invisible orphan garbage, the table is untouched. Row-preserving
+    * commits (deleteWhere, compactDay) skip validation: their rows
+    * were validated when first written. NOT NULL is the special case
+    * `addCheck(path, "c_nn", "col IS NOT NULL")`. Constraints restore
+    * with their version (restore(v) reinstates v's constraint set —
+    * metadata is state, the Delta RESTORE rule). */
+  def addCheck(spark: SparkSession, path: String, name: String,
+      predicateSql: String): Long = {
+    val snap = snapshot(spark, path)
+    require(!snap.checks.exists(_._1 == name),
+      s"addCheck: constraint '$name' already exists")
+    enforceChecks(read(spark, path), Seq(name -> predicateSql), "addCheck")
+    val (fs, root) = fsOf(spark, path)
+    commit(fs, root, snap.version + 1, snap.days, snap.lastBatch,
+      snap.legacyFiles,
+      schemaJson = Some(tableSchema(spark, path, snap).json),
+      dvs = snap.dvs, checks = snap.checks :+ (name -> predicateSql))
+    snap.version + 1
+  }
+
+  /** Drop a CHECK constraint: one metadata-only commit. */
+  def dropCheck(spark: SparkSession, path: String, name: String): Long = {
+    val snap = snapshot(spark, path)
+    require(snap.checks.exists(_._1 == name),
+      s"dropCheck: no constraint '$name'")
+    val (fs, root) = fsOf(spark, path)
+    commit(fs, root, snap.version + 1, snap.days, snap.lastBatch,
+      snap.legacyFiles,
+      schemaJson = Some(tableSchema(spark, path, snap).json),
+      dvs = snap.dvs, checks = snap.checks.filterNot(_._1 == name))
+    snap.version + 1
+  }
+
+  /** The constraints in force at head. */
+  def checksOf(spark: SparkSession, path: String): Seq[(String, String)] =
+    snapshot(spark, path).checks
 
   /** Net-effect change feed between two committed versions (the batch
     * CDC read every downstream incremental consumer needs): every row
@@ -1508,6 +1594,7 @@ object ManifestLake {
       .filter(col("rn") === 1).drop("rn", "src")
       .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
       .withColumn("day", dayKey)
+    enforceChecks(merged, snap.checks, "upsert")
     val newDirs = writeGen(spark, path, merged, filesPerDay)
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
@@ -1714,6 +1801,7 @@ object ManifestLake {
         allowMissingColumns = true))
       .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
       .withColumn("day", dayKey)
+    enforceChecks(combined, snap.checks, "mergeInto")
     val newDirs = writeGen(spark, path, combined, filesPerDay)
     if (rewriteDays.isEmpty && newDirs.isEmpty) return snap.version
     beforeCommit()
@@ -1728,7 +1816,8 @@ object ManifestLake {
       carryFiles(snap, nextDays),
       schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
         combined.schema).json),
-      dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet))
+      dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet),
+      checks = snap.checks)
     snap.version + 1
   }
 
@@ -1773,7 +1862,8 @@ object ManifestLake {
       carryFiles(snap, nextDays),
       schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
         kept.schema).json),
-      dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet))
+      dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet),
+      checks = snap.checks)
     deleted
   }
 
@@ -1833,7 +1923,8 @@ object ManifestLake {
       snap.legacyFiles,
       schemaJson = Some(tableSchema(spark, path, snap).json),
       dvs = pruneDvs(snap.dvs, snap.days.values.flatten.toSet) :+
-        (dvRel -> dirs))
+        (dvRel -> dirs),
+      checks = snap.checks)
     deleted
   }
 
@@ -1911,7 +2002,8 @@ object ManifestLake {
       carryFiles(snap, nextDays),
       schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
         df.schema).json),
-      dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet))
+      dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet),
+      checks = snap.checks)
     snap.version + 1
   }
 
@@ -1941,6 +2033,7 @@ object ManifestLake {
     val rows = batch
       .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
       .withColumn("day", dayKey)
+    enforceChecks(rows, snap.checks, "appendBatch")
     val newDirs = writeGen(spark, path, rows, filesPerDay)
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
@@ -1954,7 +2047,7 @@ object ManifestLake {
       // the new column as NULL under it
       schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
         rows.schema).json),
-      dvs = snap.dvs)
+      dvs = snap.dvs, checks = snap.checks)
     snap.version + 1
   }
 
