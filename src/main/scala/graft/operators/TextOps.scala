@@ -1038,6 +1038,68 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // content-defined chunking constants, shared verbatim with the
+  // DuckDB oracle and the spec's driver recompute
+  private[operators] val CdcK = 8   // boundary gram width (chars)
+  private[operators] val CdcD = 64  // boundary divisor → ~64-char chunks
+
+  /** Content-defined chunk stream of (doc_id, text): a chunk boundary
+    * opens at character position i ≥ 2 whenever the Karp-Rabin hash of
+    * the 8-gram STARTING at i is ≡ 0 (mod 64) — the LBFS/rsync
+    * content-defined-chunking rule (Muthitacharoen 2001), the design
+    * that makes chunk identity survive INSERTIONS: a fixed-stride
+    * tiling (xDocChunks/xChunkDedup) reflows every chunk after a
+    * one-byte edit, while CDC boundaries depend only on local content,
+    * so the chunk stream re-synchronizes at the first boundary past
+    * the edit and everything downstream fingerprints identically
+    * (spec-pinned against the stride tiling as a negative control).
+    * FastCDC's min/max size clamps are deliberately omitted: clamped
+    * boundaries depend on the PREVIOUS boundary (sequential state per
+    * doc), while the pure rule is a per-position predicate — every
+    * position evaluates independently inside one array lambda, which
+    * is what keeps the operator a zero-shuffle projection. Expected
+    * chunk length = the divisor (~64); variance is the price of
+    * statelessness, documented not hidden.
+    *
+    * Plan shape: boundary discovery + chunk extraction are ONE
+    * per-row projection (filter → zip_with over position arrays, the
+    * gram hash via the same poly_hash31 the winnow sketch mirrors);
+    * no window, no shuffle — the doc never leaves its partition until
+    * the caller's aggregation. */
+  private[operators] def cdcChunksOf(docs: DataFrame): DataFrame =
+    docs
+      // greatest(..., 2) keeps sequence() ascending-safe on short docs;
+      // the in-lambda bound re-drops the padding position
+      .withColumn("bs", expr(
+        s"""filter(sequence(2, greatest(length(text) - ${CdcK - 1}, 2)),
+           |  i -> i <= length(text) - ${CdcK - 1}
+           |    AND poly_hash31(substring(text, i, $CdcK)) % $CdcD = 0)"""
+          .stripMargin))
+      .withColumn("starts", concat(array(lit(1)), col("bs")))
+      .withColumn("ends", concat(col("bs"), array(length(col("text")) + 1)))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(starts, ends, (a, b) -> substring(text, a, b - a))"))
+        .as("chunk_text"))
+
+  /** Content-defined chunk dedup — the shift-TOLERANT tier of the
+    * sub-document dedup family (the storage-dedup/rsync design applied
+    * to corpus boilerplate): fingerprint every CDC chunk and report
+    * chunks appearing in ≥ 2 distinct docs. Where x_chunk_dedup's
+    * fixed 64-word tiling misses a shared passage whose alignment
+    * shifted (a prepended byline reflows every chunk), the CDC
+    * boundaries re-synchronize and the shared tail fingerprints
+    * identically. Same scale shape as exact dedup: the chunk stream
+    * is a zero-shuffle projection, then one hash groupBy on the md5
+    * with map-side partial agg. */
+  def xCdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .groupBy(md5(col("chunk_text")).as("chunk_fp"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("chunk_fp"))
+
   val queries: ListMap[String, Q] = ListMap(
     "x_lang_id" -> (xLangId _),
     "x_quality_score" -> (xQualityScore _),
@@ -1051,6 +1113,7 @@ object TextOps {
     "x_repetition" -> (xRepetition _),
     "x_ngram_topk" -> (xNgramTopk _),
     "x_chunk_dedup" -> (xChunkDedup _),
+    "x_cdc_chunks" -> (xCdcChunks _),
     "x_tfidf" -> (xTfidf _),
     "x_inverted_index" -> (xInvertedIndex _),
     "x_length_buckets" -> (xLengthBuckets _),
@@ -1236,6 +1299,33 @@ object TextOps {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |  CROSS JOIN (SELECT unnest(range(0, $ChunkHeadroom)) AS i)
         |  WHERE i <= (len(w) - 1) // 48)
+        |SELECT md5(chunk_text) AS chunk_fp, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+        |FROM c
+        |GROUP BY md5(chunk_text)
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_fp""".stripMargin,
+    // content-defined boundaries mirrored gram-by-gram: each boundary
+    // test recomputes the same poly_hash31 fold (the winnow-oracle
+    // pattern) over the 8-gram at i; starts → chunk substrings via the
+    // 1-based list index, next start (or n+1) closing each chunk
+    "x_cdc_chunks" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    [1] || list_filter(range(2, greatest(n - ${CdcK - 1}, 2) + 1),
+        |      i -> i <= n - ${CdcK - 1} AND
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(string_split(substr(text, i, $CdcK), ''),
+        |              c -> CAST(unicode(c) AS BIGINT))),
+        |          (acc, c) -> (acc * 1000003 + c) % 2147483647)
+        |          % $CdcD = 0) AS starts
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(starts) + 1),
+        |      j -> substr(text, starts[j],
+        |        coalesce(starts[j + 1], n + 1) - starts[j]))) AS chunk_text
+        |  FROM b)
         |SELECT md5(chunk_text) AS chunk_fp, count(*) AS n_occurrences,
         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
         |FROM c
