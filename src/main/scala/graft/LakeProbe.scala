@@ -63,6 +63,36 @@ object LakeProbe {
     val (_, tUpsert) = time(ManifestLake.upsert(spark, out, upd,
       Seq("user_id", "event_id"), "ts"))
 
+    // generic MERGE arm: conditional update touching ONE day plus
+    // inserts landing on a DIFFERENT existing day — the rewrite must
+    // cost the updated day only, with the insert day APPENDED (its
+    // existing dirs untouched); contrast with upsert_one_day above
+    val preMerge = ManifestLake.snapshot(spark, out)
+    val otherDay = preMerge.days.keys.toSeq.sorted.head
+    val updSrc = ManifestLake.readDays(spark, out, _ == day)
+      .filter(col("user_id") % 11 === 5)
+      .withColumn("value", col("value") + 1).drop("day")
+    val insSrc = ManifestLake.readDays(spark, out, _ == otherDay)
+      .filter(col("user_id") % 13 === 4)
+      .withColumn("event_id", col("event_id") + 900000000L).drop("day")
+    val (_, tMerge) = time(ManifestLake.mergeInto(spark, out,
+      updSrc.unionByName(insSrc), Seq("user_id", "event_id"), "ts", Seq(
+        ManifestLake.MatchedUpdate(Map("value" -> col("s.value"))),
+        ManifestLake.NotMatchedInsert())))
+    val postMerge = ManifestLake.snapshot(spark, out)
+    val mergeRewritten = postMerge.days.count { case (d, dirs) =>
+      preMerge.days.get(d).exists(old => old.toSet.intersect(dirs.toSet).isEmpty)
+    }
+    val mergeAppended = postMerge.days.count { case (d, dirs) =>
+      preMerge.days.get(d).exists(old =>
+        old.toSet.subsetOf(dirs.toSet) && dirs.size > old.size)
+    }
+
+    // restore: undo the merge — pure manifest arithmetic, no data IO;
+    // this is the rollback cost a bad takedown/merge actually pays
+    val (_, tRestore) = time(
+      ManifestLake.restore(spark, out, postMerge.version - 1))
+
     val (nVac, tVac) = time(ManifestLake.vacuum(spark, out, retentionMs = 0L).size)
 
     println(s"""{"metric":"lakeprobe","dir":"$sfDir","days":$nDays,""" +
@@ -71,7 +101,11 @@ object LakeProbe {
       f""""read_sec":$tRead0%.3f,"read_with_dv_sec":$tReadDv%.3f,""" +
       s""""read_rows":$nRead0,""" +
       f""""delete_scattered_sec":$tDelAll%.3f,"deleted_rows":$nDel,""" +
-      f""""upsert_one_day_sec":$tUpsert%.3f,"vacuum_sec":$tVac%.3f,""" +
+      f""""upsert_one_day_sec":$tUpsert%.3f,""" +
+      f""""merge_one_day_sec":$tMerge%.3f,""" +
+      s""""merge_rewritten_days":$mergeRewritten,""" +
+      s""""merge_appended_days":$mergeAppended,""" +
+      f""""restore_sec":$tRestore%.3f,"vacuum_sec":$tVac%.3f,""" +
       s""""vacuumed_paths":$nVac}""")
     spark.stop()
   }

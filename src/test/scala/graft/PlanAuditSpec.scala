@@ -586,4 +586,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(fin.contains("BroadcastHashJoin") && fin.contains("LeftAnti"), fin)
     assert(!fin.contains("SortMergeJoin"), fin)
   }
+
+  test("x_cdc_chunks: boundary+chunk extraction is one projection — no join, no window, two exchanges") {
+    val df = graft.operators.TextOps.xCdcChunks(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // the only exchanges are the md5-groupBy's own hash shuffle and
+    // the presentational sort — the doc text never shuffles pre-agg
+    // (partial HashAggregate sits below the first Exchange)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
+    val firstEx = p.indexOf("Exchange")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstEx) >= 0,
+      s"no partial agg around the shuffle:\n$p")
+  }
 }
