@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(c.length == 2, "cosine_similarity(a, b)")
       CosineSimilarity(c(0), c(1))
     }
+    register("dot_product", classOf[DotProduct]) { c =>
+      require(c.length == 2, "dot_product(a, b)")
+      DotProduct(c(0), c(1))
+    }
     register("hyperplane_lsh", classOf[HyperplaneLsh]) { c =>
       require(c.length == 3, "hyperplane_lsh(vec, seed, bits)")
       HyperplaneLsh(c(0), litInt(c(1), "seed"), litInt(c(2), "bits"))

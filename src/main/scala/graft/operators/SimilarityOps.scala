@@ -74,6 +74,39 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
       .orderBy(col("q_id"), col("vec_id"))
 
+  /** Maximum-inner-product top-k (MIPS) — the retrieval scoring for
+    * UN-normalized embeddings (dot-product-trained two-tower and
+    * recommender models), which the cosine family deliberately cannot
+    * answer: cosine divides magnitude out, and under a dot objective a
+    * high-norm item IS the signal. The testdata ships unit-norm
+    * vectors (dot would be vacuously ≡ cosine), so the corpus is
+    * deterministically DE-normalized first — each vector scaled by
+    * 1 + (vec_id mod 7), norms 1..7 — and the spec pins that the dot
+    * ranking genuinely differs from the cosine ranking on it.
+    * Same broadcast linear-scan plan as s_ann_bruteforce with the
+    * codegen'd dot_product as the score. Scale path: MIPS reduces to
+    * cosine ANN by asymmetric augmentation (Bachrach 2014 /
+    * Shrivastava & Li 2014) — append sqrt(M² − ‖x‖²) to each data
+    * vector (M = the corpus max norm, a one-row agg) and 0 to every
+    * query; augmented data vectors all have norm exactly M, so cosine
+    * order ≡ dot order and the EXISTING hyperplane-LSH / IVF tiers
+    * apply unchanged to augmented vectors. The reduction is
+    * spec-pinned (rank-for-rank equality with this exact scan);
+    * the scan is the oracled baseline. */
+  def sAnnDot(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("vec_id"))
+    Tables.embeddings(s, dir)
+      .withColumn("scaled", expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE) * (1.0D + CAST(vec_id % 7 AS DOUBLE)))"))
+      .crossJoin(broadcast(queryVecs(s, dir)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", expr("dot_product(q_emb, scaled)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("dot"), 4).as("dot"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** One row per (table, bucket) per vector: bucketed ONCE, reused by
     * every query — the single shuffle of the vector table. Table
     * seeds must be literals (each expression instance owns its
@@ -680,6 +713,7 @@ object SimilarityOps {
   val queries: ListMap[String, Q] = ListMap(
     "s_ann_bruteforce" -> (sAnnBruteforce _),
     "s_range_search" -> (sRangeSearch _),
+    "s_ann_dot" -> (sAnnDot _),
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_multiprobe" -> (sAnnMultiprobe _),
     "s_recall_eval" -> (sRecallEval _),
@@ -877,6 +911,25 @@ object SimilarityOps {
        |FROM scored WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
+  private lazy val annDotSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |           WHERE vec_id < $NumQueries),
+       |sc AS (SELECT vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |           x -> x * (1.0 + CAST(vec_id % 7 AS DOUBLE))) AS scaled
+       |       FROM embeddings),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    list_dot_product(CAST(q.q_emb AS DOUBLE[]), e.scaled) AS dot,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY list_dot_product(CAST(q.q_emb AS DOUBLE[]),
+       |                                e.scaled) DESC,
+       |        e.vec_id) AS rank
+       |  FROM q JOIN sc e ON e.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id, round(dot, 4) AS dot
+       |FROM scored WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
   private lazy val annLshSql: String =
     s"""WITH $lshBucketedCtes,
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, tbl, bucket
@@ -931,6 +984,7 @@ object SimilarityOps {
          |WHERE list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
          |                             CAST(e.embedding AS DOUBLE[])) >= $RangeTau
          |ORDER BY q.q_id, e.vec_id""".stripMargin,
+    "s_ann_dot" -> annDotSql,
     // Exact mirror of the LSH path: every hyperplane component is
     // inlined (HyperplaneLsh.planesFor — identical seeded matrix),
     // each bucket bit recomputed as an explicit left-associated

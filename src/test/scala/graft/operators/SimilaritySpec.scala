@@ -95,6 +95,59 @@ class SimilaritySpec extends SparkSpec {
       s"${(bfInRadius -- range).size} top-k rows with cos >= tau missing from range search")
   }
 
+  test("MIPS: dot order differs from cosine (non-vacuous); asymmetric augmentation reduces MIPS to cosine") {
+    // driver recompute over the same deterministic de-normalization
+    // the operator applies (scale = 1 + vec_id mod 7)
+    val rows = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val scaled = rows.map { case (id, v) =>
+      (id, v.map(_ * (1.0 + (id % 7).toDouble)))
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    val queries = rows.filter(_._1 < 5)
+    def topkBy(score: Long => Double): Seq[Long] = // ids, rank order
+      scaled.map(_._1).sortBy(id => (-score(id), id)).take(10).toSeq
+    // the operator's output matches the driver dot ranking
+    val op = SimilarityOps.sAnnDot(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, v) => q -> v.sortBy(_._2).map(_._3).toSeq }
+    queries.foreach { case (qid, q) =>
+      val expect = scaled.filter(_._1 != qid)
+        .sortBy { case (id, v) => (-dot(q, v), id) }.take(10).map(_._1).toSeq
+      assert(op(qid) == expect, s"query $qid: MIPS ranking drifted")
+    }
+    // non-vacuous: for at least one query the dot top-10 differs from
+    // the cosine top-10 on the de-normalized corpus
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val differs = queries.exists { case (qid, q) =>
+      val byDot = scaled.filter(_._1 != qid)
+        .sortBy { case (id, v) => (-dot(q, v), id) }.take(10).map(_._1).toSeq
+      val byCos = scaled.filter(_._1 != qid)
+        .sortBy { case (id, v) => (-cos(q, v), id) }.take(10).map(_._1).toSeq
+      byDot != byCos
+    }
+    assert(differs, "dot == cosine on every query — the MIPS operator is vacuous")
+    // the Bachrach/Shrivastava-Li reduction: augment data vectors with
+    // sqrt(M^2 - |x|^2), queries with 0 → augmented norms are constant
+    // M, so COSINE order over augmented vectors == dot order — the
+    // existing cosine-LSH/IVF tiers answer MIPS unchanged
+    val m2 = scaled.map { case (_, v) => dot(v, v) }.max
+    val aug = scaled.map { case (id, v) =>
+      (id, v :+ math.sqrt(math.max(0.0, m2 - dot(v, v))))
+    }
+    queries.foreach { case (qid, q) =>
+      val qAug = q :+ 0.0
+      val byDot = scaled.filter(_._1 != qid)
+        .sortBy { case (id, v) => (-dot(q, v), id) }.take(10).map(_._1).toSeq
+      val byAugCos = aug.filter(_._1 != qid)
+        .sortBy { case (id, v) => (-cos(qAug, v), id) }.take(10).map(_._1).toSeq
+      assert(byAugCos == byDot, s"query $qid: augmentation broke MIPS order")
+    }
+  }
+
   test("knn classify: prediction equals a naive vote over the bruteforce neighbors") {
     val labels = graft.Tables.embeddings(spark, sfDir)
       .select("vec_id", "label").collect()
