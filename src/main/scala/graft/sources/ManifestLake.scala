@@ -125,7 +125,8 @@ object ManifestLake {
       schemaJson: Option[String] = None,
       legacyFiles: Map[String, FileMeta] = Map.empty,
       dvs: Seq[(String, Seq[String])] = Seq.empty,
-      checks: Seq[(String, String)] = Seq.empty)
+      checks: Seq[(String, String)] = Seq.empty,
+      op: String = "")
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -197,7 +198,12 @@ object ManifestLake {
         val parts = l.split('\t')
         dec(parts(1)) -> dec(parts(2))
     }.toSeq
-    Snapshot(v, days, lastBatch, legacy, schemaJson, legacy, dvs, checks)
+    // `#op <label>` — the operation that produced this version (the
+    // DESCRIBE HISTORY surface; absent on pre-r11 manifests)
+    val op = lines.collectFirst {
+      case l if l.startsWith("#op\t") => dec(l.stripPrefix("#op\t"))
+    }.getOrElse("")
+    Snapshot(v, days, lastBatch, legacy, schemaJson, legacy, dvs, checks, op)
   }
 
   /** Parse `#f`/`#c` stat lines (shared by the manifest's legacy carry
@@ -327,7 +333,8 @@ object ManifestLake {
       legacyFiles: Map[String, FileMeta] = Map.empty,
       schemaJson: Option[String] = None,
       dvs: Seq[(String, Seq[String])] = Seq.empty,
-      checks: Seq[(String, String)] = Seq.empty): Unit = {
+      checks: Seq[(String, String)] = Seq.empty,
+      op: String = ""): Unit = {
     val target = new Path(root, f"$LogDir/$next%08d.manifest")
     if (fs.exists(target))
       throw new java.util.ConcurrentModificationException(
@@ -335,7 +342,8 @@ object ManifestLake {
     val tmp = new Path(root, s"$LogDir/.tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, /* overwrite = */ false)
     val header = (if (lastBatch >= 0) Seq(s"#batch\t$lastBatch") else Seq.empty) ++
-      schemaJson.map(j => s"#schema\t${enc(j)}").toSeq
+      schemaJson.map(j => s"#schema\t${enc(j)}").toSeq ++
+      (if (op.nonEmpty) Seq(s"#op\t${enc(op)}") else Seq.empty)
     val body = days.toSeq.sortBy(_._1)
       .flatMap { case (d, ps) => ps.sorted.map(p => s"$d\t$p") }
     val dvLines = dvs.sortBy(_._1).map { case (d, dirs) =>
@@ -925,7 +933,7 @@ object ManifestLake {
     val withDay = rows.withColumn("day", dayKey)
     val dirs = writeGen(spark, path, withDay, filesPerDay)
     commit(fs, root, 1L, dirs.map { case (d, p) => d -> Seq(p) },
-      schemaJson = Some(withDay.schema.json))
+      schemaJson = Some(withDay.schema.json), op = "create")
     1L
   }
 
@@ -1386,7 +1394,8 @@ object ManifestLake {
     beforeCommit()
     commit(fs, root, head.version + 1, old.days,
       math.max(head.lastBatch, old.lastBatch), old.legacyFiles,
-      schemaJson = old.schemaJson, dvs = old.dvs, checks = old.checks)
+      schemaJson = old.schemaJson, dvs = old.dvs, checks = old.checks,
+      op = s"restore($v)")
     head.version + 1
   }
 
@@ -1439,7 +1448,8 @@ object ManifestLake {
     commit(fs, root, snap.version + 1, snap.days, snap.lastBatch,
       snap.legacyFiles,
       schemaJson = Some(tableSchema(spark, path, snap).json),
-      dvs = snap.dvs, checks = snap.checks :+ (name -> predicateSql))
+      dvs = snap.dvs, checks = snap.checks :+ (name -> predicateSql),
+      op = s"addCheck($name)")
     snap.version + 1
   }
 
@@ -1452,13 +1462,39 @@ object ManifestLake {
     commit(fs, root, snap.version + 1, snap.days, snap.lastBatch,
       snap.legacyFiles,
       schemaJson = Some(tableSchema(spark, path, snap).json),
-      dvs = snap.dvs, checks = snap.checks.filterNot(_._1 == name))
+      dvs = snap.dvs, checks = snap.checks.filterNot(_._1 == name),
+      op = s"dropCheck($name)")
     snap.version + 1
   }
 
   /** The constraints in force at head. */
   def checksOf(spark: SparkSession, path: String): Seq[(String, String)] =
     snapshot(spark, path).checks
+
+  /** The commit log as a table — the DESCRIBE HISTORY surface: one
+    * row per retained version with the operation that produced it
+    * (`#op` line; empty for pre-r11 manifests), the commit wall-clock
+    * (manifest mtime — the rename instant, i.e. when the version
+    * became visible), and per-version shape counts. This is the audit
+    * companion of time travel: `history` names the version to
+    * `readVersion`/`restore` against, which is what turns "a bad
+    * takedown happened" into "restore(… the version before
+    * op=delete …)". Driver-side: the log is O(retained versions),
+    * kilobytes by construction — never a distributed read. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val (fs, root) = fsOf(spark, path)
+    val rows = manifestVersions(fs, root).map { v =>
+      val snap = readManifest(fs, root, v)
+      val mtime = fs.getFileStatus(
+        new Path(root, f"$LogDir/$v%08d.manifest")).getModificationTime
+      (v, snap.op, new java.sql.Timestamp(mtime), snap.days.size,
+        snap.days.values.map(_.size).sum, snap.lastBatch,
+        snap.dvs.size, snap.checks.size)
+    }
+    import spark.implicits._
+    rows.toDF("version", "operation", "committed_at", "n_days", "n_dirs",
+      "last_batch", "n_dvs", "n_checks").orderBy(col("version"))
+  }
 
   /** Net-effect change feed between two committed versions (the batch
     * CDC read every downstream incremental consumer needs): every row
@@ -1611,7 +1647,8 @@ object ManifestLake {
       // days must survive the checkpoint
       schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
         merged.schema).json),
-      dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet))
+      dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet),
+      checks = snap.checks, op = "upsert")
     snap.version + 1
   }
 
@@ -1817,7 +1854,7 @@ object ManifestLake {
       schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
         combined.schema).json),
       dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet),
-      checks = snap.checks)
+      checks = snap.checks, op = "merge")
     snap.version + 1
   }
 
@@ -1863,7 +1900,7 @@ object ManifestLake {
       schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
         kept.schema).json),
       dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet),
-      checks = snap.checks)
+      checks = snap.checks, op = "delete")
     deleted
   }
 
@@ -1924,7 +1961,7 @@ object ManifestLake {
       schemaJson = Some(tableSchema(spark, path, snap).json),
       dvs = pruneDvs(snap.dvs, snap.days.values.flatten.toSet) :+
         (dvRel -> dirs),
-      checks = snap.checks)
+      checks = snap.checks, op = "deleteDV")
     deleted
   }
 
@@ -2003,7 +2040,7 @@ object ManifestLake {
       schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
         df.schema).json),
       dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet),
-      checks = snap.checks)
+      checks = snap.checks, op = s"compact($day)")
     snap.version + 1
   }
 
@@ -2047,7 +2084,7 @@ object ManifestLake {
       // the new column as NULL under it
       schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
         rows.schema).json),
-      dvs = snap.dvs, checks = snap.checks)
+      dvs = snap.dvs, checks = snap.checks, op = s"append($batchId)")
     snap.version + 1
   }
 

@@ -110,12 +110,97 @@ class ManifestLakeCheckSpec extends SparkSpec {
     assert(ManifestLake.checksOf(spark, dir) == Seq("c_pos" -> "value > 0"))
   }
 
-  test("constraints survive unrelated commits (delete, compaction)") {
+  test("streaming sink on a constrained table: a violating micro-batch fails the query, the table stays consistent, a fixed batch lands") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_ml_chk_sink").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    ManifestLake.addCheck(spark, dir, "c_pos", "value > 0")
+    def startQuery(mem: MemoryStream[graft.streaming.TaskEvent]) =
+      mem.toDS().toDF()
+        .writeStream.foreachBatch(ManifestLake.sink(dir, "ts"))
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_ml_chk_sink_cp").toString)
+        .start()
+    val mem = MemoryStream[graft.streaming.TaskEvent]
+    val q = startQuery(mem)
+    val boom = intercept[Exception] {
+      mem.addData(graft.streaming.TaskEvent(9L,
+        ts("2024-01-15 00:01:00"), 9L, "x", -1.0))
+      q.processAllAvailable()
+    }
+    // the violation surfaces as the query's failure, not a silent drop
+    assert(boom.getMessage.contains("c_pos") ||
+      Option(boom.getCause).exists(_.getMessage.contains("c_pos")),
+      s"constraint violation did not surface: ${boom.getMessage}")
+    q.stop()
+    assert(ManifestLake.read(spark, dir).filter(col("value") <= 0).count() == 0)
+    // a fresh query with conforming data lands normally
+    val mem2 = MemoryStream[graft.streaming.TaskEvent]
+    val q2 = startQuery(mem2)
+    try {
+      mem2.addData(graft.streaming.TaskEvent(9L,
+        ts("2024-01-15 00:01:00"), 9L, "x", 5.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(ManifestLake.read(spark, dir)
+      .filter(col("event_id") === 9L).count() == 1)
+  }
+
+  test("history: every commit records its operation; restore names its target version") {
+    val dir = Files.createTempDirectory("graft_ml_hist").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    val b = Seq((3L, 30L, ts("2024-01-03 10:00:00"), "s", 1.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.appendBatch(spark, dir, b, "ts", batchId = 0L)
+    ManifestLake.upsert(spark, dir, b, Seq("event_id"), "ts")
+    ManifestLake.deleteWhereDV(spark, dir, col("event_id") === 20L)
+    ManifestLake.restore(spark, dir, 1L)
+    val h = ManifestLake.history(spark, dir)
+      .select("version", "operation", "n_dvs").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(h.map(_._2).toSeq ==
+      Seq("create", "append(0)", "upsert", "deleteDV", "restore(1)"), h.toSeq)
+    assert(h.find(_._2 == "deleteDV").exists(_._3 == 1))
+    assert(h.last._3 == 0, "restore(1) should carry v1's empty DV set")
+    // committed_at is the rename instant: non-decreasing
+    val times = ManifestLake.history(spark, dir)
+      .select("committed_at").collect().map(_.getTimestamp(0).getTime)
+    assert(times.sameElements(times.sorted))
+  }
+
+  test("constraints survive EVERY commit kind (append, upsert, merge, CoW/DV delete, compaction)") {
+    // regression pin: the upsert commit initially failed to carry the
+    // constraint set forward — a successful upsert silently DROPPED
+    // every constraint from the next manifest, so all later writes
+    // went unvalidated; this walks each commit kind and asserts the
+    // constraint is still in force afterwards
     val dir = Files.createTempDirectory("graft_ml_chk6").toString
     ManifestLake.create(spark, dir, mkBase(), "ts")
     ManifestLake.addCheck(spark, dir, "c_pos", "value > 0")
+    val want = Seq("c_pos" -> "value > 0")
+    val b = Seq((3L, 30L, ts("2024-01-03 10:00:00"), "s", 1.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.appendBatch(spark, dir, b, "ts", batchId = 0L)
+    assert(ManifestLake.checksOf(spark, dir) == want, "lost at append")
+    ManifestLake.upsert(spark, dir, b.withColumn("value", lit(2.0)),
+      Seq("event_id"), "ts")
+    assert(ManifestLake.checksOf(spark, dir) == want, "lost at upsert")
+    ManifestLake.mergeInto(spark, dir, b.withColumn("value", lit(3.0)),
+      Seq("event_id"), "ts",
+      Seq(MatchedUpdate(Map("value" -> col("s.value")))))
+    assert(ManifestLake.checksOf(spark, dir) == want, "lost at merge")
+    ManifestLake.deleteWhereDV(spark, dir, col("event_id") === 30L)
+    assert(ManifestLake.checksOf(spark, dir) == want, "lost at DV delete")
     ManifestLake.deleteWhere(spark, dir, col("event_id") === 20L)
+    assert(ManifestLake.checksOf(spark, dir) == want, "lost at delete")
     ManifestLake.compactDay(spark, dir, "2024-01-01")
-    assert(ManifestLake.checksOf(spark, dir) == Seq("c_pos" -> "value > 0"))
+    assert(ManifestLake.checksOf(spark, dir) == want, "lost at compaction")
+    // and it still ENFORCES after the whole chain
+    intercept[IllegalStateException] {
+      ManifestLake.appendBatch(spark, dir,
+        b.withColumn("value", lit(-1.0)).withColumn("event_id", lit(99L)),
+        "ts", batchId = 1L)
+    }
   }
 }
