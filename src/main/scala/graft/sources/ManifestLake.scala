@@ -1384,6 +1384,9 @@ object ManifestLake {
     require(v >= 0L && v <= head.version,
       s"restore: version $v outside committed history [0, ${head.version}]")
     if (v == head.version) return head.version
+    require(v == 0L || fs.exists(new Path(root, f"$LogDir/$v%08d.manifest")),
+      s"restore: version $v's manifest was vacuumed away — only versions " +
+        "inside the vacuum retention window can be restored")
     val old =
       if (v == 0L) Snapshot(0L, Map.empty) else readManifest(fs, root, v)
     val missing = (old.days.values.flatten.toSeq ++ old.dvs.map(_._1))
@@ -1728,9 +1731,16 @@ object ManifestLake {
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String], ordCol: String, clauses: Seq[MergeClause],
       beforeCommit: () => Unit = () => (),
-      filesPerDay: Int = 1): Long = {
+      filesPerDay: Int = 1,
+      batchId: Option[Long] = None): Long = {
     import org.apache.spark.sql.Column
     val snap = snapshot(spark, path)
+    // streaming-merge exactly-once (the appendBatch cursor applied to
+    // MERGE): a replayed batch id is skipped outright, so continuous
+    // merge does not depend on the clauses being idempotent — the
+    // batch either committed (cursor advanced atomically with the
+    // data) or it didn't
+    if (batchId.exists(_ <= snap.lastBatch)) return snap.version
     if (clauses.isEmpty) return snap.version
     val matchedClauses = clauses.filter {
       case _: MatchedUpdate | _: MatchedDelete => true; case _ => false
@@ -1849,12 +1859,14 @@ object ManifestLake {
       if (rewriteDays.contains(d)) d -> Seq(p)
       else d -> (snap.days.getOrElse(d, Seq.empty) :+ p)
     }
-    commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
+    commit(fs, root, snap.version + 1, nextDays,
+      batchId.getOrElse(snap.lastBatch),
       carryFiles(snap, nextDays),
       schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
         combined.schema).json),
       dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet),
-      checks = snap.checks, op = "merge")
+      checks = snap.checks,
+      op = batchId.fold("merge")(b => s"merge($b)"))
     snap.version + 1
   }
 
@@ -2108,6 +2120,33 @@ object ManifestLake {
       }
     }
     appendBatch(spark, path, batch, ordCol, batchId, filesPerDay)
+    ()
+  }
+
+  /** The continuous-MERGE sink — the canonical "foreachBatch + MERGE"
+    * streaming pattern (how every Delta deployment streams upserts),
+    * with a stronger contract than the pattern usually has: Delta's
+    * version relies on the MERGE being idempotent under replay
+    * (safe for latest-wins, silently wrong for counters or
+    * conditional deletes); here the appendBatch batch-cursor applies
+    * to the merge commit itself, so a replayed micro-batch is skipped
+    * outright and EVERY clause mix is exactly-once — a crash between
+    * the merge's data write and its manifest rename leaves an
+    * invisible orphan generation and the re-run lands the batch once.
+    * Same single-writer + checkpoint-married rules as `sink`.
+    * `stream.writeStream.foreachBatch(ManifestLake.mergeSink(path,
+    * keys, "ts", clauses)).start()`. */
+  def mergeSink(path: String, keyCols: Seq[String], ordCol: String,
+      clauses: Seq[MergeClause], filesPerDay: Int = 1):
+      (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val anchor = new Path(s"$path/$SchemaDir")
+    val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(anchor))
+      batch.withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
+        .limit(0).write.mode("overwrite").parquet(s"$path/$SchemaDir")
+    mergeInto(spark, path, batch, keyCols, ordCol, clauses,
+      filesPerDay = filesPerDay, batchId = Some(batchId))
     ()
   }
 

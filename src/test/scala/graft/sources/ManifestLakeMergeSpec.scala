@@ -185,6 +185,63 @@ class ManifestLakeMergeSpec extends SparkSpec {
       got(99L) == (("ins", 1.0, "2024-01-04")))
   }
 
+  test("mergeSink: a real streaming query merges micro-batches; updates and inserts land per trigger") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_ml_msink").toString
+    val mem = MemoryStream[graft.streaming.TaskEvent]
+    val q = mem.toDS().toDF()
+      .writeStream.foreachBatch(ManifestLake.mergeSink(dir,
+        keyCols = Seq("event_id"), ordCol = "ts", clauses = Seq(
+          MatchedUpdate(Map("value" -> col("s.value"),
+            "event_type" -> col("s.event_type"))),
+          NotMatchedInsert())))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ml_msink_cp").toString)
+      .start()
+    try {
+      mem.addData(
+        graft.streaming.TaskEvent(10L, ts("2024-01-15 00:01:00"), 1L, "new", 1.0),
+        graft.streaming.TaskEvent(20L, ts("2024-01-16 00:02:00"), 2L, "new", 2.0))
+      q.processAllAvailable()
+      mem.addData(
+        graft.streaming.TaskEvent(10L, ts("2024-01-15 00:05:00"), 1L, "done", 9.0),
+        graft.streaming.TaskEvent(30L, ts("2024-01-15 00:06:00"), 3L, "new", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = ManifestLake.read(spark, dir)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(got == Map(10L -> (("done", 9.0)), 20L -> (("new", 2.0)),
+      30L -> (("new", 3.0))), s"got $got")
+    val ops = ManifestLake.history(spark, dir)
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("merge(0)", "merge(1)"), ops)
+  }
+
+  test("merge batch cursor: a replayed batch is skipped even under NON-idempotent clauses") {
+    val dir = Files.createTempDirectory("graft_ml_mcursor").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    // the clause Delta's foreachBatch-MERGE pattern gets WRONG under
+    // replay: an increment — idempotence is not assumed here, the
+    // cursor makes the batch exactly-once regardless
+    val src = Seq((1L, 10L, ts("2024-01-01 10:00:00"), "inc", 0.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    def applyOnce() = ManifestLake.mergeInto(spark, dir, src,
+      Seq("event_id"), "ts",
+      Seq(MatchedUpdate(Map("value" -> (col("t.value") + lit(1.0))))),
+      batchId = Some(7L))
+    assert(applyOnce() == 2L)
+    assert(applyOnce() == 2L, "replayed batch re-committed")
+    val v = ManifestLake.read(spark, dir)
+      .filter(col("event_id") === 10L).select("value").head().getDouble(0)
+    assert(v == 2.0, s"replay double-applied the increment: $v")
+    // a LATER batch still lands
+    assert(ManifestLake.mergeInto(spark, dir, src, Seq("event_id"), "ts",
+      Seq(MatchedUpdate(Map("value" -> (col("t.value") + lit(1.0))))),
+      batchId = Some(8L)) == 3L)
+  }
+
   test("restore: rollback is one commit, history preserved, composes with later writes") {
     val dir = Files.createTempDirectory("graft_ml_restore").toString
     ManifestLake.create(spark, dir, mkBase(), "ts")
