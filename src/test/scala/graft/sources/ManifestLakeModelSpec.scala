@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Randomized MODEL test for the transactional lake: a seeded
-  * sequence of appendBatch / upsert / deleteWhere / compactDay /
-  * crash-injected ops runs against both the real ManifestLake and a
+  * sequence of appendBatch / upsert / deleteWhere / deleteWhereDV /
+  * compactDay / mergeInto / restore / crash-injected ops runs
+  * against both the real ManifestLake and a
   * driver-side Map model implementing the same semantics
   * (latest-wins per key, TRUE-only delete, append adds). After every
   * op the committed read must equal the model EXACTLY — including
@@ -53,6 +54,9 @@ class ManifestLakeModelSpec extends SparkSpec {
       statsCols = Seq("k", "value"))
     var model: Model = init.map { case (k, t, v) => k -> ((t, v)) }.toMap
     var nextBatch = 0L
+    // committed version → the model at that version, so the restore
+    // arm can roll the MODEL back alongside the lake
+    var versionLog: Map[Long, Model] = Map(1L -> model)
 
     def checkEq(opName: String, op: Int): Unit = {
       val got = lakeState(dir)
@@ -68,10 +72,11 @@ class ManifestLakeModelSpec extends SparkSpec {
           r.getDouble(2)))).toMap
       val expect = model.filter { case (k, (_, v)) => k < 20 && v >= 2.5 }
       assert(pruned == expect, s"op $op ($opName): readWhere diverged")
+      versionLog += ManifestLake.snapshot(spark, dir).version -> model
     }
 
     (1 to 40).foreach { op =>
-      rnd.nextInt(10) match {
+      rnd.nextInt(12) match {
         case 0 | 1 | 2 => // append new keys (fresh ids so append stays append)
           val rows = Seq.tabulate(1 + rnd.nextInt(3))(i =>
             (1000L + op * 10 + i, rt(), rv()))
@@ -130,6 +135,41 @@ class ManifestLakeModelSpec extends SparkSpec {
           nextBatch += 1
           model += rows.head._1 -> ((rows.head._2, rows.head._3))
           checkEq("crash+retry", op)
+        case 10 => // generic MERGE: newer-wins conditional update,
+          // low-value matched delete, fresh-key insert — composed
+          // against whatever DV/append/compaction state the sequence
+          // built up; distinct source keys (dup keys on a matched
+          // target are the AMBIGUITY error, pinned elsewhere)
+          val upd = Seq.tabulate(1 + rnd.nextInt(2))(_ => (rk(), rt(), rv()))
+            .distinctBy(_._1)
+          val ins = Seq((4000L + op, rt(), rv()))
+          ManifestLake.mergeInto(spark, dir, toDf(upd ++ ins), Seq("k"), "ts",
+            Seq(
+              ManifestLake.MatchedUpdate(
+                Map("ts" -> col("s.ts"), "value" -> col("s.value")),
+                cond = Some(expr("s.ts > t.ts"))),
+              ManifestLake.MatchedDelete(cond = Some(expr("t.value < 1.0"))),
+              ManifestLake.NotMatchedInsert()))
+          (upd ++ ins).foreach { case (k, t, v) =>
+            model.get(k) match {
+              case Some((t0, v0)) =>
+                if (t > t0) model += k -> ((t, v))
+                else if (v0 < 1.0) model -= k
+              case None => model += k -> ((t, v))
+            }
+          }
+          checkEq("merge", op)
+        case 11 => // RESTORE to a random earlier version: the model
+          // rolls back with it (versionLog); the batch cursor does
+          // NOT (appends use fresh ids, so the sequence continues)
+          val head = ManifestLake.snapshot(spark, dir).version
+          val candidates = versionLog.keys.filter(_ <= head).toSeq.sorted
+          if (candidates.nonEmpty) {
+            val v = candidates(rnd.nextInt(candidates.size))
+            ManifestLake.restore(spark, dir, v)
+            model = versionLog(v)
+            checkEq(s"restore($v)", op)
+          }
       }
     }
     // end state sanity: vacuum reclaims the crash orphans without
