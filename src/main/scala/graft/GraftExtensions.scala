@@ -68,5 +68,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(c.length == 3, "winnow_sketch(text, k, w)")
       WinnowSketch(c(0), litInt(c(1), "k"), litInt(c(2), "w"))
     }
+    register("cdc_chunks", classOf[CdcChunks]) { c =>
+      require(c.length == 3, "cdc_chunks(text, k, d)")
+      CdcChunks(c(0), litInt(c(1), "k"), litInt(c(2), "d"))
+    }
   }
 }

@@ -1062,24 +1062,16 @@ object TextOps {
     * statelessness, documented not hidden.
     *
     * Plan shape: boundary discovery + chunk extraction are ONE
-    * per-row projection (filter → zip_with over position arrays, the
-    * gram hash via the same poly_hash31 the winnow sketch mirrors);
-    * no window, no shuffle — the doc never leaves its partition until
-    * the caller's aggregation. */
+    * per-row pass through the native `cdc_chunks` expression (the
+    * winnow_sketch discipline: the built-ins formulation hashed
+    * substring(text, i, k) per position, and UTF8String substring is
+    * O(i) — O(n²) per doc, measured 4.6 → 0.9 s at sf0.1 when
+    * replaced with the O(n) rolling-hash expression); no window, no
+    * shuffle — the doc never leaves its partition until the caller's
+    * aggregation. */
   private[operators] def cdcChunksOf(docs: DataFrame): DataFrame =
-    docs
-      // greatest(..., 2) keeps sequence() ascending-safe on short docs;
-      // the in-lambda bound re-drops the padding position
-      .withColumn("bs", expr(
-        s"""filter(sequence(2, greatest(length(text) - ${CdcK - 1}, 2)),
-           |  i -> i <= length(text) - ${CdcK - 1}
-           |    AND poly_hash31(substring(text, i, $CdcK)) % $CdcD = 0)"""
-          .stripMargin))
-      .withColumn("starts", concat(array(lit(1)), col("bs")))
-      .withColumn("ends", concat(col("bs"), array(length(col("text")) + 1)))
-      .select(col("doc_id"), explode(expr(
-        "zip_with(starts, ends, (a, b) -> substring(text, a, b - a))"))
-        .as("chunk_text"))
+    docs.select(col("doc_id"),
+      explode(expr(s"cdc_chunks(text, $CdcK, $CdcD)")).as("chunk_text"))
 
   /** Content-defined chunk dedup — the shift-TOLERANT tier of the
     * sub-document dedup family (the storage-dedup/rsync design applied

@@ -89,6 +89,20 @@ class ManifestLakeMergeSpec extends SparkSpec {
     assert(!state(dir).contains(30L), "first-applicable delete lost to update")
   }
 
+  test("conditional insert: only source rows passing the s-referencing condition land") {
+    val dir = Files.createTempDirectory("graft_ml_condins").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    val source = Seq(
+      (9L, 99L, ts("2024-01-05 10:00:00"), "keep", 5.0),
+      (9L, 98L, ts("2024-01-05 11:00:00"), "drop", 0.5))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.mergeInto(spark, dir, source, Seq("event_id"), "ts", Seq(
+      NotMatchedInsert(cond = Some(expr("s.value > 1.0")))))
+    val got = state(dir)
+    assert(got.contains(99L) && !got.contains(98L),
+      s"conditional insert wrong: ${got.keySet}")
+  }
+
   test("NULL clause condition does not apply (SQL filter semantics)") {
     val dir = Files.createTempDirectory("graft_ml_null").toString
     ManifestLake.create(spark, dir,
