@@ -1714,12 +1714,15 @@ object ManifestLake {
     *     nothing insert as many rows as they carry, like MERGE does.
     *
     * Scale shape: the source is the small side by design (a batch of
-    * changes against a 100 TB table) — key discovery broadcasts it;
-    * only days holding a row some clause ACTUALLY CHANGES are
-    * rewritten (condition-aware discovery, evaluated on an inner join
-    * with the broadcast source — an unconditional NotMatchedBySource
-    * clause honestly touches every day, exactly like the SQL it
-    * mirrors); inserts NEVER rewrite an existing day — a day no other
+    * changes against a 100 TB table) — discovery is ONE broadcast
+    * inner join over the table (the Delta findTouchedFiles shape),
+    * whose SOURCE-BOUNDED output persists and feeds the matched-day
+    * set, the ambiguity check, and the insert existence anti-join
+    * without re-scanning the table; only days holding a row some
+    * clause ACTUALLY CHANGES are rewritten (an unconditional
+    * NotMatchedBySource clause honestly touches every day, exactly
+    * like the SQL it mirrors, and is the one clause shape that adds
+    * a second table pass); inserts NEVER rewrite an existing day — a day no other
     * clause touched gets the insert rows APPENDED as a new directory
     * (the appendBatch mechanics), so daily-ingest merges cost O(new
     * data), not O(days landed into). Updates moving a row across its
@@ -1758,42 +1761,80 @@ object ManifestLake {
     val srcM = source.withColumn("__m", lit(1))
     val keyEq = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
 
-    // ambiguity check BEFORE any write: duplicate source keys are an
-    // error only if they can touch a target row (insert-only merges of
-    // a dup-keyed source are legal MERGE, they just insert both rows)
-    if (matchedClauses.nonEmpty || bySourceClauses.nonEmpty) {
-      val dup = source.groupBy(keyCols.map(col): _*).count()
-        .filter(col("count") > 1).drop("count")
-      val offending = dup
-        .join(rd(_ => true).select(keyCols.map(col): _*), keyCols, "left_semi")
-        .limit(1).count()
-      if (offending > 0) throw new IllegalStateException(
-        "mergeInto: multiple source rows match the same target row — " +
-          "the merge is ambiguous (deduplicate the source on " +
-          keyCols.mkString("(", ", ", ")") + " first)")
-    }
+    // FUSED discovery (the Delta findTouchedFiles shape — ONE pass
+    // over the table): a single broadcast inner join target⋈source
+    // yields, per matched row, the day and whether any matched clause
+    // fires. Its output is SOURCE-bounded (≤ |source| × per-key target
+    // dups), so it persists cheaply and everything else derives from
+    // it without re-scanning the table:
+    //   - matchedDays  = days where a matched guard fired;
+    //   - matchedKeys  = the source keys that exist in the target —
+    //     which is exactly what the insert anti-join and the
+    //     ambiguity check need (a source key absent from the inner
+    //     join has no target match, by construction).
+    // Only an explicit NotMatchedBySource clause adds a second table
+    // pass (its rows are the ones the join CANNOT see).
+    val anyMatched = matchedClauses.map(guardOf)
+      .foldLeft(lit(false))(_ || _)
+    val touched = rd(_ => true).as("t")
+      .join(broadcast(srcM).as("s"), keyEq, "inner")
+      .select((coalesce(col("t.day"), lit(NullPart)).as("__day") +:
+        anyMatched.as("__hit") +:
+        keyCols.map(k => col(s"s.$k"))): _*)
+      .persist()
+    try {
+      // ambiguity BEFORE any write: duplicate source keys are an error
+      // only if they touch a target row (insert-only merges of a
+      // dup-keyed source are legal MERGE — both rows insert)
+      if (matchedClauses.nonEmpty || bySourceClauses.nonEmpty) {
+        val dup = source.groupBy(keyCols.map(col): _*).count()
+          .filter(col("count") > 1).drop("count")
+        val offending = dup
+          .join(touched.select(keyCols.map(col): _*), keyCols, "left_semi")
+          .limit(1).count()
+        if (offending > 0) throw new IllegalStateException(
+          "mergeInto: multiple source rows match the same target row — " +
+            "the merge is ambiguous (deduplicate the source on " +
+            keyCols.mkString("(", ", ", ")") + " first)")
+      }
+      val matchedDays: Set[String] =
+        if (matchedClauses.isEmpty) Set.empty
+        else touched.filter(col("__hit")).select(col("__day"))
+          .distinct().collect().map(_.getString(0)).toSet
+      val bySourceDays: Set[String] =
+        if (bySourceClauses.isEmpty) Set.empty
+        else {
+          val any = bySourceClauses.map(guardOf).reduce(_ || _)
+          rd(_ => true).as("t")
+            .join(broadcast(source.select(keyCols.map(col): _*)), keyCols,
+              "left_anti")
+            .filter(any).select(coalesce(col("day"), lit(NullPart)).as("d"))
+            .distinct().collect().map(_.getString(0)).toSet
+        }
+      mergeRewrite(spark, path, snap, source, srcM, keyCols, ordCol,
+        keyEq, matchedClauses, insertClauses, bySourceClauses, guardOf,
+        touched, matchedDays ++ bySourceDays, beforeCommit, filesPerDay,
+        batchId)
+    } finally touched.unpersist()
+  }
 
-    // condition-aware affected-day discovery: a day is rewritten only
-    // if some row of it actually takes a matched / by-source clause
-    val matchedDays: Set[String] =
-      if (matchedClauses.isEmpty) Set.empty
-      else {
-        val any = matchedClauses.map(guardOf).reduce(_ || _)
-        rd(_ => true).as("t").join(broadcast(srcM).as("s"), keyEq, "inner")
-          .filter(any).select(coalesce(col(s"t.day"), lit(NullPart)).as("d"))
-          .distinct().collect().map(_.getString(0)).toSet
-      }
-    val bySourceDays: Set[String] =
-      if (bySourceClauses.isEmpty) Set.empty
-      else {
-        val any = bySourceClauses.map(guardOf).reduce(_ || _)
-        rd(_ => true).as("t")
-          .join(broadcast(source.select(keyCols.map(col): _*)), keyCols,
-            "left_anti")
-          .filter(any).select(coalesce(col("day"), lit(NullPart)).as("d"))
-          .distinct().collect().map(_.getString(0)).toSet
-      }
-    val rewriteDays = matchedDays ++ bySourceDays
+  /** The rewrite half of mergeInto, split out so the fused-discovery
+    * frame can be unpersisted on every exit path. */
+  private def mergeRewrite(spark: SparkSession, path: String,
+      snap: Snapshot, source: DataFrame, srcM: DataFrame,
+      keyCols: Seq[String], ordCol: String,
+      keyEq: org.apache.spark.sql.Column,
+      matchedClauses: Seq[MergeClause],
+      insertClauses: Seq[NotMatchedInsert],
+      bySourceClauses: Seq[MergeClause],
+      guardOf: MergeClause => org.apache.spark.sql.Column,
+      touched: DataFrame, rewriteDays: Set[String],
+      beforeCommit: () => Unit, filesPerDay: Int,
+      batchId: Option[Long]): Long = {
+    import org.apache.spark.sql.Column
+    def rd(keep: String => Boolean): DataFrame =
+      readPaths(spark, path, snap,
+        snap.days.filter(kv => keep(kv._1)).values.flatten.toSeq.sorted)
 
     // rewrite pass over the affected days: first-applicable clause per
     // row via ONE action index (clause order = caller's order)
@@ -1833,13 +1874,16 @@ object ManifestLake {
     val result = kept.select(tCols.map(c => outCol(c).as(c)): _*)
 
     // insert pass: source rows whose key is absent from the WHOLE
-    // table (not just the rewritten days), first-applicable condition
+    // table, first-applicable condition. The existence set is the
+    // fused-discovery output's key projection (source-bounded,
+    // persisted) — a source key absent from the inner join has no
+    // target match, so NO second table scan happens here.
     val inserts: Option[DataFrame] =
       if (insertClauses.isEmpty) None
       else {
         val any = insertClauses.map(guardOf).reduce(_ || _)
         Some(source.as("s")
-          .join(rd(_ => true).select(keyCols.map(col): _*).distinct(),
+          .join(broadcast(touched.select(keyCols.map(col): _*).distinct()),
             keyCols, "left_anti")
           .filter(any))
       }
