@@ -587,6 +587,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!fin.contains("SortMergeJoin"), fin)
   }
 
+  test("s_ann_dot: broadcast query set, WindowGroupLimit top-k, no shuffle of the scaled vectors") {
+    val df = graft.operators.SimilarityOps.sAnnDot(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
+  }
+
   test("x_cdc_chunks: boundary+chunk extraction is one projection — no join, no window, two exchanges") {
     val df = graft.operators.TextOps.xCdcChunks(spark, sfDir)
     val p = plan(df)
