@@ -2194,6 +2194,50 @@ object ManifestLake {
     ()
   }
 
+  /** At-least-once CDC consumption for ARBITRARY downstreams — the
+    * consumer half the mirror specializes: `pollChanges` returns the
+    * un-acked change window (readChanges from the durable cursor to
+    * head — a fresh cursor starts at 0, so the first poll is the full
+    * snapshot as inserts, the natural bootstrap), and the consumer
+    * calls `ackChanges(toV)` only AFTER its processing is durable.
+    * A crash anywhere before the ack re-delivers the SAME window on
+    * the next poll — at-least-once, the correct contract when the
+    * downstream's write has no transaction to share (a downstream
+    * that CAN commit a cursor atomically with its data should do
+    * exactly what replicateOnce does instead). The cursor is one
+    * atomically-renamed file; concurrent source commits are safe (the
+    * window is computed against one snapshot read). */
+  def pollChanges(spark: SparkSession, path: String,
+      cursorFile: String): Option[(DataFrame, Long, Long)] = {
+    val cur = {
+      val p = new Path(cursorFile)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0L
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    }
+    val head = snapshot(spark, path).version
+    if (head <= cur) None
+    else Some((readChanges(spark, path, cur, head), cur, head))
+  }
+
+  /** Durably advance the poll cursor to `toV` (call after the window's
+    * processing is durable downstream). Atomic tmp+rename, like every
+    * other commit point in the lake. */
+  def ackChanges(spark: SparkSession, cursorFile: String, toV: Long): Unit = {
+    val p = new Path(cursorFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(toV.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"ackChanges: rename to $p failed")
+  }
+
   /** One round of exactly-once incremental replication: apply the
     * source lake's APPENDS since the last replicated version into
     * `dstPath`, advancing dst's batch cursor to the src version in the

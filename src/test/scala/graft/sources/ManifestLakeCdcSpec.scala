@@ -175,6 +175,41 @@ class ManifestLakeCdcSpec extends SparkSpec {
       ("delete", 20L, "click", None)), ch)
   }
 
+  test("pollChanges/ackChanges: at-least-once consumption — unacked windows re-deliver, acked advance") {
+    val dir = Files.createTempDirectory("graft_cdc_poll").toString
+    val cursor = s"${Files.createTempDirectory("graft_cdc_cur")}/cursor"
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    // first poll bootstraps: full snapshot as inserts, window (0, 1]
+    val Some((w1, f1, t1)) = ManifestLake.pollChanges(spark, dir, cursor)
+    assert((f1, t1) == ((0L, 1L)))
+    assert(w1.count() == 4 &&
+      w1.filter(col("_change_type") =!= "insert").count() == 0)
+    // CRASH before ack (processing not durable): the SAME window
+    // re-delivers — at-least-once, never a lost window
+    val Some((w1b, f1b, t1b)) = ManifestLake.pollChanges(spark, dir, cursor)
+    assert((f1b, t1b) == ((0L, 1L)) && w1b.count() == 4, "unacked window lost")
+    ManifestLake.ackChanges(spark, cursor, t1)
+    assert(ManifestLake.pollChanges(spark, dir, cursor).isEmpty, "caught up")
+    // a mutation opens the next window: the upsert's delete+insert pair
+    val upd = Seq((2L, 20L, ts("2024-01-02 12:00:00"), "purchase", 3.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.upsert(spark, dir, upd, Seq("event_id"), "ts")
+    val Some((w2, f2, t2)) = ManifestLake.pollChanges(spark, dir, cursor)
+    assert((f2, t2) == ((1L, 2L)))
+    val types = w2.filter(col("event_id") === 20L)
+      .select("_change_type").collect().map(_.getString(0)).sorted.toSeq
+    assert(types == Seq("delete", "insert"), types)
+    ManifestLake.ackChanges(spark, cursor, t2)
+    // two source commits between polls collapse into ONE net window
+    ManifestLake.deleteWhere(spark, dir, col("event_id") === 30L)
+    ManifestLake.deleteWhere(spark, dir, col("event_id") === 40L)
+    val Some((w3, _, t3)) = ManifestLake.pollChanges(spark, dir, cursor)
+    assert(t3 == 4L)
+    assert(w3.filter(col("_change_type") === "delete").count() == 2)
+    ManifestLake.ackChanges(spark, cursor, t3)
+    assert(ManifestLake.pollChanges(spark, dir, cursor).isEmpty)
+  }
+
   test("replicateOnce: incremental mirror converges, replays are no-ops, crash mid-commit is exactly-once") {
     val src = Files.createTempDirectory("graft_cdc_src").toString
     val dst = Files.createTempDirectory("graft_cdc_dst").toString + "/mirror"
