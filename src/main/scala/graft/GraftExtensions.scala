@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(c.length == 2, "dot_product(a, b)")
       DotProduct(c(0), c(1))
     }
+    register("l2_distance", classOf[L2Distance]) { c =>
+      require(c.length == 2, "l2_distance(a, b)")
+      L2Distance(c(0), c(1))
+    }
     register("hyperplane_lsh", classOf[HyperplaneLsh]) { c =>
       require(c.length == 3, "hyperplane_lsh(vec, seed, bits)")
       HyperplaneLsh(c(0), litInt(c(1), "seed"), litInt(c(2), "bits"))

@@ -142,6 +142,62 @@ object LakeOps {
       .orderBy(col("_change_type"), col("event_id"))
   }
 
+  /** Incremental materialized-view maintenance off the change feed —
+    * the production use case CDF exists for (Delta's "incremental
+    * ETL" pattern): a per-user aggregate MV is computed ONCE at v1,
+    * then brought to head by folding in readChanges(1, head) deltas
+    * (insert = +1/+cents, delete = −1/−cents) through a group-keyed
+    * merge — the base table is never re-scanned. Correctness of the
+    * whole loop is oracled: the incrementally-maintained MV must
+    * hash-equal DuckDB aggregating the replayed head state from
+    * scratch. A feed row with the wrong sign, a lost update pair, or
+    * a group that should have drained to zero and didn't all break
+    * the hash.
+    *
+    * Exactness: counts and cent-sums are LONGS (ExactNum's integer
+    * space), so delta application is exact integer arithmetic —
+    * incremental ≡ recompute bit-for-bit, no float drift however
+    * many deltas fold in. All-NULL-value groups stay NULL through
+    * maintenance via a separately-maintained non-null count (a sum
+    * incrementally reaching 0 contributions is indistinguishable
+    * from an all-NULL group otherwise).
+    *
+    * Scale shape (100 TB): maintenance cost is O(|changes|) feed read
+    * (untouched days cost zero IO by the manifest diff) + one shuffle
+    * of the DELTA on the group key + a key-equi merge into the MV —
+    * never a base-table scan; the same delta would MERGE INTO an MV
+    * lake via mergeSink for the continuous variant. Count/sum/avg
+    * are self-maintainable aggregates; min/max are not (a delete at
+    * the extremum needs a rescan of that group) — the standard MV
+    * maintenance taxonomy, documented rather than hidden. */
+  def lIncrMv(s: SparkSession, dir: String): DataFrame = {
+    val lake = historyLake(s, dir)
+    val head = ManifestLake.snapshot(s, lake).version
+    val mv1 = ManifestLake.readVersion(s, lake, 1L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"), count(col("value")).as("nn"),
+        coalesce(sum(ExactNum.cents(col("value"))), lit(0L)).as("units"))
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val delta = ManifestLake.readChanges(s, lake, 1L, head)
+      .groupBy("user_id")
+      .agg(sum(sign).as("dcnt"),
+        coalesce(sum(sign * when(col("value").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("dnn"),
+        coalesce(sum(sign * ExactNum.cents(col("value"))), lit(0L)).as("dunits"))
+    // null-safe key equality: a NULL group (the SQL GROUP BY NULL
+    // group both engines form) must MERGE, not split into two rows
+    mv1.as("m").join(delta.as("d"),
+        col("m.user_id") <=> col("d.user_id"), "full_outer")
+      .select(coalesce(col("m.user_id"), col("d.user_id")).as("user_id"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L))).as("cnt"),
+        (coalesce(col("nn"), lit(0L)) + coalesce(col("dnn"), lit(0L))).as("nn"),
+        (coalesce(col("units"), lit(0L)) + coalesce(col("dunits"), lit(0L))).as("units"))
+      .filter(col("cnt") > 0)
+      .select(col("user_id"), col("cnt"),
+        when(col("nn") > 0, round(col("units") / 100.0, 4)).as("total"))
+      .orderBy(col("user_id"))
+  }
+
   private val dvMemo = new SessionMemo[String]
 
   /** Merge-on-read lake (once per session+dir): create from events,
@@ -273,6 +329,7 @@ object LakeOps {
     "l_time_travel" -> (lTimeTravel _),
     "l_merge_head" -> (lMergeHead _),
     "l_cdf" -> (lCdf _),
+    "l_incr_mv" -> (lIncrMv _),
     "l_dv_takedown" -> (lDvTakedown _),
     "l_audit_travel" -> (lAuditTravel _),
     "l_merge_clauses" -> (lMergeClauses _),
@@ -333,6 +390,24 @@ object LakeOps {
          |SELECT event_id, ts, user_id, event_type, value, props,
          |  strftime(ts, '%Y-%m-%d') AS day, 'delete' AS _change_type FROM del
          |ORDER BY _change_type, event_id""".stripMargin,
+    // the incrementally-maintained MV must equal a from-scratch
+    // aggregate of the replayed head state (same merged CTE as
+    // l_merge_head); sum via the cents mirror (ExactNum.sum4)
+    "l_incr_mv" ->
+      s"""WITH merged AS (
+         |  SELECT event_id, ts + INTERVAL 1 DAY AS ts, user_id,
+         |         'updated' AS event_type, value + 100.0 AS value, props
+         |  FROM events WHERE user_id % 7 = 3 AND ts IS NOT NULL
+         |  UNION ALL
+         |  SELECT event_id, ts, user_id, event_type, value, props
+         |  FROM events WHERE NOT (user_id % 7 = 3 AND ts IS NOT NULL)
+         |)
+         |SELECT user_id, count(*) AS cnt,
+         |  round(sum(CAST(round(value*100, 0) AS BIGINT)) / 100.0, 4) AS total
+         |FROM merged
+         |WHERE NOT coalesce(user_id % 5 = 0, FALSE)
+         |GROUP BY user_id
+         |ORDER BY user_id""".stripMargin,
     "l_dv_takedown" ->
       s"""SELECT event_id, ts, user_id, event_type, value, props,
          |  strftime(ts, '%Y-%m-%d') AS day

@@ -107,6 +107,33 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Euclidean nearest-neighbor top-k — the THIRD metric of the
+    * family (cosine = angle, dot = MIPS, L2 = distance), the default
+    * of L2-trained embedding spaces and of most FAISS index types.
+    * On the unit-norm testdata L2 order would be vacuously the cosine
+    * order (‖a−b‖² = 2−2cos there), so the scan runs over the SAME
+    * deterministic de-normalization as s_ann_dot (scale 1+(id mod 7))
+    * where the three rankings genuinely diverge — spec-pinned. Plan
+    * is the broadcast linear scan with the codegen'd l2_distance and
+    * a per-query WindowGroupLimit top-k; the scale path is the same
+    * index ladder as cosine: hyperplane LSH does not apply to L2, but
+    * the IVF/PQ tiers do verbatim (k-means cells ARE L2 Voronoi
+    * cells, and the PQ ADC table is squared-L2 by construction), so
+    * the bucketed variants reuse the existing machinery unchanged. */
+  def sAnnL2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("l2").asc, col("vec_id"))
+    Tables.embeddings(s, dir)
+      .withColumn("scaled", expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE) * (1.0D + CAST(vec_id % 7 AS DOUBLE)))"))
+      .crossJoin(broadcast(queryVecs(s, dir)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("l2", expr("l2_distance(q_emb, scaled)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("l2"), 4).as("l2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** One row per (table, bucket) per vector: bucketed ONCE, reused by
     * every query — the single shuffle of the vector table. Table
     * seeds must be literals (each expression instance owns its
@@ -714,6 +741,7 @@ object SimilarityOps {
     "s_ann_bruteforce" -> (sAnnBruteforce _),
     "s_range_search" -> (sRangeSearch _),
     "s_ann_dot" -> (sAnnDot _),
+    "s_ann_l2" -> (sAnnL2 _),
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_multiprobe" -> (sAnnMultiprobe _),
     "s_recall_eval" -> (sRecallEval _),
@@ -930,6 +958,33 @@ object SimilarityOps {
        |FROM scored WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
+  // Euclidean mirror: the distance is recomputed as an EXPLICIT
+  // index-order left-fold of (a[i]-b[i])² (the kmeans-mirror device)
+  // rather than list_distance, so the accumulation order is pinned to
+  // the expression's loop — rounded values then hash bit-for-bit.
+  private lazy val annL2Sql: String = {
+    val dim = 64
+    val d2 =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}),
+         |      i -> (CAST(q.q_emb[i] AS DOUBLE) - e.scaled[i])
+         |         * (CAST(q.q_emb[i] AS DOUBLE) - e.scaled[i]))),
+         |      (x, y) -> x + y)""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |           WHERE vec_id < $NumQueries),
+       |sc AS (SELECT vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |           x -> x * (1.0 + CAST(vec_id % 7 AS DOUBLE))) AS scaled
+       |       FROM embeddings),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, sqrt($d2) AS l2,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY sqrt($d2) ASC, e.vec_id) AS rank
+       |  FROM q JOIN sc e ON e.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id, round(l2, 4) AS l2
+       |FROM scored WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   private lazy val annLshSql: String =
     s"""WITH $lshBucketedCtes,
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, tbl, bucket
@@ -985,6 +1040,7 @@ object SimilarityOps {
          |                             CAST(e.embedding AS DOUBLE[])) >= $RangeTau
          |ORDER BY q.q_id, e.vec_id""".stripMargin,
     "s_ann_dot" -> annDotSql,
+    "s_ann_l2" -> annL2Sql,
     // Exact mirror of the LSH path: every hyperplane component is
     // inlined (HyperplaneLsh.planesFor — identical seeded matrix),
     // each bucket bit recomputed as an explicit left-associated

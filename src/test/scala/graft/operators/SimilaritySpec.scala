@@ -148,6 +148,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("L2 top-k: matches driver recompute; ranking differs from both cosine and dot (non-vacuous)") {
+    val rows = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val scaled = rows.map { case (id, v) =>
+      (id, v.map(_ * (1.0 + (id % 7).toDouble)))
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum)
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val queries = rows.filter(_._1 < 5)
+    val op = SimilarityOps.sAnnL2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, v) => q -> v.sortBy(_._2).map(_._3).toSeq }
+    queries.foreach { case (qid, q) =>
+      val expect = scaled.filter(_._1 != qid)
+        .sortBy { case (id, v) => (l2(q, v), id) }.take(10).map(_._1).toSeq
+      assert(op(qid) == expect, s"query $qid: L2 ranking drifted")
+    }
+    // non-vacuous on the de-normalized corpus: L2 disagrees with BOTH
+    // other metrics for at least one query (on unit-norm vectors it
+    // would be identical to cosine by the law of cosines)
+    val differs = queries.exists { case (qid, q) =>
+      val cands = scaled.filter(_._1 != qid)
+      val byL2 = cands.sortBy { case (id, v) => (l2(q, v), id) }.take(10).map(_._1).toSeq
+      val byDot = cands.sortBy { case (id, v) => (-dot(q, v), id) }.take(10).map(_._1).toSeq
+      val byCos = cands.sortBy { case (id, v) => (-cos(q, v), id) }.take(10).map(_._1).toSeq
+      byL2 != byDot && byL2 != byCos
+    }
+    assert(differs, "L2 == dot/cosine on every query — the L2 operator is vacuous")
+  }
+
   test("knn classify: prediction equals a naive vote over the bruteforce neighbors") {
     val labels = graft.Tables.embeddings(spark, sfDir)
       .select("vec_id", "label").collect()

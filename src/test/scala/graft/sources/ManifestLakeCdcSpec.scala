@@ -210,6 +210,56 @@ class ManifestLakeCdcSpec extends SparkSpec {
     assert(ManifestLake.pollChanges(spark, dir, cursor).isEmpty)
   }
 
+  test("incremental MV: folding each version window's deltas into the aggregate equals recompute at EVERY version") {
+    // the l_incr_mv contract exercised version-BY-version (the oracle
+    // covers one 1→head window; this drives the fold through a mixed
+    // append/upsert/DV/takedown history where each step must land
+    // exactly on the from-scratch aggregate of that snapshot)
+    val dir = Files.createTempDirectory("graft_cdc_mv").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")                    // v1
+    ManifestLake.appendBatch(spark, dir, Seq(
+      (1L, 50L, ts("2024-01-02 12:00:00"), "click", 2.5),
+      (5L, 60L, ts("2024-01-04 09:00:00"), "click", 4.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value"),
+      "ts", batchId = 0L)                                              // v2
+    ManifestLake.upsert(spark, dir, Seq(
+      (2L, 20L, ts("2024-01-02 13:00:00"), "purchase", 9.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value"),
+      Seq("user_id", "event_id"), "ts")                                // v3
+    ManifestLake.deleteWhereDV(spark, dir, col("user_id") === 1L)      // v4
+    ManifestLake.deleteWhere(spark, dir, col("day") === "2024-01-03")  // v5
+
+    def aggOf(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"),
+          coalesce(sum(graft.operators.ExactNum.cents(col("value"))), lit(0L))
+            .as("units"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    var mv = aggOf(ManifestLake.readVersion(spark, dir, 1L))
+    val head = ManifestLake.snapshot(spark, dir).version
+    (1L until head).foreach { v =>
+      val delta = ManifestLake.readChanges(spark, dir, v, v + 1)
+        .select(col("user_id"),
+          when(col("_change_type") === "insert", 1L).otherwise(-1L).as("sgn"),
+          graft.operators.ExactNum.cents(col("value")).as("cents"))
+        .groupBy("user_id")
+        .agg(sum(col("sgn")).as("d"),
+          coalesce(sum(col("sgn") * col("cents")), lit(0L)).as("du"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      mv = (mv.keySet ++ delta.keySet).flatMap { k =>
+        val (c0, u0) = mv.getOrElse(k, (0L, 0L))
+        val (dc, du) = delta.getOrElse(k, (0L, 0L))
+        if (c0 + dc > 0) Some(k -> (c0 + dc, u0 + du)) else None
+      }.toMap
+      val expect = aggOf(ManifestLake.readVersion(spark, dir, v + 1))
+      assert(mv == expect, s"MV drifted from recompute at v${v + 1}: " +
+        s"mv=$mv expect=$expect")
+    }
+    assert(head == 5L && mv.contains(5L) && !mv.contains(4L),
+      s"history shape drifted: head=$head mv=$mv")
+  }
+
   test("replicateOnce: incremental mirror converges, replays are no-ops, crash mid-commit is exactly-once") {
     val src = Files.createTempDirectory("graft_cdc_src").toString
     val dst = Files.createTempDirectory("graft_cdc_dst").toString + "/mirror"
