@@ -427,6 +427,70 @@ object TextOps {
       .orderBy(col("term"))
   }
 
+  /** BM25 ranked retrieval (Robertson-Sparck-Jones / Okapi; the
+    * scoring the inverted index exists FOR): top-20 docs for a
+    * corpus-derived query-term set, k1 = 1.2, b = 0.75.
+    *
+    * Exactness discipline — the whole score is INTEGER arithmetic:
+    * with k1 = 6/5 and b = 3/4, the tf saturation term
+    * tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)) multiplied through by
+    * 20·L (avgdl = L/N) becomes the exact integer ratio
+    * 44·tf·L / (20·tf·L + 6·L + 18·dl·N); it is floored into ppm
+    * units by integer division (`div` ≡ DuckDB `//` on non-negative
+    * operands), and idf = ln(1 + (N−df+½)/(df+½)) is rounded to
+    * integer micro-nats per TERM (6 terms; the x_char_entropy
+    * boundary-margin discipline) — so the per-doc score is a sum of
+    * integer products, order-free and bit-equal across engines; no
+    * float sum ever forms. Long headroom: 44·tf·L·10⁶ caps the fast
+    * path at tf·L < 2·10¹¹; past that (true 100 TB corpora) the same
+    * expression runs in DECIMAL(38,0) unchanged — documented trade,
+    * the cents/sumUnits4 pattern.
+    *
+    * Query terms are drawn from the corpus itself — the 3 most-common
+    * terms (the stopword regime, where tf saturation matters) plus
+    * the 3 rarest (the discriminative high-idf regime; their idf
+    * strictly separates from the stopwords', spec-pinned) — so the
+    * query set exists at every sf with zero hardcoded vocabulary;
+    * each selection is TakeOrdered(3) over the vocabulary aggregate,
+    * never a vocabulary-wide window.
+    *
+    * Scale shape: one corpus explode feeds both the df aggregate and
+    * the tf rows (map-side combined, high-cardinality keys); the
+    * 6-term query set broadcasts into the explode (corpus rows never
+    * shuffle on term); dl rides the explode so no per-doc join forms;
+    * the final top-20 is TakeOrdered, not a global window. */
+  private val Bm25TopDocs = 20
+
+  def xBm25(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens.as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    val tot = d.agg(count(lit(1)).as("N"), sum(col("dl")).as("L"))
+    val w = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+    val dfreq = w.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val sel = dfreq.orderBy(col("df").desc, col("term")).limit(3)
+      .unionByName(dfreq.orderBy(col("df").asc, col("term")).limit(3))
+    val q = sel.crossJoin(broadcast(tot))
+      .withColumn("idf_micro", expr(
+        "CAST(round(1000000.0 * ln(1.0 + (CAST(N AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)), 0) AS BIGINT)"))
+      .select(col("term"), col("idf_micro"), col("N"), col("L"))
+    w.join(broadcast(q), "term")
+      .groupBy(col("doc_id"), col("term"), col("dl"),
+        col("idf_micro"), col("N"), col("L"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("contrib", expr(
+        "idf_micro * ((1000000 * 44 * tf * L) div (20 * tf * L + 6 * L + 18 * dl * N))"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(Bm25TopDocs)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_terms"), col("score_micro"))
+      .orderBy(col("rank"))
+  }
+
   /** Power-of-two bucket for a token count — ONE WHEN-ladder string
     * shared between Spark (expr()) and the DuckDB oracle (verbatim
     * interpolation), so the rungs cannot drift. Integer compares
@@ -1108,6 +1172,7 @@ object TextOps {
     "x_cdc_chunks" -> (xCdcChunks _),
     "x_tfidf" -> (xTfidf _),
     "x_inverted_index" -> (xInvertedIndex _),
+    "x_bm25" -> (xBm25 _),
     "x_length_buckets" -> (xLengthBuckets _),
     "x_cms_estimate" -> (xCmsEstimate _),
     "x_vocab_coverage" -> (xVocabCoverage _),
@@ -1419,6 +1484,39 @@ object TextOps {
          |    FILTER (WHERE rn <= $PostingCap), ',') AS postings
          |FROM r GROUP BY term
          |ORDER BY term""".stripMargin,
+    // identical integer BM25: same df-rank query selection, the same
+    // 44/20/6/18 integer rational (`//` ≡ `div` on non-negative
+    // operands), the same micro-nat idf text; duck's HUGEINT widening
+    // is exact, CAST back to the Spark BIGINTs at the boundary
+    "x_bm25" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |           FROM documents),
+         |tot AS (SELECT count(*) AS N, CAST(sum(dl) AS BIGINT) AS L FROM d),
+         |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |      FROM documents),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+         |          FROM w GROUP BY term),
+         |sel AS (SELECT term, df FROM
+         |          (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 3)
+         |        UNION ALL SELECT term, df FROM
+         |          (SELECT term, df FROM dfreq ORDER BY df ASC, term LIMIT 3)),
+         |q AS (SELECT term,
+         |        CAST(round(1000000.0 * ln(1.0 + (CAST(N AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)), 0) AS BIGINT) AS idf_micro,
+         |        N, L
+         |      FROM sel CROSS JOIN tot),
+         |tf AS (SELECT w.doc_id, w.term, d.dl, q.idf_micro, q.N, q.L,
+         |         count(*) AS tf
+         |       FROM w JOIN q USING (term) JOIN d ON d.doc_id = w.doc_id
+         |       GROUP BY w.doc_id, w.term, d.dl, q.idf_micro, q.N, q.L),
+         |sc AS (SELECT doc_id, count(*) AS n_terms,
+         |         sum(idf_micro * ((1000000 * 44 * tf * L) // (20 * tf * L + 6 * L + 18 * dl * N))) AS score_micro
+         |       FROM tf GROUP BY doc_id)
+         |SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank,
+         |  doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+         |  CAST(score_micro AS BIGINT) AS score_micro
+         |FROM sc
+         |ORDER BY score_micro DESC, doc_id LIMIT $Bm25TopDocs""".stripMargin,
     // the shared WHEN ladder interpolated verbatim (only the ELSE's
     // error function differs per engine — bucketCaseOracleSql);
     // CASTs pin duck's widened sums back to the Spark BIGINTs

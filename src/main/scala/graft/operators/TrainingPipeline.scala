@@ -523,6 +523,72 @@ object TrainingPipeline {
     out.orderBy(col("rank").desc, col("doc_id"))
   }
 
+  private[operators] val DsirBuckets = 256L
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023, the data-selection method behind DoReMi-era pretraining
+    * mixes): score every raw document by how much more likely its
+    * hashed n-gram features are under a TARGET distribution than
+    * under the raw-corpus distribution; resampling by these weights
+    * shifts the corpus toward the target domain without training a
+    * classifier. Features = unigrams + word bigrams hashed into
+    * 256 buckets (poly_hash31 — the engine's shared mirrorable
+    * hash); target = the lexicographically-first `source` (a
+    * deterministic stand-in for "the Wikipedia slice"; a deployment
+    * swaps in its real target corpus). Per-bucket log-likelihood
+    * ratio with add-one smoothing:
+    * r(b) = ln( (tc(b)+1)(Q+B) / ((qc(b)+1)(T+B)) ), and the doc's
+    * log importance weight is Σ cnt_doc(b)·r(b).
+    *
+    * Exactness discipline: r(b) is rounded to integer MICRO-nats per
+    * BUCKET (≤ 256 values — the x_char_entropy boundary-margin
+    * device; the ln argument is an exact integer rational evaluated
+    * in one identical double expression on both engines), so every
+    * per-doc weight is a sum of integer products — order-free,
+    * bit-equal, no float accumulation.
+    *
+    * Scale shape: ONE gram explode collapses map-side to (doc,
+    * bucket) counts; that single exchange feeds the target aggregate,
+    * the raw aggregate, and the scoring join (ReusedExchange — the
+    * x_bigram_lm audit precedent); the ratio table is ≤ B rows and
+    * BROADCASTS back, so the corpus never shuffles on the bucket key
+    * and the per-doc rollup is the only doc-keyed exchange. At
+    * 100 TB the bucket table is still 256 rows — the method's whole
+    * point is that the target fingerprint is a constant-size
+    * artifact. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), explode(expr(
+        """concat(w, if(size(w) >= 2,
+          |  transform(sequence(1, size(w) - 1),
+          |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1))),
+          |  slice(w, 1, 0)))""".stripMargin)).as("gram"))
+      .withColumn("b", pmod(expr("poly_hash31(gram)"), lit(DsirBuckets)))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val target = Tables.documents(s, dir).agg(min(col("source")).as("tsrc"))
+    val tagged = feats.crossJoin(broadcast(target))
+    val qc = feats.groupBy(col("b")).agg(sum(col("cnt")).as("qc"))
+    val tc = tagged.filter(col("source") === col("tsrc"))
+      .groupBy(col("b")).agg(sum(col("cnt")).as("tc"))
+    val tot = tagged.agg(
+      sum(col("cnt")).as("Q"),
+      sum(when(col("source") === col("tsrc"), col("cnt"))
+        .otherwise(0L)).as("T"))
+    val ratios = qc.join(tc, Seq("b"), "left")
+      .withColumn("tc", coalesce(col("tc"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("r_micro", expr(
+        s"CAST(round(1000000.0 * ln(((CAST(tc AS DOUBLE) + 1.0) * (CAST(Q AS DOUBLE) + $DsirBuckets.0)) / ((CAST(qc AS DOUBLE) + 1.0) * (CAST(T AS DOUBLE) + $DsirBuckets.0))), 0) AS BIGINT)"))
+      .select(col("b"), col("r_micro"))
+    feats.join(broadcast(ratios), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("cnt") * col("r_micro")).as("weight_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Driver-visible entry. */
   val queries: scala.collection.immutable.ListMap[String, (SparkSession, String) => DataFrame] =
     scala.collection.immutable.ListMap(
@@ -538,7 +604,8 @@ object TrainingPipeline {
       "p_data_split" -> (dataSplit _),
       "p_epoch_shuffle" -> (epochShuffle _),
       "p_curriculum" -> (curriculum _),
-      "p_graph_rank" -> (graphRank _))
+      "p_graph_rank" -> (graphRank _),
+      "p_dsir" -> (dsirWeights _))
 
   /** The 4 unrolled PageRank iterations over the shared lshpairs
     * CTEs — n, base, and damping are interpolated from the SAME
@@ -807,7 +874,41 @@ object TrainingPipeline {
            |          ORDER BY quality, doc_id) AS pos
            |      FROM s)
            |SELECT stage, shard, pos, doc_id, quality FROM r
-           |ORDER BY stage, shard, pos""".stripMargin)
+           |ORDER BY stage, shard, pos""".stripMargin,
+      // identical gram stream (unigrams + bigrams; duck's half-open
+      // range needs no size guard), the shared poly_hash31 fold, the
+      // same one-expression double ln over exact integer rationals,
+      // CASTs pinning HUGEINT sums back to the Spark BIGINTs
+      "p_dsir" -> {
+        val fold =
+          """list_reduce(list_prepend(CAST(0 AS BIGINT),
+            |  list_transform(string_split(gram, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+            |  (acc, ch) -> (acc * 1000003 + ch) % 2147483647)""".stripMargin
+        s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           |           FROM documents),
+           |g AS (SELECT doc_id, source,
+           |        unnest(list_concat(w, list_transform(range(1, len(w)),
+           |          i -> w[i] || ' ' || w[i + 1]))) AS gram
+           |      FROM d),
+           |gh AS (SELECT doc_id, source, ($fold) % $DsirBuckets AS b FROM g),
+           |cnt AS (SELECT doc_id, source, b, count(*) AS cnt
+           |        FROM gh GROUP BY doc_id, source, b),
+           |tsrc AS (SELECT min(source) AS tsrc FROM documents),
+           |qc AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS qc FROM cnt GROUP BY b),
+           |tc AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS tc
+           |       FROM cnt CROSS JOIN tsrc WHERE source = tsrc GROUP BY b),
+           |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS Q,
+           |          CAST(sum(CASE WHEN source = tsrc THEN cnt ELSE 0 END) AS BIGINT) AS T
+           |        FROM cnt CROSS JOIN tsrc),
+           |r AS (SELECT qc.b,
+           |        CAST(round(1000000.0 * ln(((CAST(coalesce(tc.tc, 0) AS DOUBLE) + 1.0) * (CAST(Q AS DOUBLE) + $DsirBuckets.0)) / ((CAST(qc.qc AS DOUBLE) + 1.0) * (CAST(T AS DOUBLE) + $DsirBuckets.0))), 0) AS BIGINT) AS r_micro
+           |      FROM qc LEFT JOIN tc ON qc.b = tc.b CROSS JOIN tot)
+           |SELECT cnt.doc_id, CAST(sum(cnt.cnt) AS BIGINT) AS n_feats,
+           |  CAST(sum(cnt.cnt * r.r_micro) AS BIGINT) AS weight_micro
+           |FROM cnt JOIN r ON cnt.b = r.b
+           |GROUP BY cnt.doc_id
+           |ORDER BY cnt.doc_id""".stripMargin
+      })
 
   /** One-row funnel report: how many docs survive each stage (each
     * count applies all previous stages too — a true funnel). */

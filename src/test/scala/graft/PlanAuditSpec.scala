@@ -595,6 +595,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
   }
 
+  test("s_ann_l2: broadcast query set, WindowGroupLimit top-k, no sort-merge or cartesian") {
+    val df = graft.operators.SimilarityOps.sAnnL2(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
+  }
+
+  test("x_bm25: query set and totals broadcast onto the corpus explode; top-k is TakeOrdered, never a corpus window") {
+    val df = graft.operators.TextOps.xBm25(spark, sfDir)
+    val p = plan(df)
+    // the 6-term query set must reach the gram stream as a broadcast —
+    // a sort-merge here would shuffle the corpus on the term key
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // top-20 is TakeOrdered(AndProject); the only windows allowed are
+    // over constant-size frames (the 52-row selection, the 20-row rank)
+    assert(p.contains("TakeOrdered"), p)
+  }
+
+  test("p_dsir: the bucket ratio table broadcasts back onto the feature frame; no corpus shuffle on the bucket key") {
+    val df = graft.operators.TrainingPipeline.dsirWeights(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the scoring join keys on the ≤256-row bucket table — if the
+    // corpus side had to exchange on `b` for it the plan regressed
+    val gen = p.indexOf("Generate")
+    assert(gen >= 0, s"no explode found:\n$p")
+  }
+
+  test("p_dsir: target/raw aggregates and scoring share the one (doc,bucket) exchange") {
+    val df = graft.operators.TrainingPipeline.dsirWeights(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange") || fin.contains("StageReuse") ||
+      fin.contains("reused"), s"no exchange reuse in final plan:\n$fin")
+  }
+
+  test("l_incr_mv: maintenance reads the feed and the v1 aggregate — never a second base-table scan per maintained group") {
+    val df = graft.operators.LakeOps.lIncrMv(spark, sfDir)
+    val p = plan(df)
+    // the merge is a key-equi join of two aggregates; a nested-loop or
+    // cartesian here means the null-safe key equality fell off the
+    // equi-join path
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("x_cdc_chunks: boundary+chunk extraction is one projection — no join, no window, two exchanges") {
     val df = graft.operators.TextOps.xCdcChunks(spark, sfDir)
     val p = plan(df)

@@ -708,4 +708,43 @@ class TextSpec extends SparkSpec {
     assert(math.abs(got(2L)._3 - math.round(1e6 * math.log(4.0))) <= 2L,
       s"uniform-4 text must score ~ln(4): ${got(2L)}")
   }
+
+  test("bm25: integer score matches an independent driver recompute; stopword idf < rare-term idf") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val n = docs.length.toLong
+    val totL = docs.map(_._2.length.toLong).sum
+    val dfm = docs.flatMap { case (id, w) => w.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.length.toLong }
+    val byDf = dfm.toSeq.sortBy { case (t, df) => (-df, t) }
+    val stop3 = byDf.take(3)
+    val rare3 = dfm.toSeq.sortBy { case (t, df) => (df, t) }.take(3)
+    def idfMicro(df: Long): Long =
+      math.round(1e6 * math.log(1.0 + (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)))
+    // stopword vs rare regime: the selection is non-vacuous only if
+    // their idf genuinely separates
+    val stopIdf = stop3.map(x => idfMicro(x._2)).max
+    val rareIdf = rare3.map(x => idfMicro(x._2)).min
+    assert(stopIdf < rareIdf, s"idf does not separate: $stopIdf >= $rareIdf")
+    // exact integer recompute (BigInt – no headroom concerns at all)
+    val qset = (stop3 ++ rare3).map(x => x._1 -> BigInt(idfMicro(x._2))).toMap
+    val scores = docs.flatMap { case (id, w) =>
+      val dl = BigInt(w.length)
+      val tfs = w.filter(qset.contains).groupBy(identity)
+        .map { case (t, xs) => t -> BigInt(xs.length) }
+      if (tfs.isEmpty) None else {
+        val s = tfs.map { case (t, tf) =>
+          qset(t) * ((BigInt(1000000) * 44 * tf * totL) /
+            (BigInt(20) * tf * totL + BigInt(6) * totL + BigInt(18) * dl * n))
+        }.sum
+        Some((id, tfs.size.toLong, s))
+      }
+    }
+    val expect = scores.sortBy { case (id, _, s) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((id, nt, s), i) => (i + 1, id, nt, s.toLong) }.toSeq
+    val got = TextOps.xBm25(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect, s"bm25 drifted:\n got=$got\n exp=$expect")
+  }
 }

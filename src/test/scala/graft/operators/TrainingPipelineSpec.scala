@@ -386,4 +386,46 @@ class TrainingPipelineSpec extends SparkSpec {
       assert(math.abs(w - expect) < 1e-9, s"weight $w vs naive $expect")
     }
   }
+
+  test("dsir: weights match an independent driver recompute; target-source docs score higher on average") {
+    def ph(sIn: String): Long =
+      sIn.codePoints().toArray.foldLeft(0L)((acc, c) => (acc * 1000003L + c) % 2147483647L)
+    val b = TrainingPipeline.DsirBuckets
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val tsrc = docs.map(_._2).filter(_ != null).min
+    def buckets(w: Seq[String]): Seq[Long] = {
+      val grams = w ++ (if (w.length >= 2) w.sliding(2).map(_.mkString(" ")).toSeq
+                        else Seq.empty)
+      grams.map(g => ph(g) % b)
+    }
+    val perDoc = docs.map { case (id, src, w) =>
+      (id, src, buckets(w).groupBy(identity).map { case (k, v) => k -> v.length.toLong })
+    }
+    val qc = perDoc.flatMap(_._3).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).sum }
+    val tcm = perDoc.filter(_._2 == tsrc).flatMap(_._3).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).sum }
+    val bigQ = qc.values.sum
+    val bigT = tcm.values.sum
+    val r = qc.map { case (k, q) =>
+      val t = tcm.getOrElse(k, 0L)
+      k -> math.round(1e6 * math.log(((t.toDouble + 1.0) * (bigQ.toDouble + b)) /
+        ((q.toDouble + 1.0) * (bigT.toDouble + b))))
+    }
+    val expect = perDoc.map { case (id, _, cnts) =>
+      id -> (cnts.values.sum, cnts.map { case (k, c) => c * r(k) }.sum)
+    }.toMap
+    val got = TrainingPipeline.dsirWeights(spark, sfDir).collect()
+      .map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2))).toMap
+    assert(got == expect, s"dsir drifted (|got|=${got.size} |exp|=${expect.size})")
+    // non-vacuous: the weights genuinely pull toward the target —
+    // mean weight of target-source docs exceeds the rest
+    val (tW, oW) = (perDoc.filter(_._2 == tsrc).map(d => expect(d._1)._2),
+      perDoc.filter(_._2 != tsrc).map(d => expect(d._1)._2))
+    assert(tW.nonEmpty && oW.nonEmpty &&
+      tW.sum.toDouble / tW.length > oW.sum.toDouble / oW.length,
+      "target docs do not score higher on average — selection is vacuous")
+  }
 }
