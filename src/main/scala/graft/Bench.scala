@@ -51,7 +51,8 @@ object Bench {
     "s_recall_eval", "t_minute_task_cnt_tz", "t_time_bucket_shard_tz",
     "x_ppl_buckets", "l_scan_prune", "l_point_lookup",
     "l_time_travel", "l_merge_head", "l_cdf", "l_dv_takedown", "l_audit_travel", "x_char_entropy",
-    "l_merge_clauses", "l_restore", "x_cdc_chunks", "s_ann_dot")
+    "l_merge_clauses", "l_restore", "x_cdc_chunks", "s_ann_dot",
+    "s_ann_l2", "x_bm25", "p_dsir", "l_incr_mv")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
