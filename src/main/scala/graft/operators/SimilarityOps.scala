@@ -134,6 +134,85 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Candidate-pool size and selection depth for MMR. The pool is
+    * what bounds EVERYTHING downstream of the scan: the greedy
+    * re-rank touches only MmrPool rows per query, never the corpus. */
+  private[operators] val MmrPool = 30
+  private[operators] val MmrK = 8
+
+  /** Maximal Marginal Relevance diversified top-k (Carbonell &
+    * Goldstein 1998) — the standard retrieval RE-RANK: pure top-k by
+    * relevance returns near-duplicate neighbors (the corpus's dup
+    * cliques all rank together); MMR greedily picks, at each step,
+    * the candidate maximizing λ·rel − (1−λ)·max-similarity-to-the-
+    * already-selected. λ = ½, so the integer objective is
+    * rel_ppm − maxsim_ppm (the ½ scales out of the argmax), with
+    * every similarity floored to ppm (floor(cos·10⁶) — both engines
+    * floor the SAME IEEE double, the round(cos,4) precedent) so the
+    * greedy compares integers, never float sums.
+    *
+    * Two-stage plan, the production shape: (1) the broadcast linear
+    * scan ranks a top-MmrPool relevance pool per query (rel_ppm
+    * DESC, vec_id tiebreak — the floored key, so pool membership is
+    * integer-deterministic); (2) the pool packs into ONE array row
+    * per query (sort_array on the unique pool rank → deterministic
+    * array order) and the entire greedy — the P×P sim matrix and the
+    * K selection rounds — runs as a higher-order-function program
+    * INSIDE that row: zero joins, zero windows, zero extra shuffles
+    * after the pool window. Ties in the greedy argmax resolve to the
+    * earliest pool position (higher rel, then smaller vec_id) via
+    * strict-> in array order, mirrored by ORDER BY sc DESC, pr in
+    * the oracle's unrolled-CTE greedy.
+    *
+    * Scale shape (100 TB): stage 1 is the s_ann_bruteforce scan
+    * (or, at 10⁹ vectors, ANY of the existing ANN tiers — the pool
+    * is just "candidates", LSH/IVF produce the same shape); stage 2
+    * is O(queries) rows × O(P²+K·P) integer work per row —
+    * data-parallel across queries, constant per query, no shuffle.
+    * The naive alternative (K rounds of join-against-selected over
+    * the corpus) would be K corpus-sized shuffles. */
+  def sMmr(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rel_ppm").desc, col("vec_id"))
+    val pool = Tables.embeddings(s, dir)
+      .crossJoin(broadcast(queryVecs(s, dir)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rel_ppm", expr(
+        "CAST(floor(cosine_similarity(q_emb, embedding) * 1000000.0D) AS BIGINT)"))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= MmrPool)
+    val packed = pool.groupBy(col("q_id"))
+      .agg(sort_array(collect_list(struct(
+        col("pr"), col("vec_id"), col("rel_ppm"), col("embedding")))).as("cands"))
+    packed
+      .withColumn("simmat", expr(
+        """transform(cands, a -> transform(cands, b ->
+          |  CAST(floor(cosine_similarity(a.embedding, b.embedding) * 1000000.0D) AS BIGINT)))"""
+          .stripMargin))
+      .withColumn("sel", expr(
+        s"""aggregate(
+           |  sequence(1, $MmrK),
+           |  CAST(array() AS ARRAY<STRUCT<r: INT, i: INT, sc: BIGINT>>),
+           |  (sel, step) -> array_append(sel,
+           |    aggregate(
+           |      filter(
+           |        transform(sequence(0, size(cands) - 1), i -> named_struct(
+           |          'r', step,
+           |          'i', i,
+           |          'sc', element_at(cands, i + 1).rel_ppm -
+           |            IF(size(sel) = 0, 0L,
+           |               aggregate(sel, CAST(-4000000 AS BIGINT), (m, sl) ->
+           |                 greatest(m, element_at(element_at(simmat, i + 1), sl.i + 1)))))),
+           |        c -> NOT exists(sel, sl -> sl.i = c.i)),
+           |      named_struct('r', step, 'i', -1, 'sc', CAST(-8000000 AS BIGINT)),
+           |      (best, c) -> IF(c.sc > best.sc, c, best))))""".stripMargin))
+      .select(col("q_id"), col("cands"), explode(col("sel")).as("s"))
+      .filter(col("s.i") >= 0)
+      .select(col("q_id"), col("s.r").as("sel_rank"),
+        expr("element_at(cands, s.i + 1).vec_id").as("vec_id"),
+        col("s.sc").as("mmr_ppm"))
+      .orderBy(col("q_id"), col("sel_rank"))
+  }
+
   /** One row per (table, bucket) per vector: bucketed ONCE, reused by
     * every query — the single shuffle of the vector table. Table
     * seeds must be literals (each expression instance owns its
@@ -742,6 +821,7 @@ object SimilarityOps {
     "s_range_search" -> (sRangeSearch _),
     "s_ann_dot" -> (sAnnDot _),
     "s_ann_l2" -> (sAnnL2 _),
+    "s_mmr" -> (sMmr _),
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_multiprobe" -> (sAnnMultiprobe _),
     "s_recall_eval" -> (sRecallEval _),
@@ -985,6 +1065,53 @@ object SimilarityOps {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // MMR mirror: the same integer objective (rel_ppm − maxsim_ppm,
+  // everything floor(cos·10⁶)), with the greedy UNROLLED as MmrK
+  // chained CTEs — step t joins the pool to the step-(t−1) selection
+  // through the P×P pairsim CTE, excludes the already-picked via NOT
+  // EXISTS, and picks argmax by (sc DESC, pool rank) — exactly the
+  // strict-> array-order tiebreak of the Spark fold.
+  private lazy val mmrSql: String = {
+    val relExpr =
+      """CAST(floor(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+        |  CAST(e.embedding AS DOUBLE[])) * 1000000.0) AS BIGINT)""".stripMargin
+    val steps = (2 to MmrK).map { t =>
+      s"""c$t AS (
+         |  SELECT p.q_id, p.vec_id, p.pr, p.rel_ppm - max(m.sp) AS sc
+         |  FROM pool p
+         |  JOIN sim m ON m.q_id = p.q_id AND m.ia = p.vec_id
+         |  JOIN s${t - 1} s ON s.q_id = m.q_id AND s.vec_id = m.ib
+         |  WHERE NOT EXISTS (SELECT 1 FROM s${t - 1} d
+         |                    WHERE d.q_id = p.q_id AND d.vec_id = p.vec_id)
+         |  GROUP BY p.q_id, p.vec_id, p.pr, p.rel_ppm),
+         |s$t AS (
+         |  SELECT * FROM s${t - 1}
+         |  UNION ALL
+         |  SELECT q_id, vec_id, $t AS r, sc FROM
+         |    (SELECT q_id, vec_id, sc,
+         |       row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, pr) AS rn
+         |     FROM c$t)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |           WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, e.embedding, $relExpr AS rel_ppm,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY $relExpr DESC, e.vec_id) AS pr
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+       |pool AS (SELECT * FROM scored WHERE pr <= $MmrPool),
+       |sim AS (SELECT a.q_id, a.vec_id AS ia, b.vec_id AS ib,
+       |          CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |            CAST(b.embedding AS DOUBLE[])) * 1000000.0) AS BIGINT) AS sp
+       |        FROM pool a JOIN pool b ON a.q_id = b.q_id),
+       |s1 AS (SELECT q_id, vec_id, 1 AS r, rel_ppm AS sc
+       |       FROM pool WHERE pr = 1),
+       |$steps
+       |SELECT q_id, r AS sel_rank, vec_id, sc AS mmr_ppm
+       |FROM s$MmrK ORDER BY q_id, sel_rank""".stripMargin
+  }
+
   private lazy val annLshSql: String =
     s"""WITH $lshBucketedCtes,
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, tbl, bucket
@@ -1041,6 +1168,8 @@ object SimilarityOps {
          |ORDER BY q.q_id, e.vec_id""".stripMargin,
     "s_ann_dot" -> annDotSql,
     "s_ann_l2" -> annL2Sql,
+    // unrolled-CTE greedy, same integer objective — see mmrSql
+    "s_mmr" -> mmrSql,
     // Exact mirror of the LSH path: every hyperplane component is
     // inlined (HyperplaneLsh.planesFor — identical seeded matrix),
     // each bucket bit recomputed as an explicit left-associated

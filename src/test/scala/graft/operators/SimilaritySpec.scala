@@ -442,4 +442,49 @@ class SimilaritySpec extends SparkSpec {
       s"semantic pairs ${sem.size} != same-cell exact pairs ${sameCell.size}")
     sem.foreach { case ((x, y), c) => assert(cell(embs(x)) == c && cell(embs(y)) == c) }
   }
+
+  test("MMR: greedy driver recompute matches exactly; diversifies vs pure relevance (non-vacuous)") {
+    val rows = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def ppm(x: Double): Long = math.floor(x * 1000000.0).toLong
+    val queries = rows.filter(_._1 < 5)
+    val got = SimilarityOps.sMmr(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).map { case (q, v) => q -> v.sortBy(_._2).map(t => (t._3, t._4)).toSeq }
+    assert(got.size == 5 && got.values.forall(_.size == SimilarityOps.MmrK))
+    var anyDiversified = false
+    queries.foreach { case (qid, qv) =>
+      // pool: top-MmrPool by (floored rel desc, vec_id) — the integer
+      // ranking key the operator uses, so pool membership is exact
+      val pool = rows.filter(_._1 != qid)
+        .map { case (id, v) => (id, ppm(cos(qv, v)), v) }
+        .sortBy { case (id, rel, _) => (-rel, id) }
+        .take(SimilarityOps.MmrPool)
+      // greedy: strict > in pool order = (score desc, pool rank asc)
+      var sel = Vector.empty[(Long, Long)]
+      var selVecs = Vector.empty[Array[Double]]
+      (1 to SimilarityOps.MmrK).foreach { _ =>
+        val scored = pool.filter(c => !sel.exists(_._1 == c._1))
+          .map { case (id, rel, v) =>
+            val ms = if (selVecs.isEmpty) 0L
+                     else selVecs.map(sv => ppm(cos(v, sv))).max
+            (id, rel - ms, v)
+          }
+        val best = scored.tail.foldLeft(scored.head) { (b, c) =>
+          if (c._2 > b._2) c else b }
+        sel = sel :+ ((best._1, best._2))
+        selVecs = selVecs :+ best._3
+      }
+      assert(got(qid) == sel, s"query $qid: MMR greedy drifted\n got ${got(qid)}\n exp $sel")
+      val topRel = pool.take(SimilarityOps.MmrK).map(_._1).toSet
+      if (sel.map(_._1).toSet != topRel) anyDiversified = true
+    }
+    assert(anyDiversified,
+      "MMR == pure-relevance top-k on every query — the lambda term is vacuous on this corpus")
+  }
 }
