@@ -1156,6 +1156,96 @@ object TextOps {
       .filter(col("n_docs") >= 2)
       .orderBy(col("chunk_fp"))
 
+  private[operators] val CollocMinCount = 5L
+  private[operators] val CollocK = 30
+
+  /** PMI-scored collocation mining (Church & Hanks 1990) — the
+    * corpus-profiling query behind tokenizer-vocabulary seeding and
+    * stopword/boilerplate discovery: bigrams whose observed rate
+    * beats the independence hypothesis, scored by pointwise mutual
+    * information pmi = ln(p(ab) / (p(a)·p(b))) with p(ab) over bigram
+    * positions and p(a) over token positions, i.e.
+    * ln(c_ab·N₁·N₁ / (N₂·c_a·c_b)). The score lands as integer
+    * micro-nats (round(10⁶·ln x) — the x_char_entropy discipline:
+    * ONE ln per surviving bigram of a shared-text double, no float
+    * sum ever forms), a min-count floor (≥ 5) kills the
+    * hapax-pair degeneracy PMI is notorious for, and the top-30 is
+    * (pmi desc, bigram) — bigram unique per row, so the boundary is
+    * deterministic.
+    *
+    * Plan shape: one token explode → unigram counts (map-side
+    * partial agg), one bigram explode → bigram counts, the min-count
+    * filter BEFORE the two word-keyed joins (the join input is
+    * "frequent bigrams", not the bigram table), totals as a 1-row
+    * broadcast, top-30 by TakeOrdered — no window, no corpus-wide
+    * sort anywhere. At 100 TB: two linear explodes + equi-joins
+    * keyed on words; every aggregation collapses map-side on natural
+    * text's Zipf head. */
+  def xCollocations(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).withColumn("w", tokens)
+    val uni = d.select(explode(col("w")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val tot = d.agg(sum(size(col("w")).cast("long")).as("n1"),
+      sum(greatest(size(col("w")) - 1, lit(0)).cast("long")).as("n2"))
+    val big = d.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"""
+          .stripMargin)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= CollocMinCount)
+      .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
+      .withColumn("w2", expr("split_part(bigram, ' ', 2)"))
+    big
+      .join(uni.select(col("term").as("w1"), col("c1").as("ca")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("c1").as("cb")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_unat", expr(
+        "CAST(round(1000000.0 * ln((CAST(c12 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) / (CAST(n2 AS DOUBLE) * CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))), 0) AS BIGINT)"))
+      .orderBy(col("pmi_unat").desc, col("bigram"))
+      .limit(CollocK)
+      .select(col("bigram"), col("c12").as("cnt"), col("pmi_unat"))
+      .orderBy(col("pmi_unat").desc, col("bigram"))
+  }
+
+  /** Flesch reading-ease scoring — the classic readability quality
+    * signal (Flesch 1948; the filter family Gopher/CCNet quality
+    * rules belong to), exact to the milli-point in INTEGER
+    * arithmetic: 206.835 − 1.015·(W/S) − 84.6·(Y/W) becomes
+    * 206835 − (1015·W div S) − (84600·Y div W) — two floor
+    * divisions, no float ever forms (the x_bm25 rational device).
+    * Sentences = runs of terminal punctuation ([.!?]+, floor 1);
+    * words = the corpus-wide space-token convention; syllables = the
+    * standard vowel-group heuristic (runs of [aeiouy] in the
+    * lowercased text) with the min-1-per-word floor landing as
+    * "+ count of vowel-free words". Each count is ONE regexp_count /
+    * size(filter(...)) over the row — per-row projection, zero
+    * shuffles except the output sort; at 100 TB this is a pure
+    * map-stage scan that fuses into whatever filter funnel consumes
+    * it (see x_gopher_rules). */
+  def xReadability(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("wn", size(tokens).cast("long"))
+      .withColumn("sn", greatest(
+        regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L)))
+      .withColumn("syl",
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long") +
+          expr("CAST(size(filter(split(text, ' '), t -> lower(t) NOT RLIKE '[aeiouy]')) AS BIGINT)"))
+      .withColumn("flesch_milli",
+        lit(206835L) - expr("(1015 * wn) div sn") - expr("(84600 * syl) div wn"))
+      .select(col("doc_id"), col("wn").as("n_words"), col("sn").as("n_sentences"),
+        col("syl").as("n_syllables"), col("flesch_milli"),
+        expr(FleschBandCase).as("band"))
+      .orderBy(col("doc_id"))
+
+  /** Shared WHEN-ladder (the bucketCaseSql device): identical text in
+    * Spark and DuckDB, so the band boundaries cannot drift. */
+  private[operators] val FleschBandCase: String =
+    """CASE WHEN flesch_milli >= 90000 THEN 'very_easy'
+      |     WHEN flesch_milli >= 60000 THEN 'standard'
+      |     WHEN flesch_milli >= 30000 THEN 'difficult'
+      |     ELSE 'very_confusing' END""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "x_lang_id" -> (xLangId _),
     "x_quality_score" -> (xQualityScore _),
@@ -1186,6 +1276,8 @@ object TextOps {
     "x_bigram_lm" -> (xBigramLm _),
     "x_ppl_buckets" -> (xPplBuckets _),
     "x_char_entropy" -> (xCharEntropy _),
+    "x_collocations" -> (xCollocations _),
+    "x_readability" -> (xReadability _),
   )
 
   /** Generated oracle CTE chain for the BPE tier: v0 (char-segmented
@@ -1756,6 +1848,44 @@ object TextOps {
          |    - CAST(round(sum_micronats / n, 0) AS BIGINT)
          |    AS entropy_micronats
          |FROM agg ORDER BY doc_id""".stripMargin,
+    // identical ln text + identical integer arithmetic; bigrams via
+    // the bigramScoredCtes list device, counts via plain GROUP BYs
+    "x_collocations" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |uni AS (SELECT unnest(w) AS term FROM d),
+         |c1 AS (SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY 1),
+         |tot AS (SELECT CAST(sum(len(w)) AS BIGINT) AS n1,
+         |    CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS n2 FROM d),
+         |b AS (SELECT unnest(list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i + 1])) AS bigram
+         |  FROM d WHERE len(w) >= 2),
+         |c12 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c12
+         |  FROM b GROUP BY 1 HAVING count(*) >= $CollocMinCount),
+         |j AS (SELECT c12.bigram, c12.c12, ca.c1 AS ca, cb.c1 AS cb, tot.n1, tot.n2
+         |  FROM c12
+         |  JOIN c1 ca ON ca.term = split_part(c12.bigram, ' ', 1)
+         |  JOIN c1 cb ON cb.term = split_part(c12.bigram, ' ', 2)
+         |  CROSS JOIN tot)
+         |SELECT bigram, c12 AS cnt,
+         |  CAST(round(1000000.0 * ln((CAST(c12 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) / (CAST(n2 AS DOUBLE) * CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))), 0) AS BIGINT) AS pmi_unat
+         |FROM j
+         |ORDER BY pmi_unat DESC, bigram LIMIT $CollocK""".stripMargin,
+    // two floor divisions (// ≡ div), shared band CASE text; word/
+    // sentence/syllable counts are the same regexp + list primitives
+    "x_readability" ->
+      s"""WITH c AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wn,
+         |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS sn,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+         |      + CAST(len(list_filter(string_split(text, ' '),
+         |          t -> NOT regexp_matches(lower(t), '[aeiouy]'))) AS BIGINT) AS syl
+         |  FROM documents),
+         |f AS (SELECT doc_id, wn, sn, syl,
+         |    206835 - ((1015 * wn) // sn) - ((84600 * syl) // wn) AS flesch_milli
+         |  FROM c)
+         |SELECT doc_id, wn AS n_words, sn AS n_sentences, syl AS n_syllables,
+         |  flesch_milli, $FleschBandCase AS band
+         |FROM f ORDER BY doc_id""".stripMargin,
   )
 
   /** The bigram-LM scoring pipeline as shared CTEs (ending in

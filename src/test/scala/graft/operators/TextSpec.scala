@@ -747,4 +747,62 @@ class TextSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == expect, s"bm25 drifted:\n got=$got\n exp=$expect")
   }
+
+  test("collocations: PMI agrees with a driver recompute; min-count floor kills hapax pairs") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir).select("text").collect().map(_.getString(0))
+    val toks = docs.map(_.split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bi = toks.filter(_.size >= 2)
+      .flatMap(w => w.sliding(2).map(p => p.mkString(" ")))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n1 = toks.map(_.size.toLong).sum
+    val n2 = toks.map(w => math.max(w.size - 1, 0).toLong).sum
+    def pmi(b: String, c12: Long): Long = {
+      val Array(a, bb) = b.split(" ", 2)
+      math.round(1000000.0 * math.log(
+        (c12.toDouble * n1.toDouble * n1.toDouble) /
+          (n2.toDouble * uni(a).toDouble * uni(bb).toDouble)))
+    }
+    val expect = bi.toSeq.filter(_._2 >= TextOps.CollocMinCount)
+      .map { case (b, c) => (b, c, pmi(b, c)) }
+      .sortBy { case (b, _, p) => (-p, b) }.take(TextOps.CollocK)
+    val got = TextOps.xCollocations(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"collocation drift:\n got ${got.take(5)}\n exp ${expect.take(5)}")
+    // the floor is load-bearing: hapax pairs exist and would flood the
+    // top-k with pmi = ln(N1^2/N2·ca·cb) maxima if not filtered
+    assert(bi.exists(_._2 < TextOps.CollocMinCount), "corpus has no sub-floor bigrams")
+  }
+
+  test("readability: hand-computed Flesch on a punctuation-rich micro-corpus; driver recompute at sf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_flesch").toString
+    // doc 1: "The cat sat. The dog ran!" W=6 S=2 Y=6 -> 206835 - 3045 - 84600 = 119190
+    // doc 2: vowel-free token "xyz" takes the min-1 floor: W=2 S=1 Y=1+1=2
+    Seq((1L, "The cat sat. The dog ran!"), (2L, "xyz grr"))
+      .toDF("doc_id", "text").withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.xReadability(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(out(1L) == ((6L, 2L, 6L, 206835L - (1015L * 6 / 2) - (84600L * 6 / 6), "very_easy")), out(1L).toString)
+    assert(out(2L)._3 == 2L, s"vowel-free floor broken: ${out(2L)}")
+    assert(out(2L)._4 == 206835L - 1015L * 2 - 84600L, out(2L).toString)
+    // full-corpus driver recompute (the spec's real teeth)
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.xReadability(spark, sfDir).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val t = docs(r.getLong(0))
+      val w = t.split(" ", -1)
+      val wn = w.length.toLong
+      val sn = math.max("[.!?]+".r.findAllIn(t).size, 1).toLong
+      val syl = "[aeiouy]+".r.findAllIn(t.toLowerCase).size.toLong +
+        w.count(x => !x.toLowerCase.exists("aeiouy".contains(_)))
+      assert(r.getLong(1) == wn && r.getLong(2) == sn && r.getLong(3) == syl,
+        s"doc ${r.getLong(0)}: counts drifted")
+      assert(r.getLong(4) == 206835L - (1015L * wn / sn) - (84600L * syl / wn))
+    }
+  }
 }
