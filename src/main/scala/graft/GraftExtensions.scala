@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(c.length == 2, "l2_distance(a, b)")
       L2Distance(c(0), c(1))
     }
+    register("mmr_greedy", classOf[MmrGreedy]) { c =>
+      require(c.length == 3, "mmr_greedy(rels, simmat, k)")
+      MmrGreedy(c(0), c(1), litInt(c(2), "k"))
+    }
     register("hyperplane_lsh", classOf[HyperplaneLsh]) { c =>
       require(c.length == 3, "hyperplane_lsh(vec, seed, bits)")
       HyperplaneLsh(c(0), litInt(c(1), "seed"), litInt(c(2), "bits"))

@@ -93,6 +93,32 @@ object LakeProbe {
     val (_, tRestore) = time(
       ManifestLake.restore(spark, out, postMerge.version - 1))
 
+    // incremental-MV arm (the l_incr_mv cost claim, measured): a
+    // per-user MV materialized at v1 is brought to head two ways —
+    // folding the change feed (cost ∝ |changes|: the deltas of the
+    // takedowns/upsert/merge above) vs recomputing from the head
+    // snapshot (cost ∝ |table|). The base-MV write is NOT timed
+    // (production has it materialized already).
+    val head = ManifestLake.snapshot(spark, out).version
+    def mvOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("user_id").agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+    val mvPath = s"$out/../graft_probe_mv"
+    mvOf(ManifestLake.readVersion(spark, out, 1L))
+      .write.mode("overwrite").parquet(mvPath)
+    val (nChanged, tIncMv) = time {
+      val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+      val delta = ManifestLake.readChanges(spark, out, 1L, head)
+        .groupBy("user_id")
+        .agg(sum(sign).as("dc"), sum(sign * col("value")).as("dv"))
+      spark.read.parquet(mvPath).as("m")
+        .join(delta.as("d"), Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("cnt"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("cnt"),
+          (coalesce(col("sv"), lit(0.0)) + coalesce(col("dv"), lit(0.0))).as("sv"))
+        .filter(col("cnt") > 0).count()
+    }
+    val (nFullMv, tFullMv) = time(mvOf(ManifestLake.read(spark, out)).count())
+
     val (nVac, tVac) = time(ManifestLake.vacuum(spark, out, retentionMs = 0L).size)
 
     println(s"""{"metric":"lakeprobe","dir":"$sfDir","days":$nDays,""" +
@@ -105,7 +131,10 @@ object LakeProbe {
       f""""merge_one_day_sec":$tMerge%.3f,""" +
       s""""merge_rewritten_days":$mergeRewritten,""" +
       s""""merge_appended_days":$mergeAppended,""" +
-      f""""restore_sec":$tRestore%.3f,"vacuum_sec":$tVac%.3f,""" +
+      f""""restore_sec":$tRestore%.3f,""" +
+      f""""inc_mv_sec":$tIncMv%.3f,"full_mv_sec":$tFullMv%.3f,""" +
+      s""""inc_mv_keys":$nChanged,"full_mv_keys":$nFullMv,""" +
+      f""""vacuum_sec":$tVac%.3f,""" +
       s""""vacuumed_paths":$nVac}""")
     spark.stop()
   }

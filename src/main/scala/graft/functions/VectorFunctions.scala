@@ -312,3 +312,116 @@ object HyperplaneLsh {
     Array.fill(bits, dim)(rnd.nextGaussian())
   }
 }
+
+/** mmr_greedy(rels, vecs, k) → array<struct<r int, i int, sc bigint>>:
+  * the Maximal-Marginal-Relevance greedy selection over a bounded
+  * candidate pool — rels(i) the integer (ppm) relevance of candidate
+  * i, vecs(i) its embedding, k the selection depth. The pairwise
+  * similarity is floor(cosine·10⁶) with the EXACT accumulation of
+  * CosineSimilarity (index-order dot/norms in double), so the DuckDB
+  * mirror's floor(list_cosine_similarity(...)·10⁶) reproduces every
+  * entry bit-for-bit. Step t picks argmax over unselected i of
+  * rels(i) − max_{j∈selected} sim(i)(j) (0 when nothing is selected
+  * yet, so the first pick is pure relevance); ties resolve to the
+  * LOWEST index — array order is the (rel desc, vec_id) pool order,
+  * mirrored by the oracle's ORDER BY sc DESC, pr.
+  *
+  * A native expression, NOT the equivalent aggregate/transform
+  * lambda program: interpreted higher-order-function evaluation of
+  * the nested fold measured ~90 ms PER EVALUATION (and the explode
+  * above re-evaluates its generator per output row +
+  * InferFiltersFromGenerate re-evaluates it in the inferred filter),
+  * turning a 5-query re-rank into seconds at ANY corpus size; this
+  * tight-loop eval (P² cosines + K·P·K greedy) is microseconds.
+  * CodegenFallback is deliberate (the NextCronTimes argument): it
+  * evaluates once per QUERY row — O(|queries|), never O(corpus) —
+  * so whole-stage codegen has nothing to win.
+  */
+case class MmrGreedy(rels: Expression, vecs: Expression, k: Int)
+    extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def left: Expression = rels
+  override def right: Expression = vecs
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("r", IntegerType, nullable = false),
+    StructField("i", IntegerType, nullable = false),
+    StructField("sc", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "mmr_greedy"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val relsOk = rels.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    val vecsOk = vecs.dataType match {
+      case ArrayType(ArrayType(FloatType | DoubleType, _), _) => true
+      case _ => false
+    }
+    if (relsOk && vecsOk && k > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mmr_greedy expects (array<bigint>, array<array<float|double>>, k>0), got (${rels.dataType}, ${vecs.dataType}, $k)")
+  }
+
+  private def elemIsFloat: Boolean = vecs.dataType match {
+    case ArrayType(ArrayType(FloatType, _), _) => true
+    case _ => false
+  }
+
+  /** floor(10⁶ · cos) with CosineSimilarity's exact index-order
+    * double accumulation — the oracle-parity contract. */
+  private def simPpm(a: ArrayData, b: ArrayData, isFloat: Boolean): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (isFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val c = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    math.floor(c * 1000000.0).toLong
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val rel = l.asInstanceOf[ArrayData]
+    val vs = r.asInstanceOf[ArrayData]
+    val n = rel.numElements()
+    val kk = math.min(k, n)
+    val isFloat = elemIsFloat
+    val rows = Array.tabulate(n)(i => vs.getArray(i))
+    val sim = Array.tabulate(n, n)((i, j) => simPpm(rows(i), rows(j), isFloat))
+    val used = new Array[Boolean](n)
+    val out = new Array[Any](kk)
+    var t = 0
+    while (t < kk) {
+      var bi = -1
+      var bs = Long.MinValue
+      var i = 0
+      while (i < n) {
+        if (!used(i)) {
+          var ms = 0L
+          if (t > 0) {
+            ms = Long.MinValue
+            var j = 0
+            while (j < n) {
+              if (used(j)) { val s = sim(i)(j); if (s > ms) ms = s }
+              j += 1
+            }
+          }
+          val sc = rel.getLong(i) - ms
+          if (sc > bs) { bs = sc; bi = i }
+        }
+        i += 1
+      }
+      used(bi) = true
+      out(t) = org.apache.spark.sql.catalyst.InternalRow(t + 1, bi, bs)
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(rels = newLeft, vecs = newRight)
+}

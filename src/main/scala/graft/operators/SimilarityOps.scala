@@ -156,13 +156,20 @@ object SimilarityOps {
     * DESC, vec_id tiebreak — the floored key, so pool membership is
     * integer-deterministic); (2) the pool packs into ONE array row
     * per query (sort_array on the unique pool rank → deterministic
-    * array order) and the entire greedy — the P×P sim matrix and the
-    * K selection rounds — runs as a higher-order-function program
-    * INSIDE that row: zero joins, zero windows, zero extra shuffles
-    * after the pool window. Ties in the greedy argmax resolve to the
-    * earliest pool position (higher rel, then smaller vec_id) via
-    * strict-> in array order, mirrored by ORDER BY sc DESC, pr in
-    * the oracle's unrolled-CTE greedy.
+    * array order) and the entire greedy — P×P sim matrix AND the K
+    * selection rounds, both inside the native mmr_greedy
+    * expression — runs INSIDE that row: zero joins, zero windows,
+    * zero extra shuffles after the pool window. (The greedy was
+    * first an aggregate()/transform() lambda fold — semantically
+    * identical, but interpreted HOF evaluation of the nested fold
+    * measured ~90 ms per eval, and explode's generator plus the
+    * InferFiltersFromGenerate filter re-evaluate per output row:
+    * ~8 s for 5 queries at ANY scale. The expression evaluates the
+    * same greedy in microseconds — see MmrGreedy.) Ties in the
+    * greedy argmax resolve to the earliest pool position (higher
+    * rel, then smaller vec_id) via strict-> in array order,
+    * mirrored by ORDER BY sc DESC, pr in the oracle's unrolled-CTE
+    * greedy.
     *
     * Scale shape (100 TB): stage 1 is the s_ann_bruteforce scan
     * (or, at 10⁹ vectors, ANY of the existing ANN tiers — the pool
@@ -171,7 +178,7 @@ object SimilarityOps {
     * data-parallel across queries, constant per query, no shuffle.
     * The naive alternative (K rounds of join-against-selected over
     * the corpus) would be K corpus-sized shuffles. */
-  def sMmr(s: SparkSession, dir: String): DataFrame = {
+  private def sMmrSelected(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("rel_ppm").desc, col("vec_id"))
     val pool = Tables.embeddings(s, dir)
       .crossJoin(broadcast(queryVecs(s, dir)))
@@ -183,35 +190,17 @@ object SimilarityOps {
     val packed = pool.groupBy(col("q_id"))
       .agg(sort_array(collect_list(struct(
         col("pr"), col("vec_id"), col("rel_ppm"), col("embedding")))).as("cands"))
-    packed
-      .withColumn("simmat", expr(
-        """transform(cands, a -> transform(cands, b ->
-          |  CAST(floor(cosine_similarity(a.embedding, b.embedding) * 1000000.0D) AS BIGINT)))"""
-          .stripMargin))
-      .withColumn("sel", expr(
-        s"""aggregate(
-           |  sequence(1, $MmrK),
-           |  CAST(array() AS ARRAY<STRUCT<r: INT, i: INT, sc: BIGINT>>),
-           |  (sel, step) -> array_append(sel,
-           |    aggregate(
-           |      filter(
-           |        transform(sequence(0, size(cands) - 1), i -> named_struct(
-           |          'r', step,
-           |          'i', i,
-           |          'sc', element_at(cands, i + 1).rel_ppm -
-           |            IF(size(sel) = 0, 0L,
-           |               aggregate(sel, CAST(-4000000 AS BIGINT), (m, sl) ->
-           |                 greatest(m, element_at(element_at(simmat, i + 1), sl.i + 1)))))),
-           |        c -> NOT exists(sel, sl -> sl.i = c.i)),
-           |      named_struct('r', step, 'i', -1, 'sc', CAST(-8000000 AS BIGINT)),
-           |      (best, c) -> IF(c.sc > best.sc, c, best))))""".stripMargin))
+    packed.withColumn("sel", expr(
+      s"mmr_greedy(transform(cands, c -> c.rel_ppm), transform(cands, c -> c.embedding), $MmrK)"))
+  }
+
+  def sMmr(s: SparkSession, dir: String): DataFrame =
+    sMmrSelected(s, dir)
       .select(col("q_id"), col("cands"), explode(col("sel")).as("s"))
-      .filter(col("s.i") >= 0)
       .select(col("q_id"), col("s.r").as("sel_rank"),
         expr("element_at(cands, s.i + 1).vec_id").as("vec_id"),
         col("s.sc").as("mmr_ppm"))
       .orderBy(col("q_id"), col("sel_rank"))
-  }
 
   /** One row per (table, bucket) per vector: bucketed ONCE, reused by
     * every query — the single shuffle of the vector table. Table
