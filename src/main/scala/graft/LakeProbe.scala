@@ -56,6 +56,11 @@ object LakeProbe {
     val (nDel, tDelAll) = time(ManifestLake.deleteWhere(spark, out,
       col("user_id") % 101 === 7))
 
+    // the MV maintenance base: everything AFTER this version is
+    // day-local (upsert rewrites one day; merge + restore cancel),
+    // i.e. the production incremental-ETL window
+    val vBase = ManifestLake.snapshot(spark, out).version
+
     // upsert: re-fire one day's surviving rows an hour later (same day)
     val upd = ManifestLake.readDays(spark, out, _ == day)
       .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
@@ -103,20 +108,34 @@ object LakeProbe {
     def mvOf(df: org.apache.spark.sql.DataFrame) =
       df.groupBy("user_id").agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
     val mvPath = s"$out/../graft_probe_mv"
-    mvOf(ManifestLake.readVersion(spark, out, 1L))
-      .write.mode("overwrite").parquet(mvPath)
-    val (nChanged, tIncMv) = time {
+    def maintainFrom(fromV: Long): Long = {
       val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-      val delta = ManifestLake.readChanges(spark, out, 1L, head)
+      val delta = ManifestLake.readChanges(spark, out, fromV, head)
         .groupBy("user_id")
         .agg(sum(sign).as("dc"), sum(sign * col("value")).as("dv"))
+      // null-safe key equality, same as lIncrMv: a NULL group must
+      // MERGE with its delta, not split into two rows
       spark.read.parquet(mvPath).as("m")
-        .join(delta.as("d"), Seq("user_id"), "full_outer")
-        .select(col("user_id"),
+        .join(delta.as("d"), col("m.user_id") <=> col("d.user_id"), "full_outer")
+        .select(coalesce(col("m.user_id"), col("d.user_id")).as("user_id"),
           (coalesce(col("cnt"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("cnt"),
           (coalesce(col("sv"), lit(0.0)) + coalesce(col("dv"), lit(0.0))).as("sv"))
         .filter(col("cnt") > 0).count()
     }
+    // production window: the deltas since vBase are day-local (one
+    // upsert-rewritten day; merge↔restore net to identical manifests
+    // so readChanges skips them with zero IO) — this is the shape
+    // the l_incr_mv O(|changes|) claim is about
+    mvOf(ManifestLake.readVersion(spark, out, vBase))
+      .write.mode("overwrite").parquet(mvPath)
+    val (nIncMv, tIncMv) = time(maintainFrom(vBase))
+    // adversarial window: v1→head spans the SCATTERED delete — a
+    // full-lake rewrite, where the feed's exceptAll pays ~two table
+    // scans; measured to document when NOT to use the feed (recompute
+    // from the snapshot instead — the skipChangeCommits boundary)
+    mvOf(ManifestLake.readVersion(spark, out, 1L))
+      .write.mode("overwrite").parquet(mvPath)
+    val (_, tIncMvRw) = time(maintainFrom(1L))
     val (nFullMv, tFullMv) = time(mvOf(ManifestLake.read(spark, out)).count())
 
     val (nVac, tVac) = time(ManifestLake.vacuum(spark, out, retentionMs = 0L).size)
@@ -132,8 +151,9 @@ object LakeProbe {
       s""""merge_rewritten_days":$mergeRewritten,""" +
       s""""merge_appended_days":$mergeAppended,""" +
       f""""restore_sec":$tRestore%.3f,""" +
-      f""""inc_mv_sec":$tIncMv%.3f,"full_mv_sec":$tFullMv%.3f,""" +
-      s""""inc_mv_keys":$nChanged,"full_mv_keys":$nFullMv,""" +
+      f""""inc_mv_sec":$tIncMv%.3f,"inc_mv_across_rewrite_sec":$tIncMvRw%.3f,""" +
+      f""""full_mv_sec":$tFullMv%.3f,""" +
+      s""""inc_mv_keys":$nIncMv,"full_mv_keys":$nFullMv,""" +
       f""""vacuum_sec":$tVac%.3f,""" +
       s""""vacuumed_paths":$nVac}""")
     spark.stop()

@@ -386,7 +386,9 @@ case class MmrGreedy(rels: Expression, vecs: Expression, k: Int)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val rel = l.asInstanceOf[ArrayData]
     val vs = r.asInstanceOf[ArrayData]
-    val n = rel.numElements()
+    // min of both lengths (the CosineSimilarity guard): a mismatched
+    // public-SQL call degrades to the covered prefix, never an AIOOBE
+    val n = math.min(rel.numElements(), vs.numElements())
     val kk = math.min(k, n)
     val isFloat = elemIsFloat
     val rows = Array.tabulate(n)(i => vs.getArray(i))
@@ -396,7 +398,7 @@ case class MmrGreedy(rels: Expression, vecs: Expression, k: Int)
     var t = 0
     while (t < kk) {
       var bi = -1
-      var bs = Long.MinValue
+      var bs = 0L
       var i = 0
       while (i < n) {
         if (!used(i)) {
@@ -410,7 +412,10 @@ case class MmrGreedy(rels: Expression, vecs: Expression, k: Int)
             }
           }
           val sc = rel.getLong(i) - ms
-          if (sc > bs) { bs = sc; bi = i }
+          // bi < 0 seeds the argmax with the first unselected
+          // candidate, so degenerate scores (rel = Long.MinValue)
+          // still pick SOMETHING instead of crashing on used(-1)
+          if (bi < 0 || sc > bs) { bs = sc; bi = i }
         }
         i += 1
       }

@@ -739,6 +739,63 @@ object DedupOps {
        |lshpairs AS (SELECT id_a, id_b, jaccard FROM ver_cand)""".stripMargin
   }
 
+  /** Crawl-frontier URL canonicalization + dedup — the FIRST dedup
+    * any web-scale pipeline runs (before any content fingerprint):
+    * the same resource surfaces under scheme/host case variants,
+    * explicit default ports, trailing slashes, tracking parameters
+    * (utm_*) in shuffled order, and fragments; canonicalize, then
+    * group. The testdata has no url column, so one is DERIVED
+    * deterministically (the s_ann_dot de-normalization precedent):
+    * (doc_id div 100) % 4 picks among four surface forms of the same
+    * logical page (source, doc_id % 50) — the testdata's source IS
+    * doc_id % 20, so the selector must vary on the id div 100 axis
+    * (group members are ≡ mod lcm(20,50) = 100) for groups to mix
+    * surface forms — identical derivation text in the
+    * oracle, so the operator under test is the CANONICALIZATION, not
+    * the synthesis.
+    *
+    * Canonical form: lowercase scheme+host, :80 stripped, trailing
+    * slash stripped, fragment dropped, utm_* params dropped,
+    * surviving params sorted. All literal-delimiter split_part /
+    * array built-ins — per-row projection, then ONE canonical-keyed
+    * groupBy that partial-aggregates map-side; at 100 TB this is the
+    * same shape as d_exact_dedup (hash groupBy on a short key),
+    * linear scan + one shuffle of (canonical, 1) pairs. */
+  def dUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val canon = Tables.documents(s, dir)
+      .withColumn("url", expr(UrlSynthesis))
+      .withColumn("base", expr("split_part(url, '#', 1)"))
+      .withColumn("pre", expr("split_part(base, '?', 1)"))
+      .withColumn("qpart", expr("split_part(base, '?', 2)"))
+      .withColumn("scheme", expr("lower(split_part(pre, '://', 1))"))
+      .withColumn("hostpath", expr("split_part(pre, '://', 2)"))
+      .withColumn("host", expr(
+        "regexp_replace(lower(split_part(hostpath, '/', 1)), ':80$', '')"))
+      .withColumn("path", expr(
+        "regexp_replace(substr(hostpath, length(split_part(hostpath, '/', 1)) + 1), '/$', '')"))
+      .withColumn("q", expr(
+        "array_join(array_sort(filter(split(qpart, '&'), p -> NOT p LIKE 'utm_%')), '&')"))
+      .withColumn("canonical", expr(
+        "concat(scheme, '://', host, path, CASE WHEN q = '' THEN '' ELSE concat('?', q) END)"))
+    canon.groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_forms"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("canonical"))
+  }
+
+  /** The derived URL surface forms — ONE string shared verbatim with
+    * the DuckDB oracle (CASE on doc_id % 4), so synthesis cannot
+    * drift between engines. */
+  private[operators] val UrlSynthesis: String =
+    """CASE CAST(CAST((doc_id - doc_id % 100) / 100 AS BIGINT) % 4 AS INT)
+      |  WHEN 0 THEN concat('http://example.com/', source, '/page-', doc_id % 50, '?a=1&b=2')
+      |  WHEN 1 THEN concat('HTTP://EXAMPLE.COM:80/', source, '/page-', doc_id % 50, '?b=2&a=1')
+      |  WHEN 2 THEN concat('http://example.com/', source, '/page-', doc_id % 50, '/?a=1&b=2&utm_source=feed')
+      |  ELSE concat('http://example.com/', source, '/page-', doc_id % 50, '?a=1&b=2#frag')
+      |END""".stripMargin
+
   val queries: ListMap[String, Q] = ListMap(
     "d_exact_dedup" -> (dExactDedup _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
@@ -750,6 +807,7 @@ object DedupOps {
     "d_dup_groups" -> (dDupGroups _),
     "d_cc_recursive" -> (dCcRecursive _),
     "d_incremental_dedup" -> (dIncrementalDedup _),
+    "d_url_dedup" -> (dUrlDedup _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -948,5 +1006,35 @@ object DedupOps {
         |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    // synthesis CASE shared VERBATIM (UrlSynthesis); the
+    // canonicalization mirrors step-for-step — split_part is
+    // literal-delimiter and 1-based in both engines, '' on a missing
+    // part; string_split('', '&') = [''] matches split's [''] so an
+    // absent query canonicalizes to '' on both sides
+    "d_url_dedup" ->
+      s"""WITH u AS (SELECT doc_id, ($UrlSynthesis) AS url FROM documents),
+         |c1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS base FROM u),
+         |c2 AS (SELECT doc_id, url,
+         |    split_part(base, '?', 1) AS pre,
+         |    split_part(base, '?', 2) AS qpart FROM c1),
+         |c3 AS (SELECT doc_id, url, qpart,
+         |    lower(split_part(pre, '://', 1)) AS scheme,
+         |    split_part(pre, '://', 2) AS hostpath FROM c2),
+         |c4 AS (SELECT doc_id, url, qpart, scheme,
+         |    regexp_replace(lower(split_part(hostpath, '/', 1)), ':80$$', '') AS host,
+         |    regexp_replace(substr(hostpath, length(split_part(hostpath, '/', 1)) + 1), '/$$', '') AS path
+         |  FROM c3),
+         |c5 AS (SELECT doc_id, url, scheme, host, path,
+         |    array_to_string(list_sort(list_filter(string_split(qpart, '&'),
+         |      p -> NOT p LIKE 'utm_%')), '&') AS q FROM c4),
+         |canon AS (SELECT doc_id, url,
+         |    concat(scheme, '://', host, path,
+         |      CASE WHEN q = '' THEN '' ELSE concat('?', q) END) AS canonical
+         |  FROM c5)
+         |SELECT canonical, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT url) AS BIGINT) AS n_forms,
+         |  min(doc_id) AS first_doc
+         |FROM canon GROUP BY 1 HAVING count(*) >= 2
+         |ORDER BY canonical""".stripMargin,
   )
 }

@@ -425,7 +425,7 @@ object SimilarityOps {
     cents
   }
 
-  private def cellOfExpr(cents: Array[Array[Double]])(
+  private[operators] def cellOfExpr(cents: Array[Array[Double]])(
       c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.functions.NearestCentroid(

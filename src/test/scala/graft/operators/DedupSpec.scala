@@ -198,4 +198,37 @@ class DedupSpec extends SparkSpec {
     // not stack a fresh .cache() per call
     assert(DedupOps.minhashSigs(spark, sfDir) eq DedupOps.minhashSigs(spark, sfDir))
   }
+
+  test("url dedup: all four surface forms canonicalize together; counts match a driver recompute") {
+    val rows = DedupOps.dUrlDedup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // canonical forms carry no case noise, no :80, no utm, no fragment,
+    // no trailing slash, params sorted
+    rows.foreach { case (c, _, _, _) =>
+      assert(c.startsWith("http://example.com/"), c)
+      assert(!c.contains(":80") && !c.contains("utm_") && !c.contains("#"), c)
+      assert(!c.split("\\?")(0).endsWith("/"), c)
+    }
+    // driver recompute: group = (source, doc_id % 50); every group of
+    // ≥ 2 docs must surface with exactly its doc count, its distinct
+    // surface-form count, and its min doc_id
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.groupBy { case (id, src) => (src, id % 50) }
+      .filter(_._2.size >= 2)
+      .map { case ((src, g), members) =>
+        val canonical = s"http://example.com/$src/page-$g?a=1&b=2"
+        val forms = members.map { case (id, _) => ((id / 100) % 4).toInt }.distinct.size
+        canonical -> ((members.size.toLong, forms.toLong, members.map(_._1).min))
+      }
+    assert(rows.length == expect.size, s"${rows.length} vs ${expect.size}")
+    rows.foreach { case (c, n, f, first) =>
+      assert(expect(c) == ((n, f, first)), s"$c: got ($n,$f,$first) exp ${expect(c)}")
+    }
+    // non-vacuous: some group actually has >1 surface FORM (else the
+    // canonicalization under test never fired)
+    assert(rows.exists(_._3 >= 2), "no group with multiple surface forms")
+  }
 }
