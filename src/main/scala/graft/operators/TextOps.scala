@@ -1246,6 +1246,56 @@ object TextOps {
       |     WHEN flesch_milli >= 30000 THEN 'difficult'
       |     ELSE 'very_confusing' END""".stripMargin
 
+  private[operators] val TextRankMinCount = 5L
+  private[operators] val TextRankK = 25
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank
+    * over the word co-occurrence graph, the unsupervised keyword
+    * scorer: nodes are corpus words above a count floor (≥ 5 — the
+    * same hapax guard as x_collocations; on a Zipf corpus it bounds
+    * the graph at the frequent-vocabulary size), edges connect
+    * ADJACENT in-vocabulary words (window 2, undirected, distinct),
+    * and the score is the SAME integer fixed-point PageRank core as
+    * p_graph_rank (damping 0.85, RankScale units, RankIters unrolled
+    * rounds — pageRankOver is literally shared, as is the oracle's
+    * rankCtes tail, so the two graph operators cannot drift). Top-25
+    * by (rank desc, word) via TakeOrdered.
+    *
+    * Scale shape: one token explode for the vocabulary, one bigram
+    * explode for adjacency, two vocabulary-keyed semi-joins, then
+    * the iterative rank over an edge list that is VOCABULARY-sized
+    * (distinct frequent-word adjacencies), not corpus-sized — the
+    * corpus is scanned twice and never shuffled beyond the gram
+    * aggregations; each rank round shuffles the edge list on its
+    * node key (the p_graph_rank argument). */
+  def xTextrank(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).withColumn("w", tokens)
+    val nodes = d.select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= TextRankMinCount)
+      .select(col("word"))
+    val adj = d.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> named_struct('a', element_at(w, i), 'b', element_at(w, i + 1)))"""
+          .stripMargin)).as("p"))
+      .filter(col("p.a") =!= col("p.b"))
+      .select(col("p.a").as("src"), col("p.b").as("dst"))
+    val pairs = adj
+      .join(nodes.withColumnRenamed("word", "src"), "src")
+      .join(nodes.withColumnRenamed("word", "dst"), "dst")
+      .select(col("src"), col("dst"))
+      .distinct()
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src")).cache()
+    val ranked = TrainingPipeline.pageRankOver(edges)
+    edges.unpersist(false)
+    ranked.select(col("id").as("word"), col("deg"), col("rank"))
+      .orderBy(col("rank").desc, col("word")).limit(TextRankK)
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "x_lang_id" -> (xLangId _),
     "x_quality_score" -> (xQualityScore _),
@@ -1278,6 +1328,7 @@ object TextOps {
     "x_char_entropy" -> (xCharEntropy _),
     "x_collocations" -> (xCollocations _),
     "x_readability" -> (xReadability _),
+    "x_textrank" -> (xTextrank _),
   )
 
   /** Generated oracle CTE chain for the BPE tier: v0 (char-segmented
@@ -1886,6 +1937,25 @@ object TextOps {
          |SELECT doc_id, wn AS n_words, sn AS n_sentences, syl AS n_syllables,
          |  flesch_milli, $FleschBandCase AS band
          |FROM f ORDER BY doc_id""".stripMargin,
+    // same rankCtes tail as the p_graph_rank mirror — the fixed-point
+    // arithmetic is shared text; only the graph construction differs
+    "x_textrank" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |nodes AS (SELECT word FROM (SELECT unnest(w) AS word FROM d)
+         |          GROUP BY word HAVING count(*) >= $TextRankMinCount),
+         |bp AS (SELECT unnest(list_transform(range(1, len(w)),
+         |    i -> {'a': w[i], 'b': w[i + 1]})) AS p
+         |  FROM d WHERE len(w) >= 2),
+         |pr AS (SELECT DISTINCT p.a AS src, p.b AS dst FROM bp
+         |  WHERE p.a <> p.b
+         |    AND p.a IN (SELECT word FROM nodes)
+         |    AND p.b IN (SELECT word FROM nodes)),
+         |edges AS (SELECT src, dst FROM pr
+         |          UNION SELECT dst AS src, src AS dst FROM pr),
+         |${graft.operators.TrainingPipeline.rankCtes}
+         |SELECT r.id AS word, d.deg, r.rank
+         |FROM r${graft.operators.TrainingPipeline.RankIters} r JOIN deg d ON r.id = d.src
+         |ORDER BY r.rank DESC, word LIMIT $TextRankK""".stripMargin,
   )
 
   /** The bigram-LM scoring pipeline as shared CTEs (ending in

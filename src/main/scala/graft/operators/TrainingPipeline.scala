@@ -486,21 +486,31 @@ object TrainingPipeline {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .repartition(col("src"))
       .cache()
+    val out = pageRankOver(edges)
+    edges.unpersist(false)
+    out.select(col("id").as("doc_id"), col("deg"), col("rank"))
+      .orderBy(col("rank").desc, col("doc_id"))
+  }
+
+  /** The integer fixed-point PageRank core (damping 0.85, RankIters
+    * rounds, RankScale units) over a SYMMETRIC cached edge list —
+    * shared by p_graph_rank (doc near-dup graph, long ids) and
+    * x_textrank (word co-occurrence graph, string ids); the id type
+    * only has to equi-join. Arithmetic is bit-identical to the
+    * unrolled rankItersSql oracle; deg rides IN the state so no
+    * per-iteration deg joins are needed. Returns (id, deg, rank)
+    * UNSORTED, materialized via localCheckpoint with the per-call
+    * caches released (the ADVICE-r8 cache-stacking rule). */
+  private[operators] def pageRankOver(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
     val n = deg.count() // one scalar; the graph node count
-    if (n == 0) return s.createDataFrame(
-      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("deg",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("rank",
-          org.apache.spark.sql.types.LongType))))
+    if (n == 0) {
+      val empty = deg.select(col("src").as("id"), col("deg"), lit(0L).as("rank")).limit(0)
+      deg.unpersist(false)
+      return empty
+    }
     val r0 = RankScale / n
     val base = (15L * r0) / 100L
-    // deg rides IN the state so no per-iteration deg joins are needed;
-    // the arithmetic is bit-identical to the unrolled oracle
     var state = deg.select(col("src").as("id"), col("deg"), lit(r0).as("rank"))
     (1 to RankIters).foreach { _ =>
       val contrib = state.select(col("id"), expr("rank div deg").as("c"))
@@ -511,16 +521,9 @@ object TrainingPipeline {
         .select(col("id"), col("deg"),
           expr(s"${base}L + (85L * coalesce(sc, 0L)) div 100L").as("rank"))
     }
-    // materialize the final ranks, then release the per-call caches:
-    // without the unpersist every invocation (each bench iteration)
-    // stacks a fresh edges+deg pair in storage memory for the session
-    // lifetime — the same cache-stacking class ADVICE r8 flagged for
-    // minhashSigs
-    val out = state.select(col("id").as("doc_id"), col("deg"), col("rank"))
-      .localCheckpoint(true)
-    edges.unpersist(false)
+    val out = state.localCheckpoint(true)
     deg.unpersist(false)
-    out.orderBy(col("rank").desc, col("doc_id"))
+    out
   }
 
   private[operators] val DsirBuckets = 256L
@@ -610,7 +613,11 @@ object TrainingPipeline {
   /** The 4 unrolled PageRank iterations over the shared lshpairs
     * CTEs — n, base, and damping are interpolated from the SAME
     * Scala constants the operator uses. */
-  private lazy val graphRankSql: String = {
+  /** The deg/base/r0 + unrolled-iteration CTE tail of the PageRank
+    * oracle — expects an `edges(src, dst)` CTE upstream; shared by
+    * the p_graph_rank and x_textrank mirrors so the fixed-point
+    * arithmetic cannot drift between them. */
+  private[operators] lazy val rankCtes: String = {
     val iters = (1 to RankIters).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
       s"""c$i AS (SELECT r.id, r.rank // d.deg AS c
@@ -621,14 +628,18 @@ object TrainingPipeline {
          |    CAST(b.b + (85 * coalesce(a.sc, 0)) // 100 AS BIGINT) AS rank
          |  FROM deg d CROSS JOIN base b LEFT JOIN a$i a ON d.src = a.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${graft.operators.DedupOps.minhashPairsCtes},
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM lshpairs
-       |          UNION ALL SELECT id_b, id_a FROM lshpairs),
-       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    s"""deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
        |nn AS (SELECT count(*) AS n FROM deg),
        |base AS (SELECT (15 * ($RankScale // n)) // 100 AS b FROM nn),
        |r0 AS (SELECT src AS id, $RankScale // n AS rank FROM deg CROSS JOIN nn),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private lazy val graphRankSql: String = {
+    s"""WITH ${graft.operators.DedupOps.minhashPairsCtes},
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM lshpairs
+       |          UNION ALL SELECT id_b, id_a FROM lshpairs),
+       |$rankCtes
        |SELECT r.id AS doc_id, d.deg, r.rank
        |FROM r$RankIters r JOIN deg d ON r.id = d.src
        |ORDER BY r.rank DESC, doc_id""".stripMargin

@@ -805,4 +805,44 @@ class TextSpec extends SparkSpec {
       assert(r.getLong(4) == 206835L - (1015L * wn / sn) - (84600L * syl / wn))
     }
   }
+
+  test("textrank: integer PageRank over the co-occurrence graph matches a driver recompute") {
+    val texts = graft.Tables.documents(spark, sfDir).select("text").collect().map(_.getString(0))
+    val toks = texts.map(_.split(" ", -1).toSeq)
+    val counts = toks.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nodes = counts.filter(_._2 >= TextOps.TextRankMinCount).keySet
+    val pairs = toks.filter(_.size >= 2)
+      .flatMap(w => w.sliding(2).map(p => (p(0), p(1))))
+      .filter { case (a, b) => a != b && nodes(a) && nodes(b) }
+      .toSet
+    val edges = pairs ++ pairs.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = deg.size.toLong
+    val r0 = TrainingPipeline.RankScale / n
+    val base = (15L * r0) / 100L
+    var rank: Map[String, Long] = deg.map { case (k, _) => k -> r0 }
+    (1 to TrainingPipeline.RankIters).foreach { _ =>
+      val contrib = rank.map { case (k, r) => k -> r / deg(k) }
+      val inbound = edges.toSeq.groupBy(_._2)
+        .map { case (dst, es) => dst -> es.map(e => contrib(e._1)).sum }
+      rank = deg.map { case (k, _) => k -> (base + (85L * inbound.getOrElse(k, 0L)) / 100L) }
+    }
+    val expect = rank.toSeq.map { case (w, r) => (w, deg(w), r) }
+      .sortBy { case (w, _, r) => (-r, w) }.take(TextOps.TextRankK)
+    val got = TextOps.xTextrank(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"textrank drift:\n got ${got.take(5)}\n exp ${expect.take(5)}")
+    // the floor is load-bearing: a hapax word must be excluded from the
+    // graph entirely (the spec corpus's vocabulary is all-frequent, so
+    // pin it on a synthetic one)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_textrank").toString
+    Seq((1L, "alpha beta alpha beta alpha beta rareword alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val words = TextOps.xTextrank(spark, dir).collect().map(_.getString(0)).toSet
+    assert(words == Set("alpha", "beta"), words.toString)
+  }
 }
