@@ -142,12 +142,22 @@ object Bench {
     val failed = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = f"${results.filter(_._4).map(_._2).sum}%.3f"
     val coldTotal = f"${results.filter(_._4).map(_._3).sum}%.3f"
+    // Truncation-proof output (VERDICT r11 #3): the driver keeps only
+    // the LAST ~2000 chars of sbt stdout, and the extras map (86+
+    // entries) had grown the single line past that — the compact
+    // headline fields fell off the front and BENCH_r11 parsed as null.
+    // So the stdout/bench_out.json line carries ONLY the machine-first
+    // compact fields (~700 chars, headline is frozen at 19 queries);
+    // the full extras map goes to a sibling bench_extras.json.
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""extras":$ex,"failed":$failed,"cold_sec":$coldTotal,""" +
+      s""""failed":$failed,"cold_sec":$coldTotal,""" +
       f""""calibration_sec":$calibration%.3f,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), line + "\n")
+    val extrasOut = out.stripSuffix(".json") + "_extras.json"
+    Files.writeString(Paths.get(extrasOut),
+      s"""{"extras":$ex,"sf":"$sfDir"}""" + "\n")
     spark.stop()
   }
 }

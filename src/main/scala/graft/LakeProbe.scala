@@ -138,7 +138,7 @@ object LakeProbe {
     val (_, tIncMvRw) = time(maintainFrom(1L))
     val (nFullMv, tFullMv) = time(mvOf(ManifestLake.read(spark, out)).count())
 
-    val (nVac, tVac) = time(ManifestLake.vacuum(spark, out, retentionMs = 0L).size)
+    val (nVac, tVac) = time(ManifestLake.vacuum(spark, out, retentionMs = 0L, force = true).size)
 
     println(s"""{"metric":"lakeprobe","dir":"$sfDir","days":$nDays,""" +
       f""""create_sec":$tCreate%.3f,"delete_one_day_sec":$tDelDay%.3f,""" +

@@ -15,12 +15,18 @@ object SkewProbe {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SKEW_ROWS", "20000000").toLong
     val hotPct = sys.env.getOrElse("SPARK_GRAFT_HOT_PCT", "20").toInt
+    // ADVICE r11 #4: id % (100/hotPct) divides by zero for hotPct >
+    // 100 and silently lands on a different hot fraction for
+    // non-divisors of 100 (integer division: 33 → every 3rd row);
+    // pmod(id, 100) < hotPct below is exact for any 1..100.
+    require(hotPct >= 1 && hotPct <= 100,
+      s"SPARK_GRAFT_HOT_PCT must be in [1, 100], got $hotPct")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.build("graft-skewprobe", cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     def fact(): DataFrame = spark.range(n).select(
-      when(col("id") % (100L / hotPct) === 0, 0L)
+      when(pmod(col("id"), lit(100L)) < hotPct, 0L)
         .otherwise(pmod(col("id"), lit(997L))).as("k"),
       concat(lit("payload-"), col("id")).as("pay"))
     def dim(): DataFrame = spark.range(997).select(col("id").as("k"),

@@ -72,7 +72,17 @@ object Tables {
     scala.collection.concurrent.TrieMap.empty[SparkSession, String]
 
   def registerViews(s: SparkSession, dir: String): Unit =
-    if (!registeredDir.get(s).contains(dir)) {
+    // Memoization is keyed on (session, dir) AND verified against the
+    // catalog (ADVICE r11 #3): a caller that DROPPED a canonical view
+    // (dropTempView) gets the full set restored on the next call — a
+    // cheap in-memory catalog lookup instead of 10 eager
+    // parquet-footer reads. A caller that SHADOWED a name with its own
+    // createOrReplaceTempView owns that name until it drops the
+    // shadow (tableExists cannot distinguish content); that is the
+    // documented contract of registerViews — shadow deliberately,
+    // drop to restore.
+    if (!registeredDir.get(s).contains(dir) ||
+        !names.forall(s.catalog.tableExists)) {
       registeredDir.keys.filter(_.sparkContext.isStopped)
         .foreach(registeredDir.remove)
       val loaders: Map[String, (SparkSession, String) => DataFrame] =

@@ -710,33 +710,39 @@ object DedupOps {
     val (pa, pb) = graft.functions.MinHashSignature.coeffs(64, 42)
     val permRows = (0 until 64)
       .map(p => s"(${p}, ${pa(p)}, ${pb(p)})").mkString(", ")
-    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+    // AS MATERIALIZED throughout: this block is the hub of a multi-CTE
+    // chain (hs feeds sigv AND sizes; the pairs/funnel tails reference
+    // bandkey/sizes repeatedly), and DuckDB's default CTE inlining
+    // re-expands the shingle+hash subtree per reference — the same
+    // multiplicative blowup class as the r11 s_mmr oracle bomb.
+    // OracleBudgetSpec statically bounds the inline expansion factor.
+    s"""t AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
        |         range(1, greatest(len(w) - 1, 2)),
        |         i -> array_to_string(list_slice(w, i, i+2), ' ')))) AS shingle
        |       FROM t),
-       |hs AS (SELECT DISTINCT doc_id,
+       |hs AS MATERIALIZED (SELECT DISTINCT doc_id,
        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
        |           list_transform(string_split(shingle, ''), c -> CAST(unicode(c) AS BIGINT))),
        |           (acc, c) -> (acc * 1000003 + c) % 2147483647) AS h
        |       FROM sh),
-       |perms AS (SELECT * FROM (VALUES $permRows) AS v(p, a, b)),
-       |sigv AS (SELECT doc_id, p, min((a * h + b) % 2147483647) AS v
+       |perms AS MATERIALIZED (SELECT * FROM (VALUES $permRows) AS v(p, a, b)),
+       |sigv AS MATERIALIZED (SELECT doc_id, p, min((a * h + b) % 2147483647) AS v
        |         FROM hs CROSS JOIN perms GROUP BY doc_id, p),
-       |bandkey AS (SELECT doc_id, p // 8 AS band_idx,
+       |bandkey AS MATERIALIZED (SELECT doc_id, p // 8 AS band_idx,
        |              string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS band_key
        |            FROM sigv GROUP BY doc_id, p // 8),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id)""".stripMargin
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id)""".stripMargin
   }
 
   private[operators] lazy val minhashPairsCtes: String = {
     s"""$minhashSigCtes,
-       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |         FROM bandkey x JOIN bandkey y
        |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
        |             AND x.doc_id < y.doc_id),
        |${jaccardVerifySql("cand", "id_a", "id_b")},
-       |lshpairs AS (SELECT id_a, id_b, jaccard FROM ver_cand)""".stripMargin
+       |lshpairs AS MATERIALIZED (SELECT id_a, id_b, jaccard FROM ver_cand)""".stripMargin
   }
 
   /** Crawl-frontier URL canonicalization + dedup — the FIRST dedup

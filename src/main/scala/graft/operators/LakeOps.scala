@@ -37,8 +37,17 @@ object LakeOps {
     * cannot collide and a dead session's lake is plain tmp garbage. */
   private def statsLake(s: SparkSession, dir: String): String =
     lakeMemo.getOrElseUpdate(s, dir) {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_lake_oracle/" +
-        math.abs((dir + "|" + s.sparkContext.applicationId).hashCode).toString
+      // ADVICE r11 #5: a 32-bit hashCode key risks two concurrent JVM
+      // sessions colliding onto (and fs.delete-ing) each other's lake
+      // dir, and abs(Int.MinValue) is negative. Key by the first 16
+      // hex of SHA-256 over the full (dir, applicationId) identity —
+      // collision-free for any realistic session population.
+      val keySrc = dir + "|" + s.sparkContext.applicationId
+      val key = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(keySrc.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_lake_oracle/$key"
       val p = new org.apache.hadoop.fs.Path(out)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(p, true)

@@ -841,37 +841,43 @@ object SimilarityOps {
        |         * (CAST($e.embedding[i] AS DOUBLE) - $c.cent[i]))),
        |      (x, y) -> x + y)""".stripMargin
 
+  // Every CTE in the k-means chains is AS MATERIALIZED: c(k−1) is
+  // referenced twice per iteration (assignment a_k + carry-forward
+  // c_k), so DuckDB's default inlining doubles the plan per iteration
+  // (2^KmeansIters); the PQ variant runs 4 such chains. Materialized
+  // the oracle cost is linear in iterations. Output is identical —
+  // OracleBudgetSpec enforces the per-oracle time budget.
   private lazy val smpCte =
-    s"""smp AS (SELECT vec_id, embedding FROM embeddings
+    s"""smp AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
        |  WHERE vec_id % $SampleMod = 0 ORDER BY vec_id LIMIT $SampleCap)""".stripMargin
 
   private lazy val kmeansInit =
     s"""$smpCte,
-       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
        |  FROM (SELECT vec_id, embedding FROM smp ORDER BY vec_id LIMIT $KmeansNlist))""".stripMargin
 
   private def kmeansIteration(k: Int): String =
-    s"""a$k AS (
+    s"""a$k AS MATERIALIZED (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${dist("e", "c")}, c.cell) AS rn
        |    FROM smp e CROSS JOIN c${k - 1} c) WHERE rn = 1),
-       |m$k AS (
+       |m$k AS MATERIALIZED (
        |  SELECT cell, d,
        |    list_reduce(list_prepend(0.0, list(CAST(embedding[d] AS DOUBLE) ORDER BY vec_id)),
        |      (x, y) -> x + y) / count(*) AS mu
        |  FROM a$k CROSS JOIN (SELECT unnest(range(1, ${KmeansDim + 1})) AS d)
        |  GROUP BY cell, d),
-       |c$k AS (
+       |c$k AS MATERIALIZED (
        |  SELECT p.cell, coalesce(nm.cent, p.cent) AS cent
        |  FROM c${k - 1} p LEFT JOIN (SELECT cell, list(mu ORDER BY d) AS cent
        |                              FROM m$k GROUP BY cell) nm
        |    ON p.cell = nm.cell)""".stripMargin
 
   private lazy val kmeansBucketed =
-    s"""bucketed AS (
+    s"""bucketed AS MATERIALIZED (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -904,30 +910,30 @@ object SimilarityOps {
   private def pqKmeansCtes(m: Int): String = {
     val off = m * PqSub
     val init =
-      s"""p${m}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+      s"""p${m}c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
          |  list_transform(range(1, ${PqSub + 1}), i -> CAST(embedding[i + $off] AS DOUBLE)) AS cent
          |  FROM (SELECT vec_id, embedding FROM smp ORDER BY vec_id LIMIT $PqK))""".stripMargin
     val iters = (1 to KmeansIters).map { k =>
-      s"""p${m}a$k AS (
+      s"""p${m}a$k AS MATERIALIZED (
          |  SELECT vec_id, embedding, cell FROM (
          |    SELECT e.vec_id, e.embedding, c.cell,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${pqDist("e", "c", off)}, c.cell) AS rn
          |    FROM smp e CROSS JOIN p${m}c${k - 1} c) WHERE rn = 1),
-         |p${m}m$k AS (
+         |p${m}m$k AS MATERIALIZED (
          |  SELECT cell, d,
          |    list_reduce(list_prepend(0.0, list(CAST(embedding[d + $off] AS DOUBLE) ORDER BY vec_id)),
          |      (x, y) -> x + y) / count(*) AS mu
          |  FROM p${m}a$k CROSS JOIN (SELECT unnest(range(1, ${PqSub + 1})) AS d)
          |  GROUP BY cell, d),
-         |p${m}c$k AS (
+         |p${m}c$k AS MATERIALIZED (
          |  SELECT p.cell, coalesce(nm.cent, p.cent) AS cent
          |  FROM p${m}c${k - 1} p LEFT JOIN (SELECT cell, list(mu ORDER BY d) AS cent
          |                              FROM p${m}m$k GROUP BY cell) nm
          |    ON p.cell = nm.cell)""".stripMargin
     }
     val enc =
-      s"""p${m}enc AS (
+      s"""p${m}enc AS MATERIALIZED (
          |  SELECT vec_id, cell AS c$m, cent AS r$m FROM (
          |    SELECT e.vec_id, c.cell, c.cent,
          |      row_number() OVER (PARTITION BY e.vec_id
@@ -963,10 +969,10 @@ object SimilarityOps {
       .map(t => s"${bucketExpr(100 + t)} AS b$t").mkString(",\n  ")
     val bucketCase = (0 until Tables_L)
       .map(t => s"WHEN $t THEN b$t").mkString(" ")
-    s"""b AS (SELECT vec_id, embedding,
+    s"""b AS MATERIALIZED (SELECT vec_id, embedding,
        |  $bucketCols
        |FROM embeddings),
-       |v AS (SELECT vec_id, embedding, t.tbl,
+       |v AS MATERIALIZED (SELECT vec_id, embedding, t.tbl,
        |        CASE t.tbl $bucketCase END AS bucket
        |      FROM b CROSS JOIN (SELECT unnest(range(0, $Tables_L)) AS tbl) t)""".stripMargin
   }
@@ -993,7 +999,7 @@ object SimilarityOps {
   // oracle can compose them as nested-WITH CTE bodies (DuckDB
   // supports WITH inside a CTE definition).
   private lazy val annBruteforceSql: String =
-    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+    s"""WITH q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
        |           WHERE vec_id < $NumQueries),
        |scored AS (
        |  SELECT q.q_id, e.vec_id,
@@ -1060,12 +1066,20 @@ object SimilarityOps {
   // through the P×P pairsim CTE, excludes the already-picked via NOT
   // EXISTS, and picks argmax by (sc DESC, pool rank) — exactly the
   // strict-> array-order tiebreak of the Spark fold.
+  //
+  // Every CTE is AS MATERIALIZED (the x_bpe_train precedent,
+  // TextOps.scala): each sN is referenced 3× by step N+1 (UNION ALL +
+  // sim join + NOT EXISTS), so DuckDB's default CTE inlining expands
+  // the s8 plan ~3⁷-fold over the corpus×query scoring subtree —
+  // measured ~20 min then OOM at an 8 GiB limit. Materialized: 0.17 s,
+  // bit-identical output. OracleBudgetSpec pins the suite-wide budget
+  // so this class of oracle-side plan bomb can't ship again.
   private lazy val mmrSql: String = {
     val relExpr =
       """CAST(floor(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
         |  CAST(e.embedding AS DOUBLE[])) * 1000000.0) AS BIGINT)""".stripMargin
     val steps = (2 to MmrK).map { t =>
-      s"""c$t AS (
+      s"""c$t AS MATERIALIZED (
          |  SELECT p.q_id, p.vec_id, p.pr, p.rel_ppm - max(m.sp) AS sc
          |  FROM pool p
          |  JOIN sim m ON m.q_id = p.q_id AND m.ia = p.vec_id
@@ -1073,7 +1087,7 @@ object SimilarityOps {
          |  WHERE NOT EXISTS (SELECT 1 FROM s${t - 1} d
          |                    WHERE d.q_id = p.q_id AND d.vec_id = p.vec_id)
          |  GROUP BY p.q_id, p.vec_id, p.pr, p.rel_ppm),
-         |s$t AS (
+         |s$t AS MATERIALIZED (
          |  SELECT * FROM s${t - 1}
          |  UNION ALL
          |  SELECT q_id, vec_id, $t AS r, sc FROM
@@ -1082,19 +1096,21 @@ object SimilarityOps {
          |     FROM c$t)
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-       |           WHERE vec_id < $NumQueries),
-       |scored AS (
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |scored AS MATERIALIZED (
        |  SELECT q.q_id, e.vec_id, e.embedding, $relExpr AS rel_ppm,
        |    row_number() OVER (PARTITION BY q.q_id
        |      ORDER BY $relExpr DESC, e.vec_id) AS pr
        |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
-       |pool AS (SELECT * FROM scored WHERE pr <= $MmrPool),
-       |sim AS (SELECT a.q_id, a.vec_id AS ia, b.vec_id AS ib,
-       |          CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-       |            CAST(b.embedding AS DOUBLE[])) * 1000000.0) AS BIGINT) AS sp
-       |        FROM pool a JOIN pool b ON a.q_id = b.q_id),
-       |s1 AS (SELECT q_id, vec_id, 1 AS r, rel_ppm AS sc
+       |pool AS MATERIALIZED (SELECT * FROM scored WHERE pr <= $MmrPool),
+       |sim AS MATERIALIZED (
+       |  SELECT a.q_id, a.vec_id AS ia, b.vec_id AS ib,
+       |    CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |      CAST(b.embedding AS DOUBLE[])) * 1000000.0) AS BIGINT) AS sp
+       |  FROM pool a JOIN pool b ON a.q_id = b.q_id),
+       |s1 AS MATERIALIZED (SELECT q_id, vec_id, 1 AS r, rel_ppm AS sc
        |       FROM pool WHERE pr = 1),
        |$steps
        |SELECT q_id, r AS sel_rank, vec_id, sc AS mmr_ppm
@@ -1103,14 +1119,14 @@ object SimilarityOps {
 
   private lazy val annLshSql: String =
     s"""WITH $lshBucketedCtes,
-       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, tbl, bucket
+       |q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb, tbl, bucket
        |      FROM v WHERE vec_id < $NumQueries),
        |$lshRerankCtes
        |ORDER BY q_id, rank""".stripMargin
 
   private lazy val annMultiprobeSql: String =
     s"""WITH $lshBucketedCtes,
-       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, tbl,
+       |q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb, tbl,
        |        CASE WHEN j = $Bits THEN bucket
        |             ELSE xor(bucket, 1 << j) END AS bucket
        |      FROM v CROSS JOIN (SELECT unnest(range(0, ${Bits + 1})) AS j)
@@ -1175,10 +1191,10 @@ object SimilarityOps {
     // the three result-set mirrors above, composed as nested-WITH CTE
     // bodies; hits stay integer until the final ratio4 mirror
     "s_recall_eval" ->
-      s"""WITH truth AS ($annBruteforceSql),
-         |lsh AS ($annLshSql),
-         |mp AS ($annMultiprobeSql),
-         |j AS (SELECT t.q_id,
+      s"""WITH truth AS MATERIALIZED ($annBruteforceSql),
+         |lsh AS MATERIALIZED ($annLshSql),
+         |mp AS MATERIALIZED ($annMultiprobeSql),
+         |j AS MATERIALIZED (SELECT t.q_id,
          |        CASE WHEN l.vec_id IS NULL THEN 0 ELSE 1 END AS hit_lsh,
          |        CASE WHEN m.vec_id IS NULL THEN 0 ELSE 1 END AS hit_multi
          |      FROM truth t

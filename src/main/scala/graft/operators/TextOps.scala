@@ -1940,17 +1940,17 @@ object TextOps {
     // same rankCtes tail as the p_graph_rank mirror — the fixed-point
     // arithmetic is shared text; only the graph construction differs
     "x_textrank" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |nodes AS (SELECT word FROM (SELECT unnest(w) AS word FROM d)
+      s"""WITH d AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |nodes AS MATERIALIZED (SELECT word FROM (SELECT unnest(w) AS word FROM d)
          |          GROUP BY word HAVING count(*) >= $TextRankMinCount),
-         |bp AS (SELECT unnest(list_transform(range(1, len(w)),
+         |bp AS MATERIALIZED (SELECT unnest(list_transform(range(1, len(w)),
          |    i -> {'a': w[i], 'b': w[i + 1]})) AS p
          |  FROM d WHERE len(w) >= 2),
-         |pr AS (SELECT DISTINCT p.a AS src, p.b AS dst FROM bp
+         |pr AS MATERIALIZED (SELECT DISTINCT p.a AS src, p.b AS dst FROM bp
          |  WHERE p.a <> p.b
          |    AND p.a IN (SELECT word FROM nodes)
          |    AND p.b IN (SELECT word FROM nodes)),
-         |edges AS (SELECT src, dst FROM pr
+         |edges AS MATERIALIZED (SELECT src, dst FROM pr
          |          UNION SELECT dst AS src, src AS dst FROM pr),
          |${graft.operators.TrainingPipeline.rankCtes}
          |SELECT r.id AS word, d.deg, r.rank
@@ -1963,22 +1963,22 @@ object TextOps {
     * source both the x_bigram_lm and x_ppl_buckets oracles read, so
     * the model and the split over it cannot drift. */
   private def bigramScoredCtes: String =
-    s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |b AS (SELECT doc_id,
+    s"""d AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |b AS MATERIALIZED (SELECT doc_id,
        |    unnest(list_transform(range(1, len(w)),
        |      i -> w[i] || ' ' || w[i + 1])) AS bigram
        |  FROM d WHERE len(w) >= 2),
-       |c2 AS (SELECT bigram, count(*) AS c2 FROM b GROUP BY 1),
-       |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
+       |c2 AS MATERIALIZED (SELECT bigram, count(*) AS c2 FROM b GROUP BY 1),
+       |c1 AS MATERIALIZED (SELECT string_split(bigram, ' ')[1] AS w1,
        |    CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
-       |m AS (SELECT bigram, (c2 * 1000000) // c1 AS score_ppm
+       |m AS MATERIALIZED (SELECT bigram, (c2 * 1000000) // c1 AS score_ppm
        |  FROM (SELECT c2.bigram, c2.c2, c1.c1
        |        FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1
        |        ORDER BY c2.c2 DESC, c2.bigram LIMIT $BigramK)),
-       |sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+       |sc AS MATERIALIZED (SELECT b.doc_id, count(*) AS n_bigrams,
        |    CAST(sum(coalesce(m.score_ppm, 0)) AS BIGINT) AS sum_ppm
        |  FROM b LEFT JOIN m USING (bigram) GROUP BY 1),
-       |scored AS (SELECT d.doc_id,
+       |scored AS MATERIALIZED (SELECT d.doc_id,
        |    CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        |    coalesce(sc.sum_ppm, 0) AS sum_ppm,
        |    ${ExactNum.ratioSql("coalesce(sc.sum_ppm, 0)",

@@ -622,26 +622,32 @@ object TrainingPipeline {
     * the p_graph_rank and x_textrank mirrors so the fixed-point
     * arithmetic cannot drift between them. */
   private[operators] lazy val rankCtes: String = {
+    // AS MATERIALIZED: deg is referenced 2× per unrolled iteration and
+    // edges 1× — with DuckDB's default CTE inlining each reference
+    // re-expands the whole upstream edge-construction subtree (the
+    // minhash-pairs chain for p_graph_rank), measured 6.0 s → 0.26 s
+    // at sf0.01 once materialized. Same bomb class as the r11 s_mmr
+    // oracle; OracleBudgetSpec bounds the static expansion factor.
     val iters = (1 to RankIters).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
-      s"""c$i AS (SELECT r.id, r.rank // d.deg AS c
+      s"""c$i AS MATERIALIZED (SELECT r.id, r.rank // d.deg AS c
          |  FROM $prev r JOIN deg d ON r.id = d.src),
-         |a$i AS (SELECT e.dst AS id, sum(c.c) AS sc
+         |a$i AS MATERIALIZED (SELECT e.dst AS id, sum(c.c) AS sc
          |  FROM edges e JOIN c$i c ON e.src = c.id GROUP BY e.dst),
-         |r$i AS (SELECT d.src AS id,
+         |r$i AS MATERIALIZED (SELECT d.src AS id,
          |    CAST(b.b + (85 * coalesce(a.sc, 0)) // 100 AS BIGINT) AS rank
          |  FROM deg d CROSS JOIN base b LEFT JOIN a$i a ON d.src = a.id)""".stripMargin
     }.mkString(",\n")
-    s"""deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-       |nn AS (SELECT count(*) AS n FROM deg),
-       |base AS (SELECT (15 * ($RankScale // n)) // 100 AS b FROM nn),
-       |r0 AS (SELECT src AS id, $RankScale // n AS rank FROM deg CROSS JOIN nn),
+    s"""deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+       |base AS MATERIALIZED (SELECT (15 * ($RankScale // n)) // 100 AS b FROM nn),
+       |r0 AS MATERIALIZED (SELECT src AS id, $RankScale // n AS rank FROM deg CROSS JOIN nn),
        |$iters""".stripMargin
   }
 
   private lazy val graphRankSql: String = {
     s"""WITH ${graft.operators.DedupOps.minhashPairsCtes},
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM lshpairs
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM lshpairs
        |          UNION ALL SELECT id_b, id_a FROM lshpairs),
        |$rankCtes
        |SELECT r.id AS doc_id, d.deg, r.rank
@@ -899,14 +905,14 @@ object TrainingPipeline {
           """list_reduce(list_prepend(CAST(0 AS BIGINT),
             |  list_transform(string_split(gram, ''), ch -> CAST(unicode(ch) AS BIGINT))),
             |  (acc, ch) -> (acc * 1000003 + ch) % 2147483647)""".stripMargin
-        s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        s"""WITH d AS MATERIALIZED (SELECT doc_id, source, string_split(text, ' ') AS w
            |           FROM documents),
-           |g AS (SELECT doc_id, source,
+           |g AS MATERIALIZED (SELECT doc_id, source,
            |        unnest(list_concat(w, list_transform(range(1, len(w)),
            |          i -> w[i] || ' ' || w[i + 1]))) AS gram
            |      FROM d),
-           |gh AS (SELECT doc_id, source, ($fold) % $DsirBuckets AS b FROM g),
-           |cnt AS (SELECT doc_id, source, b, count(*) AS cnt
+           |gh AS MATERIALIZED (SELECT doc_id, source, ($fold) % $DsirBuckets AS b FROM g),
+           |cnt AS MATERIALIZED (SELECT doc_id, source, b, count(*) AS cnt
            |        FROM gh GROUP BY doc_id, source, b),
            |tsrc AS (SELECT min(source) AS tsrc FROM documents),
            |qc AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS qc FROM cnt GROUP BY b),

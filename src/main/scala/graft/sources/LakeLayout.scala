@@ -406,7 +406,15 @@ object LakeLayout {
     * Returns the deleted paths (empty when the dir does not exist —
     * a never-written partition is a no-op, not an error). */
   def vacuum(spark: SparkSession, path: String,
-      retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+      force: Boolean = false): Seq[String] = {
+    // same retention floor as ManifestLake.vacuum (VERDICT r11 #8):
+    // sub-floor retention can reap files an in-flight reader resolved
+    // moments ago; refuse unless the caller forces a teardown.
+    require(force || retentionMs >= ManifestLake.MinRetentionMs,
+      s"vacuum: retentionMs $retentionMs is below the " +
+        s"${ManifestLake.MinRetentionMs}ms floor; pass force = true " +
+        "only for tests or deliberate teardown.")
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)

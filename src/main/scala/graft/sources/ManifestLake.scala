@@ -162,6 +162,27 @@ object ManifestLake {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** readManifest for a CONSUMER CURSOR version (mirror, changes
+    * window): if vacuum already reaped v's manifest because the
+    * consumer lagged past the lake's retention window, fail with the
+    * retention story and the re-seed remedy instead of the raw
+    * FileNotFoundException a missing log file would throw (ADVICE
+    * r11 #2 — the rewritten-day path already explains itself; the
+    * expired-cursor path should too). */
+  private def readCursorManifest(fs: FileSystem, root: Path,
+      v: Long): Snapshot = {
+    val p = new Path(root, f"$LogDir/$v%08d.manifest")
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"cursor version $v's manifest is gone — vacuum expired it " +
+          "because this consumer lagged past the lake's retention " +
+          "window (vacuum retentionMs). The incremental window cannot " +
+          "be reconstructed; re-seed the consumer: full-copy the " +
+          "current snapshot (mirror) or restart the changes cursor at " +
+          "the current version and backfill from a full read.")
+    readManifest(fs, root, v)
+  }
+
   private def readManifest(fs: FileSystem, root: Path, v: Long): Snapshot = {
     val in = fs.open(new Path(root, f"$LogDir/$v%08d.manifest"))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -699,7 +720,13 @@ object ManifestLake {
     * merge sizes it to day_bytes / targetFileBytes, then compactDay
     * trims stragglers. */
   private def writeGen(spark: SparkSession, path: String,
-      rows: DataFrame, filesPerDay: Int = 1): Map[String, String] = {
+      logicalRows: DataFrame, filesPerDay: Int = 1,
+      writeSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Map[String, String] = {
+    // under column mapping the files store PHYSICAL names; callers
+    // pass the post-union checkpoint schema so a renamed column's
+    // new rows land under the same stored name as every old file
+    val rows = writeSchema.fold(logicalRows)(s => toPhysical(logicalRows, s))
     val gen = s"$DataDir/g-${UUID.randomUUID()}"
     val spread = pmod(xxhash64(rows.columns.map(col).toIndexedSeq: _*),
       lit(filesPerDay.toLong))
@@ -773,10 +800,67 @@ object ManifestLake {
   private def dayKey: org.apache.spark.sql.Column =
     coalesce(col("day"), lit(NullPart))
 
+  // ---- column mapping (logical→physical names, the Delta design) ----
+  // A field's PHYSICAL name — the column name actually stored in the
+  // parquet files — is fixed at first write and never changes; RENAME
+  // and DROP are metadata-only commits that edit the LOGICAL schema in
+  // the manifest's checkpoint. The mapping rides as field metadata
+  // ("physical") inside the checkpointed schema json, so time travel
+  // automatically reads each version under ITS logical names, and no
+  // manifest-format change was needed. A field with no "physical"
+  // metadata is identity-mapped (every pre-mapping lake reads
+  // unchanged). Columns APPENDED by schema evolution after mapping is
+  // first activated get a FRESH uuid-suffixed physical name, so
+  // re-adding a dropped column's name can never resurrect the dropped
+  // data from old files (they don't contain the new physical name →
+  // NULL, the standard evolution contract).
+
+  private def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("physical")) f.metadata.getString("physical")
+    else f.name
+
+  private def mappingActive(s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.exists(_.metadata.contains("physical"))
+
+  /** The schema as stored in the data files: logical fields renamed to
+    * their physical names (metadata kept — it is inert on a read). */
+  private def physicalSchema(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      s.fields.map(f => f.copy(name = physName(f))))
+
+  /** logical → physical for the fields where the two differ. */
+  private def physMap(s: org.apache.spark.sql.types.StructType)
+      : Map[String, String] =
+    s.fields.collect {
+      case f if physName(f) != f.name => f.name -> physName(f)
+    }.toMap
+
+  /** Rename a frame's logically-named columns to their physical
+    * storage names before a file write. withColumnRenamed is
+    * exact-match (no dot/backtick parsing); swaps are impossible
+    * because renameColumn refuses a logical name equal to any other
+    * field's physical name. */
+  private def toPhysical(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    physMap(schema).foldLeft(df) { case (d, (log, phys)) =>
+      if (d.columns.contains(log)) d.withColumnRenamed(log, phys) else d
+    }
+
+  /** Inverse of toPhysical, applied after a physical-schema scan. */
+  private def toLogical(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    physMap(schema).foldLeft(df) { case (d, (log, phys)) =>
+      if (d.columns.contains(phys)) d.withColumnRenamed(phys, log) else d
+    }
+
   /** Additive schema union for the checkpoint: base order preserved,
     * genuinely-new fields appended; a same-name field changing its
     * type is rejected (the Delta rule — silent widening would make
-    * old files unreadable under the checkpointed schema). */
+    * old files unreadable under the checkpointed schema). New fields
+    * compare against base LOGICAL names (the name a producer frame
+    * carries); once column mapping is active they are stamped with a
+    * fresh physical name (see the mapping comment above). */
   private def unionSchema(base: org.apache.spark.sql.types.StructType,
       add: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
@@ -788,8 +872,16 @@ object ManifestLake {
       }
     }
     val baseNames = base.fieldNames.map(_.toLowerCase).toSet
-    org.apache.spark.sql.types.StructType(base.fields ++
-      add.fields.filterNot(f => baseNames.contains(f.name.toLowerCase)))
+    val fresh = add.fields.filterNot(f => baseNames.contains(f.name.toLowerCase))
+      .map { f =>
+        if (!mappingActive(base)) f
+        else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("physical",
+            s"${f.name}_p${UUID.randomUUID().toString.take(8)}")
+          .build())
+      }
+    org.apache.spark.sql.types.StructType(base.fields ++ fresh)
   }
 
   /** The snapshot's table schema: the checkpointed one when the
@@ -899,15 +991,20 @@ object ManifestLake {
       keepPos: Boolean = false): DataFrame = {
     val dvs = dvsFor(dvsOverride.getOrElse(snap.dvs), rels)
     val all = s"$path/$SchemaDir" +: rels.map(p => s"$path/$p")
-    val base = snap.schemaJson match {
-      case Some(_) => spark.read.schema(tableSchema(spark, path, snap))
-        .parquet(all: _*)
+    val logical = snap.schemaJson.map(_ => tableSchema(spark, path, snap))
+    val base = logical match {
+      // scan under the PHYSICAL names (what the files store; dropped
+      // columns simply aren't requested), then rename to the logical
+      // schema below — after the position/DV plumbing, which needs the
+      // raw scan's _metadata
+      case Some(ts) => spark.read.schema(physicalSchema(ts)).parquet(all: _*)
       case None => spark.read.option("mergeSchema", "true").parquet(all: _*)
     }
     val posed =
       if (dvs.isEmpty && !keepPos) base
       else applyDvs(spark, path, dvs, withPos(spark, path, base))
-    val restored = posed.withColumn("day", when(col("day") === NullPart,
+    val named = logical.fold(posed)(ts => toLogical(posed, ts))
+    val restored = named.withColumn("day", when(col("day") === NullPart,
       lit(null: String)).otherwise(col("day")))
     if (keepPos) restored else restored.drop("__pos_f", "__pos_i")
   }
@@ -1115,21 +1212,35 @@ object ManifestLake {
       }
       case 'D' => l.dataType match {
         case DateType => Some(l.value.toString) // epoch days already
-        case StringType => scala.util.Try(
-          java.time.LocalDate.parse(l.value.toString).toEpochDay.toString
-        ).toOption
+        case StringType =>
+          // Spark's own cast-string-to-date parser (not LocalDate.parse):
+          // identical accept/reject surface, so the prune boundary is
+          // exactly the comparison Spark will evaluate. Parse failure →
+          // None → the conjunct degrades to a kept file (sound).
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToDate(
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(l.value.toString)).map(_.toString)
         case _ => None
       }
       case 'T' => l.dataType match {
         case TimestampType => Some(l.value.toString) // epoch micros
-        case StringType => scala.util.Try {
-          val s = l.value.toString
-          val ldt =
-            if (s.length == 10) java.time.LocalDate.parse(s).atStartOfDay()
-            else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-          val ins = ldt.toInstant(java.time.ZoneOffset.UTC)
-          (ins.getEpochSecond * 1000000L + ins.getNano / 1000L).toString
-        }.toOption
+        case StringType =>
+          // ADVICE r11 (medium): Spark casts a string-vs-timestamp
+          // comparison in spark.sql.session.timeZone, so rendering the
+          // literal at a hardcoded UTC shifted the prune boundary by
+          // the zone offset on any non-UTC session — an UNSOUND prune
+          // (files holding matching rows could be skipped). Use Spark's
+          // own conversion at the session zone (SQLConf.get is the
+          // planning thread's conf — the same one the cast will use).
+          scala.util.Try {
+            val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .getZoneId(org.apache.spark.sql.internal.SQLConf.get
+                .sessionLocalTimeZone)
+            org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .stringToTimestamp(
+                org.apache.spark.unsafe.types.UTF8String
+                  .fromString(l.value.toString), zone)
+          }.toOption.flatten.map(_.toString)
         case _ => None
       }
       case _ => None
@@ -1239,8 +1350,25 @@ object ManifestLake {
 
   private def candidateFilesOf(spark: SparkSession, path: String,
       snap: Snapshot, predicateSql: String): PruneReport = {
-    val preds = extract(
+    val rawPreds = extract(
       spark.sessionState.sqlParser.parseExpression(predicateSql))
+    // predicates name LOGICAL columns; footer stats and bloom entries
+    // are keyed by the PHYSICAL (stored) names — translate before any
+    // envelope/bloom lookup so skipping keeps working across renames
+    val physLower: Map[String, String] = snap.schemaJson
+      .map(_ => physMap(tableSchema(spark, path, snap))
+        .map { case (l, p) => l.toLowerCase -> p.toLowerCase })
+      .getOrElse(Map.empty)
+    def rekey(p: Pred): Pred = physLower.get(p.colName) match {
+      case None => p
+      case Some(phys) => p match {
+        case c: CmpPred => c.copy(colName = phys)
+        case c: InPred => c.copy(colName = phys)
+        case c: NullPred => c.copy(colName = phys)
+        case c: PrefixPred => c.copy(colName = phys)
+      }
+    }
+    val preds = rawPreds.map(rekey)
     val dayPreds = preds.filter(_.colName == "day")
     val colPreds = preds.filterNot(_.colName == "day")
     // equality conjuncts testable against the per-file bloom index:
@@ -1456,6 +1584,98 @@ object ManifestLake {
     snap.version + 1
   }
 
+  // ---- ALTER TABLE RENAME / DROP COLUMN (column mapping) ----
+
+  /** Shared preconditions + the stamped schema for a mapping edit:
+    * every field gets an EXPLICIT "physical" metadata entry (its
+    * current storage name), which activates column mapping for the
+    * table — from then on evolution-appended fields get fresh
+    * physical names, so a dropped name can never be resurrected by a
+    * later re-add. */
+  private def mappingEditGuard(snap: Snapshot, colName: String,
+      op: String): org.apache.spark.sql.types.StructType = {
+    require(snap.schemaJson.isDefined,
+      s"$op: the table has no checkpointed schema yet (pre-checkpoint " +
+        "manifest) — any write through this version checkpoints it")
+    require(!colName.equalsIgnoreCase("day"),
+      s"$op: 'day' is the partition key — it cannot be renamed or dropped")
+    val ts = org.apache.spark.sql.types.DataType
+      .fromJson(snap.schemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(ts.fields.exists(_.name.equalsIgnoreCase(colName)),
+      s"$op: no column '$colName' (have ${ts.fieldNames.mkString(", ")})")
+    val hit = snap.checks.filter(_._2.toLowerCase
+      .matches(s"(?s).*\\b${java.util.regex.Pattern.quote(colName.toLowerCase)}\\b.*"))
+    require(hit.isEmpty,
+      s"$op: CHECK constraint(s) ${hit.map(_._1).mkString(", ")} reference " +
+        s"'$colName' — drop them first (their SQL would silently stop " +
+        "binding)")
+    // activate mapping: stamp every field's current physical name
+    org.apache.spark.sql.types.StructType(ts.fields.map { f =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putString("physical", physName(f)).build())
+    })
+  }
+
+  /** ALTER TABLE RENAME COLUMN as ONE metadata-only commit (the Delta
+    * column-mapping design): the stored files are untouched — the
+    * field keeps its physical name forever and only the LOGICAL name
+    * in the checkpointed schema changes. Every read path (read,
+    * readWhere incl. stats/bloom skipping, readVersion, readChanges,
+    * compactDay) translates via the mapping; writes translate back,
+    * so post-rename upserts/appends land under the SAME stored name
+    * as every old file. Time travel reads each version under ITS
+    * names: readVersion(v) before the rename still answers with the
+    * old column name. */
+  def renameColumn(spark: SparkSession, path: String, oldName: String,
+      newName: String): Long = {
+    val snap = snapshot(spark, path)
+    val ts = mappingEditGuard(snap, oldName, "renameColumn")
+    require(!newName.equalsIgnoreCase("day"),
+      "renameColumn: 'day' is reserved for the partition key")
+    require(newName.nonEmpty && !newName.exists(c => c == '`' || c == '.'),
+      s"renameColumn: '$newName' is not a plain identifier")
+    require(!ts.fields.exists(_.name.equalsIgnoreCase(newName)),
+      s"renameColumn: column '$newName' already exists")
+    val idx = ts.fields.indexWhere(_.name.equalsIgnoreCase(oldName))
+    // OTHER fields' physical names are off-limits (a logical name that
+    // shadows stored bytes of a different column); renaming a column
+    // BACK to its own physical name is the safe round-trip
+    require(!ts.fields.zipWithIndex.exists { case (f, i) =>
+        i != idx && physName(f).equalsIgnoreCase(newName)
+      },
+      s"renameColumn: '$newName' is the physical storage name of an " +
+        "existing column — pick another name (it would shadow stored data)")
+    val next = org.apache.spark.sql.types.StructType(
+      ts.fields.updated(idx, ts.fields(idx).copy(name = newName)))
+    val (fs, root) = fsOf(spark, path)
+    commit(fs, root, snap.version + 1, snap.days, snap.lastBatch,
+      snap.legacyFiles, schemaJson = Some(next.json), dvs = snap.dvs,
+      checks = snap.checks, op = s"renameColumn($oldName->$newName)")
+    snap.version + 1
+  }
+
+  /** ALTER TABLE DROP COLUMN as ONE metadata-only commit: the stored
+    * bytes stay (time travel to any pre-drop version still reads
+    * them; vacuum never reaps live files over this), the column just
+    * leaves the logical schema so no current read requests it. The
+    * commit activates column mapping, so a LATER re-add of the same
+    * name gets a fresh physical name and reads NULL from the old
+    * files — dropped data cannot resurrect (the Delta rule). */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long = {
+    val snap = snapshot(spark, path)
+    val ts = mappingEditGuard(snap, name, "dropColumn")
+    val rest = ts.fields.filterNot(_.name.equalsIgnoreCase(name))
+    require(rest.exists(!_.name.equalsIgnoreCase("day")),
+      "dropColumn: cannot drop the last data column")
+    val (fs, root) = fsOf(spark, path)
+    commit(fs, root, snap.version + 1, snap.days, snap.lastBatch,
+      snap.legacyFiles,
+      schemaJson = Some(org.apache.spark.sql.types.StructType(rest).json),
+      dvs = snap.dvs, checks = snap.checks, op = s"dropColumn($name)")
+    snap.version + 1
+  }
+
   /** Drop a CHECK constraint: one metadata-only commit. */
   def dropCheck(spark: SparkSession, path: String, name: String): Long = {
     val snap = snapshot(spark, path)
@@ -1533,7 +1753,8 @@ object ManifestLake {
     require(fromV <= toV, s"readChanges: fromV $fromV > toV $toV")
     val (fs, root) = fsOf(spark, path)
     def snapAt(v: Long): Snapshot =
-      if (v == 0L) Snapshot(0L, Map.empty) else readManifest(fs, root, v)
+      if (v == 0L) Snapshot(0L, Map.empty)
+      else readCursorManifest(fs, root, v)
     val from = snapAt(fromV)
     val to = snapAt(toV)
     val covF = dvCoverage(from)
@@ -1634,7 +1855,15 @@ object ManifestLake {
       .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
       .withColumn("day", dayKey)
     enforceChecks(merged, snap.checks, "upsert")
-    val newDirs = writeGen(spark, path, merged, filesPerDay)
+    // union with the FULL table schema, not merged's: under a
+    // pre-checkpoint manifest the merge frame was planned from the
+    // affected days only, and a column living solely in untouched
+    // days must survive the checkpoint. Computed BEFORE the write so
+    // the files store the checkpoint's physical names.
+    val nextSchema = unionSchema(tableSchema(spark, path, snap),
+      merged.schema)
+    val newDirs = writeGen(spark, path, merged, filesPerDay,
+      writeSchema = Some(nextSchema))
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
     // affected days remap to the new generation (or vanish when
@@ -1644,12 +1873,7 @@ object ManifestLake {
       newDirs.map { case (d, p) => d -> Seq(p) }
     commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
       carryFiles(snap, nextDays),
-      // union with the FULL table schema, not merged's: under a
-      // pre-checkpoint manifest the merge frame was planned from the
-      // affected days only, and a column living solely in untouched
-      // days must survive the checkpoint
-      schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
-        merged.schema).json),
+      schemaJson = Some(nextSchema.json),
       dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet),
       checks = snap.checks, op = "upsert")
     snap.version + 1
@@ -1893,7 +2117,10 @@ object ManifestLake {
       .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
       .withColumn("day", dayKey)
     enforceChecks(combined, snap.checks, "mergeInto")
-    val newDirs = writeGen(spark, path, combined, filesPerDay)
+    val nextSchema = unionSchema(tableSchema(spark, path, snap),
+      combined.schema)
+    val newDirs = writeGen(spark, path, combined, filesPerDay,
+      writeSchema = Some(nextSchema))
     if (rewriteDays.isEmpty && newDirs.isEmpty) return snap.version
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
@@ -1906,8 +2133,7 @@ object ManifestLake {
     commit(fs, root, snap.version + 1, nextDays,
       batchId.getOrElse(snap.lastBatch),
       carryFiles(snap, nextDays),
-      schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
-        combined.schema).json),
+      schemaJson = Some(nextSchema.json),
       dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet),
       checks = snap.checks,
       op = batchId.fold("merge")(b => s"merge($b)"))
@@ -1946,15 +2172,16 @@ object ManifestLake {
     val deleted = matched.map(_.getLong(1)).sum
     val kept = readDays(spark, path, days.contains).filter(!hit)
       .withColumn("day", dayKey)
-    val newDirs = writeGen(spark, path, kept, filesPerDay)
+    val nextSchema = unionSchema(tableSchema(spark, path, snap), kept.schema)
+    val newDirs = writeGen(spark, path, kept, filesPerDay,
+      writeSchema = Some(nextSchema))
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
     val nextDays = (snap.days -- days) ++
       newDirs.map { case (d, p) => d -> Seq(p) }
     commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
       carryFiles(snap, nextDays),
-      schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
-        kept.schema).json),
+      schemaJson = Some(nextSchema.json),
       dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet),
       checks = snap.checks, op = "delete")
     deleted
@@ -2042,8 +2269,12 @@ object ManifestLake {
     // deletion vectors on this day are applied HERE, which is what
     // makes compaction the pass that retires them physically.
     val dayPaths = rels.map(p => s"$path/$p")
-    val raw = snap.schemaJson match {
-      case Some(_) => spark.read.schema(tableSchema(spark, path, snap))
+    val logical = snap.schemaJson.map(_ => tableSchema(spark, path, snap))
+    // raw PHYSICAL read → physical rewrite: compaction never renames a
+    // stored column, so the one stable-physical-name invariant of
+    // column mapping holds through it by construction
+    val raw = logical match {
+      case Some(ts) => spark.read.schema(physicalSchema(ts))
         .parquet(dayPaths: _*)
       case None =>
         spark.read.option("mergeSchema", "true").parquet(dayPaths: _*)
@@ -2073,17 +2304,20 @@ object ManifestLake {
     // EARNED by compaction — exactly the Delta OPTIMIZE contract.
     // Explicit numPartitions again: a bare repartitionByRange(cols…)
     // is AQE-coalescible.
+    // callers cluster by LOGICAL names; the frame carries physical
+    val toPhys = logical.map(physMap).getOrElse(Map.empty)
+    val clusterPhys = clusterBy.map(c => toPhys.getOrElse(c, c))
     val out =
       if (clusterBy.isEmpty) df.repartition(nFiles.toInt)
       else if (zOrder && clusterBy.size == 2)
-        LakeLayout.zValue(df, clusterBy.head, clusterBy(1)) match {
+        LakeLayout.zValue(df, clusterPhys.head, clusterPhys(1)) match {
           case Some(z) => df.withColumn("__z", z)
             .repartitionByRange(nFiles.toInt, col("__z"))
             .sortWithinPartitions(col("__z")).drop("__z")
           case None => df.repartition(nFiles.toInt)
         }
-      else df.repartitionByRange(nFiles.toInt, clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.map(col): _*)
+      else df.repartitionByRange(nFiles.toInt, clusterPhys.map(col): _*)
+        .sortWithinPartitions(clusterPhys.map(col): _*)
     withMicrosTimestamps(spark) {
       out.write.mode("errorifexists").parquet(s"$path/$gen/pday=$day")
     }
@@ -2093,8 +2327,12 @@ object ManifestLake {
     val nextDays = snap.days + (day -> Seq(rel))
     commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
       carryFiles(snap, nextDays),
-      schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
-        df.schema).json),
+      // row-preserving: a checkpointed table keeps its schema verbatim
+      // (df carries PHYSICAL names — unioning those would duplicate
+      // renamed fields); only the legacy pre-checkpoint path still
+      // unions the footer-planned frame in
+      schemaJson = Some(logical.getOrElse(
+        unionSchema(tableSchema(spark, path, snap), df.schema)).json),
       dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet),
       checks = snap.checks, op = s"compact($day)")
     snap.version + 1
@@ -2127,7 +2365,12 @@ object ManifestLake {
       .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
       .withColumn("day", dayKey)
     enforceChecks(rows, snap.checks, "appendBatch")
-    val newDirs = writeGen(spark, path, rows, filesPerDay)
+    // additive evolution lands HERE: a batch carrying a new column
+    // widens the checkpoint, and every already-committed file reads
+    // the new column as NULL under it
+    val nextSchema = unionSchema(tableSchema(spark, path, snap), rows.schema)
+    val newDirs = writeGen(spark, path, rows, filesPerDay,
+      writeSchema = Some(nextSchema))
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
     val merged = newDirs.foldLeft(snap.days) { case (m, (d, p)) =>
@@ -2135,11 +2378,7 @@ object ManifestLake {
     }
     commit(fs, root, snap.version + 1, merged, batchId,
       snap.legacyFiles,
-      // additive evolution lands HERE: a batch carrying a new column
-      // widens the checkpoint, and every already-committed file reads
-      // the new column as NULL under it
-      schemaJson = Some(unionSchema(tableSchema(spark, path, snap),
-        rows.schema).json),
+      schemaJson = Some(nextSchema.json),
       dvs = snap.dvs, checks = snap.checks, op = s"append($batchId)")
     snap.version + 1
   }
@@ -2274,7 +2513,7 @@ object ManifestLake {
     val (fs, root) = fsOf(spark, srcPath)
     val from =
       if (fromV == 0L) Snapshot(0L, Map.empty)
-      else readManifest(fs, root, fromV)
+      else readCursorManifest(fs, root, fromV)
     // the append fast path, computed directly: per day, the window's
     // ADDED directories; a day that lost one (upsert/delete/compaction
     // rewrote it) OR whose deletion-vector coverage changed (a DV
@@ -2348,9 +2587,29 @@ object ManifestLake {
     * with trigger count (Delta caps this with log checkpoints every
     * N commits; here retention expiry is the cap, and at a 7-day
     * retention × minute triggers the listing is ~10⁴ names — a
-    * single RPC page). Returns deleted paths. */
+    * single RPC page). Returns deleted paths.
+    *
+    * Retention contract (VERDICT r11 #8, the Delta `RETAIN n HOURS`
+    * rule): a reader pinned to version v — time travel, a mirror's
+    * cursor, a changes consumer mid-window — keeps working across any
+    * vacuum whose retention still covers v, because expiry is by
+    * manifest age against `retentionMs` and the files every retained
+    * manifest references are liveness roots. The floor guards the
+    * complement: `retentionMs` below MinRetentionMs (1 h) can reap a
+    * version an in-flight reader resolved moments ago (local mode has
+    * no global lock between snapshot() and the read), so it is
+    * REFUSED unless `force = true` — the
+    * retentionDurationCheck.enabled escape hatch, for tests and
+    * deliberate teardown only. */
+  val MinRetentionMs: Long = 3600L * 1000
   def vacuum(spark: SparkSession, path: String,
-      retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+      force: Boolean = false): Seq[String] = {
+    require(force || retentionMs >= MinRetentionMs,
+      s"vacuum: retentionMs $retentionMs is below the ${MinRetentionMs}ms " +
+        "floor — an in-flight reader of a just-retired version could " +
+        "lose its files mid-read. Pass force = true only for tests or " +
+        "deliberate teardown (the retentionDurationCheck escape hatch).")
     val (fs, root) = fsOf(spark, path)
     if (!fs.exists(root)) return Seq.empty
     val versions = manifestVersions(fs, root)

@@ -60,15 +60,15 @@ class LakeLayoutSpec extends SparkSpec {
     assert(LakeLayout.vacuum(spark, dir, retentionMs = 3600 * 1000L).isEmpty)
     assert(staged.exists() && stray.exists())
     // retention 0: both orphans reclaimed, nothing else touched
-    val deleted = LakeLayout.vacuum(spark, dir, retentionMs = 0L)
+    val deleted = LakeLayout.vacuum(spark, dir, retentionMs = 0L, force = true)
     assert(deleted.size == 2, s"deleted: $deleted")
     assert(!staged.exists() && !stray.exists())
     assert(new java.io.File(s"$dir/_SUCCESS").exists(), "_SUCCESS must survive")
     val after = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
     assert(after == before, "vacuum changed the committed data")
     // a second pass is a no-op; a missing dir is a no-op
-    assert(LakeLayout.vacuum(spark, dir, 0L).isEmpty)
-    assert(LakeLayout.vacuum(spark, s"$dir/never_written", 0L).isEmpty)
+    assert(LakeLayout.vacuum(spark, dir, 0L, force = true).isEmpty)
+    assert(LakeLayout.vacuum(spark, s"$dir/never_written", 0L, force = true).isEmpty)
   }
 
   test("vacuum: a lake under a dot-dir ancestor still reclaims orphans") {
@@ -82,7 +82,7 @@ class LakeLayoutSpec extends SparkSpec {
     val orphan = new java.io.File(s"$dir/_temporary/part-0.parquet.tmp")
     orphan.getParentFile.mkdirs()
     Files.write(orphan.toPath, Array[Byte](1))
-    val deleted = LakeLayout.vacuum(spark, dir.toString, retentionMs = 0L)
+    val deleted = LakeLayout.vacuum(spark, dir.toString, retentionMs = 0L, force = true)
     assert(deleted.size == 1 && !orphan.exists(),
       s"orphan under dot-ancestor root not reclaimed: $deleted")
     assert(new java.io.File(s"$dir/_SUCCESS").exists())
@@ -412,7 +412,7 @@ class LakeLayoutSpec extends SparkSpec {
     // inside retention the litter is kept (might be an in-flight job)…
     assert(LakeLayout.vacuum(spark, dir, retentionMs = 3600 * 1000L).isEmpty)
     // …past retention BOTH staging families are reclaimed
-    val deleted = LakeLayout.vacuum(spark, dir, retentionMs = 0L)
+    val deleted = LakeLayout.vacuum(spark, dir, retentionMs = 0L, force = true)
     assert(deleted.size == 2, s"deleted: $deleted")
     assert(!staged.exists() && !tmp.exists())
     val after = LakeLayout.read(spark, dir).collect().map(_.toString).sorted.toSeq

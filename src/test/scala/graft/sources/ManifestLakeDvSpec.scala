@@ -71,7 +71,7 @@ class ManifestLakeDvSpec extends SparkSpec {
     assert(ManifestLake.deleteWhereDV(spark, dir,
       col("event_type") === "evil") == 2L)
     assert(ids(dir) == Set(20L, 40L))
-    val deleted = ManifestLake.vacuum(spark, dir, retentionMs = 0L)
+    val deleted = ManifestLake.vacuum(spark, dir, retentionMs = 0L, force = true)
     assert(deleted.exists(_.contains("/dv/")), "orphan DV not reclaimed")
     assert(ids(dir) == Set(20L, 40L), "vacuum touched the live DV")
   }

@@ -8,7 +8,8 @@ import graft.SparkSpec
 
 /** Randomized MODEL test for the transactional lake: a seeded
   * sequence of appendBatch / upsert / deleteWhere / deleteWhereDV /
-  * compactDay / mergeInto / restore / crash-injected ops runs
+  * compactDay / mergeInto / restore / renameColumn / crash-injected
+  * ops runs
   * against both the real ManifestLake and a
   * driver-side Map model implementing the same semantics
   * (latest-wins per key, TRUE-only delete, append adds). After every
@@ -29,13 +30,13 @@ class ManifestLakeModelSpec extends SparkSpec {
   // key → (ts, value); the model's latest-wins state
   private type Model = Map[Long, (Long, Double)]
 
-  private def toDf(rows: Seq[(Long, Long, Double)]) =
+  private def toDf(rows: Seq[(Long, Long, Double)], valueName: String) =
     rows.map { case (k, t, v) => (k, ts(t), v) }
-      .toDF("k", "ts", "value")
+      .toDF("k", "ts", valueName)
 
-  private def lakeState(dir: String): Model =
+  private def lakeState(dir: String, valueName: String): Model =
     ManifestLake.read(spark, dir)
-      .select("k", "ts", "value").collect()
+      .select("k", "ts", valueName).collect()
       .map(r => r.getLong(0) -> ((r.getTimestamp(1).getTime, r.getDouble(2))))
       .toMap
 
@@ -50,49 +51,60 @@ class ManifestLakeModelSpec extends SparkSpec {
     // init: 12 distinct keys; stats ON so every op composition also
     // exercises collection, carry-forward, and pruning (r11)
     val init = Seq.tabulate(12)(i => (i.toLong, rt(), rv()))
-    ManifestLake.create(spark, dir, toDf(init), "ts",
+    // the value column's CURRENT logical name — the rename arm flips
+    // it between "value" and "price"; the stored physical name stays
+    // "value" forever (column mapping), which is also why the stats
+    // column registration below keeps pruning across renames
+    var valueName = "value"
+    ManifestLake.create(spark, dir, toDf(init, valueName), "ts",
       statsCols = Seq("k", "value"))
     var model: Model = init.map { case (k, t, v) => k -> ((t, v)) }.toMap
     var nextBatch = 0L
-    // committed version → the model at that version, so the restore
-    // arm can roll the MODEL back alongside the lake
-    var versionLog: Map[Long, Model] = Map(1L -> model)
+    // committed version → (model, value-column name) at that version,
+    // so the restore arm rolls BOTH back alongside the lake (restore
+    // reinstates the old schema checkpoint, logical names included)
+    var versionLog: Map[Long, (Model, String)] = Map(1L -> ((model, valueName)))
 
     def checkEq(opName: String, op: Int): Unit = {
-      val got = lakeState(dir)
+      val got = lakeState(dir, valueName)
       assert(got == model, s"op $op ($opName): lake ${got.toSeq.sortBy(_._1)} " +
         s"!= model ${model.toSeq.sortBy(_._1)}")
       // the stats-pruned read must agree with the model's filter after
       // EVERY committed op — stale or wrong per-file stats would
-      // surface here as a dropped (or resurrected) row
+      // surface here as a dropped (or resurrected) row. The predicate
+      // uses the CURRENT logical name, so after the rename arm this
+      // also pins the logical→physical stats-key translation.
       val pruned = ManifestLake.readWhere(spark, dir,
-        "k < 20 AND value >= 2.5")
-        .select("k", "ts", "value").collect()
+        s"k < 20 AND $valueName >= 2.5")
+        .select("k", "ts", valueName).collect()
         .map(r => r.getLong(0) -> ((r.getTimestamp(1).getTime,
           r.getDouble(2)))).toMap
       val expect = model.filter { case (k, (_, v)) => k < 20 && v >= 2.5 }
       assert(pruned == expect, s"op $op ($opName): readWhere diverged")
-      versionLog += ManifestLake.snapshot(spark, dir).version -> model
+      versionLog += ManifestLake.snapshot(spark, dir).version ->
+        ((model, valueName))
     }
 
     (1 to 40).foreach { op =>
-      rnd.nextInt(12) match {
+      rnd.nextInt(13) match {
         case 0 | 1 | 2 => // append new keys (fresh ids so append stays append)
           val rows = Seq.tabulate(1 + rnd.nextInt(3))(i =>
             (1000L + op * 10 + i, rt(), rv()))
-          ManifestLake.appendBatch(spark, dir, toDf(rows), "ts", nextBatch)
+          ManifestLake.appendBatch(spark, dir, toDf(rows, valueName), "ts",
+            nextBatch)
           nextBatch += 1
           model ++= rows.map { case (k, t, v) => k -> ((t, v)) }
           checkEq("append", op)
         case 3 => // replay of the PREVIOUS batch id: must be a no-op
           if (nextBatch > 0) {
             val rows = Seq((2000L + op, rt(), rv()))
-            ManifestLake.appendBatch(spark, dir, toDf(rows), "ts", nextBatch - 1)
+            ManifestLake.appendBatch(spark, dir, toDf(rows, valueName), "ts",
+              nextBatch - 1)
             checkEq("replayed-append(no-op)", op)
           }
         case 4 | 5 => // latest-wins upsert over existing + new keys
           val rows = Seq.tabulate(1 + rnd.nextInt(3))(_ => (rk(), rt(), rv()))
-          ManifestLake.upsert(spark, dir, toDf(rows), Seq("k"), "ts")
+          ManifestLake.upsert(spark, dir, toDf(rows, valueName), Seq("k"), "ts")
           rows.foreach { case (k, t, v) =>
             val winner = model.get(k) match {
               case Some((t0, _)) if t0 > t => model(k)
@@ -103,7 +115,7 @@ class ManifestLakeModelSpec extends SparkSpec {
           checkEq("upsert", op)
         case 6 => // copy-on-write takedown by value threshold (TRUE-only)
           val cut = rv()
-          ManifestLake.deleteWhere(spark, dir, col("value") < cut)
+          ManifestLake.deleteWhere(spark, dir, col(valueName) < cut)
           model = model.filter { case (_, (_, v)) => !(v < cut) }
           checkEq("delete", op)
         case 7 => // the SAME semantics through a deletion vector —
@@ -112,7 +124,7 @@ class ManifestLakeModelSpec extends SparkSpec {
           // (upsert/compaction must retire them, appends must not
           // disturb them, readWhere must anti-join through its pruning)
           val cutDv = rv()
-          ManifestLake.deleteWhereDV(spark, dir, col("value") < cutDv)
+          ManifestLake.deleteWhereDV(spark, dir, col(valueName) < cutDv)
           model = model.filter { case (_, (_, v)) => !(v < cutDv) }
           checkEq("dv-delete", op)
         case 8 => // compaction of a random live day (sometimes
@@ -127,11 +139,13 @@ class ManifestLakeModelSpec extends SparkSpec {
         case 9 => // CRASH injection: a failed commit changes nothing
           val rows = Seq((3000L + op, rt(), rv()))
           intercept[RuntimeException] {
-            ManifestLake.appendBatch(spark, dir, toDf(rows), "ts", nextBatch,
+            ManifestLake.appendBatch(spark, dir, toDf(rows, valueName), "ts",
+              nextBatch,
               beforeCommit = () => throw new RuntimeException("kill"))
           }
           // cursor must NOT have advanced; the same id re-lands once
-          ManifestLake.appendBatch(spark, dir, toDf(rows), "ts", nextBatch)
+          ManifestLake.appendBatch(spark, dir, toDf(rows, valueName), "ts",
+            nextBatch)
           nextBatch += 1
           model += rows.head._1 -> ((rows.head._2, rows.head._3))
           checkEq("crash+retry", op)
@@ -143,12 +157,14 @@ class ManifestLakeModelSpec extends SparkSpec {
           val upd = Seq.tabulate(1 + rnd.nextInt(2))(_ => (rk(), rt(), rv()))
             .distinctBy(_._1)
           val ins = Seq((4000L + op, rt(), rv()))
-          ManifestLake.mergeInto(spark, dir, toDf(upd ++ ins), Seq("k"), "ts",
+          ManifestLake.mergeInto(spark, dir, toDf(upd ++ ins, valueName),
+            Seq("k"), "ts",
             Seq(
               ManifestLake.MatchedUpdate(
-                Map("ts" -> col("s.ts"), "value" -> col("s.value")),
+                Map("ts" -> col("s.ts"), valueName -> col(s"s.$valueName")),
                 cond = Some(expr("s.ts > t.ts"))),
-              ManifestLake.MatchedDelete(cond = Some(expr("t.value < 1.0"))),
+              ManifestLake.MatchedDelete(
+                cond = Some(expr(s"t.$valueName < 1.0"))),
               ManifestLake.NotMatchedInsert()))
           (upd ++ ins).foreach { case (k, t, v) =>
             model.get(k) match {
@@ -167,15 +183,25 @@ class ManifestLakeModelSpec extends SparkSpec {
           if (candidates.nonEmpty) {
             val v = candidates(rnd.nextInt(candidates.size))
             ManifestLake.restore(spark, dir, v)
-            model = versionLog(v)
+            val (m, vn) = versionLog(v)
+            model = m
+            valueName = vn
             checkEq(s"restore($v)", op)
           }
+        case 12 => // RENAME the value column (metadata-only): every
+          // later op reads/writes/prunes through the new logical name
+          // over the SAME stored bytes; restore rolls the name back
+          val next = if (valueName == "value") "price" else "value"
+          ManifestLake.renameColumn(spark, dir, valueName, next)
+          valueName = next
+          checkEq(s"rename($next)", op)
       }
     }
     // end state sanity: vacuum reclaims the crash orphans without
     // changing the committed view
-    val before = lakeState(dir)
-    ManifestLake.vacuum(spark, dir, retentionMs = 0L)
-    assert(lakeState(dir) == before, "vacuum changed the committed view")
+    val before = lakeState(dir, valueName)
+    ManifestLake.vacuum(spark, dir, retentionMs = 0L, force = true)
+    assert(lakeState(dir, valueName) == before,
+      "vacuum changed the committed view")
   }
 }

@@ -311,12 +311,46 @@ class ManifestLakeSpec extends SparkSpec {
     assert(ManifestLake.vacuum(spark, dir, retentionMs = 3600 * 1000L).isEmpty)
     // past retention: the crashed gen goes; v1's manifest expires, so
     // its superseded day-2 leaf goes too; the live set survives
-    val deleted = ManifestLake.vacuum(spark, dir, retentionMs = 0L)
+    val deleted = ManifestLake.vacuum(spark, dir, retentionMs = 0L, force = true)
     assert(deleted.nonEmpty, "nothing reclaimed")
     assert(content(dir) == before, "vacuum changed the committed view")
     assert(ManifestLake.snapshot(spark, dir).version == 2L)
     // a second pass finds nothing
-    assert(ManifestLake.vacuum(spark, dir, retentionMs = 0L).isEmpty)
+    assert(ManifestLake.vacuum(spark, dir, retentionMs = 0L, force = true).isEmpty)
+  }
+
+  test("vacuum retention contract: covered readers survive; sub-floor refused; " +
+       "expired cursor explains itself (VERDICT r11 #8, ADVICE #2)") {
+    val dir = Files.createTempDirectory("graft_ml_retain").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    val upd = Seq((2L, 20L, ts("2024-01-02 12:00:00"), "purchase", 3.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.upsert(spark, dir, upd, Seq("user_id", "event_id"), "ts")
+    val v1 = ManifestLake.readVersion(spark, dir, 1L).count()
+    // 1) retention covering v1 (manifests are seconds old, retention
+    //    an hour): vacuum reclaims nothing and v1 stays readable —
+    //    a reader of version v survives any vacuum whose retention
+    //    covers v.
+    assert(ManifestLake.vacuum(spark, dir,
+      retentionMs = ManifestLake.MinRetentionMs).isEmpty)
+    assert(ManifestLake.readVersion(spark, dir, 1L).count() == v1)
+    // 2) sub-floor retention without force is refused up front —
+    //    nothing deleted, reader untouched.
+    val refusal = intercept[IllegalArgumentException] {
+      ManifestLake.vacuum(spark, dir, retentionMs = 1000L)
+    }
+    assert(refusal.getMessage.contains("floor"))
+    assert(ManifestLake.readVersion(spark, dir, 1L).count() == v1)
+    // 3) forced teardown expires v1; a changes consumer whose cursor
+    //    still points there gets the retention + re-seed story, not a
+    //    raw FileNotFoundException.
+    ManifestLake.vacuum(spark, dir, retentionMs = 0L, force = true)
+    val gone = intercept[IllegalStateException] {
+      ManifestLake.readChanges(spark, dir, fromV = 1L,
+        toV = ManifestLake.snapshot(spark, dir).version)
+    }
+    assert(gone.getMessage.contains("retention") &&
+      gone.getMessage.contains("re-seed"), gone.getMessage)
   }
 
   test("upsert ≡ LakeLayout full-merge semantics on a shared scenario") {

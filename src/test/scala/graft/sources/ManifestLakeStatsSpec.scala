@@ -207,6 +207,35 @@ class ManifestLakeStatsSpec extends SparkSpec {
     agree(dir, "ts < '2024-01-02 00:00:00'")
   }
 
+  test("string-vs-timestamp prune is sound on a non-UTC session (ADVICE r11)") {
+    // Spark casts a string literal against a timestamp column in
+    // spark.sql.session.timeZone; the prune used to render it at a
+    // hardcoded UTC, shifting the boundary by the zone offset. With
+    // America/New_York (UTC-5 in January), '2024-01-02 04:00:00'
+    // casts to 09:00Z — day 2's rows at 06:00Z MATCH, but the old
+    // UTC-rendered boundary (04:00Z) pruned their file: wrong rows.
+    val dir = Files.createTempDirectory("graft_mls_tz").toString
+    val rows = (0 until 400).map { i =>
+      val d = i / 100
+      (i.toLong, ts(f"2024-01-${d + 1}%02d ${if (d == 0) "12" else "06"}:00:00"),
+        "c", 1.0)
+    }.toDF("uid", "ts", "cat", "amount")
+    ManifestLake.create(spark, dir, rows, "ts", statsCols = Seq("ts"))
+    val zoneKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(zoneKey)
+    try {
+      spark.conf.set(zoneKey, "America/New_York")
+      val pred = "ts < '2024-01-02 04:00:00'"
+      agree(dir, pred) // pruned read ≡ full-scan filter (the bug diverged here)
+      val rep = ManifestLake.candidateFiles(spark, dir, pred)
+      // day 2 (06:00Z < 09:00Z boundary) must be KEPT; days 3-4
+      // (Jan 3/4 06:00Z ≥ boundary) still prune — soundness did not
+      // cost the skip.
+      assert(rep.keptFiles.size == 2 && rep.totalFiles == 4,
+        s"kept ${rep.keptFiles.size}/${rep.totalFiles}")
+    } finally spark.conf.set(zoneKey, saved)
+  }
+
   test("prefix LIKE prunes string files and day directories") {
     val dir = Files.createTempDirectory("graft_mls_prefix").toString
     // cat carries a per-day prefix: day k's values are pk-<uid>
@@ -402,7 +431,7 @@ class ManifestLakeStatsSpec extends SparkSpec {
     ManifestLake.compactDay(spark, dir, "2024-01-05")
     val statsBefore = new java.io.File(s"$dir/_graft_log/stats")
       .listFiles().count(_.getName.endsWith(".idx"))
-    ManifestLake.vacuum(spark, dir, retentionMs = 0L)
+    ManifestLake.vacuum(spark, dir, retentionMs = 0L, force = true)
     val statsAfter = new java.io.File(s"$dir/_graft_log/stats")
       .listFiles().count(_.getName.endsWith(".idx"))
     assert(statsAfter < statsBefore, "orphan sidecar not reclaimed")

@@ -3,9 +3,9 @@
 dumps written by graft.Verify, runs each oracle_sql.json query in
 DuckDB over the same sf dir, and compares (columns sorted by name,
 rows sorted, values stringified). Usage:
-    python3 tools/check.py <verifyOutDir> <sfDir>
+    python3 tools/check.py <verifyOutDir> <sfDir> [--exact] [--budget[=SEC]]
 """
-import json, os, sys, math
+import json, os, sys, math, time
 import duckdb
 
 # --exact: compare float values bit-for-bit (repr, no 9-dp rounding) —
@@ -13,6 +13,21 @@ import duckdb
 # CORRECTNESS_r02 t_sessionize accumulation-order mismatch that the
 # default rounded compare masked.
 EXACT = "--exact" in sys.argv
+
+# --budget[=SEC]: oracle-cost gate (VERDICT r11 #2). The r11 s_mmr
+# oracle was a DuckDB CTE-inlining plan bomb (~20 min, OOM at 8 GiB)
+# that stalled the driver's whole correctness run and zeroed the
+# round's hard signal. With --budget, each oracle's DuckDB wall time
+# is measured and any single oracle over SEC (default 20 s at sf0.01),
+# or a suite total over SUITE_BUDGET, counts as bad — so a bomb fails
+# THIS gate loudly instead of the driver's silently.
+BUDGET = None
+SUITE_BUDGET = 90.0
+for a in sys.argv[1:]:
+    if a == "--budget":
+        BUDGET = 20.0
+    elif a.startswith("--budget="):
+        BUDGET = float(a.split("=", 1)[1])
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -43,6 +58,7 @@ def main(outdir, sfdir):
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
     dumped = set()
+    oracle_secs = {}
     for name in sorted(os.listdir(outdir)):
         d = os.path.join(outdir, name)
         if not os.path.isdir(d): continue
@@ -57,10 +73,16 @@ def main(outdir, sfdir):
                   f"{'OK' if ok else 'EMPTY!'}")
             continue
         try:
+            t0 = time.time()
             exp = con.execute(oracles[name])
             erows, ecols = exp.fetchall(), [c[0] for c in exp.description]
+            oracle_secs[name] = time.time() - t0
         except Exception as e:
             print(f"  {name:24s} ORACLE SQL ERROR: {e}"); n_bad += 1; continue
+        if BUDGET is not None and oracle_secs[name] > BUDGET:
+            print(f"  {name:24s} ORACLE OVER BUDGET: "
+                  f"{oracle_secs[name]:.1f}s > {BUDGET:.0f}s")
+            n_bad += 1; continue
         # TYPE parity: the driver's hasher distinguishes duck's widened
         # types (window sum(INTEGER) -> HUGEINT) from the Spark dump's
         # BIGINT even when every VALUE matches — the r03 t_sessionize
@@ -105,6 +127,15 @@ def main(outdir, sfdir):
     for name in sorted(missing):
         print(f"  {name:24s} NO DUMP (query crashed before writing output)")
         n_bad += 1
+    if BUDGET is not None and oracle_secs:
+        total = sum(oracle_secs.values())
+        slow = sorted(oracle_secs.items(), key=lambda kv: -kv[1])[:5]
+        print(f"  [budget] oracle suite {total:.1f}s "
+              f"(limit {SUITE_BUDGET:.0f}s); slowest: "
+              + ", ".join(f"{k}={v:.1f}s" for k, v in slow))
+        if total > SUITE_BUDGET:
+            print(f"  [budget] SUITE OVER BUDGET")
+            n_bad += 1
     print(f"== {n_ok} ok, {n_bad} bad ==")
     return 1 if n_bad else 0
 
