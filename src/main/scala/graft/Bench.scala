@@ -53,7 +53,8 @@ object Bench {
     "l_time_travel", "l_merge_head", "l_cdf", "l_dv_takedown", "l_audit_travel", "x_char_entropy",
     "l_merge_clauses", "l_restore", "x_cdc_chunks", "s_ann_dot",
     "s_ann_l2", "x_bm25", "p_dsir", "l_incr_mv", "s_mmr",
-    "x_collocations", "x_readability", "d_url_dedup", "x_textrank")
+    "x_collocations", "x_readability", "d_url_dedup", "x_textrank",
+    "l_rename_read", "l_mapping_travel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -31,26 +31,31 @@ object LakeOps {
 
   private val lakeMemo = new SessionMemo[String]
 
+  /** A fresh tmp dir for one oracle lake, keyed by the FULL (dir,
+    * applicationId) identity via SHA-256 (ADVICE r11 #5: the previous
+    * 32-bit hashCode key risked two concurrent JVM sessions colliding
+    * onto — and fs.delete-ing — each other's lake dir, and
+    * abs(Int.MinValue) stays negative). Deletes any stale residue. */
+  private def freshLakeDir(s: SparkSession, dir: String,
+      family: String): String = {
+    val keySrc = dir + "|" + s.sparkContext.applicationId
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(keySrc.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    val out = s"${System.getProperty("java.io.tmpdir")}/$family/$key"
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    out
+  }
+
   /** Build (once per session+dir) the oracle lake: events keyed by
     * ts-day, uid+ts indexed, clustered on uid. Lives under the JVM
-    * tmpdir, keyed by (dir, applicationId) so concurrent sessions
-    * cannot collide and a dead session's lake is plain tmp garbage. */
+    * tmpdir (freshLakeDir), so a dead session's lake is plain tmp
+    * garbage. */
   private def statsLake(s: SparkSession, dir: String): String =
     lakeMemo.getOrElseUpdate(s, dir) {
-      // ADVICE r11 #5: a 32-bit hashCode key risks two concurrent JVM
-      // sessions colliding onto (and fs.delete-ing) each other's lake
-      // dir, and abs(Int.MinValue) is negative. Key by the first 16
-      // hex of SHA-256 over the full (dir, applicationId) identity —
-      // collision-free for any realistic session population.
-      val keySrc = dir + "|" + s.sparkContext.applicationId
-      val key = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(keySrc.getBytes("UTF-8"))
-        .take(8).map(b => f"$b%02x").mkString
-      val out =
-        s"${System.getProperty("java.io.tmpdir")}/graft_lake_oracle/$key"
-      val p = new org.apache.hadoop.fs.Path(out)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
+      val out = freshLakeDir(s, dir, "graft_lake_oracle")
       ManifestLake.create(s, out, Tables.events(s, dir), "ts",
         filesPerDay = 4, statsCols = Seq("user_id", "ts"),
         bloomCols = Seq("user_id"))
@@ -100,11 +105,7 @@ object LakeOps {
     * and the v1→v3 net change feed via readChanges. */
   private def historyLake(s: SparkSession, dir: String): String =
     historyMemo.getOrElseUpdate(s, dir) {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_lake_history/" +
-        math.abs((dir + "|" + s.sparkContext.applicationId).hashCode).toString
-      val p = new org.apache.hadoop.fs.Path(out)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
+      val out = freshLakeDir(s, dir, "graft_lake_history")
       val ev = Tables.events(s, dir)
       ManifestLake.create(s, out, ev, "ts", filesPerDay = 2)
       val upd = ev
@@ -215,11 +216,7 @@ object LakeOps {
     * the read path anti-joins out. */
   private def dvLake(s: SparkSession, dir: String): String =
     dvMemo.getOrElseUpdate(s, dir) {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_lake_dv/" +
-        math.abs((dir + "|" + s.sparkContext.applicationId).hashCode).toString
-      val p = new org.apache.hadoop.fs.Path(out)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
+      val out = freshLakeDir(s, dir, "graft_lake_dv")
       ManifestLake.create(s, out, Tables.events(s, dir), "ts", filesPerDay = 2)
       ManifestLake.deleteWhereDV(s, out, col("user_id") % 7 === 2)
       out
@@ -260,11 +257,7 @@ object LakeOps {
     * table independently. */
   private def mergeLake(s: SparkSession, dir: String): String =
     mergeMemo.getOrElseUpdate(s, dir) {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_lake_merge/" +
-        math.abs((dir + "|" + s.sparkContext.applicationId).hashCode).toString
-      val p = new org.apache.hadoop.fs.Path(out)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
+      val out = freshLakeDir(s, dir, "graft_lake_merge")
       val ev = Tables.events(s, dir)
       ManifestLake.create(s, out, ev, "ts", filesPerDay = 2)
       val src1 = ev.filter(col("user_id") % 9 === 4 && col("ts").isNotNull)
@@ -309,11 +302,7 @@ object LakeOps {
     * row counts. */
   private def restoreLake(s: SparkSession, dir: String): String =
     restoreMemo.getOrElseUpdate(s, dir) {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_lake_restore/" +
-        math.abs((dir + "|" + s.sparkContext.applicationId).hashCode).toString
-      val p = new org.apache.hadoop.fs.Path(out)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
+      val out = freshLakeDir(s, dir, "graft_lake_restore")
       val ev = Tables.events(s, dir)
       ManifestLake.create(s, out, ev, "ts", filesPerDay = 2)
       ManifestLake.deleteWhere(s, out, col("user_id") % 5 === 0)
@@ -332,6 +321,60 @@ object LakeOps {
     ManifestLake.read(s, restoreLake(s, dir))
       .select(histCols.map(col): _*).orderBy(col("event_id"))
 
+  private val mappingMemo = new SessionMemo[String]
+
+  /** Column-mapping ladder under the oracle (once per session+dir):
+    * v1 CREATE from events → v2 RENAME value→score (metadata-only;
+    * physical name stays "value" in every file) → v3 DROP props
+    * (metadata-only; bytes stay for time travel) → v4 latest-wins
+    * UPSERT through the NEW names (user_id≡3 (mod 7) re-arrives one
+    * day later, score+100 — the write path must land "score" under
+    * the stored physical "value" or old and new rows split into two
+    * columns) → compactDay clustered on "score" (the logical→physical
+    * translation inside compaction). The head read then crosses the
+    * mapping in BOTH directions — old files and new files under one
+    * logical schema — and DuckDB replays it as plain aliases over the
+    * raw parquet: any physical/logical confusion (NULL column, split
+    * column, resurrected props) breaks the hash. */
+  private def mappingLake(s: SparkSession, dir: String): String =
+    mappingMemo.getOrElseUpdate(s, dir) {
+      val out = freshLakeDir(s, dir, "graft_lake_mapping")
+      val ev = Tables.events(s, dir)
+      ManifestLake.create(s, out, ev, "ts", filesPerDay = 2)
+      ManifestLake.renameColumn(s, out, "value", "score")
+      ManifestLake.dropColumn(s, out, "props")
+      val upd = ev
+        .filter(col("user_id") % 7 === 3 && col("ts").isNotNull)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY"))
+        .withColumn("event_type", lit("updated"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), (col("value") + lit(100.0)).as("score"))
+      ManifestLake.upsert(s, out, upd, Seq("event_id"), "ts")
+      val days = ManifestLake.snapshot(s, out).days.keys.toSeq.sorted
+      days.headOption.foreach { d =>
+        ManifestLake.compactDay(s, out, d, clusterBy = Seq("score"))
+      }
+      out
+    }
+
+  /** ALTER TABLE RENAME/DROP COLUMN under the oracle (see
+    * mappingLake). */
+  def lRenameRead(s: SparkSession, dir: String): DataFrame =
+    ManifestLake.read(s, mappingLake(s, dir))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("score"), col("day"))
+      .orderBy(col("event_id"))
+
+  /** Time travel ACROSS the mapping edits: version 1 predates the
+    * rename and the drop, so it must read under the ORIGINAL names —
+    * value (not score) AND props (dropped at head, bytes still live) —
+    * and hash-equal the raw base table. A mapping that leaked head
+    * logical names into a historical read, or whose drop deleted
+    * bytes, breaks schema or hash here. */
+  def lMappingTravel(s: SparkSession, dir: String): DataFrame =
+    ManifestLake.readVersion(s, mappingLake(s, dir), 1L)
+      .select(histCols.map(col): _*).orderBy(col("event_id"))
+
   val queries: ListMap[String, Q] = ListMap(
     "l_scan_prune" -> (lScanPrune _),
     "l_point_lookup" -> (lPointLookup _),
@@ -343,6 +386,8 @@ object LakeOps {
     "l_audit_travel" -> (lAuditTravel _),
     "l_merge_clauses" -> (lMergeClauses _),
     "l_restore" -> (lRestore _),
+    "l_rename_read" -> (lRenameRead _),
+    "l_mapping_travel" -> (lMappingTravel _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -473,6 +518,31 @@ object LakeOps {
          |  FROM events WHERE NOT (user_id % 7 = 3 AND ts IS NOT NULL)
          |)
          |SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day
+         |FROM merged ORDER BY event_id""".stripMargin,
+    // time travel across the mapping edits: v1 IS the base table under
+    // its ORIGINAL names (value, props) — identical oracle shape to
+    // l_time_travel, but the versioned read now has to pick the
+    // PRE-rename logical schema out of the v1 checkpoint
+    "l_mapping_travel" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day
+         |FROM events ORDER BY event_id""".stripMargin,
+    // rename/drop are metadata-only on the lake side, so the oracle is
+    // the same latest-wins replay with the rename applied as an ALIAS
+    // and props simply not selected — if the engine's logical→physical
+    // translation leaked anywhere (NULL score on old files, a split
+    // column after the upsert, props resurrected), the hash breaks
+    "l_rename_read" ->
+      s"""WITH merged AS (
+         |  SELECT event_id, ts + INTERVAL 1 DAY AS ts, user_id,
+         |         'updated' AS event_type, value + 100.0 AS score
+         |  FROM events WHERE user_id % 7 = 3 AND ts IS NOT NULL
+         |  UNION ALL
+         |  SELECT event_id, ts, user_id, event_type, value AS score
+         |  FROM events WHERE NOT (user_id % 7 = 3 AND ts IS NOT NULL)
+         |)
+         |SELECT event_id, ts, user_id, event_type, score,
          |  strftime(ts, '%Y-%m-%d') AS day
          |FROM merged ORDER BY event_id""".stripMargin,
   )

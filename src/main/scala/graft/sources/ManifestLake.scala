@@ -1955,6 +1955,33 @@ object ManifestLake {
     * version-chain case upsert pins. All affected days commit in ONE
     * manifest rename; `beforeCommit` crash-sims it. Returns the
     * committed version (snap.version when the merge is a no-op). */
+  /** FUSED merge discovery (the Delta findTouchedFiles shape — ONE
+    * pass over the table): a single broadcast inner join target⋈source
+    * yields, per matched row, the day and whether any matched clause
+    * fires. Its output is SOURCE-bounded (≤ |source| × per-key target
+    * dups), so mergeInto persists it cheaply and everything else
+    * derives from it without re-scanning the table:
+    *   - matchedDays  = days where a matched guard fired;
+    *   - matchedKeys  = the source keys that exist in the target —
+    *     which is exactly what the insert anti-join and the
+    *     ambiguity check need (a source key absent from the inner
+    *     join has no target match, by construction).
+    * Only an explicit NotMatchedBySource clause adds a second table
+    * pass (its rows are the ones the join CANNOT see). Extracted so
+    * PlanAuditSpec can pin the single-scan broadcast shape — the
+    * r11 fusion took 100×-lake discovery 27.3 → 10.3 s, and this is
+    * the plan property that fix consists of. */
+  private[graft] def mergeDiscovery(target: DataFrame, srcM: DataFrame,
+      keyCols: Seq[String],
+      anyMatched: org.apache.spark.sql.Column): DataFrame = {
+    val keyEq = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    target.as("t")
+      .join(broadcast(srcM).as("s"), keyEq, "inner")
+      .select((coalesce(col("t.day"), lit(NullPart)).as("__day") +:
+        anyMatched.as("__hit") +:
+        keyCols.map(k => col(s"s.$k"))): _*)
+  }
+
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String], ordCol: String, clauses: Seq[MergeClause],
       beforeCommit: () => Unit = () => (),
@@ -1985,26 +2012,9 @@ object ManifestLake {
     val srcM = source.withColumn("__m", lit(1))
     val keyEq = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
 
-    // FUSED discovery (the Delta findTouchedFiles shape — ONE pass
-    // over the table): a single broadcast inner join target⋈source
-    // yields, per matched row, the day and whether any matched clause
-    // fires. Its output is SOURCE-bounded (≤ |source| × per-key target
-    // dups), so it persists cheaply and everything else derives from
-    // it without re-scanning the table:
-    //   - matchedDays  = days where a matched guard fired;
-    //   - matchedKeys  = the source keys that exist in the target —
-    //     which is exactly what the insert anti-join and the
-    //     ambiguity check need (a source key absent from the inner
-    //     join has no target match, by construction).
-    // Only an explicit NotMatchedBySource clause adds a second table
-    // pass (its rows are the ones the join CANNOT see).
     val anyMatched = matchedClauses.map(guardOf)
       .foldLeft(lit(false))(_ || _)
-    val touched = rd(_ => true).as("t")
-      .join(broadcast(srcM).as("s"), keyEq, "inner")
-      .select((coalesce(col("t.day"), lit(NullPart)).as("__day") +:
-        anyMatched.as("__hit") +:
-        keyCols.map(k => col(s"s.$k"))): _*)
+    val touched = mergeDiscovery(rd(_ => true), srcM, keyCols, anyMatched)
       .persist()
     try {
       // ambiguity BEFORE any write: duplicate source keys are an error

@@ -643,6 +643,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("merge discovery: ONE table scan, source broadcast, no sort-merge (the r11 27→10 s fusion)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_pa_merge").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val base = (0 until 2000).map(i => (i.toLong,
+      new java.sql.Timestamp(t0 + (i % 3) * 86400000L), i % 11))
+      .toDF("id", "ts", "tag")
+    graft.sources.ManifestLake.create(spark, dir, base, "ts")
+    val src = Seq((5L, new java.sql.Timestamp(t0), 99))
+      .toDF("id", "ts", "tag").withColumn("__m", lit(1))
+    val disc = graft.sources.ManifestLake.mergeDiscovery(
+      graft.sources.ManifestLake.read(spark, dir), src,
+      Seq("id"), col("s.tag") === 99)
+    val p = plan(disc)
+    // the Delta findTouchedFiles shape: the whole discovery is the
+    // lake scan ⋈ broadcast(source) — exactly one file scan, the
+    // source side broadcast, nothing sort-merged. The pre-r11 forked
+    // form re-scanned the table per derived set (matchedDays,
+    // matchedKeys, ambiguity) — 27.3 s vs 10.3 s at the 100× lake.
+    val scans = disc.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"${scans.size} table scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("l_merge_clauses / l_restore: the committed table reads as a plain pruned scan — no join, no window") {
+    // after the DML ladder ran, READING the result must cost exactly a
+    // parquet scan + the day-restore projection + the presentational
+    // sort: any join/window here would mean merge/restore left
+    // per-read debt behind (the lake pays at write time, not per read)
+    for (q <- Seq("l_merge_clauses", "l_restore")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val p = plan(df)
+      assert(!p.contains("Join"), s"$q reads with a join:\n$p")
+      assert(!p.contains("Window"), s"$q reads with a window:\n$p")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$q: $exchanges exchanges (sort only):\n$p")
+    }
+  }
+
   test("x_cdc_chunks: boundary+chunk extraction is one projection — no join, no window, two exchanges") {
     val df = graft.operators.TextOps.xCdcChunks(spark, sfDir)
     val p = plan(df)
