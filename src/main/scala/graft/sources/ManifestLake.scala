@@ -2258,6 +2258,50 @@ object ManifestLake {
     deleted
   }
 
+  /** The OPTIMIZE planner (Delta `OPTIMIZE` file selection): compact
+    * only the days that NEED it, so the maintenance loop behind a
+    * streaming ingest costs O(days that changed), not O(days in the
+    * table). A day qualifies when
+    *   - it holds MORE THAN ONE directory (the per-batch append
+    *     residue compaction exists to fold), or
+    *   - an ACTIVE deletion vector touches it (compaction is the pass
+    *     that retires DVs physically — merge-on-read debt), or
+    *   - it holds ≥ 2 data files under `minFileBytes` (the small-file
+    *     problem; a single small file is left alone — rewriting one
+    *     file into one file is pure churn, the Delta bin rule).
+    * Selection reads the manifest plus one listStatus per CANDIDATE
+    * day's dirs — no data IO; each picked day then pays exactly one
+    * compactDay (its own atomic commit, so a crash mid-sweep leaves
+    * every already-compacted day committed and the rest untouched —
+    * re-run to continue). `maxDays` bounds one sweep (the OPTIMIZE
+    * equivalent of mirror backpressure). Returns the days compacted;
+    * a second sweep right after returns empty (idempotence —
+    * spec-pinned). */
+  def compactWhere(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      minFileBytes: Long = 64L * 1024 * 1024,
+      clusterBy: Seq[String] = Seq.empty,
+      zOrder: Boolean = false,
+      maxDays: Int = Int.MaxValue): Seq[String] = {
+    val snap = snapshot(spark, path)
+    val (fs, root) = fsOf(spark, path)
+    val dvDirs: Set[String] = snap.dvs.flatMap(_._2).toSet
+    def smallFiles(dirs: Seq[String]): Int = dirs.map { d =>
+      fs.listStatus(new Path(root, d)).count(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") && st.getLen < minFileBytes)
+    }.sum
+    val picked = snap.days.toSeq.sortBy(_._1).iterator
+      .filter { case (_, dirs) =>
+        dirs.size > 1 || dirs.exists(dvDirs.contains) || smallFiles(dirs) >= 2
+      }
+      .take(maxDays).map(_._1).toSeq
+    picked.foreach { d =>
+      compactDay(spark, path, d, targetFileBytes, clusterBy, zOrder)
+    }
+    picked
+  }
+
   /** Compact one day into ⌈bytes/target⌉ files — LakeLayout.compact
     * with the output swapped in ATOMICALLY via the manifest (readers
     * see the old file set or the new one, never a half-written out
@@ -2515,15 +2559,59 @@ object ManifestLake {
   def replicateOnce(spark: SparkSession, srcPath: String, dstPath: String,
       ordCol: String, filesPerDay: Int = 1,
       skipRewrites: Boolean = false,
-      beforeCommit: () => Unit = () => ()): Long = {
-    val srcSnap = snapshot(spark, srcPath)
+      beforeCommit: () => Unit = () => (),
+      maxDirsPerRound: Int = Int.MaxValue): Long = {
+    require(maxDirsPerRound >= 1,
+      s"replicateOnce: maxDirsPerRound must be >= 1, got $maxDirsPerRound")
+    val headSnap = snapshot(spark, srcPath)
     val dstSnap = snapshot(spark, dstPath)
     val fromV = math.max(0L, dstSnap.lastBatch)
-    if (srcSnap.version <= fromV) return dstSnap.version // caught up
+    if (headSnap.version <= fromV) return dstSnap.version // caught up
     val (fs, root) = fsOf(spark, srcPath)
     val from =
       if (fromV == 0L) Snapshot(0L, Map.empty)
       else readCursorManifest(fs, root, fromV)
+    // Backpressure (the Delta maxFilesPerTrigger analog): a mirror a
+    // week behind should NOT apply 10⁴ generations in one commit — it
+    // catches up in bounded rounds. Walk the surviving manifest
+    // versions in (fromV, head] and stop at the first whose cumulative
+    // ADDED-dir count vs `from` exceeds the budget (always advancing
+    // at least one version, so one oversized commit still lands whole
+    // — per-commit atomicity is the floor, exactly like
+    // maxFilesPerTrigger admitting one oversized file). Exactly-once
+    // is untouched: the round targets v_mid's snapshot and commits the
+    // cursor AT v_mid, so the next round continues from there. If
+    // vacuum expired the intermediate manifests, chunking is
+    // impossible and the round honestly targets head.
+    val srcSnap =
+      if (maxDirsPerRound == Int.MaxValue) headSnap
+      else {
+        val mids = manifestVersions(fs, root)
+          .filter(v => v > fromV && v <= headSnap.version)
+        def addedCount(s: Snapshot): Int =
+          (from.days.keySet ++ s.days.keySet).toSeq.map { d =>
+            val o = from.days.getOrElse(d, Seq.empty).toSet
+            val n = s.days.getOrElse(d, Seq.empty).toSet
+            if (o.subsetOf(n)) (n -- o).size else 0
+          }.sum
+        if (mids.isEmpty) headSnap
+        else {
+          // vacuum may have expired intermediate manifests — the walk
+          // uses whatever versions SURVIVE, in order (addedCount is
+          // computed against `from` directly, so any surviving version
+          // is a valid chunk boundary). Always advance at least one.
+          var pick = readManifest(fs, root, mids.head)
+          var i = 1
+          var full = addedCount(pick) >= maxDirsPerRound
+          while (!full && i < mids.size) {
+            val cand = readManifest(fs, root, mids(i))
+            if (addedCount(cand) <= maxDirsPerRound) { pick = cand; i += 1 }
+            else full = true
+          }
+          pick
+        }
+      }
+    if (srcSnap.version <= fromV) return dstSnap.version
     // the append fast path, computed directly: per day, the window's
     // ADDED directories; a day that lost one (upsert/delete/compaction
     // rewrote it) OR whose deletion-vector coverage changed (a DV
@@ -2571,7 +2659,8 @@ object ManifestLake {
     * skipRewrites rides through it. */
   def mirrorStream(spark: SparkSession, srcPath: String, dstPath: String,
       ordCol: String, checkpoint: String, intervalMs: Long = 10000L,
-      filesPerDay: Int = 1, skipRewrites: Boolean = false)
+      filesPerDay: Int = 1, skipRewrites: Boolean = false,
+      maxDirsPerRound: Int = Int.MaxValue)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("rate").option("rowsPerSecond", 1L).load()
       .writeStream
@@ -2580,7 +2669,8 @@ object ManifestLake {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (_: DataFrame, _: Long) =>
         replicateOnce(spark, srcPath, dstPath, ordCol,
-          filesPerDay = filesPerDay, skipRewrites = skipRewrites)
+          filesPerDay = filesPerDay, skipRewrites = skipRewrites,
+          maxDirsPerRound = maxDirsPerRound)
         ()
       }
       .start()
@@ -2614,7 +2704,8 @@ object ManifestLake {
   val MinRetentionMs: Long = 3600L * 1000
   def vacuum(spark: SparkSession, path: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000,
-      force: Boolean = false): Seq[String] = {
+      force: Boolean = false,
+      dryRun: Boolean = false): Seq[String] = {
     require(force || retentionMs >= MinRetentionMs,
       s"vacuum: retentionMs $retentionMs is below the ${MinRetentionMs}ms " +
         "floor — an in-flight reader of a just-retired version could " +
@@ -2626,6 +2717,18 @@ object ManifestLake {
     if (versions.isEmpty) return Seq.empty
     val cutoff = System.currentTimeMillis() - retentionMs
     val deleted = Seq.newBuilder[String]
+    // dryRun (the Delta `VACUUM ... DRY RUN` contract): report exactly
+    // what THIS pass would delete, delete nothing. The pass's own
+    // deletions feed later decisions (retained sets come from the
+    // surviving manifests; the residue sweep asks what a generation
+    // still holds), so the dry run SIMULATES them through `gone`
+    // instead of consulting fs state it didn't change.
+    val gone = scala.collection.mutable.Set.empty[String]
+    def del(p: Path, recursive: Boolean, record: Boolean = true): Unit = {
+      if (!dryRun) fs.delete(p, recursive)
+      gone += p.toUri.getPath
+      if (record) deleted += p.toUri.getPath
+    }
     // expire old manifests first: what remains defines liveness
     val (old, keep) = versions.partition(_ < versions.last)
     val expired = old.filter { v =>
@@ -2633,8 +2736,7 @@ object ManifestLake {
       fs.getFileStatus(p).getModificationTime < cutoff
     }
     expired.foreach { v =>
-      val p = new Path(root, f"$LogDir/$v%08d.manifest")
-      fs.delete(p, false); deleted += p.toUri.getPath
+      del(new Path(root, f"$LogDir/$v%08d.manifest"), recursive = false)
     }
     val retainedSnaps = (keep ++ old.diff(expired)).map(readManifest(fs, root, _))
     val retained = retainedSnaps
@@ -2646,37 +2748,37 @@ object ManifestLake {
     val dvRoot = new Path(root, DvDir)
     if (fs.exists(dvRoot)) fs.listStatus(dvRoot).foreach { st =>
       val rel = s"$DvDir/${st.getPath.getName}"
-      if (!retainedDvs.contains(rel) && st.getModificationTime < cutoff) {
-        fs.delete(st.getPath, true); deleted += st.getPath.toUri.getPath
-      }
+      if (!retainedDvs.contains(rel) && st.getModificationTime < cutoff)
+        del(st.getPath, recursive = true)
     }
     val data = new Path(root, DataDir)
     if (fs.exists(data)) fs.listStatus(data).foreach { gen =>
       val leaves = fs.listStatus(gen.getPath).toSeq.filter(_.isDirectory)
       leaves.foreach { leaf =>
         val rel = s"$DataDir/${gen.getPath.getName}/${leaf.getPath.getName}"
-        if (!retained.contains(rel) && leaf.getModificationTime < cutoff) {
-          fs.delete(leaf.getPath, true); deleted += leaf.getPath.toUri.getPath
-        }
+        if (!retained.contains(rel) && leaf.getModificationTime < cutoff)
+          del(leaf.getPath, recursive = true)
       }
       // a generation whose every leaf is gone still holds write-time
       // metadata residue (_SUCCESS, .crc) — data lives only in pday=
       // leaf DIRS, so a dir with no remaining subdirectory is garbage
       val rest = fs.listStatus(gen.getPath).toSeq
+        .filterNot(st => gone.contains(st.getPath.toUri.getPath))
       if (rest.forall(st => st.isFile &&
           (st.getPath.getName.startsWith("_") ||
             st.getPath.getName.startsWith("."))))
-        fs.delete(gen.getPath, true)
+        del(gen.getPath, recursive = true, record = false)
     }
     // bloom and stats sidecars of vanished generations are garbage too
     Seq(BloomDir, StatsDir).foreach { d =>
       val sideDir = new Path(root, d)
       if (fs.exists(sideDir)) fs.listStatus(sideDir).foreach { st =>
         val genName = st.getPath.getName.stripSuffix(".idx")
-        if (!fs.exists(new Path(root, s"$DataDir/$genName")) &&
-            st.getModificationTime < cutoff) {
-          fs.delete(st.getPath, false); deleted += st.getPath.toUri.getPath
-        }
+        val genPath = new Path(root, s"$DataDir/$genName")
+        val genLive = fs.exists(genPath) &&
+          !gone.contains(genPath.toUri.getPath)
+        if (!genLive && st.getModificationTime < cutoff)
+          del(st.getPath, recursive = false)
       }
     }
     deleted.result()

@@ -297,6 +297,47 @@ class ManifestLakeCdcSpec extends SparkSpec {
     assert(ManifestLake.read(spark, dst).count() == 6)
   }
 
+  test("mirror backpressure: maxDirsPerRound chunks a lagging catch-up into bounded exactly-once rounds") {
+    val src = Files.createTempDirectory("graft_cdc_bp_src").toString
+    val dst = Files.createTempDirectory("graft_cdc_bp_dst").toString + "/m"
+    // v1 = 1 dir (one day), then four appends on four fresh days —
+    // 5 commits, 5 dirs, a mirror that never ran is 5 dirs behind
+    ManifestLake.create(spark, src,
+      Seq((1L, 10L, ts("2024-01-01 12:00:00"), "click", 1.0))
+        .toDF("user_id", "event_id", "ts", "event_type", "value"), "ts")
+    (0 until 4).foreach { i =>
+      val b = Seq((10L + i, 100L + i,
+        ts(f"2024-01-${2 + i}%02d 12:00:00"), "click", 1.0))
+        .toDF("user_id", "event_id", "ts", "event_type", "value")
+      ManifestLake.appendBatch(spark, src, b, "ts", batchId = i.toLong)
+    }
+    def round(): Long = ManifestLake.replicateOnce(spark, src, dst, "ts",
+      maxDirsPerRound = 2)
+    def dstRows() = ManifestLake.read(spark, dst).count()
+    def cursor() = ManifestLake.snapshot(spark, dst).lastBatch
+    round() // ≤ 2 dirs: src v1 (1 dir) + v2 (1 more) = exactly the budget
+    assert(dstRows() == 2 && cursor() == 2L, s"${dstRows()} rows @ ${cursor()}")
+    round()
+    assert(dstRows() == 4 && cursor() == 4L, s"${dstRows()} rows @ ${cursor()}")
+    round() // the 1-dir tail
+    assert(dstRows() == 5 && cursor() == 5L)
+    round() // caught up: no-op, cursor stays
+    assert(dstRows() == 5 && cursor() == 5L)
+    assert(ManifestLake.read(spark, dst).select("event_id").collect()
+      .map(_.getLong(0)).toSet ==
+      ManifestLake.read(spark, src).select("event_id").collect()
+        .map(_.getLong(0)).toSet)
+    // atomicity floor: ONE commit carrying 3 days (3 dirs > budget 2)
+    // still lands whole — per-commit atomicity beats the budget,
+    // exactly like maxFilesPerTrigger admitting one oversized file
+    val wide = Seq.tabulate(3)(i => (50L + i, 500L + i,
+      ts(f"2024-02-${1 + i}%02d 12:00:00"), "click", 1.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.appendBatch(spark, src, wide, "ts", batchId = 9L)
+    round()
+    assert(dstRows() == 8 && cursor() == 6L, s"${dstRows()} rows @ ${cursor()}")
+  }
+
   test("mirrorStream: a live streaming query keeps the mirror converged; restart resumes from the mirror's own cursor") {
     val src = Files.createTempDirectory("graft_cdc_ms_src").toString
     val dst = Files.createTempDirectory("graft_cdc_ms_dst").toString + "/m"

@@ -319,6 +319,78 @@ class ManifestLakeSpec extends SparkSpec {
     assert(ManifestLake.vacuum(spark, dir, retentionMs = 0L, force = true).isEmpty)
   }
 
+  test("compactWhere: picks only multi-dir / DV-touched / small-file days, bounded and idempotent") {
+    val dir = Files.createTempDirectory("graft_ml_optimize").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts") // 3 days × 1 dir
+    // day 1 accumulates streaming-append residue (3 dirs total)
+    (0 until 2).foreach { i =>
+      val b = Seq((100L + i, 1000L + i, ts("2024-01-01 10:00:00"), "click", 1.0))
+        .toDF("user_id", "event_id", "ts", "event_type", "value")
+      ManifestLake.appendBatch(spark, dir, b, "ts", batchId = i.toLong)
+    }
+    // day 2 carries merge-on-read debt (an active deletion vector)
+    ManifestLake.deleteWhereDV(spark, dir,
+      col("event_id") === 20L && col("user_id") === 2L)
+    val before = content(dir)
+    // min-file threshold low, so single-file day 3 does NOT qualify
+    // on the small-file rule (one small file = churn, skipped)
+    val picked = ManifestLake.compactWhere(spark, dir, minFileBytes = 1L)
+    assert(picked == Seq("2024-01-01", "2024-01-02"), picked.mkString(","))
+    val snap = ManifestLake.snapshot(spark, dir)
+    assert(snap.days("2024-01-01").size == 1 &&
+      snap.days("2024-01-02").size == 1)
+    assert(snap.dvs.isEmpty, "compaction did not retire the DV")
+    assert(content(dir) == before, "compactWhere changed the committed view")
+    // idempotent: a second sweep finds nothing
+    assert(ManifestLake.compactWhere(spark, dir, minFileBytes = 1L).isEmpty)
+    // bounded sweep: with fresh residue on two days, maxDays = 1
+    // compacts exactly the first and leaves the second for next round
+    (0 until 2).foreach { i =>
+      val b = Seq((200L + i, 2000L + i,
+        ts(f"2024-01-0${2 + i}%d 10:00:00"), "click", 1.0))
+        .toDF("user_id", "event_id", "ts", "event_type", "value")
+      ManifestLake.appendBatch(spark, dir, b, "ts", batchId = 10L + i)
+    }
+    val first = ManifestLake.compactWhere(spark, dir, minFileBytes = 1L,
+      maxDays = 1)
+    assert(first == Seq("2024-01-02"), first.mkString(","))
+    val rest = ManifestLake.compactWhere(spark, dir, minFileBytes = 1L)
+    assert(rest == Seq("2024-01-03"), rest.mkString(","))
+  }
+
+  test("vacuum dry run: reports exactly the real run's reclaim set, deletes nothing") {
+    val dir = Files.createTempDirectory("graft_ml_dry").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    val upd = Seq((2L, 20L, ts("2024-01-02 12:00:00"), "purchase", 3.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    // one crash orphan + one committed rewrite = manifest, leaf, and
+    // orphan-generation garbage all present
+    intercept[RuntimeException] {
+      ManifestLake.upsert(spark, dir, upd, Seq("user_id", "event_id"), "ts",
+        beforeCommit = () => throw new RuntimeException("kill -9"))
+    }
+    ManifestLake.upsert(spark, dir, upd, Seq("user_id", "event_id"), "ts")
+    val before = content(dir)
+    val plan = ManifestLake.vacuum(spark, dir, retentionMs = 0L,
+      force = true, dryRun = true)
+    assert(plan.nonEmpty, "dry run found nothing to reclaim")
+    // nothing deleted: every reported path still exists, content intact
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    plan.foreach { p =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(p)), s"dry run deleted $p")
+    }
+    assert(content(dir) == before, "dry run changed the committed view")
+    // the real run reclaims EXACTLY the dry run's set
+    val real = ManifestLake.vacuum(spark, dir, retentionMs = 0L, force = true)
+    assert(real.toSet == plan.toSet,
+      s"dry=${plan.toSet -- real.toSet} real-only=${real.toSet -- plan.toSet}")
+    assert(content(dir) == before)
+    // and a post-reclaim dry run is clean
+    assert(ManifestLake.vacuum(spark, dir, retentionMs = 0L, force = true,
+      dryRun = true).isEmpty)
+  }
+
   test("vacuum retention contract: covered readers survive; sub-floor refused; " +
        "expired cursor explains itself (VERDICT r11 #8, ADVICE #2)") {
     val dir = Files.createTempDirectory("graft_ml_retain").toString
