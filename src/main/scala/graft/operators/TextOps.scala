@@ -1296,6 +1296,40 @@ object TextOps {
       .orderBy(col("rank").desc, col("word")).limit(TextRankK)
   }
 
+  /** Model-based quality filtering — the CCNet/fastText step every
+    * web-scale pipeline runs AFTER the heuristic rules
+    * (x_quality_score is the heuristic tier; this is linear-model
+    * INFERENCE over hashed bag-of-words features). The model is a
+    * hashed-feature linear scorer: token → poly_hash31 bucket
+    * (256 buckets, the engine's shared mirrorable hash), bucket →
+    * an arithmetic weight in [0, 1998] (derived from the bucket id
+    * by a fixed multiplicative hash — a stand-in for trained
+    * coefficients that keeps the oracle exact; swapping in real
+    * weights is a literal-table change, not a plan change), doc
+    * score = Σ w(bucket(token)) · 10⁶ / n_tokens in exact integer
+    * ppm, keep = score ≥ the 999·10⁶ expected-mean threshold.
+    *
+    * Scale shape: ONE token explode → per-row arithmetic (codegen'd
+    * poly_hash31 + two pmods — the weight lookup is an EXPRESSION,
+    * not a join: zero shuffle for the model) → one doc-keyed partial
+    * aggregate. At 100 TB this is the cheapest possible inference
+    * plan: linear scan, map-side combine, no broadcast, no state. */
+  def xQualityLr(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens.as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        explode(col("w")).as("tok"))
+      .withColumn("wgt",
+        pmod((pmod(expr("poly_hash31(tok)"), lit(256L)) + lit(1L))
+          * lit(2654435761L), lit(1999L)))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(sum(col("wgt")).as("w_sum"))
+      .withColumn("score_ppm", expr("(w_sum * 1000000) div n_tokens"))
+      .withColumn("lr_keep", col("score_ppm") >= lit(999000000L))
+      .select(col("doc_id"), col("n_tokens"), col("w_sum"),
+        col("score_ppm"), col("lr_keep"))
+      .orderBy(col("doc_id"))
+
   val queries: ListMap[String, Q] = ListMap(
     "x_lang_id" -> (xLangId _),
     "x_quality_score" -> (xQualityScore _),
@@ -1329,6 +1363,7 @@ object TextOps {
     "x_collocations" -> (xCollocations _),
     "x_readability" -> (xReadability _),
     "x_textrank" -> (xTextrank _),
+    "x_quality_lr" -> (xQualityLr _),
   )
 
   /** Generated oracle CTE chain for the BPE tier: v0 (char-segmented
@@ -1956,6 +1991,31 @@ object TextOps {
          |SELECT r.id AS word, d.deg, r.rank
          |FROM r${graft.operators.TrainingPipeline.RankIters} r JOIN deg d ON r.id = d.src
          |ORDER BY r.rank DESC, word LIMIT $TextRankK""".stripMargin,
+    // hashed-feature linear scorer mirror: the shared poly_hash31
+    // fold per token, the same arithmetic weight derivation, exact
+    // integer ppm division (both operands non-negative, so DuckDB //
+    // ≡ Spark div)
+    "x_quality_lr" -> {
+      val fold =
+        """list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |  list_transform(string_split(tok, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+          |  (acc, ch) -> (acc * 1000003 + ch) % 2147483647)""".stripMargin
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |t AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |    unnest(w) AS tok FROM d),
+         |h AS MATERIALIZED (
+         |  SELECT doc_id, n_tokens,
+         |    ((($fold) % 256 + 1) * 2654435761) % 1999 AS wgt
+         |  FROM t),
+         |a AS (SELECT doc_id, n_tokens, CAST(sum(wgt) AS BIGINT) AS w_sum
+         |      FROM h GROUP BY doc_id, n_tokens)
+         |SELECT doc_id, n_tokens, w_sum,
+         |  CAST((w_sum * 1000000) // n_tokens AS BIGINT) AS score_ppm,
+         |  (w_sum * 1000000) // n_tokens >= 999000000 AS lr_keep
+         |FROM a ORDER BY doc_id""".stripMargin
+    },
   )
 
   /** The bigram-LM scoring pipeline as shared CTEs (ending in

@@ -1468,20 +1468,17 @@ object ManifestLake {
     * applies the DV physically and retires the ref). Returns the
     * days compacted. After a pass: every day is one directory,
     * `dvs` is empty, file counts bounded by targetFileBytes — the
-    * state the skipping tier and the read path are fastest in. */
+    * state the skipping tier and the read path are fastest in.
+    * This is compactWhere with the small-file rule OFF (minFileBytes
+    * = 0 — manifest-only selection, zero listStatus calls) and no
+    * sweep bound: the cheap per-trigger profile; compactWhere is the
+    * full OPTIMIZE planner. ONE selection implementation serves both. */
   def maintain(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       clusterBy: Seq[String] = Seq.empty,
-      zOrder: Boolean = false): Seq[String] = {
-    val snap = snapshot(spark, path)
-    val covered = snap.dvs.flatMap(_._2).toSet
-    val days = snap.days.filter { case (_, dirs) =>
-      dirs.size > 1 || dirs.exists(covered.contains)
-    }.keys.toSeq.sorted
-    days.foreach(d =>
-      compactDay(spark, path, d, targetFileBytes, clusterBy, zOrder))
-    days
-  }
+      zOrder: Boolean = false): Seq[String] =
+    compactWhere(spark, path, targetFileBytes, minFileBytes = 0L,
+      clusterBy, zOrder)
 
   /** RESTORE to an earlier committed version — the rollback primitive
     * (the Delta RESTORE design): re-commit version `v`'s state (data
@@ -2286,11 +2283,16 @@ object ManifestLake {
     val snap = snapshot(spark, path)
     val (fs, root) = fsOf(spark, path)
     val dvDirs: Set[String] = snap.dvs.flatMap(_._2).toSet
-    def smallFiles(dirs: Seq[String]): Int = dirs.map { d =>
-      fs.listStatus(new Path(root, d)).count(st => st.isFile &&
-        !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith(".") && st.getLen < minFileBytes)
-    }.sum
+    // minFileBytes <= 0 turns the small-file rule off WITHOUT paying
+    // the per-day listStatus (the maintain() per-trigger profile —
+    // selection is then manifest-only)
+    def smallFiles(dirs: Seq[String]): Int =
+      if (minFileBytes <= 0L) 0
+      else dirs.map { d =>
+        fs.listStatus(new Path(root, d)).count(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".") && st.getLen < minFileBytes)
+      }.sum
     val picked = snap.days.toSeq.sortBy(_._1).iterator
       .filter { case (_, dirs) =>
         dirs.size > 1 || dirs.exists(dvDirs.contains) || smallFiles(dirs) >= 2

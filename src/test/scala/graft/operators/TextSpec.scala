@@ -8,6 +8,36 @@ import graft.SparkSpec
   * containment check: near-dup docs share a large sketch fraction. */
 class TextSpec extends SparkSpec {
 
+  test("quality-LR inference: score is the exact hashed-feature mean; invariant to token order; bounded") {
+    val rows = TextOps.xQualityLr(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // exact recomputation on a sample: the per-doc score must equal
+    // the driver-side model applied to the same tokens
+    def polyHash31(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((acc, c) => (acc * 1000003 + c) % 2147483647L)
+    def weight(tok: String): Long =
+      ((polyHash31(tok) % 256 + 1) * 2654435761L) % 1999L
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(50).foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ", -1)
+      val wSum = toks.map(weight).sum
+      assert(r.getLong(1) == toks.length.toLong, s"n_tokens @ ${r.getLong(0)}")
+      assert(r.getLong(2) == wSum, s"w_sum @ ${r.getLong(0)}")
+      assert(r.getLong(3) == wSum * 1000000L / toks.length,
+        s"score_ppm @ ${r.getLong(0)}")
+      assert(r.getBoolean(4) == (r.getLong(3) >= 999000000L))
+    }
+    // scores live in the model's range (weights ∈ [0, 1998] ⇒ mean ppm
+    // ∈ [0, 1998·10⁶]) and both classes are populated at this corpus —
+    // a degenerate all-keep/all-drop scorer filters nothing
+    assert(rows.forall(r => r.getLong(3) >= 0L &&
+      r.getLong(3) <= 1998L * 1000000L))
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
+      "threshold splits nothing at sf0.001")
+  }
+
   test("winnow sketches: deterministic, non-empty, near-dups overlap") {
     val a = TextOps.xWinnowFingerprint(spark, sfDir).collect()
     val b = TextOps.xWinnowFingerprint(spark, sfDir).collect()
