@@ -162,24 +162,28 @@ object ManifestLake {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  /** readManifest for a CONSUMER CURSOR version (mirror, changes
-    * window): if vacuum already reaped v's manifest because the
-    * consumer lagged past the lake's retention window, fail with the
-    * retention story and the re-seed remedy instead of the raw
-    * FileNotFoundException a missing log file would throw (ADVICE
-    * r11 #2 — the rewritten-day path already explains itself; the
-    * expired-cursor path should too). */
+  /** readManifest for a HISTORICAL version a caller pinned (a
+    * consumer cursor, a time-travel read): if vacuum already reaped
+    * v's manifest because the caller reached past the lake's
+    * retention window, fail with the retention story and the remedy
+    * instead of the raw FileNotFoundException a missing log file
+    * would throw (ADVICE r11 #2 — the rewritten-day path already
+    * explains itself; the expired-version paths should too). */
   private def readCursorManifest(fs: FileSystem, root: Path,
-      v: Long): Snapshot = {
+      v: Long): Snapshot =
+    readRetainedManifest(fs, root, v,
+      "this consumer's cursor lagged past the lake's retention window " +
+        "(vacuum retentionMs). The incremental window cannot be " +
+        "reconstructed; re-seed the consumer: full-copy the current " +
+        "snapshot (mirror) or restart the changes cursor at the " +
+        "current version and backfill from a full read.")
+
+  private def readRetainedManifest(fs: FileSystem, root: Path,
+      v: Long, why: String): Snapshot = {
     val p = new Path(root, f"$LogDir/$v%08d.manifest")
     if (!fs.exists(p))
       throw new IllegalStateException(
-        s"cursor version $v's manifest is gone — vacuum expired it " +
-          "because this consumer lagged past the lake's retention " +
-          "window (vacuum retentionMs). The incremental window cannot " +
-          "be reconstructed; re-seed the consumer: full-copy the " +
-          "current snapshot (mirror) or restart the changes cursor at " +
-          "the current version and backfill from a full read.")
+        s"version $v's manifest is gone — vacuum expired it: $why")
     readManifest(fs, root, v)
   }
 
@@ -836,23 +840,36 @@ object ManifestLake {
       case f if physName(f) != f.name => f.name -> physName(f)
     }.toMap
 
+  /** Rename a frame's columns through `renames` in ONE select
+    * projection (never a sequential withColumnRenamed fold: Spark's
+    * rename retargets EVERY attribute with the matching name, so a
+    * fold whose intermediate state ever holds two same-named columns
+    * — or whose map iteration order chains a→b before b→c — corrupts
+    * the frame; a single atomic projection cannot). Names resolve by
+    * exact string match against df.columns — no dot/backtick
+    * parsing. Columns outside `renames` (day, __pos_*) pass through
+    * in place. */
+  private def renameAll(df: DataFrame,
+      renames: Map[String, String]): DataFrame =
+    if (renames.isEmpty ||
+        !renames.keysIterator.exists(df.columns.contains)) df
+    else df.select(df.columns.toIndexedSeq.map { c =>
+      renames.get(c) match {
+        case Some(to) => df.col(c).as(to)
+        case None => df.col(c)
+      }
+    }: _*)
+
   /** Rename a frame's logically-named columns to their physical
-    * storage names before a file write. withColumnRenamed is
-    * exact-match (no dot/backtick parsing); swaps are impossible
-    * because renameColumn refuses a logical name equal to any other
-    * field's physical name. */
+    * storage names before a file write. */
   private def toPhysical(df: DataFrame,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    physMap(schema).foldLeft(df) { case (d, (log, phys)) =>
-      if (d.columns.contains(log)) d.withColumnRenamed(log, phys) else d
-    }
+    renameAll(df, physMap(schema))
 
   /** Inverse of toPhysical, applied after a physical-schema scan. */
   private def toLogical(df: DataFrame,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    physMap(schema).foldLeft(df) { case (d, (log, phys)) =>
-      if (d.columns.contains(phys)) d.withColumnRenamed(phys, log) else d
-    }
+    renameAll(df, physMap(schema).map(_.swap))
 
   /** Additive schema union for the checkpoint: base order preserved,
     * genuinely-new fields appended; a same-name field changing its
@@ -872,8 +889,20 @@ object ManifestLake {
       }
     }
     val baseNames = base.fieldNames.map(_.toLowerCase).toSet
+    // under column mapping a NEW logical name may not shadow a live
+    // field's physical storage name (the renameColumn guard, enforced
+    // here too): a producer still carrying a renamed-away column name
+    // would otherwise evolve in a second logical column whose
+    // translation collides with the stored bytes of the renamed one
+    val livePhys = if (!mappingActive(base)) Set.empty[String]
+      else base.fields.map(f => physName(f).toLowerCase).toSet
     val fresh = add.fields.filterNot(f => baseNames.contains(f.name.toLowerCase))
       .map { f =>
+        require(!livePhys.contains(f.name.toLowerCase),
+          s"schema evolution: new column '${f.name}' collides with the " +
+            "physical storage name of a renamed column — a producer is " +
+            "still writing the pre-rename name; rename its output or " +
+            "pick a different column name")
         if (!mappingActive(base)) f
         else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
@@ -1050,7 +1079,12 @@ object ManifestLake {
     * NULL. */
   def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
     val (fs, root) = fsOf(spark, path)
-    val snap = if (v == 0L) Snapshot(0L, Map.empty) else readManifest(fs, root, v)
+    val snap = if (v == 0L) Snapshot(0L, Map.empty)
+      else readRetainedManifest(fs, root, v,
+        "the version is past the vacuum retention window and its " +
+          "snapshot is unrecoverable (the Delta expire-snapshots rule); " +
+          "time travel is bounded by the retention the table's vacuum " +
+          "policy keeps.")
     readPaths(spark, path, snap, snap.days.values.flatten.toSeq.sorted)
   }
 
@@ -1455,7 +1489,10 @@ object ManifestLake {
       predicateSql: String): DataFrame = {
     val (fs, root) = fsOf(spark, path)
     val base = if (v == 0L) Snapshot(0L, Map.empty)
-      else readManifest(fs, root, v)
+      else readRetainedManifest(fs, root, v,
+        "the version is past the vacuum retention window and its " +
+          "snapshot is unrecoverable; the audit read must target a " +
+          "retained version.")
     val snap = base.copy(files = assembleFiles(fs, root, base))
     val rep = candidateFilesOf(spark, path, snap, predicateSql)
     readPaths(spark, path, snap, rep.scanPaths).filter(predicateSql)
@@ -2266,8 +2303,14 @@ object ManifestLake {
     *   - it holds ≥ 2 data files under `minFileBytes` (the small-file
     *     problem; a single small file is left alone — rewriting one
     *     file into one file is pure churn, the Delta bin rule).
-    * Selection reads the manifest plus one listStatus per CANDIDATE
-    * day's dirs — no data IO; each picked day then pays exactly one
+    * Selection reads the manifest plus — when the small-file rule is
+    * ON (minFileBytes > 0) — one listStatus per day not already
+    * picked by the two manifest-only rules, i.e. O(days) metadata
+    * RPCs per sweep on a healthy table. A per-trigger maintenance
+    * loop should therefore run maintain() (minFileBytes = 0,
+    * manifest-only, zero listings) and reserve the small-file probe
+    * for the periodic OPTIMIZE pass — no data IO either way; each
+    * picked day then pays exactly one
     * compactDay (its own atomic commit, so a crash mid-sweep leaves
     * every already-compacted day committed and the rest untouched —
     * re-run to continue). `maxDays` bounds one sweep (the OPTIMIZE
@@ -2280,6 +2323,14 @@ object ManifestLake {
       clusterBy: Seq[String] = Seq.empty,
       zOrder: Boolean = false,
       maxDays: Int = Int.MaxValue): Seq[String] = {
+    // idempotence guard: compactDay writes ~target-sized files, so a
+    // small-file threshold above target/2 could re-qualify a day's own
+    // output forever (every sweep rewrites the same bytes — pure churn
+    // feeding vacuum). Refuse the self-defeating configuration.
+    require(minFileBytes <= targetFileBytes / 2,
+      s"compactWhere: minFileBytes $minFileBytes > targetFileBytes/2 " +
+        s"(${targetFileBytes / 2}) would re-pick freshly compacted days " +
+        "every sweep — lower minFileBytes or raise targetFileBytes")
     val snap = snapshot(spark, path)
     val (fs, root) = fsOf(spark, path)
     val dvDirs: Set[String] = snap.dvs.flatMap(_._2).toSet
@@ -2614,6 +2665,47 @@ object ManifestLake {
         }
       }
     if (srcSnap.version <= fromV) return dstSnap.version
+    // A NON-ADDITIVE logical-schema change in the window (a
+    // renameColumn or dropColumn commit — same physical bytes, new
+    // logical names) cannot be represented by appends: applying it as
+    // evolution would fork the mirrored column into old-name NULLs and
+    // new-name rows. Refuse LOUDLY, like the rewritten-day path — the
+    // remedy is to apply the same rename/drop on the mirror (both are
+    // metadata-only) or re-seed. Additive adds still flow.
+    (from.schemaJson, srcSnap.schemaJson) match {
+      case (Some(fj), Some(tj)) =>
+        def physToLogical(j: String): Map[String, String] =
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fields.map(f => physName(f).toLowerCase -> f.name.toLowerCase)
+            .toMap
+        val f2l = physToLogical(fj)
+        val t2l = physToLogical(tj)
+        val changed = f2l.collect {
+          case (phys, log) if !t2l.get(phys).contains(log) =>
+            s"$log (stored '$phys') -> ${t2l.get(phys).getOrElse("DROPPED")}"
+        }
+        // the round may proceed despite a window-internal rename/drop
+        // ONLY once the mirror's own logical schema already agrees with
+        // the source head on every shared physical name — i.e. the
+        // operator applied the same metadata-only rename/drop on the
+        // dst, which is the documented remedy and makes the appended
+        // rows land under the aligned names
+        lazy val dstAgrees = dstSnap.schemaJson.exists { dj =>
+          val d2l = physToLogical(dj)
+          t2l.forall { case (phys, log) =>
+            d2l.get(phys).forall(_ == log)
+          } && f2l.keysIterator.forall(p => t2l.contains(p) || !d2l.contains(p))
+        }
+        if (changed.nonEmpty && !dstAgrees) throw new IllegalStateException(
+          s"replicateOnce: source logical schema changed non-additively " +
+            s"between versions $fromV and ${srcSnap.version}: " +
+            changed.mkString("; ") + " — an append mirror cannot " +
+            "represent a rename/drop as data; apply the SAME " +
+            "renameColumn/dropColumn on the mirror (metadata-only) and " +
+            "re-run this round, or re-seed the mirror")
+      case _ => // pre-checkpoint side: no mapping can exist yet
+    }
     // the append fast path, computed directly: per day, the window's
     // ADDED directories; a day that lost one (upsert/delete/compaction
     // rewrote it) OR whose deletion-vector coverage changed (a DV

@@ -104,6 +104,55 @@ class ManifestLakeMappingSpec extends SparkSpec {
     assert(re.filter(col("cat") === "fresh").count() == 1)
   }
 
+  test("a producer still writing the pre-rename name is refused, not forked (review r12)") {
+    val dir = Files.createTempDirectory("graft_map_stale").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    ManifestLake.renameColumn(spark, dir, "amount", "price")
+    // a lagging producer re-sends 'amount' — under evolution this
+    // would become a SECOND logical column whose translation collides
+    // with the stored bytes of 'price' (physical name 'amount'), and
+    // the first DML after it would corrupt the frame (duplicate
+    // columns). The evolution guard refuses it up front instead.
+    val stale = Seq((9999L, ts("2024-01-05 08:00:00"), "c", 1.0))
+      .toDF("uid", "ts", "cat", "amount")
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.appendBatch(spark, dir, stale, "ts", batchId = 0L)
+    }
+    assert(e.getMessage.contains("physical storage name"), e.getMessage)
+    // the aligned producer flows, and DML through the new name works
+    val fresh = stale.withColumnRenamed("amount", "price")
+    ManifestLake.appendBatch(spark, dir, fresh, "ts", batchId = 0L)
+    val upd = Seq((9999L, ts("2024-01-05 09:00:00"), "c2", 2.0))
+      .toDF("uid", "ts", "cat", "price")
+    ManifestLake.upsert(spark, dir, upd, Seq("uid"), "ts")
+    val got = ManifestLake.read(spark, dir).filter(col("uid") === 9999L)
+    assert(got.count() == 1 && got.head().getAs[Double]("price") == 2.0)
+  }
+
+  test("mirror: a source rename mid-window is refused until the mirror applies it too (review r12)") {
+    val src = Files.createTempDirectory("graft_map_mir_src").toString
+    val dst = Files.createTempDirectory("graft_map_mir_dst").toString + "/m"
+    ManifestLake.create(spark, src, mkBase(), "ts")
+    ManifestLake.replicateOnce(spark, src, dst, "ts") // seed: dst has 'amount'
+    ManifestLake.renameColumn(spark, src, "amount", "price")
+    val extra = Seq((9999L, ts("2024-01-05 08:00:00"), "c", 1.0))
+      .toDF("uid", "ts", "cat", "price")
+    ManifestLake.appendBatch(spark, src, extra, "ts", batchId = 0L)
+    // without alignment: refuse loudly (silently proceeding would fork
+    // the mirrored column into amount-NULLs + price rows)
+    val e = intercept[IllegalStateException] {
+      ManifestLake.replicateOnce(spark, src, dst, "ts")
+    }
+    assert(e.getMessage.contains("renameColumn"), e.getMessage)
+    // apply the SAME metadata-only rename on the mirror → the round flows
+    ManifestLake.renameColumn(spark, dst, "amount", "price")
+    ManifestLake.replicateOnce(spark, src, dst, "ts")
+    val d = ManifestLake.read(spark, dst)
+    assert(d.columns.contains("price") && !d.columns.contains("amount"))
+    assert(d.count() == ManifestLake.read(spark, src).count())
+    assert(d.filter(col("price").isNull).count() == 0, "forked column")
+  }
+
   test("mapping survives CDC, restore, and the refusal surface holds") {
     val dir = Files.createTempDirectory("graft_map_misc").toString
     ManifestLake.create(spark, dir, mkBase(), "ts")
