@@ -181,9 +181,20 @@ object ManifestLake {
   private def readRetainedManifest(fs: FileSystem, root: Path,
       v: Long, why: String): Snapshot = {
     val p = new Path(root, f"$LogDir/$v%08d.manifest")
-    if (!fs.exists(p))
+    if (!fs.exists(p)) {
+      // distinguish "never committed" from "vacuum expired it": a
+      // typo'd or future version must not get the retention diagnosis
+      // and its re-seed remedy (ADVICE r12 #3). Versions are assigned
+      // sequentially, so anything in [1, head] existed once and only
+      // expiry can explain its absence; anything else never did.
+      val head = manifestVersions(fs, root).lastOption.getOrElse(0L)
+      if (v > head || v < 1L)
+        throw new IllegalArgumentException(
+          s"version $v does not exist (head is $head) — nothing was " +
+            "ever committed at that version")
       throw new IllegalStateException(
         s"version $v's manifest is gone — vacuum expired it: $why")
+    }
     readManifest(fs, root, v)
   }
 
@@ -2686,16 +2697,30 @@ object ManifestLake {
             s"$log (stored '$phys') -> ${t2l.get(phys).getOrElse("DROPPED")}"
         }
         // the round may proceed despite a window-internal rename/drop
-        // ONLY once the mirror's own logical schema already agrees with
-        // the source head on every shared physical name — i.e. the
-        // operator applied the same metadata-only rename/drop on the
-        // dst, which is the documented remedy and makes the appended
-        // rows land under the aligned names
+        // ONLY once the mirror's own LOGICAL schema reflects the same
+        // edit — the operator applied the matching renameColumn/
+        // dropColumn on the dst, which is the documented remedy and
+        // makes the appended rows land under the aligned names. The
+        // check is keyed on LOGICAL names, never on cross-table
+        // physical names: dst physical names are the dst's OWN (a
+        // mirror seeded after the source activated column mapping
+        // shares none of the source's physical names, which made the
+        // earlier physical-keyed form pass vacuously and let the
+        // unapplied rename flow through as evolution — ADVICE r12 #1).
+        // For every column whose logical name changed across the
+        // window, the dst must no longer carry the OLD name and (for a
+        // rename) must already carry the NEW one.
         lazy val dstAgrees = dstSnap.schemaJson.exists { dj =>
-          val d2l = physToLogical(dj)
-          t2l.forall { case (phys, log) =>
-            d2l.get(phys).forall(_ == log)
-          } && f2l.keysIterator.forall(p => t2l.contains(p) || !d2l.contains(p))
+          val dstLogical = org.apache.spark.sql.types.DataType.fromJson(dj)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fields.map(_.name.toLowerCase).toSet
+          f2l.forall { case (phys, oldLog) =>
+            t2l.get(phys) match {
+              case Some(newLog) if newLog == oldLog => true // unchanged
+              case Some(newLog) => !dstLogical(oldLog) && dstLogical(newLog)
+              case None => !dstLogical(oldLog) // dropped at the source
+            }
+          }
         }
         if (changed.nonEmpty && !dstAgrees) throw new IllegalStateException(
           s"replicateOnce: source logical schema changed non-additively " +

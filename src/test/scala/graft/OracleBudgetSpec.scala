@@ -89,7 +89,15 @@ class OracleBudgetSpec extends AnyFunSuite {
         if (r > 0) {
           val mult = if (later.materialized) 1L
                      else expansion.getOrElse(later.name, 1L)
-          e = math.min(e + r * mult, Long.MaxValue / 4) // clamp, no overflow
+          // saturate the PRODUCT before accumulating: mult is itself
+          // clamped at Long.MaxValue/4, so r >= 5 references to an
+          // already-huge chain would overflow r * mult and wrap
+          // negative, letting an extreme plan bomb pass unflagged
+          // (ADVICE r12 #2). Only the threshold comparison matters,
+          // so every intermediate caps at the clamp value.
+          val cap = Long.MaxValue / 4
+          val prod = if (mult != 0L && r > cap / mult) cap else r * mult
+          e = math.min(e + prod, cap) // e,prod <= cap => sum can't overflow
         }
       }
       expansion(c.name) = e
@@ -124,5 +132,20 @@ class OracleBudgetSpec extends AnyFunSuite {
     // ...and that materializing each step defuses it.
     val fixed = sql.replaceAll("""\b(s\d+) AS \(""", "$1 AS MATERIALIZED (")
     assert(bombs(fixed).isEmpty, "materialized chain should be clean")
+  }
+
+  test("saturation: a 5-ref-per-step chain cannot wrap Long past the gate") {
+    // 5 references per step × 31 steps is 5^31 ≈ 4.7e21; before the
+    // saturating multiply the product overflowed Long, wrapped
+    // negative, and the bomb passed unflagged (ADVICE r12 #2).
+    val chain = (2 to 32).map { t =>
+      val refs = (1 to 5).map(_ => s"SELECT x FROM s${t - 1}")
+        .mkString(" UNION ALL ")
+      s"s$t AS ($refs)"
+    }.mkString(",\n")
+    val sql = s"WITH s1 AS (SELECT 1 AS x),\n$chain\nSELECT * FROM s32"
+    val hit = bombs(sql)
+    assert(hit.exists { case (n, e) => n == "s1" && e > MaxExpansion && e > 0 },
+      s"saturating analyzer failed to flag the 5^31 chain: $hit")
   }
 }

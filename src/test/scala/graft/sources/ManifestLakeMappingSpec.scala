@@ -153,6 +153,37 @@ class ManifestLakeMappingSpec extends SparkSpec {
     assert(d.filter(col("price").isNull).count() == 0, "forked column")
   }
 
+  test("mirror seeded after mapping activation: an unapplied source rename is still refused (ADVICE r12)") {
+    val src = Files.createTempDirectory("graft_map_mir2_src").toString
+    val dst = Files.createTempDirectory("graft_map_mir2_dst").toString + "/m"
+    ManifestLake.create(spark, src, mkBase(), "ts")
+    // the source activates mapping BEFORE the mirror exists: 'amount'
+    // becomes 'price' but stays stored as 'amount'
+    ManifestLake.renameColumn(spark, src, "amount", "price")
+    ManifestLake.replicateOnce(spark, src, dst, "ts") // seed AFTER mapping
+    // dst's physical names now share NOTHING with the source's (the
+    // column is stored as 'amount' at the source, as 'price' at the
+    // dst) — the pre-fix physical-keyed alignment check looked every
+    // source physical name up in the dst, found none, and passed
+    // vacuously, letting the next rename flow through as evolution
+    // and silently forking the mirror
+    ManifestLake.renameColumn(spark, src, "price", "cost")
+    val extra = Seq((9999L, ts("2024-01-05 08:00:00"), "c", 1.0))
+      .toDF("uid", "ts", "cat", "cost")
+    ManifestLake.appendBatch(spark, src, extra, "ts", batchId = 0L)
+    val e = intercept[IllegalStateException] {
+      ManifestLake.replicateOnce(spark, src, dst, "ts")
+    }
+    assert(e.getMessage.contains("renameColumn"), e.getMessage)
+    // the documented remedy still works, and the mirror does not fork
+    ManifestLake.renameColumn(spark, dst, "price", "cost")
+    ManifestLake.replicateOnce(spark, src, dst, "ts")
+    val d = ManifestLake.read(spark, dst)
+    assert(d.columns.contains("cost") && !d.columns.contains("price"))
+    assert(d.count() == ManifestLake.read(spark, src).count())
+    assert(d.filter(col("cost").isNull).count() == 0, "forked column")
+  }
+
   test("mapping survives CDC, restore, and the refusal surface holds") {
     val dir = Files.createTempDirectory("graft_map_misc").toString
     ManifestLake.create(spark, dir, mkBase(), "ts")

@@ -155,6 +155,18 @@ class ManifestLakeSpec extends SparkSpec {
     assert(ManifestLake.read(spark, dir).count() == 1L)
   }
 
+  test("time travel to a version that never existed names the real problem (ADVICE r12)") {
+    val dir = Files.createTempDirectory("graft_ml_nover").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    // a future / typo'd version must NOT get the "vacuum expired it —
+    // re-seed" diagnosis: nothing was ever committed there
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.readVersion(spark, dir, 99L)
+    }
+    assert(e.getMessage.contains("does not exist") &&
+      e.getMessage.contains("head is 1"), e.getMessage)
+  }
+
   test("concurrent writers: second commit of the same version is refused") {
     val dir = Files.createTempDirectory("graft_ml_conc").toString
     ManifestLake.create(spark, dir, mkBase(), "ts")
