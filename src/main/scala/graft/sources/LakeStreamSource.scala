@@ -1,0 +1,181 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{
+  CompositeReadLimit, ReadLimit, ReadMaxFiles, SupportsAdmissionControl,
+  Offset => OffsetV2}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graft.StreamingDataFrames
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** `spark.readStream.format("graft-lake")` — the ManifestLake as a
+  * Structured Streaming SOURCE (Delta's streaming source is the
+  * public design; reference consumers live on a continuous feed the
+  * same way, gotimer_trigger/mq/consumer.go). The V1 `Source` API is
+  * deliberate: its `getBatch` returns a DataFrame, so the per-batch
+  * plan is the SAME pruned parquet scan every batch read uses
+  * (checkpointed schema, DV anti-join, column mapping) with
+  * pushdown intact — a DSv2 row-reader would re-implement the
+  * parquet reader and lose vectorization. Offsets are manifest
+  * versions; determinism comes from manifest immutability; admission
+  * control (`maxDirsPerTrigger`) bounds each trigger exactly like
+  * replicateOnce's backpressure, via the engine's own
+  * SupportsAdmissionControl hook (the FileStreamSource/Delta path).
+  *
+  * Options:
+  *   - `path` (required): the lake root.
+  *   - `startingVersion`: "0" (default, full-snapshot bootstrap),
+  *     "latest" (tail only commits after query start), or a version
+  *     number N (start right after N).
+  *   - `skipRewrites`: advance past rewritten days without emitting
+  *     them (Delta's skipChangeCommits); default false = refuse.
+  *   - `maxDirsPerTrigger`: cap one micro-batch's window at this
+  *     many added directories (always ≥ 1 version per trigger).
+  */
+class LakeStreamSourceProvider
+    extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("path") => v
+    }.getOrElse(throw new IllegalArgumentException(
+      "graft-lake source requires option 'path' (the lake root)"))
+
+  private def opt(parameters: Map[String, String], name: String)
+      : Option[String] =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v
+    }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft-lake source reads the lake's own checkpointed schema; " +
+        "a user-supplied schema is not accepted")
+    (shortName(),
+      LakeStreamSource.pinnedSchema(
+        sqlContext.sparkSession, pathOf(parameters)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val head = ManifestLake.snapshot(spark, path).version
+    val startV = opt(parameters, "startingVersion") match {
+      case None | Some("0") => 0L
+      case Some(s) if s.equalsIgnoreCase("latest") => head
+      case Some(s) =>
+        val v = try s.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"graft-lake: startingVersion must be a version number, " +
+                s"'0' or 'latest', got '$s'")
+        }
+        require(v >= 0L && v <= head,
+          s"graft-lake: startingVersion $v outside committed range " +
+            s"[0, $head]")
+        v
+    }
+    val skipRewrites =
+      opt(parameters, "skipRewrites").exists(_.toBoolean)
+    val maxDirs = opt(parameters, "maxDirsPerTrigger").map(_.toInt)
+    maxDirs.foreach(n => require(n >= 1,
+      s"graft-lake: maxDirsPerTrigger must be >= 1, got $n"))
+    new LakeStreamSource(spark, path,
+      LakeStreamSource.pinnedSchema(spark, path), startV, skipRewrites,
+      maxDirs)
+  }
+}
+
+object LakeStreamSource {
+  /** The schema a streaming query pins at start: the lake's current
+    * checkpointed LOGICAL schema (incl. the `day` column — stream
+    * rows ≡ `ManifestLake.read` rows). A mid-query schema change
+    * fails the query with a restart instruction (streamWindowBatch's
+    * guard); the restarted query re-pins here. */
+  private[sources] def pinnedSchema(spark: SparkSession,
+      path: String): StructType = {
+    val snap = ManifestLake.snapshot(spark, path)
+    require(snap.version >= 1L,
+      s"graft-lake: no committed snapshot at $path — create the lake " +
+        "first (ManifestLake.create or the streaming sink's bootstrap)")
+    ManifestLake.read(spark, path).schema
+  }
+}
+
+class LakeStreamSource(spark: SparkSession, path: String,
+    fixedSchema: StructType, startV: Long, skipRewrites: Boolean,
+    maxDirsPerTrigger: Option[Int])
+    extends Source with SupportsAdmissionControl {
+
+  override def schema: StructType = fixedSchema
+
+  /** Every offset this source ever emits is a LongOffset over the
+    * manifest version; after a restart the engine hands back
+    * SerializedOffset / json forms — the version is the json. */
+  private def ver(o: OffsetV2): Long = o.json.trim.toLong
+  private def ver1(o: OffsetV1): Long = o.json.trim.toLong
+
+  override def initialOffset(): OffsetV2 = LongOffset(startV)
+
+  override def deserializeOffset(json: String): OffsetV2 =
+    LongOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxDirsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** The engine's admission-control path (preferred over getOffset
+    * when SupportsAdmissionControl is implemented): pick this
+    * trigger's end version, capped by the dir budget. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val fromV = if (start == null) startV else ver(start)
+    val head = ManifestLake.snapshot(spark, path).version
+    if (head <= fromV) start
+    else dirBudget(limit) match {
+      case None => LongOffset(head)
+      case Some(budget) => LongOffset(
+        ManifestLake.cappedStreamTarget(spark, path, fromV, head, budget))
+    }
+  }
+
+  private def dirBudget(limit: ReadLimit): Option[Int] = limit match {
+    case m: ReadMaxFiles => Some(m.maxFiles)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.collectFirst { case m: ReadMaxFiles => m.maxFiles }
+    case _ => maxDirsPerTrigger
+  }
+
+  /** Legacy V1 polling hook — kept correct for completeness; the
+    * engine uses latestOffset above. */
+  override def getOffset: Option[OffsetV1] = {
+    val head = ManifestLake.snapshot(spark, path).version
+    if (head > startV) Some(LongOffset(head)) else None
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1)
+      : DataFrame = {
+    val fromV = start.map(ver1).getOrElse(startV)
+    val toV = ver1(end)
+    StreamingDataFrames.markStreaming(
+      ManifestLake.streamWindowBatch(spark, path, fromV, toV,
+        fixedSchema, skipRewrites))
+  }
+
+  /** Offsets the engine has committed need nothing from the source:
+    * manifest retention is the vacuum policy's job, and a consumer
+    * that lags past it gets the retention story from
+    * readCursorManifest, not a dangling-file error. */
+  override def commit(end: OffsetV1): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"LakeStreamSource[$path]"
+}

@@ -2595,6 +2595,157 @@ object ManifestLake {
       throw new java.io.IOException(s"ackChanges: rename to $p failed")
   }
 
+  /** Dirs ADDED per day between two snapshots under the append-only
+    * classification (a rewritten day counts 0 — it is refused or
+    * skipped downstream, never sized). Shared by the mirror's
+    * backpressure walk and the streaming source's admission control,
+    * so one trigger's "dir budget" means the same thing on both. */
+  private def addedDirCount(from: Snapshot, s: Snapshot): Int =
+    (from.days.keySet ++ s.days.keySet).toSeq.map { d =>
+      val o = from.days.getOrElse(d, Seq.empty).toSet
+      val n = s.days.getOrElse(d, Seq.empty).toSet
+      if (o.subsetOf(n)) (n -- o).size else 0
+    }.sum
+
+  /** Classify a manifest window (from → to) under the append-only
+    * contract and return the ADDED directories, sorted: an untouched
+    * day costs zero IO, an appended day contributes only its new
+    * dirs, and a REWRITTEN day (upsert / delete / compaction / DV
+    * change on a retained dir) throws `refuse(day)` — or is passed
+    * over under `skipRewrites`, the skipChangeCommits contract.
+    * Shared verbatim by replicateOnce and the streaming source, so
+    * the mirror and a `readStream` consumer cannot drift on what
+    * counts as an append. */
+  private def appendWindowDirs(from: Snapshot, to: Snapshot,
+      skipRewrites: Boolean, refuse: String => String): Seq[String] = {
+    val covF = dvCoverage(from)
+    val covT = dvCoverage(to)
+    def dvSame(dir: String): Boolean =
+      covF.getOrElse(dir, Set.empty) == covT.getOrElse(dir, Set.empty)
+    (from.days.keySet ++ to.days.keySet).toSeq.sorted.flatMap { d =>
+      val o = from.days.getOrElse(d, Seq.empty).toSet
+      val n = to.days.getOrElse(d, Seq.empty).toSet
+      if (o.subsetOf(n) && o.forall(dvSame)) (n -- o).toSeq.sorted
+      else if (skipRewrites) Seq.empty
+      else throw new IllegalStateException(refuse(d))
+    }
+  }
+
+  /** Admission control for the streaming source (the Delta
+    * maxFilesPerTrigger analog, identical to replicateOnce's
+    * backpressure): the largest version in (fromV, head] whose
+    * cumulative added-dir count vs fromV stays within `budget`,
+    * always advancing at least one version so one oversized commit
+    * still lands whole. Walks only SURVIVING manifests; if vacuum
+    * expired the intermediates, chunking is impossible and the
+    * target is honestly head. Pure manifest metadata — no data IO. */
+  private[sources] def cappedStreamTarget(spark: SparkSession,
+      path: String, fromV: Long, head: Long, budget: Int): Long = {
+    val (fs, root) = fsOf(spark, path)
+    val from =
+      if (fromV == 0L) Snapshot(0L, Map.empty)
+      else readCursorManifest(fs, root, fromV)
+    val mids = manifestVersions(fs, root)
+      .filter(v => v > fromV && v <= head)
+    if (mids.isEmpty) head
+    else {
+      var pick = readManifest(fs, root, mids.head)
+      var i = 1
+      var full = addedDirCount(from, pick) >= budget
+      while (!full && i < mids.size) {
+        val cand = readManifest(fs, root, mids(i))
+        if (addedDirCount(from, cand) <= budget) { pick = cand; i += 1 }
+        else full = true
+      }
+      pick.version
+    }
+  }
+
+  /** One streaming micro-batch: the rows APPENDED to the lake in
+    * manifest window (fromV, toV], read under toV's snapshot and
+    * projected to the query's FIXED source schema. The offsets the
+    * engine checkpoints are manifest versions, and manifests are
+    * immutable, so a replayed window (crash between the sink's
+    * commit and the checkpoint write) returns bit-identical rows —
+    * the determinism exactly-once rests on. Guards, both Delta
+    * streaming-source rules:
+    *   - a rewritten day is refused (or skipped under skipRewrites —
+    *     skipChangeCommits), because an append feed cannot represent
+    *     a rewrite;
+    *   - ANY logical-schema change inside the window — including an
+    *     additive add, which would otherwise silently drop the new
+    *     column's data from the feed — fails the query with a
+    *     restart instruction; the restarted query re-pins the new
+    *     schema and the replayed window flows under it. */
+  private[sources] def streamWindowBatch(spark: SparkSession,
+      path: String, fromV: Long, toV: Long,
+      want: org.apache.spark.sql.types.StructType,
+      skipRewrites: Boolean): DataFrame = {
+    val (fs, root) = fsOf(spark, path)
+    val from =
+      if (fromV == 0L) Snapshot(0L, Map.empty)
+      else readCursorManifest(fs, root, fromV)
+    val to = readCursorManifest(fs, root, toV)
+    val toNames = tableSchema(spark, path, to)
+      .fields.map(_.name.toLowerCase).toSet
+    val wantNames = want.fields.map(_.name.toLowerCase).toSet
+    if (toNames != wantNames) {
+      val gone = wantNames -- toNames
+      val fresh = toNames -- wantNames
+      throw new IllegalStateException(
+        s"changeStream: the table schema changed between versions " +
+          s"$fromV and $toV (" +
+          (if (gone.nonEmpty) s"removed/renamed: ${gone.mkString(", ")}; "
+           else "") +
+          (if (fresh.nonEmpty) s"added: ${fresh.mkString(", ")}; "
+           else "") +
+          "), and a running streaming query reads under the schema " +
+          "pinned at its start — restart the query to pick up the new " +
+          "schema (the Delta streaming-source schema-change rule); the " +
+          "uncommitted window replays under the new schema on restart")
+    }
+    val added = appendWindowDirs(from, to, skipRewrites, d =>
+      s"changeStream: day $d of $path was rewritten between versions " +
+        s"$fromV and $toV (upsert/delete/compaction/DV delete) — an " +
+        "append feed cannot represent it; re-seed the consumer, or set " +
+        "option skipRewrites=true to advance past rewritten days " +
+        "without emitting them (the skipChangeCommits contract)")
+    readPaths(spark, path, to, added)
+      .select(want.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** The lake as a Structured Streaming SOURCE — `readStream` over a
+    * ManifestLake, the consumer half that closes the CDC tier (sink +
+    * pull consumer + mirror already exist; this is what a downstream
+    * streaming query subscribes to, Delta's streaming source being
+    * the public design). Offsets are manifest versions checkpointed
+    * by the engine; each micro-batch is the append window between two
+    * versions (pure incremental scan, zero diff work); rewritten days
+    * are refused or skipped per `skipRewrites`; `maxDirsPerTrigger`
+    * bounds one trigger's window (admission control — a consumer a
+    * week behind catches up in bounded batches, never one 10⁴-dir
+    * mega-batch). Delivery is exactly-once end-to-end with any
+    * transactional/idempotent sink (foreachBatch into appendBatch,
+    * the memory/file sinks): the replayed window is deterministic
+    * from immutable manifests, and a cursor that lagged past vacuum
+    * retention fails with the retention story, not a raw missing
+    * file. `startingVersion` "0" (default) bootstraps with the full
+    * current snapshot as the first batch — pollChanges' contract —
+    * while "latest" tails only commits after query start; a specific
+    * version number starts right after that version. */
+  def changeStream(spark: SparkSession, path: String,
+      skipRewrites: Boolean = false,
+      maxDirsPerTrigger: Int = 0,
+      startingVersion: String = "0"): DataFrame = {
+    val r = spark.readStream.format("graft-lake")
+      .option("path", path)
+      .option("skipRewrites", skipRewrites.toString)
+      .option("startingVersion", startingVersion)
+    (if (maxDirsPerTrigger > 0)
+       r.option("maxDirsPerTrigger", maxDirsPerTrigger.toString)
+     else r).load()
+  }
+
   /** One round of exactly-once incremental replication: apply the
     * source lake's APPENDS since the last replicated version into
     * `dstPath`, advancing dst's batch cursor to the src version in the
@@ -2650,30 +2801,13 @@ object ManifestLake {
     val srcSnap =
       if (maxDirsPerRound == Int.MaxValue) headSnap
       else {
-        val mids = manifestVersions(fs, root)
-          .filter(v => v > fromV && v <= headSnap.version)
-        def addedCount(s: Snapshot): Int =
-          (from.days.keySet ++ s.days.keySet).toSeq.map { d =>
-            val o = from.days.getOrElse(d, Seq.empty).toSet
-            val n = s.days.getOrElse(d, Seq.empty).toSet
-            if (o.subsetOf(n)) (n -- o).size else 0
-          }.sum
-        if (mids.isEmpty) headSnap
-        else {
-          // vacuum may have expired intermediate manifests — the walk
-          // uses whatever versions SURVIVE, in order (addedCount is
-          // computed against `from` directly, so any surviving version
-          // is a valid chunk boundary). Always advance at least one.
-          var pick = readManifest(fs, root, mids.head)
-          var i = 1
-          var full = addedCount(pick) >= maxDirsPerRound
-          while (!full && i < mids.size) {
-            val cand = readManifest(fs, root, mids(i))
-            if (addedCount(cand) <= maxDirsPerRound) { pick = cand; i += 1 }
-            else full = true
-          }
-          pick
-        }
+        // vacuum may have expired intermediate manifests — the walk
+        // uses whatever versions SURVIVE, in order (the count is
+        // computed against `from` directly, so any surviving version
+        // is a valid chunk boundary). Always advance at least one.
+        val v = cappedStreamTarget(spark, srcPath, fromV,
+          headSnap.version, maxDirsPerRound)
+        if (v == headSnap.version) headSnap else readManifest(fs, root, v)
       }
     if (srcSnap.version <= fromV) return dstSnap.version
     // A NON-ADDITIVE logical-schema change in the window (a
@@ -2736,24 +2870,13 @@ object ManifestLake {
     // rewrote it) OR whose deletion-vector coverage changed (a DV
     // delete removes rows without touching any dir) is refused or —
     // under skipRewrites — passed over
-    val covF = dvCoverage(from)
-    val covT = dvCoverage(srcSnap)
-    def dvSame(dir: String): Boolean =
-      covF.getOrElse(dir, Set.empty) == covT.getOrElse(dir, Set.empty)
-    val addedDirs = (from.days.keySet ++ srcSnap.days.keySet).toSeq.sorted
-      .flatMap { d =>
-        val o = from.days.getOrElse(d, Seq.empty).toSet
-        val n = srcSnap.days.getOrElse(d, Seq.empty).toSet
-        if (o.subsetOf(n) && o.forall(dvSame)) (n -- o).toSeq.sorted
-        else if (skipRewrites) Seq.empty
-        else throw new IllegalStateException(
-          s"replicateOnce: source day $d was rewritten between versions " +
-            s"$fromV and ${srcSnap.version} (upsert/delete/compaction/" +
-            "DV delete) — an append-only mirror cannot represent it; " +
-            "re-seed the mirror, or pass skipRewrites = true to advance " +
-            "past it (the skipChangeCommits contract: those days' " +
-            "changes are knowingly not mirrored)")
-      }
+    val addedDirs = appendWindowDirs(from, srcSnap, skipRewrites, d =>
+      s"replicateOnce: source day $d was rewritten between versions " +
+        s"$fromV and ${srcSnap.version} (upsert/delete/compaction/" +
+        "DV delete) — an append-only mirror cannot represent it; " +
+        "re-seed the mirror, or pass skipRewrites = true to advance " +
+        "past it (the skipChangeCommits contract: those days' " +
+        "changes are knowingly not mirrored)")
     val inserts = readPaths(spark, srcPath, srcSnap, addedDirs).drop("day")
     // first round bootstraps the dst schema anchor (the sink's rule)
     val anchor = new Path(s"$dstPath/$SchemaDir")

@@ -1,0 +1,65 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The streaming source's window primitives, driven directly (the
+  * engine-level contract lives in LakeStreamSourceSpec): replay
+  * determinism — the property exactly-once rests on — and the
+  * admission-control walk. */
+class LakeStreamWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private def mk(ids: Range, day: Int) =
+    ids.map(i => (i.toLong, ts(f"2024-02-$day%02d 10:00:00"), s"v$i"))
+      .toDF("id", "ts", "v")
+
+  test("window replay is deterministic: same offsets, identical rows") {
+    val src = Files.createTempDirectory("graft_lsw_det").toString
+    ManifestLake.create(spark, src, mk(0 until 25, 1), "ts")
+    ManifestLake.appendBatch(spark, src, mk(50 until 60, 2), "ts", 0L)
+    // a crash between the sink's commit and the engine's offset-log
+    // write re-runs the SAME (from, to] window — immutable manifests
+    // must return the same rows, or "exactly-once" quietly isn't
+    val head = ManifestLake.snapshot(spark, src).version
+    val want = ManifestLake.read(spark, src).schema
+    def window(): Set[(Long, String)] =
+      ManifestLake.streamWindowBatch(spark, src, 0L, head, want,
+        skipRewrites = false)
+        .select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = window()
+    val b = window()
+    assert(a == b && a.size == 35)
+    // and a mid-history window excludes both earlier and later commits
+    val mid = ManifestLake.streamWindowBatch(spark, src, 1L, head, want,
+      skipRewrites = false)
+    assert(mid.select("id").collect().map(_.getLong(0)).toSet ==
+      (50L until 60L).toSet)
+  }
+
+  test("cappedStreamTarget: bounded budget advances at least one version, full budget reaches head") {
+    val src = Files.createTempDirectory("graft_lsw_cap").toString
+    ManifestLake.create(spark, src, mk(0 until 10, 1), "ts") // v1: 1 dir
+    // v2 adds TWO days (two dirs in one commit)
+    ManifestLake.appendBatch(spark, src,
+      mk(100 until 105, 2).union(mk(110 until 115, 3)), "ts", 0L)
+    ManifestLake.appendBatch(spark, src, mk(200 until 205, 4), "ts", 1L) // v3
+    val head = ManifestLake.snapshot(spark, src).version
+    assert(head == 3L)
+    // budget 1 from v1: v2 alone exceeds it, but one oversized commit
+    // still lands whole (per-commit atomicity is the floor)
+    assert(ManifestLake.cappedStreamTarget(spark, src, 1L, head, 1) == 2L)
+    // budget 2 from v1: v2 fits exactly, v3 would exceed
+    assert(ManifestLake.cappedStreamTarget(spark, src, 1L, head, 2) == 2L)
+    // budget 3 from v1: the whole window fits
+    assert(ManifestLake.cappedStreamTarget(spark, src, 1L, head, 3) == 3L)
+    // unbounded reaches head
+    assert(ManifestLake.cappedStreamTarget(spark, src, 0L, head,
+      Int.MaxValue) == head)
+  }
+}
