@@ -356,6 +356,14 @@ object ManifestLake {
       .getOrElse(Snapshot(0L, Map.empty))
   }
 
+  /** Bounded OCC rebase attempts for writers that lose the commit
+    * race but are logically disjoint from the winner (Delta's
+    * conflict-detection design: ConcurrentAppend on a read partition
+    * or a metadata change refuses; everything else rebases and
+    * retries). Five attempts bounds a livelock under sustained
+    * contention — past it the caller re-runs from a fresh snapshot. */
+  val OccMaxRetries: Int = 5
+
   /** Atomic commit: write the manifest for `next` to a temp name, then
     * rename into place. Throws ConcurrentModificationException if
     * `next` is already committed (another writer won the race).
@@ -1911,17 +1919,76 @@ object ManifestLake {
       writeSchema = Some(nextSchema))
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
-    // affected days remap to the new generation (or vanish when
-    // drained); untouched days keep their existing directories; a
-    // merge incidentally COMPACTS its days (many appended dirs → one)
-    val nextDays = (snap.days -- days) ++
-      newDirs.map { case (d, p) => d -> Seq(p) }
-    commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
-      carryFiles(snap, nextDays),
-      schemaJson = Some(nextSchema.json),
-      dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet),
-      checks = snap.checks, op = "upsert")
-    snap.version + 1
+    // OCC rebase-and-retry (VERDICT r12 #5): an upsert that lost the
+    // version race may re-commit one version later IF the winner is
+    // logically disjoint — it touched none of this merge's affected
+    // days (dir sets AND DV coverage unchanged: the merge's rewrite
+    // was computed from them), changed no metadata, and wrote none of
+    // this merge's keys into other days (the affected-day discovery
+    // ran against the old snapshot; the winner's ADDED dirs are
+    // re-probed with one bounded semi-join — O(the winner's new data),
+    // never the lake). Overlapping writers still refuse loudly.
+    var cur = snap
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0L) {
+      // affected days remap to the new generation (or vanish when
+      // drained); untouched days keep their existing directories; a
+      // merge incidentally COMPACTS its days (many appended dirs → one)
+      val nextDays = (cur.days -- days) ++
+        newDirs.map { case (d, p) => d -> Seq(p) }
+      try {
+        commit(fs, root, cur.version + 1, nextDays, cur.lastBatch,
+          carryFiles(cur, nextDays),
+          schemaJson = Some(nextSchema.json),
+          dvs = pruneDvs(cur.dvs, nextDays.values.flatten.toSet),
+          checks = cur.checks, op = "upsert")
+        committed = cur.version + 1
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > OccMaxRetries) throw new java.util.
+              ConcurrentModificationException(
+            s"upsert: still losing the commit race after " +
+              s"$OccMaxRetries rebases (${e.getMessage})")
+          val fresh = snapshot(spark, path)
+          if (fresh.schemaJson != snap.schemaJson ||
+              fresh.checks != snap.checks)
+            throw new java.util.ConcurrentModificationException(
+              s"upsert: concurrent metadata change (schema or CHECK " +
+                s"constraints) at version ${fresh.version}; re-run " +
+                s"the upsert (${e.getMessage})")
+          val covS = dvCoverage(snap)
+          val covN = dvCoverage(fresh)
+          days.find { d =>
+            snap.days.getOrElse(d, Seq.empty) !=
+              fresh.days.getOrElse(d, Seq.empty) ||
+              snap.days.getOrElse(d, Seq.empty).exists(dir =>
+                covS.getOrElse(dir, Set.empty) !=
+                  covN.getOrElse(dir, Set.empty))
+          }.foreach { d =>
+            throw new java.util.ConcurrentModificationException(
+              s"upsert: day $d is in this merge's read set and was " +
+                "concurrently modified — overlapping writers must " +
+                s"serialize; re-run the upsert (${e.getMessage})")
+          }
+          val liveOld = snap.days.values.flatten.toSet
+          val addedElsewhere = fresh.days
+            .filterNot(kv => days.contains(kv._1))
+            .values.flatten.filterNot(liveOld.contains).toSeq.sorted
+          if (addedElsewhere.nonEmpty &&
+              readPaths(spark, path, fresh, addedElsewhere)
+                .join(broadcast(updKeys), keyCols, "left_semi")
+                .limit(1).count() > 0)
+            throw new java.util.ConcurrentModificationException(
+              "upsert: a concurrent commit wrote rows carrying this " +
+                "merge's keys into days outside its read set — the " +
+                "affected-day discovery is stale; re-run the upsert " +
+                s"(${e.getMessage})")
+          cur = fresh
+      }
+    }
+    committed
   }
 
   // ---- generic MERGE INTO (clause-based DML, the Delta MERGE shape) ----
@@ -2491,14 +2558,56 @@ object ManifestLake {
       writeSchema = Some(nextSchema))
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
-    val merged = newDirs.foldLeft(snap.days) { case (m, (d, p)) =>
-      m.updated(d, m.getOrElse(d, Seq.empty) :+ p)
+    // OCC rebase-and-retry (VERDICT r12 #5 — Delta's conflict rule):
+    // losing the version race does NOT have to fail an append. An
+    // append's write set is only its own fresh generation dirs, so as
+    // long as the winner changed neither the metadata the batch was
+    // validated against (schema checkpoint, CHECK constraints) nor
+    // the batch cursor's monotonicity, the loser re-reads the head
+    // and re-commits the SAME already-written files one version later
+    // — no data is rewritten, the retry costs one manifest read +
+    // one manifest write. Anything else is a real conflict and still
+    // refuses loudly.
+    var base = snap
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0L) {
+      val merged = newDirs.foldLeft(base.days) { case (m, (d, p)) =>
+        m.updated(d, m.getOrElse(d, Seq.empty) :+ p)
+      }
+      try {
+        commit(fs, root, base.version + 1, merged, batchId,
+          base.legacyFiles,
+          schemaJson = Some(nextSchema.json),
+          dvs = base.dvs, checks = base.checks, op = s"append($batchId)")
+        committed = base.version + 1
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > OccMaxRetries) throw new java.util.
+              ConcurrentModificationException(
+            s"appendBatch: still losing the commit race after " +
+              s"$OccMaxRetries rebases (${e.getMessage})")
+          val fresh = snapshot(spark, path)
+          if (fresh.schemaJson != snap.schemaJson ||
+              fresh.checks != snap.checks)
+            throw new java.util.ConcurrentModificationException(
+              s"appendBatch: concurrent metadata change (schema or " +
+                s"CHECK constraints) at version ${fresh.version} — the " +
+                "batch was validated against the old metadata; re-run " +
+                s"the append (${e.getMessage})")
+          if (batchId <= fresh.lastBatch)
+            throw new java.util.ConcurrentModificationException(
+              s"appendBatch: a concurrent writer advanced the batch " +
+                s"cursor to ${fresh.lastBatch} >= this batch id " +
+                s"$batchId — committing would regress the replay " +
+                "cursor; each table has ONE batch-id sequence " +
+                s"(single logical stream), use monotonic ids " +
+                s"(${e.getMessage})")
+          base = fresh
+      }
     }
-    commit(fs, root, snap.version + 1, merged, batchId,
-      snap.legacyFiles,
-      schemaJson = Some(nextSchema.json),
-      dvs = snap.dvs, checks = snap.checks, op = s"append($batchId)")
-    snap.version + 1
+    committed
   }
 
   /** The writeStream adapter: `stream.writeStream.foreachBatch(
