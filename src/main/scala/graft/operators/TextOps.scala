@@ -1315,17 +1315,53 @@ object TextOps {
     * aggregate. At 100 TB this is the cheapest possible inference
     * plan: linear scan, map-side combine, no broadcast, no state. */
   def xQualityLr(s: SparkSession, dir: String): DataFrame =
+    qualityLrCore(s, dir,
+      b => pmod((b + lit(1L)) * lit(2654435761L), lit(1999L)),
+      999000000L)
+
+  /** Externally-trained weights variant (VERDICT r12 #4) — proof that
+    * swapping real coefficients into x_quality_lr is a literal
+    * change, not a plan change: the 256-bucket weight vector arrives
+    * as a parameter and is applied as `element_at` over a LITERAL
+    * array — constant-folded into the same per-row arithmetic
+    * projection as the stand-in formula, so the model still costs
+    * zero shuffle, zero join, zero broadcast (a weight table small
+    * enough to literal-fold should never be a join; at fastText's
+    * real 2M-bucket scale the same plan holds — the array rides the
+    * closure exactly like a broadcast variable, one copy per
+    * executor). PlanAuditSpec pins plan-shape equality with the
+    * oracled default. */
+  def xQualityLrWeighted(s: SparkSession, dir: String,
+      weights: Seq[Long], thresholdPpm: Long): DataFrame = {
+    require(weights.size == QualityLrBuckets,
+      s"xQualityLrWeighted: expected $QualityLrBuckets bucket weights, " +
+        s"got ${weights.size}")
+    qualityLrCore(s, dir,
+      b => element_at(typedlit(weights), (b + lit(1L)).cast("int")),
+      thresholdPpm)
+  }
+
+  private[operators] val QualityLrBuckets = 256
+
+  /** The shared inference plan (see xQualityLr's doc above): ONE
+    * token explode → per-row bucket hash + `wgtOf(bucket)` weight
+    * lookup (an expression, never a join) → one doc-keyed partial
+    * aggregate. Both the arithmetic stand-in and the supplied-weights
+    * variant compile to THIS plan — only the projection's literal
+    * differs. */
+  private def qualityLrCore(s: SparkSession, dir: String,
+      wgtOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      thresholdPpm: Long): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), tokens.as("w"))
       .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
         explode(col("w")).as("tok"))
       .withColumn("wgt",
-        pmod((pmod(expr("poly_hash31(tok)"), lit(256L)) + lit(1L))
-          * lit(2654435761L), lit(1999L)))
+        wgtOf(pmod(expr("poly_hash31(tok)"), lit(QualityLrBuckets.toLong))))
       .groupBy(col("doc_id"), col("n_tokens"))
       .agg(sum(col("wgt")).as("w_sum"))
       .withColumn("score_ppm", expr("(w_sum * 1000000) div n_tokens"))
-      .withColumn("lr_keep", col("score_ppm") >= lit(999000000L))
+      .withColumn("lr_keep", col("score_ppm") >= lit(thresholdPpm))
       .select(col("doc_id"), col("n_tokens"), col("w_sum"),
         col("score_ppm"), col("lr_keep"))
       .orderBy(col("doc_id"))

@@ -700,4 +700,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstEx) >= 0,
       s"no partial agg around the shuffle:\n$p")
   }
+
+  test("x_quality_lr: supplied weights are a literal change, not a plan change (VERDICT r12 #4)") {
+    val std = TextOps.xQualityLr(spark, sfDir)
+    // the supplied vector IS the stand-in formula, so results must be
+    // bit-identical while the plan proves the lookup stayed an
+    // expression
+    val w = (0 until 256).map(b => ((b + 1).toLong * 2654435761L) % 1999L)
+    val ext = TextOps.xQualityLrWeighted(spark, sfDir, w, 999000000L)
+    def shape(df: DataFrame): (Int, Int, Int) = {
+      val p = plan(df)
+      ("Exchange".r.findAllIn(p).size,
+        "Join".r.findAllIn(p).size,
+        "HashAggregate".r.findAllIn(p).size)
+    }
+    assert(shape(std) == shape(ext),
+      s"plan shape drifted: ${shape(std)} vs ${shape(ext)}")
+    assert(!plan(ext).contains("Join"),
+      "the weight lookup became a join:\n" + plan(ext))
+    assert(ext.collect().toSeq == std.collect().toSeq,
+      "supplied-weights variant diverged from the stand-in formula")
+  }
 }
