@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{
   CompositeReadLimit, ReadLimit, ReadMaxFiles, SupportsAdmissionControl,
-  Offset => OffsetV2}
+  SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graft.StreamingDataFrames
@@ -67,7 +67,7 @@ class LakeStreamSourceProvider
       parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
-    val head = ManifestLake.snapshot(spark, path).version
+    val head = ManifestLake.headVersion(spark, path)
     val startV = opt(parameters, "startingVersion") match {
       case None | Some("0") => 0L
       case Some(s) if s.equalsIgnoreCase("latest") => head
@@ -113,9 +113,23 @@ object LakeStreamSource {
 class LakeStreamSource(spark: SparkSession, path: String,
     fixedSchema: StructType, startV: Long, skipRewrites: Boolean,
     maxDirsPerTrigger: Option[Int])
-    extends Source with SupportsAdmissionControl {
+    extends Source with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   override def schema: StructType = fixedSchema
+
+  /** Trigger.AvailableNow (implemented NATIVELY so the per-trigger
+    * cap keeps pacing the catch-up — the engine's generic wrapper
+    * would drive the drain with ReadAllAvailable and fold the whole
+    * backlog into one mega-batch, FileStreamSource makes the same
+    * choice): the head is pinned ONCE here, every subsequent
+    * latestOffset clamps to it, and the query terminates when the
+    * capped walk reaches the pinned ceiling — commits landing after
+    * query start are left for the next run, the AvailableNow
+    * contract. */
+  private var availableNowCeiling: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCeiling = Some(ManifestLake.headVersion(spark, path))
 
   /** Every offset this source ever emits is a LongOffset over the
     * manifest version; after a restart the engine hands back
@@ -137,7 +151,12 @@ class LakeStreamSource(spark: SparkSession, path: String,
     * trigger's end version, capped by the dir budget. */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val fromV = if (start == null) startV else ver(start)
-    val head = ManifestLake.snapshot(spark, path).version
+    // headVersion, not snapshot(): the poll runs EVERY trigger, and
+    // the head is one log-dir listing — a full snapshot would parse
+    // the manifest and assemble every live generation's sidecar just
+    // to read .version (review r13)
+    val live = ManifestLake.headVersion(spark, path)
+    val head = availableNowCeiling.fold(live)(math.min(live, _))
     if (head <= fromV) start
     else dirBudget(limit) match {
       case None => LongOffset(head)
@@ -146,17 +165,29 @@ class LakeStreamSource(spark: SparkSession, path: String,
     }
   }
 
+  /** The true head, uncapped — Trigger.AvailableNow's wrapper fixes
+    * this as the drain target once at query start, then lets the
+    * per-trigger cap pace the catch-up batches toward it. */
+  override def reportLatestOffset(): OffsetV2 =
+    LongOffset(ManifestLake.headVersion(spark, path))
+
   private def dirBudget(limit: ReadLimit): Option[Int] = limit match {
     case m: ReadMaxFiles => Some(m.maxFiles)
     case c: CompositeReadLimit =>
       c.getReadLimits.collectFirst { case m: ReadMaxFiles => m.maxFiles }
-    case _ => maxDirsPerTrigger
+    // ReadAllAvailable — Trigger.Once / the AvailableNow wrapper's
+    // final catch-up — must see the TRUE head: mapping it to the
+    // configured cap would let a one-shot query terminate believing
+    // it caught up while backlog silently remains (review r13). The
+    // cap only ever arrives back as the ReadMaxFiles the source
+    // itself advertised in getDefaultReadLimit.
+    case _ => None
   }
 
   /** Legacy V1 polling hook — kept correct for completeness; the
     * engine uses latestOffset above. */
   override def getOffset: Option[OffsetV1] = {
-    val head = ManifestLake.snapshot(spark, path).version
+    val head = ManifestLake.headVersion(spark, path)
     if (head > startV) Some(LongOffset(head)) else None
   }
 

@@ -366,6 +366,16 @@ object ManifestLake {
     (snap.legacyFiles ++ sideStats, sideBytes.toMap)
   }
 
+  /** The head version alone — ONE log-dir listing, no manifest parse,
+    * no sidecar assembly. The streaming source polls this every
+    * trigger; paying a full snapshot() there would re-open every live
+    * generation's sidecar once the shared stats cache cycles. */
+  private[sources] def headVersion(spark: SparkSession,
+      path: String): Long = {
+    val (fs, root) = fsOf(spark, path)
+    manifestVersions(fs, root).lastOption.getOrElse(0L)
+  }
+
   /** The latest committed snapshot (version 0 = empty table), with
     * the per-file stats view assembled from the live sidecars. */
   def snapshot(spark: SparkSession, path: String): Snapshot = {
@@ -2442,8 +2452,7 @@ object ManifestLake {
       s"compactWhere: minFileBytes $minFileBytes > targetFileBytes/2 " +
         s"(${targetFileBytes / 2}) would re-pick freshly compacted days " +
         "every sweep — lower minFileBytes or raise targetFileBytes")
-    val picked = compactCandidates(spark, path, minFileBytes)
-      .take(maxDays)
+    val picked = compactCandidates(spark, path, minFileBytes, maxDays)
     picked.foreach { d =>
       compactDay(spark, path, d, targetFileBytes, clusterBy, zOrder)
     }
@@ -2458,9 +2467,13 @@ object ManifestLake {
     * stats), so presence makes the listing-free path exact; only a
     * pre-upgrade generation pays one listStatus. minFileBytes <= 0
     * turns the small-file rule off entirely (maintain()'s
-    * per-trigger, zero-listing profile). */
+    * per-trigger, zero-listing profile). `maxDays` bounds the walk
+    * LAZILY — the probe stops once the cap is picked, so a bounded
+    * sweep over a pre-upgrade lake pays listings only up to its cap,
+    * never O(all days) (review r13). */
   private[sources] def compactCandidates(spark: SparkSession,
-      path: String, minFileBytes: Long): Seq[String] = {
+      path: String, minFileBytes: Long,
+      maxDays: Int = Int.MaxValue): Seq[String] = {
     val snap = snapshot(spark, path)
     val (fs, root) = fsOf(spark, path)
     val dvDirs: Set[String] = snap.dvs.flatMap(_._2).toSet
@@ -2487,12 +2500,12 @@ object ManifestLake {
               st.getLen < minFileBytes)
         }
       }.sum
-    snap.days.toSeq.sortBy(_._1)
+    snap.days.toSeq.sortBy(_._1).iterator
       .filter { case (_, dirs) =>
         dirs.size > 1 || dirs.exists(dvDirs.contains) ||
           smallFiles(dirs) >= 2
       }
-      .map(_._1)
+      .take(maxDays).map(_._1).toSeq
   }
 
   /** Compact one day into ⌈bytes/target⌉ files — LakeLayout.compact
@@ -2658,14 +2671,14 @@ object ManifestLake {
                 s"CHECK constraints) at version ${fresh.version} — the " +
                 "batch was validated against the old metadata; re-run " +
                 s"the append (${e.getMessage})")
-          if (batchId <= fresh.lastBatch)
-            throw new java.util.ConcurrentModificationException(
-              s"appendBatch: a concurrent writer advanced the batch " +
-                s"cursor to ${fresh.lastBatch} >= this batch id " +
-                s"$batchId — committing would regress the replay " +
-                "cursor; each table has ONE batch-id sequence " +
-                s"(single logical stream), use monotonic ids " +
-                s"(${e.getMessage})")
+          // a racing attempt of the SAME (or an earlier) batch id won
+          // — this is the replay case the entry check defines as a
+          // skip, and losing the race must not change the semantics
+          // (a zombie retry of batch N racing its own successful
+          // attempt would otherwise fail spuriously — review r13);
+          // this generation stays an invisible orphan for vacuum,
+          // exactly like the crash contract
+          if (batchId <= fresh.lastBatch) return fresh.version
           base = fresh
       }
     }
@@ -2811,11 +2824,13 @@ object ManifestLake {
     * expired the intermediates, chunking is impossible and the
     * target is honestly head. Pure manifest metadata — no data IO. */
   private[sources] def cappedStreamTarget(spark: SparkSession,
-      path: String, fromV: Long, head: Long, budget: Int): Long = {
+      path: String, fromV: Long, head: Long, budget: Int,
+      fromSnap: Option[Snapshot] = None): Long = {
     val (fs, root) = fsOf(spark, path)
-    val from =
+    val from = fromSnap.getOrElse {
       if (fromV == 0L) Snapshot(0L, Map.empty)
       else readCursorManifest(fs, root, fromV)
+    }
     val mids = manifestVersions(fs, root)
       .filter(v => v > fromV && v <= head)
     if (mids.isEmpty) head
@@ -2857,23 +2872,46 @@ object ManifestLake {
       if (fromV == 0L) Snapshot(0L, Map.empty)
       else readCursorManifest(fs, root, fromV)
     val to = readCursorManifest(fs, root, toV)
+    def schemaChanged(what: String): Nothing = throw new
+        IllegalStateException(
+      s"changeStream: the table schema changed between versions " +
+        s"$fromV and $toV ($what), and a running streaming query " +
+        "reads under the schema pinned at its start — restart the " +
+        "query to pick up the new schema (the Delta streaming-source " +
+        "schema-change rule); the uncommitted window replays under " +
+        "the new schema on restart")
     val toNames = tableSchema(spark, path, to)
       .fields.map(_.name.toLowerCase).toSet
     val wantNames = want.fields.map(_.name.toLowerCase).toSet
     if (toNames != wantNames) {
       val gone = wantNames -- toNames
       val fresh = toNames -- wantNames
-      throw new IllegalStateException(
-        s"changeStream: the table schema changed between versions " +
-          s"$fromV and $toV (" +
-          (if (gone.nonEmpty) s"removed/renamed: ${gone.mkString(", ")}; "
-           else "") +
-          (if (fresh.nonEmpty) s"added: ${fresh.mkString(", ")}; "
-           else "") +
-          "), and a running streaming query reads under the schema " +
-          "pinned at its start — restart the query to pick up the new " +
-          "schema (the Delta streaming-source schema-change rule); the " +
-          "uncommitted window replays under the new schema on restart")
+      schemaChanged(
+        (if (gone.nonEmpty) s"removed/renamed: ${gone.mkString(", ")}; "
+         else "") +
+          (if (fresh.nonEmpty) s"added: ${fresh.mkString(", ")}"
+           else ""))
+    }
+    // name SETS alone cannot see a rename CYCLE (a↔b via a temp name:
+    // three metadata commits inside one window leave the set equal
+    // while the stored bytes behind each logical name crossed — the
+    // batch would flow with two columns' values transposed, review
+    // r13). Require every shared logical name to still resolve to
+    // the SAME physical storage name across the window.
+    (from.schemaJson, to.schemaJson) match {
+      case (Some(fj), Some(tj)) =>
+        def log2phys(j: String): Map[String, String] =
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fields.map(x => x.name.toLowerCase -> physName(x).toLowerCase)
+            .toMap
+        val f = log2phys(fj)
+        val t = log2phys(tj)
+        val crossed = f.keys.filter(n => t.get(n).exists(_ != f(n)))
+        if (crossed.nonEmpty)
+          schemaChanged("column(s) remapped to different stored " +
+            s"bytes: ${crossed.mkString(", ")}")
+      case _ => () // pre-checkpoint side: no mapping can exist yet
     }
     val added = appendWindowDirs(from, to, skipRewrites, d =>
       s"changeStream: day $d of $path was rewritten between versions " +
@@ -2977,7 +3015,7 @@ object ManifestLake {
         // computed against `from` directly, so any surviving version
         // is a valid chunk boundary). Always advance at least one.
         val v = cappedStreamTarget(spark, srcPath, fromV,
-          headSnap.version, maxDirsPerRound)
+          headSnap.version, maxDirsPerRound, fromSnap = Some(from))
         if (v == headSnap.version) headSnap else readManifest(fs, root, v)
       }
     if (srcSnap.version <= fromV) return dstSnap.version

@@ -42,6 +42,40 @@ class LakeStreamWindowSpec extends SparkSpec {
       (50L until 60L).toSet)
   }
 
+  test("a rename CYCLE inside one window (column swap) is refused, never transposed (review r13)") {
+    val src = Files.createTempDirectory("graft_lsw_swap").toString
+    val df = (0 until 10)
+      .map(i => (i.toLong, ts("2024-02-01 10:00:00"), s"a$i", s"b$i"))
+      .toDF("id", "ts", "c1", "c2")
+    ManifestLake.create(spark, src, df, "ts")
+    // activate mapping so the logical names diverge from the stored
+    // names (while logical == physical the shadow guard already
+    // refuses any swap attempt — that path is spec-pinned in
+    // ManifestLakeMappingSpec); AFTER divergence a swap becomes
+    // expressible through three legal renames
+    ManifestLake.renameColumn(spark, src, "c1", "ca") // stored 'c1'
+    ManifestLake.renameColumn(spark, src, "c2", "cb") // stored 'c2'
+    val pinV = ManifestLake.snapshot(spark, src).version
+    val want = ManifestLake.read(spark, src).schema
+    // swap ca↔cb through a temp name: THREE metadata commits whose
+    // net effect keeps the logical name SET identical while every
+    // shared name now resolves to the other column's stored bytes —
+    // a set-equality guard alone would let the batch flow transposed
+    ManifestLake.renameColumn(spark, src, "ca", "tmp0")
+    ManifestLake.renameColumn(spark, src, "cb", "ca")
+    ManifestLake.renameColumn(spark, src, "tmp0", "cb")
+    ManifestLake.appendBatch(spark, src,
+      Seq((99L, ts("2024-02-02 10:00:00"), "a99", "b99"))
+        .toDF("id", "ts", "ca", "cb"), "ts", 0L)
+    val head = ManifestLake.snapshot(spark, src).version
+    val boom = intercept[IllegalStateException] {
+      ManifestLake.streamWindowBatch(spark, src, pinV, head, want,
+        skipRewrites = false)
+    }
+    assert(boom.getMessage.contains("restart the query") &&
+      boom.getMessage.contains("remapped"), boom.getMessage)
+  }
+
   test("cappedStreamTarget: bounded budget advances at least one version, full budget reaches head") {
     val src = Files.createTempDirectory("graft_lsw_cap").toString
     ManifestLake.create(spark, src, mk(0 until 10, 1), "ts") // v1: 1 dir

@@ -98,18 +98,26 @@ class ManifestLakeOccSpec extends SparkSpec {
     assert(boom.getMessage.contains("metadata"), boom.getMessage)
   }
 
-  test("a concurrent writer advancing the batch cursor past this id refuses (no regression)") {
+  test("a racing attempt whose batch id the winner already passed is a replay SKIP, not a failure") {
     val dir = tmp("cur")
     ManifestLake.create(spark, dir, mk(0 until 10, 1), "ts")
-    val boom = intercept[java.util.ConcurrentModificationException] {
-      ManifestLake.appendBatch(spark, dir, mk(100 until 105, 2), "ts",
-        batchId = 0L,
-        beforeCommit = () => {
-          ManifestLake.appendBatch(spark, dir, mk(200 until 205, 3),
-            "ts", batchId = 7L)
-          ()
-        })
-    }
-    assert(boom.getMessage.contains("regress"), boom.getMessage)
+    // the inner writer advances the cursor to 7 first; the outer
+    // attempt carries batch 0 <= 7, which the ENTRY check would have
+    // skipped had it arrived a moment later — losing the race must
+    // not change the semantics (the zombie-retry contract: a replayed
+    // batch is skipped, its generation stays an invisible orphan for
+    // vacuum). review r13: the first cut threw a spurious
+    // 'monotonic ids' failure here.
+    val v = ManifestLake.appendBatch(spark, dir, mk(100 until 105, 2),
+      "ts", batchId = 0L,
+      beforeCommit = () => {
+        ManifestLake.appendBatch(spark, dir, mk(200 until 205, 3),
+          "ts", batchId = 7L)
+        ()
+      })
+    assert(v == 2L, "skip must report the winner's version")
+    val got = ManifestLake.read(spark, dir)
+    assert(got.count() == 15L, "replayed batch's data leaked in")
+    assert(ManifestLake.snapshot(spark, dir).lastBatch == 7L)
   }
 }

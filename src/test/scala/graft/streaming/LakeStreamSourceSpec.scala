@@ -173,6 +173,32 @@ class LakeStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow with a dir cap drains the FULL backlog (review r13)") {
+    val src = tmp("anow")
+    ManifestLake.create(spark, src, mk(0 until 10, 1), "ts")
+    (0 until 3).foreach { b =>
+      ManifestLake.appendBatch(spark, src,
+        mk(100 + b * 10 until 110 + b * 10, b + 2), "ts", b.toLong)
+    }
+    val batches = mutable.ArrayBuffer.empty[Long]
+    // ReadAllAvailable (the AvailableNow wrapper's target capture and
+    // Trigger.Once) must see the TRUE head — the first cut mapped it
+    // back to the cap, and a one-shot query terminated with backlog
+    val q = ManifestLake.changeStream(spark, src, maxDirsPerTrigger = 1)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.count() }
+        ()
+      }
+      .start()
+    try assert(q.awaitTermination(120000), "AvailableNow did not finish")
+    finally q.stop()
+    val counts = batches.synchronized(batches.toVector)
+    assert(counts.sum == 40L, s"backlog not drained: $counts")
+    assert(counts.count(_ > 0) == 4, s"cap not honored: $counts")
+  }
+
   test("stream ≡ pollChanges on the same window (twin consistency)") {
     val src = tmp("twin")
     ManifestLake.create(spark, src, mk(0 until 15, 1), "ts")
