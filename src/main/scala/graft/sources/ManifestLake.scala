@@ -2863,7 +2863,7 @@ object ManifestLake {
     *     column's data from the feed — fails the query with a
     *     restart instruction; the restarted query re-pins the new
     *     schema and the replayed window flows under it. */
-  private[sources] def streamWindowBatch(spark: SparkSession,
+  private[graft] def streamWindowBatch(spark: SparkSession,
       path: String, fromV: Long, toV: Long,
       want: org.apache.spark.sql.types.StructType,
       skipRewrites: Boolean): DataFrame = {
