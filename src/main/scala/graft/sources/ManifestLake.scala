@@ -397,6 +397,79 @@ object ManifestLake {
     * contention — past it the caller re-runs from a fresh snapshot. */
   val OccMaxRetries: Int = 5
 
+  /** The shared OCC rebase loop (Delta's conflict-detection shape,
+    * one copy for every DML op): run `attempt` against a base
+    * snapshot; when another writer wins the version race, re-read the
+    * head, refuse on a concurrent METADATA change (schema checkpoint
+    * or CHECK set — the op validated its rows against the old
+    * metadata), then let the op's own `conflict` rule inspect the
+    * winner — it throws its conflict story, returns Some(version) to
+    * short-circuit (the replay-skip case), or None to rebase against
+    * the fresh head. Bounded by OccMaxRetries.
+    *
+    * Isolation note (the Delta Serializable/WriteSerializable split):
+    * ops whose rebase rule only protects their own READ SET (merge,
+    * delete, compaction) admit the blind-append anomaly — a
+    * concurrent append of rows the op would have matched commits,
+    * ordered logically AFTER the op — which is exactly
+    * WriteSerializable; upsert alone adds the key-leak probe because
+    * its latest-wins contract promises readers ONE live row per key,
+    * a table invariant the anomaly would break. */
+  private def occCommitLoop(spark: SparkSession, path: String,
+      first: Snapshot, opName: String)(
+      attempt: Snapshot => Long)(
+      conflict: (Snapshot, java.util.ConcurrentModificationException)
+        => Option[Long]): Long = {
+    var base = first
+    var tries = 0
+    var done = Option.empty[Long]
+    while (done.isEmpty) {
+      try done = Some(attempt(base))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          tries += 1
+          if (tries > OccMaxRetries)
+            throw new java.util.ConcurrentModificationException(
+              s"$opName: still losing the commit race after " +
+                s"$OccMaxRetries rebases (${e.getMessage})")
+          val fresh = snapshot(spark, path)
+          if (fresh.schemaJson != first.schemaJson ||
+              fresh.checks != first.checks)
+            throw new java.util.ConcurrentModificationException(
+              s"$opName: concurrent metadata change (schema or CHECK " +
+                s"constraints) at version ${fresh.version} — the " +
+                s"operation was validated against the old metadata; " +
+                s"re-run it (${e.getMessage})")
+          conflict(fresh, e) match {
+            case Some(v) => done = Some(v)
+            case None => base = fresh
+          }
+      }
+    }
+    done.get
+  }
+
+  /** Refuse the rebase when any of `days` changed between `first` and
+    * `fresh` — dir set OR deletion-vector coverage: the op's rewrite
+    * (or position scan) was computed from exactly those. */
+  private def refuseIfDaysTouched(first: Snapshot, fresh: Snapshot,
+      days: Set[String], opName: String,
+      e: java.util.ConcurrentModificationException): Unit = {
+    val covF = dvCoverage(first)
+    val covN = dvCoverage(fresh)
+    days.find { d =>
+      first.days.getOrElse(d, Seq.empty) !=
+        fresh.days.getOrElse(d, Seq.empty) ||
+        first.days.getOrElse(d, Seq.empty).exists(dir =>
+          covF.getOrElse(dir, Set.empty) != covN.getOrElse(dir, Set.empty))
+    }.foreach { d =>
+      throw new java.util.ConcurrentModificationException(
+        s"$opName: day $d is in this operation's read set and was " +
+          "concurrently modified — overlapping writers must " +
+          s"serialize; re-run the $opName (${e.getMessage})")
+    }
+  }
+
   /** Atomic commit: write the manifest for `next` to a temp name, then
     * rename into place. Throws ConcurrentModificationException if
     * `next` is already committed (another writer won the race).
@@ -1969,67 +2042,41 @@ object ManifestLake {
     // ran against the old snapshot; the winner's ADDED dirs are
     // re-probed with one bounded semi-join — O(the winner's new data),
     // never the lake). Overlapping writers still refuse loudly.
-    var cur = snap
-    var attempt = 0
-    var committed = -1L
-    while (committed < 0L) {
+    occCommitLoop(spark, path, snap, "upsert") { cur =>
       // affected days remap to the new generation (or vanish when
       // drained); untouched days keep their existing directories; a
       // merge incidentally COMPACTS its days (many appended dirs → one)
       val nextDays = (cur.days -- days) ++
         newDirs.map { case (d, p) => d -> Seq(p) }
-      try {
-        commit(fs, root, cur.version + 1, nextDays, cur.lastBatch,
-          carryFiles(cur, nextDays),
-          schemaJson = Some(nextSchema.json),
-          dvs = pruneDvs(cur.dvs, nextDays.values.flatten.toSet),
-          checks = cur.checks, op = "upsert")
-        committed = cur.version + 1
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempt += 1
-          if (attempt > OccMaxRetries) throw new java.util.
-              ConcurrentModificationException(
-            s"upsert: still losing the commit race after " +
-              s"$OccMaxRetries rebases (${e.getMessage})")
-          val fresh = snapshot(spark, path)
-          if (fresh.schemaJson != snap.schemaJson ||
-              fresh.checks != snap.checks)
-            throw new java.util.ConcurrentModificationException(
-              s"upsert: concurrent metadata change (schema or CHECK " +
-                s"constraints) at version ${fresh.version}; re-run " +
-                s"the upsert (${e.getMessage})")
-          val covS = dvCoverage(snap)
-          val covN = dvCoverage(fresh)
-          days.find { d =>
-            snap.days.getOrElse(d, Seq.empty) !=
-              fresh.days.getOrElse(d, Seq.empty) ||
-              snap.days.getOrElse(d, Seq.empty).exists(dir =>
-                covS.getOrElse(dir, Set.empty) !=
-                  covN.getOrElse(dir, Set.empty))
-          }.foreach { d =>
-            throw new java.util.ConcurrentModificationException(
-              s"upsert: day $d is in this merge's read set and was " +
-                "concurrently modified — overlapping writers must " +
-                s"serialize; re-run the upsert (${e.getMessage})")
-          }
-          val liveOld = snap.days.values.flatten.toSet
-          val addedElsewhere = fresh.days
-            .filterNot(kv => days.contains(kv._1))
-            .values.flatten.filterNot(liveOld.contains).toSeq.sorted
-          if (addedElsewhere.nonEmpty &&
-              readPaths(spark, path, fresh, addedElsewhere)
-                .join(broadcast(updKeys), keyCols, "left_semi")
-                .limit(1).count() > 0)
-            throw new java.util.ConcurrentModificationException(
-              "upsert: a concurrent commit wrote rows carrying this " +
-                "merge's keys into days outside its read set — the " +
-                "affected-day discovery is stale; re-run the upsert " +
-                s"(${e.getMessage})")
-          cur = fresh
-      }
+      commit(fs, root, cur.version + 1, nextDays, cur.lastBatch,
+        carryFiles(cur, nextDays),
+        schemaJson = Some(nextSchema.json),
+        dvs = pruneDvs(cur.dvs, nextDays.values.flatten.toSet),
+        checks = cur.checks, op = "upsert")
+      cur.version + 1
+    } { (fresh, e) =>
+      refuseIfDaysTouched(snap, fresh, days, "upsert", e)
+      // the SERIALIZABLE extra (see occCommitLoop's isolation note):
+      // latest-wins promises ONE live row per key, so the winner's
+      // ADDED dirs — outside this merge's read set — must not carry
+      // any of its keys (the affected-day discovery would be stale
+      // and the key would fork across two days). One bounded
+      // semi-join, O(the winner's new data).
+      val liveOld = snap.days.values.flatten.toSet
+      val addedElsewhere = fresh.days
+        .filterNot(kv => days.contains(kv._1))
+        .values.flatten.filterNot(liveOld.contains).toSeq.sorted
+      if (addedElsewhere.nonEmpty &&
+          readPaths(spark, path, fresh, addedElsewhere)
+            .join(broadcast(updKeys), keyCols, "left_semi")
+            .limit(1).count() > 0)
+        throw new java.util.ConcurrentModificationException(
+          "upsert: a concurrent commit wrote rows carrying this " +
+            "merge's keys into days outside its read set — the " +
+            "affected-day discovery is stale; re-run the upsert " +
+            s"(${e.getMessage})")
+      None
     }
-    committed
   }
 
   // ---- generic MERGE INTO (clause-based DML, the Delta MERGE shape) ----
@@ -2287,20 +2334,38 @@ object ManifestLake {
     if (rewriteDays.isEmpty && newDirs.isEmpty) return snap.version
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
-    // rewritten days remap to the new generation (or drain); a day the
-    // rewrite never touched gets its insert/move rows APPENDED
-    val nextDays = (snap.days -- rewriteDays) ++ newDirs.map { case (d, p) =>
-      if (rewriteDays.contains(d)) d -> Seq(p)
-      else d -> (snap.days.getOrElse(d, Seq.empty) :+ p)
+    // OCC rebase under WriteSerializable (occCommitLoop's isolation
+    // note): a winner disjoint from the rewrite days commits this
+    // merge one version later; a concurrent blind append of rows the
+    // clauses would have matched is the admitted anomaly — the merge
+    // is ordered logically BEFORE it, exactly the sequential
+    // merge-then-append outcome (MERGE, unlike upsert, promises no
+    // one-row-per-key invariant for such rows to violate).
+    occCommitLoop(spark, path, snap, "mergeInto") { cur =>
+      // rewritten days remap to the new generation (or drain); a day
+      // the rewrite never touched gets its insert/move rows APPENDED
+      val nextDays = (cur.days -- rewriteDays) ++ newDirs.map {
+        case (d, p) =>
+          if (rewriteDays.contains(d)) d -> Seq(p)
+          else d -> (cur.days.getOrElse(d, Seq.empty) :+ p)
+      }
+      commit(fs, root, cur.version + 1, nextDays,
+        batchId.getOrElse(cur.lastBatch),
+        carryFiles(cur, nextDays),
+        schemaJson = Some(nextSchema.json),
+        dvs = pruneDvs(cur.dvs, nextDays.values.flatten.toSet),
+        checks = cur.checks,
+        op = batchId.fold("merge")(b => s"merge($b)"))
+      cur.version + 1
+    } { (fresh, e) =>
+      // a racing replay of the same streaming batch id: skip, the
+      // cursor contract (appendBatch's rule applied to MERGE)
+      if (batchId.exists(_ <= fresh.lastBatch)) Some(fresh.version)
+      else {
+        refuseIfDaysTouched(snap, fresh, rewriteDays, "mergeInto", e)
+        None
+      }
     }
-    commit(fs, root, snap.version + 1, nextDays,
-      batchId.getOrElse(snap.lastBatch),
-      carryFiles(snap, nextDays),
-      schemaJson = Some(nextSchema.json),
-      dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet),
-      checks = snap.checks,
-      op = batchId.fold("merge")(b => s"merge($b)"))
-    snap.version + 1
   }
 
   /** Copy-on-write DELETE with one atomic commit — LakeLayout
@@ -2340,13 +2405,24 @@ object ManifestLake {
       writeSchema = Some(nextSchema))
     beforeCommit()
     val (fs, root) = fsOf(spark, path)
-    val nextDays = (snap.days -- days) ++
-      newDirs.map { case (d, p) => d -> Seq(p) }
-    commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
-      carryFiles(snap, nextDays),
-      schemaJson = Some(nextSchema.json),
-      dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet),
-      checks = snap.checks, op = "delete")
+    // OCC rebase under WriteSerializable: a winner that touched none
+    // of the matched days commits this delete one version later; a
+    // concurrent blind append of rows the predicate would match is
+    // the admitted anomaly — the delete is ordered logically before
+    // it (compliance sweeps re-run periodically for exactly this).
+    occCommitLoop(spark, path, snap, "deleteWhere") { cur =>
+      val nextDays = (cur.days -- days) ++
+        newDirs.map { case (d, p) => d -> Seq(p) }
+      commit(fs, root, cur.version + 1, nextDays, cur.lastBatch,
+        carryFiles(cur, nextDays),
+        schemaJson = Some(nextSchema.json),
+        dvs = pruneDvs(cur.dvs, nextDays.values.flatten.toSet),
+        checks = cur.checks, op = "delete")
+      cur.version + 1
+    } { (fresh, e) =>
+      refuseIfDaysTouched(snap, fresh, days, "deleteWhere", e)
+      None
+    }
     deleted
   }
 
@@ -2402,12 +2478,31 @@ object ManifestLake {
     }
     val dirs = summary.getSeq[String](1)
     beforeCommit()
-    commit(fs, root, snap.version + 1, snap.days, snap.lastBatch,
-      snap.legacyFiles,
-      schemaJson = Some(tableSchema(spark, path, snap).json),
-      dvs = pruneDvs(snap.dvs, snap.days.values.flatten.toSet) :+
-        (dvRel -> dirs),
-      checks = snap.checks, op = "deleteDV")
+    // OCC rebase: the DV's positions key on the covered dirs' files,
+    // so every covered dir must still be LIVE at the fresh head — a
+    // winner that rewrote one (upsert/compaction, NOT aware of this
+    // uncommitted DV) would resurrect the deleted rows in its output;
+    // refuse that, rebase past anything else (a concurrent DV on the
+    // same dirs composes — anti-joins union).
+    occCommitLoop(spark, path, snap, "deleteWhereDV") { cur =>
+      commit(fs, root, cur.version + 1, cur.days, cur.lastBatch,
+        cur.legacyFiles,
+        schemaJson = Some(tableSchema(spark, path, cur).json),
+        dvs = pruneDvs(cur.dvs, cur.days.values.flatten.toSet) :+
+          (dvRel -> dirs),
+        checks = cur.checks, op = "deleteDV")
+      cur.version + 1
+    } { (fresh, e) =>
+      val live = fresh.days.values.flatten.toSet
+      dirs.find(!live.contains(_)).foreach { d =>
+        throw new java.util.ConcurrentModificationException(
+          s"deleteWhereDV: covered dir $d was concurrently rewritten " +
+            "— the rewrite was not aware of this uncommitted deletion " +
+            "vector and re-materialized its rows; re-run the delete " +
+            s"(${e.getMessage})")
+      }
+      None
+    }
     deleted
   }
 
@@ -2520,7 +2615,8 @@ object ManifestLake {
   def compactDay(spark: SparkSession, path: String, day: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       clusterBy: Seq[String] = Seq.empty,
-      zOrder: Boolean = false): Long = {
+      zOrder: Boolean = false,
+      beforeCommit: () => Unit = () => ()): Long = {
     val snap = snapshot(spark, path)
     val rels = snap.days.getOrElse(day, return snap.version)
     // checkpointed schema when available (zero footers at planning);
@@ -2584,18 +2680,30 @@ object ManifestLake {
     val rel = s"$gen/pday=$day"
     genBlooms(spark, path, fs, root, Seq(rel))
     writeGenStats(spark, path, fs, root, Seq(rel))
-    val nextDays = snap.days + (day -> Seq(rel))
-    commit(fs, root, snap.version + 1, nextDays, snap.lastBatch,
-      carryFiles(snap, nextDays),
-      // row-preserving: a checkpointed table keeps its schema verbatim
-      // (df carries PHYSICAL names — unioning those would duplicate
-      // renamed fields); only the legacy pre-checkpoint path still
-      // unions the footer-planned frame in
-      schemaJson = Some(logical.getOrElse(
-        unionSchema(tableSchema(spark, path, snap), df.schema)).json),
-      dvs = pruneDvs(snap.dvs, nextDays.values.flatten.toSet),
-      checks = snap.checks, op = s"compact($day)")
-    snap.version + 1
+    beforeCommit()
+    // OCC rebase — THE classic lake race (Delta's motivating case for
+    // conflict detection): the maintenance loop compacting day D must
+    // not fail because the streaming ingest appended day E in the
+    // meantime. Disjoint-day winners rebase; any change to THIS day
+    // (a new appended dir the rewrite would silently drop, a DV
+    // landing mid-compaction) refuses — re-pick and re-run.
+    occCommitLoop(spark, path, snap, "compactDay") { cur =>
+      val nextDays = cur.days + (day -> Seq(rel))
+      commit(fs, root, cur.version + 1, nextDays, cur.lastBatch,
+        carryFiles(cur, nextDays),
+        // row-preserving: a checkpointed table keeps its schema
+        // verbatim (df carries PHYSICAL names — unioning those would
+        // duplicate renamed fields); only the legacy pre-checkpoint
+        // path still unions the footer-planned frame in
+        schemaJson = Some(logical.getOrElse(
+          unionSchema(tableSchema(spark, path, cur), df.schema)).json),
+        dvs = pruneDvs(cur.dvs, nextDays.values.flatten.toSet),
+        checks = cur.checks, op = s"compact($day)")
+      cur.version + 1
+    } { (fresh, e) =>
+      refuseIfDaysTouched(snap, fresh, Set(day), "compactDay", e)
+      None
+    }
   }
 
   /** Exactly-once streaming APPEND — the foreachBatch body that turns
@@ -2643,46 +2751,24 @@ object ManifestLake {
     // — no data is rewritten, the retry costs one manifest read +
     // one manifest write. Anything else is a real conflict and still
     // refuses loudly.
-    var base = snap
-    var attempt = 0
-    var committed = -1L
-    while (committed < 0L) {
+    occCommitLoop(spark, path, snap, "appendBatch") { base =>
       val merged = newDirs.foldLeft(base.days) { case (m, (d, p)) =>
         m.updated(d, m.getOrElse(d, Seq.empty) :+ p)
       }
-      try {
-        commit(fs, root, base.version + 1, merged, batchId,
-          base.legacyFiles,
-          schemaJson = Some(nextSchema.json),
-          dvs = base.dvs, checks = base.checks, op = s"append($batchId)")
-        committed = base.version + 1
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempt += 1
-          if (attempt > OccMaxRetries) throw new java.util.
-              ConcurrentModificationException(
-            s"appendBatch: still losing the commit race after " +
-              s"$OccMaxRetries rebases (${e.getMessage})")
-          val fresh = snapshot(spark, path)
-          if (fresh.schemaJson != snap.schemaJson ||
-              fresh.checks != snap.checks)
-            throw new java.util.ConcurrentModificationException(
-              s"appendBatch: concurrent metadata change (schema or " +
-                s"CHECK constraints) at version ${fresh.version} — the " +
-                "batch was validated against the old metadata; re-run " +
-                s"the append (${e.getMessage})")
-          // a racing attempt of the SAME (or an earlier) batch id won
-          // — this is the replay case the entry check defines as a
-          // skip, and losing the race must not change the semantics
-          // (a zombie retry of batch N racing its own successful
-          // attempt would otherwise fail spuriously — review r13);
-          // this generation stays an invisible orphan for vacuum,
-          // exactly like the crash contract
-          if (batchId <= fresh.lastBatch) return fresh.version
-          base = fresh
-      }
+      commit(fs, root, base.version + 1, merged, batchId,
+        base.legacyFiles,
+        schemaJson = Some(nextSchema.json),
+        dvs = base.dvs, checks = base.checks, op = s"append($batchId)")
+      base.version + 1
+    } { (fresh, _) =>
+      // a racing attempt of the SAME (or an earlier) batch id won —
+      // this is the replay case the entry check defines as a skip,
+      // and losing the race must not change the semantics (a zombie
+      // retry of batch N racing its own successful attempt would
+      // otherwise fail spuriously — review r13); this generation
+      // stays an invisible orphan for vacuum, like the crash contract
+      if (batchId <= fresh.lastBatch) Some(fresh.version) else None
     }
-    committed
   }
 
   /** The writeStream adapter: `stream.writeStream.foreachBatch(

@@ -98,6 +98,106 @@ class ManifestLakeOccSpec extends SparkSpec {
     assert(boom.getMessage.contains("metadata"), boom.getMessage)
   }
 
+  test("OPTIMIZE vs ingest: compactDay racing an append to ANOTHER day rebases, both land") {
+    val dir = tmp("cmp")
+    ManifestLake.create(spark, dir, mk(0 until 10, 1), "ts")
+    ManifestLake.appendBatch(spark, dir, mk(20 until 30, 1), "ts", 0L)
+    // the maintenance loop compacts day 1 (two dirs) while the ingest
+    // lands day 2 — the classic lake race; the compaction rebases
+    val v = ManifestLake.compactDay(spark, dir, "2024-03-01",
+      beforeCommit = () => {
+        ManifestLake.appendBatch(spark, dir, mk(100 until 110, 2),
+          "ts", batchId = 1L)
+        ()
+      })
+    assert(v == 4L)
+    val snap = ManifestLake.snapshot(spark, dir)
+    assert(snap.days("2024-03-01").size == 1, "day 1 not compacted")
+    assert(snap.days.contains("2024-03-02"), "winner's append lost")
+    assert(ManifestLake.read(spark, dir).count() == 30L)
+    assert(snap.lastBatch == 1L, "winner's cursor regressed")
+  }
+
+  test("compactDay racing an append to the SAME day refuses (the rewrite would drop it)") {
+    val dir = tmp("cmps")
+    ManifestLake.create(spark, dir, mk(0 until 10, 1), "ts")
+    ManifestLake.appendBatch(spark, dir, mk(20 until 30, 1), "ts", 0L)
+    val boom = intercept[java.util.ConcurrentModificationException] {
+      ManifestLake.compactDay(spark, dir, "2024-03-01",
+        beforeCommit = () => {
+          ManifestLake.appendBatch(spark, dir, mk(40 until 50, 1),
+            "ts", batchId = 1L)
+          ()
+        })
+    }
+    assert(boom.getMessage.contains("read set"), boom.getMessage)
+    // nothing lost: all three generations of day 1 are visible
+    assert(ManifestLake.read(spark, dir).count() == 30L)
+  }
+
+  test("deleteWhere racing an append to another day rebases; the blind append survives (WriteSerializable)") {
+    val dir = tmp("del")
+    ManifestLake.create(spark, dir,
+      mk(0 until 10, 1).union(mk(100 until 110, 2)), "ts")
+    // the delete matches day-1 rows; the concurrent append lands
+    // day-3 rows that ALSO match the predicate — under
+    // WriteSerializable the delete is ordered first, so they survive
+    val deleted = ManifestLake.deleteWhere(spark, dir,
+      col("id") < 5L,
+      beforeCommit = () => {
+        ManifestLake.appendBatch(spark, dir,
+          Seq((2L, ts("2024-03-03 09:00:00"), "late"))
+            .toDF("id", "ts", "v"), "ts", batchId = 0L)
+        ()
+      })
+    assert(deleted == 5L)
+    val got = ManifestLake.read(spark, dir)
+    assert(got.count() == 16L) // 20 - 5 deleted + 1 late append
+    assert(got.filter(col("v") === "late").count() == 1L,
+      "the blind append was lost")
+  }
+
+  test("deleteWhereDV racing a rewrite of a covered dir refuses (resurrection guard)") {
+    val dir = tmp("dvr")
+    ManifestLake.create(spark, dir, mk(0 until 10, 1), "ts")
+    // the DV covers day 1's dir; a concurrent compaction of day 1
+    // rewrites that dir WITHOUT seeing the uncommitted DV — its
+    // output re-materializes the rows, so the DV must refuse
+    ManifestLake.appendBatch(spark, dir, mk(20 until 30, 1), "ts", 0L)
+    val boom = intercept[java.util.ConcurrentModificationException] {
+      ManifestLake.deleteWhereDV(spark, dir, col("id") < 5L,
+        beforeCommit = () => {
+          ManifestLake.compactDay(spark, dir, "2024-03-01")
+          ()
+        })
+    }
+    assert(boom.getMessage.contains("rewritten"), boom.getMessage)
+    // no rows deleted, none resurrected: the table is wholly intact
+    assert(ManifestLake.read(spark, dir).count() == 20L)
+  }
+
+  test("mergeInto racing an append to another day rebases, both land") {
+    val dir = tmp("mrg")
+    ManifestLake.create(spark, dir, mk(0 until 10, 1), "ts")
+    val src = Seq((5L, ts("2024-03-01 12:00:00"), "merged"))
+      .toDF("id", "ts", "v")
+    val v = ManifestLake.mergeInto(spark, dir, src, Seq("id"), "ts",
+      Seq(ManifestLake.MatchedUpdate(
+        Map("v" -> col("s.v"), "ts" -> col("s.ts")))),
+      beforeCommit = () => {
+        ManifestLake.appendBatch(spark, dir, mk(200 until 210, 3),
+          "ts", batchId = 0L)
+        ()
+      })
+    assert(v == 3L)
+    val got = ManifestLake.read(spark, dir)
+    assert(got.count() == 20L)
+    assert(got.filter(col("id") === 5L).head().getAs[String]("v")
+      == "merged")
+    assert(got.filter(col("id") === 205L).count() == 1L,
+      "winner's append lost")
+  }
+
   test("a racing attempt whose batch id the winner already passed is a replay SKIP, not a failure") {
     val dir = tmp("cur")
     ManifestLake.create(spark, dir, mk(0 until 10, 1), "ts")
