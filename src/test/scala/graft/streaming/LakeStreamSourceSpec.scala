@@ -199,6 +199,43 @@ class LakeStreamSourceSpec extends SparkSpec {
     assert(counts.count(_ > 0) == 4, s"cap not honored: $counts")
   }
 
+  test("changeStream composes with stateful ops: watermarked windowed agg over the lake tail") {
+    val src = tmp("agg")
+    val rows = (0 until 60).map(i =>
+      (i.toLong, ts(f"2024-02-01 ${10 + i % 3}%02d:${i % 60}%02d:00"),
+        s"v$i"))
+      .toDF("id", "ts", "v")
+    ManifestLake.create(spark, src, rows, "ts")
+    // the per-batch plan splices into IncrementalExecution under a
+    // stateful aggregate — this is what a consumer actually runs on
+    // the tail, and it only works if the isStreaming mark flows
+    // through watermark assignment and state planning
+    val q = ManifestLake.changeStream(spark, src)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("lss_agg").start()
+    try {
+      q.processAllAvailable()
+      ManifestLake.appendBatch(spark, src,
+        (100 until 130).map(i =>
+          (i.toLong, ts(f"2024-02-01 ${14 + i % 2}%02d:05:00"), s"v$i"))
+          .toDF("id", "ts", "v"), "ts", 0L)
+      q.processAllAvailable()
+      val got = spark.table("lss_agg")
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1))
+        .toMap
+      val want = ManifestLake.read(spark, src)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("h"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1))
+        .toMap
+      assert(got == want, s"stream agg diverged: $got vs $want")
+      assert(want.values.sum == 90L)
+    } finally q.stop()
+  }
+
   test("stream ≡ pollChanges on the same window (twin consistency)") {
     val src = tmp("twin")
     ManifestLake.create(spark, src, mk(0 until 15, 1), "ts")
