@@ -198,6 +198,46 @@ class ManifestLakeOccSpec extends SparkSpec {
       "winner's append lost")
   }
 
+  test("stress: 8 REAL concurrent disjoint-day writers all land exactly once") {
+    val dir = tmp("stress")
+    ManifestLake.create(spark, dir, mk(0 until 10, 1), "ts")
+    // unlike the staged beforeCommit races above, this exercises
+    // arbitrary interleavings: 8 threads upsert 8 DISJOINT days
+    // through the same session. A writer that exhausts its bounded
+    // rebases re-runs from a fresh snapshot — the documented remedy —
+    // so the assertion is the system-level one: every write lands
+    // exactly once, no matter who lost how many races.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futures = (0 until 8).map { w =>
+      scala.concurrent.Future {
+        val updates = mk(1000 * (w + 1) until 1000 * (w + 1) + 20, w + 10)
+        var landed = false
+        while (!landed) {
+          try {
+            ManifestLake.upsert(spark, dir, updates, Seq("id"), "ts")
+            landed = true
+          } catch {
+            case _: java.util.ConcurrentModificationException => ()
+          }
+        }
+      }
+    }
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration(180, "s"))
+    finally pool.shutdown()
+    val got = ManifestLake.read(spark, dir)
+    assert(got.count() == 170L, "a writer duplicated or lost rows")
+    val ids = got.select("id").collect().map(_.getLong(0)).toSet
+    val want = (0L until 10L).toSet ++
+      (0 until 8).flatMap(w => 1000L * (w + 1) until 1000L * (w + 1) + 20)
+        .toSet
+    assert(ids == want)
+    assert(ManifestLake.snapshot(spark, dir).version >= 9L)
+  }
+
   test("a racing attempt whose batch id the winner already passed is a replay SKIP, not a failure") {
     val dir = tmp("cur")
     ManifestLake.create(spark, dir, mk(0 until 10, 1), "ts")
