@@ -68,7 +68,16 @@ class LakeStreamSourceProvider
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
     val head = ManifestLake.headVersion(spark, path)
+    val fromTs = opt(parameters, "startingTimestamp")
+    require(fromTs.isEmpty || opt(parameters, "startingVersion").isEmpty,
+      "graft-lake: startingVersion and startingTimestamp are mutually " +
+        "exclusive")
     val startV = opt(parameters, "startingVersion") match {
+      case _ if fromTs.isDefined =>
+        // Delta's startingTimestamp: commits AT or after the instant
+        // are delivered — start right below the first qualifying one
+        ManifestLake.startVersionForTimestamp(spark, path,
+          java.sql.Timestamp.valueOf(fromTs.get))
       case None | Some("0") => 0L
       case Some(s) if s.equalsIgnoreCase("latest") => head
       case Some(s) =>

@@ -1915,6 +1915,59 @@ object ManifestLake {
     * late-added column reads as NULL from old files and diffs
     * exactly). `fromV = 0` is the empty table — the full snapshot
     * comes back as inserts, the natural first batch of a mirror. */
+  /** Resolve a wall-clock timestamp to the version whose commit is
+    * the LATEST at or before it — Delta's `timestampAsOf` rule, from
+    * the same source Delta uses (the commit file's modification
+    * time; versions stay the durable addressing, timestamps are the
+    * convenience layer over them). Bounded like all time travel: a
+    * timestamp before the earliest RETAINED commit fails with the
+    * retention story, one after the newest resolves to head. */
+  def versionAt(spark: SparkSession, path: String,
+      ts: java.sql.Timestamp): Long = {
+    val (fs, root) = fsOf(spark, path)
+    val vs = manifestVersions(fs, root)
+    require(vs.nonEmpty, s"versionAt: no committed snapshot at $path")
+    val stamped = vs.map(v => v -> fs.getFileStatus(
+      new Path(root, f"$LogDir/$v%08d.manifest")).getModificationTime)
+    val ok = stamped.filter(_._2 <= ts.getTime)
+    if (ok.isEmpty) throw new IllegalArgumentException(
+      s"versionAt: $ts precedes the earliest retained commit (" +
+        s"${new java.sql.Timestamp(stamped.head._2)} at version " +
+        s"${stamped.head._1}) — anything older is past the vacuum " +
+        "retention window (or before the table existed)")
+    ok.last._1
+  }
+
+  /** Timestamp time travel: the snapshot as of a wall-clock instant
+    * (SELECT ... TIMESTAMP AS OF). */
+  def readAsOf(spark: SparkSession, path: String,
+      ts: java.sql.Timestamp): DataFrame =
+    readVersion(spark, path, versionAt(spark, path, ts))
+
+  /** The streaming source's startingTimestamp cursor (Delta's rule:
+    * commits AT or after the instant are delivered): the version just
+    * below the first qualifying commit. Vacuum only ever expires a
+    * PREFIX of the log, so when the earliest RETAINED commit already
+    * qualifies the honest answer is the full-snapshot bootstrap
+    * (cursor 0) — the expired changes cannot be replayed, and the
+    * snapshot is their superset, exactly what a re-seeded consumer
+    * gets; an instant past the newest commit tails from head. */
+  private[sources] def startVersionForTimestamp(spark: SparkSession,
+      path: String, ts: java.sql.Timestamp): Long = {
+    val (fs, root) = fsOf(spark, path)
+    val vs = manifestVersions(fs, root)
+    require(vs.nonEmpty,
+      s"graft-lake: no committed snapshot at $path")
+    val t = ts.getTime
+    def mtime(v: Long): Long = fs.getFileStatus(
+      new Path(root, f"$LogDir/$v%08d.manifest")).getModificationTime
+    vs.find(mtime(_) >= t) match {
+      case Some(q) if q == vs.head => 0L
+      case Some(q) => q - 1
+      case None => vs.last
+    }
+  }
+
   def readChanges(spark: SparkSession, path: String, fromV: Long,
       toV: Long): DataFrame = {
     require(fromV <= toV, s"readChanges: fromV $fromV > toV $toV")
@@ -3031,11 +3084,15 @@ object ManifestLake {
   def changeStream(spark: SparkSession, path: String,
       skipRewrites: Boolean = false,
       maxDirsPerTrigger: Int = 0,
-      startingVersion: String = "0"): DataFrame = {
-    val r = spark.readStream.format("graft-lake")
+      startingVersion: String = "0",
+      startingTimestamp: String = ""): DataFrame = {
+    var r = spark.readStream.format("graft-lake")
       .option("path", path)
       .option("skipRewrites", skipRewrites.toString)
-      .option("startingVersion", startingVersion)
+    // mutually exclusive start cursors (the provider enforces it too)
+    r = if (startingTimestamp.nonEmpty)
+      r.option("startingTimestamp", startingTimestamp)
+    else r.option("startingVersion", startingVersion)
     (if (maxDirsPerTrigger > 0)
        r.option("maxDirsPerTrigger", maxDirsPerTrigger.toString)
      else r).load()

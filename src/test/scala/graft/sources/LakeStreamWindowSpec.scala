@@ -76,6 +76,33 @@ class LakeStreamWindowSpec extends SparkSpec {
       boom.getMessage.contains("remapped"), boom.getMessage)
   }
 
+  test("timestamp addressing: readAsOf resolves to the latest commit at-or-before; startingTimestamp includes at-or-after") {
+    val src = Files.createTempDirectory("graft_lsw_ts").toString
+    ManifestLake.create(spark, src, mk(0 until 10, 1), "ts") // v1
+    Thread.sleep(120)
+    val between = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(120)
+    ManifestLake.appendBatch(spark, src, mk(50 until 60, 2), "ts", 0L) // v2
+    // TIMESTAMP AS OF between the commits answers v1
+    assert(ManifestLake.versionAt(spark, src, between) == 1L)
+    assert(ManifestLake.readAsOf(spark, src, between).count() == 10L)
+    // after the head: resolves to head; before the table: refused
+    val now = new java.sql.Timestamp(System.currentTimeMillis() + 1000)
+    assert(ManifestLake.versionAt(spark, src, now) == 2L)
+    val boom = intercept[IllegalArgumentException] {
+      ManifestLake.versionAt(spark, src,
+        java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+    }
+    assert(boom.getMessage.contains("retention"), boom.getMessage)
+    // the streaming cursor rule is at-or-AFTER: `between` must start
+    // right below v2 (delivering v2's rows, not v1's), an instant past
+    // head tails only, one before everything bootstraps fully
+    assert(ManifestLake.startVersionForTimestamp(spark, src, between) == 1L)
+    assert(ManifestLake.startVersionForTimestamp(spark, src, now) == 2L)
+    assert(ManifestLake.startVersionForTimestamp(spark, src,
+      java.sql.Timestamp.valueOf("2000-01-01 00:00:00")) == 0L)
+  }
+
   test("cappedStreamTarget: bounded budget advances at least one version, full budget reaches head") {
     val src = Files.createTempDirectory("graft_lsw_cap").toString
     ManifestLake.create(spark, src, mk(0 until 10, 1), "ts") // v1: 1 dir

@@ -199,6 +199,23 @@ class LakeStreamSourceSpec extends SparkSpec {
     assert(counts.count(_ > 0) == 4, s"cap not honored: $counts")
   }
 
+  test("startingTimestamp tails from the first commit at-or-after the instant") {
+    val src = tmp("sts")
+    ManifestLake.create(spark, src, mk(0 until 10, 1), "ts")
+    Thread.sleep(120)
+    val between = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(120)
+    ManifestLake.appendBatch(spark, src, mk(50 until 60, 2), "ts", 0L)
+    val q = ManifestLake.changeStream(spark, src,
+      startingTimestamp = between.toString)
+      .writeStream.format("memory").queryName("lss_sts").start()
+    try {
+      q.processAllAvailable()
+      // only the post-instant commit is delivered, not the bootstrap
+      assert(idsOf(spark.table("lss_sts")) == (50L until 60L).toSet)
+    } finally q.stop()
+  }
+
   test("changeStream composes with stateful ops: watermarked windowed agg over the lake tail") {
     val src = tmp("agg")
     val rows = (0 until 60).map(i =>
