@@ -68,16 +68,27 @@ class LakeStreamSourceProvider
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
     val head = ManifestLake.headVersion(spark, path)
+    // a blank value means unset (a plumbed-through config default)
     val fromTs = opt(parameters, "startingTimestamp")
+      .map(_.trim).filter(_.nonEmpty)
     require(fromTs.isEmpty || opt(parameters, "startingVersion").isEmpty,
       "graft-lake: startingVersion and startingTimestamp are mutually " +
         "exclusive")
     val startV = opt(parameters, "startingVersion") match {
       case _ if fromTs.isDefined =>
         // Delta's startingTimestamp: commits AT or after the instant
-        // are delivered — start right below the first qualifying one
-        ManifestLake.startVersionForTimestamp(spark, path,
-          java.sql.Timestamp.valueOf(fromTs.get))
+        // are delivered — start right below the first qualifying one.
+        // Accept both the SQL form and ISO-8601's 'T' separator.
+        val raw = fromTs.get
+        val t = try java.sql.Timestamp.valueOf(raw.replace('T', ' '))
+        catch {
+          case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              "graft-lake: startingTimestamp must be " +
+                "'yyyy-MM-dd HH:mm:ss[.fff]' (ISO 'T' separator " +
+                s"accepted), got '$raw'")
+        }
+        ManifestLake.startVersionForTimestamp(spark, path, t)
       case None | Some("0") => 0L
       case Some(s) if s.equalsIgnoreCase("latest") => head
       case Some(s) =>

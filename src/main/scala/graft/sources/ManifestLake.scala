@@ -433,21 +433,42 @@ object ManifestLake {
               s"$opName: still losing the commit race after " +
                 s"$OccMaxRetries rebases (${e.getMessage})")
           val fresh = snapshot(spark, path)
-          if (fresh.schemaJson != first.schemaJson ||
-              fresh.checks != first.checks)
-            throw new java.util.ConcurrentModificationException(
-              s"$opName: concurrent metadata change (schema or CHECK " +
-                s"constraints) at version ${fresh.version} — the " +
-                s"operation was validated against the old metadata; " +
-                s"re-run it (${e.getMessage})")
+          // the op's own rule runs FIRST: its short-circuit is the
+          // replay-skip, and a zombie replay of a batch whose winning
+          // attempt also widened the schema must SKIP, not die on the
+          // metadata refusal below (review r13 #2 — the refusal only
+          // guards a rebase, and a skip rebases nothing)
           conflict(fresh, e) match {
             case Some(v) => done = Some(v)
-            case None => base = fresh
+            case None =>
+              if (fresh.schemaJson != first.schemaJson ||
+                  fresh.checks != first.checks)
+                throw new java.util.ConcurrentModificationException(
+                  s"$opName: concurrent metadata change (schema or " +
+                    s"CHECK constraints) at version ${fresh.version} — " +
+                    s"the operation was validated against the old " +
+                    s"metadata; re-run it (${e.getMessage})")
+              base = fresh
           }
       }
     }
     done.get
   }
+
+  /** Exact replay check for the race path: did some commit in
+    * (after, upTo] carry EXACTLY this batch id? The entry checks
+    * trust cursor position alone (the engine replays ids in order),
+    * but a racer finding the cursor moved PAST its id must
+    * distinguish "my own other attempt won" (skip) from "an unrelated
+    * stream with higher ids advanced the cursor" (my data never
+    * landed — skipping would silently drop it; refuse instead,
+    * review r13 #2). Cost: one manifest read per version in the race
+    * window — bounded by how far the table moved during one write. */
+  private def batchCommittedIn(fs: FileSystem, root: Path,
+      after: Long, upTo: Long, batchId: Long): Boolean =
+    manifestVersions(fs, root)
+      .filter(v => v > after && v <= upTo)
+      .exists(v => readManifest(fs, root, v).lastBatch == batchId)
 
   /** Refuse the rebase when any of `days` changed between `first` and
     * `fresh` — dir set OR deletion-vector coverage: the op's rewrite
@@ -1922,13 +1943,33 @@ object ManifestLake {
     * convenience layer over them). Bounded like all time travel: a
     * timestamp before the earliest RETAINED commit fails with the
     * retention story, one after the newest resolves to head. */
+  /** (version, commit time) for every retained manifest — from the
+    * ONE listStatus the log scan costs (FileStatus carries the mtime;
+    * a per-version getFileStatus would be 10⁵ sequential RPCs on a
+    * long log, review r13 #3), with commit times adjusted to be
+    * MONOTONE in version order (running max — Delta adjusts in-commit
+    * timestamps the same way), so clock skew between OCC writers or a
+    * copied manifest cannot make timestamp addressing disagree with
+    * version order (review r13 #4). */
+  private def stampedVersions(fs: FileSystem,
+      root: Path): Seq[(Long, Long)] = {
+    val log = new Path(root, LogDir)
+    val raw =
+      if (!fs.exists(log)) Seq.empty
+      else fs.listStatus(log).toSeq.flatMap(st =>
+        st.getPath.getName match {
+          case ManifestRe(v) => Some(v.toLong -> st.getModificationTime)
+          case _ => None
+        }).sortBy(_._1)
+    var runMax = Long.MinValue
+    raw.map { case (v, t) => runMax = math.max(runMax, t); v -> runMax }
+  }
+
   def versionAt(spark: SparkSession, path: String,
       ts: java.sql.Timestamp): Long = {
     val (fs, root) = fsOf(spark, path)
-    val vs = manifestVersions(fs, root)
-    require(vs.nonEmpty, s"versionAt: no committed snapshot at $path")
-    val stamped = vs.map(v => v -> fs.getFileStatus(
-      new Path(root, f"$LogDir/$v%08d.manifest")).getModificationTime)
+    val stamped = stampedVersions(fs, root)
+    require(stamped.nonEmpty, s"versionAt: no committed snapshot at $path")
     val ok = stamped.filter(_._2 <= ts.getTime)
     if (ok.isEmpty) throw new IllegalArgumentException(
       s"versionAt: $ts precedes the earliest retained commit (" +
@@ -1955,16 +1996,14 @@ object ManifestLake {
   private[sources] def startVersionForTimestamp(spark: SparkSession,
       path: String, ts: java.sql.Timestamp): Long = {
     val (fs, root) = fsOf(spark, path)
-    val vs = manifestVersions(fs, root)
-    require(vs.nonEmpty,
+    val stamped = stampedVersions(fs, root)
+    require(stamped.nonEmpty,
       s"graft-lake: no committed snapshot at $path")
     val t = ts.getTime
-    def mtime(v: Long): Long = fs.getFileStatus(
-      new Path(root, f"$LogDir/$v%08d.manifest")).getModificationTime
-    vs.find(mtime(_) >= t) match {
-      case Some(q) if q == vs.head => 0L
-      case Some(q) => q - 1
-      case None => vs.last
+    stamped.find(_._2 >= t) match {
+      case Some((q, _)) if q == stamped.head._1 => 0L
+      case Some((q, _)) => q - 1
+      case None => stamped.last._1
     }
   }
 
@@ -2412,9 +2451,19 @@ object ManifestLake {
       cur.version + 1
     } { (fresh, e) =>
       // a racing replay of the same streaming batch id: skip, the
-      // cursor contract (appendBatch's rule applied to MERGE)
-      if (batchId.exists(_ <= fresh.lastBatch)) Some(fresh.version)
-      else {
+      // cursor contract (appendBatch's rule applied to MERGE) — with
+      // the same exactness guard: the skipped id must actually have
+      // COMMITTED in the race window, else an unrelated id stream
+      // moved the cursor and skipping would drop this merge
+      if (batchId.exists(_ <= fresh.lastBatch)) {
+        if (batchCommittedIn(fs, root, snap.version, fresh.version,
+            batchId.get)) Some(fresh.version)
+        else throw new java.util.ConcurrentModificationException(
+          s"mergeInto: a concurrent writer advanced the batch cursor " +
+            s"to ${fresh.lastBatch} past this batch id ${batchId.get} " +
+            "without committing it — each table has ONE batch-id " +
+            s"sequence (single logical stream) (${e.getMessage})")
+      } else {
         refuseIfDaysTouched(snap, fresh, rewriteDays, "mergeInto", e)
         None
       }
@@ -2813,14 +2862,24 @@ object ManifestLake {
         schemaJson = Some(nextSchema.json),
         dvs = base.dvs, checks = base.checks, op = s"append($batchId)")
       base.version + 1
-    } { (fresh, _) =>
-      // a racing attempt of the SAME (or an earlier) batch id won —
-      // this is the replay case the entry check defines as a skip,
-      // and losing the race must not change the semantics (a zombie
-      // retry of batch N racing its own successful attempt would
-      // otherwise fail spuriously — review r13); this generation
-      // stays an invisible orphan for vacuum, like the crash contract
-      if (batchId <= fresh.lastBatch) Some(fresh.version) else None
+    } { (fresh, e) =>
+      // the cursor moved past this batch id: EITHER a racing attempt
+      // of the same batch won (the replay case — skip, losing the
+      // race must not change the semantics; the generation stays an
+      // invisible orphan for vacuum, like the crash contract) OR an
+      // unrelated id stream advanced the cursor (skipping would
+      // silently drop this batch — refuse: one table carries ONE
+      // batch-id sequence)
+      if (batchId <= fresh.lastBatch) {
+        if (batchCommittedIn(fs, root, snap.version, fresh.version,
+            batchId)) Some(fresh.version)
+        else throw new java.util.ConcurrentModificationException(
+          s"appendBatch: a concurrent writer advanced the batch " +
+            s"cursor to ${fresh.lastBatch} past this batch id " +
+            s"$batchId without committing it — each table has ONE " +
+            "batch-id sequence (single logical stream); committing " +
+            s"would regress the replay cursor (${e.getMessage})")
+      } else None
     }
   }
 

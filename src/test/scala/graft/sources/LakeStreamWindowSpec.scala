@@ -79,9 +79,9 @@ class LakeStreamWindowSpec extends SparkSpec {
   test("timestamp addressing: readAsOf resolves to the latest commit at-or-before; startingTimestamp includes at-or-after") {
     val src = Files.createTempDirectory("graft_lsw_ts").toString
     ManifestLake.create(spark, src, mk(0 until 10, 1), "ts") // v1
-    Thread.sleep(120)
+    Thread.sleep(1100)
     val between = new java.sql.Timestamp(System.currentTimeMillis())
-    Thread.sleep(120)
+    Thread.sleep(1100)
     ManifestLake.appendBatch(spark, src, mk(50 until 60, 2), "ts", 0L) // v2
     // TIMESTAMP AS OF between the commits answers v1
     assert(ManifestLake.versionAt(spark, src, between) == 1L)

@@ -238,26 +238,38 @@ class ManifestLakeOccSpec extends SparkSpec {
     assert(ManifestLake.snapshot(spark, dir).version >= 9L)
   }
 
-  test("a racing attempt whose batch id the winner already passed is a replay SKIP, not a failure") {
+  test("a racing attempt of the SAME batch id is a replay SKIP; an unrelated id stream refuses") {
     val dir = tmp("cur")
     ManifestLake.create(spark, dir, mk(0 until 10, 1), "ts")
-    // the inner writer advances the cursor to 7 first; the outer
-    // attempt carries batch 0 <= 7, which the ENTRY check would have
-    // skipped had it arrived a moment later — losing the race must
-    // not change the semantics (the zombie-retry contract: a replayed
-    // batch is skipped, its generation stays an invisible orphan for
-    // vacuum). review r13: the first cut threw a spurious
-    // 'monotonic ids' failure here.
+    // the zombie-retry contract: two attempts of batch 5 (same data)
+    // race; the loser finds batch 5 COMMITTED in the race window and
+    // skips — losing the race must not change the semantics; its
+    // generation stays an invisible orphan for vacuum
     val v = ManifestLake.appendBatch(spark, dir, mk(100 until 105, 2),
-      "ts", batchId = 0L,
+      "ts", batchId = 5L,
       beforeCommit = () => {
-        ManifestLake.appendBatch(spark, dir, mk(200 until 205, 3),
-          "ts", batchId = 7L)
+        ManifestLake.appendBatch(spark, dir, mk(100 until 105, 2),
+          "ts", batchId = 5L)
         ()
       })
     assert(v == 2L, "skip must report the winner's version")
     val got = ManifestLake.read(spark, dir)
     assert(got.count() == 15L, "replayed batch's data leaked in")
-    assert(ManifestLake.snapshot(spark, dir).lastBatch == 7L)
+    assert(ManifestLake.snapshot(spark, dir).lastBatch == 5L)
+    // an UNRELATED writer advancing the cursor past this id WITHOUT
+    // committing it must refuse, not skip — a cursor-position-only
+    // skip would silently drop this batch's data (review r13 #2)
+    val boom = intercept[java.util.ConcurrentModificationException] {
+      ManifestLake.appendBatch(spark, dir, mk(200 until 205, 3),
+        "ts", batchId = 6L,
+        beforeCommit = () => {
+          ManifestLake.appendBatch(spark, dir, mk(300 until 305, 4),
+            "ts", batchId = 9L)
+          ()
+        })
+    }
+    assert(boom.getMessage.contains("without committing it"),
+      boom.getMessage)
+    assert(ManifestLake.read(spark, dir).count() == 20L)
   }
 }

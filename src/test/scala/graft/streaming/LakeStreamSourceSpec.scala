@@ -202,9 +202,9 @@ class LakeStreamSourceSpec extends SparkSpec {
   test("startingTimestamp tails from the first commit at-or-after the instant") {
     val src = tmp("sts")
     ManifestLake.create(spark, src, mk(0 until 10, 1), "ts")
-    Thread.sleep(120)
+    Thread.sleep(1100)
     val between = new java.sql.Timestamp(System.currentTimeMillis())
-    Thread.sleep(120)
+    Thread.sleep(1100)
     ManifestLake.appendBatch(spark, src, mk(50 until 60, 2), "ts", 0L)
     val q = ManifestLake.changeStream(spark, src,
       startingTimestamp = between.toString)
