@@ -375,10 +375,26 @@ object LakeOps {
     ManifestLake.readVersion(s, mappingLake(s, dir), 1L)
       .select(histCols.map(col): _*).orderBy(col("event_id"))
 
+  /** TIMESTAMP AS OF under the oracle (r13): resolve the instant of
+    * v1's commit from the lake's own history() ledger — self-timing,
+    * so the query is deterministic on any box — and the readAsOf
+    * snapshot must hash-match exactly what the VERSIONED read answers
+    * for v1 (the l_time_travel content, reached through the timestamp
+    * resolver: monotone-adjusted commit mtimes, latest at-or-before). */
+  def lAsofTravel(s: SparkSession, dir: String): DataFrame = {
+    val lake = historyLake(s, dir)
+    val t1 = ManifestLake.history(s, lake)
+      .filter(col("version") === 1L).head()
+      .getAs[java.sql.Timestamp]("committed_at")
+    ManifestLake.readAsOf(s, lake, t1)
+      .select(histCols.map(col): _*).orderBy(col("event_id"))
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "l_scan_prune" -> (lScanPrune _),
     "l_point_lookup" -> (lPointLookup _),
     "l_time_travel" -> (lTimeTravel _),
+    "l_asof_travel" -> (lAsofTravel _),
     "l_merge_head" -> (lMergeHead _),
     "l_cdf" -> (lCdf _),
     "l_incr_mv" -> (lIncrMv _),
@@ -404,6 +420,13 @@ object LakeOps {
          |WHERE user_id IN (7, 11, 13)
          |ORDER BY user_id, event_id, ts""".stripMargin,
     "l_time_travel" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day
+         |FROM events
+         |ORDER BY event_id""".stripMargin,
+    // readAsOf(v1's commit instant) must answer the SAME state as the
+    // versioned v1 read — one oracle text, two addressing paths
+    "l_asof_travel" ->
       s"""SELECT event_id, ts, user_id, event_type, value, props,
          |  strftime(ts, '%Y-%m-%d') AS day
          |FROM events
