@@ -204,12 +204,19 @@ class LakeStreamSource(spark: SparkSession, path: String,
     case _ => None
   }
 
-  /** Legacy V1 polling hook — kept correct for completeness; the
-    * engine uses latestOffset above. */
-  override def getOffset: Option[OffsetV1] = {
-    val head = ManifestLake.headVersion(spark, path)
-    if (head > startV) Some(LongOffset(head)) else None
-  }
+  /** Legacy V1 polling hook. The engine routes every poll through
+    * latestOffset above (SupportsAdmissionControl is implemented), so
+    * this must be unreachable — and it CANNOT be made equivalent:
+    * it carries no ReadLimit and no last-committed offset, so any
+    * silent fallback would fold the whole backlog into one uncapped
+    * mega-batch, breaking the admission-control contract the source
+    * advertises (ADVICE r13 #3). Fail loudly instead. */
+  override def getOffset: Option[OffsetV1] =
+    throw new UnsupportedOperationException(
+      "graft-lake: legacy Source.getOffset is not supported — the " +
+        "engine must poll via latestOffset(start, limit) " +
+        "(SupportsAdmissionControl); an uncapped V1 poll would ignore " +
+        "maxDirsPerTrigger and the AvailableNow ceiling")
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1)
       : DataFrame = {

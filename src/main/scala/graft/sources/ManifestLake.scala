@@ -1885,8 +1885,13 @@ object ManifestLake {
   /** The commit log as a table — the DESCRIBE HISTORY surface: one
     * row per retained version with the operation that produced it
     * (`#op` line; empty for pre-r11 manifests), the commit wall-clock
-    * (manifest mtime — the rename instant, i.e. when the version
-    * became visible), and per-version shape counts. This is the audit
+    * (the ADJUSTED commit instant from `stampedVersions` — the same
+    * strictly-monotone stamps `versionAt` resolves against, so a
+    * displayed `committed_at` round-trips through `readAsOf` to
+    * exactly that version; raw per-manifest mtimes would diverge
+    * whenever monotonization moved a stamp, and cost one sequential
+    * getFileStatus RPC per version besides — ADVICE r13 #2), and
+    * per-version shape counts. This is the audit
     * companion of time travel: `history` names the version to
     * `readVersion`/`restore` against, which is what turns "a bad
     * takedown happened" into "restore(… the version before
@@ -1894,10 +1899,10 @@ object ManifestLake {
     * kilobytes by construction — never a distributed read. */
   def history(spark: SparkSession, path: String): DataFrame = {
     val (fs, root) = fsOf(spark, path)
+    val stamps = stampedVersions(fs, root).toMap
     val rows = manifestVersions(fs, root).map { v =>
       val snap = readManifest(fs, root, v)
-      val mtime = fs.getFileStatus(
-        new Path(root, f"$LogDir/$v%08d.manifest")).getModificationTime
+      val mtime = stamps(v)
       (v, snap.op, new java.sql.Timestamp(mtime), snap.days.size,
         snap.days.values.map(_.size).sum, snap.lastBatch,
         snap.dvs.size, snap.checks.size)
@@ -1947,10 +1952,14 @@ object ManifestLake {
     * ONE listStatus the log scan costs (FileStatus carries the mtime;
     * a per-version getFileStatus would be 10⁵ sequential RPCs on a
     * long log, review r13 #3), with commit times adjusted to be
-    * MONOTONE in version order (running max — Delta adjusts in-commit
-    * timestamps the same way), so clock skew between OCC writers or a
-    * copied manifest cannot make timestamp addressing disagree with
-    * version order (review r13 #4). */
+    * STRICTLY increasing in version order (Delta's prev + 1 ms rule —
+    * `max(prev + 1, raw)`), so clock skew between OCC writers, a
+    * copied manifest, or two commits inside one mtime tick cannot
+    * make timestamp addressing disagree with version order: a
+    * non-strict running max would give tied versions the SAME
+    * adjusted instant and `versionAt` (latest at-or-before) would
+    * silently resolve version N's instant to N+1's state
+    * (ADVICE r13 #1). */
   private def stampedVersions(fs: FileSystem,
       root: Path): Seq[(Long, Long)] = {
     val log = new Path(root, LogDir)
@@ -1961,8 +1970,11 @@ object ManifestLake {
           case ManifestRe(v) => Some(v.toLong -> st.getModificationTime)
           case _ => None
         }).sortBy(_._1)
-    var runMax = Long.MinValue
-    raw.map { case (v, t) => runMax = math.max(runMax, t); v -> runMax }
+    var prev = Long.MinValue
+    raw.map { case (v, t) =>
+      prev = if (prev == Long.MinValue) t else math.max(prev + 1, t)
+      v -> prev
+    }
   }
 
   def versionAt(spark: SparkSession, path: String,

@@ -103,6 +103,40 @@ class LakeStreamWindowSpec extends SparkSpec {
       java.sql.Timestamp.valueOf("2000-01-01 00:00:00")) == 0L)
   }
 
+  test("tied / skewed commit mtimes: adjusted stamps stay strictly increasing, so each version's own instant resolves to ITSELF (ADVICE r13 #1-2)") {
+    val src = Files.createTempDirectory("graft_lsw_tie").toString
+    ManifestLake.create(spark, src, mk(0 until 10, 1), "ts") // v1
+    ManifestLake.appendBatch(spark, src, mk(50 until 55, 2), "ts", 0L) // v2
+    ManifestLake.appendBatch(spark, src, mk(60 until 65, 3), "ts", 1L) // v3
+    // Force the pathological clocks: v1 and v2 share one mtime tick,
+    // v3's clock runs BEHIND (OCC writer skew / a copied manifest).
+    val base = System.currentTimeMillis() - 60000
+    def stamp(v: Long, t: Long): Unit = assert(
+      new java.io.File(src, f"_graft_log/$v%08d.manifest")
+        .setLastModified(t))
+    stamp(1L, base); stamp(2L, base); stamp(3L, base - 5000)
+    // A non-strict running max would stamp v1 and v2 identically and
+    // versionAt(v1's instant) — latest at-or-before — would answer v2.
+    assert(ManifestLake.versionAt(spark, src,
+      new java.sql.Timestamp(base)) == 1L)
+    // history's displayed committed_at must round-trip through
+    // versionAt to exactly its own version (the l_asof_travel path)
+    val hist = ManifestLake.history(spark, src)
+      .select("version", "committed_at").collect()
+    assert(hist.length == 3)
+    hist.foreach { r =>
+      assert(ManifestLake.versionAt(spark, src,
+        r.getTimestamp(1)) == r.getLong(0))
+    }
+    // adjusted instants are strictly increasing in version order even
+    // though the raw mtimes tie then go backwards
+    val stamps = hist.sortBy(_.getLong(0)).map(_.getTimestamp(1).getTime)
+    assert(stamps.sliding(2).forall { case Array(a, b) => a < b })
+    // and the readAsOf at v2's displayed instant sees v2's rows
+    val atV2 = hist.find(_.getLong(0) == 2L).get.getTimestamp(1)
+    assert(ManifestLake.readAsOf(spark, src, atV2).count() == 15L)
+  }
+
   test("cappedStreamTarget: bounded budget advances at least one version, full budget reaches head") {
     val src = Files.createTempDirectory("graft_lsw_cap").toString
     ManifestLake.create(spark, src, mk(0 until 10, 1), "ts") // v1: 1 dir
