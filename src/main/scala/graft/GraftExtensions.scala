@@ -23,6 +23,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // derive pushable raw-nanos bounds through the events-table
     // timestamp reconstruction (see NanosTimestampPushdown doc)
     ext.injectOptimizerRule(_ => graft.plans.NanosTimestampPushdown)
+    // batch format("graft-lake") + SQL TIMESTAMP/VERSION AS OF: inline
+    // the placeholder relation into the real pruned lake plan. The
+    // HINTS hook is load-bearing for the SQL forms — ResolveSQLOnFile
+    // (Resolution batch, before injected rules) throws for any
+    // non-FileFormat direct query, so the graft-lake identifier must
+    // be resolved before that batch; the Resolution hook keeps
+    // covering placeholders introduced later (views, cached plans).
+    ext.injectHintResolutionRule(s => graft.plans.ResolveLakeRelation(s))
+    ext.injectResolutionRule(s => graft.plans.ResolveLakeRelation(s))
 
     def register(name: String, clazz: Class[_])(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),

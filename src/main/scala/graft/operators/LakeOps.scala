@@ -390,11 +390,43 @@ object LakeOps {
       .select(histCols.map(col): _*).orderBy(col("event_id"))
   }
 
+  /** The FRONT-DOOR routes under the oracle (VERDICT r13 #1): the
+    * identical v1 snapshot l_time_travel pins, reached through
+    * `spark.read.format("graft-lake").option("versionAsOf", 1)` —
+    * exercising the DataSourceRegister → RelationProvider →
+    * ResolveLakeRelation inlining chain end-to-end. LakeFormatSpec
+    * pins that this route plans the SAME pruned scan as the API
+    * route (plan-shape equality), so the format path adds resolution
+    * cost only: one manifest read at analysis, nothing per-file. */
+  def lFormatRead(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft-lake").option("versionAsOf", "1")
+      .load(historyLake(s, dir))
+      .select(histCols.map(col): _*).orderBy(col("event_id"))
+
+  /** SQL front door for time travel (VERDICT r13 #1): resolve v1's
+    * commit instant from history(), then reach the snapshot through
+    * real SQL — `FROM `graft-lake`.`path` TIMESTAMP AS OF t` — the
+    * hints-batch ResolveLakeRelation rewrite (the built-in resolvers
+    * only serve v2 catalog tables here). Same oracle as the API
+    * route: hash-equality of the addressed snapshot. */
+  def lSqlTravel(s: SparkSession, dir: String): DataFrame = {
+    val lake = historyLake(s, dir)
+    val t1 = ManifestLake.history(s, lake)
+      .filter(col("version") === 1L).head()
+      .getAs[java.sql.Timestamp]("committed_at")
+    s.sql(
+      s"""SELECT ${histCols.mkString(", ")}
+         |FROM `graft-lake`.`$lake` TIMESTAMP AS OF '$t1'
+         |ORDER BY event_id""".stripMargin)
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "l_scan_prune" -> (lScanPrune _),
     "l_point_lookup" -> (lPointLookup _),
     "l_time_travel" -> (lTimeTravel _),
     "l_asof_travel" -> (lAsofTravel _),
+    "l_format_read" -> (lFormatRead _),
+    "l_sql_travel" -> (lSqlTravel _),
     "l_merge_head" -> (lMergeHead _),
     "l_cdf" -> (lCdf _),
     "l_incr_mv" -> (lIncrMv _),
@@ -427,6 +459,19 @@ object LakeOps {
     // readAsOf(v1's commit instant) must answer the SAME state as the
     // versioned v1 read — one oracle text, two addressing paths
     "l_asof_travel" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day
+         |FROM events
+         |ORDER BY event_id""".stripMargin,
+    // the same v1 snapshot through the two front doors: the reader
+    // options route and the SQL TIMESTAMP AS OF route must both
+    // hash-equal the raw base table
+    "l_format_read" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day
+         |FROM events
+         |ORDER BY event_id""".stripMargin,
+    "l_sql_travel" ->
       s"""SELECT event_id, ts, user_id, event_type, value, props,
          |  strftime(ts, '%Y-%m-%d') AS day
          |FROM events

@@ -7,7 +7,8 @@ import org.apache.spark.sql.connector.read.streaming.{
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graft.StreamingDataFrames
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
+  RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** `spark.readStream.format("graft-lake")` — the ManifestLake as a
@@ -35,9 +36,19 @@ import org.apache.spark.sql.types.StructType
   *     many added directories (always ≥ 1 version per trigger).
   */
 class LakeStreamSourceProvider
-    extends StreamSourceProvider with DataSourceRegister {
+    extends StreamSourceProvider with RelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
+
+  /** Batch `spark.read.format("graft-lake")` (and SQL-on-file
+    * `FROM `graft-lake`.`/path``): hands back the
+    * version-pinned placeholder; ResolveLakeRelation (GraftExtensions)
+    * inlines it into the real pruned plan — see GraftLakeRelation's
+    * doc for the two-path design. */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    GraftLakeRelation(sqlContext.sparkSession, parameters)
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.collectFirst {

@@ -35,4 +35,27 @@ class SqlSurfaceSpec extends SparkSpec {
         "timestamp'2024-01-15 01:00:00')) AS n").head().getInt(0)
     assert(cron == 4, s"cron_times returned $cron activations")
   }
+
+  test("the transactional tier is reachable from SQL: graft-lake identifier joins a view, VERSION AS OF addresses history (r14)") {
+    import org.apache.spark.sql.functions.col
+    Tables.registerViews(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlsurf").toString
+    val ev = Tables.events(spark, sfDir)
+    graft.sources.ManifestLake.create(spark, dir, ev, "ts") // v1
+    graft.sources.ManifestLake.deleteWhere(spark, dir,
+      col("user_id") % 2 === 0) // v2
+    // head read via SQL identifier, composed with a regular view in
+    // one statement — the lake is a first-class SQL relation
+    val joined = spark.sql(
+      s"""SELECT count(*) AS n
+         |FROM `graft-lake`.`$dir` l JOIN events e USING (event_id)""".stripMargin)
+      .head().getLong(0)
+    val headCnt = graft.sources.ManifestLake.read(spark, dir).count()
+    assert(joined == headCnt && headCnt > 0)
+    // VERSION AS OF 1 from SQL sees the pre-delete table
+    val v1 = spark.sql(
+      s"SELECT count(*) AS n FROM `graft-lake`.`$dir` VERSION AS OF 1")
+      .head().getLong(0)
+    assert(v1 == ev.count() && v1 > headCnt)
+  }
 }
