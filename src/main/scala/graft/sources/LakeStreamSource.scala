@@ -32,8 +32,16 @@ import org.apache.spark.sql.types.StructType
   *     number N (start right after N).
   *   - `skipRewrites`: advance past rewritten days without emitting
   *     them (Delta's skipChangeCommits); default false = refuse.
+  *   - `readChangeFeed`: CDF mode (Delta's streaming readChangeFeed) —
+  *     each micro-batch is the window's NET changes tagged
+  *     `_change_type` insert/delete, so rewritten days stream as
+  *     their delete+insert pairs instead of refusing; appends still
+  *     flow as a pure incremental scan tagged insert. Mutually
+  *     exclusive with skipRewrites.
   *   - `maxDirsPerTrigger`: cap one micro-batch's window at this
-  *     many added directories (always ≥ 1 version per trigger).
+  *     many added directories (always ≥ 1 version per trigger;
+  *     rewritten days carry no added dirs, so in CDF mode a rewrite
+  *     rides the window it lands in, bounded by the day's size).
   */
 class LakeStreamSourceProvider
     extends StreamSourceProvider with RelationProvider
@@ -62,6 +70,15 @@ class LakeStreamSourceProvider
       case (k, v) if k.equalsIgnoreCase(name) => v
     }
 
+  private def cdfOf(parameters: Map[String, String]): Boolean = {
+    val cdf = opt(parameters, "readChangeFeed").exists(_.trim.toBoolean)
+    require(!(cdf && opt(parameters, "skipRewrites").exists(_.toBoolean)),
+      "graft-lake: readChangeFeed and skipRewrites are contradictory — " +
+        "the change feed EMITS rewrites as delete+insert rows; " +
+        "skipRewrites silently advances past them")
+    cdf
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
@@ -70,7 +87,7 @@ class LakeStreamSourceProvider
         "a user-supplied schema is not accepted")
     (shortName(),
       LakeStreamSource.pinnedSchema(
-        sqlContext.sparkSession, pathOf(parameters)))
+        sqlContext.sparkSession, pathOf(parameters), cdfOf(parameters)))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -116,34 +133,39 @@ class LakeStreamSourceProvider
     }
     val skipRewrites =
       opt(parameters, "skipRewrites").exists(_.toBoolean)
+    val cdf = cdfOf(parameters) // also re-checks the skipRewrites clash
     val maxDirs = opt(parameters, "maxDirsPerTrigger").map(_.toInt)
     maxDirs.foreach(n => require(n >= 1,
       s"graft-lake: maxDirsPerTrigger must be >= 1, got $n"))
     new LakeStreamSource(spark, path,
-      LakeStreamSource.pinnedSchema(spark, path), startV, skipRewrites,
-      maxDirs)
+      LakeStreamSource.pinnedSchema(spark, path, cdf), startV,
+      skipRewrites, maxDirs, cdf)
   }
 }
 
 object LakeStreamSource {
   /** The schema a streaming query pins at start: the lake's current
     * checkpointed LOGICAL schema (incl. the `day` column — stream
-    * rows ≡ `ManifestLake.read` rows). A mid-query schema change
-    * fails the query with a restart instruction (streamWindowBatch's
-    * guard); the restarted query re-pins here. */
+    * rows ≡ `ManifestLake.read` rows), plus the `_change_type` tag
+    * in CDF mode (Delta's readChangeFeed shape). A mid-query schema
+    * change fails the query with a restart instruction
+    * (streamSchemaGuard); the restarted query re-pins here. */
   private[sources] def pinnedSchema(spark: SparkSession,
-      path: String): StructType = {
+      path: String, cdf: Boolean = false): StructType = {
     val snap = ManifestLake.snapshot(spark, path)
     require(snap.version >= 1L,
       s"graft-lake: no committed snapshot at $path — create the lake " +
         "first (ManifestLake.create or the streaming sink's bootstrap)")
-    ManifestLake.read(spark, path).schema
+    val base = ManifestLake.read(spark, path).schema
+    if (cdf) base.add(ManifestLake.ChangeTypeCol,
+      org.apache.spark.sql.types.StringType, nullable = false)
+    else base
   }
 }
 
 class LakeStreamSource(spark: SparkSession, path: String,
     fixedSchema: StructType, startV: Long, skipRewrites: Boolean,
-    maxDirsPerTrigger: Option[Int])
+    maxDirsPerTrigger: Option[Int], readChangeFeed: Boolean = false)
     extends Source with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -233,9 +255,16 @@ class LakeStreamSource(spark: SparkSession, path: String,
       : DataFrame = {
     val fromV = start.map(ver1).getOrElse(startV)
     val toV = ver1(end)
+    // markStreaming tags ONLY the leftmost leaf — in CDF mode that is
+    // the appended-dirs scan, never the rewrite diff's exceptAll
+    // (see cdfWindowBatch's plan-shape note: a streaming-tagged
+    // exceptAll would become a stateful cross-trigger aggregate)
     StreamingDataFrames.markStreaming(
-      ManifestLake.streamWindowBatch(spark, path, fromV, toV,
-        fixedSchema, skipRewrites))
+      if (readChangeFeed)
+        ManifestLake.cdfWindowBatch(spark, path, fromV, toV, fixedSchema)
+      else
+        ManifestLake.streamWindowBatch(spark, path, fromV, toV,
+          fixedSchema, skipRewrites))
   }
 
   /** Offsets the engine has committed need nothing from the source:

@@ -3073,15 +3073,15 @@ object ManifestLake {
     *     column's data from the feed — fails the query with a
     *     restart instruction; the restarted query re-pins the new
     *     schema and the replayed window flows under it. */
-  private[graft] def streamWindowBatch(spark: SparkSession,
-      path: String, fromV: Long, toV: Long,
-      want: org.apache.spark.sql.types.StructType,
-      skipRewrites: Boolean): DataFrame = {
-    val (fs, root) = fsOf(spark, path)
-    val from =
-      if (fromV == 0L) Snapshot(0L, Map.empty)
-      else readCursorManifest(fs, root, fromV)
-    val to = readCursorManifest(fs, root, toV)
+  /** The streaming-source schema-stability guard, shared by the
+    * append feed and the CDF feed: a running query reads under the
+    * schema pinned at its start, so ANY logical-schema change inside
+    * the window — name-set drift OR a rename cycle that remaps a
+    * shared logical name onto different stored bytes (review r13) —
+    * fails the query with the restart instruction. */
+  private def streamSchemaGuard(spark: SparkSession, path: String,
+      from: Snapshot, to: Snapshot, fromV: Long, toV: Long,
+      want: org.apache.spark.sql.types.StructType): Unit = {
     def schemaChanged(what: String): Nothing = throw new
         IllegalStateException(
       s"changeStream: the table schema changed between versions " +
@@ -3123,15 +3123,75 @@ object ManifestLake {
             s"bytes: ${crossed.mkString(", ")}")
       case _ => () // pre-checkpoint side: no mapping can exist yet
     }
+  }
+
+  private[graft] def streamWindowBatch(spark: SparkSession,
+      path: String, fromV: Long, toV: Long,
+      want: org.apache.spark.sql.types.StructType,
+      skipRewrites: Boolean): DataFrame = {
+    val (fs, root) = fsOf(spark, path)
+    val from =
+      if (fromV == 0L) Snapshot(0L, Map.empty)
+      else readCursorManifest(fs, root, fromV)
+    val to = readCursorManifest(fs, root, toV)
+    streamSchemaGuard(spark, path, from, to, fromV, toV, want)
     val added = appendWindowDirs(from, to, skipRewrites, d =>
       s"changeStream: day $d of $path was rewritten between versions " +
         s"$fromV and $toV (upsert/delete/compaction/DV delete) — an " +
         "append feed cannot represent it; re-seed the consumer, or set " +
         "option skipRewrites=true to advance past rewritten days " +
-        "without emitting them (the skipChangeCommits contract)")
+        "without emitting them (the skipChangeCommits contract); or " +
+        "read the stream with readChangeFeed=true, which emits " +
+        "rewrites as delete+insert change rows")
     readPaths(spark, path, to, added)
       .select(want.fieldNames.map(col).toIndexedSeq: _*)
   }
+
+  /** One CDF-mode micro-batch (Delta's streaming `readChangeFeed`):
+    * the NET row changes of manifest window (fromV, toV] tagged
+    * `_change_type` insert/delete — readChanges' exact semantics, so
+    * a rewritten day streams as its delete+insert pair instead of
+    * refusing, and the feed can drive LIVE incremental-MV maintenance
+    * (apply +insert/−delete deltas per trigger ≡ recomputing from the
+    * head snapshot — CdfStreamSpec pins the equivalence).
+    *
+    * Plan-shape note (why this composes with the V1 splice): the
+    * readChanges plan puts the appended-dirs parquet scan at the
+    * LEFTMOST leaf and the rewritten-day diff on the right, so
+    * markStreaming's leftmost-leaf rule tags the pure scan as the
+    * streaming relation while the diff's exceptAll — whose optimizer
+    * rewrite materializes an Aggregate — stays a BATCH subplan. A
+    * streaming-tagged exceptAll would be planned as a STATEFUL
+    * streaming aggregate (cumulative across triggers), silently
+    * corrupting every window after the first; the leftmost discipline
+    * is what makes per-window diff semantics survive
+    * IncrementalExecution. Cost per trigger: appends stream as a pure
+    * incremental scan (zero diff work); only days actually rewritten
+    * inside the window are read twice and diffed — change-
+    * proportional, never lake-proportional.
+    *
+    * Replay determinism (exactly-once): the window is recomputed from
+    * immutable manifests, so a replayed (from, to] returns the same
+    * change MULTISET; row order within the batch is not promised
+    * (exceptAll is shuffle-based), matching every transactional
+    * sink's set contract. */
+  private[graft] def cdfWindowBatch(spark: SparkSession,
+      path: String, fromV: Long, toV: Long,
+      want: org.apache.spark.sql.types.StructType): DataFrame = {
+    val (fs, root) = fsOf(spark, path)
+    val from =
+      if (fromV == 0L) Snapshot(0L, Map.empty)
+      else readCursorManifest(fs, root, fromV)
+    val to = readCursorManifest(fs, root, toV)
+    val tableWant = org.apache.spark.sql.types.StructType(
+      want.fields.filterNot(_.name == ChangeTypeCol))
+    streamSchemaGuard(spark, path, from, to, fromV, toV, tableWant)
+    readChanges(spark, path, fromV, toV)
+      .select(want.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** CDF feed column (Delta's name). */
+  private[sources] val ChangeTypeCol = "_change_type"
 
   /** The lake as a Structured Streaming SOURCE — `readStream` over a
     * ManifestLake, the consumer half that closes the CDC tier (sink +
@@ -3156,10 +3216,12 @@ object ManifestLake {
       skipRewrites: Boolean = false,
       maxDirsPerTrigger: Int = 0,
       startingVersion: String = "0",
-      startingTimestamp: String = ""): DataFrame = {
+      startingTimestamp: String = "",
+      readChangeFeed: Boolean = false): DataFrame = {
     var r = spark.readStream.format("graft-lake")
       .option("path", path)
       .option("skipRewrites", skipRewrites.toString)
+      .option("readChangeFeed", readChangeFeed.toString)
     // mutually exclusive start cursors (the provider enforces it too)
     r = if (startingTimestamp.nonEmpty)
       r.option("startingTimestamp", startingTimestamp)
