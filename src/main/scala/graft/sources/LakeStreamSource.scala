@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{
   CompositeReadLimit, ReadLimit, ReadMaxFiles, SupportsAdmissionControl,
   SupportsTriggerAvailableNow, Offset => OffsetV2}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink,
+  Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graft.StreamingDataFrames
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
-  RelationProvider, StreamSourceProvider}
+  RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** `spark.readStream.format("graft-lake")` — the ManifestLake as a
@@ -44,10 +46,52 @@ import org.apache.spark.sql.types.StructType
   *     rides the window it lands in, bounded by the day's size).
   */
 class LakeStreamSourceProvider
-    extends StreamSourceProvider with RelationProvider
-    with DataSourceRegister {
+    extends StreamSourceProvider with StreamSinkProvider
+    with RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
+
+  /** Native `writeStream.format("graft-lake")` SINK — the format-path
+    * symmetry to the streaming source (VERDICT r13 #3). Wraps
+    * appendBatch's batch-id contract, so exactly-once comes from the
+    * LAKE's transaction, not the engine's: the micro-batch id commits
+    * atomically with the data in the manifest, and a replayed batch
+    * (crash between the lake commit and the engine's offset-log
+    * write) is skipped outright — the guarantee CheckpointRecoverySpec
+    * proves for the API route, now reachable as
+    * `df.writeStream.format("graft-lake").option("ordCol", …)
+    * .start(path)`.
+    *
+    * Options: `path` (the lake root), `ordCol` (event-time column the
+    * day partitioning derives from — required), `filesPerDay`,
+    * `statsCols` (comma-separated min/max index columns for a fresh
+    * table's layout). Append output mode only: update/complete would
+    * need a rewrite per trigger — that is the foreachBatch
+    * mergeSink's job (every clause mix, still exactly-once). */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-lake sink supports Append output mode only (got " +
+        s"$outputMode) — update/complete semantics go through " +
+        "foreachBatch(ManifestLake.mergeSink(…)), which is exactly-once " +
+        "for every clause mix")
+    require(partitionColumns.isEmpty,
+      "graft-lake partitions by day(ordCol) itself; partitionBy is " +
+        "not accepted")
+    val path = pathOf(parameters)
+    val ordCol = opt(parameters, "ordCol").getOrElse(
+      throw new IllegalArgumentException(
+        "graft-lake sink requires option 'ordCol' (the event-time " +
+          "column day partitioning derives from)"))
+    val filesPerDay = opt(parameters, "filesPerDay").map(_.toInt).getOrElse(1)
+    require(filesPerDay >= 1,
+      s"graft-lake: filesPerDay must be >= 1, got $filesPerDay")
+    val statsCols = opt(parameters, "statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    new GraftLakeSink(path, ordCol, filesPerDay, statsCols)
+  }
 
   /** Batch `spark.read.format("graft-lake")` (and SQL-on-file
     * `FROM `graft-lake`.`/path``): hands back the
@@ -141,6 +185,24 @@ class LakeStreamSourceProvider
       LakeStreamSource.pinnedSchema(spark, path, cdf), startV,
       skipRewrites, maxDirs, cdf)
   }
+}
+
+/** The V1 sink behind `writeStream.format("graft-lake")`: each
+  * addBatch re-wraps the engine's incremental frame as a plain batch
+  * (StreamingDataFrames.asBatch — the ForeachBatchSink move; a
+  * streaming-leafed plan cannot be re-planned by df.write) and lands
+  * it through ManifestLake.sink, i.e. appendBatch under the
+  * micro-batch id: one atomic manifest commit per trigger, replays
+  * skipped by the lake's own batch cursor. Single-writer per lake,
+  * married to one checkpoint — appendBatch's standing contract. */
+private[graft] class GraftLakeSink(path: String, ordCol: String,
+    filesPerDay: Int, statsCols: Seq[String]) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    ManifestLake.sink(path, ordCol, filesPerDay, statsCols)(
+      StreamingDataFrames.asBatch(data), batchId)
+    ()
+  }
+  override def toString: String = s"GraftLakeSink[$path]"
 }
 
 object LakeStreamSource {

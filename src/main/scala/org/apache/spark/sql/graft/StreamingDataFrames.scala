@@ -45,4 +45,21 @@ object StreamingDataFrames {
     }
     Dataset.ofRows(ds.sparkSession, marked)
   }
+
+  /** The inverse hop, for a V1 streaming SINK: `Sink.addBatch` hands
+    * over a frame whose plan still carries streaming leaves, so any
+    * re-planning action on it (`df.write`, a fresh aggregation)
+    * throws "streaming sources must be executed with
+    * writeStream.start()". Re-wrap the batch's physical rows as a
+    * plain batch frame — `LogicalRDD.fromDataset(…, isStreaming =
+    * false)`, the exact move Spark's own ForeachBatchSink makes to
+    * hand user code a writable DataFrame. The plan is executed ONCE
+    * (the RDD is the incremental execution's output); downstream
+    * writes see an ordinary scan of it. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[Dataset[Row]]
+    Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        ds.queryExecution.toRdd, ds, isStreaming = false))
+  }
 }
