@@ -8,8 +8,10 @@ import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink,
   Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graft.StreamingDataFrames
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
-  RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.sources.{BaseRelation,
+  CreatableRelationProvider, DataSourceRegister, RelationProvider,
+  StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -47,9 +49,68 @@ import org.apache.spark.sql.types.StructType
   */
 class LakeStreamSourceProvider
     extends StreamSourceProvider with StreamSinkProvider
-    with RelationProvider with DataSourceRegister {
+    with RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
+
+  /** Batch `df.write.format("graft-lake")` — the last cell of the
+    * read/write × batch/stream format matrix. SaveMode → lake DML:
+    *   - ErrorIfExists (default): CREATE a fresh lake; refuse if one
+    *     is committed.
+    *   - Ignore: create if absent, no-op otherwise.
+    *   - Append: plain transactional append (`ManifestLake.append` —
+    *     one atomic commit, batch cursor untouched; Delta's batch
+    *     append). Pass option `batchId` to opt into the cursor'd
+    *     exactly-once appendBatch instead (the txnAppId/txnVersion
+    *     analog).
+    *   - Overwrite: atomic whole-table replace (`replaceAll`) — one
+    *     commit, old generations become vacuum orphans, refuses any
+    *     concurrent writer (Delta's overwrite conflict rule).
+    * Options: `ordCol` (required), `filesPerDay`, `statsCols`/
+    * `bloomCols` (fresh-table layout), `batchId` (Append only). */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val ordCol = opt(parameters, "ordCol").getOrElse(
+      throw new IllegalArgumentException(
+        "graft-lake write requires option 'ordCol' (the event-time " +
+          "column day partitioning derives from)"))
+    val filesPerDay =
+      opt(parameters, "filesPerDay").map(_.toInt).getOrElse(1)
+    def cols(name: String): Seq[String] = opt(parameters, name)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val exists = ManifestLake.tableExists(spark, path)
+    def freshCreate(): Unit = {
+      ManifestLake.create(spark, path, data, ordCol, filesPerDay,
+        statsCols = cols("statsCols"), bloomCols = cols("bloomCols"))
+      ()
+    }
+    mode match {
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft-lake: a committed lake already exists at $path " +
+            "(SaveMode.ErrorIfExists); use mode append/overwrite, or " +
+            "SaveMode.Ignore to no-op")
+        freshCreate()
+      case SaveMode.Ignore =>
+        if (!exists) freshCreate()
+      case SaveMode.Overwrite =>
+        if (!exists) freshCreate()
+        else ManifestLake.replaceAll(spark, path, data, ordCol, filesPerDay)
+      case SaveMode.Append =>
+        if (!exists) freshCreate()
+        else opt(parameters, "batchId") match {
+          case Some(id) => ManifestLake.appendBatch(spark, path, data,
+            ordCol, id.toLong, filesPerDay)
+          case None =>
+            ManifestLake.append(spark, path, data, ordCol, filesPerDay)
+        }
+    }
+    GraftLakeRelation(spark, Map("path" -> path))
+  }
 
   /** Native `writeStream.format("graft-lake")` SINK — the format-path
     * symmetry to the streaming source (VERDICT r13 #3). Wraps

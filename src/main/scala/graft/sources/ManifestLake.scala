@@ -1899,10 +1899,11 @@ object ManifestLake {
     * kilobytes by construction — never a distributed read. */
   def history(spark: SparkSession, path: String): DataFrame = {
     val (fs, root) = fsOf(spark, path)
-    val stamps = stampedVersions(fs, root).toMap
-    val rows = manifestVersions(fs, root).map { v =>
+    // ONE listing feeds both the version set and the adjusted stamps —
+    // a second listStatus could see a commit the first missed and a
+    // lookup against it would throw (review r14)
+    val rows = stampedVersions(fs, root).map { case (v, mtime) =>
       val snap = readManifest(fs, root, v)
-      val mtime = stamps(v)
       (v, snap.op, new java.sql.Timestamp(mtime), snap.days.size,
         snap.days.values.map(_.size).sum, snap.lastBatch,
         snap.dvs.size, snap.checks.size)
@@ -2892,6 +2893,89 @@ object ManifestLake {
             "batch-id sequence (single logical stream); committing " +
             s"would regress the replay cursor (${e.getMessage})")
       } else None
+    }
+  }
+
+  /** Does a committed snapshot exist at `path`? One log-dir listing —
+    * the existence probe the batch write modes branch on. */
+  def tableExists(spark: SparkSession, path: String): Boolean = {
+    val (fs, root) = fsOf(spark, path)
+    manifestVersions(fs, root).nonEmpty
+  }
+
+  /** Plain transactional APPEND — the `df.write.mode("append")`
+    * semantics (Delta's batch append): one atomic commit adding the
+    * new generation's dirs, the batch CURSOR untouched. Exactly-once
+    * replay protection is the cursor'd `appendBatch`'s contract and
+    * stays OPT-IN (Delta's txnAppId/txnVersion split is the same
+    * line) — a batch append auto-advancing the cursor would consume
+    * the streaming sink's id space and silently skip its next
+    * micro-batch. Rebase rules: disjoint concurrent winners rebase
+    * (an append's write set is only its fresh dirs); concurrent
+    * metadata changes refuse (occCommitLoop's standing guard). */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+      ordCol: String, filesPerDay: Int = 1): Long = {
+    val snap = snapshot(spark, path)
+    val rows = batch
+      .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
+      .withColumn("day", dayKey)
+    enforceChecks(rows, snap.checks, "append")
+    val nextSchema = unionSchema(tableSchema(spark, path, snap), rows.schema)
+    val newDirs = writeGen(spark, path, rows, filesPerDay,
+      writeSchema = Some(nextSchema))
+    val (fs, root) = fsOf(spark, path)
+    occCommitLoop(spark, path, snap, "append") { base =>
+      val merged = newDirs.foldLeft(base.days) { case (m, (d, p)) =>
+        m.updated(d, m.getOrElse(d, Seq.empty) :+ p)
+      }
+      commit(fs, root, base.version + 1, merged, base.lastBatch,
+        base.legacyFiles, schemaJson = Some(nextSchema.json),
+        dvs = base.dvs, checks = base.checks, op = "append")
+      base.version + 1
+    } { (_, _) => None }
+  }
+
+  /** Atomic whole-table OVERWRITE — `df.write.mode("overwrite")` /
+    * INSERT OVERWRITE semantics: ONE commit under which the new
+    * generation's dirs are the only live data; every old generation
+    * (and every DV — the rows they covered are gone wholesale)
+    * becomes an invisible orphan for vacuum, exactly the crash
+    * contract's garbage class. Schema evolves additively through the
+    * checkpoint union like every write; CHECK constraints are
+    * enforced on the replacement rows and carried forward; the batch
+    * cursor is preserved (replays of already-committed streaming ids
+    * must stay skipped — content replaced, id history intact).
+    * Conflict rule: Serializable against EVERYTHING (Delta's
+    * overwrite): a replace invalidates any concurrent writer's read
+    * set, so losing the version race refuses outright — no rebase. */
+  def replaceAll(spark: SparkSession, path: String, df: DataFrame,
+      ordCol: String, filesPerDay: Int = 1): Long = {
+    val snap = snapshot(spark, path)
+    val rows = df
+      .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
+      .withColumn("day", dayKey)
+    enforceChecks(rows, snap.checks, "replaceAll")
+    val nextSchema = unionSchema(tableSchema(spark, path, snap), rows.schema)
+    val newDirs = writeGen(spark, path, rows, filesPerDay,
+      writeSchema = Some(nextSchema))
+    val (fs, root) = fsOf(spark, path)
+    occCommitLoop(spark, path, snap, "replaceAll") { base =>
+      if (base.version != snap.version)
+        throw new java.util.ConcurrentModificationException(
+          s"replaceAll: version ${base.version} committed since the " +
+            s"overwrite read ${snap.version}")
+      commit(fs, root, base.version + 1,
+        newDirs.map { case (d, p) => d -> Seq(p) },
+        base.lastBatch, Map.empty,
+        schemaJson = Some(nextSchema.json),
+        dvs = Seq.empty, checks = base.checks, op = "overwrite")
+      base.version + 1
+    } { (_, e) =>
+      throw new java.util.ConcurrentModificationException(
+        "replaceAll: a concurrent commit landed during the overwrite — " +
+          "a whole-table replace invalidates every concurrent read " +
+          "set (Delta's overwrite conflict rule); re-run " +
+          s"(${e.getMessage})")
     }
   }
 

@@ -91,6 +91,51 @@ class LakeFormatSpec extends SparkSpec {
     assert(shape(pf) == shape(pa), s"format:\n$pf\napi:\n$pa")
   }
 
+  test("df.write.format(graft-lake): create / append / batchId idempotence / atomic overwrite / mode guards (r14)") {
+    val dst = Files.createTempDirectory("graft_fmt_w").toString + "/lake"
+    def write(df: org.apache.spark.sql.DataFrame, mode: String,
+        extra: (String, String)*): Unit = {
+      val w = df.write.format("graft-lake").mode(mode).option("ordCol", "ts")
+      extra.foldLeft(w) { case (x, (k, v)) => x.option(k, v) }.save(dst)
+    }
+    // default ErrorIfExists: first write creates, second refuses
+    write(mk(0 until 10, 1), "error")
+    assert(ids(spark.read.format("graft-lake").load(dst)) ==
+      (0L until 10L).toSet)
+    val boom = intercept[IllegalStateException] {
+      write(mk(50 until 55, 2), "error")
+    }
+    assert(boom.getMessage.contains("already exists"), boom.getMessage)
+    // Ignore: no-op on an existing lake
+    write(mk(50 until 55, 2), "ignore")
+    assert(ManifestLake.read(spark, dst).count() == 10L)
+    // plain append: one commit, batch cursor untouched
+    val cur0 = ManifestLake.snapshot(spark, dst).lastBatch
+    write(mk(100 until 110, 2), "append")
+    assert(ManifestLake.read(spark, dst).count() == 20L)
+    assert(ManifestLake.snapshot(spark, dst).lastBatch == cur0,
+      "a plain batch append must not consume the streaming id space")
+    // batchId opt-in: the cursor'd exactly-once append — a replay of
+    // the same id is a no-op
+    write(mk(200 until 205, 3), "append", "batchId" -> "7")
+    write(mk(200 until 205, 3), "append", "batchId" -> "7")
+    assert(ManifestLake.read(spark, dst).count() == 25L)
+    assert(ManifestLake.snapshot(spark, dst).lastBatch == 7L)
+    // atomic overwrite: ONE commit replaces all content; history and
+    // time travel keep the pre-overwrite state; cursor preserved
+    val preV = ManifestLake.snapshot(spark, dst).version
+    write(mk(1000 until 1004, 5), "overwrite")
+    val snap = ManifestLake.snapshot(spark, dst)
+    assert(snap.version == preV + 1, "overwrite must be ONE commit")
+    assert(snap.lastBatch == 7L, "overwrite regressed the batch cursor")
+    assert(ids(ManifestLake.read(spark, dst)) == (1000L until 1004L).toSet)
+    assert(ManifestLake.readVersion(spark, dst, preV).count() == 25L,
+      "time travel below the overwrite lost the old state")
+    // and the format-read route sees the replaced head
+    assert(ids(spark.read.format("graft-lake").load(dst)) ==
+      (1000L until 1004L).toSet)
+  }
+
   test("fallback buildScan (no-extensions session): same rows, columns pruned, filters honored") {
     val rel = GraftLakeRelation(spark,
       Map("path" -> lake, "versionAsOf" -> "2"))

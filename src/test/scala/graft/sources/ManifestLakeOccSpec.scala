@@ -226,7 +226,7 @@ class ManifestLakeOccSpec extends SparkSpec {
     }
     try scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures),
-      scala.concurrent.duration.Duration(180, "s"))
+      scala.concurrent.duration.Duration(600, "s"))
     finally pool.shutdown()
     val got = ManifestLake.read(spark, dir)
     assert(got.count() == 170L, "a writer duplicated or lost rows")
@@ -307,7 +307,7 @@ class ManifestLakeOccSpec extends SparkSpec {
     }
     try scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures),
-      scala.concurrent.duration.Duration(180, "s"))
+      scala.concurrent.duration.Duration(600, "s"))
     finally pool.shutdown()
     val got = ManifestLake.read(spark, dir)
     // 60 base + 20 + 20 appended + 20 upsert-inserted − 2 DV − 3 CoW
