@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // covering placeholders introduced later (views, cached plans).
     ext.injectHintResolutionRule(s => graft.plans.ResolveLakeRelation(s))
     ext.injectResolutionRule(s => graft.plans.ResolveLakeRelation(s))
+    // maintenance SQL (OPTIMIZE / VACUUM / DESCRIBE HISTORY / RESTORE)
+    // — statements Spark's grammar lacks; the delegating parser claims
+    // them for graft-lake tables, Delta's own parser-extension shape
+    ext.injectParser((s, delegate) =>
+      new graft.plans.GraftSqlParser(s, delegate))
 
     def register(name: String, clazz: Class[_])(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),

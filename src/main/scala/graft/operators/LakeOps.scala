@@ -420,6 +420,91 @@ object LakeOps {
          |ORDER BY event_id""".stripMargin)
   }
 
+  private val sqlDmlMemo = new SessionMemo[String]
+
+  /** A lake mutated ENTIRELY through the SQL DML front door (r14):
+    * v1 CREATE from events → v2 `UPDATE … SET ts = ts + INTERVAL 1
+    * DAY, event_type, value WHERE user_id≡3 (mod 7)` (the assignment
+    * touches the ord column, so updated rows MOVE across day
+    * partitions — the cross-day CoW path under SQL) → v3 `DELETE FROM
+    * … WHERE user_id≡0 (mod 5)` → v4 `INSERT INTO … SELECT` of a
+    * shifted-id slice (positional alignment + day derivation at the
+    * write path). Every statement routes through ResolveLakeRelation's
+    * DML pre-pass into the SAME transactional APIs the programmatic
+    * route uses; DuckDB replays the statements as plain SQL over the
+    * raw parquet, so a mistranslated predicate, a lost cross-day
+    * move, or a misaligned insert breaks the hash. */
+  private def sqlDmlLake(s: SparkSession, dir: String): String =
+    sqlDmlMemo.getOrElseUpdate(s, dir) {
+      val out = freshLakeDir(s, dir, "graft_lake_sqldml")
+      ManifestLake.create(s, out, Tables.events(s, dir), "ts",
+        filesPerDay = 2)
+      s.sql(s"UPDATE `graft-lake`.`$out` SET ts = ts + INTERVAL 1 DAY, " +
+        "event_type = 'updated', value = value + 100.0 " +
+        "WHERE user_id % 7 = 3 AND ts IS NOT NULL")
+      s.sql(s"DELETE FROM `graft-lake`.`$out` WHERE user_id % 5 = 0")
+      Tables.events(s, dir).createOrReplaceTempView("graft_sqldml_base")
+      s.sql(s"INSERT INTO `graft-lake`.`$out` " +
+        "SELECT event_id + 100000000, ts, user_id, 'migrated', value, " +
+        "props FROM graft_sqldml_base " +
+        "WHERE user_id BETWEEN 100 AND 140 AND ts IS NOT NULL")
+      out
+    }
+
+  /** The SQL-DML head state under the oracle (see sqlDmlLake); the
+    * read itself also goes through the SQL identifier route. */
+  def lSqlDml(s: SparkSession, dir: String): DataFrame = {
+    val lake = sqlDmlLake(s, dir)
+    s.sql(s"SELECT ${histCols.mkString(", ")} " +
+      s"FROM `graft-lake`.`$lake` ORDER BY event_id")
+  }
+
+  private val sqlMergeMemo = new SessionMemo[String]
+
+  /** SQL `MERGE INTO` across all three clause families (r14): the
+    * source is the historyLake update slice (user_id≡3 (mod 7), ts+1
+    * day, value+100) plus a shifted-id insert slice; the statement
+    * exercises guarded MATCHED DELETE (first-clause precedence),
+    * MATCHED UPDATE through s.-qualified assignments, NOT MATCHED
+    * INSERT *, and a guarded NOT MATCHED BY SOURCE UPDATE — the full
+    * Delta MERGE grammar mapped onto mergeInto's clause algebra.
+    * DuckDB replays it as one LEFT JOIN + CASE cascade + UNION ALL. */
+  private def sqlMergeLake(s: SparkSession, dir: String): String =
+    sqlMergeMemo.getOrElseUpdate(s, dir) {
+      val out = freshLakeDir(s, dir, "graft_lake_sqlmerge")
+      val ev = Tables.events(s, dir)
+      ManifestLake.create(s, out, ev, "ts", filesPerDay = 2)
+      val src = ev
+        .filter(col("user_id") % 7 === 3 && col("ts").isNotNull)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY"))
+        .withColumn("event_type", lit("updated"))
+        .withColumn("value", col("value") + lit(100.0))
+        .unionByName(ev
+          .filter(col("user_id").between(50, 60) && col("ts").isNotNull)
+          .withColumn("event_id", col("event_id") + lit(200000000L))
+          .withColumn("event_type", lit("new")))
+      src.createOrReplaceTempView("graft_sqlmerge_src")
+      s.sql(
+        s"""MERGE INTO `graft-lake`.`$out` t
+           |USING graft_sqlmerge_src s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED AND t.user_id % 2 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE
+           |  SET ts = s.ts, event_type = s.event_type, value = s.value
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND t.user_id % 11 = 0
+           |  THEN UPDATE SET event_type = 'stale'
+           |""".stripMargin)
+      out
+    }
+
+  /** The SQL MERGE head state under the oracle (see sqlMergeLake). */
+  def lSqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val lake = sqlMergeLake(s, dir)
+    s.sql(s"SELECT ${histCols.mkString(", ")} " +
+      s"FROM `graft-lake`.`$lake` ORDER BY event_id")
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "l_scan_prune" -> (lScanPrune _),
     "l_point_lookup" -> (lPointLookup _),
@@ -427,6 +512,8 @@ object LakeOps {
     "l_asof_travel" -> (lAsofTravel _),
     "l_format_read" -> (lFormatRead _),
     "l_sql_travel" -> (lSqlTravel _),
+    "l_sql_dml" -> (lSqlDml _),
+    "l_sql_merge" -> (lSqlMerge _),
     "l_merge_head" -> (lMergeHead _),
     "l_cdf" -> (lCdf _),
     "l_incr_mv" -> (lIncrMv _),
@@ -475,6 +562,62 @@ object LakeOps {
       s"""SELECT event_id, ts, user_id, event_type, value, props,
          |  strftime(ts, '%Y-%m-%d') AS day
          |FROM events
+         |ORDER BY event_id""".stripMargin,
+    // replay of the SQL DML ladder: UPDATE (ord-col assignment →
+    // cross-day moves) → DELETE → INSERT of a shifted-id slice
+    "l_sql_dml" ->
+      s"""WITH upd AS (
+         |  SELECT event_id,
+         |    CASE WHEN user_id % 7 = 3 AND ts IS NOT NULL
+         |         THEN ts + INTERVAL 1 DAY ELSE ts END AS ts,
+         |    user_id,
+         |    CASE WHEN user_id % 7 = 3 AND ts IS NOT NULL
+         |         THEN 'updated' ELSE event_type END AS event_type,
+         |    CASE WHEN user_id % 7 = 3 AND ts IS NOT NULL
+         |         THEN value + 100.0 ELSE value END AS value,
+         |    props
+         |  FROM events
+         |), del AS (
+         |  SELECT * FROM upd WHERE NOT coalesce(user_id % 5 = 0, FALSE)
+         |), ins AS (
+         |  SELECT event_id + 100000000 AS event_id, ts, user_id,
+         |    'migrated' AS event_type, value, props
+         |  FROM events
+         |  WHERE user_id BETWEEN 100 AND 140 AND ts IS NOT NULL
+         |)
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day
+         |FROM (SELECT * FROM del UNION ALL SELECT * FROM ins)
+         |ORDER BY event_id""".stripMargin,
+    // replay of the SQL MERGE: guarded matched-delete wins first,
+    // matched-update takes the source row, unmatched source inserts,
+    // guarded by-source update goes 'stale'
+    "l_sql_merge" ->
+      s"""WITH src1 AS (
+         |  SELECT event_id, ts + INTERVAL 1 DAY AS ts, user_id,
+         |    'updated' AS event_type, value + 100.0 AS value, props
+         |  FROM events WHERE user_id % 7 = 3 AND ts IS NOT NULL
+         |), src2 AS (
+         |  SELECT event_id + 200000000 AS event_id, ts, user_id,
+         |    'new' AS event_type, value, props
+         |  FROM events WHERE user_id BETWEEN 50 AND 60 AND ts IS NOT NULL
+         |), tgt AS (
+         |  SELECT t.event_id,
+         |    CASE WHEN s.event_id IS NOT NULL THEN s.ts ELSE t.ts END AS ts,
+         |    t.user_id,
+         |    CASE WHEN s.event_id IS NOT NULL THEN s.event_type
+         |         WHEN coalesce(t.user_id % 11 = 0, FALSE) THEN 'stale'
+         |         ELSE t.event_type END AS event_type,
+         |    CASE WHEN s.event_id IS NOT NULL THEN s.value
+         |         ELSE t.value END AS value,
+         |    t.props
+         |  FROM events t LEFT JOIN src1 s USING (event_id)
+         |  WHERE NOT (s.event_id IS NOT NULL
+         |             AND coalesce(t.user_id % 2 = 0, FALSE))
+         |)
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day
+         |FROM (SELECT * FROM tgt UNION ALL SELECT * FROM src2)
          |ORDER BY event_id""".stripMargin,
     "l_merge_head" ->
       s"""WITH merged AS (

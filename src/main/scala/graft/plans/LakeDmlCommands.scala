@@ -1,0 +1,265 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute,
+  AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan,
+  SubqueryAlias}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.StreamingDataFrames
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+import graft.sources.ManifestLake
+
+/** The SQL DML front door for `graft-lake` path tables (Delta's
+  * `DELETE FROM delta.`/path`` surface re-expressed on the lake's own
+  * transactional APIs): ResolveLakeRelation's DML pre-pass swaps the
+  * parsed `DeleteFromTable` / `UpdateTable` / `MergeIntoTable` /
+  * `InsertIntoStatement` node for one of these commands whenever the
+  * target is a ``graft-lake`.`path`` identifier — BEFORE the built-in
+  * resolvers would reject the statement ("DELETE is only supported
+  * with v2 tables"). Each command is a leaf: every parsed expression
+  * is translated to a name-based `Column` at rule time (aliases
+  * stripped / remapped), so the node carries no unresolved Catalyst
+  * expressions for checkAnalysis to trip on, and the real resolution
+  * happens where it always does — inside the lake API's own plan,
+  * against the table's logical schema. Commands execute eagerly at
+  * `spark.sql(…)` like every Spark DML, under the SAME transaction
+  * the API route takes: one atomic manifest commit, OCC
+  * rebase-and-retry, day-proportional rewrites — the SQL layer adds
+  * parsing, never a second write path. */
+object LakeDml {
+
+  def isLakeIdent(u: UnresolvedRelation): Boolean =
+    u.multipartIdentifier.length == 2 &&
+      u.multipartIdentifier.head.equalsIgnoreCase("graft-lake")
+
+  /** (lake path, SQL alias) when `plan` is a DML target over a
+    * graft-lake identifier; None otherwise (the statement belongs to
+    * some other source — leave it alone). */
+  def lakeTarget(plan: LogicalPlan): Option[(String, Option[String])] =
+    plan match {
+      case SubqueryAlias(id, u: UnresolvedRelation) if isLakeIdent(u) =>
+        Some((u.multipartIdentifier(1), Some(id.name)))
+      case u: UnresolvedRelation if isLakeIdent(u) =>
+        Some((u.multipartIdentifier(1), None))
+      case _ => None
+    }
+
+  /** Single-table predicate/value translation: strip the target's SQL
+    * alias (and the bare table-path qualifier) so the expression
+    * resolves by NAME against the lake read the API builds
+    * internally. Anything else (functions, literals, nested fields)
+    * passes through untouched and resolves there too. */
+  def bare(e: Expression, alias: Option[String]): Column =
+    ColumnBridge.column(e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+          alias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+        UnresolvedAttribute(a.nameParts.tail)
+    })
+
+  /** Bare column name of an assignment key (`t.value` → `value`),
+    * refusing qualifiers that name neither the alias nor the column
+    * itself. */
+  def keyName(e: Expression, alias: Option[String], what: String): String =
+    e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        a.nameParts.head
+      case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+          alias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+        a.nameParts.last
+      case other => throw new IllegalArgumentException(
+        s"graft-lake $what: assignment target must be a plain column " +
+          s"of the lake table, got $other")
+    }
+
+  /** Two-sided MERGE expression translation: the lake's mergeInto
+    * applies clause Columns on `target.as("t") join source.as("s")`,
+    * so the statement's aliases remap onto those two fixed qualifiers.
+    * Unqualified names stay bare — they resolve on the joined frame,
+    * and a name living on both sides surfaces as the standard
+    * ambiguity error. */
+  def mergeExpr(e: Expression, tAlias: Option[String],
+      sAlias: Option[String]): Column =
+    ColumnBridge.column(e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length == 2 =>
+        val q = a.nameParts.head
+        if (tAlias.exists(_.equalsIgnoreCase(q)))
+          UnresolvedAttribute(Seq("t", a.nameParts.last))
+        else if (sAlias.exists(_.equalsIgnoreCase(q)))
+          UnresolvedAttribute(Seq("s", a.nameParts.last))
+        else a
+    })
+
+  /** MERGE key columns from the ON condition: a conjunction of
+    * same-name equalities between the two sides (`t.k = s.k`). The
+    * lake's mergeInto joins on key-column NAME equality — an ON shape
+    * it cannot express (cross-name keys, range terms) is refused at
+    * analysis with the rewrite hint, not silently mis-joined. */
+  def keyColsOf(onCond: Expression, tAlias: Option[String],
+      sAlias: Option[String]): Seq[String] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    def bareName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
+      case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+          (tAlias.exists(_.equalsIgnoreCase(a.nameParts.head)) ||
+            sAlias.exists(_.equalsIgnoreCase(a.nameParts.head))) =>
+        Some(a.nameParts.last)
+      case _ => None
+    }
+    split(onCond).map {
+      case EqualTo(l, r) =>
+        (bareName(l), bareName(r)) match {
+          case (Some(a), Some(b)) if a.equalsIgnoreCase(b) => a
+          case _ => throw new IllegalArgumentException(
+            "graft-lake MERGE: ON must be a conjunction of same-name " +
+              s"key equalities (t.k = s.k); got `$l = $r` — rename the " +
+              "source column to match the target key, or merge through " +
+              "the ManifestLake.mergeInto API")
+        }
+      case other => throw new IllegalArgumentException(
+        "graft-lake MERGE: ON must be a conjunction of same-name key " +
+          s"equalities (t.k = s.k); got non-equality term `$other`")
+    }.distinct
+  }
+
+  private[plans] def ordColOrRefuse(spark: SparkSession, path: String,
+      stmt: String): String =
+    ManifestLake.ordColOf(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-lake $stmt: table at $path carries no ord-column " +
+          "metadata (created before it existed) — run the operation " +
+          "through the ManifestLake API, which takes ordCol explicitly"))
+
+  private[plans] def attr(name: String, t: DataType): Attribute =
+    AttributeReference(name, t, nullable = false)()
+}
+
+/** `DELETE FROM \`graft-lake\`.\`path\` WHERE …` → the lake's
+  * copy-on-write deleteWhere: discovery is one pruned scan, the
+  * rewrite touches only the days holding matches, the commit is one
+  * atomic manifest rename under OCC. Returns the deleted row count
+  * (Delta's num_affected_rows). */
+case class GraftDeleteCommand(path: String, cond: Column)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(LakeDml.attr("deleted_rows",
+    LongType))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManifestLake.deleteWhere(spark, path, cond)))
+}
+
+/** `UPDATE \`graft-lake\`.\`path\` SET … WHERE …` → updateWhere (CoW,
+  * cross-day-move aware, OCC). Returns the updated row count. */
+case class GraftUpdateCommand(path: String, set: Seq[(String, Column)],
+    cond: Column) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(LakeDml.attr("updated_rows",
+    LongType))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManifestLake.updateWhere(spark, path, set.toMap, cond)))
+}
+
+/** `INSERT INTO | INSERT OVERWRITE \`graft-lake\`.\`path\` [cols]
+  * SELECT …` → append / replaceAll under the table's persisted ord
+  * column. Alignment follows ANSI INSERT: positional (arity-checked)
+  * by default, name-based under `BY NAME` or an explicit column list
+  * (unlisted columns land NULL); every value is cast to the target
+  * column's declared type. `day` never appears in the insert schema —
+  * it is derived from the ord column by the write path itself. */
+case class GraftInsertCommand(path: String, query: LogicalPlan,
+    userCols: Seq[String], overwrite: Boolean, byName: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(LakeDml.attr("version",
+    LongType))
+  // keep EXPLAIN to one line — the query subtree prints as its class
+  override protected def stringArgs: Iterator[Any] =
+    Iterator(path, userCols, overwrite, byName)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df0 = StreamingDataFrames.ofRows(spark, query)
+    val ord = LakeDml.ordColOrRefuse(spark, path, "INSERT")
+    val target = ManifestLake.read(spark, path).schema
+    val cols = target.fields.filterNot(_.name.equalsIgnoreCase("day")).toSeq
+    val aligned: DataFrame =
+      if (userCols.nonEmpty) {
+        require(userCols.length == df0.columns.length,
+          s"graft-lake INSERT: ${userCols.length} columns listed but the " +
+            s"query produces ${df0.columns.length}")
+        val listed = userCols.map(_.toLowerCase).toSet
+        require(listed.size == userCols.length,
+          "graft-lake INSERT: duplicate column in the insert list")
+        userCols.foreach { c =>
+          require(cols.exists(_.name.equalsIgnoreCase(c)),
+            s"graft-lake INSERT: unknown column '$c'") }
+        val named = df0.toDF(userCols: _*)
+        named.select(cols.map { f =>
+          if (listed.contains(f.name.toLowerCase))
+            col(s"`${f.name}`").cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      } else if (byName) {
+        val have = df0.columns.map(_.toLowerCase).toSet
+        cols.foreach { f =>
+          require(have.contains(f.name.toLowerCase),
+            s"graft-lake INSERT BY NAME: query is missing column " +
+              s"'${f.name}'") }
+        df0.select(cols.map(f =>
+          col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+      } else {
+        require(df0.columns.length == cols.length,
+          s"graft-lake INSERT: table has ${cols.length} insertable " +
+            s"columns (day is derived) but the query produces " +
+            s"${df0.columns.length}")
+        df0.toDF(cols.map(_.name): _*).select(cols.map(f =>
+          col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+      }
+    val v =
+      if (overwrite) ManifestLake.replaceAll(spark, path, aligned, ord)
+      else ManifestLake.append(spark, path, aligned, ord)
+    Seq(Row(v))
+  }
+}
+
+/** `MERGE INTO \`graft-lake\`.\`path\` t USING src s ON t.k = s.k
+  * WHEN …` → the lake's clause-based mergeInto, which already carries
+  * the full Delta MERGE contract (first-applicable clause precedence,
+  * source-ambiguity refusal, cross-day key moves, OCC, additive
+  * schema evolution for a wider source). Explicit INSERT column lists
+  * must be the identity mapping of the source's columns — the lake
+  * inserts the source ROW; a reshaping insert belongs in the source
+  * projection (checked here against the actual source schema). */
+case class GraftMergeCommand(path: String, source: LogicalPlan,
+    clauses: Seq[ManifestLake.MergeClause], keyCols: Seq[String],
+    insertIdentity: Seq[(String, String)]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(LakeDml.attr("version",
+    LongType))
+  override protected def stringArgs: Iterator[Any] =
+    Iterator(path, keyCols, clauses.length)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = StreamingDataFrames.ofRows(spark, source)
+    val ord = LakeDml.ordColOrRefuse(spark, path, "MERGE")
+    if (insertIdentity.nonEmpty) {
+      val listed = insertIdentity.map(_._1.toLowerCase).toSet
+      val have = src.columns.map(_.toLowerCase).toSet
+      require(listed == have,
+        "graft-lake MERGE: an explicit INSERT column list must name " +
+          s"exactly the source's columns (${src.columns.mkString(", ")}) " +
+          "— the lake inserts the source row; reshape in the USING " +
+          "source projection instead")
+    }
+    keyCols.foreach { k =>
+      require(src.columns.exists(_.equalsIgnoreCase(k)),
+        s"graft-lake MERGE: key column '$k' is missing from the source") }
+    val v = ManifestLake.mergeInto(spark, path, src, keyCols, ord, clauses)
+    Seq(Row(v))
+  }
+}

@@ -5,13 +5,19 @@ import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel,
   UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Expression,
   NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan,
-  OneRowRelation, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction,
+  DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction,
+  LogicalPlan, MergeAction, MergeIntoTable, OneRowRelation, Project,
+  SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{StringType, TimestampType}
 
 import graft.sources.{GraftLakeRelation, ManifestLake}
+import graft.sources.ManifestLake.{MatchedDelete, MatchedUpdate,
+  MergeClause, NotMatchedBySourceDelete, NotMatchedBySourceUpdate,
+  NotMatchedInsert}
 
 /** The analyzer half of batch `format("graft-lake")` (registered by
   * GraftExtensions — the `spark.sql.extensions` route Delta itself
@@ -44,6 +50,128 @@ case class ResolveLakeRelation(session: SparkSession)
     extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
+    applyReads(applyDml(plan))
+
+  /** The DML pre-pass — TOP-DOWN, deliberately: the whole parsed
+    * statement node (DeleteFromTable / UpdateTable / MergeIntoTable /
+    * InsertIntoStatement) must be claimed while its target is still
+    * the raw `graft-lake` UnresolvedRelation. A bottom-up walk would
+    * inline the target into the read plan first, and the built-in
+    * row-level-command resolvers would then reject the statement
+    * ("only supported with v2 tables") before this rule ever saw it.
+    * Every parsed expression is translated to a name-based Column
+    * HERE (aliases remapped), so the emitted command is a fully
+    * resolved leaf and the write executes through the exact
+    * transactional API path — same OCC, same day-proportional
+    * rewrite, same manifest commit. */
+  private def applyDml(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case d: DeleteFromTable =>
+        LakeDml.lakeTarget(d.table) match {
+          case None => d
+          case Some((path, alias)) =>
+            GraftDeleteCommand(path, LakeDml.bare(d.condition, alias))
+        }
+
+      case u: UpdateTable =>
+        LakeDml.lakeTarget(u.table) match {
+          case None => u
+          case Some((path, alias)) =>
+            val set = u.assignments.map(a =>
+              LakeDml.keyName(a.key, alias, "UPDATE") ->
+                LakeDml.bare(a.value, alias))
+            GraftUpdateCommand(path, set,
+              u.condition.map(LakeDml.bare(_, alias)).getOrElse(lit(true)))
+        }
+
+      case i: InsertIntoStatement =>
+        LakeDml.lakeTarget(i.table) match {
+          case None => i
+          case Some((path, _)) =>
+            require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
+              "graft-lake INSERT: PARTITION clauses are not accepted — " +
+                "the lake manages its own day partitioning from the " +
+                "ord column")
+            GraftInsertCommand(path, i.query, i.userSpecifiedCols,
+              i.overwrite, i.byName)
+        }
+
+      case m: MergeIntoTable =>
+        LakeDml.lakeTarget(m.targetTable) match {
+          case None => m
+          case Some((path, tAlias)) =>
+            val sAlias = m.sourceTable match {
+              case SubqueryAlias(id, _) => Some(id.name)
+              case _ => None
+            }
+            val tx = (e: Expression) => LakeDml.mergeExpr(e, tAlias, sAlias)
+            val keyCols = LakeDml.keyColsOf(m.mergeCondition, tAlias, sAlias)
+            // star expansion needs the target's columns — one manifest
+            // read at analysis, the same metadata cost as inlineRead
+            lazy val targetCols = ManifestLake.read(session, path)
+              .schema.fieldNames.filterNot(_.equalsIgnoreCase("day")).toSeq
+            val insertIdentity = Seq.newBuilder[(String, String)]
+            def updateSet(assignments: Seq[
+                org.apache.spark.sql.catalyst.plans.logical.Assignment])
+                : Map[String, org.apache.spark.sql.Column] =
+              assignments.map(a =>
+                LakeDml.keyName(a.key, tAlias, "MERGE UPDATE") ->
+                  tx(a.value)).toMap
+            def clauseOf(a: MergeAction, bySource: Boolean): MergeClause =
+              a match {
+                case ua: UpdateAction if bySource =>
+                  NotMatchedBySourceUpdate(updateSet(ua.assignments),
+                    ua.condition.map(tx))
+                case ua: UpdateAction =>
+                  MatchedUpdate(updateSet(ua.assignments),
+                    ua.condition.map(tx))
+                case us: UpdateStarAction =>
+                  require(!bySource, "graft-lake MERGE: UPDATE SET * has " +
+                    "no source row in a NOT MATCHED BY SOURCE clause")
+                  MatchedUpdate(
+                    targetCols.map(c => c -> col(s"s.`$c`")).toMap,
+                    us.condition.map(tx))
+                case da: DeleteAction if bySource =>
+                  NotMatchedBySourceDelete(da.condition.map(tx))
+                case da: DeleteAction => MatchedDelete(da.condition.map(tx))
+                case ia: InsertAction =>
+                  ia.assignments.foreach { as =>
+                    val k = LakeDml.keyName(as.key, tAlias, "MERGE INSERT")
+                    val v = as.value match {
+                      case attr: org.apache.spark.sql.catalyst.analysis
+                          .UnresolvedAttribute
+                          if attr.nameParts.length == 1 ||
+                            (attr.nameParts.length == 2 && sAlias.exists(
+                              _.equalsIgnoreCase(attr.nameParts.head))) =>
+                        attr.nameParts.last
+                      case other => throw new IllegalArgumentException(
+                        "graft-lake MERGE: INSERT values must be the " +
+                          s"source's own columns (got $other) — the lake " +
+                          "inserts the source row; reshape in the USING " +
+                          "source projection")
+                    }
+                    require(k.equalsIgnoreCase(v),
+                      s"graft-lake MERGE: INSERT maps '$v' onto '$k' — " +
+                        "only the identity mapping is expressible " +
+                        "(reshape in the USING source projection)")
+                    insertIdentity += ((k, v))
+                  }
+                  NotMatchedInsert(ia.condition.map(tx))
+                case is: InsertStarAction =>
+                  NotMatchedInsert(is.condition.map(tx))
+                case other => throw new IllegalArgumentException(
+                  s"graft-lake MERGE: unsupported action $other")
+              }
+            val clauses =
+              m.matchedActions.map(clauseOf(_, bySource = false)) ++
+                m.notMatchedActions.map(clauseOf(_, bySource = false)) ++
+                m.notMatchedBySourceActions.map(clauseOf(_, bySource = true))
+            GraftMergeCommand(path, m.sourceTable, clauses, keyCols,
+              insertIdentity.result())
+        }
+    }
+
+  private def applyReads(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case lr: LogicalRelation
           if lr.relation.isInstanceOf[GraftLakeRelation] =>

@@ -96,6 +96,18 @@ object LakeLayout {
     * ManifestLake.compactDay's two-column clustering. */
   private[sources] def zValue(df: DataFrame, colA: String,
       colB: String): Option[org.apache.spark.sql.Column] = {
+    // interleaving needs a numeric rank; a non-castable type (string
+    // cluster keys under SQL OPTIMIZE ZORDER BY) falls back to the
+    // caller's linear layout instead of dying in an ANSI cast
+    def rankable(c: String): Boolean =
+      df.schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType).exists {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.DateType => true
+        case org.apache.spark.sql.types.TimestampType => true
+        case org.apache.spark.sql.types.BooleanType => true
+        case _ => false
+      }
+    if (!rankable(colA) || !rankable(colB)) return None
     val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
     if (r.isNullAt(0) || r.isNullAt(2)) None

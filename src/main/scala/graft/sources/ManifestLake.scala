@@ -62,6 +62,7 @@ object ManifestLake {
   private val DataDir = "data"
   private val SchemaDir = s"$LogDir/schema"
   private val StatsColsFile = s"$LogDir/stats_cols"
+  private val OrdColFile = s"$LogDir/ord_col"
   private val BloomColsFile = s"$LogDir/bloom_cols"
   private val BloomDir = s"$LogDir/bloom"
   private val StatsDir = s"$LogDir/stats"
@@ -529,6 +530,33 @@ object ManifestLake {
     if (!fs.rename(tmp, target))
       throw new java.util.ConcurrentModificationException(
         s"commit rename to $target failed (concurrent writer)")
+  }
+
+  /** Persist the table's event-time (ord) column as table metadata —
+    * the analog of Delta recording its partition columns in the table
+    * metadata rather than in every writer's options. The lake
+    * partitions by day(ordCol); a front door that cannot carry writer
+    * options (SQL INSERT/UPDATE/MERGE) reads it back via ordColOf.
+    * Written once at create (or a sink's first batch); one tiny
+    * immutable file, never consulted on the read path. */
+  private def writeOrdCol(fs: FileSystem, root: Path, ordCol: String): Unit = {
+    val out = fs.create(new Path(root, OrdColFile), true)
+    try out.write(ordCol.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The table's persisted ord column (None for a lake created before
+    * this metadata existed — the SQL DML front door refuses those with
+    * a pointer to the API, which carries ordCol explicitly). */
+  def ordColOf(spark: SparkSession, path: String): Option[String] = {
+    val (fs, root) = fsOf(spark, path)
+    val p = new Path(root, OrdColFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(txt.trim).filter(_.nonEmpty)
+    }
   }
 
   /** The table's indexed-column list, fixed at create (the analog of
@@ -1209,6 +1237,7 @@ object ManifestLake {
     }
     if (bloomCols.nonEmpty)
       writeBloomConfig(fs, root, df, bloomCols, bloomBits)
+    writeOrdCol(fs, root, ordCol)
     val withDay = rows.withColumn("day", dayKey)
     val dirs = writeGen(spark, path, withDay, filesPerDay)
     commit(fs, root, 1L, dirs.map { case (d, p) => d -> Seq(p) },
@@ -2541,6 +2570,105 @@ object ManifestLake {
     deleted
   }
 
+  /** Copy-on-write UPDATE (Delta's `UPDATE t SET … WHERE …`): rewrite
+    * exactly the days holding matched rows, mapping each assigned
+    * column through `when(hit, rhs).otherwise(old)` — every RHS is
+    * evaluated against the PRE-update row (standard SQL UPDATE
+    * semantics: `SET a = b, b = a` swaps), and each RHS is cast to the
+    * column's declared type (the ANSI INSERT/UPDATE coercion).
+    *
+    * Cross-day moves: when an assignment touches the table's ord
+    * column, an updated row's day key can change, so the rewrite set
+    * is matched-days ∪ land-days (the upsert cross-day rule: both the
+    * day a hit leaves and the day it lands in are read, rewritten, and
+    * atomically swapped — rows in a land day untouched by the
+    * predicate pass through verbatim, an incidental compaction).
+    * Assigning `day` directly is refused — it is derived from the ord
+    * column everywhere else and a divergent value would corrupt
+    * manifest pruning.
+    *
+    * Scale shape: discovery is ONE pruned scan (dayBound prunes it at
+    * the manifest level exactly as in deleteWhere); the rewrite is
+    * proportional to the BYTES of affected days, never the lake; the
+    * commit is one manifest rename under the same OCC rebase rule as
+    * deleteWhere (WriteSerializable: a concurrent blind append of
+    * rows the predicate would have matched is the admitted anomaly).
+    * DVs covering rewritten days are applied physically and retired
+    * by the same pruneDvs arithmetic as every other CoW pass.
+    * Returns the number of rows updated (0 = no commit). */
+  def updateWhere(spark: SparkSession, path: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      predicate: org.apache.spark.sql.Column,
+      beforeCommit: () => Unit = () => (),
+      dayBound: Option[String => Boolean] = None,
+      filesPerDay: Int = 1): Long = {
+    require(set.nonEmpty, "updateWhere: no assignments")
+    val snap = snapshot(spark, path)
+    val hit = coalesce(predicate, lit(false))
+    val schema = tableSchema(spark, path, snap)
+    val byLower = schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    set.keys.foreach { k =>
+      require(k.toLowerCase != "day",
+        "updateWhere: 'day' is derived from the table's ord column — " +
+          "assign the ord column instead")
+      require(byLower.contains(k.toLowerCase),
+        s"updateWhere: unknown column '$k' (table has " +
+          schema.fieldNames.mkString(", ") + ")")
+    }
+    val ord = ordColOf(spark, path)
+    val ordTouched = ord.exists(o => set.keys.exists(_.equalsIgnoreCase(o)))
+    val scanBase = dayBound match {
+      case Some(keep) => readDays(spark, path, keep)
+      case None => read(spark, path)
+    }
+    val matched = scanBase.filter(hit)
+      .groupBy(dayKey.as("d")).count().collect()
+    if (matched.isEmpty) return 0L
+    val srcDays = matched.map(_.getString(0)).toSet
+    val updatedCnt = matched.map(_.getLong(1)).sum
+    // one projection applies every assignment against the OLD row
+    def applySet(df: DataFrame): DataFrame = df.select(schema.fields.map {
+      f =>
+        set.collectFirst {
+          case (k, rhs) if k.equalsIgnoreCase(f.name) =>
+            when(hit, rhs.cast(f.dataType)).otherwise(col(s"`${f.name}`"))
+              .as(f.name)
+        }.getOrElse(col(s"`${f.name}`"))
+    }.toSeq: _*)
+    val landDays: Set[String] =
+      if (!ordTouched) Set.empty
+      else applySet(scanBase.filter(hit))
+        .withColumn("day", date_format(col(ord.get), "yyyy-MM-dd"))
+        .select(dayKey.as("d")).distinct().collect()
+        .map(_.getString(0)).toSet
+    val days = srcDays ++ landDays
+    val base = readDays(spark, path, days.contains)
+    val updated0 = applySet(base)
+    val rows = (if (ordTouched)
+      updated0.withColumn("day", date_format(col(ord.get), "yyyy-MM-dd"))
+    else updated0).withColumn("day", dayKey)
+    enforceChecks(rows, snap.checks, "updateWhere")
+    val nextSchema = unionSchema(schema, rows.schema)
+    val newDirs = writeGen(spark, path, rows, filesPerDay,
+      writeSchema = Some(nextSchema))
+    beforeCommit()
+    val (fs, root) = fsOf(spark, path)
+    occCommitLoop(spark, path, snap, "updateWhere") { cur =>
+      val nextDays = (cur.days -- days) ++
+        newDirs.map { case (d, p) => d -> Seq(p) }
+      commit(fs, root, cur.version + 1, nextDays, cur.lastBatch,
+        carryFiles(cur, nextDays),
+        schemaJson = Some(nextSchema.json),
+        dvs = pruneDvs(cur.dvs, nextDays.values.flatten.toSet),
+        checks = cur.checks, op = "update")
+      cur.version + 1
+    } { (fresh, e) =>
+      refuseIfDaysTouched(snap, fresh, days, "updateWhere", e)
+      None
+    }
+    updatedCnt
+  }
+
   /** Merge-on-read DELETE (the Delta deletion-vector design on public
     * primitives): instead of rewriting every affected day —
     * deleteWhere's copy-on-write, whose cost is the BYTES of the
@@ -2785,7 +2913,12 @@ object ManifestLake {
           case Some(z) => df.withColumn("__z", z)
             .repartitionByRange(nFiles.toInt, col("__z"))
             .sortWithinPartitions(col("__z")).drop("__z")
-          case None => df.repartition(nFiles.toInt)
+          // no interleavable rank (empty day, all-null or non-numeric
+          // key): keep the LINEAR cluster layout rather than dropping
+          // clustering — the first key still earns its file skipping
+          case None => df.repartitionByRange(nFiles.toInt,
+            clusterPhys.map(col): _*)
+            .sortWithinPartitions(clusterPhys.map(col): _*)
         }
       else df.repartitionByRange(nFiles.toInt, clusterPhys.map(col): _*)
         .sortWithinPartitions(clusterPhys.map(col): _*)
@@ -2997,6 +3130,7 @@ object ManifestLake {
           statsCols.map(_.toLowerCase).mkString("\n").getBytes("UTF-8"))
         finally out.close()
       }
+      writeOrdCol(fs, new Path(path), ordCol)
     }
     appendBatch(spark, path, batch, ordCol, batchId, filesPerDay)
     ()
@@ -3021,9 +3155,11 @@ object ManifestLake {
     val spark = batch.sparkSession
     val anchor = new Path(s"$path/$SchemaDir")
     val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(anchor))
+    if (!fs.exists(anchor)) {
       batch.withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
         .limit(0).write.mode("overwrite").parquet(s"$path/$SchemaDir")
+      writeOrdCol(fs, new Path(path), ordCol)
+    }
     mergeInto(spark, path, batch, keyCols, ordCol, clauses,
       filesPerDay = filesPerDay, batchId = Some(batchId))
     ()

@@ -46,6 +46,20 @@ object StreamingDataFrames {
     Dataset.ofRows(ds.sparkSession, marked)
   }
 
+  /** Build a DataFrame over a LOGICAL plan (analysis runs lazily when
+    * the frame is first used) — the hop the SQL DML front door needs:
+    * a parsed INSERT source query / MERGE source subtree arrives as a
+    * raw LogicalPlan inside the statement, and the executing command
+    * must hand it to the lake's write APIs as a DataFrame. This is
+    * `Dataset.ofRows`, the constructor every Spark command uses for
+    * exactly this, kept here so the package-escalation surface stays
+    * one auditable file. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** The inverse hop, for a V1 streaming SINK: `Sink.addBatch` hands
     * over a frame whose plan still carries streaming leaves, so any
     * re-planning action on it (`df.write`, a fresh aggregation)

@@ -1,0 +1,133 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.ManifestLake
+
+/** Maintenance SQL (round 14, the Delta parser-extension surface):
+  * DESCRIBE HISTORY / OPTIMIZE [ZORDER BY] / VACUUM [RETAIN n HOURS]
+  * [FORCE] [DRY RUN] / RESTORE … TO VERSION|TIMESTAMP AS OF — each
+  * statement must be a thin syntax layer over the corresponding lake
+  * API (twinned results), and everything that is NOT a graft-lake
+  * maintenance statement must reach Spark's own parser untouched. */
+class LakeMaintenanceSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def mk(ids: Range, day: Int): DataFrame =
+    ids.map(i => (i.toLong, ts(f"2024-03-$day%02d 10:00:00"), s"v$i"))
+      .toDF("id", "ts", "v")
+
+  /** Fragmented fixture: v1 create + 3 appends into the same days →
+    * plenty of small files for OPTIMIZE, history depth for RESTORE. */
+  private def freshLake(): String = {
+    val dir = Files.createTempDirectory("graft_maint").toString
+    ManifestLake.create(spark, dir, mk(0 until 8, 1), "ts")
+    ManifestLake.append(spark, dir, mk(100 until 108, 1), "ts")
+    ManifestLake.append(spark, dir, mk(200 until 208, 2), "ts")
+    ManifestLake.append(spark, dir, mk(300 until 308, 2), "ts")
+    dir
+  }
+
+  private def ids(path: String): Set[Long] =
+    ManifestLake.read(spark, path).select("id").collect()
+      .map(_.getLong(0)).toSet
+
+  test("DESCRIBE HISTORY ≡ the history() API, row for row") {
+    val lake = freshLake()
+    val viaSql = spark.sql(s"DESCRIBE HISTORY `graft-lake`.`$lake`")
+    val viaApi = ManifestLake.history(spark, lake)
+    assert(viaSql.columns.toSeq == viaApi.columns.toSeq)
+    assert(viaSql.collect().toSeq == viaApi.collect().toSeq)
+    assert(viaSql.count() == 4L)
+    assert(viaSql.select("operation").collect().map(_.getString(0)).toSeq ==
+      Seq("create", "append", "append", "append"))
+  }
+
+  test("OPTIMIZE compacts the fragmented days; content is unchanged") {
+    val lake = freshLake()
+    val before = ids(lake)
+    val snap0 = ManifestLake.snapshot(spark, lake)
+    assert(snap0.days.values.exists(_.size > 1)) // genuinely fragmented
+    val compacted = spark.sql(s"OPTIMIZE `graft-lake`.`$lake`")
+      .collect().map(_.getString(0)).toSet
+    assert(compacted == Set("2024-03-01", "2024-03-02"))
+    val snap1 = ManifestLake.snapshot(spark, lake)
+    assert(snap1.days.values.forall(_.size == 1)) // one dir per day
+    assert(ids(lake) == before)
+  }
+
+  test("OPTIMIZE ZORDER BY clusters without changing content") {
+    val lake = freshLake()
+    val before = ids(lake)
+    val compacted = spark.sql(
+      s"OPTIMIZE `graft-lake`.`$lake` ZORDER BY (id, v)")
+      .collect().map(_.getString(0)).toSet
+    assert(compacted.nonEmpty)
+    assert(ids(lake) == before)
+  }
+
+  test("VACUUM DRY RUN lists but keeps; VACUUM RETAIN 0 HOURS FORCE " +
+      "deletes the retired generations") {
+    val lake = freshLake()
+    spark.sql(s"OPTIMIZE `graft-lake`.`$lake`") // retire the small files
+    val dry = spark.sql(
+      s"VACUUM `graft-lake`.`$lake` RETAIN 0 HOURS FORCE DRY RUN")
+      .collect().map(_.getString(0))
+    assert(dry.nonEmpty)
+    assert(ids(lake).size == 32) // nothing actually deleted
+    val real = spark.sql(
+      s"VACUUM `graft-lake`.`$lake` RETAIN 0 HOURS FORCE")
+      .collect().map(_.getString(0))
+    assert(real.toSet == dry.toSet) // the dry run told the truth
+    assert(ids(lake).size == 32)    // head still fully readable
+  }
+
+  test("VACUUM below the retention floor refuses without FORCE") {
+    val lake = freshLake()
+    val e = intercept[Exception] {
+      spark.sql(s"VACUUM `graft-lake`.`$lake` RETAIN 0 HOURS")
+    }
+    assert(e.getMessage.contains("floor"))
+  }
+
+  test("RESTORE TO VERSION AS OF rewinds as a NEW commit") {
+    val lake = freshLake()
+    val out = spark.sql(
+      s"RESTORE TABLE `graft-lake`.`$lake` TO VERSION AS OF 1").collect()
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 5L)
+    assert(ids(lake) == (0L until 8L).toSet)
+    // append-only history: v4 (pre-restore head) is still addressable
+    assert(ManifestLake.readVersion(spark, lake, 4L).count() == 32L)
+  }
+
+  test("RESTORE TO TIMESTAMP AS OF routes through versionAt") {
+    val lake = freshLake()
+    val t2 = ManifestLake.history(spark, lake)
+      .filter(col("version") === 2L).head().getTimestamp(2)
+    spark.sql(s"RESTORE `graft-lake`.`$lake` TO TIMESTAMP AS OF '$t2'")
+    assert(ids(lake) == ((0L until 8L) ++ (100L until 108L)).toSet)
+  }
+
+  test("a malformed maintenance statement fails with the grammar, " +
+      "not a Spark fallback error") {
+    val lake = freshLake()
+    val e = intercept[Exception] {
+      spark.sql(s"OPTIMIZE `graft-lake`.`$lake` ZORDER id")
+    }
+    assert(e.getMessage.contains("DESCRIBE HISTORY"))
+  }
+
+  test("non-maintenance SQL still parses through the session parser") {
+    assert(spark.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) == 2)
+    // OPTIMIZE aimed at something that is not a graft-lake identifier
+    // falls through to Spark (which rejects it as unknown syntax)
+    val e = intercept[Exception] { spark.sql("OPTIMIZE some_table") }
+    assert(!e.getMessage.contains("graft"))
+  }
+}

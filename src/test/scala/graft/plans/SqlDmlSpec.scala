@@ -1,0 +1,257 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.ManifestLake
+
+/** The SQL DML front door (round 14): INSERT INTO / INSERT OVERWRITE /
+  * DELETE FROM / UPDATE / MERGE INTO over ``graft-lake`.`path``
+  * identifiers must land through the SAME transactional APIs the
+  * programmatic route uses — each statement is twinned against its
+  * API call on an identical lake and the full table states must
+  * match. Refusals (shape restrictions the lake cannot express) must
+  * be loud and actionable. */
+class SqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** (id, ts, cat, a, b) over three days; ids 0..11. */
+  private def seed: DataFrame =
+    (0 until 12).map { i =>
+      (i.toLong, ts(f"2024-03-${i % 3 + 1}%02d 10:00:00"),
+        if (i % 2 == 0) "even" else "odd", i.toDouble, i * 10.0)
+    }.toDF("id", "ts", "cat", "a", "b")
+
+  private def freshLake(): String = {
+    val dir = Files.createTempDirectory("graft_sqldml").toString
+    ManifestLake.create(spark, dir, seed, "ts")
+    dir
+  }
+
+  private def state(path: String): Set[(Long, String, String, Double,
+      Double, String)] =
+    ManifestLake.read(spark, path)
+      .select(col("id"), col("ts").cast("string"), col("cat"), col("a"),
+        col("b"), col("day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4), r.getString(5))).toSet
+
+  test("ordCol persists as table metadata at create") {
+    val lake = freshLake()
+    assert(ManifestLake.ordColOf(spark, lake).contains("ts"))
+  }
+
+  test("INSERT INTO (positional) appends through appendless SQL") {
+    val lake = freshLake()
+    Seq((100L, "2024-03-09 09:00:00", "new", 1.5, 2.5))
+      .toDF("id", "tss", "cat", "a", "b").createOrReplaceTempView("ins_src")
+    val out = spark.sql(
+      s"INSERT INTO `graft-lake`.`$lake` " +
+        "SELECT id, CAST(tss AS TIMESTAMP), cat, a, b FROM ins_src")
+    assert(out.columns.toSeq == Seq("version"))
+    val st = state(lake)
+    assert(st.size == 13)
+    assert(st.exists(r => r._1 == 100L && r._6 == "2024-03-09"))
+    // the insert is a real lake commit, visible to time travel
+    assert(ManifestLake.readVersion(spark, lake, 1L).count() == 12L)
+  }
+
+  test("INSERT INTO arity mismatch and PARTITION clause refuse loudly") {
+    val lake = freshLake()
+    spark.range(3).createOrReplaceTempView("short_src")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO `graft-lake`.`$lake` SELECT id FROM short_src")
+    }
+    assert(e.getMessage.contains("insertable"))
+  }
+
+  test("INSERT INTO (column list): unlisted columns land NULL") {
+    val lake = freshLake()
+    Seq((200L, "2024-03-09 09:00:00")).toDF("id", "tss")
+      .createOrReplaceTempView("partial_src")
+    spark.sql(s"INSERT INTO `graft-lake`.`$lake` (id, ts) " +
+      "SELECT id, CAST(tss AS TIMESTAMP) FROM partial_src")
+    val row = ManifestLake.read(spark, lake).filter(col("id") === 200L)
+      .select("cat", "a", "b").collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
+  }
+
+  test("INSERT OVERWRITE replaces the whole table in one commit") {
+    val lake = freshLake()
+    seed.limit(2).createOrReplaceTempView("ovw_src")
+    spark.sql(s"INSERT OVERWRITE `graft-lake`.`$lake` " +
+      "SELECT id, ts, cat, a, b FROM ovw_src")
+    assert(ManifestLake.read(spark, lake).count() == 2L)
+    // previous state still addressable by version
+    assert(ManifestLake.readVersion(spark, lake, 1L).count() == 12L)
+  }
+
+  test("DELETE FROM ≡ deleteWhere twin, returns the deleted count") {
+    val sqlLake = freshLake(); val apiLake = freshLake()
+    val got = spark.sql(
+      s"DELETE FROM `graft-lake`.`$sqlLake` WHERE id % 3 = 0 AND a < 7")
+      .collect().head.getLong(0)
+    val want = ManifestLake.deleteWhere(spark, apiLake,
+      col("id") % 3 === 0 && col("a") < 7)
+    assert(got == want && got == 3L) // ids 0, 3, 6
+    assert(state(sqlLake) == state(apiLake))
+  }
+
+  test("DELETE FROM with a target alias strips the qualifier") {
+    val lake = freshLake()
+    val got = spark.sql(
+      s"DELETE FROM `graft-lake`.`$lake` AS t WHERE t.id = 5")
+      .collect().head.getLong(0)
+    assert(got == 1L)
+    assert(!state(lake).exists(_._1 == 5L))
+  }
+
+  test("UPDATE ≡ updateWhere twin; every RHS sees the PRE-update row") {
+    val sqlLake = freshLake(); val apiLake = freshLake()
+    // the classic swap: correct only if both RHS evaluate on the old row
+    val got = spark.sql(s"UPDATE `graft-lake`.`$sqlLake` " +
+      "SET a = b, b = a, cat = concat(cat, '!') WHERE id >= 6")
+      .collect().head.getLong(0)
+    val want = ManifestLake.updateWhere(spark, apiLake,
+      Map("a" -> col("b"), "b" -> col("a"),
+        "cat" -> concat(col("cat"), lit("!"))),
+      col("id") >= 6)
+    assert(got == want && got == 6L)
+    assert(state(sqlLake) == state(apiLake))
+    // the swap actually happened
+    assert(state(sqlLake).exists(r => r._1 == 7L && r._4 == 70.0 &&
+      r._5 == 7.0 && r._3 == "odd!"))
+    // untouched rows untouched
+    assert(state(sqlLake).exists(r => r._1 == 2L && r._4 == 2.0 &&
+      r._5 == 20.0 && r._3 == "even"))
+  }
+
+  test("UPDATE of the ord column moves rows across day partitions") {
+    val lake = freshLake()
+    spark.sql(s"UPDATE `graft-lake`.`$lake` " +
+      "SET ts = ts + INTERVAL 10 DAYS WHERE id = 4")
+    val moved = state(lake).find(_._1 == 4L).get
+    assert(moved._6 == "2024-03-12") // 03-02 + 10 days
+    assert(moved._2.startsWith("2024-03-12"))
+    assert(state(lake).size == 12)
+    // manifest day pruning still finds it (day key is consistent)
+    assert(ManifestLake.readDays(spark, lake, _ == "2024-03-12")
+      .count() == 1L)
+  }
+
+  test("UPDATE refuses assigning the derived day column") {
+    val lake = freshLake()
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE `graft-lake`.`$lake` SET day = 'x' WHERE id = 1")
+    }
+    assert(e.getMessage.contains("derived"))
+  }
+
+  test("MERGE INTO ≡ mergeInto twin across all three clause families") {
+    val sqlLake = freshLake(); val apiLake = freshLake()
+    val src = Seq(
+      (1L, "2024-03-05 10:00:00", "src", 100.0, 1.0),  // matched, a<where
+      (2L, "2024-03-05 10:00:00", "src", 200.0, 2.0),  // matched
+      (50L, "2024-03-06 10:00:00", "src", 500.0, 5.0)) // not matched
+      .toDF("id", "tss", "cat", "a", "b")
+      .select(col("id"), col("tss").cast("timestamp").as("ts"), col("cat"),
+        col("a"), col("b"))
+    src.createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO `graft-lake`.`$sqlLake` t
+         |USING merge_src s
+         |ON t.id = s.id
+         |WHEN MATCHED AND t.a < 2 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET a = s.a, cat = s.cat
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.id >= 10
+         |  THEN UPDATE SET cat = 'stale'
+         |""".stripMargin)
+    ManifestLake.mergeInto(spark, apiLake, src, Seq("id"), "ts", Seq(
+      ManifestLake.MatchedDelete(Some(col("t.a") < 2)),
+      ManifestLake.MatchedUpdate(Map("a" -> col("s.a"),
+        "cat" -> col("s.cat"))),
+      ManifestLake.NotMatchedInsert(),
+      ManifestLake.NotMatchedBySourceUpdate(Map("cat" -> lit("stale")),
+        Some(col("t.id") >= 10))))
+    assert(state(sqlLake) == state(apiLake))
+    val st = state(sqlLake)
+    assert(!st.exists(_._1 == 1L))                        // deleted
+    assert(st.exists(r => r._1 == 2L && r._4 == 200.0 &&
+      r._3 == "src"))                                     // updated
+    assert(st.exists(r => r._1 == 50L && r._6 == "2024-03-06")) // inserted
+    assert(st.exists(r => r._1 == 11L && r._3 == "stale"))      // by-source
+    assert(st.exists(r => r._1 == 9L && r._3 == "odd"))   // guard held
+  }
+
+  test("MERGE explicit INSERT column list: identity accepted, " +
+      "reshape refused") {
+    val lake = freshLake()
+    Seq((60L, "2024-03-06 10:00:00", "x", 6.0, 6.0))
+      .toDF("id", "tss", "cat", "a", "b")
+      .selectExpr("id", "CAST(tss AS TIMESTAMP) AS ts", "cat", "a", "b")
+      .createOrReplaceTempView("ins_merge_src")
+    spark.sql(
+      s"""MERGE INTO `graft-lake`.`$lake` t USING ins_merge_src s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT (id, ts, cat, a, b)
+         |  VALUES (s.id, s.ts, s.cat, s.a, s.b)""".stripMargin)
+    assert(state(lake).exists(_._1 == 60L))
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO `graft-lake`.`$lake` t USING ins_merge_src s
+           |ON t.id = s.id
+           |WHEN NOT MATCHED THEN INSERT (id, ts, cat, a, b)
+           |  VALUES (s.id, s.ts, s.cat, s.b, s.a)""".stripMargin)
+    }
+    assert(e.getMessage.contains("identity"))
+  }
+
+  test("MERGE refuses a non-equi / cross-name ON condition") {
+    val lake = freshLake()
+    spark.range(1).selectExpr("id AS key").createOrReplaceTempView("bad_src")
+    val e1 = intercept[Exception] {
+      spark.sql(s"MERGE INTO `graft-lake`.`$lake` t USING bad_src s " +
+        "ON t.id = s.key WHEN MATCHED THEN DELETE")
+    }
+    assert(e1.getMessage.contains("same-name"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"MERGE INTO `graft-lake`.`$lake` t USING bad_src s " +
+        "ON t.id > s.key WHEN MATCHED THEN DELETE")
+    }
+    assert(e2.getMessage.contains("non-equality"))
+  }
+
+  test("SQL DML refuses a lake without ord-column metadata, " +
+      "pointing at the API") {
+    val lake = freshLake()
+    val p = new org.apache.hadoop.fs.Path(s"$lake/_graft_log/ord_col")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, false)
+    spark.range(1).selectExpr("id", "CAST(NULL AS TIMESTAMP) AS ts",
+      "'x' AS cat", "1.0 AS a", "2.0 AS b")
+      .createOrReplaceTempView("noord_src")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO `graft-lake`.`$lake` SELECT * FROM noord_src")
+    }
+    assert(e.getMessage.contains("ord-column metadata"))
+    // DELETE and UPDATE don't need the ord column unless it's assigned
+    assert(spark.sql(s"DELETE FROM `graft-lake`.`$lake` WHERE id = 0")
+      .collect().head.getLong(0) == 1L)
+  }
+
+  test("DML on non-lake tables is untouched by the rule") {
+    seed.createOrReplaceTempView("plain_view")
+    // a plain view has no DML support — Spark's own error, not graft's
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM plain_view WHERE id = 1")
+    }
+    assert(!e.getMessage.contains("graft"))
+  }
+}
