@@ -228,6 +228,52 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
   }
 }
 
+/** `CREATE TABLE \`graft-lake\`.\`path\` … OPTIONS ('ordCol' 'ts')
+  * [AS SELECT …]` → ManifestLake.create: the SQL table lifecycle's
+  * missing first verb. The ord column arrives as a table OPTION (or
+  * TBLPROPERTY) because it IS table metadata — the same value create
+  * persists for every later statement to read back. `filesPerDay`,
+  * `statsCols`, `bloomCols` options map onto create's layout/indexing
+  * knobs. Column-defined (no AS) creates commit an EMPTY v1 whose
+  * schema anchors every later append. IF NOT EXISTS no-ops on an
+  * existing table; a bare CREATE over one refuses — the lake's
+  * history is append-only and silently re-creating would orphan it. */
+case class GraftCreateTableCommand(path: String, ordCol: String,
+    filesPerDay: Int, statsCols: Seq[String], bloomCols: Seq[String],
+    query: Option[LogicalPlan],
+    emptySchema: Option[org.apache.spark.sql.types.StructType],
+    ifNotExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(LakeDml.attr("version",
+    LongType))
+  override protected def stringArgs: Iterator[Any] =
+    Iterator(path, ordCol, ifNotExists)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val existing =
+      try ManifestLake.snapshot(spark, path).version catch {
+        case _: Exception => 0L
+      }
+    if (existing > 0L) {
+      if (ifNotExists) return Seq(Row(existing))
+      throw new IllegalArgumentException(
+        s"graft-lake CREATE TABLE: $path already holds a committed " +
+          s"table (head v$existing) — the history is append-only; use " +
+          "INSERT OVERWRITE to replace the data, or CREATE TABLE IF " +
+          "NOT EXISTS to no-op")
+    }
+    val df = query.map(StreamingDataFrames.ofRows(spark, _)).getOrElse {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], emptySchema.get)
+    }
+    require(df.columns.exists(_.equalsIgnoreCase(ordCol)),
+      s"graft-lake CREATE TABLE: ord column '$ordCol' is not among the " +
+        s"table's columns (${df.columns.mkString(", ")})")
+    val v = ManifestLake.create(spark, path, df, ordCol, filesPerDay,
+      statsCols, bloomCols)
+    Seq(Row(v))
+  }
+}
+
 /** `MERGE INTO \`graft-lake\`.\`path\` t USING src s ON t.k = s.k
   * WHEN …` → the lake's clause-based mergeInto, which already carries
   * the full Delta MERGE contract (first-applicable clause precedence,

@@ -96,6 +96,16 @@ case class ResolveLakeRelation(session: SparkSession)
               i.overwrite, i.byName)
         }
 
+      case c: org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect
+          if lakeIdentOf(c.name).isDefined =>
+        buildCreate(lakeIdentOf(c.name).get, c.tableSpec, c.partitioning,
+          query = Some(c.query), columns = Nil, c.ignoreIfExists)
+
+      case c: org.apache.spark.sql.catalyst.plans.logical.CreateTable
+          if lakeIdentOf(c.name).isDefined =>
+        buildCreate(lakeIdentOf(c.name).get, c.tableSpec, c.partitioning,
+          query = None, columns = c.columns, c.ignoreIfExists)
+
       case m: MergeIntoTable =>
         LakeDml.lakeTarget(m.targetTable) match {
           case None => m
@@ -170,6 +180,68 @@ case class ResolveLakeRelation(session: SparkSession)
               insertIdentity.result())
         }
     }
+
+  private def lakeIdentOf(name: LogicalPlan): Option[String] = name match {
+    case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+        if id.nameParts.length == 2 &&
+          id.nameParts.head.equalsIgnoreCase("graft-lake") =>
+      Some(id.nameParts(1))
+    case _ => None
+  }
+
+  /** CREATE TABLE [AS SELECT] over the graft-lake identifier: fold
+    * the table OPTIONS/TBLPROPERTIES into create's knobs (ordCol is
+    * REQUIRED — it is the table metadata every later SQL statement
+    * reads back), refuse the clauses the lake manages itself
+    * (PARTITIONED BY — day partitioning derives from the ord column;
+    * LOCATION — the identifier IS the location). */
+  private def buildCreate(path: String,
+      spec: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase,
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      query: Option[LogicalPlan],
+      columns: Seq[org.apache.spark.sql.catalyst.plans.logical
+        .ColumnDefinition],
+      ifNotExists: Boolean): LogicalPlan = {
+    require(partitioning.isEmpty,
+      "graft-lake CREATE TABLE: PARTITIONED BY is not accepted — the " +
+        "lake partitions by day(ordCol) itself")
+    val opts: Map[String, String] = spec match {
+      case u: org.apache.spark.sql.catalyst.plans.logical
+          .UnresolvedTableSpec =>
+        require(u.location.isEmpty,
+          "graft-lake CREATE TABLE: LOCATION is not accepted — the " +
+            "identifier's path IS the table location")
+        require(u.provider.forall(_.equalsIgnoreCase("graft-lake")),
+          s"graft-lake CREATE TABLE: USING ${u.provider.get} conflicts " +
+            "with the graft-lake identifier")
+        val folded = u.optionExpression.options.map { case (k, e) =>
+          require(e.foldable,
+            s"graft-lake CREATE TABLE: option '$k' must be a constant")
+          k.toLowerCase -> String.valueOf(e.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => other
+          })
+        }
+        u.properties.map { case (k, v) => k.toLowerCase -> v } ++ folded
+      case _ => Map.empty
+    }
+    val ordCol = opts.getOrElse("ordcol",
+      throw new IllegalArgumentException(
+        "graft-lake CREATE TABLE requires the ord column as a table " +
+          "option: OPTIONS ('ordCol' 'ts') — it is the event-time " +
+          "column day partitioning derives from"))
+    val emptySchema = if (query.isDefined) None else Some(
+      org.apache.spark.sql.types.StructType(columns.map(cd =>
+        org.apache.spark.sql.types.StructField(cd.name, cd.dataType,
+          cd.nullable))))
+    GraftCreateTableCommand(path, ordCol,
+      opts.get("filesperday").map(_.toInt).getOrElse(1),
+      opts.get("statscols").toSeq.flatMap(_.split(',').map(_.trim)
+        .filter(_.nonEmpty)),
+      opts.get("bloomcols").toSeq.flatMap(_.split(',').map(_.trim)
+        .filter(_.nonEmpty)),
+      query, emptySchema, ifNotExists)
+  }
 
   private def applyReads(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {

@@ -246,6 +246,63 @@ class SqlDmlSpec extends SparkSpec {
       .collect().head.getLong(0) == 1L)
   }
 
+  test("CREATE TABLE AS SELECT creates a queryable lake with ord-col " +
+      "metadata; IF NOT EXISTS no-ops; bare re-CREATE refuses") {
+    val dir = Files.createTempDirectory("graft_ctas").toString + "/t"
+    seed.createOrReplaceTempView("ctas_src")
+    val v = spark.sql(s"CREATE TABLE `graft-lake`.`$dir` " +
+      "OPTIONS ('ordCol' 'ts', 'filesPerDay' '2') " +
+      "AS SELECT * FROM ctas_src").collect().head.getLong(0)
+    assert(v == 1L)
+    assert(ManifestLake.ordColOf(spark, dir).contains("ts"))
+    assert(state(dir).size == 12)
+    // the full lifecycle from SQL: create → insert → update → read
+    spark.sql(s"INSERT INTO `graft-lake`.`$dir` SELECT id + 500, ts, " +
+      "cat, a, b FROM ctas_src WHERE id < 2")
+    assert(spark.sql(s"SELECT count(*) AS c FROM `graft-lake`.`$dir`")
+      .collect().head.getLong(0) == 14L)
+    val again = spark.sql(s"CREATE TABLE IF NOT EXISTS " +
+      s"`graft-lake`.`$dir` OPTIONS ('ordCol' 'ts') " +
+      "AS SELECT * FROM ctas_src").collect().head.getLong(0)
+    assert(again == 2L)                       // head version, no new commit
+    assert(state(dir).size == 14)             // untouched
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE `graft-lake`.`$dir` " +
+        "OPTIONS ('ordCol' 'ts') AS SELECT * FROM ctas_src")
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
+  test("CREATE TABLE with a column list commits an empty v1 whose " +
+      "schema anchors later inserts") {
+    val dir = Files.createTempDirectory("graft_ct").toString + "/t"
+    spark.sql(s"CREATE TABLE `graft-lake`.`$dir` " +
+      "(id BIGINT, ts TIMESTAMP, note STRING) OPTIONS ('ordCol' 'ts')")
+    assert(ManifestLake.read(spark, dir).count() == 0L)
+    assert(ManifestLake.read(spark, dir).columns.toSeq ==
+      Seq("id", "ts", "note", "day"))
+    spark.sql(s"INSERT INTO `graft-lake`.`$dir` VALUES " +
+      "(1, TIMESTAMP '2024-03-01 10:00:00', 'hello')")
+    val r = ManifestLake.read(spark, dir).collect().head
+    assert(r.getLong(0) == 1L && r.getString(2) == "hello")
+  }
+
+  test("CREATE TABLE refuses a missing ordCol option and PARTITIONED BY") {
+    val dir = Files.createTempDirectory("graft_ctbad").toString + "/t"
+    seed.createOrReplaceTempView("ctas_src2")
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE `graft-lake`.`$dir` " +
+        "AS SELECT * FROM ctas_src2")
+    }
+    assert(e1.getMessage.contains("ordCol"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE `graft-lake`.`$dir` " +
+        "OPTIONS ('ordCol' 'ts') PARTITIONED BY (cat) " +
+        "AS SELECT * FROM ctas_src2")
+    }
+    assert(e2.getMessage.contains("PARTITIONED BY"))
+  }
+
   test("DML on non-lake tables is untouched by the rule") {
     seed.createOrReplaceTempView("plain_view")
     // a plain view has no DML support — Spark's own error, not graft's
