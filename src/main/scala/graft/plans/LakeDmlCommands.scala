@@ -228,6 +228,57 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
   }
 }
 
+/** `ALTER TABLE \`graft-lake\`.\`path\` …` — the metadata-only DDL
+  * verbs, each ONE manifest commit through the corresponding lake
+  * API: RENAME COLUMN / DROP COLUMN ride the column-mapping tier
+  * (physical names and bytes never move; the ord column renames WITH
+  * its table metadata and refuses to drop), ADD COLUMNS widens the
+  * checkpoint explicitly (readers see the new column as NULL before
+  * any row carries it), ADD/DROP CONSTRAINT manage the CHECK set
+  * every write enforces. */
+case class GraftAlterCommand(path: String, action: GraftAlterCommand.Action)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(LakeDml.attr("version",
+    LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftAlterCommand._
+    val v = action match {
+      case RenameCol(from, to) =>
+        ManifestLake.renameColumn(spark, path, from, to)
+      case DropCols(names, ifExists) =>
+        val have = ManifestLake.read(spark, path).columns
+          .map(_.toLowerCase).toSet
+        val (present, missing) = names.partition(n =>
+          have.contains(n.toLowerCase))
+        require(ifExists || missing.isEmpty,
+          s"graft-lake ALTER: no such column ${missing.mkString(", ")}")
+        present.foldLeft(ManifestLake.snapshot(spark, path).version) {
+          (_, n) => ManifestLake.dropColumn(spark, path, n)
+        }
+      case AddCols(schema) => ManifestLake.addColumns(spark, path, schema)
+      case AddCheck(name, condition) =>
+        ManifestLake.addCheck(spark, path, name, condition)
+      case DropCheck(name, ifExists) =>
+        if (ifExists &&
+            !ManifestLake.checksOf(spark, path).exists(_._1 == name))
+          ManifestLake.snapshot(spark, path).version
+        else ManifestLake.dropCheck(spark, path, name)
+    }
+    Seq(Row(v))
+  }
+}
+
+object GraftAlterCommand {
+  sealed trait Action
+  final case class RenameCol(from: String, to: String) extends Action
+  final case class DropCols(names: Seq[String], ifExists: Boolean)
+      extends Action
+  final case class AddCols(schema: org.apache.spark.sql.types.StructType)
+      extends Action
+  final case class AddCheck(name: String, condition: String) extends Action
+  final case class DropCheck(name: String, ifExists: Boolean) extends Action
+}
+
 /** `CREATE TABLE \`graft-lake\`.\`path\` … OPTIONS ('ordCol' 'ts')
   * [AS SELECT …]` → ManifestLake.create: the SQL table lifecycle's
   * missing first verb. The ord column arrives as a table OPTION (or

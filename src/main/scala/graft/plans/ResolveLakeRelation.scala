@@ -106,6 +106,68 @@ case class ResolveLakeRelation(session: SparkSession)
         buildCreate(lakeIdentOf(c.name).get, c.tableSpec, c.partitioning,
           query = None, columns = c.columns, c.ignoreIfExists)
 
+      case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn
+          if lakeAlterTarget(r.table).isDefined =>
+        require(r.column.name.length == 1,
+          "graft-lake ALTER: nested-field renames are not supported")
+        GraftAlterCommand(lakeAlterTarget(r.table).get,
+          GraftAlterCommand.RenameCol(r.column.name.head, r.newName))
+
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropColumns
+          if lakeAlterTarget(d.table).isDefined =>
+        GraftAlterCommand(lakeAlterTarget(d.table).get,
+          GraftAlterCommand.DropCols(d.columnsToDrop.map { f =>
+            require(f.name.length == 1,
+              "graft-lake ALTER: nested-field drops are not supported")
+            f.name.head
+          }, d.ifExists))
+
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddColumns
+          if lakeAlterTarget(a.table).isDefined =>
+        val fields = a.columnsToAdd.map { q =>
+          require(q.path.isEmpty && q.position.isEmpty && q.default.isEmpty,
+            "graft-lake ALTER ADD COLUMNS: nested paths, positions and " +
+              "defaults are not supported — new columns append, read " +
+              "NULL from existing rows")
+          org.apache.spark.sql.types.StructField(q.colName, q.dataType,
+            q.nullable)
+        }
+        GraftAlterCommand(lakeAlterTarget(a.table).get,
+          GraftAlterCommand.AddCols(
+            org.apache.spark.sql.types.StructType(fields)))
+
+      // CHECK constraints parse to their own node whose child is a
+      // violation-scan Filter over the relation (the engine's way of
+      // validating existing rows — addCheck does that scan itself)
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint
+          if a.child.collectLeaves().exists {
+            case u: UnresolvedRelation => LakeDml.isLakeIdent(u)
+            case _ => false
+          } =>
+        val path = a.child.collectLeaves().collectFirst {
+          case u: UnresolvedRelation if LakeDml.isLakeIdent(u) =>
+            u.multipartIdentifier(1)
+        }.get
+        GraftAlterCommand(path, GraftAlterCommand.AddCheck(
+          a.checkConstraint.name, a.checkConstraint.condition))
+
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddConstraint
+          if lakeAlterTarget(a.table).isDefined =>
+        a.tableConstraint match {
+          case c: org.apache.spark.sql.catalyst.expressions.CheckConstraint =>
+            GraftAlterCommand(lakeAlterTarget(a.table).get,
+              GraftAlterCommand.AddCheck(c.name, c.condition))
+          case other => throw new IllegalArgumentException(
+            "graft-lake ALTER: only CHECK constraints are enforced " +
+              s"(got ${other.getClass.getSimpleName}) — keys/uniqueness " +
+              "are modeling hints the lake does not police")
+        }
+
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropConstraint
+          if lakeAlterTarget(d.table).isDefined =>
+        GraftAlterCommand(lakeAlterTarget(d.table).get,
+          GraftAlterCommand.DropCheck(d.name, d.ifExists))
+
       case m: MergeIntoTable =>
         LakeDml.lakeTarget(m.targetTable) match {
           case None => m
@@ -180,6 +242,14 @@ case class ResolveLakeRelation(session: SparkSession)
               insertIdentity.result())
         }
     }
+
+  private def lakeAlterTarget(t: LogicalPlan): Option[String] = t match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft-lake") =>
+      Some(u.multipartIdentifier(1))
+    case _ => None
+  }
 
   private def lakeIdentOf(name: LogicalPlan): Option[String] = name match {
     case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier

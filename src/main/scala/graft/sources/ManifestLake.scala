@@ -1869,6 +1869,12 @@ object ManifestLake {
     commit(fs, root, snap.version + 1, snap.days, snap.lastBatch,
       snap.legacyFiles, schemaJson = Some(next.json), dvs = snap.dvs,
       checks = snap.checks, op = s"renameColumn($oldName->$newName)")
+    // renaming the ORD column must carry the table metadata with it —
+    // a stale ord_col pointer would break every later SQL write's day
+    // derivation (the pointer names the LOGICAL column, like the rest
+    // of the SQL surface)
+    if (ordColOf(spark, path).exists(_.equalsIgnoreCase(oldName)))
+      writeOrdCol(fs, root, newName)
     snap.version + 1
   }
 
@@ -1881,6 +1887,12 @@ object ManifestLake {
     * files — dropped data cannot resurrect (the Delta rule). */
   def dropColumn(spark: SparkSession, path: String, name: String): Long = {
     val snap = snapshot(spark, path)
+    // day partitioning derives from the ord column — dropping it would
+    // orphan every later write's day derivation (Delta refuses
+    // dropping partition columns for the same reason)
+    require(!ordColOf(spark, path).exists(_.equalsIgnoreCase(name)),
+      s"dropColumn: '$name' is the table's ord column (day partitioning " +
+        "derives from it) — rename it if needed, never drop it")
     val ts = mappingEditGuard(snap, name, "dropColumn")
     val rest = ts.fields.filterNot(_.name.equalsIgnoreCase(name))
     require(rest.exists(!_.name.equalsIgnoreCase("day")),
@@ -1890,6 +1902,36 @@ object ManifestLake {
       snap.legacyFiles,
       schemaJson = Some(org.apache.spark.sql.types.StructType(rest).json),
       dvs = snap.dvs, checks = snap.checks, op = s"dropColumn($name)")
+    snap.version + 1
+  }
+
+  /** ALTER TABLE ADD COLUMNS as ONE metadata-only commit — the
+    * EXPLICIT form of the additive evolution every write already
+    * carries implicitly (a batch with a new column widens the
+    * checkpoint): here the checkpoint widens first and the data
+    * follows later, so readers see the column (as NULL everywhere)
+    * before any row carries it — the Delta ALTER ADD COLUMNS
+    * contract. Rides unionSchema, the same code path the write-side
+    * widening uses, so mapping guards (no shadowing a live physical
+    * name) hold identically. */
+  def addColumns(spark: SparkSession, path: String,
+      cols: org.apache.spark.sql.types.StructType): Long = {
+    require(cols.fields.nonEmpty, "addColumns: no columns")
+    val snap = snapshot(spark, path)
+    val ts = tableSchema(spark, path, snap)
+    cols.fields.foreach { f =>
+      require(!f.name.equalsIgnoreCase("day"),
+        "addColumns: 'day' is reserved for the partition key")
+      require(!ts.fields.exists(_.name.equalsIgnoreCase(f.name)),
+        s"addColumns: column '${f.name}' already exists")
+    }
+    val next = unionSchema(ts,
+      org.apache.spark.sql.types.StructType(ts.fields ++ cols.fields))
+    val (fs, root) = fsOf(spark, path)
+    commit(fs, root, snap.version + 1, snap.days, snap.lastBatch,
+      snap.legacyFiles, schemaJson = Some(next.json), dvs = snap.dvs,
+      checks = snap.checks,
+      op = s"addColumns(${cols.fieldNames.mkString(",")})")
     snap.version + 1
   }
 
