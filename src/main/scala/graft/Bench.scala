@@ -55,7 +55,7 @@ object Bench {
     "s_ann_l2", "x_bm25", "p_dsir", "l_incr_mv", "s_mmr",
     "x_collocations", "x_readability", "d_url_dedup", "x_textrank",
     "l_rename_read", "l_mapping_travel", "x_quality_lr", "l_asof_travel",
-    "l_format_read", "l_sql_travel")
+    "l_format_read", "l_sql_travel", "l_sql_dml", "l_sql_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1515,6 +1515,47 @@ object ManifestLake {
   /** Day-key pruning for conjuncts on the `day` column itself: the
     * key is an exact value per directory (min = max = key), and the
     * NullPart directory holds exactly the null-day rows. */
+  /** Manifest-level day bound derived from a predicate's OWN day
+    * conjuncts — the partition pruning a SQL `DELETE`/`UPDATE` gets
+    * for free (Delta prunes its discovery scan the same way). Sound
+    * by construction: `extract` only returns conjuncts of the
+    * top-level AND (a row outside the bound cannot satisfy the
+    * predicate), and `dayMight` errs on keep for anything it cannot
+    * canonize. None when the predicate carries no day conjunct — the
+    * caller then pays the honest full discovery scan. */
+  private def derivedDayBound(pred: org.apache.spark.sql.Column)
+      : Option[String => Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    // Columns built through the public DSL carry comparisons as
+    // UnresolvedFunction("and"/"="/…) — normalize the handful the Pred
+    // extractor understands to their Catalyst nodes (the SQL parser's
+    // shapes); anything else is left alone and extract skips it (keep)
+    def norm(e: Expression): Expression = e.transformUp {
+      case f: UnresolvedFunction
+          if f.nameParts.length == 1 && f.arguments.length == 2 =>
+        val (a, b) = (f.arguments(0), f.arguments(1))
+        f.nameParts.head.toLowerCase match {
+          case "and" => And(a, b)
+          case "=" | "==" => EqualTo(a, b)
+          case "<" => LessThan(a, b)
+          case "<=" => LessThanOrEqual(a, b)
+          case ">" => GreaterThan(a, b)
+          case ">=" => GreaterThanOrEqual(a, b)
+          case _ => f
+        }
+    }
+    val dayPreds =
+      try extract(norm(org.apache.spark.sql.graftbridge.ColumnBridge
+        .catalystExpression(pred))).filter(_.colName == "day")
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    if (dayPreds.isEmpty) None
+    else Some { d =>
+      val key = if (d == NullPart) None else Some(d)
+      dayPreds.forall(dayMight(key, _))
+    }
+  }
+
   private def dayMight(key: Option[String], p: Pred): Boolean = p match {
     case NullPred(_, isNull) => if (isNull) key.isEmpty else key.nonEmpty
     case CmpPred(_, op, l) => key match {
@@ -2574,8 +2615,9 @@ object ManifestLake {
     // sweep is the dominant term once the rewrite is one day). The
     // bound is a promise, not a filter: rows outside it survive even
     // if the predicate would match them — callers who cannot bound
-    // pass None and pay the honest full scan.
-    val scanBase = dayBound match {
+    // pass None; a predicate carrying its OWN day conjuncts still
+    // prunes via derivedDayBound (SQL DELETE's partition pruning).
+    val scanBase = dayBound.orElse(derivedDayBound(predicate)) match {
       case Some(keep) => readDays(spark, path, keep)
       case None => read(spark, path)
     }
@@ -2659,7 +2701,9 @@ object ManifestLake {
     }
     val ord = ordColOf(spark, path)
     val ordTouched = ord.exists(o => set.keys.exists(_.equalsIgnoreCase(o)))
-    val scanBase = dayBound match {
+    // same derived partition pruning as deleteWhere: a day-bounded
+    // UPDATE opens only the bounded days' directories for discovery
+    val scanBase = dayBound.orElse(derivedDayBound(predicate)) match {
       case Some(keep) => readDays(spark, path, keep)
       case None => read(spark, path)
     }
@@ -2738,7 +2782,8 @@ object ManifestLake {
       dayBound: Option[String => Boolean] = None): Long = {
     val snap = snapshot(spark, path)
     val hit = coalesce(predicate, lit(false))
-    val rels = (dayBound match {
+    // derived partition pruning, exactly as in deleteWhere
+    val rels = (dayBound.orElse(derivedDayBound(predicate)) match {
       case Some(keep) => snap.days.filter(kv => keep(kv._1))
       case None => snap.days
     }).values.flatten.toSeq.sorted

@@ -14,4 +14,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The EAGER Catalyst tree of a Column. `expression` returns a lazy
+    * `ColumnNodeExpression` wrapper for Columns built through the
+    * public DSL (`col("day") === …`) — opaque to any syntactic
+    * inspector (e.g. the lake's day-bound Pred extractor). This runs
+    * Spark's own node→expression converter, the one analysis itself
+    * uses, so the returned tree is exactly what the plan would hold. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

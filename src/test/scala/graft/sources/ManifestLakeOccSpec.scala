@@ -64,6 +64,35 @@ class ManifestLakeOccSpec extends SparkSpec {
     assert(got.filter(col("id") === 105L).head().getAs[String]("v") == "b-new")
   }
 
+  test("updateWhere racing an append to another day rebases; racing a " +
+      "rewrite of its own read set refuses (r14)") {
+    val dir = tmp("upd")
+    ManifestLake.create(spark, dir,
+      mk(0 until 10, 1).union(mk(100 until 110, 2)), "ts")
+    // disjoint: update day 1 while an append lands day 3 → both commit
+    val n = ManifestLake.updateWhere(spark, dir,
+      Map("v" -> lit("patched")), col("id") < 10,
+      beforeCommit = () => {
+        ManifestLake.append(spark, dir, mk(200 until 210, 3), "ts")
+        ()
+      })
+    assert(n == 10L)
+    val got = ManifestLake.read(spark, dir)
+    assert(got.count() == 30L, "a rebase duplicated or dropped rows")
+    assert(got.filter(col("v") === "patched").count() == 10L)
+    assert(ManifestLake.snapshot(spark, dir).version == 3L)
+    // overlapping: update day 1 while day 1 is concurrently rewritten
+    val boom = intercept[java.util.ConcurrentModificationException] {
+      ManifestLake.updateWhere(spark, dir,
+        Map("v" -> lit("again")), col("id") === 1L,
+        beforeCommit = () => {
+          ManifestLake.deleteWhere(spark, dir, col("id") === 2L)
+          ()
+        })
+    }
+    assert(boom.getMessage.contains("read set"))
+  }
+
   test("a concurrent append that writes the merge's keys into another day refuses (stale read set)") {
     val dir = tmp("leak")
     ManifestLake.create(spark, dir, mk(0 until 10, 1), "ts")
