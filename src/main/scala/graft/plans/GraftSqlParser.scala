@@ -68,6 +68,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         val cols = Option(zorderCols).toSeq.flatMap(
           _.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty))
+        // the Morton interleave is pairwise; a 3+-column list would
+        // silently degrade to linear clustering (review r14 #9) —
+        // refuse instead of partially honoring the request. One
+        // column IS its own optimal linear layout, so it passes.
+        require(cols.size <= 2,
+          "graft-lake OPTIMIZE: ZORDER BY interleaves at most two " +
+            s"columns (got ${cols.mkString(", ")}) — pick the two most " +
+            "selective keys; further columns gain nothing from a " +
+            "shared interleave")
         Some(GraftOptimizeCommand(path, cols))
       case VacuumRe(path, hours, force, dry) =>
         Some(GraftVacuumCommand(path,
@@ -165,9 +174,9 @@ object GraftSqlParser {
       LongType), attr("new_version", LongType))
     override def run(spark: SparkSession): Seq[Row] = {
       val v = version.getOrElse {
-        val raw = timestamp.get
-        val t = java.sql.Timestamp.valueOf(raw.replace('T', ' '))
-        ManifestLake.versionAt(spark, path, t)
+        // session-zone parse, same rule as every other timestamp door
+        ManifestLake.versionAt(spark, path,
+          ManifestLake.parseSessionTimestamp(spark, timestamp.get))
       }
       val nv = ManifestLake.restore(spark, path, v)
       Seq(Row(v, nv))

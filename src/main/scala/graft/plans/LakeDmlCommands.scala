@@ -211,6 +211,16 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
           require(have.contains(f.name.toLowerCase),
             s"graft-lake INSERT BY NAME: query is missing column " +
               s"'${f.name}'") }
+        // extra source columns are an ERROR, not a silent drop (the
+        // Spark/Delta rule; review r14 #5) — additive widening goes
+        // through ALTER TABLE ADD COLUMNS or the append API
+        val targetLower = cols.map(_.name.toLowerCase).toSet
+        val extra = df0.columns.filterNot(c =>
+          targetLower.contains(c.toLowerCase))
+        require(extra.isEmpty,
+          s"graft-lake INSERT BY NAME: query column(s) " +
+            s"${extra.mkString(", ")} are not in the table — project " +
+            "them away, or widen first with ALTER TABLE ADD COLUMNS")
         df0.select(cols.map(f =>
           col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
       } else {
@@ -252,9 +262,10 @@ case class GraftAlterCommand(path: String, action: GraftAlterCommand.Action)
           have.contains(n.toLowerCase))
         require(ifExists || missing.isEmpty,
           s"graft-lake ALTER: no such column ${missing.mkString(", ")}")
-        present.foldLeft(ManifestLake.snapshot(spark, path).version) {
-          (_, n) => ManifestLake.dropColumn(spark, path, n)
-        }
+        // ONE commit for the whole list — a per-column loop could die
+        // halfway and leave a half-applied DDL (review r14 #7)
+        if (present.isEmpty) ManifestLake.snapshot(spark, path).version
+        else ManifestLake.dropColumns(spark, path, present)
       case AddCols(schema) => ManifestLake.addColumns(spark, path, schema)
       case AddCheck(name, condition) =>
         ManifestLake.addCheck(spark, path, name, condition)
@@ -300,11 +311,12 @@ case class GraftCreateTableCommand(path: String, ordCol: String,
     Iterator(path, ordCol, ifNotExists)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val existing =
-      try ManifestLake.snapshot(spark, path).version catch {
-        case _: Exception => 0L
-      }
-    if (existing > 0L) {
+    // tableExists, not a catch-all probe: snapshot() answers version 0
+    // for an absent table, so swallowing exceptions here would only
+    // mask real I/O failures as "absent" and then clobber a
+    // half-readable table (review r14 #3)
+    if (ManifestLake.tableExists(spark, path)) {
+      val existing = ManifestLake.snapshot(spark, path).version
       if (ifNotExists) return Seq(Row(existing))
       throw new IllegalArgumentException(
         s"graft-lake CREATE TABLE: $path already holds a committed " +

@@ -327,7 +327,7 @@ case class ResolveLakeRelation(session: SparkSession)
       // UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY for a non-FileFormat
       // source before we'd ever see the node.
       case RelationTimeTravel(u: UnresolvedRelation, ts, ver)
-          if isLakeIdent(u) =>
+          if LakeDml.isLakeIdent(u) =>
         val path = u.multipartIdentifier(1)
         val v = ver match {
           case Some(s) =>
@@ -340,15 +340,11 @@ case class ResolveLakeRelation(session: SparkSession)
 
       // plain SQL-on-file: SELECT … FROM `graft-lake`.`/path` (head
       // snapshot) — same hints-batch reasoning as above
-      case u: UnresolvedRelation if isLakeIdent(u) =>
+      case u: UnresolvedRelation if LakeDml.isLakeIdent(u) =>
         val path = u.multipartIdentifier(1)
         val head = ManifestLake.snapshot(session, path).version
         SubqueryAlias(path, inlineRead(path, head, None))
     }
-
-  private def isLakeIdent(u: UnresolvedRelation): Boolean =
-    u.multipartIdentifier.length == 2 &&
-      u.multipartIdentifier.head.equalsIgnoreCase("graft-lake")
 
   /** TIMESTAMP AS OF's operand is an arbitrary foldable expression
     * (string literal, typed literal, date arithmetic); fold it to an

@@ -53,7 +53,7 @@ case class GraftLakeRelation(
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val base = readDf
-    val filtered = filters.flatMap(GraftLakeRelation.translate)
+    val filtered = filters.flatMap(GraftLakeRelation.translateTop)
       .foldLeft(base)((d, c) => d.filter(c))
     val pruned =
       if (requiredColumns.isEmpty) filtered.select()
@@ -68,10 +68,23 @@ case class GraftLakeRelation(
 }
 
 object GraftLakeRelation {
+  /** TOP-LEVEL translation for the fallback scan: the filters array
+    * is an implicit conjunction, so each top-level And may translate
+    * PARTIALLY — a dropped conjunct only loses pruning (positive
+    * polarity), never rows. */
+  private[graft] def translateTop(f: Filter): Seq[Column] = f match {
+    case And(l, r) => translateTop(l) ++ translateTop(r)
+    case other => translate(other).toSeq
+  }
+
   /** Best-effort source-Filter → Column translation for the fallback
     * scan (the engine re-evaluates every filter above the relation —
     * default `unhandledFilters` — so an untranslated filter costs
-    * pruning, never correctness). */
+    * pruning, never correctness). Translation inside here is TOTAL:
+    * an And under Not/Or must translate both sides or not at all —
+    * the old partial-And rule under negation turned NOT(a AND b) into
+    * NOT(a), which wrongly DROPS rows (review r14 #8); partial
+    * conjunctions are only sound at the top level (translateTop). */
   private[graft] def translate(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === v)
     case EqualNullSafe(a, v) => Some(col(a) <=> v)
@@ -87,11 +100,7 @@ object GraftLakeRelation {
     case StringContains(a, v) => Some(col(a).contains(v))
     case Not(c) => translate(c).map(!_)
     case And(l, r) =>
-      (translate(l), translate(r)) match {
-        case (Some(a), Some(b)) => Some(a && b)
-        // one translatable conjunct still prunes
-        case (a, b) => a.orElse(b)
-      }
+      for { a <- translate(l); b <- translate(r) } yield a && b
     case Or(l, r) =>
       for { a <- translate(l); b <- translate(r) } yield a || b
     case _ => None
@@ -118,14 +127,11 @@ object GraftLakeRelation {
         v
       case None => timestampAsOf match {
         case Some(raw) =>
-          val t = try java.sql.Timestamp.valueOf(raw.trim.replace('T', ' '))
-          catch {
-            case _: IllegalArgumentException =>
-              throw new IllegalArgumentException(
-                "graft-lake: timestampAsOf must be " +
-                  s"'yyyy-MM-dd HH:mm:ss[.fff]' (ISO 'T' accepted), got '$raw'")
-          }
-          ManifestLake.versionAt(spark, path, t)
+          // SESSION-zone parse (review r14 #6): the SQL TIMESTAMP AS
+          // OF route folds through a session-zone Cast — the option
+          // route must pin the SAME version for the same string
+          ManifestLake.versionAt(spark, path,
+            ManifestLake.parseSessionTimestamp(spark, raw))
         case None => ManifestLake.snapshot(spark, path).version
       }
     }

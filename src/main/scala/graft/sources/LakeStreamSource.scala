@@ -101,12 +101,26 @@ class LakeStreamSourceProvider
         if (!exists) freshCreate()
         else ManifestLake.replaceAll(spark, path, data, ordCol, filesPerDay)
       case SaveMode.Append =>
-        if (!exists) freshCreate()
-        else opt(parameters, "batchId") match {
-          case Some(id) => ManifestLake.appendBatch(spark, path, data,
-            ordCol, id.toLong, filesPerDay)
+        opt(parameters, "batchId") match {
+          case Some(id) =>
+            // the cursor must advance atomically WITH the data even on
+            // a fresh table (review r14 #2): an existence-split
+            // freshCreate would commit the rows with the cursor still
+            // at -1, and a crash-replay of the same batch id would
+            // land them AGAIN. Commit v1 as the EMPTY schema anchor,
+            // then the data rides the cursor'd append — a crash
+            // between the two replays into the exists branch and the
+            // id lands exactly once.
+            if (!exists)
+              ManifestLake.create(spark, path, data.limit(0), ordCol,
+                filesPerDay, statsCols = cols("statsCols"),
+                bloomCols = cols("bloomCols"))
+            ManifestLake.appendBatch(spark, path, data, ordCol,
+              id.toLong, filesPerDay)
           case None =>
-            ManifestLake.append(spark, path, data, ordCol, filesPerDay)
+            if (!exists) freshCreate()
+            else ManifestLake.append(spark, path, data, ordCol,
+              filesPerDay)
         }
     }
     GraftLakeRelation(spark, Map("path" -> path))

@@ -559,6 +559,41 @@ object ManifestLake {
     }
   }
 
+  /** Refuse a write whose ordCol disagrees with the table's persisted
+    * ord column (review r14 #4): day(ordCol) is the table's partition
+    * derivation — two writers disagreeing about it would interleave
+    * inconsistent day keys and silently corrupt manifest pruning.
+    * Pre-metadata lakes (no ord_col file) pass through: the caller's
+    * word is all there is. */
+  private def requireOrdMatches(spark: SparkSession, path: String,
+      ordCol: String, op: String): Unit =
+    ordColOf(spark, path).foreach { stored =>
+      require(stored.equalsIgnoreCase(ordCol),
+        s"$op: ordCol '$ordCol' does not match the table's persisted " +
+          s"ord column '$stored' — day partitioning derives from ONE " +
+          "column for the table's whole life; pass the stored one")
+    }
+
+  /** Parse a user-supplied timestamp string under the SESSION
+    * timezone (the v2 TimeTravelSpec rule; review r14 #6) —
+    * java.sql.Timestamp.valueOf would use the JVM-default zone, and
+    * the same string could then pin DIFFERENT versions through the
+    * option route vs the SQL `TIMESTAMP AS OF` route (which folds
+    * through a session-zone Cast). */
+  def parseSessionTimestamp(spark: SparkSession,
+      raw: String): java.sql.Timestamp = {
+    val s = raw.trim.replace(' ', 'T')
+    val ldt = try java.time.LocalDateTime.parse(s) catch {
+      case _: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          "timestamp must be 'yyyy-MM-dd HH:mm:ss[.fff]' (ISO 'T' " +
+            s"accepted), got '$raw'")
+    }
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    java.sql.Timestamp.from(ldt.atZone(zone).toInstant)
+  }
+
   /** The table's indexed-column list, fixed at create (the analog of
     * Delta's dataSkippingNumIndexedCols table property). Empty = stats
     * disabled; every write then skips collection entirely. */
@@ -1926,23 +1961,40 @@ object ManifestLake {
     * commit activates column mapping, so a LATER re-add of the same
     * name gets a fresh physical name and reads NULL from the old
     * files — dropped data cannot resurrect (the Delta rule). */
-  def dropColumn(spark: SparkSession, path: String, name: String): Long = {
-    val snap = snapshot(spark, path)
+  def dropColumn(spark: SparkSession, path: String, name: String): Long =
+    dropColumns(spark, path, Seq(name))
+
+  /** Drop SEVERAL columns as ONE metadata-only commit (review r14 #7):
+    * `ALTER TABLE … DROP COLUMNS (a, b)` must be atomic — a
+    * per-column commit loop could die (or hit an OCC refusal) halfway
+    * and leave a half-applied DDL the user has to detect and repair. */
+  def dropColumns(spark: SparkSession, path: String,
+      names: Seq[String]): Long = {
+    require(names.nonEmpty, "dropColumns: no columns")
+    require(names.map(_.toLowerCase).distinct.size == names.size,
+      s"dropColumns: duplicate column in ${names.mkString(", ")}")
     // day partitioning derives from the ord column — dropping it would
     // orphan every later write's day derivation (Delta refuses
     // dropping partition columns for the same reason)
-    require(!ordColOf(spark, path).exists(_.equalsIgnoreCase(name)),
-      s"dropColumn: '$name' is the table's ord column (day partitioning " +
-        "derives from it) — rename it if needed, never drop it")
-    val ts = mappingEditGuard(snap, name, "dropColumn")
-    val rest = ts.fields.filterNot(_.name.equalsIgnoreCase(name))
+    names.foreach { n =>
+      require(!ordColOf(spark, path).exists(_.equalsIgnoreCase(n)),
+        s"dropColumn: '$n' is the table's ord column (day partitioning " +
+          "derives from it) — rename it if needed, never drop it")
+    }
+    val snap = snapshot(spark, path)
+    // guard EVERY name (existence, day, CHECK references) before any
+    // edit; the stamped schema is the same whichever name stamps it
+    val ts = names.map(mappingEditGuard(snap, _, "dropColumn")).head
+    val lower = names.map(_.toLowerCase).toSet
+    val rest = ts.fields.filterNot(f => lower.contains(f.name.toLowerCase))
     require(rest.exists(!_.name.equalsIgnoreCase("day")),
       "dropColumn: cannot drop the last data column")
     val (fs, root) = fsOf(spark, path)
     commit(fs, root, snap.version + 1, snap.days, snap.lastBatch,
       snap.legacyFiles,
       schemaJson = Some(org.apache.spark.sql.types.StructType(rest).json),
-      dvs = snap.dvs, checks = snap.checks, op = s"dropColumn($name)")
+      dvs = snap.dvs, checks = snap.checks,
+      op = s"dropColumn(${names.mkString(",")})")
     snap.version + 1
   }
 
@@ -2209,6 +2261,7 @@ object ManifestLake {
       keyCols: Seq[String], ordCol: String,
       beforeCommit: () => Unit = () => (),
       filesPerDay: Int = 1): Long = {
+    requireOrdMatches(spark, path, ordCol, "upsert")
     val snap = snapshot(spark, path)
     val upd = updates
       .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
@@ -2405,6 +2458,7 @@ object ManifestLake {
       filesPerDay: Int = 1,
       batchId: Option[Long] = None): Long = {
     import org.apache.spark.sql.Column
+    requireOrdMatches(spark, path, ordCol, "mergeInto")
     val snap = snapshot(spark, path)
     // streaming-merge exactly-once (the appendBatch cursor applied to
     // MERGE): a replayed batch id is skipped outright, so continuous
@@ -2700,6 +2754,16 @@ object ManifestLake {
           schema.fieldNames.mkString(", ") + ")")
     }
     val ord = ordColOf(spark, path)
+    // without the ord metadata we cannot PROVE an assignment doesn't
+    // touch the ord column — and a missed cross-day move silently
+    // breaks the day==date(ordCol) invariant every pruned read relies
+    // on (review r14 #1). Refuse rather than guess.
+    require(ord.isDefined,
+      "updateWhere: the table carries no ord-column metadata, so an " +
+        "assignment touching the ord column could not recompute day " +
+        "partitions — ManifestLake.create persists it for new lakes; " +
+        "for this one write _graft_log/ord_col or use upsert, which " +
+        "takes ordCol explicitly")
     val ordTouched = ord.exists(o => set.keys.exists(_.equalsIgnoreCase(o)))
     // same derived partition pruning as deleteWhere: a day-bounded
     // UPDATE opens only the bounded days' directories for discovery
@@ -3062,6 +3126,7 @@ object ManifestLake {
   def appendBatch(spark: SparkSession, path: String, batch: DataFrame,
       ordCol: String, batchId: Long, filesPerDay: Int = 1,
       beforeCommit: () => Unit = () => ()): Long = {
+    requireOrdMatches(spark, path, ordCol, "appendBatch")
     val snap = snapshot(spark, path)
     if (batchId <= snap.lastBatch) return snap.version // replayed batch
     val rows = batch
@@ -3135,6 +3200,7 @@ object ManifestLake {
     * metadata changes refuse (occCommitLoop's standing guard). */
   def append(spark: SparkSession, path: String, batch: DataFrame,
       ordCol: String, filesPerDay: Int = 1): Long = {
+    requireOrdMatches(spark, path, ordCol, "append")
     val snap = snapshot(spark, path)
     val rows = batch
       .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
@@ -3170,6 +3236,7 @@ object ManifestLake {
     * set, so losing the version race refuses outright — no rebase. */
   def replaceAll(spark: SparkSession, path: String, df: DataFrame,
       ordCol: String, filesPerDay: Int = 1): Long = {
+    requireOrdMatches(spark, path, ordCol, "replaceAll")
     val snap = snapshot(spark, path)
     val rows = df
       .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))

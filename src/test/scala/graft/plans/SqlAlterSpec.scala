@@ -108,6 +108,18 @@ class SqlAlterSpec extends SparkSpec {
     assert(ManifestLake.checksOf(spark, lake).isEmpty) // nothing committed
   }
 
+  test("DROP COLUMNS with several columns is ONE atomic commit " +
+      "(review r14 #7)") {
+    val lake = freshLake()
+    spark.sql(s"ALTER TABLE `graft-lake`.`$lake` " +
+      "ADD COLUMNS (n1 STRING, n2 STRING)")
+    val before = ManifestLake.snapshot(spark, lake).version
+    spark.sql(s"ALTER TABLE `graft-lake`.`$lake` DROP COLUMNS (n1, n2)")
+    assert(ManifestLake.snapshot(spark, lake).version == before + 1)
+    val cols = ManifestLake.read(spark, lake).columns.toSet
+    assert(!cols.contains("n1") && !cols.contains("n2"))
+  }
+
   test("non-CHECK constraints refuse with the modeling-hint message") {
     val lake = freshLake()
     val e = intercept[Exception] {

@@ -303,6 +303,36 @@ class SqlDmlSpec extends SparkSpec {
     assert(e2.getMessage.contains("PARTITIONED BY"))
   }
 
+  test("INSERT BY NAME refuses extra source columns instead of " +
+      "silently dropping them (review r14 #5)") {
+    val lake = freshLake()
+    seed.withColumn("extra_col", lit(1))
+      .createOrReplaceTempView("byname_src")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO `graft-lake`.`$lake` BY NAME " +
+        "SELECT * FROM byname_src")
+    }
+    assert(e.getMessage.contains("extra_col"))
+    // the aligned form works (shuffled column order, matched by name)
+    spark.sql(s"INSERT INTO `graft-lake`.`$lake` BY NAME " +
+      "SELECT cat, b, a, ts, id + 900 AS id FROM byname_src WHERE id = 0")
+    assert(state(lake).exists(_._1 == 900L))
+    assert(state(lake).size == 13)
+  }
+
+  test("a write whose ordCol disagrees with the table metadata " +
+      "refuses (review r14 #4)") {
+    val lake = freshLake()
+    val e = intercept[Exception] {
+      ManifestLake.append(spark, lake, seed.limit(1), "id")
+    }
+    assert(e.getMessage.contains("persisted ord column"))
+    val e2 = intercept[Exception] {
+      ManifestLake.upsert(spark, lake, seed.limit(1), Seq("id"), "id")
+    }
+    assert(e2.getMessage.contains("persisted ord column"))
+  }
+
   test("DML on non-lake tables is untouched by the rule") {
     seed.createOrReplaceTempView("plain_view")
     // a plain view has no DML support — Spark's own error, not graft's

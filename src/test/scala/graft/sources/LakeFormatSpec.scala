@@ -136,6 +136,31 @@ class LakeFormatSpec extends SparkSpec {
       (1000L until 1004L).toSet)
   }
 
+  test("batchId exactly-once holds on a FRESH table: the bootstrap " +
+      "commit carries no data, so a replay cannot double it (review r14 #2)") {
+    val dst = Files.createTempDirectory("graft_fmt_boot").toString + "/t"
+    def write(): Unit = mk(0 until 8, 1).write.format("graft-lake")
+      .mode("append").option("ordCol", "ts").option("batchId", "0")
+      .save(dst)
+    write()          // bootstrap: empty v1 anchor + cursor'd v2
+    write()          // the crash-replay of the SAME batch id
+    assert(ManifestLake.read(spark, dst).count() == 8L,
+      "a replayed bootstrap batch landed twice")
+    assert(ManifestLake.snapshot(spark, dst).lastBatch == 0L)
+  }
+
+  test("translate soundness: partial-And conjuncts only at top level " +
+      "— NOT(a AND untranslatable) must NOT become NOT(a) (review r14 #8)") {
+    import org.apache.spark.sql.sources._
+    val eq = EqualTo("id", 1L)
+    val opaque = AlwaysTrue // no translate case — stands in for any
+                            // filter the translator cannot express
+    assert(GraftLakeRelation.translate(Not(And(eq, opaque))).isEmpty)
+    assert(GraftLakeRelation.translate(Or(eq, And(eq, opaque))).isEmpty)
+    // the top-level split still prunes with the translatable conjunct
+    assert(GraftLakeRelation.translateTop(And(eq, opaque)).size == 1)
+  }
+
   test("fallback buildScan (no-extensions session): same rows, columns pruned, filters honored") {
     val rel = GraftLakeRelation(spark,
       Map("path" -> lake, "versionAsOf" -> "2"))
