@@ -68,15 +68,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         val cols = Option(zorderCols).toSeq.flatMap(
           _.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty))
-        // the Morton interleave is pairwise; a 3+-column list would
-        // silently degrade to linear clustering (review r14 #9) —
-        // refuse instead of partially honoring the request. One
-        // column IS its own optimal linear layout, so it passes.
-        require(cols.size <= 2,
-          "graft-lake OPTIMIZE: ZORDER BY interleaves at most two " +
-            s"columns (got ${cols.mkString(", ")}) — pick the two most " +
-            "selective keys; further columns gain nothing from a " +
-            "shared interleave")
+        // one column is its own optimal linear layout; 2+ interleave
+        // via zValueN (bits split across the dimensions — the
+        // standard Z-order tradeoff, so "few, selective columns")
         Some(GraftOptimizeCommand(path, cols))
       case VacuumRe(path, hours, force, dry) =>
         Some(GraftVacuumCommand(path,

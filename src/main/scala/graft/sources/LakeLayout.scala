@@ -89,16 +89,28 @@ object LakeLayout {
     * (z-order day=D after it closes), exactly like compact().
     * ZOrderSpec measures the skipping: both probe columns prune files
     * under the z-layout; the linear layout prunes only its sort key. */
-  /** The 32-bit Morton z-value of (colA, colB) scaled to [0, 2¹⁶) by
-    * the frame's own min/max, as a builtins-only Column — None when
-    * the frame is empty or a cluster column is all-null (no range to
-    * interleave). Shared by writeZOrdered and
-    * ManifestLake.compactDay's two-column clustering. */
+  /** The Morton z-value of (colA, colB) — the 2-column fast path
+    * every existing call site uses; see zValueN. */
   private[sources] def zValue(df: DataFrame, colA: String,
-      colB: String): Option[org.apache.spark.sql.Column] = {
-    // interleaving needs a numeric rank; a non-castable type (string
-    // cluster keys under SQL OPTIMIZE ZORDER BY) falls back to the
-    // caller's linear layout instead of dying in an ANSI cast
+      colB: String): Option[org.apache.spark.sql.Column] =
+    zValueN(df, Seq(colA, colB))
+
+  /** The N-column Morton z-value, each column scaled to its own
+    * [0, 2^bits) rank by the frame's min/max (ONE 1-row aggregate —
+    * a constant-size driver collect, the BloomOps pattern), bits =
+    * min(16, 63/n) so the interleave always fits a signed long. The
+    * z-value itself is a single builtins fold — one pass, referenced
+    * once, no projection-collapse blowup. None when the frame is
+    * empty, any cluster column is all-null, or a column's type has no
+    * numeric rank (string keys under SQL OPTIMIZE ZORDER BY fall back
+    * to the caller's linear layout instead of dying in an ANSI cast).
+    * Fidelity note for wide lists: each added column costs every
+    * column resolution bits (n=4 → 15 bits/dim, n=8 → 7) — the
+    * standard Z-order tradeoff, the reason ZORDER BY guidance
+    * everywhere says "few, selective columns". */
+  private[sources] def zValueN(df: DataFrame, zCols: Seq[String])
+      : Option[org.apache.spark.sql.Column] = {
+    require(zCols.size >= 2, s"zValueN: need 2+ columns, got $zCols")
     def rankable(c: String): Boolean =
       df.schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType).exists {
         case _: org.apache.spark.sql.types.NumericType => true
@@ -107,20 +119,24 @@ object LakeLayout {
         case org.apache.spark.sql.types.BooleanType => true
         case _ => false
       }
-    if (!rankable(colA) || !rankable(colB)) return None
-    val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
-      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
-    if (r.isNullAt(0) || r.isNullAt(2)) None
-    else {
-      val (aMin, aMax, bMin, bMax) =
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-      def scaled(c: String, lo: Long, hi: Long): String =
-        if (hi == lo) "0L"
-        else s"((CAST($c AS BIGINT) - ${lo}L) * 65535L) div ${hi - lo}L"
-      Some(expr(s"""aggregate(sequence(0, 15), 0L, (acc, i) ->
-        |  acc | shiftleft(shiftright(${scaled(colA, aMin, aMax)}, i) & 1L, 2 * i)
-        |      | shiftleft(shiftright(${scaled(colB, bMin, bMax)}, i) & 1L, 2 * i + 1))""".stripMargin))
+    if (zCols.exists(c => !rankable(c))) return None
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(s"`$c`")).cast("long"), max(col(s"`$c`")).cast("long")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    if (zCols.indices.exists(i => r.isNullAt(2 * i))) return None
+    val n = zCols.size
+    val bits = math.min(16, 63 / n)
+    val top = (1L << bits) - 1
+    val scaled = zCols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (r.getLong(2 * i), r.getLong(2 * i + 1))
+      if (hi == lo) "0L"
+      else s"((CAST(`$c` AS BIGINT) - ${lo}L) * ${top}L) div ${hi - lo}L"
     }
+    // no stripMargin here: the lane separator IS the bitwise-OR pipe
+    val lanes = zCols.indices.map(i =>
+      s"shiftleft(shiftright(${scaled(i)}, i) & 1L, $n * i + $i)")
+    Some(expr(s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> " +
+      s"acc | ${lanes.mkString(" | ")})"))
   }
 
   def writeZOrdered(df: DataFrame, path: String, colA: String,

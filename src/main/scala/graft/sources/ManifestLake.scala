@@ -3059,8 +3059,8 @@ object ManifestLake {
     val clusterPhys = clusterBy.map(c => toPhys.getOrElse(c, c))
     val out =
       if (clusterBy.isEmpty) df.repartition(nFiles.toInt)
-      else if (zOrder && clusterBy.size == 2)
-        LakeLayout.zValue(df, clusterPhys.head, clusterPhys(1)) match {
+      else if (zOrder && clusterBy.size >= 2)
+        LakeLayout.zValueN(df, clusterPhys) match {
           case Some(z) => df.withColumn("__z", z)
             .repartitionByRange(nFiles.toInt, col("__z"))
             .sortWithinPartitions(col("__z")).drop("__z")

@@ -114,13 +114,15 @@ class LakeMaintenanceSqlSpec extends SparkSpec {
     assert(ids(lake) == ((0L until 8L) ++ (100L until 108L)).toSet)
   }
 
-  test("ZORDER BY with 3+ columns refuses instead of silently " +
-      "degrading to linear (review r14 #9)") {
+  test("ZORDER BY with three columns interleaves all three " +
+      "(zValueN) without changing content") {
     val lake = freshLake()
-    val e = intercept[Exception] {
-      spark.sql(s"OPTIMIZE `graft-lake`.`$lake` ZORDER BY (id, v, ts)")
-    }
-    assert(e.getMessage.contains("two"))
+    val before = ids(lake)
+    val compacted = spark.sql(
+      s"OPTIMIZE `graft-lake`.`$lake` ZORDER BY (id, v, ts)")
+      .collect().map(_.getString(0)).toSet
+    assert(compacted.nonEmpty)
+    assert(ids(lake) == before)
   }
 
   test("a malformed maintenance statement fails with the grammar, " +

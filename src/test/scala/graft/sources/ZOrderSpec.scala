@@ -64,6 +64,30 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).count() == 20000L)
   }
 
+  test("3-column z-order prunes on ALL THREE dimensions (r14: " +
+      "zValueN generalizes the pairwise interleave)") {
+    // three independent uniform dims sweeping the 26^3 grid once
+    val df = spark.range(17576)
+      .select((col("id") % 26).as("a"),
+        expr("(id div 26) % 26").as("b"),
+        expr("(id div 676) % 26").as("c"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z3").toString
+    val z = LakeLayout.zValueN(df, Seq("a", "b", "c")).get
+    df.withColumn("__z", z)
+      .repartitionByRange(NumFiles, col("__z"))
+      .sortWithinPartitions(col("__z")).drop("__z")
+      .write.mode("overwrite").parquet(zDir)
+    val n = partFiles(zDir).size
+    assert(n > 1)
+    val (lo, hi) = (3L, 5L) // ~12% slab of [0, 26)
+    Seq("a", "b", "c").foreach { d =>
+      val hitting = overlapping(zDir, d, lo, hi)
+      assert(hitting <= (3 * n) / 4,
+        s"3-col z-order did not prune on $d: $hitting of $n overlap")
+    }
+    assert(spark.read.parquet(zDir).count() == 17576L)
+  }
+
   test("z-order handles a constant dimension (degenerate min == max)") {
     val df = spark.range(100).select(col("id").as("a"), lit(7L).as("b"))
     val dir = java.nio.file.Files.createTempDirectory("graft_zc").toString
