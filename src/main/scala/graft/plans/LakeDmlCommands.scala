@@ -213,10 +213,14 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
               s"'${f.name}'") }
         // extra source columns are an ERROR, not a silent drop (the
         // Spark/Delta rule; review r14 #5) — additive widening goes
-        // through ALTER TABLE ADD COLUMNS or the append API
+        // through ALTER TABLE ADD COLUMNS or the append API. The one
+        // exception is the table's own derived `day`: every lake READ
+        // carries it, so lake-to-lake `BY NAME SELECT *` must keep
+        // working — the write path re-derives it anyway (pass-2 #2)
         val targetLower = cols.map(_.name.toLowerCase).toSet
         val extra = df0.columns.filterNot(c =>
-          targetLower.contains(c.toLowerCase))
+          targetLower.contains(c.toLowerCase) ||
+            c.equalsIgnoreCase("day"))
         require(extra.isEmpty,
           s"graft-lake INSERT BY NAME: query column(s) " +
             s"${extra.mkString(", ")} are not in the table — project " +

@@ -111,32 +111,55 @@ object LakeLayout {
   private[sources] def zValueN(df: DataFrame, zCols: Seq[String])
       : Option[org.apache.spark.sql.Column] = {
     require(zCols.size >= 2, s"zValueN: need 2+ columns, got $zCols")
-    def rankable(c: String): Boolean =
-      df.schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType).exists {
-        case _: org.apache.spark.sql.types.NumericType => true
-        case org.apache.spark.sql.types.DateType => true
-        case org.apache.spark.sql.types.TimestampType => true
-        case org.apache.spark.sql.types.BooleanType => true
-        case _ => false
+    // a column's integer-rank rendering, or None when its type has no
+    // numeric rank. DATE needs unix_date — CAST(date AS BIGINT) has
+    // been disallowed since Spark 3.0 (pass-2 #3: dying at analysis
+    // would break the promised linear fallback).
+    def rankSql(c: String): Option[String] =
+      df.schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType).flatMap {
+        case _: org.apache.spark.sql.types.NumericType =>
+          Some(s"CAST(`$c` AS BIGINT)")
+        case org.apache.spark.sql.types.TimestampType =>
+          Some(s"CAST(`$c` AS BIGINT)")
+        case org.apache.spark.sql.types.DateType =>
+          Some(s"CAST(unix_date(`$c`) AS BIGINT)")
+        case org.apache.spark.sql.types.BooleanType =>
+          Some(s"CAST(CAST(`$c` AS INT) AS BIGINT)")
+        case _ => None
       }
-    if (zCols.exists(c => !rankable(c))) return None
-    val aggs = zCols.flatMap(c =>
-      Seq(min(col(s"`$c`")).cast("long"), max(col(s"`$c`")).cast("long")))
+    val ranks = zCols.map(rankSql)
+    if (ranks.exists(_.isEmpty)) return None
+    val aggs = ranks.flatten.flatMap(rk =>
+      Seq(min(expr(rk)), max(expr(rk))))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     if (zCols.indices.exists(i => r.isNullAt(2 * i))) return None
     val n = zCols.size
     val bits = math.min(16, 63 / n)
     val top = (1L << bits) - 1
-    val scaled = zCols.zipWithIndex.map { case (c, i) =>
+    val scaled = zCols.indices.map { i =>
       val (lo, hi) = (r.getLong(2 * i), r.getLong(2 * i + 1))
+      // BigInt guards: hi - lo itself can overflow a signed long for
+      // near-full-range keys (fall back to linear — no exact rank
+      // exists), and the old ((c - lo) * top) div range form overflowed
+      // under ANSI for any range past ~1.4e14 (pass-2 #4). Dividing by
+      // a precomputed step keeps every intermediate in range; the ≤1
+      // bucket of rounding slack is layout slack, not correctness.
+      val range = BigInt(hi) - BigInt(lo)
+      if (range > Long.MaxValue) return None
       if (hi == lo) "0L"
-      else s"((CAST(`$c` AS BIGINT) - ${lo}L) * ${top}L) div ${hi - lo}L"
+      else {
+        val step = (range / top).max(1).toLong
+        s"least(${top}L, ((${ranks(i).get}) - (${lo}L)) div ${step}L)"
+      }
     }
-    // no stripMargin here: the lane separator IS the bitwise-OR pipe
+    // collision-proof lambda variables: a data column named `i` or
+    // `acc` would be captured by the fold's own parameters (lambda
+    // binding wins over backticked attributes — pass-2 #5)
+    val (accV, idxV) = ("__graft_z_acc", "__graft_z_i")
     val lanes = zCols.indices.map(i =>
-      s"shiftleft(shiftright(${scaled(i)}, i) & 1L, $n * i + $i)")
-    Some(expr(s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> " +
-      s"acc | ${lanes.mkString(" | ")})"))
+      s"shiftleft(shiftright(${scaled(i)}, $idxV) & 1L, $n * $idxV + $i)")
+    Some(expr(s"aggregate(sequence(0, ${bits - 1}), 0L, " +
+      s"($accV, $idxV) -> $accV | ${lanes.mkString(" | ")})"))
   }
 
   def writeZOrdered(df: DataFrame, path: String, colA: String,

@@ -589,8 +589,11 @@ object ManifestLake {
           "timestamp must be 'yyyy-MM-dd HH:mm:ss[.fff]' (ISO 'T' " +
             s"accepted), got '$raw'")
     }
-    val zone = java.time.ZoneId.of(
-      spark.sessionState.conf.sessionLocalTimeZone)
+    // Spark's own resolver, not raw ZoneId.of: the conf accepts forms
+    // plain ZoneId rejects ('PST' short ids, 'GMT+8:00') — review r14
+    // pass-2 #1
+    val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .getZoneId(spark.sessionState.conf.sessionLocalTimeZone)
     java.sql.Timestamp.from(ldt.atZone(zone).toInstant)
   }
 
@@ -1975,9 +1978,11 @@ object ManifestLake {
       s"dropColumns: duplicate column in ${names.mkString(", ")}")
     // day partitioning derives from the ord column — dropping it would
     // orphan every later write's day derivation (Delta refuses
-    // dropping partition columns for the same reason)
+    // dropping partition columns for the same reason). One metadata
+    // read for the whole list (pass-2 #6).
+    val ord = ordColOf(spark, path)
     names.foreach { n =>
-      require(!ordColOf(spark, path).exists(_.equalsIgnoreCase(n)),
+      require(!ord.exists(_.equalsIgnoreCase(n)),
         s"dropColumn: '$n' is the table's ord column (day partitioning " +
           "derives from it) — rename it if needed, never drop it")
     }

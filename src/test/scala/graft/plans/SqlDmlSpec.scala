@@ -318,6 +318,16 @@ class SqlDmlSpec extends SparkSpec {
       "SELECT cat, b, a, ts, id + 900 AS id FROM byname_src WHERE id = 0")
     assert(state(lake).exists(_._1 == 900L))
     assert(state(lake).size == 13)
+    // lake-to-lake BY NAME SELECT * keeps working: the derived `day`
+    // column every lake read carries is re-derived by the write path,
+    // not treated as an extra (pass-2 #2)
+    val src = freshLake()
+    spark.sql(s"DELETE FROM `graft-lake`.`$src` WHERE id >= 1")
+    spark.sql(s"UPDATE `graft-lake`.`$src` SET id = id + 800 WHERE id = 0")
+    spark.sql(s"INSERT INTO `graft-lake`.`$lake` BY NAME " +
+      s"SELECT * FROM `graft-lake`.`$src`")
+    assert(state(lake).exists(_._1 == 800L))
+    assert(state(lake).size == 14)
   }
 
   test("a write whose ordCol disagrees with the table metadata " +

@@ -88,6 +88,39 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).count() == 17576L)
   }
 
+  test("z-order survives hostile inputs: DATE keys rank via unix_date, " +
+      "wide-range BIGINT doesn't overflow, columns named i/acc aren't " +
+      "captured by the fold's lambda (r14 pass-2)") {
+    val session = spark
+    import session.implicits._
+    // DATE dimension (CAST(date AS BIGINT) is illegal — must not die)
+    val dated = spark.range(1000).select(
+      expr("date_add(DATE '2024-01-01', CAST(id % 200 AS INT))").as("d"),
+      (col("id") % 37).as("x"))
+    assert(LakeLayout.zValueN(dated, Seq("d", "x")).isDefined)
+    val dDir = java.nio.file.Files.createTempDirectory("graft_zd").toString
+    LakeLayout.writeZOrdered(dated, dDir, "d", "x", 4)
+    assert(spark.read.parquet(dDir).count() == 1000L)
+    // wide-range BIGINT: (c - lo) * 65535 would overflow ANSI long
+    val wide = Seq(0L, Long.MaxValue / 2, Long.MaxValue - 1)
+      .toDF("w").withColumn("x", col("w") % 7)
+    val z = LakeLayout.zValueN(wide, Seq("w", "x")).get
+    val zs = wide.select(z.as("z")).collect().map(_.getLong(0))
+    assert(zs.forall(_ >= 0L)) // evaluated, no ArithmeticException
+    // near-full-range key (hi - lo overflows long): honest None
+    val full = Seq(Long.MinValue + 1, Long.MaxValue - 1).toDF("w")
+      .withColumn("x", lit(1L))
+    assert(LakeLayout.zValueN(full, Seq("w", "x")).isEmpty)
+    // hostile column names: the fold's lambda variables must not
+    // capture them
+    val named = spark.range(1000)
+      .select((col("id") % 31).as("i"), (col("id") % 29).as("acc"))
+    val zn = LakeLayout.zValueN(named, Seq("i", "acc")).get
+    val distinct = named.select(zn.as("z")).distinct().count()
+    assert(distinct > 100L,
+      s"z-value collapsed ($distinct distinct) — lambda capture")
+  }
+
   test("z-order handles a constant dimension (degenerate min == max)") {
     val df = spark.range(100).select(col("id").as("a"), lit(7L).as("b"))
     val dir = java.nio.file.Files.createTempDirectory("graft_zc").toString
