@@ -63,6 +63,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def parseMaintenance(sqlText: String): Option[LogicalPlan] = {
     val s = sqlText.trim.stripSuffix(";").trim
     s match {
+      case DetailRe(path) => Some(GraftDescribeDetailCommand(path))
       case HistoryRe(path) => Some(GraftHistoryCommand(path))
       case OptimizeRe(path, zorderCols) =>
         val cols = Option(zorderCols).toSeq.flatMap(
@@ -86,6 +87,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           throw new IllegalArgumentException(
             "graft-lake maintenance statement did not parse. Expected " +
               "one of:\n  DESCRIBE HISTORY `graft-lake`.`path`\n  " +
+              "DESCRIBE DETAIL `graft-lake`.`path`\n  " +
               "OPTIMIZE `graft-lake`.`path` [ZORDER BY (c1, …)]\n  " +
               "VACUUM `graft-lake`.`path` [RETAIN n HOURS] [FORCE] " +
               "[DRY RUN]\n  RESTORE [TABLE] `graft-lake`.`path` TO " +
@@ -101,6 +103,8 @@ object GraftSqlParser {
   private val Tbl = "`graft-lake`\\s*\\.\\s*`([^`]+)`"
   private val HistoryRe =
     s"(?is)^DESCRIBE\\s+HISTORY\\s+$Tbl$$".r
+  private val DetailRe =
+    s"(?is)^DESCRIBE\\s+DETAIL\\s+$Tbl$$".r
   private val OptimizeRe =
     s"(?is)^OPTIMIZE\\s+$Tbl(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?$$".r
   private val VacuumRe =
@@ -110,13 +114,38 @@ object GraftSqlParser {
     (s"(?is)^RESTORE\\s+(?:TABLE\\s+)?$Tbl\\s+TO\\s+(?:VERSION\\s+AS\\s+" +
       "OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')$").r
   private val LooksMaintenanceRe =
-    ("(?is)^(?:DESCRIBE\\s+HISTORY|OPTIMIZE|VACUUM|RESTORE)\\b" +
+    ("(?is)^(?:DESCRIBE\\s+(?:HISTORY|DETAIL)|OPTIMIZE|VACUUM|RESTORE)\\b" +
       s".*`graft-lake`").r
 
   private def attr(name: String,
       t: org.apache.spark.sql.types.DataType): Attribute =
     org.apache.spark.sql.catalyst.expressions
       .AttributeReference(name, t, nullable = true)()
+
+  /** DESCRIBE DETAIL → one summary row (Delta's surface): everything
+    * comes from the head manifest + the table metadata files —
+    * O(manifest) driver work, zero data reads (file counts and bytes
+    * are the manifest-carried sidecar numbers OPTIMIZE selection
+    * already uses). */
+  case class GraftDescribeDetailCommand(path: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("format", StringType), attr("location", StringType),
+      attr("head_version", LongType), attr("last_operation", StringType),
+      attr("num_days", IntegerType), attr("num_dirs", IntegerType),
+      attr("num_files", LongType), attr("size_bytes", LongType),
+      attr("ord_col", StringType), attr("num_dvs", IntegerType),
+      attr("num_checks", IntegerType), attr("stats_cols", StringType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val snap = ManifestLake.snapshot(spark, path)
+      Seq(Row("graft-lake", path, snap.version, snap.op,
+        snap.days.size, snap.days.values.map(_.size).sum,
+        snap.fileBytes.size.toLong, snap.fileBytes.values.sum,
+        ManifestLake.ordColOf(spark, path).orNull,
+        snap.dvs.size, snap.checks.size,
+        ManifestLake.statsCols(spark, path).mkString(",")))
+    }
+  }
 
   /** DESCRIBE HISTORY → the history() frame, one row per committed
     * version (O(versions), one log listing — never a data read). */

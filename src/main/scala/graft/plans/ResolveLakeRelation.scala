@@ -338,6 +338,43 @@ case class ResolveLakeRelation(session: SparkSession)
         SubqueryAlias(u.multipartIdentifier.last,
           inlineRead(path, v, None))
 
+      // the CDF table-valued function (Delta's `table_changes`):
+      // `SELECT … FROM table_changes('/lake/root', fromV, toV)` —
+      // inlines readChanges' analyzed plan, so the change feed is
+      // joinable/filterable like any relation. Versions may also be
+      // timestamp strings (resolved via versionAt); the 2-arg form
+      // reads to head. Cost: the manifest DIFF's scan — untouched
+      // days zero IO, appends incremental, only rewritten days pay
+      // the exceptAll (the l_cdf shape).
+      case tvf: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedTableValuedFunction
+          if tvf.name.length == 1 &&
+            tvf.name.head.equalsIgnoreCase("table_changes") &&
+            (tvf.functionArgs.length == 2 || tvf.functionArgs.length == 3) &&
+            tvf.functionArgs.forall(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.Literal]) =>
+        def lit(i: Int): Any = tvf.functionArgs(i)
+          .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value
+        val path = String.valueOf(lit(0))
+        // only claim the name for ACTUAL lakes — a user TVF called
+        // table_changes over something else keeps resolving normally
+        if (!ManifestLake.tableExists(session, path)) tvf
+        else {
+          def versionArg(i: Int): Long = lit(i) match {
+            case l: Long => l
+            case n: Int => n.toLong
+            case s => ManifestLake.versionAt(session, path,
+              ManifestLake.parseSessionTimestamp(session, String.valueOf(s)))
+          }
+          val fromV = versionArg(1)
+          val toV = if (tvf.functionArgs.length == 3) versionArg(2)
+            else ManifestLake.snapshot(session, path).version
+          SubqueryAlias("table_changes",
+            ManifestLake.readChanges(session, path, fromV, toV)
+              .queryExecution.analyzed)
+        }
+
       // plain SQL-on-file: SELECT … FROM `graft-lake`.`/path` (head
       // snapshot) — same hints-batch reasoning as above
       case u: UnresolvedRelation if LakeDml.isLakeIdent(u) =>

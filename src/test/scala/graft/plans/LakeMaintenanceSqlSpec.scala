@@ -114,6 +114,45 @@ class LakeMaintenanceSqlSpec extends SparkSpec {
     assert(ids(lake) == ((0L until 8L) ++ (100L until 108L)).toSet)
   }
 
+  test("DESCRIBE DETAIL: one summary row from the head manifest") {
+    val lake = freshLake()
+    val r = spark.sql(s"DESCRIBE DETAIL `graft-lake`.`$lake`")
+      .collect().head
+    assert(r.getString(0) == "graft-lake")
+    assert(r.getString(1) == lake)
+    assert(r.getLong(2) == 4L)               // head version
+    assert(r.getString(3) == "append")       // last operation
+    assert(r.getInt(4) == 2)                 // days
+    assert(r.getInt(5) == 4)                 // dirs (create + 3 appends)
+    assert(r.getLong(6) == 4L)               // files (filesPerDay = 1)
+    assert(r.getLong(7) > 0L)                // manifest-carried bytes
+    assert(r.getString(8) == "ts")           // ord col
+  }
+
+  test("table_changes TVF: the CDF from SQL, joinable and filterable") {
+    val lake = freshLake()
+    // v1 create(0..8)d1 → v2 append(100..108)d1 → v3,v4 appends d2
+    val changes = spark.sql(
+      s"SELECT id, _change_type FROM table_changes('$lake', 1, 2) " +
+        "ORDER BY id")
+    assert(changes.collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq ==
+      (100L until 108L).map(i => (i, "insert")))
+    // 2-arg form reads to head; the feed joins a view in one statement
+    spark.range(300, 304).createOrReplaceTempView("watch_ids")
+    val joined = spark.sql(
+      s"""SELECT c.id FROM table_changes('$lake', 1) c
+         |JOIN watch_ids w ON c.id = w.id ORDER BY c.id""".stripMargin)
+    assert(joined.collect().map(_.getLong(0)).toSeq ==
+      (300L until 304L).toSeq)
+    // a non-lake path is NOT claimed — Spark's own resolver answers
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('/no/such/lake', 1, 2)")
+        .collect()
+    }
+    assert(!e.getMessage.contains("graft"))
+  }
+
   test("ZORDER BY with three columns interleaves all three " +
       "(zValueN) without changing content") {
     val lake = freshLake()
