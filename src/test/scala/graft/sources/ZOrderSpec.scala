@@ -66,24 +66,41 @@ class ZOrderSpec extends SparkSpec {
 
   test("3-column z-order prunes on ALL THREE dimensions (r14: " +
       "zValueN generalizes the pairwise interleave)") {
-    // three independent uniform dims sweeping the 26^3 grid once
+    // three independent uniform dims sweeping the 26^3 grid once.
+    // Files are cut at ALIGNED top-4-z-bit prefixes (deterministic —
+    // repartitionByRange's sampled boundaries are rdd.id-seeded and
+    // suite-order flaky, the same lesson as the 2-dim test above);
+    // with aligned prefixes (c4, b4, a4, c3) the expected envelopes
+    // are exact: a low-band probe overlaps 8/16 files on a, 8/16 on
+    // b, and 4/16 on c.
     val df = spark.range(17576)
       .select((col("id") % 26).as("a"),
         expr("(id div 26) % 26").as("b"),
         expr("(id div 676) % 26").as("c"))
     val zDir = java.nio.file.Files.createTempDirectory("graft_z3").toString
     val z = LakeLayout.zValueN(df, Seq("a", "b", "c")).get
-    df.withColumn("__z", z)
-      .repartitionByRange(NumFiles, col("__z"))
-      .sortWithinPartitions(col("__z")).drop("__z")
-      .write.mode("overwrite").parquet(zDir)
-    val n = partFiles(zDir).size
-    assert(n > 1)
-    val (lo, hi) = (3L, 5L) // ~12% slab of [0, 26)
+    val withZ = df.withColumn("__z", z)
+    val zMax = withZ.agg(max(col("__z"))).head().getLong(0)
+    val shift = math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(zMax) - 4)
+    withZ.withColumn("__zb", expr(s"shiftright(__z, $shift)"))
+      .drop("__z")
+      .write.mode("overwrite").partitionBy("__zb").parquet(zDir)
+    def leafFiles(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(leafFiles)
+      else if (f.getName.endsWith(".parquet")) Seq(f.getPath)
+      else Seq.empty
+    val files = leafFiles(new java.io.File(zDir))
+    val n = files.size
+    assert(n >= 8, s"expected ~16 aligned-prefix files, got $n")
+    val (lo, hi) = (3L, 5L) // a low band of [0, 26) — msb 0 on every dim
+    def hitting(c: String): Int = files.count { f =>
+      val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+      r.getLong(0) <= hi && r.getLong(1) >= lo
+    }
     Seq("a", "b", "c").foreach { d =>
-      val hitting = overlapping(zDir, d, lo, hi)
-      assert(hitting <= (3 * n) / 4,
-        s"3-col z-order did not prune on $d: $hitting of $n overlap")
+      val h = hitting(d)
+      assert(h <= (3 * n) / 4,
+        s"3-col z-order did not prune on $d: $h of $n overlap")
     }
     assert(spark.read.parquet(zDir).count() == 17576L)
   }
