@@ -20,12 +20,16 @@ import graft.sources.ManifestLake
   * onto the lake's maintenance APIs; the parser adds syntax, never a
   * second implementation:
   *
-  *   DESCRIBE HISTORY  `graft-lake`.`/path`
-  *   OPTIMIZE          `graft-lake`.`/path` [ZORDER BY (c1, c2, …)]
-  *   VACUUM            `graft-lake`.`/path` [RETAIN n HOURS] [FORCE]
-  *                                          [DRY RUN]
-  *   RESTORE [TABLE]   `graft-lake`.`/path` TO VERSION AS OF n
-  *   RESTORE [TABLE]   `graft-lake`.`/path` TO TIMESTAMP AS OF 'ts'
+  *   DESCRIBE HISTORY  <tbl>
+  *   DESCRIBE DETAIL   <tbl>
+  *   OPTIMIZE          <tbl> [ZORDER BY (c1, c2, …)]
+  *   VACUUM            <tbl> [RETAIN n HOURS] [FORCE] [DRY RUN]
+  *   RESTORE [TABLE]   <tbl> TO VERSION AS OF n
+  *   RESTORE [TABLE]   <tbl> TO TIMESTAMP AS OF 'ts'
+  *
+  * where <tbl> is either front-door identifier form: the path table
+  * ``graft-lake`.`/path`` or the named table `graft.db.t` (resolved
+  * against spark.graft.warehouse).
   *
   * `FORCE` is the explicit escape hatch for a sub-floor retention
   * (Delta's retentionDurationCheck conf, surfaced as a keyword so the
@@ -60,12 +64,28 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
 
+  /** Resolve either identifier form to the lake root: the path form
+    * directly, the named form through spark.graft.warehouse (an
+    * explicit maintenance statement naming graft.db.t without the
+    * conf errors loudly — there is nothing to fall through to). */
+  private def tblPath(txt: String): String = txt.trim match {
+    case PathForm(p) => p
+    case named =>
+      val parts = named.split('.').toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`"))
+      LakeDml.lakePathOf(session, parts).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft named table '$named' needs spark.graft.warehouse " +
+            "set — it resolves to <warehouse>/<db>/<table>"))
+  }
+
   private def parseMaintenance(sqlText: String): Option[LogicalPlan] = {
     val s = sqlText.trim.stripSuffix(";").trim
     s match {
-      case DetailRe(path) => Some(GraftDescribeDetailCommand(path))
-      case HistoryRe(path) => Some(GraftHistoryCommand(path))
-      case OptimizeRe(path, zorderCols) =>
+      case DetailRe(tbl) => Some(GraftDescribeDetailCommand(tblPath(tbl)))
+      case HistoryRe(tbl) => Some(GraftHistoryCommand(tblPath(tbl)))
+      case OptimizeRe(tbl, zorderCols) =>
+        val path = tblPath(tbl)
         val cols = Option(zorderCols).toSeq.flatMap(
           _.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty))
@@ -73,12 +93,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         // via zValueN (bits split across the dimensions — the
         // standard Z-order tradeoff, so "few, selective columns")
         Some(GraftOptimizeCommand(path, cols))
-      case VacuumRe(path, hours, force, dry) =>
-        Some(GraftVacuumCommand(path,
+      case VacuumRe(tbl, hours, force, dry) =>
+        Some(GraftVacuumCommand(tblPath(tbl),
           Option(hours).map(h => h.trim.toLong * 3600L * 1000L),
           force = force != null, dryRun = dry != null))
-      case RestoreRe(path, ver, ts) =>
-        Some(GraftRestoreCommand(path, Option(ver).map(_.trim.toLong),
+      case RestoreRe(tbl, ver, ts) =>
+        Some(GraftRestoreCommand(tblPath(tbl),
+          Option(ver).map(_.trim.toLong),
           Option(ts).map(_.trim)))
       case _ =>
         // a maintenance keyword aimed at a graft-lake table that the
@@ -98,9 +119,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 }
 
 object GraftSqlParser {
-  // the lake identifier, exactly as the read path spells it:
-  // `graft-lake`.`/any/path`
-  private val Tbl = "`graft-lake`\\s*\\.\\s*`([^`]+)`"
+  // the lake identifier, in either front-door form: the path table
+  // `graft-lake`.`/any/path`, or the named table graft.db.t
+  // (resolved against spark.graft.warehouse)
+  private val Tbl = "(`graft-lake`\\s*\\.\\s*`[^`]+`|" +
+    "`?graft`?\\s*\\.\\s*`?[A-Za-z0-9_]+`?\\s*\\.\\s*`?[A-Za-z0-9_]+`?)"
+  private val PathForm = "(?is)^`graft-lake`\\s*\\.\\s*`([^`]+)`$".r
   private val HistoryRe =
     s"(?is)^DESCRIBE\\s+HISTORY\\s+$Tbl$$".r
   private val DetailRe =
@@ -115,7 +139,7 @@ object GraftSqlParser {
       "OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')$").r
   private val LooksMaintenanceRe =
     ("(?is)^(?:DESCRIBE\\s+(?:HISTORY|DETAIL)|OPTIMIZE|VACUUM|RESTORE)\\b" +
-      s".*`graft-lake`").r
+      s".*(?:`graft-lake`|\\bgraft\\b\\s*\\.)").r
 
   private def attr(name: String,
       t: org.apache.spark.sql.types.DataType): Attribute =

@@ -38,15 +38,39 @@ object LakeDml {
     u.multipartIdentifier.length == 2 &&
       u.multipartIdentifier.head.equalsIgnoreCase("graft-lake")
 
+  /** NAMED tables (r14): ``graft`.`db`.`t`` resolves to
+    * `<spark.graft.warehouse>/db/t` — the Delta-catalog UX on the
+    * path-table machinery, one convention instead of a second
+    * metastore (the warehouse DIRECTORY is the catalog; a table is
+    * its lake root). Claimed in the hints batch before any real
+    * catalog named `graft` could resolve — documented precedence. */
+  def lakePathOf(spark: SparkSession, parts: Seq[String])
+      : Option[String] =
+    if (parts.length == 2 && parts.head.equalsIgnoreCase("graft-lake"))
+      Some(parts(1))
+    else if (parts.length == 3 && parts.head.equalsIgnoreCase("graft")) {
+      // opt-in by conf: with no warehouse configured the identifier
+      // is NOT ours — a real catalog named `graft` keeps resolving
+      spark.conf.getOption("spark.graft.warehouse").map { wh =>
+        require(!parts(1).contains('/') && !parts(2).contains('/') &&
+          parts(1).nonEmpty && parts(2).nonEmpty,
+          s"graft named tables use plain db/table identifiers, got " +
+            parts.mkString("."))
+        s"${wh.stripSuffix("/")}/${parts(1)}/${parts(2)}"
+      }
+    } else None
+
   /** (lake path, SQL alias) when `plan` is a DML target over a
-    * graft-lake identifier; None otherwise (the statement belongs to
-    * some other source — leave it alone). */
-  def lakeTarget(plan: LogicalPlan): Option[(String, Option[String])] =
+    * graft-lake identifier (path or named form); None otherwise (the
+    * statement belongs to some other source — leave it alone). */
+  def lakeTarget(spark: SparkSession, plan: LogicalPlan)
+      : Option[(String, Option[String])] =
     plan match {
-      case SubqueryAlias(id, u: UnresolvedRelation) if isLakeIdent(u) =>
-        Some((u.multipartIdentifier(1), Some(id.name)))
-      case u: UnresolvedRelation if isLakeIdent(u) =>
-        Some((u.multipartIdentifier(1), None))
+      case SubqueryAlias(id, u: UnresolvedRelation) =>
+        lakePathOf(spark, u.multipartIdentifier).map(p =>
+          (p, Some(id.name)))
+      case u: UnresolvedRelation =>
+        lakePathOf(spark, u.multipartIdentifier).map(p => (p, None))
       case _ => None
     }
 

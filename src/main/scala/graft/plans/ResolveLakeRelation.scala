@@ -67,14 +67,14 @@ case class ResolveLakeRelation(session: SparkSession)
   private def applyDml(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
       case d: DeleteFromTable =>
-        LakeDml.lakeTarget(d.table) match {
+        LakeDml.lakeTarget(session, d.table) match {
           case None => d
           case Some((path, alias)) =>
             GraftDeleteCommand(path, LakeDml.bare(d.condition, alias))
         }
 
       case u: UpdateTable =>
-        LakeDml.lakeTarget(u.table) match {
+        LakeDml.lakeTarget(session, u.table) match {
           case None => u
           case Some((path, alias)) =>
             val set = u.assignments.map(a =>
@@ -85,7 +85,7 @@ case class ResolveLakeRelation(session: SparkSession)
         }
 
       case i: InsertIntoStatement =>
-        LakeDml.lakeTarget(i.table) match {
+        LakeDml.lakeTarget(session, i.table) match {
           case None => i
           case Some((path, _)) =>
             require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
@@ -141,12 +141,14 @@ case class ResolveLakeRelation(session: SparkSession)
       // validating existing rows — addCheck does that scan itself)
       case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint
           if a.child.collectLeaves().exists {
-            case u: UnresolvedRelation => LakeDml.isLakeIdent(u)
+            case u: UnresolvedRelation =>
+              LakeDml.lakePathOf(session, u.multipartIdentifier).isDefined
             case _ => false
           } =>
         val path = a.child.collectLeaves().collectFirst {
-          case u: UnresolvedRelation if LakeDml.isLakeIdent(u) =>
-            u.multipartIdentifier(1)
+          case u: UnresolvedRelation if LakeDml
+            .lakePathOf(session, u.multipartIdentifier).isDefined =>
+            LakeDml.lakePathOf(session, u.multipartIdentifier).get
         }.get
         GraftAlterCommand(path, GraftAlterCommand.AddCheck(
           a.checkConstraint.name, a.checkConstraint.condition))
@@ -169,7 +171,7 @@ case class ResolveLakeRelation(session: SparkSession)
           GraftAlterCommand.DropCheck(d.name, d.ifExists))
 
       case m: MergeIntoTable =>
-        LakeDml.lakeTarget(m.targetTable) match {
+        LakeDml.lakeTarget(session, m.targetTable) match {
           case None => m
           case Some((path, tAlias)) =>
             val sAlias = m.sourceTable match {
@@ -244,18 +246,14 @@ case class ResolveLakeRelation(session: SparkSession)
     }
 
   private def lakeAlterTarget(t: LogicalPlan): Option[String] = t match {
-    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
-        if u.multipartIdentifier.length == 2 &&
-          u.multipartIdentifier.head.equalsIgnoreCase("graft-lake") =>
-      Some(u.multipartIdentifier(1))
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      LakeDml.lakePathOf(session, u.multipartIdentifier)
     case _ => None
   }
 
   private def lakeIdentOf(name: LogicalPlan): Option[String] = name match {
-    case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
-        if id.nameParts.length == 2 &&
-          id.nameParts.head.equalsIgnoreCase("graft-lake") =>
-      Some(id.nameParts(1))
+    case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+      LakeDml.lakePathOf(session, id.nameParts)
     case _ => None
   }
 
@@ -327,8 +325,8 @@ case class ResolveLakeRelation(session: SparkSession)
       // UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY for a non-FileFormat
       // source before we'd ever see the node.
       case RelationTimeTravel(u: UnresolvedRelation, ts, ver)
-          if LakeDml.isLakeIdent(u) =>
-        val path = u.multipartIdentifier(1)
+          if LakeDml.lakePathOf(session, u.multipartIdentifier).isDefined =>
+        val path = LakeDml.lakePathOf(session, u.multipartIdentifier).get
         val v = ver match {
           case Some(s) =>
             GraftLakeRelation.resolveVersion(session, path, Some(s), None)
@@ -377,8 +375,9 @@ case class ResolveLakeRelation(session: SparkSession)
 
       // plain SQL-on-file: SELECT … FROM `graft-lake`.`/path` (head
       // snapshot) — same hints-batch reasoning as above
-      case u: UnresolvedRelation if LakeDml.isLakeIdent(u) =>
-        val path = u.multipartIdentifier(1)
+      case u: UnresolvedRelation
+          if LakeDml.lakePathOf(session, u.multipartIdentifier).isDefined =>
+        val path = LakeDml.lakePathOf(session, u.multipartIdentifier).get
         val head = ManifestLake.snapshot(session, path).version
         SubqueryAlias(path, inlineRead(path, head, None))
     }
