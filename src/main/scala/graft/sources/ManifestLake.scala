@@ -527,7 +527,29 @@ object ManifestLake {
     try out.write((header ++ body ++ fmtFileLines(legacyFiles) ++ dvLines ++
       checkLines).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, target))
+    // ATOMIC fail-if-exists publish (review r14 round-close): on a
+    // POSIX local filesystem rename(2) silently REPLACES an existing
+    // target, so the exists-check above plus fs.rename is a TOCTOU —
+    // two writers racing the SAME version could both "succeed", the
+    // second erasing the first's manifest (the 8-writer stress caught
+    // exactly this as a lost commit under load). link(2) is the
+    // primitive rename can't give us: it fails with EEXIST atomically.
+    // Non-local stores take the rename path, where fail-if-exists
+    // rename IS the store's documented atomic primitive (HDFS — the
+    // Delta HDFSLogStore assumption).
+    val tmpFile = new java.io.File(tmp.toUri.getPath)
+    if (tmpFile.isFile) {
+      try {
+        java.nio.file.Files.createLink(
+          new java.io.File(target.toUri.getPath).toPath, tmpFile.toPath)
+        fs.delete(tmp, false)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          throw new java.util.ConcurrentModificationException(
+            s"manifest version $next already committed by another writer")
+      }
+    } else if (!fs.rename(tmp, target))
       throw new java.util.ConcurrentModificationException(
         s"commit rename to $target failed (concurrent writer)")
   }

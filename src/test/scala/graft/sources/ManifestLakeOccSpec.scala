@@ -363,6 +363,52 @@ class ManifestLakeOccSpec extends SparkSpec {
       s"expected 11 commits, head ${snap.version}")
   }
 
+  test("commit publish is atomic fail-if-exists: metadata writers " +
+      "racing the SAME version never lose a commit (r14 — the POSIX " +
+      "rename-replaces TOCTOU)") {
+    // rename(2) REPLACES an existing target, so exists-check + rename
+    // let two same-version committers both 'succeed', the second
+    // erasing the first (the 8-writer stress caught this as a lost
+    // commit). Metadata-only commits (renameColumn: no Spark job, a
+    // microsecond window) maximize the same-version collision rate;
+    // the hard-link publish must keep every landing exactly-once.
+    val dir = tmp("linkrace")
+    val base = spark.range(4).selectExpr(
+      Seq("CAST(TIMESTAMP '2024-03-01 10:00:00' AS TIMESTAMP) AS ts") ++
+        (0 until 8).map(w => s"CAST(id AS BIGINT) AS c$w"): _*)
+    ManifestLake.create(spark, dir, base, "ts")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val futures = (0 until 8).map { w =>
+      scala.concurrent.Future {
+        gate.await()
+        var landed = false
+        while (!landed) {
+          try {
+            ManifestLake.renameColumn(spark, dir, s"c$w", s"r$w")
+            landed = true
+          } catch {
+            case _: java.util.ConcurrentModificationException => ()
+          }
+        }
+      }
+    }
+    gate.countDown()
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration(120, "s"))
+    finally pool.shutdown()
+    val cols = ManifestLake.read(spark, dir).columns.toSet
+    (0 until 8).foreach { w =>
+      assert(cols.contains(s"r$w") && !cols.contains(s"c$w"),
+        s"writer $w's rename was lost (have ${cols.mkString(",")})")
+    }
+    // exactly 8 commits on top of create — nobody landed twice
+    assert(ManifestLake.snapshot(spark, dir).version == 9L)
+  }
+
   test("a racing attempt of the SAME batch id is a replay SKIP; an unrelated id stream refuses") {
     val dir = tmp("cur")
     ManifestLake.create(spark, dir, mk(0 until 10, 1), "ts")
