@@ -409,6 +409,49 @@ class ManifestLakeOccSpec extends SparkSpec {
     assert(ManifestLake.snapshot(spark, dir).version == 9L)
   }
 
+  test("racing CREATEs over the same path: exactly one wins the v1 " +
+      "publish, the loser refuses (r14 — the link-publish corollary)") {
+    val dir = tmp("createrace")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val futures = (0 until 2).map { w =>
+      scala.concurrent.Future {
+        gate.await()
+        try {
+          ManifestLake.create(spark, dir, mk(w * 100 until w * 100 + 10, 1),
+            "ts")
+          Right(w)
+        } catch {
+          // the PUBLISH loser gets the CME; the pre-commit scaffolding
+          // (schema anchor overwrite) may also race and fail with an
+          // IO error — either way the invariant under test is the same:
+          // at most ONE writer's v1 exists, never a blend
+          case e: Exception => Left(e)
+        }
+      }
+    }
+    gate.countDown()
+    val results = try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration(120, "s"))
+    finally pool.shutdown()
+    val winners = results.collect { case Right(w) => w }
+    assert(winners.size <= 1,
+      s"two CREATEs both claimed the same v1: $results")
+    if (winners.size == 1) {
+      // head is exactly the winner's data — never a blend, never v2
+      assert(ManifestLake.snapshot(spark, dir).version == 1L)
+      val ids = ManifestLake.read(spark, dir).select("id").collect()
+        .map(_.getLong(0)).toSet
+      val w = winners.head
+      assert(ids == (w * 100L until w * 100L + 10L).toSet)
+    } else
+      // both lost on pre-commit scaffolding: no table, no corruption
+      assert(ManifestLake.snapshot(spark, dir).version == 0L)
+  }
+
   test("a racing attempt of the SAME batch id is a replay SKIP; an unrelated id stream refuses") {
     val dir = tmp("cur")
     ManifestLake.create(spark, dir, mk(0 until 10, 1), "ts")
