@@ -183,16 +183,20 @@ object GraftSqlParser {
       ManifestLake.history(spark, path).collect().toSeq
   }
 
-  /** OPTIMIZE [ZORDER BY] → compactWhere: manifest-only small-file
-    * selection (zero listings), day-at-a-time rewrites, each its own
-    * OCC commit. Returns the compacted day keys. */
+  /** OPTIMIZE [ZORDER BY] → compactWhere: plain OPTIMIZE is
+    * manifest-only small-file selection (zero listings), day-at-a-time
+    * rewrites, each its own OCC commit; with ZORDER BY the user asked
+    * for a LAYOUT, so every day is re-clustered regardless of
+    * fragmentation (an already-compacted table would otherwise
+    * silently no-op — ADVICE r14 #1). Returns the compacted day keys. */
   case class GraftOptimizeCommand(path: String, zorderBy: Seq[String])
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(attr("compacted_day",
       StringType))
     override def run(spark: SparkSession): Seq[Row] =
       ManifestLake.compactWhere(spark, path, clusterBy = zorderBy,
-        zOrder = zorderBy.nonEmpty).map(Row(_))
+        zOrder = zorderBy.nonEmpty,
+        recluster = zorderBy.nonEmpty).map(Row(_))
   }
 
   /** VACUUM → vacuum: deletes (or, under DRY RUN, lists) files no

@@ -156,6 +156,20 @@ object LakeDml {
     }.distinct
   }
 
+  /** Refuse duplicate assignment targets (`SET v = 1, v = 2`) —
+    * downstream the list converts to a Map, which would silently keep
+    * the last; Spark/Delta error on this (ADVICE r14 #4). Mirrors the
+    * INSERT column-list duplicate check; case-insensitive, like every
+    * other name rule in the DML layer. */
+  def requireDistinctKeys(keys: Seq[String], what: String): Unit = {
+    val dup = keys.groupBy(_.toLowerCase).collect {
+      case (_, ks) if ks.length > 1 => ks.head
+    }
+    require(dup.isEmpty,
+      s"graft-lake $what: duplicate assignment target(s) " +
+        s"${dup.mkString(", ")} — each column may be assigned once")
+  }
+
   private[plans] def ordColOrRefuse(spark: SparkSession, path: String,
       stmt: String): String =
     ManifestLake.ordColOf(spark, path).getOrElse(

@@ -80,6 +80,9 @@ case class ResolveLakeRelation(session: SparkSession)
             val set = u.assignments.map(a =>
               LakeDml.keyName(a.key, alias, "UPDATE") ->
                 LakeDml.bare(a.value, alias))
+            // SET v = 1, v = 2 would silently keep the last through
+            // the downstream .toMap — refuse like Spark/Delta do
+            LakeDml.requireDistinctKeys(set.map(_._1), "UPDATE")
             GraftUpdateCommand(path, set,
               u.condition.map(LakeDml.bare(_, alias)).getOrElse(lit(true)))
         }
@@ -187,10 +190,22 @@ case class ResolveLakeRelation(session: SparkSession)
             val insertIdentity = Seq.newBuilder[(String, String)]
             def updateSet(assignments: Seq[
                 org.apache.spark.sql.catalyst.plans.logical.Assignment])
-                : Map[String, org.apache.spark.sql.Column] =
-              assignments.map(a =>
+                : Map[String, org.apache.spark.sql.Column] = {
+              val keyed = assignments.map(a =>
                 LakeDml.keyName(a.key, tAlias, "MERGE UPDATE") ->
-                  tx(a.value)).toMap
+                  tx(a.value))
+              // day is derived from the ord column by mergeRewrite —
+              // an explicit assignment would be silently ignored, so
+              // refuse it loudly like the UPDATE statement route does
+              // (ADVICE r14 #3); duplicate targets would silently keep
+              // the last via .toMap — Spark/Delta error (ADVICE #4)
+              keyed.foreach { case (k, _) =>
+                require(!k.equalsIgnoreCase("day"),
+                  "graft-lake MERGE: 'day' is derived from the table's " +
+                    "ord column — assign the ord column instead") }
+              LakeDml.requireDistinctKeys(keyed.map(_._1), "MERGE UPDATE")
+              keyed.toMap
+            }
             def clauseOf(a: MergeAction, bySource: Boolean): MergeClause =
               a match {
                 case ua: UpdateAction if bySource =>
@@ -379,7 +394,12 @@ case class ResolveLakeRelation(session: SparkSession)
           if LakeDml.lakePathOf(session, u.multipartIdentifier).isDefined =>
         val path = LakeDml.lakePathOf(session, u.multipartIdentifier).get
         val head = ManifestLake.snapshot(session, path).version
-        SubqueryAlias(path, inlineRead(path, head, None))
+        // alias by the identifier's LAST part (the table name), not
+        // the resolved path — `SELECT events.id FROM graft.db.events`
+        // and self-join disambiguation resolve against the name the
+        // user wrote, matching the time-travel branch (ADVICE r14 #2)
+        SubqueryAlias(u.multipartIdentifier.last,
+          inlineRead(path, head, None))
     }
 
   /** TIMESTAMP AS OF's operand is an arbitrary foldable expression

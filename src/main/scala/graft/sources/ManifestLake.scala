@@ -605,11 +605,19 @@ object ManifestLake {
   def parseSessionTimestamp(spark: SparkSession,
       raw: String): java.sql.Timestamp = {
     val s = raw.trim.replace(' ', 'T')
+    // date-only input ('2024-03-01') means midnight, session zone —
+    // the SQL `TIMESTAMP AS OF` route folds through a session-zone
+    // Cast that accepts it, and the option/RESTORE/table_changes
+    // routes must pin the SAME version for the same string (ADVICE
+    // r14 #5)
     val ldt = try java.time.LocalDateTime.parse(s) catch {
       case _: java.time.format.DateTimeParseException =>
-        throw new IllegalArgumentException(
-          "timestamp must be 'yyyy-MM-dd HH:mm:ss[.fff]' (ISO 'T' " +
-            s"accepted), got '$raw'")
+        try java.time.LocalDate.parse(s).atStartOfDay() catch {
+          case _: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(
+              "timestamp must be 'yyyy-MM-dd[ HH:mm:ss[.fff]]' (ISO " +
+                s"'T' accepted), got '$raw'")
+        }
     }
     // Spark's own resolver, not raw ZoneId.of: the conf accepts forms
     // plain ZoneId rejects ('PST' short ids, 'GMT+8:00') — review r14
@@ -2959,7 +2967,8 @@ object ManifestLake {
       minFileBytes: Long = 64L * 1024 * 1024,
       clusterBy: Seq[String] = Seq.empty,
       zOrder: Boolean = false,
-      maxDays: Int = Int.MaxValue): Seq[String] = {
+      maxDays: Int = Int.MaxValue,
+      recluster: Boolean = false): Seq[String] = {
     // idempotence guard: compactDay writes ~target-sized files, so a
     // small-file threshold above target/2 could re-qualify a day's own
     // output forever (every sweep rewrites the same bytes — pure churn
@@ -2968,7 +2977,17 @@ object ManifestLake {
       s"compactWhere: minFileBytes $minFileBytes > targetFileBytes/2 " +
         s"(${targetFileBytes / 2}) would re-pick freshly compacted days " +
         "every sweep — lower minFileBytes or raise targetFileBytes")
-    val picked = compactCandidates(spark, path, minFileBytes, maxDays)
+    // recluster: an explicit layout request (OPTIMIZE ... ZORDER BY)
+    // rewrites EVERY day — a table already folded to one well-sized
+    // file per day has nothing the small-file rule would pick, but the
+    // user asked for a new sort order, not less fragmentation (the
+    // Delta OPTIMIZE ZORDER contract; ADVICE r14 #1). Data volume is
+    // the same day-at-a-time bound either way; maxDays still caps one
+    // sweep.
+    val picked =
+      if (recluster)
+        snapshot(spark, path).days.keys.toSeq.sorted.take(maxDays)
+      else compactCandidates(spark, path, minFileBytes, maxDays)
     picked.foreach { d =>
       compactDay(spark, path, d, targetFileBytes, clusterBy, zOrder)
     }

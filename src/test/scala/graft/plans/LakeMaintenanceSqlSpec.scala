@@ -164,6 +164,25 @@ class LakeMaintenanceSqlSpec extends SparkSpec {
     assert(ids(lake) == before)
   }
 
+  test("ZORDER BY on an already-compacted table still re-clusters " +
+      "every day (an explicit layout request never no-ops)") {
+    val lake = freshLake()
+    spark.sql(s"OPTIMIZE `graft-lake`.`$lake`") // fold to 1 dir/day
+    val snap1 = ManifestLake.snapshot(spark, lake)
+    assert(snap1.days.values.forall(_.size == 1))
+    // plain OPTIMIZE is now a no-op (idempotent, nothing to pick) ...
+    assert(spark.sql(s"OPTIMIZE `graft-lake`.`$lake`").collect().isEmpty)
+    // ... but an explicit ZORDER request rewrites ALL days anyway
+    val before = ids(lake)
+    val zordered = spark.sql(
+      s"OPTIMIZE `graft-lake`.`$lake` ZORDER BY (id, v)")
+      .collect().map(_.getString(0)).toSet
+    assert(zordered == Set("2024-03-01", "2024-03-02"))
+    assert(ids(lake) == before)
+    val snap2 = ManifestLake.snapshot(spark, lake)
+    assert(snap2.version == snap1.version + 2) // one commit per day
+  }
+
   test("a malformed maintenance statement fails with the grammar, " +
       "not a Spark fallback error") {
     val lake = freshLake()

@@ -83,6 +83,26 @@ class NamedTableSpec extends SparkSpec with BeforeAndAfterAll {
       .columns.contains("note"))
   }
 
+  test("qualified references resolve by TABLE NAME, not the resolved " +
+      "warehouse path (r14 ADVICE: alias the relation by the last " +
+      "identifier part)") {
+    (0 until 3).map(i => (i.toLong, ts("2024-03-01 10:00:00"), i * 1.0))
+      .toDF("id", "ts", "v").createOrReplaceTempView("named_src3")
+    spark.sql("CREATE TABLE graft.analytics.qual_t " +
+      "OPTIONS ('ordCol' 'ts') AS SELECT * FROM named_src3")
+    // table-name-qualified column reference
+    assert(spark.sql(
+      "SELECT qual_t.id FROM graft.analytics.qual_t ORDER BY qual_t.id")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    // self-join with explicit aliases disambiguates both sides
+    val joined = spark.sql(
+      """SELECT a.id, b.id FROM graft.analytics.qual_t a
+        |JOIN graft.analytics.qual_t b ON a.id = b.id - 1
+        |ORDER BY a.id""".stripMargin).collect()
+    assert(joined.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 1L), (1L, 2L)))
+  }
+
   test("without the warehouse conf the graft catalog name is NOT " +
       "claimed") {
     spark.conf.unset("spark.graft.warehouse")

@@ -153,6 +153,36 @@ class SqlDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("derived"))
   }
 
+  test("UPDATE refuses duplicate assignment targets instead of " +
+      "silently keeping the last") {
+    val lake = freshLake()
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE `graft-lake`.`$lake` SET a = 1, A = 2 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // nothing committed
+    assert(state(lake).exists(r => r._1 == 1L && r._4 == 1.0))
+  }
+
+  test("MERGE refuses SET day (derived) and duplicate UPDATE targets, " +
+      "matching the UPDATE statement route") {
+    val lake = freshLake()
+    seed.limit(2).createOrReplaceTempView("merge_day_src")
+    val e1 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO `graft-lake`.`$lake` t
+        |USING merge_day_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET day = '2024-01-01'""".stripMargin)
+    }
+    assert(e1.getMessage.contains("derived") ||
+      e1.getMessage.contains("ord column"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO `graft-lake`.`$lake` t
+        |USING merge_day_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET a = 1, a = 2""".stripMargin)
+    }
+    assert(e2.getMessage.contains("duplicate"))
+  }
+
   test("MERGE INTO ≡ mergeInto twin across all three clause families") {
     val sqlLake = freshLake(); val apiLake = freshLake()
     val src = Seq(

@@ -55,6 +55,27 @@ class LakeFormatSpec extends SparkSpec {
     assert(boom.getMessage.contains("mutually exclusive"))
   }
 
+  test("date-only timestamp strings pin the SAME version through the " +
+      "option route and the SQL TIMESTAMP AS OF route (ADVICE r14 #5)") {
+    // the lake's commits are all 'today'; a far-future date-only
+    // string resolves to the head through BOTH doors instead of the
+    // option route throwing on the missing time component
+    val d = "2030-01-01"
+    val viaOpt = spark.read.format("graft-lake")
+      .option("timestampAsOf", d).load(lake)
+    val viaSql = spark.sql(
+      s"SELECT * FROM `graft-lake`.`$lake` TIMESTAMP AS OF '$d'")
+    assert(ids(viaOpt) == ids(viaSql) && viaOpt.count() == 20L)
+    // midnight session-zone semantics: parse lands at 00:00:00
+    val parsed = ManifestLake.parseSessionTimestamp(spark, d)
+    assert(parsed == java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))
+    // garbage still refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.parseSessionTimestamp(spark, "not-a-date")
+    }
+    assert(e.getMessage.contains("timestamp must be"))
+  }
+
   test("SQL-on-file: SELECT FROM `graft-lake`.`path`") {
     val df = spark.sql(s"SELECT id, v FROM `graft-lake`.`$lake` WHERE id >= 100")
     assert(ids(df.select(col("id"), col("v"))
