@@ -55,7 +55,43 @@ object Bench {
     "s_ann_l2", "x_bm25", "p_dsir", "l_incr_mv", "s_mmr",
     "x_collocations", "x_readability", "d_url_dedup", "x_textrank",
     "l_rename_read", "l_mapping_travel", "x_quality_lr", "l_asof_travel",
-    "l_format_read", "l_sql_travel", "l_sql_dml", "l_sql_merge")
+    "l_format_read", "l_sql_travel", "l_sql_dml", "l_sql_merge",
+    "l_cdf_meta")
+
+  /** The contention guard's decision rule (VERDICT r14 #1 — the
+    * driver's BENCH_r14 was contaminated by external load bursts and
+    * cost the judge an adjudication pass). After every steady-state
+    * sample, `probe` re-measures a fixed tiny calibration spin; a
+    * probe above `driftFactor` × its quiet-box `baseline` means
+    * external load overlapped the measurement window, so that sample
+    * is TAINTED: it is logged (both numbers) and the query re-runs,
+    * bounded by `maxRuns`. Returns min over clean samples once `want`
+    * of them exist — or, if the box never quiets down, min over all
+    * samples (still logged, so the artifact is diagnosable). A
+    * negative sample means the query itself failed: surfaced
+    * immediately, never retried (a crash is not contention). Pure
+    * function over injected thunks — unit-tested with synthetic load
+    * in BenchGuardSpec. */
+  private[graft] def steadyMin(run: () => Double, probe: () => Double,
+      baseline: Double, want: Int = 2, maxRuns: Int = 4,
+      driftFactor: Double = 2.0,
+      log: String => Unit = System.err.println): Double = {
+    val clean = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val tainted = scala.collection.mutable.ArrayBuffer.empty[Double]
+    while (clean.size + tainted.size < maxRuns && clean.size < want) {
+      val t = run()
+      if (t < 0) return t
+      val p = probe()
+      if (p <= driftFactor * baseline) clean += t
+      else {
+        tainted += t
+        log(f"[bench] contention: probe $p%.3fs vs calib " +
+          f"$baseline%.3fs (> $driftFactor%.1fx) — sample $t%.3fs " +
+          "tainted, re-running")
+      }
+    }
+    if (clean.nonEmpty) clean.min else tainted.min
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,6 +118,17 @@ object Bench {
     calibOnce() // absorb this plan's own codegen
     val calibration = (1 to 3).map(_ => calibOnce()).min
 
+    // Contention probe: the SAME 0.3 s calibration spin re-measured
+    // after every steady-state sample, as min-of-2 — a single spin
+    // right after a heavy query reads high from that query's own GC
+    // debt (measured: 2-3× on a quiet box), which would self-taint
+    // every sample; a REAL external load burst spans both spins. The
+    // probe's quiet-box baseline (`calibration`) anchors steadyMin's
+    // 2× drift rule.
+    def probeOnce(): Double = math.min(calibOnce(), calibOnce())
+    var reruns = 0
+    val guardLog: String => Unit = { m => reruns += 1; System.err.println(m) }
+
     // Headline set only (SURVEY §6): the full inventory runs under the
     // sf0.01 correctness gate; the bench excludes the one deliberately
     // oracle-scale-only operator (d_cc_recursive — bounded path
@@ -99,27 +146,28 @@ object Bench {
     // so the driver can't mistake a crash for throughput.
     val results = toRun.map { name =>
       val fn = SparkEntry.queries(name)
-      def once(): (Double, Boolean) = {
+      def once(): Double = {
         // clear plan-matched cache reuse: CacheManager resolves a NEW
         // identical plan against run 1's cached data, which would turn
         // the steady-state run into a partial measurement for queries
         // that .cache() internally (d_minhash_lsh, p_training_funnel)
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          return -1.0
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      val (cold, okCold) = once()
-      // two steady-state runs, report the min: single-sample times
-      // swing ±15% with GC/JIT state, which would drown real
-      // round-over-round deltas in the driver's bench comparison
-      val (w1, ok1) = once()
-      val (w2, ok2) = once()
-      (name, math.min(w1, w2), cold, okCold && ok1 && ok2)
+      val cold = once()
+      // two CLEAN steady-state runs, report the min: single-sample
+      // times swing ±15% with GC/JIT state, and a sample whose window
+      // saw >2× calibration drift re-runs under the contention guard
+      val steady = if (cold < 0) -1.0
+        else steadyMin(() => once(), () => probeOnce(), calibration,
+          log = guardLog)
+      (name, steady, cold, cold >= 0 && steady >= 0)
     }
     // SPARK_GRAFT_HEADLINE_ONLY=1: skip the extras sweep — the
     // scale-ladder points (SCALING.md) time the fixed headline set at
@@ -140,8 +188,10 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      once() // cold
-      (name, math.min(once(), once()))
+      val cold = once()
+      (name, if (cold < 0) -1.0
+        else steadyMin(() => once(), () => probeOnce(), calibration,
+          log = guardLog))
     }
     val qs = results.map { case (k, w, _, ok) =>
       "\"" + k + "\":" + (if (ok) f"$w%.3f" else "-1") }
@@ -159,9 +209,12 @@ object Bench {
     // So the stdout/bench_out.json line carries ONLY the machine-first
     // compact fields (~700 chars, headline is frozen at 19 queries);
     // the full extras map goes to a sibling bench_extras.json.
+    // "reruns" = samples the contention guard discarded and re-ran;
+    // a quiet box reports 0, so any positive value flags the artifact
+    // as measured under external load (and says how much)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failed,"cold_sec":$coldTotal,""" +
-      f""""calibration_sec":$calibration%.3f,"sf":"$sfDir"}"""
+      f""""calibration_sec":$calibration%.3f,"reruns":$reruns,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), line + "\n")

@@ -152,6 +152,28 @@ object LakeOps {
       .orderBy(col("_change_type"), col("event_id"))
   }
 
+  /** The PER-COMMIT change feed under the oracle (r15 — Delta
+    * readChangeFeed parity): the same v1→head window as l_cdf, but
+    * walked version by version, every row tagged with the
+    * `_commit_version` that produced it — the upsert's delete+insert
+    * pairs attribute to v2, the takedown's deletes to v3, and a v3
+    * delete of a v2-updated row carries the UPDATED values (it left
+    * the v2 state, not v1's). DuckDB replays each commit's diff
+    * independently and stacks them. `_commit_timestamp` rides the
+    * real feed but is wall-clock (nondeterministic under a hash
+    * oracle) — its correctness is pinned by spec instead:
+    * ManifestLakeCdcSpec asserts it equals history()'s committed_at
+    * for the same version, which readAsOf round-trips. */
+  def lCdfMeta(s: SparkSession, dir: String): DataFrame = {
+    val lake = historyLake(s, dir)
+    val head = ManifestLake.snapshot(s, lake).version
+    ManifestLake.readChangesPerCommit(s, lake, 1L, head)
+      .select((histCols :+ "_change_type" :+ "_commit_version")
+        .map(col): _*)
+      .orderBy(col("_commit_version"), col("_change_type"),
+        col("event_id"))
+  }
+
   /** Incremental materialized-view maintenance off the change feed —
     * the production use case CDF exists for (Delta's "incremental
     * ETL" pattern): a per-user aggregate MV is computed ONCE at v1,
@@ -516,6 +538,7 @@ object LakeOps {
     "l_sql_merge" -> (lSqlMerge _),
     "l_merge_head" -> (lMergeHead _),
     "l_cdf" -> (lCdf _),
+    "l_cdf_meta" -> (lCdfMeta _),
     "l_incr_mv" -> (lIncrMv _),
     "l_dv_takedown" -> (lDvTakedown _),
     "l_audit_travel" -> (lAuditTravel _),
@@ -655,6 +678,35 @@ object LakeOps {
          |SELECT event_id, ts, user_id, event_type, value, props,
          |  strftime(ts, '%Y-%m-%d') AS day, 'delete' AS _change_type FROM del
          |ORDER BY _change_type, event_id""".stripMargin,
+    // per-commit replay: v2 = the upsert's diff against v1 (both
+    // directions of the EXCEPT ALL), v3 = the takedown's deletes OUT
+    // OF THE V2 STATE (an updated-then-deleted row must carry the
+    // updated values, attributed to v3)
+    "l_cdf_meta" ->
+      s"""WITH v1 AS (
+         |  SELECT event_id, ts, user_id, event_type, value, props FROM events
+         |), v2 AS (
+         |  SELECT event_id, ts + INTERVAL 1 DAY AS ts, user_id,
+         |         'updated' AS event_type, value + 100.0 AS value, props
+         |  FROM events WHERE user_id % 7 = 3 AND ts IS NOT NULL
+         |  UNION ALL
+         |  SELECT event_id, ts, user_id, event_type, value, props
+         |  FROM events WHERE NOT (user_id % 7 = 3 AND ts IS NOT NULL)
+         |), c2i AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1),
+         |   c2d AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2),
+         |   c3d AS (SELECT * FROM v2 WHERE coalesce(user_id % 5 = 0, FALSE))
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day, 'insert' AS _change_type,
+         |  CAST(2 AS BIGINT) AS _commit_version FROM c2i
+         |UNION ALL
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day, 'delete' AS _change_type,
+         |  CAST(2 AS BIGINT) AS _commit_version FROM c2d
+         |UNION ALL
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day, 'delete' AS _change_type,
+         |  CAST(3 AS BIGINT) AS _commit_version FROM c3d
+         |ORDER BY _commit_version, _change_type, event_id""".stripMargin,
     // the incrementally-maintained MV must equal a from-scratch
     // aggregate of the replayed head state (same merged CTE as
     // l_merge_head); sum via the cents mirror (ExactNum.sum4)

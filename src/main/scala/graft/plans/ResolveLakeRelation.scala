@@ -353,12 +353,14 @@ case class ResolveLakeRelation(session: SparkSession)
 
       // the CDF table-valued function (Delta's `table_changes`):
       // `SELECT … FROM table_changes('/lake/root', fromV, toV)` —
-      // inlines readChanges' analyzed plan, so the change feed is
-      // joinable/filterable like any relation. Versions may also be
-      // timestamp strings (resolved via versionAt); the 2-arg form
-      // reads to head. Cost: the manifest DIFF's scan — untouched
-      // days zero IO, appends incremental, only rewritten days pay
-      // the exceptAll (the l_cdf shape).
+      // inlines the PER-COMMIT feed's analyzed plan (r15: rows carry
+      // `_commit_version`/`_commit_timestamp`, Delta's exact surface),
+      // so the change feed is joinable/filterable like any relation.
+      // Versions may also be timestamp strings (resolved via
+      // versionAt); the 2-arg form reads to head. Cost: each commit's
+      // manifest-diff scan — untouched days zero IO, appends
+      // incremental, only rewritten days pay the exceptAll (the
+      // l_cdf shape), plus O(window) manifest reads.
       case tvf: org.apache.spark.sql.catalyst.analysis
           .UnresolvedTableValuedFunction
           if tvf.name.length == 1 &&
@@ -384,7 +386,7 @@ case class ResolveLakeRelation(session: SparkSession)
           val toV = if (tvf.functionArgs.length == 3) versionArg(2)
             else ManifestLake.snapshot(session, path).version
           SubqueryAlias("table_changes",
-            ManifestLake.readChanges(session, path, fromV, toV)
+            ManifestLake.readChangesPerCommit(session, path, fromV, toV)
               .queryExecution.analyzed)
         }
 

@@ -37,11 +37,13 @@ import org.apache.spark.sql.types.StructType
   *   - `skipRewrites`: advance past rewritten days without emitting
   *     them (Delta's skipChangeCommits); default false = refuse.
   *   - `readChangeFeed`: CDF mode (Delta's streaming readChangeFeed) —
-  *     each micro-batch is the window's NET changes tagged
-  *     `_change_type` insert/delete, so rewritten days stream as
-  *     their delete+insert pairs instead of refusing; appends still
-  *     flow as a pure incremental scan tagged insert. Mutually
-  *     exclusive with skipRewrites.
+  *     each micro-batch carries the window's changes PER COMMIT,
+  *     tagged `_change_type` insert/delete plus `_commit_version` /
+  *     `_commit_timestamp` (r15: attribution survives a multi-version
+  *     trigger window), so rewritten days stream as their
+  *     delete+insert pairs instead of refusing; appends still flow as
+  *     a pure incremental scan tagged insert. Mutually exclusive with
+  *     skipRewrites.
   *   - `maxDirsPerTrigger`: cap one micro-batch's window at this
   *     many added directories (always ≥ 1 version per trigger;
   *     rewritten days carry no added dirs, so in CDF mode a rewrite
@@ -294,8 +296,13 @@ object LakeStreamSource {
       s"graft-lake: no committed snapshot at $path — create the lake " +
         "first (ManifestLake.create or the streaming sink's bootstrap)")
     val base = ManifestLake.read(spark, path).schema
-    if (cdf) base.add(ManifestLake.ChangeTypeCol,
-      org.apache.spark.sql.types.StringType, nullable = false)
+    if (cdf) base
+      .add(ManifestLake.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false)
+      .add(ManifestLake.CommitVersionCol,
+        org.apache.spark.sql.types.LongType, nullable = false)
+      .add(ManifestLake.CommitTimestampCol,
+        org.apache.spark.sql.types.TimestampType, nullable = false)
     else base
   }
 }

@@ -2283,6 +2283,44 @@ object ManifestLake {
         fastDel.unionByName(diffDel).withColumn("_change_type", lit("delete")))
   }
 
+  /** Per-commit change feed (Delta `readChangeFeed` parity — VERDICT
+    * r14 #2): the window (fromV, toV] walked VERSION BY VERSION, each
+    * commit's own diff tagged `_commit_version` and
+    * `_commit_timestamp` (the ADJUSTED strictly-monotone stamps — the
+    * same instants history() displays and versionAt resolves against,
+    * so a feed row's timestamp round-trips through readAsOf to
+    * exactly its version). This is what lets a downstream consumer
+    * ATTRIBUTE a change to the commit that produced it and ORDER
+    * changes within a multi-version window — the net-of-window
+    * readChanges collapses both away (and remains the right tool for
+    * mirror/MV delta folding, where the net is exactly what applies).
+    *
+    * Cost shape: each step inherits readChanges' day-diff discipline —
+    * an append commit is a pure incremental scan of its OWN added
+    * dirs (across steps every added dir is read once, the same total
+    * IO as the net feed), and only a commit that actually rewrote a
+    * day pays that day's exceptAll, in its own step. The walk adds
+    * O(window) manifest reads — kilobytes each, driver-side. Unlike
+    * the net feed, a row inserted AND removed inside the window does
+    * NOT cancel: both commits report their change, which is the
+    * point. Retention: the walk needs every manifest in [fromV, toV]
+    * — vacuum expires only log PREFIXES, so a retained fromV implies
+    * the whole window is walkable. */
+  def readChangesPerCommit(spark: SparkSession, path: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV,
+      s"readChangesPerCommit: fromV $fromV > toV $toV")
+    val (fs, root) = fsOf(spark, path)
+    val stamps = stampedVersions(fs, root).toMap
+    def step(v: Long): DataFrame =
+      readChanges(spark, path, math.max(fromV, v - 1), v)
+        .withColumn(CommitVersionCol, lit(v))
+        .withColumn(CommitTimestampCol,
+          lit(new java.sql.Timestamp(stamps.getOrElse(v, 0L))))
+    if (fromV == toV) step(toV).limit(0) // empty window, full schema
+    else (fromV + 1 to toV).map(step).reduce(_ unionByName _)
+  }
+
   /** Latest-wins MERGE with ONE atomic commit across every affected
     * day — LakeLayout.upsert's exact semantics (affected-day discovery
     * from both directions, cross-day version chains move the key,
@@ -3568,12 +3606,15 @@ object ManifestLake {
   }
 
   /** One CDF-mode micro-batch (Delta's streaming `readChangeFeed`):
-    * the NET row changes of manifest window (fromV, toV] tagged
-    * `_change_type` insert/delete — readChanges' exact semantics, so
+    * the row changes of manifest window (fromV, toV] PER COMMIT,
+    * tagged `_change_type` insert/delete plus `_commit_version` /
+    * `_commit_timestamp` (r15 — readChangesPerCommit's semantics), so
     * a rewritten day streams as its delete+insert pair instead of
-    * refusing, and the feed can drive LIVE incremental-MV maintenance
-    * (apply +insert/−delete deltas per trigger ≡ recomputing from the
-    * head snapshot — CdfStreamSpec pins the equivalence).
+    * refusing, every row names the commit that produced it even when
+    * one trigger covers several commits, and the feed can drive LIVE
+    * incremental-MV maintenance (apply +insert/−delete deltas per
+    * trigger ≡ recomputing from the head snapshot — CdfStreamSpec
+    * pins the equivalence).
     *
     * Plan-shape note (why this composes with the V1 splice): the
     * readChanges plan puts the appended-dirs parquet scan at the
@@ -3603,15 +3644,24 @@ object ManifestLake {
       if (fromV == 0L) Snapshot(0L, Map.empty)
       else readCursorManifest(fs, root, fromV)
     val to = readCursorManifest(fs, root, toV)
+    val feedCols = Set(ChangeTypeCol, CommitVersionCol, CommitTimestampCol)
     val tableWant = org.apache.spark.sql.types.StructType(
-      want.fields.filterNot(_.name == ChangeTypeCol))
+      want.fields.filterNot(f => feedCols.contains(f.name)))
     streamSchemaGuard(spark, path, from, to, fromV, toV, tableWant)
-    readChanges(spark, path, fromV, toV)
+    // per-commit, not net-of-window (r15): each trigger's rows carry
+    // the commit that produced them — Delta readChangeFeed's shape —
+    // so downstream attribution survives a multi-version trigger
+    // window. Same leftmost-leaf discipline: the FIRST step's append
+    // scan is the leaf markStreaming tags; every exceptAll stays a
+    // batch subplan.
+    readChangesPerCommit(spark, path, fromV, toV)
       .select(want.fieldNames.map(col).toIndexedSeq: _*)
   }
 
-  /** CDF feed column (Delta's name). */
+  /** CDF feed columns (Delta's names). */
   private[sources] val ChangeTypeCol = "_change_type"
+  private[graft] val CommitVersionCol = "_commit_version"
+  private[graft] val CommitTimestampCol = "_commit_timestamp"
 
   /** The lake as a Structured Streaming SOURCE — `readStream` over a
     * ManifestLake, the consumer half that closes the CDC tier (sink +

@@ -151,6 +151,15 @@ class LakeMaintenanceSqlSpec extends SparkSpec {
         .collect()
     }
     assert(!e.getMessage.contains("graft"))
+    // r15: rows carry commit attribution — each append window's rows
+    // name the version that landed them, SQL-filterable
+    val meta = spark.sql("SELECT DISTINCT _commit_version " +
+      s"FROM table_changes('$lake', 1, 3) ORDER BY _commit_version")
+    assert(meta.collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    val v3only = spark.sql(s"SELECT min(id), max(id) FROM " +
+      s"table_changes('$lake', 1, 4) WHERE _commit_version = 4")
+      .collect().head
+    assert(v3only.getLong(0) == 300L && v3only.getLong(1) == 307L)
   }
 
   test("ZORDER BY with three columns interleaves all three " +

@@ -123,6 +123,39 @@ class ManifestLakeCdcSpec extends SparkSpec {
       Set(("delete", 11L, 101L, "click", 7.0, "2024-01-02")))
   }
 
+  test("per-commit feed (r15): intra-window changes do NOT cancel, " +
+      "each row names its commit, stamps ≡ history(), compaction " +
+      "steps contribute nothing") {
+    val dir = Files.createTempDirectory("graft_cdc_pc").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")                 // v1
+    val b = Seq((11L, 101L, ts("2024-01-02 12:00:00"), "click", 7.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.appendBatch(spark, dir, b, "ts", batchId = 0L)     // v2
+    ManifestLake.compactDay(spark, dir, "2024-01-02")               // v3
+    ManifestLake.deleteWhere(spark, dir, col("event_id") === 101L)  // v4
+    val pc = ManifestLake.readChangesPerCommit(spark, dir, 1L, 4L)
+      .select("_change_type", "event_id", "_commit_version",
+        "_commit_timestamp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3)))
+    // the NET feed over the same window is EMPTY (spec above); the
+    // per-commit feed reports both sides with attribution instead
+    assert(pc.map(r => (r._1, r._2, r._3)).toSet == Set(
+      ("insert", 101L, 2L), ("delete", 101L, 4L)), pc.toSeq)
+    // v3 (pure compaction) truly contributes zero rows
+    assert(!pc.exists(_._3 == 3L))
+    // _commit_timestamp is the adjusted monotone stamp history()
+    // displays — the instant readAsOf resolves back to that version
+    val hist = ManifestLake.history(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(2)).toMap
+    assert(pc.forall(r => hist(r._3) == r._4), pc.toSeq)
+    // empty window: zero rows, full feed schema
+    val empty = ManifestLake.readChangesPerCommit(spark, dir, 4L, 4L)
+    assert(empty.count() == 0L &&
+      empty.columns.takeRight(3).toSeq ==
+        Seq("_change_type", "_commit_version", "_commit_timestamp"))
+  }
+
   test("schema evolution across the window: old-side rows read the new column as NULL") {
     val dir = Files.createTempDirectory("graft_cdc_schema").toString
     ManifestLake.create(spark, dir, mkBase(), "ts")

@@ -63,9 +63,10 @@ class CdfStreamSpec extends SparkSpec {
     val win = batches.synchronized(batches.toVector).drop(1)
       .filter(_.nonEmpty)
     assert(win.size == 1, s"expected one catch-up window, got $win")
-    // the stream's window (1, head] must equal the batch CDC read of
-    // the same window — same net-effect diff code, same rows
-    val want = keyed(ManifestLake.readChanges(spark, src, 1L,
+    // the stream's window (1, head] must equal the batch PER-COMMIT
+    // CDC read of the same window — same diff code, same rows (r15:
+    // the stream walks the window version by version)
+    val want = keyed(ManifestLake.readChangesPerCommit(spark, src, 1L,
       ManifestLake.snapshot(spark, src).version))
     assert(win.head == want, s"stream=${win.head}\nbatch=$want")
     // and the rewrite really is its delete+insert pair
@@ -124,7 +125,8 @@ class CdfStreamSpec extends SparkSpec {
     assert(got == want, s"MV diverged:\n got=$got\nwant=$want")
   }
 
-  test("readChangeFeed + skipRewrites refused; CDF schema carries _change_type") {
+  test("readChangeFeed + skipRewrites refused; CDF schema carries " +
+      "_change_type + commit metadata") {
     val src = tmp("guard")
     ManifestLake.create(spark, src, mk(0 until 5, 1), "ts")
     val boom = intercept[IllegalArgumentException] {
@@ -134,8 +136,46 @@ class CdfStreamSpec extends SparkSpec {
     }
     assert(boom.getMessage.contains("contradictory"), boom.getMessage)
     val df = ManifestLake.changeStream(spark, src, readChangeFeed = true)
-    assert(df.schema.fieldNames.last == "_change_type")
-    assert(df.schema.fieldNames.init.toSeq ==
+    assert(df.schema.fieldNames.takeRight(3).toSeq ==
+      Seq("_change_type", "_commit_version", "_commit_timestamp"))
+    assert(df.schema.fieldNames.dropRight(3).toSeq ==
       ManifestLake.read(spark, src).schema.fieldNames.toSeq)
+  }
+
+  test("per-trigger commit attribution: every CDF row names the " +
+      "commit that produced it, timestamps ≡ history()'s instants") {
+    val src = tmp("attr")
+    ManifestLake.create(spark, src, mk(0 until 10, 1), "ts")        // v1
+    ManifestLake.upsert(spark, src,
+      Seq((2L, ts("2024-04-01 11:00:00"), "changed", 2L))
+        .toDF("id", "ts", "v", "grp"), Seq("id"), "ts")             // v2
+    ManifestLake.appendBatch(spark, src, mk(50 until 55, 2), "ts", 0L) // v3
+    val rows = mutable.ArrayBuffer.empty[(Long, String, Long,
+      java.sql.Timestamp)]
+    val q = ManifestLake.changeStream(spark, src, readChangeFeed = true,
+      startingVersion = "1")
+      .writeStream.option("checkpointLocation", tmp("attr_cp"))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val r = df.select("id", "_change_type", "_commit_version",
+          "_commit_timestamp").collect()
+          .map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+            x.getTimestamp(3)))
+        rows.synchronized { rows ++= r }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val got = rows.synchronized(rows.toVector)
+    // the upsert's pair attributes to v2, the append's inserts to v3 —
+    // even though one trigger may cover both commits
+    assert(got.filter(_._1 == 2L).map(r => (r._2, r._3)).toSet ==
+      Set(("delete", 2L), ("insert", 2L)))
+    assert(got.filter(_._1 >= 50L).forall(r =>
+      r._2 == "insert" && r._3 == 3L))
+    // _commit_timestamp is the SAME adjusted instant history() shows
+    // (so it round-trips through readAsOf to exactly that version)
+    val hist = ManifestLake.history(spark, src).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(2)).toMap
+    assert(got.forall(r => hist(r._3) == r._4),
+      s"feed stamps diverged from history: $got vs $hist")
   }
 }
