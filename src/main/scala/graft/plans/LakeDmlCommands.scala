@@ -39,25 +39,40 @@ object LakeDml {
       u.multipartIdentifier.head.equalsIgnoreCase("graft-lake")
 
   /** NAMED tables (r14): ``graft`.`db`.`t`` resolves to
-    * `<spark.graft.warehouse>/db/t` — the Delta-catalog UX on the
-    * path-table machinery, one convention instead of a second
-    * metastore (the warehouse DIRECTORY is the catalog; a table is
-    * its lake root). Claimed in the hints batch before any real
-    * catalog named `graft` could resolve — documented precedence. */
+    * `<warehouse>/db/t` — the Delta-catalog UX on the path-table
+    * machinery, one convention instead of a second metastore (the
+    * warehouse DIRECTORY is the catalog; a table is its lake root).
+    * Claimed in the hints batch before catalog resolution runs, so
+    * with the r15 GraftCatalog registered (which serves SHOW TABLES /
+    * DESCRIBE from the SAME warehouse) reads and DML still plan
+    * through this rule — plan identity with the convention-only
+    * route, pinned by GraftCatalogSpec. The warehouse comes from
+    * `spark.graft.warehouse` or, failing that, the catalog
+    * registration's own `spark.sql.catalog.graft.warehouse` — one
+    * conf pair lights up every front door. With neither set the
+    * identifier is NOT ours (a foreign catalog named `graft` keeps
+    * resolving). */
   def lakePathOf(spark: SparkSession, parts: Seq[String])
       : Option[String] =
     if (parts.length == 2 && parts.head.equalsIgnoreCase("graft-lake"))
       Some(parts(1))
     else if (parts.length == 3 && parts.head.equalsIgnoreCase("graft")) {
-      // opt-in by conf: with no warehouse configured the identifier
-      // is NOT ours — a real catalog named `graft` keeps resolving
-      spark.conf.getOption("spark.graft.warehouse").map { wh =>
-        require(!parts(1).contains('/') && !parts(2).contains('/') &&
-          parts(1).nonEmpty && parts(2).nonEmpty,
-          s"graft named tables use plain db/table identifiers, got " +
-            parts.mkString("."))
-        s"${wh.stripSuffix("/")}/${parts(1)}/${parts(2)}"
-      }
+      spark.conf.getOption("spark.graft.warehouse")
+        .orElse(
+          // only OUR registration's warehouse — a foreign catalog
+          // that happens to be named `graft` keeps full custody of
+          // its identifiers (and its own options)
+          spark.conf.getOption("spark.sql.catalog.graft")
+            .filter(_ == classOf[graft.sources.GraftCatalog].getName)
+            .flatMap(_ =>
+              spark.conf.getOption("spark.sql.catalog.graft.warehouse")))
+        .map { wh =>
+          require(!parts(1).contains('/') && !parts(2).contains('/') &&
+            parts(1).nonEmpty && parts(2).nonEmpty,
+            s"graft named tables use plain db/table identifiers, got " +
+              parts.mkString("."))
+          s"${wh.stripSuffix("/")}/${parts(1)}/${parts(2)}"
+        }
     } else None
 
   /** (lake path, SQL alias) when `plan` is a DML target over a

@@ -2,8 +2,9 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{
-  CompositeReadLimit, ReadLimit, ReadMaxFiles, SupportsAdmissionControl,
-  SupportsTriggerAvailableNow, Offset => OffsetV2}
+  CompositeReadLimit, ReadLimit, ReadMaxBytes, ReadMaxFiles,
+  SupportsAdmissionControl, SupportsTriggerAvailableNow,
+  Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink,
   Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -48,6 +49,12 @@ import org.apache.spark.sql.types.StructType
   *     many added directories (always ≥ 1 version per trigger;
   *     rewritten days carry no added dirs, so in CDF mode a rewrite
   *     rides the window it lands in, bounded by the day's size).
+  *   - `maxBytesPerTrigger` (r15): cap one micro-batch's window at
+  *     this many added BYTES, from the manifest-carried size
+  *     sidecars — zero listings. Soft max like Delta's: a single
+  *     commit larger than the cap lands whole (a version offset
+  *     cannot split). Composes with maxDirsPerTrigger (both caps
+  *     bind) and with Trigger.AvailableNow (paces the catch-up).
   */
 class LakeStreamSourceProvider
     extends StreamSourceProvider with StreamSinkProvider
@@ -258,9 +265,12 @@ class LakeStreamSourceProvider
     val maxDirs = opt(parameters, "maxDirsPerTrigger").map(_.toInt)
     maxDirs.foreach(n => require(n >= 1,
       s"graft-lake: maxDirsPerTrigger must be >= 1, got $n"))
+    val maxBytes = opt(parameters, "maxBytesPerTrigger").map(_.toLong)
+    maxBytes.foreach(n => require(n >= 1L,
+      s"graft-lake: maxBytesPerTrigger must be >= 1, got $n"))
     new LakeStreamSource(spark, path,
       LakeStreamSource.pinnedSchema(spark, path, cdf), startV,
-      skipRewrites, maxDirs, cdf)
+      skipRewrites, maxDirs, cdf, maxBytes)
   }
 }
 
@@ -309,7 +319,8 @@ object LakeStreamSource {
 
 class LakeStreamSource(spark: SparkSession, path: String,
     fixedSchema: StructType, startV: Long, skipRewrites: Boolean,
-    maxDirsPerTrigger: Option[Int], readChangeFeed: Boolean = false)
+    maxDirsPerTrigger: Option[Int], readChangeFeed: Boolean = false,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Source with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -340,12 +351,19 @@ class LakeStreamSource(spark: SparkSession, path: String,
     LongOffset(json.trim.toLong)
 
   override def getDefaultReadLimit: ReadLimit =
-    maxDirsPerTrigger.map(n => ReadLimit.maxFiles(n))
-      .getOrElse(ReadLimit.allAvailable())
+    (maxDirsPerTrigger, maxBytesPerTrigger) match {
+      case (Some(d), Some(b)) => ReadLimit.compositeLimit(
+        Array(ReadLimit.maxFiles(d), ReadLimit.maxBytes(b)))
+      case (Some(d), None) => ReadLimit.maxFiles(d)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _ => ReadLimit.allAvailable()
+    }
 
   /** The engine's admission-control path (preferred over getOffset
     * when SupportsAdmissionControl is implemented): pick this
-    * trigger's end version, capped by the dir budget. */
+    * trigger's end version, capped by the dir and/or byte budget —
+    * bytes come from the manifest-carried size sidecars (r13), so the
+    * byte walk is cached metadata, zero listings (VERDICT r14 #5). */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val fromV = if (start == null) startV else ver(start)
     // headVersion, not snapshot(): the poll runs EVERY trigger, and
@@ -355,10 +373,11 @@ class LakeStreamSource(spark: SparkSession, path: String,
     val live = ManifestLake.headVersion(spark, path)
     val head = availableNowCeiling.fold(live)(math.min(live, _))
     if (head <= fromV) start
-    else dirBudget(limit) match {
-      case None => LongOffset(head)
-      case Some(budget) => LongOffset(
-        ManifestLake.cappedStreamTarget(spark, path, fromV, head, budget))
+    else (dirBudget(limit), byteBudget(limit)) match {
+      case (None, None) => LongOffset(head)
+      case (dirs, bytes) => LongOffset(
+        ManifestLake.cappedStreamTarget(spark, path, fromV, head, dirs,
+          maxBytes = bytes))
     }
   }
 
@@ -379,6 +398,13 @@ class LakeStreamSource(spark: SparkSession, path: String,
     // cap only ever arrives back as the ReadMaxFiles the source
     // itself advertised in getDefaultReadLimit.
     case _ => None
+  }
+
+  private def byteBudget(limit: ReadLimit): Option[Long] = limit match {
+    case m: ReadMaxBytes => Some(m.maxBytes)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.collectFirst { case m: ReadMaxBytes => m.maxBytes }
+    case _ => None // same ReadAllAvailable reasoning as dirBudget
   }
 
   /** Legacy V1 polling hook. The engine routes every poll through

@@ -2525,6 +2525,15 @@ object ManifestLake {
         keyCols.map(k => col(s"s.$k"))): _*)
   }
 
+  /** Conf gate for MERGE schema evolution (Delta's
+    * `schema.autoMerge.enabled` re-expressed): OFF (default) a source
+    * carrying columns the table lacks REFUSES with the remedy — Delta's
+    * default, because silent widening from a typo'd producer is a
+    * schema-pollution incident; ON, the new columns widen the
+    * checkpoint in the SAME commit as the merge (old files read them
+    * as NULL — the addColumns machinery, fused into the write). */
+  val AutoMergeConf = "spark.graft.lake.schema.autoMerge"
+
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String], ordCol: String, clauses: Seq[MergeClause],
       beforeCommit: () => Unit = () => (),
@@ -2533,6 +2542,22 @@ object ManifestLake {
     import org.apache.spark.sql.Column
     requireOrdMatches(spark, path, ordCol, "mergeInto")
     val snap = snapshot(spark, path)
+    // MERGE schema evolution (VERDICT r14 #4): source-only columns
+    // either widen (conf on) or refuse (conf off, the Delta default) —
+    // never the old half-and-half (insert paths widened while update
+    // paths silently dropped the column)
+    val tableCols = tableSchema(spark, path, snap).fieldNames
+    val srcOnly = source.schema.fields.filterNot(f =>
+      tableCols.exists(_.equalsIgnoreCase(f.name)) ||
+        f.name.equalsIgnoreCase("day")).toSeq
+    val autoMerge = spark.conf.getOption(AutoMergeConf)
+      .exists(_.trim.toBoolean)
+    if (srcOnly.nonEmpty && !autoMerge)
+      throw new IllegalArgumentException(
+        s"mergeInto: source column(s) ${srcOnly.map(_.name).mkString(", ")} " +
+          s"are not in the table — project them away, widen first with " +
+          s"ALTER TABLE ADD COLUMNS, or set $AutoMergeConf=true to " +
+          "evolve the schema with the merge (old rows read NULL)")
     // streaming-merge exactly-once (the appendBatch cursor applied to
     // MERGE): a replayed batch id is skipped outright, so continuous
     // merge does not depend on the clauses being idempotent — the
@@ -2592,7 +2617,7 @@ object ManifestLake {
       mergeRewrite(spark, path, snap, source, srcM, keyCols, ordCol,
         keyEq, matchedClauses, insertClauses, bySourceClauses, guardOf,
         touched, matchedDays ++ bySourceDays, beforeCommit, filesPerDay,
-        batchId)
+        batchId, newCols = if (autoMerge) srcOnly else Seq.empty)
     } finally touched.unpersist()
   }
 
@@ -2608,7 +2633,9 @@ object ManifestLake {
       guardOf: MergeClause => org.apache.spark.sql.Column,
       touched: DataFrame, rewriteDays: Set[String],
       beforeCommit: () => Unit, filesPerDay: Int,
-      batchId: Option[Long]): Long = {
+      batchId: Option[Long],
+      newCols: Seq[org.apache.spark.sql.types.StructField] = Seq.empty)
+      : Long = {
     import org.apache.spark.sql.Column
     def rd(keep: String => Boolean): DataFrame =
       readPaths(spark, path, snap,
@@ -2637,7 +2664,27 @@ object ManifestLake {
       case (c: MatchedUpdate, i) => (c.set, i)
       case (c: NotMatchedBySourceUpdate, i) => (c.set, i)
     }
-    def outCol(c: String): Column = updates.foldRight(col(s"t.$c")) {
+    // every SET target must be a real output column — a key naming
+    // neither a table column nor (under autoMerge) a new source
+    // column was previously IGNORED by the fold below, which turned
+    // a typo into silent data loss (found fixing VERDICT r14 #4)
+    val outNames = tCols ++ newCols.map(_.name)
+    updates.flatMap(_._1.keys).find(k =>
+        !outNames.exists(_.equalsIgnoreCase(k))).foreach { k =>
+      throw new IllegalArgumentException(
+        s"mergeInto: UPDATE SET target '$k' is not a column of the " +
+          s"table${if (newCols.nonEmpty) " (nor a source column widening it)"
+          else ""} — table has ${tCols.mkString(", ")}" +
+          (if (newCols.isEmpty) s"; a new source column widens only " +
+            s"under $AutoMergeConf=true" else ""))
+    }
+    // a NEW column's pre-merge value is NULL everywhere (old files
+    // never stored it — exactly what they will read back post-commit)
+    def baseOf(c: String): Column =
+      if (tCols.exists(_.equalsIgnoreCase(c))) col(s"t.$c")
+      else lit(null).cast(newCols.find(_.name.equalsIgnoreCase(c)).get
+        .dataType)
+    def outCol(c: String): Column = updates.foldRight(baseOf(c)) {
       case ((set, i), acc) =>
         set.find(_._1.equalsIgnoreCase(c)) match {
           case Some((_, v)) => when(col("__action") === i, v).otherwise(acc)
@@ -2649,7 +2696,7 @@ object ManifestLake {
       if (deleteIdx.isEmpty) acted
       else acted.filter(col("__action") === -1 ||
         !col("__action").isin(deleteIdx.map(Integer.valueOf): _*))
-    val result = kept.select(tCols.map(c => outCol(c).as(c)): _*)
+    val result = kept.select(outNames.map(c => outCol(c).as(c)): _*)
 
     // insert pass: source rows whose key is absent from the WHOLE
     // table, first-applicable condition. The existence set is the
@@ -3483,17 +3530,58 @@ object ManifestLake {
     }
   }
 
+  /** Bytes of the dirs ADDED between two snapshots (append-only
+    * classification — a rewritten day counts 0, same rule as
+    * addedDirCount), from the generations' size sidecars: the
+    * manifest-carried `#b` lines (r13) make this a cached map lookup,
+    * zero listings — exactly why Delta records AddFile.size. A
+    * PRE-sidecar generation falls back to one listStatus for its dir
+    * (the compactCandidates rule). */
+  private def addedDirBytes(fs: FileSystem, root: Path,
+      from: Snapshot, s: Snapshot): Long = {
+    val added = (from.days.keySet ++ s.days.keySet).toSeq.flatMap { d =>
+      val o = from.days.getOrElse(d, Seq.empty).toSet
+      val n = s.days.getOrElse(d, Seq.empty).toSet
+      if (o.subsetOf(n)) (n -- o).toSeq else Seq.empty
+    }
+    if (added.isEmpty) return 0L
+    val addedSet = added.toSet
+    val byFile: Map[String, Long] = added.map(_.split('/'))
+      .collect { case a if a.length >= 2 => a(1) }.distinct
+      .flatMap(g => readStatsSidecar(fs, root, g)._2).toMap
+    added.map { dir =>
+      val fromSidecar = byFile.collect { case (f, b)
+        if f.lastIndexOf('/') > 0 &&
+          f.substring(0, f.lastIndexOf('/')) == dir => b }.sum
+      if (fromSidecar > 0L) fromSidecar
+      else { // pre-`#b` generation: one listing, cache-free honesty
+        val p = new Path(root, dir)
+        if (!fs.exists(p)) 0L
+        else fs.listStatus(p).filter(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")).map(_.getLen).sum
+      }
+    }.sum
+  }
+
   /** Admission control for the streaming source (the Delta
-    * maxFilesPerTrigger analog, identical to replicateOnce's
-    * backpressure): the largest version in (fromV, head] whose
-    * cumulative added-dir count vs fromV stays within `budget`,
-    * always advancing at least one version so one oversized commit
-    * still lands whole. Walks only SURVIVING manifests; if vacuum
-    * expired the intermediates, chunking is impossible and the
-    * target is honestly head. Pure manifest metadata — no data IO. */
+    * maxFilesPerTrigger / maxBytesPerTrigger analogs, identical to
+    * replicateOnce's backpressure): the largest version in
+    * (fromV, head] whose cumulative added-dir count stays within
+    * `maxDirs` AND cumulative added bytes within `maxBytes`
+    * (whichever caps are set), always advancing at least one version
+    * so one oversized commit still lands whole — the documented
+    * last-commit rounding: the cap bounds every trigger EXCEPT when a
+    * single commit alone exceeds it, which cannot be split without
+    * breaking the version-offset contract (Delta's maxBytesPerTrigger
+    * is the same soft max). Walks only SURVIVING manifests; if vacuum
+    * expired the intermediates, chunking is impossible and the target
+    * is honestly head. Pure manifest metadata + cached size sidecars
+    * — no data IO. */
   private[sources] def cappedStreamTarget(spark: SparkSession,
-      path: String, fromV: Long, head: Long, budget: Int,
-      fromSnap: Option[Snapshot] = None): Long = {
+      path: String, fromV: Long, head: Long, maxDirs: Option[Int],
+      fromSnap: Option[Snapshot] = None,
+      maxBytes: Option[Long] = None): Long = {
     val (fs, root) = fsOf(spark, path)
     val from = fromSnap.getOrElse {
       if (fromV == 0L) Snapshot(0L, Map.empty)
@@ -3501,14 +3589,20 @@ object ManifestLake {
     }
     val mids = manifestVersions(fs, root)
       .filter(v => v > fromV && v <= head)
+    def fits(s: Snapshot): Boolean =
+      maxDirs.forall(addedDirCount(from, s) <= _) &&
+        maxBytes.forall(addedDirBytes(fs, root, from, s) <= _)
+    def atCap(s: Snapshot): Boolean =
+      maxDirs.exists(addedDirCount(from, s) >= _) ||
+        maxBytes.exists(addedDirBytes(fs, root, from, s) >= _)
     if (mids.isEmpty) head
     else {
       var pick = readManifest(fs, root, mids.head)
       var i = 1
-      var full = addedDirCount(from, pick) >= budget
+      var full = atCap(pick)
       while (!full && i < mids.size) {
         val cand = readManifest(fs, root, mids(i))
-        if (addedDirCount(from, cand) <= budget) { pick = cand; i += 1 }
+        if (fits(cand)) { pick = cand; i += 1 }
         else full = true
       }
       pick.version
@@ -3687,7 +3781,8 @@ object ManifestLake {
       maxDirsPerTrigger: Int = 0,
       startingVersion: String = "0",
       startingTimestamp: String = "",
-      readChangeFeed: Boolean = false): DataFrame = {
+      readChangeFeed: Boolean = false,
+      maxBytesPerTrigger: Long = 0L): DataFrame = {
     var r = spark.readStream.format("graft-lake")
       .option("path", path)
       .option("skipRewrites", skipRewrites.toString)
@@ -3696,9 +3791,11 @@ object ManifestLake {
     r = if (startingTimestamp.nonEmpty)
       r.option("startingTimestamp", startingTimestamp)
     else r.option("startingVersion", startingVersion)
-    (if (maxDirsPerTrigger > 0)
-       r.option("maxDirsPerTrigger", maxDirsPerTrigger.toString)
-     else r).load()
+    if (maxDirsPerTrigger > 0)
+      r = r.option("maxDirsPerTrigger", maxDirsPerTrigger.toString)
+    if (maxBytesPerTrigger > 0L)
+      r = r.option("maxBytesPerTrigger", maxBytesPerTrigger.toString)
+    r.load()
   }
 
   /** One round of exactly-once incremental replication: apply the
@@ -3761,7 +3858,7 @@ object ManifestLake {
         // computed against `from` directly, so any surviving version
         // is a valid chunk boundary). Always advance at least one.
         val v = cappedStreamTarget(spark, srcPath, fromV,
-          headSnap.version, maxDirsPerRound, fromSnap = Some(from))
+          headSnap.version, Some(maxDirsPerRound), fromSnap = Some(from))
         if (v == headSnap.version) headSnap else readManifest(fs, root, v)
       }
     if (srcSnap.version <= fromV) return dstSnap.version

@@ -148,13 +148,28 @@ class LakeStreamWindowSpec extends SparkSpec {
     assert(head == 3L)
     // budget 1 from v1: v2 alone exceeds it, but one oversized commit
     // still lands whole (per-commit atomicity is the floor)
-    assert(ManifestLake.cappedStreamTarget(spark, src, 1L, head, 1) == 2L)
+    assert(ManifestLake.cappedStreamTarget(spark, src, 1L, head,
+      Some(1)) == 2L)
     // budget 2 from v1: v2 fits exactly, v3 would exceed
-    assert(ManifestLake.cappedStreamTarget(spark, src, 1L, head, 2) == 2L)
+    assert(ManifestLake.cappedStreamTarget(spark, src, 1L, head,
+      Some(2)) == 2L)
     // budget 3 from v1: the whole window fits
-    assert(ManifestLake.cappedStreamTarget(spark, src, 1L, head, 3) == 3L)
+    assert(ManifestLake.cappedStreamTarget(spark, src, 1L, head,
+      Some(3)) == 3L)
     // unbounded reaches head
     assert(ManifestLake.cappedStreamTarget(spark, src, 0L, head,
-      Int.MaxValue) == head)
+      Some(Int.MaxValue)) == head)
+    // byte budgets walk the SAME boundary rule off the size sidecars
+    // (r15): a cap below v2's two-dir footprint stops at v2 (oversized
+    // lands whole), a cap covering the whole window reaches head
+    val bytesOfV2 = {
+      val s = ManifestLake.snapshot(spark, src)
+      s.fileBytes.filter(_._1.contains("pday=2024-02-0")).values.sum
+    }
+    assert(bytesOfV2 > 0L)
+    assert(ManifestLake.cappedStreamTarget(spark, src, 1L, head, None,
+      maxBytes = Some(1L)) == 2L)
+    assert(ManifestLake.cappedStreamTarget(spark, src, 1L, head, None,
+      maxBytes = Some(Long.MaxValue)) == head)
   }
 }

@@ -173,6 +173,68 @@ class LakeStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger (r15): a catch-up stream's per-trigger " +
+      "bytes never exceed the cap except the documented last-commit " +
+      "rounding; AvailableNow composes") {
+    val src = tmp("madm")
+    ManifestLake.create(spark, src, mk(0 until 10, 1), "ts")
+    // four more single-day commits while no query runs; each commit's
+    // single dir is a few KB of parquet
+    (0 until 4).foreach { b =>
+      ManifestLake.appendBatch(spark, src,
+        mk(100 + b * 10 until 110 + b * 10, b + 2), "ts", b.toLong)
+    }
+    // the manifest-carried sizes ARE the admission currency — read
+    // one commit's real footprint and cap at 1.5× it, so exactly one
+    // commit fits per trigger (two would bust the budget)
+    val perCommit = ManifestLake.snapshot(spark, src).fileBytes.values.sum / 5
+    assert(perCommit > 0L, "size sidecars missing — bytes admission dead")
+    val cap = (perCommit * 3) / 2
+    val batches = mutable.ArrayBuffer.empty[Long]
+    val q = ManifestLake.changeStream(spark, src,
+      maxBytesPerTrigger = cap)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.count() }
+        ()
+      }
+      .start()
+    try assert(q.awaitTermination(120000), "AvailableNow did not finish")
+    finally q.stop()
+    val counts = batches.synchronized(batches.toVector)
+    // full drain, paced one commit per trigger: no window carries two
+    // commits (2 × perCommit > cap), and nothing is lost or doubled
+    assert(counts.sum == 50L, s"backlog not drained exactly: $counts")
+    assert(counts.filter(_ > 0).size == 5, s"byte cap not pacing: $counts")
+    assert(counts.max <= 10L, s"a window exceeded one commit: $counts")
+  }
+
+  test("maxBytesPerTrigger rounding: one commit larger than the cap " +
+      "still lands whole (a version offset cannot split), and both " +
+      "caps compose when set together") {
+    val src = tmp("madm2")
+    ManifestLake.create(spark, src, mk(0 until 10, 1), "ts")
+    ManifestLake.appendBatch(spark, src, mk(100 until 130, 2), "ts", 0L)
+    val batches = mutable.ArrayBuffer.empty[Long]
+    // cap of ONE byte: every commit is oversized — each trigger still
+    // advances exactly one version (the soft-max rounding), never zero
+    val q = ManifestLake.changeStream(spark, src,
+      maxDirsPerTrigger = 8, maxBytesPerTrigger = 1L)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.count() }
+        ()
+      }
+      .start()
+    try assert(q.awaitTermination(120000), "AvailableNow did not finish")
+    finally q.stop()
+    val counts = batches.synchronized(batches.toVector).filter(_ > 0)
+    assert(counts == Vector(10L, 30L), s"oversized commits must land " +
+      s"whole, one per trigger: $counts")
+  }
+
   test("Trigger.AvailableNow with a dir cap drains the FULL backlog (review r13)") {
     val src = tmp("anow")
     ManifestLake.create(spark, src, mk(0 until 10, 1), "ts")
