@@ -99,15 +99,36 @@ object SkewLadder {
       .groupBy(col("o_orderstatus"), col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"), sum(col("l_extendedprice")))
 
+    // Scale the skew detector to the corpus, the AqeSkewJoinSpec
+    // discipline: at 100× the hot partition is ~10% of the fact —
+    // ~3.5× the 32-partition median — which the 100 TB DEFAULTS
+    // (256 MB, 5× median) deliberately ignore as not-yet-pathological;
+    // the probe's question is "does the split FIRE and what does it
+    // buy", so the detector is set to 64 MB / 2× with 64 MB advisory
+    // splits (documented here, printed in the row).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      (64L * 1024 * 1024).toString)
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "2.0")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      (64L * 1024 * 1024).toString)
+
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     val q4On = steady(q4())
-    // audit the EXECUTED plan, not the static one: the skew split is
-    // an AQE runtime rewrite and only the final plan shows it
+    // audit the EXECUTED plan INSTANCE: df.write clones the plan into
+    // a fresh QueryExecution, which would leave this one's
+    // AdaptiveSparkPlan unfinalized (isFinalPlan=false, no skew
+    // markers) — execute() the same instance instead, the
+    // AqeSkewJoinSpec move
     val audited = q4()
-    audited.write.format("noop").mode("overwrite").save()
+    audited.queryExecution.executedPlan.execute().count()
     val planStr = audited.queryExecution.executedPlan.toString
-    val fired = planStr.contains("skew=true") ||
-      planStr.toLowerCase.contains("skewed")
+    val fired = planStr.contains("isFinalPlan=true") &&
+      (planStr.contains("skew=true") ||
+        planStr.toLowerCase.contains("skewed"))
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     val q4Off = steady(q4())
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

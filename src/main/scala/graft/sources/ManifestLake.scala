@@ -2305,7 +2305,11 @@ object ManifestLake {
     * NOT cancel: both commits report their change, which is the
     * point. Retention: the walk needs every manifest in [fromV, toV]
     * — vacuum expires only log PREFIXES, so a retained fromV implies
-    * the whole window is walkable. */
+    * the whole window is walkable. Plan shape: the union carries ONE
+    * scan subplan per commit in the window — attribution is a
+    * per-commit property, so this is inherent; bound wide windows
+    * with the stream's admission caps (per-trigger windows stay
+    * small) or chunk a deep TVF backfill into version ranges. */
   def readChangesPerCommit(spark: SparkSession, path: String,
       fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV,
