@@ -60,7 +60,13 @@ object ScaleUp {
     }
     def scaled(df: DataFrame, keys: String*): DataFrame = {
       assertKeyRange(df, keys)
-      keys.foldLeft(df.crossJoin(rep)) { (d, k) =>
+      // repartition the BASE before the crossJoin: the blow-up stage
+      // otherwise inherits the base parquet's 1-4 input partitions
+      // and runs the factor× row expansion on that many cores — at
+      // BLOWUP=1000 that turned a 32-core box into a 4-core one
+      // (measured r15: orders alone 11+ min; the write-side
+      // repartition only parallelizes AFTER the expansion)
+      keys.foldLeft(df.repartition(cpus.toInt).crossJoin(rep)) { (d, k) =>
         d.withColumn(k, col(k) + col("rep") * Offset)
       }.drop("rep")
     }
@@ -88,7 +94,8 @@ object ScaleUp {
       else evScaled.withColumn("ts", expr(
         s"timestampadd(DAY, CAST((event_id div ${Offset}L) * 32 AS INT), ts)")))
     assertKeyRange(Tables.documents(spark, sfDir), Seq("doc_id"))
-    write("documents", Tables.documents(spark, sfDir).crossJoin(rep)
+    write("documents", Tables.documents(spark, sfDir)
+      .repartition(cpus.toInt).crossJoin(rep)
       .withColumn("text", when(col("rep") === 0, col("text"))
         .otherwise(concat_ws(" ", col("text"), concat(lit("rep"), col("rep")))))
       .withColumn("doc_id", col("doc_id") + col("rep") * Offset)

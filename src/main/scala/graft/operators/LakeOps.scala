@@ -520,6 +520,61 @@ object LakeOps {
       out
     }
 
+  private val catalogMemo = new SessionMemo[String]
+
+  /** The CATALOG route under the oracle (r15, VERDICT r14 #3): a
+    * warehouse registered as the real V2 `graft` catalog
+    * (spark.sql.catalog.graft = GraftCatalog + its warehouse option —
+    * the ONLY confs set), a named table created through catalog-form
+    * SQL (`CREATE TABLE graft.oracle.events_t … AS SELECT`), verified
+    * visible through the catalog surface itself (SHOW TABLES), then
+    * read back through the 3-part name. The read resolves through the
+    * hints rule BEFORE catalog resolution — the same plan the path
+    * route builds (GraftCatalogSpec pins the string equality); this
+    * oracle pins the VALUES end-to-end: registration + warehouse
+    * convention + CTAS + named read must reproduce the raw base table
+    * bit-for-bit. Confs are restored after analysis (the inlined plan
+    * no longer needs them), so the oracle leaves no session residue. */
+  private def catalogLake(s: SparkSession, dir: String): String =
+    catalogMemo.getOrElseUpdate(s, dir) {
+      val wh = freshLakeDir(s, dir, "graft_lake_cat_wh")
+      withCatalogConf(s, wh) {
+        Tables.events(s, dir).createOrReplaceTempView("graft_cat_base")
+        s.sql("CREATE TABLE graft.oracle.events_t " +
+          "OPTIONS ('ordCol' 'ts') AS SELECT * FROM graft_cat_base")
+        require(s.sql("SHOW TABLES IN graft.oracle").collect()
+          .map(_.getString(1)).toSeq == Seq("events_t"),
+          "catalog did not list the created table")
+      }
+      wh
+    }
+
+  private def withCatalogConf[A](s: SparkSession, wh: String)(
+      body: => A): A = {
+    val prevCat = s.conf.getOption("spark.sql.catalog.graft")
+    val prevWh = s.conf.getOption("spark.sql.catalog.graft.warehouse")
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try body
+    finally {
+      prevCat.fold(s.conf.unset("spark.sql.catalog.graft"))(
+        s.conf.set("spark.sql.catalog.graft", _))
+      prevWh.fold(s.conf.unset("spark.sql.catalog.graft.warehouse"))(
+        s.conf.set("spark.sql.catalog.graft.warehouse", _))
+    }
+  }
+
+  def lCatalogRead(s: SparkSession, dir: String): DataFrame = {
+    val wh = catalogLake(s, dir)
+    withCatalogConf(s, wh) {
+      // analysis happens inside sql() — the returned plan carries the
+      // inlined pruned scan and survives the conf restore
+      s.sql(s"SELECT ${histCols.mkString(", ")} " +
+        "FROM graft.oracle.events_t ORDER BY event_id")
+    }
+  }
+
   /** The SQL MERGE head state under the oracle (see sqlMergeLake). */
   def lSqlMerge(s: SparkSession, dir: String): DataFrame = {
     val lake = sqlMergeLake(s, dir)
@@ -536,6 +591,7 @@ object LakeOps {
     "l_sql_travel" -> (lSqlTravel _),
     "l_sql_dml" -> (lSqlDml _),
     "l_sql_merge" -> (lSqlMerge _),
+    "l_catalog_read" -> (lCatalogRead _),
     "l_merge_head" -> (lMergeHead _),
     "l_cdf" -> (lCdf _),
     "l_cdf_meta" -> (lCdfMeta _),
@@ -582,6 +638,14 @@ object LakeOps {
          |FROM events
          |ORDER BY event_id""".stripMargin,
     "l_sql_travel" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day
+         |FROM events
+         |ORDER BY event_id""".stripMargin,
+    // the catalog-route CTAS + named read must reproduce the raw
+    // base table exactly — registration/warehouse/CTAS/resolution all
+    // in the loop, values under the hash
+    "l_catalog_read" ->
       s"""SELECT event_id, ts, user_id, event_type, value, props,
          |  strftime(ts, '%Y-%m-%d') AS day
          |FROM events

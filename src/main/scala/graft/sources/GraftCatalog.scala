@@ -56,7 +56,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def spark: SparkSession = SparkSession.active
 
-  private def warehouse: String = warehouseOpt
+  /** Warehouse resolved at CALL time, live conf first: the engine's
+    * CatalogManager caches this instance for the session's lifetime,
+    * so the option snapshot initialize() captured goes STALE the
+    * moment the session repoints `spark.sql.catalog.<name>.warehouse`
+    * — the cached catalog would keep listing the old directory
+    * (found as a cross-suite interference: one suite's cached
+    * instance served another suite's queries from the wrong
+    * warehouse). Reading the conf live also keeps this surface
+    * consistent with lakePathOf, which already resolves the
+    * convention conf per query. */
+  private def warehouse: String = spark.conf
+    .getOption(s"spark.sql.catalog.$catalogName.warehouse")
+    .orElse(warehouseOpt)
     .orElse(spark.conf.getOption("spark.graft.warehouse"))
     .getOrElse(throw new IllegalArgumentException(
       s"catalog '$catalogName' needs a warehouse: set " +
@@ -201,32 +213,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   /** The three metadata-only column DDLs map onto the lake's own
     * one-commit APIs (same routes the SQL ALTER statements take);
-    * anything else refuses loudly rather than pretending. */
+    * anything else refuses loudly rather than pretending. Changes of
+    * the SAME kind batch into ONE commit — the engine hands a
+    * multi-column `ADD COLUMNS (a, b)` over as several AddColumn
+    * changes, and a per-change commit loop could die halfway and
+    * leave a half-applied DDL (the review-r14 DropCols rule, applied
+    * here too). Mixed-kind statements are refused up front for the
+    * same reason: the lake has no multi-kind metadata transaction. */
   override def alterTable(ident: Identifier, changes: TableChange*)
       : Table = {
     val path = pathOf(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(
       (catalogName +: ident.namespace.toSeq) :+ ident.name)
-    changes.foreach {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          "graft catalog: nested-field adds are not supported")
-        ManifestLake.addColumns(spark, path, StructType(Seq(
+    val kinds = changes.map(_.getClass.getSimpleName).distinct
+    require(kinds.length <= 1,
+      s"graft catalog: one ALTER may carry one change kind (got " +
+        s"${kinds.mkString(", ")}) — the lake commits each kind " +
+        "atomically but has no mixed-kind metadata transaction")
+    changes.headOption match {
+      case Some(_: TableChange.AddColumn) =>
+        val fields = changes.map { c =>
+          val a = c.asInstanceOf[TableChange.AddColumn]
+          require(a.fieldNames.length == 1,
+            "graft catalog: nested-field adds are not supported")
           org.apache.spark.sql.types.StructField(a.fieldNames.head,
-            a.dataType, a.isNullable))))
-      case r: TableChange.RenameColumn =>
+            a.dataType, a.isNullable)
+        }
+        ManifestLake.addColumns(spark, path, StructType(fields))
+      case Some(r: TableChange.RenameColumn) =>
+        require(changes.length == 1,
+          "graft catalog: one rename per ALTER")
         require(r.fieldNames.length == 1,
           "graft catalog: nested-field renames are not supported")
         ManifestLake.renameColumn(spark, path, r.fieldNames.head,
           r.newName)
-      case d: TableChange.DeleteColumn =>
-        require(d.fieldNames.length == 1,
-          "graft catalog: nested-field drops are not supported")
-        ManifestLake.dropColumns(spark, path, Seq(d.fieldNames.head))
-      case other => throw new UnsupportedOperationException(
+      case Some(_: TableChange.DeleteColumn) =>
+        ManifestLake.dropColumns(spark, path, changes.map { c =>
+          val d = c.asInstanceOf[TableChange.DeleteColumn]
+          require(d.fieldNames.length == 1,
+            "graft catalog: nested-field drops are not supported")
+          d.fieldNames.head
+        })
+      case Some(other) => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other — the lake's " +
           "DDL surface is ADD/RENAME/DROP COLUMNS (plus CHECK " +
           "constraints via ALTER TABLE SQL)")
+      case None => ()
     }
     loadTable(ident)
   }

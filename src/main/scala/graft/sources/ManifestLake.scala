@@ -3549,7 +3549,6 @@ object ManifestLake {
       if (o.subsetOf(n)) (n -- o).toSeq else Seq.empty
     }
     if (added.isEmpty) return 0L
-    val addedSet = added.toSet
     val byFile: Map[String, Long] = added.map(_.split('/'))
       .collect { case a if a.length >= 2 => a(1) }.distinct
       .flatMap(g => readStatsSidecar(fs, root, g)._2).toMap

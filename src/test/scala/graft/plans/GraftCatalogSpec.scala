@@ -63,6 +63,11 @@ class GraftCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(spark.sql("DESCRIBE TABLE graft.sales.orders").collect()
       .exists(_.getString(0).contains("Partitioning")) ||
       ext.keys.exists(_.contains("Part")))
+    // SHOW TBLPROPERTIES reads the same lake metadata (ordCol, head)
+    val props = spark.sql("SHOW TBLPROPERTIES graft.sales.orders")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("ordCol").contains("ts"), props)
+    assert(props.get("head_version").exists(_.toLong >= 1L), props)
   }
 
   test("reads and DML plan IDENTICALLY with and without the catalog " +

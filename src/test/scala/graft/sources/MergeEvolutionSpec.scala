@@ -129,6 +129,35 @@ class MergeEvolutionSpec extends SparkSpec {
     assert(head.filter(col("id") === 1L).head().getDouble(2) == 1.0)
   }
 
+  test("autoMerge composes with COLUMN MAPPING: a renamed table " +
+      "widens through a merge, old names stay historical") {
+    val lake = freshLake()
+    ManifestLake.renameColumn(spark, lake, "v", "score") // v2, metadata-only
+    val src = Seq(
+      (1L, ts("2024-05-01 11:00:00"), 100.0, "alpha"),
+      (60L, ts("2024-05-03 09:00:00"), 60.0, "beta"))
+      .toDF("id", "ts", "score", "tag")
+    withAutoMerge(on = true) {
+      ManifestLake.mergeInto(spark, lake, src, Seq("id"), "ts",
+        Seq(ManifestLake.MatchedUpdate(
+            Map("score" -> col("s.score"), "tag" -> col("s.tag"))),
+          ManifestLake.NotMatchedInsert()))
+    }
+    val head = ManifestLake.read(spark, lake)
+    assert(head.columns.contains("score") && head.columns.contains("tag")
+      && !head.columns.contains("v"))
+    val byId = head.select("id", "score", "tag").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1),
+        Option(r.getString(2)))).toMap
+    assert(byId(1L) == ((100.0, Some("alpha"))))
+    assert(byId(60L) == ((60.0, Some("beta"))))
+    assert(byId(2L) == ((2.0, None))) // untouched, NULL new col
+    // history answers each version under ITS names: v1 has v, no tag
+    val v1 = ManifestLake.readVersion(spark, lake, 1L)
+    assert(v1.columns.contains("v") && !v1.columns.contains("score") &&
+      !v1.columns.contains("tag"))
+  }
+
   test("a SET target naming no output column is an ERROR, not a " +
       "silent drop (pre-r15 it was ignored by the rewrite fold)") {
     val lake = freshLake()
