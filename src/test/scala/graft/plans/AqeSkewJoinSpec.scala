@@ -26,6 +26,12 @@ import graft.operators.SkewOps
   *   2. SkewOps.saltedJoin (the manual fallback for plans AQE cannot
   *      rewrite): result equality against the plain join is asserted
   *      on the same skewed corpus.
+  *
+  * Scale-backed (r15): graft.SkewLadder re-proves both defenses on
+  * the 100×-replicated REAL facts with 10% of rows on one key —
+  * the split fires on the executed q4 plan (15.9 s vs 39.7 s with it
+  * off), and the composite-key window stays flat skewed-vs-uniform;
+  * SCALING.md §r15 carries the row.
   */
 class AqeSkewJoinSpec extends SparkSpec {
 
