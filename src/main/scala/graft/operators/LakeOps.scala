@@ -174,6 +174,60 @@ object LakeOps {
         col("event_id"))
   }
 
+  private val cdfUpdateMemo = new SessionMemo[String]
+
+  /** A three-commit history purpose-built for the update-image feed
+    * (r16 — kept SEPARATE from historyLake, whose head state five
+    * other oracles hash against): v1 CREATE from events → v2 one
+    * upsert that BOTH updates existing keys (the uid≡3 (mod 7) slice,
+    * +1-day/+100 like the shared history) AND inserts brand-new keys
+    * (event_id+3·10⁸ for uid∈[20,30]) — so one commit's diff carries
+    * paired delete+insert rows AND unpaired inserts → v3 deleteWhere
+    * uid≡0 (mod 5), unpaired deletes. All four change types in one
+    * oracled window. */
+  private def cdfUpdateLake(s: SparkSession, dir: String): String =
+    cdfUpdateMemo.getOrElseUpdate(s, dir) {
+      val out = freshLakeDir(s, dir, "graft_lake_cdf_update")
+      val ev = Tables.events(s, dir)
+      ManifestLake.create(s, out, ev, "ts", filesPerDay = 2)
+      val upd = ev
+        .filter(col("user_id") % 7 === 3 && col("ts").isNotNull)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY"))
+        .withColumn("event_type", lit("updated"))
+        .withColumn("value", col("value") + lit(100.0))
+      val fresh = ev
+        .filter(col("user_id").between(20, 30) && col("ts").isNotNull)
+        .withColumn("event_id", col("event_id") + lit(300000000L))
+        .withColumn("event_type", lit("arrived"))
+      ManifestLake.upsert(s, out, upd.unionByName(fresh),
+        Seq("event_id"), "ts")
+      ManifestLake.deleteWhere(s, out, col("user_id") % 5 === 0)
+      out
+    }
+
+  /** The update-image change feed under the oracle (VERDICT r15 #2 —
+    * Delta readChangeFeed's update_preimage/update_postimage parity):
+    * the v1→head window walked per commit with updateKeys=event_id,
+    * so v2's paired delete+insert rows retag as
+    * update_preimage/update_postimage while v2's brand-new keys stay
+    * plain inserts and v3's takedown rows stay plain deletes — and a
+    * v3 delete of a v2-updated row must carry the UPDATED values.
+    * DuckDB derives the identical pairing from the per-commit EXCEPT
+    * ALL diffs: a key in both diff directions of one commit is an
+    * update. A spurious pair (two unrelated rows fused), a missed
+    * pair, or an image row with the wrong side's values all break the
+    * hash. */
+  def lCdfUpdate(s: SparkSession, dir: String): DataFrame = {
+    val lake = cdfUpdateLake(s, dir)
+    val head = ManifestLake.snapshot(s, lake).version
+    ManifestLake.readChangesPerCommit(s, lake, 1L, head,
+        updateKeys = Seq("event_id"))
+      .select((histCols :+ "_change_type" :+ "_commit_version")
+        .map(col): _*)
+      .orderBy(col("_commit_version"), col("_change_type"),
+        col("event_id"))
+  }
+
   /** Incremental materialized-view maintenance off the change feed —
     * the production use case CDF exists for (Delta's "incremental
     * ETL" pattern): a per-user aggregate MV is computed ONCE at v1,
@@ -595,6 +649,7 @@ object LakeOps {
     "l_merge_head" -> (lMergeHead _),
     "l_cdf" -> (lCdf _),
     "l_cdf_meta" -> (lCdfMeta _),
+    "l_cdf_update" -> (lCdfUpdate _),
     "l_incr_mv" -> (lIncrMv _),
     "l_dv_takedown" -> (lDvTakedown _),
     "l_audit_travel" -> (lAuditTravel _),
@@ -765,6 +820,45 @@ object LakeOps {
          |UNION ALL
          |SELECT event_id, ts, user_id, event_type, value, props,
          |  strftime(ts, '%Y-%m-%d') AS day, 'delete' AS _change_type,
+         |  CAST(2 AS BIGINT) AS _commit_version FROM c2d
+         |UNION ALL
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day, 'delete' AS _change_type,
+         |  CAST(3 AS BIGINT) AS _commit_version FROM c3d
+         |ORDER BY _commit_version, _change_type, event_id""".stripMargin,
+    // per-commit replay WITH update pairing: v2's diff keys present in
+    // BOTH directions become update_pre/postimage; v2's brand-new keys
+    // (the +3e8 slice) stay inserts; v3's takedown rows stay deletes,
+    // carrying the v2 state's values
+    "l_cdf_update" ->
+      s"""WITH v1 AS (
+         |  SELECT event_id, ts, user_id, event_type, value, props FROM events
+         |), v2 AS (
+         |  SELECT event_id, ts + INTERVAL 1 DAY AS ts, user_id,
+         |         'updated' AS event_type, value + 100.0 AS value, props
+         |  FROM events WHERE user_id % 7 = 3 AND ts IS NOT NULL
+         |  UNION ALL
+         |  SELECT event_id, ts, user_id, event_type, value, props
+         |  FROM events WHERE NOT (user_id % 7 = 3 AND ts IS NOT NULL)
+         |  UNION ALL
+         |  SELECT event_id + 300000000 AS event_id, ts, user_id,
+         |         'arrived' AS event_type, value, props
+         |  FROM events WHERE user_id BETWEEN 20 AND 30 AND ts IS NOT NULL
+         |), c2i AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1),
+         |   c2d AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2),
+         |   pk AS (SELECT event_id FROM c2i
+         |          INTERSECT SELECT event_id FROM c2d),
+         |   c3d AS (SELECT * FROM v2 WHERE coalesce(user_id % 5 = 0, FALSE))
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day,
+         |  CASE WHEN event_id IN (SELECT event_id FROM pk)
+         |       THEN 'update_postimage' ELSE 'insert' END AS _change_type,
+         |  CAST(2 AS BIGINT) AS _commit_version FROM c2i
+         |UNION ALL
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day,
+         |  CASE WHEN event_id IN (SELECT event_id FROM pk)
+         |       THEN 'update_preimage' ELSE 'delete' END AS _change_type,
          |  CAST(2 AS BIGINT) AS _commit_version FROM c2d
          |UNION ALL
          |SELECT event_id, ts, user_id, event_type, value, props,

@@ -132,6 +132,13 @@ case class ResolveLakeRelation(session: SparkSession)
             "graft-lake ALTER ADD COLUMNS: nested paths, positions and " +
               "defaults are not supported — new columns append, read " +
               "NULL from existing rows")
+          // same loud-refusal rule for comments (ADVICE r15 #3): the
+          // lake stores no column comments, and silently dropping one
+          // would diverge from the requested DDL
+          require(q.comment.isEmpty,
+            "graft-lake ALTER ADD COLUMNS: column comments are not " +
+              "supported — the lake stores no column comments; omit " +
+              "the comment")
           org.apache.spark.sql.types.StructField(q.colName, q.dataType,
             q.nullable)
         }

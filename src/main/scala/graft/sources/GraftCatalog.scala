@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.util.Collections
-
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -33,11 +31,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * which claims the `graft.db.t` identifier BEFORE catalog
   * resolution ever runs — so registering the catalog changes not one
   * plan (GraftCatalogSpec pins plan-string equality with the
-  * convention-only route). That is why `capabilities()` is empty: a
-  * DSv2 read/write of this Table is unreachable in a correctly
-  * configured session, and an exotic path that does reach it gets
-  * the engine's own "table does not support batch read" with the
-  * catalog name in it, not silent wrongness. The warehouse itself
+  * convention-only route). That is why `capabilities()` carries NO
+  * read capability: a DSv2 read of this Table is unreachable in a
+  * correctly configured session, and an exotic path that does reach
+  * it gets the engine's own "table does not support batch read" with
+  * the catalog name in it, not silent wrongness. Writes are the one
+  * exception (r16): `df.writeTo("graft.db.t")` has no earlier
+  * claimant — the V2 writer resolves straight through the catalog —
+  * so the Table carries V1_BATCH_WRITE/TRUNCATE and bridges onto the
+  * lake's own append/replaceAll transactions (see GraftCatalogTable's
+  * doc). The warehouse itself
   * REMAINS the catalog state — a table IS its lake directory, a
   * namespace IS a directory; no second metastore to drift.
   *
@@ -143,7 +146,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace)) return false
     val p = new Path(s"$warehouse/${namespace.head}")
-    if (!cascade && listTables(namespace).nonEmpty)
+    // non-cascade emptiness means ANY child directory, not just valid
+    // lake tables (ADVICE r15 #2): listTables filters to committed
+    // lakes, so a half-created lake or a scratch dir would have passed
+    // the check and been recursively deleted without CASCADE
+    if (!cascade && dirsUnder(p).nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis
         .NonEmptyNamespaceException((catalogName +: namespace.toSeq).toArray)
     fs(p).delete(p, true)
@@ -236,6 +243,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           val a = c.asInstanceOf[TableChange.AddColumn]
           require(a.fieldNames.length == 1,
             "graft catalog: nested-field adds are not supported")
+          // unsupported AddColumn variants fail LOUDLY like every
+          // other unsupported TableChange (ADVICE r15 #3): silently
+          // appending a FIRST/AFTER column at the end, or dropping a
+          // COMMENT/DEFAULT, would diverge from the requested DDL
+          require(a.position == null,
+            "graft catalog: ADD COLUMN position (FIRST/AFTER) is not " +
+              "supported — added columns append at the end; omit the " +
+              "position clause")
+          require(a.comment == null,
+            "graft catalog: ADD COLUMN ... COMMENT is not supported — " +
+              "the lake stores no column comments; omit the comment")
+          require(a.defaultValue == null,
+            "graft catalog: ADD COLUMN ... DEFAULT is not supported — " +
+              "added columns read NULL on pre-add files; omit the " +
+              "default")
           org.apache.spark.sql.types.StructField(a.fieldNames.head,
             a.dataType, a.isNullable)
         }
@@ -301,18 +323,74 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
-/** The metadata Table the catalog serves to DESCRIBE / listing APIs:
-  * schema and day partitioning from the lake's own checkpoint (one
-  * manifest read), properties from the table metadata files. No
-  * read/write capabilities ON PURPOSE — see GraftCatalog's doc. */
+/** The Table the catalog serves: schema and day partitioning from the
+  * lake's own checkpoint (one manifest read), properties from the
+  * table metadata files, and — as of r16 — the DataFrameWriterV2
+  * route (`df.writeTo("graft.db.t").append()` / `.overwrite(
+  * lit(true))`), a Delta user's first write idiom (VERDICT r15 #3).
+  *
+  * Writes take the V1Write bridge (DeltaCatalog's own historical
+  * route): the WriteBuilder hands back an InsertableRelation whose
+  * insert() lands on the SAME lake transactions the other three
+  * write doors use — append → ManifestLake.append (one atomic
+  * commit, OCC rebase), truncate-overwrite → replaceAll. A full DSv2
+  * BatchWrite would re-implement the parquet writer per-partition
+  * and STILL have to serialize on the manifest commit; the V1 bridge
+  * keeps one write path, one conflict story. No BATCH_READ on
+  * purpose — reads keep resolving through ResolveLakeRelation's
+  * pruned plan (see GraftCatalog's doc; plan-string equality is
+  * spec-pinned), so an exotic DSv2 read still fails loudly.
+  *
+  * The engine resolves writeTo frames against schema(), which
+  * carries the DERIVED `day` column — a writer therefore includes
+  * it (any value, usually carried from a read or date_format) and
+  * the lake recomputes it from ordCol at write time, the same
+  * generated-column discipline every other door applies; a `day`
+  * disagreeing with day(ordCol) can never land. */
 private[graft] case class GraftCatalogTable(spark: SparkSession,
-    fullName: String, path: String) extends Table {
+    fullName: String, path: String) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = fullName
   override def schema(): StructType = ManifestLake.read(spark, path).schema
   override def partitioning(): Array[Transform] =
     Array(Expressions.identity("day"))
   override def capabilities(): java.util.Set[TableCapability] =
-    Collections.emptySet()
+    java.util.Set.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replaceAll = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        replaceAll = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                val ord = ManifestLake.ordColOf(spark, path).getOrElse(
+                  throw new IllegalStateException(
+                    s"$fullName has no persisted ord column (a " +
+                      "pre-metadata lake) — writeTo cannot derive the " +
+                      "day partitioning; use ManifestLake.append with " +
+                      "an explicit ordCol"))
+                // drop the derived day column; the lake recomputes it
+                // from ordCol (generated-column discipline)
+                val rows = data.drop("day")
+                if (replaceAll || overwrite)
+                  ManifestLake.replaceAll(spark, path, rows, ord)
+                else ManifestLake.append(spark, path, rows, ord)
+                ()
+              }
+            }
+        }
+    }
   override def properties(): java.util.Map[String, String] = {
     val snap = ManifestLake.snapshot(spark, path)
     (Map(

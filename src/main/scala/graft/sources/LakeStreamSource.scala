@@ -45,6 +45,10 @@ import org.apache.spark.sql.types.StructType
   *     delete+insert pairs instead of refusing; appends still flow as
   *     a pure incremental scan tagged insert. Mutually exclusive with
   *     skipRewrites.
+  *   - `updateKeys` (r16, CDF mode only): comma-separated key
+  *     columns; a commit's delete+insert rows sharing them stream as
+  *     `update_preimage`/`update_postimage` (Delta's update change
+  *     types — see readChangesPerCommit's pairing contract).
   *   - `maxDirsPerTrigger`: cap one micro-batch's window at this
   *     many added directories (always ≥ 1 version per trigger;
   *     rewritten days carry no added dirs, so in CDF mode a rewrite
@@ -55,6 +59,19 @@ import org.apache.spark.sql.types.StructType
   *     commit larger than the cap lands whole (a version offset
   *     cannot split). Composes with maxDirsPerTrigger (both caps
   *     bind) and with Trigger.AvailableNow (paces the catch-up).
+  *   - `maxVersionsPerTrigger` (r16): cap one micro-batch's window
+  *     at this many COMMITS. In CDF mode it defaults ON (128): the
+  *     per-commit feed builds one scan subplan per commit in the
+  *     window (attribution is a per-commit property), so an uncapped
+  *     catch-up over a deep backlog would union an O(backlog) plan
+  *     on the driver (ADVICE r15 #4) — the default turns that into
+  *     bounded batches, and Trigger.AvailableNow still drains to its
+  *     pinned ceiling (each capped batch advances). Set 0 to disable.
+  *     One deliberate exception preserves the review-r13 invariant:
+  *     an explicit ReadAllAvailable poll (Trigger.Once) sees the true
+  *     head uncapped — a one-shot drain must not terminate believing
+  *     it caught up while backlog remains; its plan width is the
+  *     price of the one-shot form (prefer AvailableNow).
   */
 class LakeStreamSourceProvider
     extends StreamSourceProvider with StreamSinkProvider
@@ -204,6 +221,12 @@ class LakeStreamSourceProvider
       "graft-lake: readChangeFeed and skipRewrites are contradictory — " +
         "the change feed EMITS rewrites as delete+insert rows; " +
         "skipRewrites silently advances past them")
+    // validated here (sourceSchema runs synchronously at start) so a
+    // misconfigured query fails at .start(), not mid-stream
+    require(cdf || opt(parameters, "updateKeys").forall(_.trim.isEmpty),
+      "graft-lake: updateKeys pairs a commit's delete+insert rows " +
+        "into update_pre/postimage CHANGE rows — it requires " +
+        "readChangeFeed=true (the append feed has no deletes to pair)")
     cdf
   }
 
@@ -268,9 +291,16 @@ class LakeStreamSourceProvider
     val maxBytes = opt(parameters, "maxBytesPerTrigger").map(_.toLong)
     maxBytes.foreach(n => require(n >= 1L,
       s"graft-lake: maxBytesPerTrigger must be >= 1, got $n"))
+    val maxVersions = opt(parameters, "maxVersionsPerTrigger").map(_.toInt)
+    maxVersions.foreach(n => require(n >= 0,
+      s"graft-lake: maxVersionsPerTrigger must be >= 0 (0 disables), " +
+        s"got $n"))
+    val updateKeys = opt(parameters, "updateKeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty) // cdfOf above enforces updateKeys ⇒ CDF
     new LakeStreamSource(spark, path,
       LakeStreamSource.pinnedSchema(spark, path, cdf), startV,
-      skipRewrites, maxDirs, cdf, maxBytes)
+      skipRewrites, maxDirs, cdf, maxBytes, maxVersions, updateKeys)
   }
 }
 
@@ -293,13 +323,20 @@ private[graft] class GraftLakeSink(path: String, ordCol: String,
 }
 
 object LakeStreamSource {
+  /** Default per-trigger commit budget in CDF mode (see the provider
+    * doc's maxVersionsPerTrigger entry): bounds the per-commit feed's
+    * union plan at O(128) scan subplans per trigger during a deep
+    * catch-up. 128 ≈ the width where driver planning time is still
+    * trivially small next to executing the window's scans. */
+  val DefaultCdfVersionsPerTrigger: Int = 128
+
   /** The schema a streaming query pins at start: the lake's current
     * checkpointed LOGICAL schema (incl. the `day` column — stream
     * rows ≡ `ManifestLake.read` rows), plus the `_change_type` tag
     * in CDF mode (Delta's readChangeFeed shape). A mid-query schema
     * change fails the query with a restart instruction
     * (streamSchemaGuard); the restarted query re-pins here. */
-  private[sources] def pinnedSchema(spark: SparkSession,
+  private[graft] def pinnedSchema(spark: SparkSession,
       path: String, cdf: Boolean = false): StructType = {
     val snap = ManifestLake.snapshot(spark, path)
     require(snap.version >= 1L,
@@ -320,9 +357,24 @@ object LakeStreamSource {
 class LakeStreamSource(spark: SparkSession, path: String,
     fixedSchema: StructType, startV: Long, skipRewrites: Boolean,
     maxDirsPerTrigger: Option[Int], readChangeFeed: Boolean = false,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    maxVersionsPerTrigger: Option[Int] = None,
+    updateKeys: Seq[String] = Seq.empty)
     extends Source with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  /** The per-trigger COMMIT budget actually in force: the explicit
+    * option when set (0 = disabled), else the CDF default — the
+    * per-commit feed's plan width is O(window versions), so CDF mode
+    * paces by default (ADVICE r15 #4); the append feed's plan width
+    * is O(added dirs) regardless of window, no default needed. */
+  private[graft] val effectiveVersionCap: Option[Int] =
+    maxVersionsPerTrigger match {
+      case Some(0) => None
+      case Some(n) => Some(n)
+      case None => if (readChangeFeed)
+        Some(LakeStreamSource.DefaultCdfVersionsPerTrigger) else None
+    }
 
   override def schema: StructType = fixedSchema
 
@@ -356,6 +408,15 @@ class LakeStreamSource(spark: SparkSession, path: String,
         Array(ReadLimit.maxFiles(d), ReadLimit.maxBytes(b)))
       case (Some(d), None) => ReadLimit.maxFiles(d)
       case (None, Some(b)) => ReadLimit.maxBytes(b)
+      // with a version cap in force (CDF's default pacing) the
+      // default poll must NOT advertise allAvailable: the engine
+      // hands the default limit back verbatim, and latestOffset
+      // exempts ReadAllAvailable (the Trigger.Once one-shot) from the
+      // cap — an unbounded sentinel budget keeps the poll
+      // distinguishable from an explicit drain-all while capping
+      // nothing itself
+      case _ if effectiveVersionCap.isDefined =>
+        ReadLimit.maxFiles(Int.MaxValue)
       case _ => ReadLimit.allAvailable()
     }
 
@@ -373,11 +434,25 @@ class LakeStreamSource(spark: SparkSession, path: String,
     val live = ManifestLake.headVersion(spark, path)
     val head = availableNowCeiling.fold(live)(math.min(live, _))
     if (head <= fromV) start
-    else (dirBudget(limit), byteBudget(limit)) match {
-      case (None, None) => LongOffset(head)
-      case (dirs, bytes) => LongOffset(
-        ManifestLake.cappedStreamTarget(spark, path, fromV, head, dirs,
-          maxBytes = bytes))
+    else {
+      val budgeted = (dirBudget(limit), byteBudget(limit)) match {
+        case (None, None) => head
+        case (dirs, bytes) =>
+          ManifestLake.cappedStreamTarget(spark, path, fromV, head, dirs,
+            maxBytes = bytes)
+      }
+      // version cap (CDF default pacing): never applied to an
+      // explicit ReadAllAvailable — Trigger.Once's one-shot must see
+      // the true head (review r13's invariant); AvailableNow and
+      // processing-time triggers arrive with the advertised default
+      // limit and get paced. Always >= fromV + 1: one commit per
+      // trigger is the progress floor.
+      val vCap =
+        if (limit.isInstanceOf[org.apache.spark.sql.connector.read
+          .streaming.ReadAllAvailable]) None
+        else effectiveVersionCap
+      LongOffset(vCap.fold(budgeted)(c =>
+        math.min(budgeted, fromV + math.max(1, c))))
     }
   }
 
@@ -431,7 +506,8 @@ class LakeStreamSource(spark: SparkSession, path: String,
     // exceptAll would become a stateful cross-trigger aggregate)
     StreamingDataFrames.markStreaming(
       if (readChangeFeed)
-        ManifestLake.cdfWindowBatch(spark, path, fromV, toV, fixedSchema)
+        ManifestLake.cdfWindowBatch(spark, path, fromV, toV, fixedSchema,
+          updateKeys)
       else
         ManifestLake.streamWindowBatch(spark, path, fromV, toV,
           fixedSchema, skipRewrites))

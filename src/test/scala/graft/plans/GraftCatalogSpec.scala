@@ -130,6 +130,73 @@ class GraftCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(spark.sql("SHOW TABLES IN graft.crud").collect().isEmpty)
   }
 
+  test("writeTo (r16): append lands on the lake's transaction; the " +
+      "derived day column is recomputed, never trusted") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.wrt")
+    spark.sql("CREATE TABLE graft.wrt.t (id BIGINT, ts TIMESTAMP, " +
+      "v DOUBLE) OPTIONS ('ordCol' 'ts')")
+    // writeTo resolves by name against the table schema, which
+    // carries the DERIVED day — supply a deliberately WRONG day and
+    // assert the lake's own derivation wins (generated-column
+    // discipline: day(ordCol) is recomputed at write time)
+    seed(3).withColumn("day", lit("1999-12-31"))
+      .writeTo("graft.wrt.t").append()
+    val got = spark.sql("SELECT id, day FROM graft.wrt.t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set(0L, 1L, 2L), got)
+    assert(got.values.toSet == Set("2024-03-01"),
+      s"writeTo trusted the caller's day column: $got")
+    // the append rode a real lake commit: history advances and the
+    // second append composes (no overwrite semantics leaked in)
+    seed(5).filter(col("id") >= 3).withColumn("day",
+      date_format(col("ts"), "yyyy-MM-dd")).writeTo("graft.wrt.t").append()
+    assert(spark.sql("SELECT count(*) FROM graft.wrt.t").collect()
+      .head.getLong(0) == 5L)
+    // overwrite(lit(true)) = truncate-replace through replaceAll
+    seed(2).withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .writeTo("graft.wrt.t").overwrite(lit(true))
+    assert(spark.sql("SELECT count(*) FROM graft.wrt.t").collect()
+      .head.getLong(0) == 2L)
+    // the three pre-existing doors answer identically post-writeTo
+    assert(ManifestLake.read(spark, s"$warehouse/wrt/t").count() == 2L)
+  }
+
+  test("DROP NAMESPACE without CASCADE refuses on ANY child content, " +
+      "not just valid lake tables (ADVICE r15 #2)") {
+    spark.sql("CREATE NAMESPACE graft.halfmade")
+    // a scratch/half-created dir is NOT a listable table — the old
+    // listTables emptiness check would have deleted it silently
+    new java.io.File(s"$warehouse/halfmade/wip").mkdirs()
+    assert(spark.sql("SHOW TABLES IN graft.halfmade").collect().isEmpty)
+    val e = intercept[Exception] {
+      spark.sql("DROP NAMESPACE graft.halfmade")
+    }
+    assert(e.getMessage.contains("halfmade"), e.getMessage)
+    assert(new java.io.File(s"$warehouse/halfmade/wip").exists(),
+      "non-cascade drop deleted namespace content")
+    spark.sql("DROP NAMESPACE graft.halfmade CASCADE")
+    assert(!new java.io.File(s"$warehouse/halfmade").exists())
+  }
+
+  test("ALTER ADD COLUMNS with position/comment refuses loudly " +
+      "instead of silently appending (ADVICE r15 #3)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.addc")
+    spark.sql("CREATE TABLE graft.addc.t (id BIGINT, ts TIMESTAMP) " +
+      "OPTIONS ('ordCol' 'ts')")
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.addc.t ADD COLUMNS (x INT FIRST)")
+    }
+    assert(e1.getMessage.contains("position"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.addc.t ADD COLUMNS " +
+        "(x INT COMMENT 'nope')")
+    }
+    assert(e2.getMessage.contains("comment"), e2.getMessage)
+    // the plain form still works, at the end
+    spark.sql("ALTER TABLE graft.addc.t ADD COLUMNS (x INT)")
+    assert(spark.sql("SELECT * FROM graft.addc.t").columns.last == "x")
+  }
+
   test("a missing table/namespace errors through the standard " +
       "catalog exceptions, not a graft stack trace") {
     val e1 = intercept[Exception] {

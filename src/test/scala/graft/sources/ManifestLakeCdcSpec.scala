@@ -437,4 +437,79 @@ class ManifestLakeCdcSpec extends SparkSpec {
     assert(ManifestLake.read(spark, dst)
       .filter(col("event_id") === 101L).count() == 1)
   }
+
+  test("update images (r16): paired delete+insert retag as update_pre/postimage; unpaired keep plain types") {
+    val dir = Files.createTempDirectory("graft_cdc_upd_img").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    // ONE upsert commit: key 20 updated (pair), key 55 brand-new
+    // (unpaired insert) — v2
+    val batch = Seq(
+      (2L, 20L, ts("2024-01-02 12:00:00"), "purchase", 3.0),
+      (5L, 55L, ts("2024-01-05 08:00:00"), "click", 9.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.upsert(spark, dir, batch, Seq("event_id"), "ts")
+    ManifestLake.deleteWhere(spark, dir, col("event_id") === 40L) // v3
+    val feed = ManifestLake.readChangesPerCommit(spark, dir, 1L, 3L,
+        updateKeys = Seq("event_id"))
+      .select("_commit_version", "_change_type", "event_id", "event_type",
+        "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+      .toSet
+    assert(feed == Set(
+      (2L, "update_preimage", 20L, "click", 1.0),
+      (2L, "update_postimage", 20L, "purchase", 3.0),
+      (2L, "insert", 55L, "click", 9.0),
+      (3L, "delete", 40L, "click", 1.0)), feed)
+    // pairing is PER COMMIT: the same key deleted in a LATER commit
+    // must not pair with its v2 insert across commits
+    ManifestLake.deleteWhere(spark, dir, col("event_id") === 55L) // v4
+    val later = ManifestLake.readChangesPerCommit(spark, dir, 3L, 4L,
+        updateKeys = Seq("event_id"))
+      .select("_change_type").collect().map(_.getString(0)).toSet
+    assert(later == Set("delete"), later)
+  }
+
+  test("per-commit window spanning an additive schema change NULL-fills under toV's schema (ADVICE r15 #1)") {
+    val dir = Files.createTempDirectory("graft_cdc_evo").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    ManifestLake.addColumns(spark, dir, // v2: metadata-only ADD
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType))))
+    val b = Seq((11L, 101L, ts("2024-01-04 12:00:00"), "click", 7.0, 0.5))
+      .toDF("user_id", "event_id", "ts", "event_type", "value", "score")
+    ManifestLake.appendBatch(spark, dir, b, "ts", batchId = 0L) // v3
+    val feed = ManifestLake.readChangesPerCommit(spark, dir, 0L, 3L)
+    // window schema = toV's column ORDER (plus the feed tags)
+    val head = ManifestLake.read(spark, dir).columns
+    assert(feed.columns.toSeq ==
+      head.toSeq ++ Seq("_change_type", "_commit_version",
+        "_commit_timestamp"), feed.columns.mkString(","))
+    // pre-add steps read score as NULL; the post-add append carries it
+    val rows = feed.select("_commit_version", "event_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)))).toSet
+    assert(rows.contains((3L, 101L, Some(0.5))), rows)
+    assert(rows.filter(_._1 == 1L).forall(_._3.isEmpty), rows)
+  }
+
+  test("per-commit window spanning a rename refuses with the split-window remedy") {
+    val dir = Files.createTempDirectory("graft_cdc_ren").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    ManifestLake.renameColumn(spark, dir, "value", "score") // v2
+    val b = Seq((11L, 101L, ts("2024-01-04 12:00:00"), "click", 7.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "score")
+    ManifestLake.appendBatch(spark, dir, b, "ts", batchId = 0L) // v3
+    val e = intercept[IllegalStateException] {
+      ManifestLake.readChangesPerCommit(spark, dir, 0L, 3L).collect()
+    }
+    assert(e.getMessage.contains("rename"), e.getMessage)
+    // sub-windows split at the rename commit still walk clean
+    assert(ManifestLake.readChangesPerCommit(spark, dir, 0L, 1L)
+      .count() == 4)
+    assert(ManifestLake.readChangesPerCommit(spark, dir, 2L, 3L)
+      .count() == 1)
+  }
 }

@@ -178,4 +178,75 @@ class CdfStreamSpec extends SparkSpec {
     assert(got.forall(r => hist(r._3) == r._4),
       s"feed stamps diverged from history: $got vs $hist")
   }
+
+  test("update images stream (r16): updateKeys pairs a commit's delete+insert into update_pre/postimage; unpaired rows keep plain types") {
+    val src = tmp("updimg")
+    ManifestLake.create(spark, src, mk(0 until 10, 1), "ts")        // v1
+    // ONE upsert: id 5 updated (pair) + id 200 brand-new (plain insert)
+    ManifestLake.upsert(spark, src,
+      Seq((5L, ts("2024-04-01 11:00:00"), "changed", 5L),
+        (200L, ts("2024-04-02 09:00:00"), "fresh", 4L))
+        .toDF("id", "ts", "v", "grp"), Seq("id"), "ts")             // v2
+    ManifestLake.deleteWhere(spark, src, col("id") === 6L)          // v3
+    val rows = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    val q = ManifestLake.changeStream(spark, src, readChangeFeed = true,
+      startingVersion = "1", updateKeys = Seq("id"))
+      .writeStream.option("checkpointLocation", tmp("updimg_cp"))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val r = df.select("id", "v", "_change_type", "_commit_version")
+          .collect()
+          .map(x => (x.getLong(0), x.getString(1), x.getString(2),
+            x.getLong(3)))
+        rows.synchronized { rows ++= r }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val got = rows.synchronized(rows.toSet)
+    assert(got == Set(
+      (5L, "v5", "update_preimage", 2L),
+      (5L, "changed", "update_postimage", 2L),
+      (200L, "fresh", "insert", 2L),
+      (6L, "v6", "delete", 3L)), got)
+    // guard: updateKeys without readChangeFeed refuses up front
+    val boom = intercept[IllegalArgumentException] {
+      ManifestLake.changeStream(spark, src, updateKeys = Seq("id"))
+        .writeStream.format("memory").queryName("updimg_boom").start()
+    }
+    assert(boom.getMessage.contains("readChangeFeed"), boom.getMessage)
+  }
+
+  test("maxVersionsPerTrigger (r16): a deep CDF catch-up drains in bounded per-trigger windows; CDF defaults the cap on") {
+    val src = tmp("vcap")
+    ManifestLake.create(spark, src, mk(0 until 4, 1), "ts")         // v1
+    (0 until 5).foreach(i =>                                        // v2..v6
+      ManifestLake.appendBatch(spark, src, mk(10 * (i + 1) until
+        10 * (i + 1) + 2, 2), "ts", batchId = i.toLong))
+    val perBatch = mutable.ArrayBuffer.empty[Set[Long]]
+    val q = ManifestLake.changeStream(spark, src, readChangeFeed = true,
+      startingVersion = "1", maxVersionsPerTrigger = 2)
+      .writeStream.option("checkpointLocation", tmp("vcap_cp"))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val vs = df.select("_commit_version").distinct().collect()
+          .map(_.getLong(0)).toSet
+        perBatch.synchronized { if (vs.nonEmpty) perBatch += vs }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val got = perBatch.synchronized(perBatch.toVector)
+    assert(got.forall(_.size <= 2),
+      s"a trigger window exceeded the 2-commit cap: $got")
+    assert(got.size >= 3 && got.flatten.toSet == (2L to 6L).toSet,
+      s"catch-up did not drain in bounded windows: $got")
+    // CDF mode defaults the cap ON (128); an explicit 0 disables it;
+    // the append feed has no default (its plan width is O(added dirs))
+    import graft.sources.LakeStreamSource
+    def srcWith(cdf: Boolean, cap: Option[Int]): LakeStreamSource =
+      new LakeStreamSource(spark, src,
+        LakeStreamSource.pinnedSchema(spark, src, cdf), 0L, false, None,
+        cdf, None, cap)
+    assert(srcWith(cdf = true, None).effectiveVersionCap ==
+      Some(LakeStreamSource.DefaultCdfVersionsPerTrigger))
+    assert(srcWith(cdf = true, Some(0)).effectiveVersionCap.isEmpty)
+    assert(srcWith(cdf = false, None).effectiveVersionCap.isEmpty)
+  }
 }
