@@ -593,9 +593,23 @@ object LakeOps {
     catalogMemo.getOrElseUpdate(s, dir) {
       val wh = freshLakeDir(s, dir, "graft_lake_cat_wh")
       withCatalogConf(s, wh) {
-        Tables.events(s, dir).createOrReplaceTempView("graft_cat_base")
+        val ev = Tables.events(s, dir)
+        // the load splits across BOTH catalog write doors and the
+        // oracle hashes their union against the untouched base table
+        // (r16, VERDICT r15 #3): the even-uid slice lands via CTAS —
+        // also fixing the table's schema — and the complement (odd +
+        // NULL uid) via the DataFrameWriterV2 route,
+        // df.writeTo(...).append(), which bridges onto the lake's
+        // append transaction. Any writeTo row lost, duplicated, or
+        // day-misderived breaks l_catalog_read's hash.
+        val evenSide = ev.filter(coalesce(col("user_id") % 2 === 0,
+          lit(false)))
+        evenSide.createOrReplaceTempView("graft_cat_base")
         s.sql("CREATE TABLE graft.oracle.events_t " +
           "OPTIONS ('ordCol' 'ts') AS SELECT * FROM graft_cat_base")
+        ev.filter(!coalesce(col("user_id") % 2 === 0, lit(false)))
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .writeTo("graft.oracle.events_t").append()
         require(s.sql("SHOW TABLES IN graft.oracle").collect()
           .map(_.getString(1)).toSeq == Seq("events_t"),
           "catalog did not list the created table")

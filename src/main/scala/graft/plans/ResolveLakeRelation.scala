@@ -364,15 +364,20 @@ case class ResolveLakeRelation(session: SparkSession)
       // `_commit_version`/`_commit_timestamp`, Delta's exact surface),
       // so the change feed is joinable/filterable like any relation.
       // Versions may also be timestamp strings (resolved via
-      // versionAt); the 2-arg form reads to head. Cost: each commit's
+      // versionAt); the 2-arg form reads to head. An optional LAST
+      // string argument of comma-separated key columns (r16) turns
+      // paired delete+insert rows into update_pre/postimage — e.g.
+      // `table_changes('/root', 1, 5, 'event_id')` — the SQL door to
+      // readChangesPerCommit's updateKeys. Cost: each commit's
       // manifest-diff scan — untouched days zero IO, appends
       // incremental, only rewritten days pay the exceptAll (the
-      // l_cdf shape), plus O(window) manifest reads.
+      // l_cdf shape), plus O(window) manifest reads (+ one
+      // change-sized pairing window per commit with keys).
       case tvf: org.apache.spark.sql.catalyst.analysis
           .UnresolvedTableValuedFunction
           if tvf.name.length == 1 &&
             tvf.name.head.equalsIgnoreCase("table_changes") &&
-            (tvf.functionArgs.length == 2 || tvf.functionArgs.length == 3) &&
+            tvf.functionArgs.length >= 2 && tvf.functionArgs.length <= 4 &&
             tvf.functionArgs.forall(_.isInstanceOf[
               org.apache.spark.sql.catalyst.expressions.Literal]) =>
         def lit(i: Int): Any = tvf.functionArgs(i)
@@ -389,12 +394,30 @@ case class ResolveLakeRelation(session: SparkSession)
             case s => ManifestLake.versionAt(session, path,
               ManifestLake.parseSessionTimestamp(session, String.valueOf(s)))
           }
+          // disambiguation rule for the optional args: a trailing
+          // NON-numeric, NON-timestamp string is the key list (a
+          // version arg is a number or a parseable timestamp; a
+          // column list like 'event_id' is neither)
+          def isVersionish(i: Int): Boolean = lit(i) match {
+            case _: Long | _: Int => true
+            case s => try { ManifestLake.parseSessionTimestamp(session,
+              String.valueOf(s)); true } catch { case _: Exception => false }
+          }
+          val nArgs = tvf.functionArgs.length
+          val hasKeys = nArgs >= 3 && !isVersionish(nArgs - 1)
+          require(!(nArgs == 4) || hasKeys,
+            "table_changes: 4-argument form is (path, fromV, toV, " +
+              "'key1,key2') — the last argument must be a column list")
+          val lastVersionIdx = if (hasKeys) nArgs - 2 else nArgs - 1
           val fromV = versionArg(1)
-          val toV = if (tvf.functionArgs.length == 3) versionArg(2)
+          val toV = if (lastVersionIdx >= 2) versionArg(lastVersionIdx)
             else ManifestLake.snapshot(session, path).version
+          val keys = if (hasKeys) String.valueOf(lit(nArgs - 1))
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          else Seq.empty[String]
           SubqueryAlias("table_changes",
-            ManifestLake.readChangesPerCommit(session, path, fromV, toV)
-              .queryExecution.analyzed)
+            ManifestLake.readChangesPerCommit(session, path, fromV, toV,
+              updateKeys = keys).queryExecution.analyzed)
         }
 
       // plain SQL-on-file: SELECT … FROM `graft-lake`.`/path` (head

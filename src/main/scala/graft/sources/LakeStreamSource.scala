@@ -435,7 +435,12 @@ class LakeStreamSource(spark: SparkSession, path: String,
     val head = availableNowCeiling.fold(live)(math.min(live, _))
     if (head <= fromV) start
     else {
-      val budgeted = (dirBudget(limit), byteBudget(limit)) match {
+      // the Int.MaxValue dir budget is OUR default-limit sentinel
+      // (see getDefaultReadLimit) — strip it so an unbudgeted CDF
+      // poll doesn't pay the capped walk's manifest reads just to
+      // conclude "head"
+      val budgeted = (dirBudget(limit).filter(_ != Int.MaxValue),
+          byteBudget(limit)) match {
         case (None, None) => head
         case (dirs, bytes) =>
           ManifestLake.cappedStreamTarget(spark, path, fromV, head, dirs,

@@ -162,6 +162,33 @@ class LakeMaintenanceSqlSpec extends SparkSpec {
     assert(v3only.getLong(0) == 300L && v3only.getLong(1) == 307L)
   }
 
+  test("table_changes optional key-list argument (r16): update rows " +
+      "surface as update_pre/postimage from SQL") {
+    val dir = Files.createTempDirectory("graft_maint_upd").toString
+    ManifestLake.create(spark, dir, mk(0 until 6, 1), "ts")
+    // one upsert: id 2 updated (pair) + id 500 brand-new (insert)
+    ManifestLake.upsert(spark, dir,
+      Seq((2L, ts("2024-03-01 11:00:00"), "changed"),
+        (500L, ts("2024-03-02 09:00:00"), "fresh")).toDF("id", "ts", "v"),
+      Seq("id"), "ts")
+    val got = spark.sql("SELECT id, v, _change_type FROM " +
+      s"table_changes('$dir', 1, 2, 'id') ORDER BY id, _change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got == Set(
+      (2L, "v2", "update_preimage"),
+      (2L, "changed", "update_postimage"),
+      (500L, "fresh", "insert")), got)
+    // 3-arg key form reads to head; keyless form keeps delete+insert
+    assert(spark.sql("SELECT DISTINCT _change_type FROM " +
+      s"table_changes('$dir', 1, 'id')").collect()
+      .map(_.getString(0)).toSet ==
+      Set("update_preimage", "update_postimage", "insert"))
+    assert(spark.sql("SELECT DISTINCT _change_type FROM " +
+      s"table_changes('$dir', 1, 2)").collect()
+      .map(_.getString(0)).toSet == Set("delete", "insert"))
+  }
+
   test("ZORDER BY with three columns interleaves all three " +
       "(zValueN) without changing content") {
     val lake = freshLake()
