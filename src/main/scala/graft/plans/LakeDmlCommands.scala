@@ -56,7 +56,9 @@ object LakeDml {
       : Option[String] =
     if (parts.length == 2 && parts.head.equalsIgnoreCase("graft-lake"))
       Some(parts(1))
-    else if (parts.length == 3 && parts.head.equalsIgnoreCase("graft")) {
+    else if (parts.length >= 3 && parts.head.equalsIgnoreCase("graft")) {
+      // r16: any depth — `graft.a.b.t` is `<warehouse>/a/b/t`
+      // (multi-level namespaces; the catalog surface mirrors this)
       spark.conf.getOption("spark.graft.warehouse")
         .orElse(
           // only OUR registration's warehouse — a foreign catalog
@@ -67,11 +69,11 @@ object LakeDml {
             .flatMap(_ =>
               spark.conf.getOption("spark.sql.catalog.graft.warehouse")))
         .map { wh =>
-          require(!parts(1).contains('/') && !parts(2).contains('/') &&
-            parts(1).nonEmpty && parts(2).nonEmpty,
-            s"graft named tables use plain db/table identifiers, got " +
-              parts.mkString("."))
-          s"${wh.stripSuffix("/")}/${parts(1)}/${parts(2)}"
+          require(parts.tail.forall(p => p.nonEmpty && !p.contains('/') &&
+            p != "." && p != ".."),
+            s"graft named tables use plain namespace/table identifiers, " +
+              s"got ${parts.mkString(".")}")
+          (wh.stripSuffix("/") +: parts.tail).mkString("/")
         }
     } else None
 

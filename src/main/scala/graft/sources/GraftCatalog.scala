@@ -98,41 +98,59 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
-  // ---- namespaces: one directory level under the warehouse ----
+  // ---- namespaces: directory chains under the warehouse (r16:
+  // multi-level — `graft.a.b.t` is `<warehouse>/a/b/t`; a namespace
+  // IS a directory chain, a table IS a lake directory, so the only
+  // disambiguation needed is "is this directory a committed lake?"
+  // — a lake dir is a table, never a namespace) ----
+
+  private def plainParts(parts: Seq[String]): Boolean =
+    parts.nonEmpty && parts.forall(p =>
+      p.nonEmpty && !p.contains('/') && p != "." && p != "..")
+
+  private def nsPath(namespace: Array[String]): Path =
+    new Path((warehouse +: namespace.toSeq).mkString("/"))
 
   override def listNamespaces(): Array[Array[String]] =
-    dirsUnder(new Path(warehouse)).map(Array(_)).toArray
+    dirsUnder(new Path(warehouse))
+      .filterNot(d => ManifestLake.tableExists(spark, s"$warehouse/$d"))
+      .map(Array(_)).toArray
 
   override def listNamespaces(namespace: Array[String])
       : Array[Array[String]] = {
     if (namespace.isEmpty) return listNamespaces()
     if (!namespaceExists(namespace))
       throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
-    Array.empty // single-level: namespaces hold tables, not namespaces
+    val base = nsPath(namespace)
+    dirsUnder(base)
+      .filterNot(d => ManifestLake.tableExists(spark, s"$base/$d"))
+      .map(d => namespace :+ d).toArray
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 && !namespace.head.contains('/') &&
-      fs(new Path(warehouse)).exists(
-        new Path(s"$warehouse/${namespace.head}"))
+    plainParts(namespace.toSeq) &&
+      fs(new Path(warehouse)).exists(nsPath(namespace)) &&
+      !ManifestLake.tableExists(spark, nsPath(namespace).toString)
 
   override def loadNamespaceMetadata(namespace: Array[String])
       : java.util.Map[String, String] = {
     if (!namespaceExists(namespace))
       throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
     Map(SupportsNamespaces.PROP_LOCATION ->
-      s"$warehouse/${namespace.head}").asJava
+      nsPath(namespace).toString).asJava
   }
 
   override def createNamespace(namespace: Array[String],
       metadata: java.util.Map[String, String]): Unit = {
-    require(namespace.length == 1 && !namespace.head.contains('/'),
-      s"graft catalog namespaces are one level (a warehouse " +
-        s"subdirectory), got ${namespace.mkString(".")}")
+    require(plainParts(namespace.toSeq),
+      s"graft catalog namespaces are plain directory names, got " +
+        namespace.mkString("."))
     if (namespaceExists(namespace))
       throw new NamespaceAlreadyExistsException(
         (catalogName +: namespace.toSeq).toArray)
-    fs(new Path(warehouse)).mkdirs(new Path(s"$warehouse/${namespace.head}"))
+    // mkdirs creates missing parents — CREATE NAMESPACE a.b behaves
+    // like mkdir -p, matching the filesystem-IS-the-catalog model
+    fs(new Path(warehouse)).mkdirs(nsPath(namespace))
     ()
   }
 
@@ -145,7 +163,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace)) return false
-    val p = new Path(s"$warehouse/${namespace.head}")
+    val p = nsPath(namespace)
     // non-cascade emptiness means ANY child directory, not just valid
     // lake tables (ADVICE r15 #2): listTables filters to committed
     // lakes, so a half-created lake or a scratch dir would have passed
@@ -156,27 +174,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     fs(p).delete(p, true)
   }
 
-  // ---- tables: lake roots one level under the namespace ----
+  // ---- tables: lake roots under a namespace directory chain ----
 
   private def pathOf(ident: Identifier): String = {
-    require(ident.namespace.length == 1,
-      s"graft catalog tables are <namespace>.<table>, got $ident")
-    require(!ident.name.contains('/') && !ident.namespace.head.contains('/'),
+    require(plainParts(ident.namespace.toSeq :+ ident.name),
       s"graft catalog identifiers are plain names, got $ident")
-    s"$warehouse/${ident.namespace.head}/${ident.name}"
+    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (!namespaceExists(namespace))
       throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
-    dirsUnder(new Path(s"$warehouse/${namespace.head}"))
-      .filter(t => ManifestLake.tableExists(spark,
-        s"$warehouse/${namespace.head}/$t"))
+    val base = nsPath(namespace)
+    dirsUnder(base)
+      .filter(t => ManifestLake.tableExists(spark, s"$base/$t"))
       .map(Identifier.of(namespace, _)).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace.length == 1 &&
+    plainParts(ident.namespace.toSeq :+ ident.name) &&
       ManifestLake.tableExists(spark, pathOf(ident))
 
   override def loadTable(ident: Identifier): Table = {
@@ -306,9 +322,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // accept the redundant prefix rather than failing a natural
     // spelling
     val newIdent =
-      if (newIdent0.namespace.length == 2 &&
-          newIdent0.namespace.head.equalsIgnoreCase(catalogName))
-        Identifier.of(Array(newIdent0.namespace.apply(1)), newIdent0.name)
+      if (newIdent0.namespace.length >= 2 &&
+          newIdent0.namespace.head.equalsIgnoreCase(catalogName) &&
+          !namespaceExists(newIdent0.namespace))
+        Identifier.of(newIdent0.namespace.drop(1), newIdent0.name)
       else newIdent0
     if (!tableExists(oldIdent)) throw new NoSuchTableException(
       (catalogName +: oldIdent.namespace.toSeq) :+ oldIdent.name)

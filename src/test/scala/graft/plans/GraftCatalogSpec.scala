@@ -197,6 +197,41 @@ class GraftCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(spark.sql("SELECT * FROM graft.addc.t").columns.last == "x")
   }
 
+  test("multi-level namespaces (r16): graft.a.b.t is warehouse/a/b/t " +
+      "through every door — SQL DDL/DML, catalog listing, writeTo") {
+    spark.sql("CREATE NAMESPACE graft.deep.prod") // mkdir -p semantics
+    assert(spark.sql("SHOW NAMESPACES IN graft.deep").collect()
+      .map(_.getString(0)).toSeq == Seq("deep.prod"))
+    seed(4).createOrReplaceTempView("deep_src")
+    spark.sql("CREATE TABLE graft.deep.prod.t " +
+      "OPTIONS ('ordCol' 'ts') AS SELECT * FROM deep_src")
+    assert(ManifestLake.tableExists(spark, s"$warehouse/deep/prod/t"))
+    assert(spark.sql("SHOW TABLES IN graft.deep.prod").collect()
+      .map(_.getString(1)).toSeq == Seq("t"))
+    // a table is a table, not a namespace — it must not list as one
+    assert(!spark.sql("SHOW NAMESPACES IN graft.deep.prod").collect()
+      .map(_.getString(0)).exists(_.contains("t")))
+    // reads + DML at depth resolve through the hints rule
+    assert(spark.sql("SELECT count(*) FROM graft.deep.prod.t")
+      .collect().head.getLong(0) == 4L)
+    spark.sql("UPDATE graft.deep.prod.t SET v = v + 10 WHERE id = 0")
+    assert(spark.sql("SELECT v FROM graft.deep.prod.t WHERE id = 0")
+      .collect().head.getDouble(0) == 10.0)
+    // writeTo at depth lands on the same lake transaction
+    seed(6).filter(col("id") >= 4)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .writeTo("graft.deep.prod.t").append()
+    assert(spark.sql("SELECT count(*) FROM graft.deep.prod.t")
+      .collect().head.getLong(0) == 6L)
+    // non-cascade drop refuses while the chain holds content
+    val e = intercept[Exception] {
+      spark.sql("DROP NAMESPACE graft.deep.prod")
+    }
+    assert(e.getMessage.contains("prod"), e.getMessage)
+    spark.sql("DROP NAMESPACE graft.deep CASCADE")
+    assert(!new java.io.File(s"$warehouse/deep").exists())
+  }
+
   test("a missing table/namespace errors through the standard " +
       "catalog exceptions, not a graft stack trace") {
     val e1 = intercept[Exception] {
