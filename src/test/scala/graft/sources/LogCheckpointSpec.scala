@@ -126,6 +126,25 @@ class LogCheckpointSpec extends SparkSpec {
     assert(ManifestLake.read(spark, dir).count() == 10L)
   }
 
+  test("vacuum interplay: expiry keeps the hint valid (prefix-only), resolution stays listing-free") {
+    val dir = Files.createTempDirectory("graft_hint_vac").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    (0 until 3).foreach(i => ManifestLake.append(spark, dir, row(600L + i), "ts"))
+    // force-expire everything but the latest: the expired set is a
+    // PREFIX, so density above the hint (== head) is untouched
+    ManifestLake.vacuum(spark, dir, retentionMs = 0L, force = true)
+    ManifestLake.LogMetrics.reset()
+    assert(ManifestLake.headVersion(spark, dir) == 4L)
+    assert(ManifestLake.LogMetrics.listings.get() == 0L,
+      "post-vacuum head resolution fell back to the listing")
+    assert(ManifestLake.read(spark, dir).count() == 5L)
+    // and a commit after the vacuum keeps the floor rolling
+    ManifestLake.append(spark, dir, row(699L), "ts")
+    ManifestLake.LogMetrics.reset()
+    assert(ManifestLake.headVersion(spark, dir) == 5L &&
+      ManifestLake.LogMetrics.listings.get() == 0L)
+  }
+
   test("capped streaming admission: small-window target walk pays zero listings") {
     val dir = Files.createTempDirectory("graft_hint_cap").toString
     ManifestLake.create(spark, dir, mkBase(), "ts")
