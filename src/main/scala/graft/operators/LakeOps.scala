@@ -650,6 +650,52 @@ object LakeOps {
       s"FROM `graft-lake`.`$lake` ORDER BY event_id")
   }
 
+  private val replaceMemo = new SessionMemo[String]
+
+  /** Predicate-overwrite lake (r17, VERDICT r16 #3 — Delta's
+    * replaceWhere): v1 CREATE from events → v2 the SQL door —
+    * `INSERT INTO … REPLACE WHERE user_id BETWEEN 100 AND 199` with
+    * the band's 'backfilled' re-derivation (value+50; the band's
+    * NULL-ts rows are DELETED and not re-inserted — replace
+    * semantics, not update) → v3 the writer-option door —
+    * `mode("overwrite").option("replaceWhere", "day >= '2024-01-20'")`
+    * reloading the tail days from base (event_type='reloaded', which
+    * also overwrites v2's backfill inside the overlap band∩tail — the
+    * two replaces COMPOSE). Both doors land on the same one-commit
+    * deleteWhere+append transaction; DuckDB replays each replace as
+    * delete-then-insert over the raw parquet, so a row leaking
+    * through the predicate, a batch row landing outside it, or a
+    * half-applied (non-atomic) replace breaks the hash. */
+  private def replaceLake(s: SparkSession, dir: String): String =
+    replaceMemo.getOrElseUpdate(s, dir) {
+      val out = freshLakeDir(s, dir, "graft_lake_replace")
+      val ev = Tables.events(s, dir)
+      ManifestLake.create(s, out, ev, "ts", filesPerDay = 2)
+      ev.filter(col("user_id").between(100, 199) && col("ts").isNotNull)
+        .withColumn("event_type", lit("backfilled"))
+        .withColumn("value", col("value") + lit(50.0))
+        .createOrReplaceTempView("graft_replace_src")
+      s.sql(s"INSERT INTO `graft-lake`.`$out` REPLACE WHERE " +
+        "user_id BETWEEN 100 AND 199 SELECT * FROM graft_replace_src")
+      ev.filter(col("ts").isNotNull &&
+          date_format(col("ts"), "yyyy-MM-dd") >= "2024-01-20")
+        .withColumn("event_type", lit("reloaded"))
+        .write.format("graft-lake").mode("overwrite")
+        .option("ordCol", "ts")
+        .option("replaceWhere", "day >= '2024-01-20'")
+        .save(out)
+      out
+    }
+
+  /** The composed predicate-overwrite head state under the oracle
+    * (see replaceLake); the read goes through the SQL identifier
+    * route like l_sql_dml. */
+  def lReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    val lake = replaceLake(s, dir)
+    s.sql(s"SELECT ${histCols.mkString(", ")} " +
+      s"FROM `graft-lake`.`$lake` ORDER BY event_id")
+  }
+
   val queries: ListMap[String, Q] = ListMap(
     "l_scan_prune" -> (lScanPrune _),
     "l_point_lookup" -> (lPointLookup _),
@@ -671,6 +717,7 @@ object LakeOps {
     "l_restore" -> (lRestore _),
     "l_rename_read" -> (lRenameRead _),
     "l_mapping_travel" -> (lMappingTravel _),
+    "l_replace_where" -> (lReplaceWhere _),
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -980,5 +1027,34 @@ object LakeOps {
          |SELECT event_id, ts, user_id, event_type, score,
          |  strftime(ts, '%Y-%m-%d') AS day
          |FROM merged ORDER BY event_id""".stripMargin,
+    // replay of the composed predicate overwrites: each REPLACE WHERE
+    // is delete-the-matching-rows then insert-the-batch — v2 rebuilds
+    // the uid band from base (+50, 'backfilled', NULL-ts band rows
+    // drop), v3 rebuilds the tail days from BASE (original values,
+    // 'reloaded'), overwriting v2's backfill inside band∩tail
+    "l_replace_where" ->
+      s"""WITH v2 AS (
+         |  SELECT event_id, ts, user_id, event_type, value, props
+         |  FROM events
+         |  WHERE NOT coalesce(user_id BETWEEN 100 AND 199, FALSE)
+         |  UNION ALL
+         |  SELECT event_id, ts, user_id, 'backfilled' AS event_type,
+         |    value + 50.0 AS value, props
+         |  FROM events
+         |  WHERE user_id BETWEEN 100 AND 199 AND ts IS NOT NULL
+         |), v3 AS (
+         |  SELECT * FROM v2
+         |  WHERE NOT coalesce(strftime(ts, '%Y-%m-%d') >= '2024-01-20',
+         |    FALSE)
+         |  UNION ALL
+         |  SELECT event_id, ts, user_id, 'reloaded' AS event_type,
+         |    value, props
+         |  FROM events
+         |  WHERE ts IS NOT NULL
+         |    AND strftime(ts, '%Y-%m-%d') >= '2024-01-20'
+         |)
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  strftime(ts, '%Y-%m-%d') AS day
+         |FROM v3 ORDER BY event_id""".stripMargin,
   )
 }

@@ -94,9 +94,45 @@ case class ResolveLakeRelation(session: SparkSession)
             require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
               "graft-lake INSERT: PARTITION clauses are not accepted — " +
                 "the lake manages its own day partitioning from the " +
-                "ord column")
+                "ord column; to overwrite one partition's rows use " +
+                "`INSERT INTO … REPLACE WHERE day = '…' SELECT …` (the " +
+                "predicate overwrite)")
             GraftInsertCommand(path, i.query, i.userSpecifiedCols,
               i.overwrite, i.byName)
+        }
+
+      // `INSERT INTO … REPLACE WHERE pred SELECT …` (SQL) and
+      // `df.writeTo(…).overwrite(cond)` (DataFrameWriterV2) both build
+      // OverwriteByExpression — claimed here for lake targets (r17,
+      // VERDICT r16 #3) for the same reason as the other DML: the
+      // built-in V2 write resolution serves only catalog tables (the
+      // path form has none), and applyReads would otherwise inline the
+      // target into a READ plan. A literal-TRUE condition is the
+      // truncate idiom → replaceAll's cheaper whole-table path.
+      case o: org.apache.spark.sql.catalyst.plans.logical
+          .OverwriteByExpression =>
+        LakeDml.lakeTarget(session, o.table) match {
+          case None => o
+          case Some((path, alias)) =>
+            val isTrue = o.deleteExpr match {
+              case org.apache.spark.sql.catalyst.expressions
+                .Literal(true, org.apache.spark.sql.types.BooleanType) =>
+                true
+              case _ => false
+            }
+            // a writeTo condition may carry already-RESOLVED attribute
+            // refs (df.col("day")) whose exprIds are foreign to the
+            // lake read replaceWhere builds internally — re-resolve by
+            // NAME against the target, the same discipline bare()
+            // applies to qualified names
+            val nameBased = o.deleteExpr.transformUp {
+              case a: org.apache.spark.sql.catalyst.expressions
+                .AttributeReference =>
+                org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute(Seq(a.name))
+            }
+            GraftReplaceWhereCommand(path, o.query,
+              LakeDml.bare(nameBased, alias), o.isByName, isTrue)
         }
 
       case c: org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect

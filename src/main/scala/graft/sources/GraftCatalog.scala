@@ -148,6 +148,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (namespaceExists(namespace))
       throw new NamespaceAlreadyExistsException(
         (catalogName +: namespace.toSeq).toArray)
+    // a lake-table directory is a TABLE, never a namespace (ADVICE r16
+    // #4): namespaceExists answers false for it, so without this check
+    // the mkdirs would silently no-op and report a "created" namespace
+    // that never appears in listNamespaces
+    require(!ManifestLake.tableExists(spark, nsPath(namespace).toString),
+      s"graft catalog: ${namespace.mkString(".")} is a lake TABLE, " +
+        "not a namespace — a table directory cannot also be a " +
+        "namespace; pick another name or drop the table first")
     // mkdirs creates missing parents — CREATE NAMESPACE a.b behaves
     // like mkdir -p, matching the filesystem-IS-the-catalog model
     fs(new Path(warehouse)).mkdirs(nsPath(namespace))
@@ -350,7 +358,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * route): the WriteBuilder hands back an InsertableRelation whose
   * insert() lands on the SAME lake transactions the other three
   * write doors use — append → ManifestLake.append (one atomic
-  * commit, OCC rebase), truncate-overwrite → replaceAll. A full DSv2
+  * commit, OCC rebase), truncate-overwrite → replaceAll, and (r17)
+  * filter-overwrite → replaceWhere under strict total-or-refuse
+  * filter translation. A full DSv2
   * BatchWrite would re-implement the parquet writer per-partition
   * and STILL have to serialize on the manifest commit; the V1 bridge
   * keeps one write path, one conflict story. No BATCH_READ on
@@ -373,16 +383,51 @@ private[graft] case class GraftCatalogTable(spark: SparkSession,
     Array(Expressions.identity("day"))
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.Set.of(TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder
-      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var replaceAll = false
+      private var replaceCond
+        : Option[org.apache.spark.sql.Column] = None
       override def truncate()
           : org.apache.spark.sql.connector.write.WriteBuilder = {
         replaceAll = true; this
+      }
+      /** Predicate overwrite through the CATALOG door (r17, VERDICT
+        * r16 #3 — Delta's replaceWhere): the engine hands the
+        * overwrite condition as source Filters; translation here must
+        * be TOTAL-or-refuse (GraftLakeRelation.translate's strict
+        * form) — the read path may DROP an untranslatable conjunct
+        * (costs pruning only), but an overwrite scoped by a dropped
+        * conjunct would replace MORE rows than asked. In a session
+        * with GraftExtensions this door is shadowed by the hints-batch
+        * OverwriteByExpression claim (GraftReplaceWhereCommand, which
+        * accepts ANY predicate); it exists for catalog-only sessions
+        * and refuses loudly with that remedy. */
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        val trueish = filters.isEmpty || (filters.length == 1 &&
+          filters.head.isInstanceOf[org.apache.spark.sql.sources
+            .AlwaysTrue])
+        if (trueish) replaceAll = true
+        else {
+          val cols = filters.map { f =>
+            GraftLakeRelation.translate(f).getOrElse(
+              throw new UnsupportedOperationException(
+                s"graft catalog: overwrite predicate $f is not " +
+                  "translatable to a source filter — run the " +
+                  "predicate overwrite through the SQL door " +
+                  "(`INSERT INTO … REPLACE WHERE …`) or " +
+                  "ManifestLake.replaceWhere, which accept any " +
+                  "predicate"))
+          }
+          replaceCond = Some(cols.reduce(_ && _))
+        }
+        this
       }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
@@ -400,9 +445,15 @@ private[graft] case class GraftCatalogTable(spark: SparkSession,
                 // drop the derived day column; the lake recomputes it
                 // from ordCol (generated-column discipline)
                 val rows = data.drop("day")
-                if (replaceAll || overwrite)
-                  ManifestLake.replaceAll(spark, path, rows, ord)
-                else ManifestLake.append(spark, path, rows, ord)
+                replaceCond match {
+                  case Some(cond) =>
+                    ManifestLake.replaceWhere(spark, path, rows, cond,
+                      ord)
+                  case None =>
+                    if (replaceAll || overwrite)
+                      ManifestLake.replaceAll(spark, path, rows, ord)
+                    else ManifestLake.append(spark, path, rows, ord)
+                }
                 ()
               }
             }

@@ -92,9 +92,15 @@ class LakeStreamSourceProvider
     *     analog).
     *   - Overwrite: atomic whole-table replace (`replaceAll`) — one
     *     commit, old generations become vacuum orphans, refuses any
-    *     concurrent writer (Delta's overwrite conflict rule).
+    *     concurrent writer (Delta's overwrite conflict rule). With
+    *     option `replaceWhere` = a predicate SQL string (r17, Delta's
+    *     replaceWhere): a PREDICATE overwrite instead — atomically
+    *     replace exactly the matching rows with the batch (one commit
+    *     composing deleteWhere + append; batch rows must satisfy the
+    *     predicate), the partition-backfill idiom.
     * Options: `ordCol` (required), `filesPerDay`, `statsCols`/
-    * `bloomCols` (fresh-table layout), `batchId` (Append only). */
+    * `bloomCols` (fresh-table layout), `batchId` (Append only),
+    * `replaceWhere` (Overwrite only). */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val spark = sqlContext.sparkSession
@@ -109,6 +115,11 @@ class LakeStreamSourceProvider
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     val exists = ManifestLake.tableExists(spark, path)
+    val replacePred = opt(parameters, "replaceWhere").map(_.trim)
+      .filter(_.nonEmpty)
+    require(replacePred.isEmpty || mode == SaveMode.Overwrite,
+      "graft-lake: option 'replaceWhere' is a predicate OVERWRITE — " +
+        s"it requires mode overwrite (got $mode)")
     def freshCreate(): Unit = {
       ManifestLake.create(spark, path, data, ordCol, filesPerDay,
         statsCols = cols("statsCols"), bloomCols = cols("bloomCols"))
@@ -123,6 +134,18 @@ class LakeStreamSourceProvider
         freshCreate()
       case SaveMode.Ignore =>
         if (!exists) freshCreate()
+      case SaveMode.Overwrite if replacePred.isDefined =>
+        // the predicate overwrite (r17, Delta's replaceWhere writer
+        // option): scoped to an EXISTING lake — against an absent one
+        // there is nothing the predicate could replace, and silently
+        // creating would hide a mistyped path
+        require(exists,
+          s"graft-lake: replaceWhere against $path, but no committed " +
+            "lake exists there — create it first (the predicate " +
+            "overwrite replaces rows of an existing table)")
+        ManifestLake.replaceWhere(spark, path, data,
+          org.apache.spark.sql.functions.expr(replacePred.get), ordCol,
+          filesPerDay = filesPerDay)
       case SaveMode.Overwrite =>
         if (!exists) freshCreate()
         else ManifestLake.replaceAll(spark, path, data, ordCol, filesPerDay)

@@ -129,6 +129,15 @@ object ManifestLake {
     * This is what lets compactWhere's small-file rule select days
     * with ZERO listStatus calls; generations written before the
     * upgrade simply have no entries and fall back to one listing. */
+  /** `ts` — the IN-COMMIT timestamp (r17, the Delta in-commit-timestamp
+    * design): the monotone-adjusted commit instant, stamped as a `#ts`
+    * manifest header at commit and MIRRORED onto the manifest file's
+    * mtime (verified at write — see commit()), so the per-commit CDF
+    * walk takes stamps from manifests it already reads (zero log
+    * listings on a stamped window) while every mtime-based resolution
+    * path (stampedVersions → history/versionAt) computes the identical
+    * value. None = a pre-stamp manifest (or a store that refused the
+    * mtime mirror) — every consumer falls back to the listing. */
   final case class Snapshot(version: Long, days: Map[String, Seq[String]],
       lastBatch: Long = -1L, files: Map[String, FileMeta] = Map.empty,
       schemaJson: Option[String] = None,
@@ -136,7 +145,8 @@ object ManifestLake {
       dvs: Seq[(String, Seq[String])] = Seq.empty,
       checks: Seq[(String, String)] = Seq.empty,
       op: String = "",
-      fileBytes: Map[String, Long] = Map.empty)
+      fileBytes: Map[String, Long] = Map.empty,
+      ts: Option[Long] = None)
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -169,10 +179,13 @@ object ManifestLake {
     val listings = new java.util.concurrent.atomic.AtomicLong(0L)
     val probes = new java.util.concurrent.atomic.AtomicLong(0L)
     def reset(): Unit = { listings.set(0L); probes.set(0L) }
+    def trace(): Unit = if (sys.env.contains("GRAFT_TRACE_LISTINGS"))
+      new Exception("listing").printStackTrace()
   }
 
   private def manifestVersions(fs: FileSystem, root: Path): Seq[Long] = {
     LogMetrics.listings.incrementAndGet()
+    LogMetrics.trace()
     val log = new Path(root, LogDir)
     if (!fs.exists(log)) Seq.empty
     else fs.listStatus(log).toSeq.flatMap(_.getPath.getName match {
@@ -212,11 +225,42 @@ object ManifestLake {
 
   private def writeHeadHint(fs: FileSystem, root: Path, v: Long): Unit =
     try {
-      // non-atomic overwrite is fine: a torn/partial read parses as
-      // corrupt → full-listing fallback; monotonicity is not enforced
-      // (a racy regression only adds forward probes)
-      val out = fs.create(new Path(root, HeadHintFile), true)
-      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      // ATOMIC replace (r17): an in-place overwrite truncates the hint
+      // first, so a streaming trigger polling headVersion concurrently
+      // with a commit could read the hint EMPTY and pay the full-
+      // listing fallback — exactly the steady production state (one
+      // writer + a polling reader) the hint exists for. Write-temp +
+      // atomic move keeps every read either-old-or-new. Monotonicity
+      // is still not enforced (a racy last-writer regression only adds
+      // forward probes), and any failure stays best-effort: a hint
+      // write must never fail a committed transaction.
+      val target = new Path(root, HeadHintFile)
+      val logDir = new java.io.File(root.toUri.getPath, LogDir)
+      if (logDir.isDirectory) {
+        // local FS: pure java.io + ATOMIC_MOVE, bypassing the Hadoop
+        // checksum layer entirely (a .crc sidecar would otherwise go
+        // stale under the raw move and fail every subsequent open —
+        // also drop any sidecar a pre-r17 in-place hint write left)
+        val tmpF = new java.io.File(logDir, s".hint-${UUID.randomUUID()}")
+        java.nio.file.Files.write(tmpF.toPath,
+          v.toString.getBytes("UTF-8"))
+        new java.io.File(logDir, s".${target.getName}.crc").delete()
+        java.nio.file.Files.move(tmpF.toPath,
+          new java.io.File(logDir, target.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      } else {
+        // non-local store: rename won't overwrite — delete+rename is
+        // the best the FS offers; a reader hitting the gap parses the
+        // missing hint as "no hint" and falls back, never mis-resolves
+        val tmp = new Path(root, s"$LogDir/.hint-${UUID.randomUUID()}")
+        val out = fs.create(tmp, false)
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        fs.delete(target, false)
+        fs.rename(tmp, target)
+        ()
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Head resolution through the hint floor: ≤ (head − hint + 2)
@@ -318,7 +362,13 @@ object ManifestLake {
     val op = lines.collectFirst {
       case l if l.startsWith("#op\t") => dec(l.stripPrefix("#op\t"))
     }.getOrElse("")
-    Snapshot(v, days, lastBatch, legacy, schemaJson, legacy, dvs, checks, op)
+    // `#ts <millis>` — the in-commit timestamp (r17); a corrupt value
+    // reads as unstamped, which only costs the listing fallback
+    val ts = lines.collectFirst {
+      case l if l.startsWith("#ts\t") => l.stripPrefix("#ts\t").trim
+    }.flatMap(s => scala.util.Try(s.toLong).toOption)
+    Snapshot(v, days, lastBatch, legacy, schemaJson, legacy, dvs, checks, op,
+      ts = ts)
   }
 
   /** Parse `#f`/`#c` stat lines (shared by the manifest's legacy carry
@@ -587,11 +637,27 @@ object ManifestLake {
     if (fs.exists(target))
       throw new java.util.ConcurrentModificationException(
         s"manifest version $next already committed by another writer")
+    // The in-commit timestamp (r17, VERDICT r16 #2 — the Delta
+    // in-commit-timestamp design): running-max enforced against the
+    // PARENT's resolved stamp, so stamps are strictly increasing in
+    // version order by construction — clock skew between OCC writers
+    // can no longer make a bounded-suffix resolution disagree with the
+    // full listing's tie-carryover. The parent's stamp is its own #ts
+    // when present; a pre-stamp parent resolves through the one-listing
+    // mtime monotonization (paid once per table after the upgrade).
+    // Resolution failure (e.g. the parent was vacuumed mid-race) never
+    // fails the commit — it publishes UNSTAMPED, the graceful-fallback
+    // tier every reader handles.
+    val stampOpt: Option[Long] =
+      try {
+        val parent =
+          if (next <= 1L) None
+          else readManifest(fs, root, next - 1).ts
+            .orElse(stampedVersions(fs, root).toMap.get(next - 1))
+        Some(math.max(parent.fold(Long.MinValue)(_ + 1L),
+          System.currentTimeMillis()))
+      } catch { case scala.util.control.NonFatal(_) => None }
     val tmp = new Path(root, s"$LogDir/.tmp-${UUID.randomUUID()}")
-    val out = fs.create(tmp, /* overwrite = */ false)
-    val header = (if (lastBatch >= 0) Seq(s"#batch\t$lastBatch") else Seq.empty) ++
-      schemaJson.map(j => s"#schema\t${enc(j)}").toSeq ++
-      (if (op.nonEmpty) Seq(s"#op\t${enc(op)}") else Seq.empty)
     val body = days.toSeq.sortBy(_._1)
       .flatMap { case (d, ps) => ps.sorted.map(p => s"$d\t$p") }
     val dvLines = dvs.sortBy(_._1).map { case (d, dirs) =>
@@ -600,9 +666,35 @@ object ManifestLake {
     val checkLines = checks.map { case (n, sql) =>
       s"#check\t${enc(n)}\t${enc(sql)}"
     }
-    try out.write((header ++ body ++ fmtFileLines(legacyFiles) ++ dvLines ++
-      checkLines).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    def writeTmp(tsLine: Option[String]): Unit = {
+      fs.delete(tmp, false) // no-op on the first write
+      val header = tsLine.toSeq ++
+        (if (lastBatch >= 0) Seq(s"#batch\t$lastBatch") else Seq.empty) ++
+        schemaJson.map(j => s"#schema\t${enc(j)}").toSeq ++
+        (if (op.nonEmpty) Seq(s"#op\t${enc(op)}") else Seq.empty)
+      val out = fs.create(tmp, /* overwrite = */ false)
+      try out.write((header ++ body ++ fmtFileLines(legacyFiles) ++ dvLines ++
+        checkLines).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    writeTmp(stampOpt.map(t => s"#ts\t$t"))
+    // Mirror the stamp onto the manifest's mtime, VERIFIED by read-back
+    // — this is what keeps the two resolution tiers equal BY
+    // CONSTRUCTION: stampedVersions' running max(prev+1, mtime) over a
+    // stamped suffix computes exactly the stamps (mtime == ts and
+    // ts > parent's resolved value), so history()/versionAt and the
+    // zero-listing stamp reads can never diverge. A store that refuses
+    // setTimes (or truncates millis — verified, not assumed) publishes
+    // UNSTAMPED instead: correctness never rests on the mirror. The
+    // link/rename publish below preserves mtime (same inode / POSIX
+    // rename), so the mirrored value survives the atomic publish.
+    val mirrored = stampOpt.forall { t =>
+      try {
+        fs.setTimes(tmp, t, -1)
+        fs.getFileStatus(tmp).getModificationTime == t
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (!mirrored) writeTmp(None)
     // ATOMIC fail-if-exists publish (review r14 round-close): on a
     // POSIX local filesystem rename(2) silently REPLACES an existing
     // target, so the exists-check above plus fs.rename is a TOCTOU —
@@ -2243,6 +2335,10 @@ object ManifestLake {
     * (ADVICE r13 #1). */
   private def stampedVersions(fs: FileSystem,
       root: Path): Seq[(Long, Long)] = {
+    // counted as a listing (r17): this is the CDF walk's fallback tier,
+    // and LogCheckpointSpec's zero-listing arm must see it when it fires
+    LogMetrics.listings.incrementAndGet()
+    LogMetrics.trace()
     val log = new Path(root, LogDir)
     val raw =
       if (!fs.exists(log)) Seq.empty
@@ -2251,6 +2347,12 @@ object ManifestLake {
           case ManifestRe(v) => Some(v.toLong -> st.getModificationTime)
           case _ => None
         }).sortBy(_._1)
+    // r17: for a STAMPED manifest mtime == #ts (commit's verified
+    // mirror) and ts > every predecessor's resolved value (running-max
+    // enforcement), so this adjustment computes exactly the stamps —
+    // the listing tier and the zero-listing stamp tier agree by
+    // construction, and the values are stable under vacuum (no
+    // tie-carryover can be lost with a prefix cut).
     var prev = Long.MinValue
     raw.map { case (v, t) =>
       prev = if (prev == Long.MinValue) t else math.max(prev + 1, t)
@@ -2420,7 +2522,20 @@ object ManifestLake {
     require(fromV <= toV,
       s"readChangesPerCommit: fromV $fromV > toV $toV")
     val (fs, root) = fsOf(spark, path)
-    val stamps = stampedVersions(fs, root).toMap
+    // r17 (VERDICT r16 #2): commit stamps come from the `#ts` headers
+    // of the manifests this walk reads anyway — a fully stamped window
+    // pays ZERO log listings (the last O(retained-log) term on the
+    // CDF-mode trigger loop and the table_changes TVF); any pre-stamp
+    // manifest in the window falls back to the one-listing mtime
+    // resolution, which computes the identical values (commit's
+    // verified mtime mirror + running-max enforcement).
+    val winVs = (fromV + 1) to toV
+    val viaTs = winVs.map(v => v -> readCursorManifest(fs, root, v).ts)
+    val stamps: Map[Long, Long] =
+      if (winVs.isEmpty) Map.empty
+      else if (viaTs.forall(_._2.isDefined))
+        viaTs.map { case (v, t) => v -> t.get }.toMap
+      else stampedVersions(fs, root).toMap
     def step(v: Long): DataFrame = {
       val raw = readChanges(spark, path, math.max(fromV, v - 1), v)
       val paired =
@@ -3088,6 +3203,102 @@ object ManifestLake {
       None
     }
     updatedCnt
+  }
+
+  /** Predicate OVERWRITE — Delta's `replaceWhere` (r17, VERDICT r16
+    * #3): atomically replace exactly the rows matching `predicate`
+    * with `batch`, in ONE manifest commit composing deleteWhere's
+    * copy-on-write with append's new-generation write. This is the
+    * idiom for backfilling a partition: readers see the old day set
+    * for every day before the rename and the replacement after it,
+    * with no delete-then-append window in between.
+    *
+    * The Delta contract is enforced, not assumed: every batch row
+    * must SATISFY the predicate (else the "replace" would silently
+    * smuggle rows outside the replaced region — refused loudly with
+    * the offending count). TRUE-only matching like deleteWhere (NULL
+    * keeps the row); a day fully drained by the predicate with no
+    * replacement rows landing disappears from the manifest.
+    *
+    * Scale shape (100 TB): discovery is ONE pruned scan — a predicate
+    * carrying day conjuncts prunes at the manifest level via
+    * derivedDayBound (the common backfill case opens only the
+    * replaced days); the rewrite is proportional to the BYTES of
+    * matched days plus the batch, never the lake; the commit is one
+    * rename. OCC: matched days are this op's read set — a concurrent
+    * writer touching one refuses (the spec's concurrent-append arm);
+    * disjoint winners rebase, batch-only land days append under the
+    * rebased head like any append.
+    *
+    * Front doors: `INSERT INTO … REPLACE WHERE pred SELECT …` (SQL),
+    * `df.writeTo(…).overwrite(cond)` (DataFrameWriterV2),
+    * `df.write.format("graft-lake").mode("overwrite")
+    * .option("replaceWhere", "pred")` — all land here.
+    * Returns the committed version (snapshot's version when both the
+    * match set and the batch are empty — nothing to commit). */
+  def replaceWhere(spark: SparkSession, path: String, batch: DataFrame,
+      predicate: org.apache.spark.sql.Column, ordCol: String,
+      beforeCommit: () => Unit = () => (),
+      filesPerDay: Int = 1): Long = {
+    requireOrdMatches(spark, path, ordCol, "replaceWhere")
+    val snap = snapshot(spark, path)
+    val hit = coalesce(predicate, lit(false))
+    val batchRows = batch
+      .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
+      .withColumn("day", dayKey)
+    // the replaceWhere data constraint (Delta's rule): rows that do
+    // NOT match the predicate may not ride an overwrite scoped to it
+    val offenders = batchRows.filter(!hit).count()
+    require(offenders == 0L,
+      s"replaceWhere: $offenders batch row(s) do not satisfy the " +
+        "overwrite predicate — a predicate overwrite may only write " +
+        "rows inside the region it replaces; widen the predicate, " +
+        "filter the batch, or use append/replaceAll for unscoped writes")
+    val scanBase = derivedDayBound(predicate) match {
+      case Some(keep) => readDays(spark, path, keep)
+      case None => read(spark, path)
+    }
+    val matched = scanBase.filter(hit)
+      .groupBy(dayKey.as("d")).count().collect()
+    val matchedDays = matched.map(_.getString(0)).toSet
+    val survivors =
+      if (matchedDays.isEmpty) None
+      else Some(readDays(spark, path, matchedDays.contains).filter(!hit)
+        .withColumn("day", dayKey))
+    val combined = survivors match {
+      case Some(kept) =>
+        // batch may widen the schema additively (like append); kept
+        // rows read NULL for a column only the batch carries
+        kept.unionByName(batchRows, allowMissingColumns = true)
+      case None => batchRows
+    }
+    enforceChecks(combined, snap.checks, "replaceWhere")
+    val nextSchema = unionSchema(tableSchema(spark, path, snap),
+      combined.schema)
+    val newDirs = writeGen(spark, path, combined, filesPerDay,
+      writeSchema = Some(nextSchema))
+    if (matchedDays.isEmpty && newDirs.isEmpty) return snap.version
+    beforeCommit()
+    val (fs, root) = fsOf(spark, path)
+    occCommitLoop(spark, path, snap, "replaceWhere") { cur =>
+      val nextDays = (cur.days -- matchedDays) ++ newDirs.map {
+        case (d, p) =>
+          // a replaced day remaps wholesale to its rewritten dir; a
+          // day only the batch landed in appends (pure-append land
+          // days rebase like any append)
+          if (matchedDays.contains(d)) d -> Seq(p)
+          else d -> (cur.days.getOrElse(d, Seq.empty) :+ p)
+      }
+      commit(fs, root, cur.version + 1, nextDays, cur.lastBatch,
+        carryFiles(cur, nextDays),
+        schemaJson = Some(nextSchema.json),
+        dvs = pruneDvs(cur.dvs, nextDays.values.flatten.toSet),
+        checks = cur.checks, op = "replaceWhere")
+      cur.version + 1
+    } { (fresh, e) =>
+      refuseIfDaysTouched(snap, fresh, matchedDays, "replaceWhere", e)
+      None
+    }
   }
 
   /** Merge-on-read DELETE (the Delta deletion-vector design on public
@@ -4215,9 +4426,20 @@ object ManifestLake {
       gone += p.toUri.getPath
       if (record) deleted += p.toUri.getPath
     }
-    // expire old manifests first: what remains defines liveness
+    // expire old manifests first: what remains defines liveness.
+    // STRUCTURAL prefix cut (ADVICE r16 #1): takeWhile stops at the
+    // first non-expired manifest, so the retained log is a SUFFIX of
+    // the version sequence BY CONSTRUCTION — not merely by the
+    // assumption that mtimes are monotone with version. Cross-writer
+    // clock skew or a copied/restored log dir can put an old mtime on
+    // a mid-range manifest; a plain filter would expire it and leave
+    // an older hinted manifest alive, and resolveHead's forward probe
+    // (which rests on "vacuum expires only log prefixes") would then
+    // silently resolve a stale head. The cost of the cut is only that
+    // a skewed-early manifest shields its successors until it ages
+    // out — retention is a floor, never a ceiling.
     val (old, keep) = versions.partition(_ < versions.last)
-    val expired = old.filter { v =>
+    val expired = old.takeWhile { v =>
       val p = new Path(root, f"$LogDir/$v%08d.manifest")
       fs.getFileStatus(p).getModificationTime < cutoff
     }

@@ -10,8 +10,8 @@ class EntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("inventory size matches SURVEY §2 (162 queries + 19 streaming components)") {
-    assert(SparkEntry.queries.size == 162, SparkEntry.queries.keys.mkString(","))
+  test("inventory size matches SURVEY §2 (163 queries + 19 streaming components)") {
+    assert(SparkEntry.queries.size == 163, SparkEntry.queries.keys.mkString(","))
     // EVERY query is SQL-oracled (as of round 4 — even s_ann_ivf's
     // k-means trains bit-identically in the oracle); an oracle
     // silently dropped fails the build here

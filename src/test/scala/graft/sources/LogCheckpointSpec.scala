@@ -155,4 +155,151 @@ class LogCheckpointSpec extends SparkSpec {
     assert(ManifestLake.LogMetrics.listings.get() == 0L,
       "small-window admission walk listed the log dir")
   }
+
+  // ---- in-commit timestamps (r17, VERDICT r16 #2: the `#ts` header,
+  // running-max enforced at commit and mirrored onto the manifest
+  // mtime) ----
+
+  private def manifestFile(dir: String, v: Long) =
+    new java.io.File(dir, f"_graft_log/$v%08d.manifest")
+
+  private def manifestLines(dir: String, v: Long): Seq[String] = {
+    val src = scala.io.Source.fromFile(manifestFile(dir, v), "UTF-8")
+    try src.getLines().toVector finally src.close()
+  }
+
+  private def stampOf(dir: String, v: Long): Long =
+    manifestLines(dir, v).collectFirst {
+      case l if l.startsWith("#ts\t") => l.stripPrefix("#ts\t").toLong
+    }.getOrElse(fail(s"manifest $v carries no #ts stamp"))
+
+  /** Turn manifest v into a PRE-STAMP one: drop the #ts line and
+    * restore the mtime to the old stamp, so the listing tier resolves
+    * the same instant — only the zero-listing tier loses it. */
+  private def stripStamp(dir: String, v: Long): Unit = {
+    val orig = stampOf(dir, v)
+    val f = manifestFile(dir, v)
+    java.nio.file.Files.writeString(f.toPath,
+      manifestLines(dir, v).filterNot(_.startsWith("#ts\t"))
+        .mkString("\n"))
+    assert(f.setLastModified(orig), "test fs refused setLastModified")
+  }
+
+  /** Overwrite manifest v's stamp (and its mtime mirror) — the
+    * skewed-clock writer simulation. */
+  private def setStamp(dir: String, v: Long, t: Long): Unit = {
+    val f = manifestFile(dir, v)
+    java.nio.file.Files.writeString(f.toPath,
+      manifestLines(dir, v).map(l =>
+        if (l.startsWith("#ts\t")) s"#ts\t$t" else l).mkString("\n"))
+    assert(f.setLastModified(t), "test fs refused setLastModified")
+  }
+
+  private def histStamps(dir: String): Map[Long, Long] =
+    ManifestLake.history(spark, dir)
+      .select("version", "committed_at").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+
+  private def feedStamps(dir: String, fromV: Long,
+      toV: Long): Map[Long, Long] =
+    ManifestLake.readChangesPerCommit(spark, dir, fromV, toV)
+      .select("_commit_version", "_commit_timestamp").distinct()
+      .collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+
+  test("in-commit stamps: a stamped CDF window pays zero listings; stamps ≡ history ≡ versionAt") {
+    val dir = Files.createTempDirectory("graft_ts_stamped").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    (0 until 3).foreach(i =>
+      ManifestLake.append(spark, dir, row(700L + i), "ts"))
+    ManifestLake.LogMetrics.reset()
+    val feed = feedStamps(dir, 1L, 4L)
+    assert(ManifestLake.LogMetrics.listings.get() == 0L,
+      s"stamped CDF window listed the log " +
+        s"(${ManifestLake.LogMetrics.listings.get()}×)")
+    val hist = histStamps(dir)
+    (2L to 4L).foreach(v => assert(feed(v) == hist(v),
+      s"v$v: feed ${feed(v)} != history ${hist(v)}"))
+    // strictly increasing, and every displayed instant round-trips
+    // through versionAt to exactly its version (the l_asof_travel
+    // resolution contract, now stamp-backed)
+    val ordered = hist.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered == ordered.sorted && ordered.distinct.size ==
+      ordered.size, s"history stamps not strictly increasing: $hist")
+    hist.foreach { case (v, t) =>
+      assert(ManifestLake.versionAt(spark, dir,
+        new java.sql.Timestamp(t)) == v)
+    }
+    // and the raw #ts headers ARE those instants (mtime mirror held)
+    (1L to 4L).foreach(v => assert(stampOf(dir, v) == hist(v)))
+  }
+
+  test("mixed old/new logs: a pre-stamp manifest in the window falls back to ONE listing, identical stamps") {
+    val dir = Files.createTempDirectory("graft_ts_mixed").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    (0 until 3).foreach(i =>
+      ManifestLake.append(spark, dir, row(710L + i), "ts"))
+    val before = histStamps(dir)
+    stripStamp(dir, 2L) // v2 becomes a pre-stamp manifest
+    ManifestLake.LogMetrics.reset()
+    val feed = feedStamps(dir, 1L, 4L)
+    assert(ManifestLake.LogMetrics.listings.get() >= 1L,
+      "a mixed window must take the listing fallback")
+    val hist = histStamps(dir)
+    assert(hist == before,
+      s"stripping a stamp changed the resolved instants: $hist vs $before")
+    (2L to 4L).foreach(v => assert(feed(v) == hist(v),
+      s"v$v: mixed-window feed ${feed(v)} != history ${hist(v)}"))
+    hist.foreach { case (v, t) =>
+      assert(ManifestLake.versionAt(spark, dir,
+        new java.sql.Timestamp(t)) == v)
+    }
+  }
+
+  test("running-max enforcement: a future-stamped parent cannot regress the next commit's stamp") {
+    val dir = Files.createTempDirectory("graft_ts_skew").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    ManifestLake.append(spark, dir, row(720L), "ts") // v2
+    val future = System.currentTimeMillis() + 3600L * 1000
+    setStamp(dir, 2L, future) // a writer with a fast clock committed v2
+    ManifestLake.append(spark, dir, row(721L), "ts") // v3: must not regress
+    assert(stampOf(dir, 3L) == future + 1L,
+      s"v3 stamp ${stampOf(dir, 3L)} != parent+1 (${future + 1L})")
+    val hist = histStamps(dir)
+    assert(hist(2L) == future && hist(3L) == future + 1L)
+    ManifestLake.LogMetrics.reset()
+    val feed = feedStamps(dir, 2L, 3L)
+    assert(feed(3L) == future + 1L &&
+      ManifestLake.LogMetrics.listings.get() == 0L)
+  }
+
+  test("CDF-mode trigger loop over stamped history: zero log listings end-to-end") {
+    val dir = Files.createTempDirectory("graft_ts_cdftrig").toString
+    ManifestLake.create(spark, dir, mkBase(), "ts")
+    (0 until 3).foreach(i =>
+      ManifestLake.append(spark, dir, row(800L + i), "ts"))
+    val cp = Files.createTempDirectory("graft_ts_cdftrig_cp").toString
+    val n = new java.util.concurrent.atomic.AtomicLong(0L)
+    ManifestLake.LogMetrics.reset()
+    val q = ManifestLake.changeStream(spark, dir, readChangeFeed = true)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        n.addAndGet(df.count()); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // live commits between triggers — the steady tail of the loop
+      // (each append itself resolves its parent stamp from ONE
+      // manifest read, listing-free)
+      ManifestLake.append(spark, dir, row(900L), "ts")
+      q.processAllAvailable()
+      ManifestLake.append(spark, dir, row(901L), "ts")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(n.get() == 7L, s"expected 7 feed rows, got ${n.get()}")
+    assert(ManifestLake.LogMetrics.listings.get() == 0L,
+      s"the CDF trigger loop listed the log " +
+        s"${ManifestLake.LogMetrics.listings.get()}× (VERDICT r16 #2's " +
+        "zero-listing contract)")
+  }
 }
