@@ -71,7 +71,7 @@ object Bench {
     "x_collocations", "x_readability", "d_url_dedup", "x_textrank",
     "l_rename_read", "l_mapping_travel", "x_quality_lr", "l_asof_travel",
     "l_format_read", "l_sql_travel", "l_sql_dml", "l_sql_merge",
-    "l_cdf_meta", "l_catalog_read", "l_cdf_update")
+    "l_cdf_meta", "l_catalog_read", "l_cdf_update", "l_replace_where")
 
   /** The contention guard's decision rule (VERDICT r14 #1 — the
     * driver's BENCH_r14 was contaminated by external load bursts and

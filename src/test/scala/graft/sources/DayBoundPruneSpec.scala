@@ -56,6 +56,19 @@ class DayBoundPruneSpec extends SparkSpec {
       .filter(col("v") === "patched").count() == 10L)
   }
 
+  test("a day-bounded REPLACE WHERE never opens the other days' files (r17)") {
+    val lake = poisonedLake()
+    mk(300 until 305, 1).createOrReplaceTempView("graft_prune_rw_src")
+    spark.sql(s"INSERT INTO `graft-lake`.`$lake` REPLACE WHERE " +
+      "day = '2024-03-01' SELECT * FROM graft_prune_rw_src")
+    assert(ManifestLake.readDays(spark, lake, _ == "2024-03-01")
+      .select("id").as[Long].collect().toSet ==
+      (300L until 305L).toSet,
+      "the replaced day must hold exactly the batch")
+    // the poisoned day is untouched in the manifest — still 1 dir
+    assert(ManifestLake.snapshot(spark, lake).days.contains("2024-03-03"))
+  }
+
   test("a day-bounded DV delete prunes its position scan") {
     val lake = poisonedLake()
     val n = ManifestLake.deleteWhereDV(spark, lake,
