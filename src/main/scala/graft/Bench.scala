@@ -25,8 +25,17 @@ object Bench {
     * so a different host sets its own documented floor instead of
     * editing code. */
   private[graft] val QuietCalibrationSec: Double =
-    sys.env.get("SPARK_GRAFT_QUIET_CALIB").map(_.trim.toDouble)
-      .getOrElse(0.36)
+    sys.env.get("SPARK_GRAFT_QUIET_CALIB").map(_.trim)
+      .filter(_.nonEmpty).map { raw =>
+        val v = try raw.toDouble catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_QUIET_CALIB must be a positive number of " +
+              s"seconds (e.g. 0.36), got '$raw'")
+        }
+        require(v > 0.0,
+          s"SPARK_GRAFT_QUIET_CALIB must be > 0, got '$raw'")
+        v
+      }.getOrElse(0.36)
 
   private val headline = Seq(
     "q1_agg", "q4_shuffle_join", "q5_multijoin", "q10_window_rank",

@@ -99,6 +99,14 @@ object LogSoak {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val headSnap = ManifestLake.snapshot(spark, dir)
     val fromV = headSnap.version
+    // the shallow soaks already committed 2×triggers versions — a
+    // nCommits at or below that would silently skip replication and
+    // measure "deep" numbers on the shallow log while the JSON still
+    // claims nCommits (review r17); refuse a non-deep ask instead
+    require(nCommits > fromV + 1000,
+      s"LogSoak: nCommits $nCommits must exceed the shallow-phase " +
+        s"head ($fromV) by ≥1000 for the deep comparison to measure " +
+        "anything — pass a larger nCommits")
     val baseTs = headSnap.ts.getOrElse(System.currentTimeMillis())
     val m1 = new Path(dir, f"_graft_log/$fromV%08d.manifest")
     val lines = {

@@ -236,7 +236,14 @@ object ManifestLake {
       // write must never fail a committed transaction.
       val target = new Path(root, HeadHintFile)
       val logDir = new java.io.File(root.toUri.getPath, LogDir)
-      if (logDir.isDirectory) {
+      // scheme check, not local-path existence: on a remote store
+      // whose URI path happens to collide with an existing local
+      // directory, an existence probe would silently write the hint
+      // to the driver's local disk and every reader would pay the
+      // full-listing fallback forever (review r17)
+      val localFs = Option(fs.getUri).flatMap(u => Option(u.getScheme))
+        .forall(_.equalsIgnoreCase("file"))
+      if (localFs && logDir.isDirectory) {
         // local FS: pure java.io + ATOMIC_MOVE, bypassing the Hadoop
         // checksum layer entirely (a .crc sidecar would otherwise go
         // stale under the raw move and fail every subsequent open —
@@ -632,7 +639,7 @@ object ManifestLake {
       schemaJson: Option[String] = None,
       dvs: Seq[(String, Seq[String])] = Seq.empty,
       checks: Seq[(String, String)] = Seq.empty,
-      op: String = ""): Unit = {
+      op: String = "", parentTs: Option[Long] = None): Unit = {
     val target = new Path(root, f"$LogDir/$next%08d.manifest")
     if (fs.exists(target))
       throw new java.util.ConcurrentModificationException(
@@ -648,11 +655,15 @@ object ManifestLake {
     // Resolution failure (e.g. the parent was vacuumed mid-race) never
     // fails the commit — it publishes UNSTAMPED, the graceful-fallback
     // tier every reader handles.
+    // `parentTs` short-circuits the parent read when the caller
+    // already holds the parent snapshot (every occCommitLoop site —
+    // no extra manifest read on the hot write path, review r17).
     val stampOpt: Option[Long] =
       try {
         val parent =
           if (next <= 1L) None
-          else readManifest(fs, root, next - 1).ts
+          else parentTs
+            .orElse(readManifest(fs, root, next - 1).ts)
             .orElse(stampedVersions(fs, root).toMap.get(next - 1))
         Some(math.max(parent.fold(Long.MinValue)(_ + 1L),
           System.currentTimeMillis()))
@@ -2025,7 +2036,7 @@ object ManifestLake {
     commit(fs, root, head.version + 1, old.days,
       math.max(head.lastBatch, old.lastBatch), old.legacyFiles,
       schemaJson = old.schemaJson, dvs = old.dvs, checks = old.checks,
-      op = s"restore($v)")
+      op = s"restore($v)", parentTs = head.ts)
     head.version + 1
   }
 
@@ -2079,7 +2090,7 @@ object ManifestLake {
       snap.legacyFiles,
       schemaJson = Some(tableSchema(spark, path, snap).json),
       dvs = snap.dvs, checks = snap.checks :+ (name -> predicateSql),
-      op = s"addCheck($name)")
+      op = s"addCheck($name)", parentTs = snap.ts)
     snap.version + 1
   }
 
@@ -2150,7 +2161,7 @@ object ManifestLake {
     val (fs, root) = fsOf(spark, path)
     commit(fs, root, snap.version + 1, snap.days, snap.lastBatch,
       snap.legacyFiles, schemaJson = Some(next.json), dvs = snap.dvs,
-      checks = snap.checks, op = s"renameColumn($oldName->$newName)")
+      checks = snap.checks, op = s"renameColumn($oldName->$newName)", parentTs = snap.ts)
     // renaming the ORD column must carry the table metadata with it —
     // a stale ord_col pointer would break every later SQL write's day
     // derivation (the pointer names the LOGICAL column, like the rest
@@ -2202,7 +2213,7 @@ object ManifestLake {
       snap.legacyFiles,
       schemaJson = Some(org.apache.spark.sql.types.StructType(rest).json),
       dvs = snap.dvs, checks = snap.checks,
-      op = s"dropColumn(${names.mkString(",")})")
+      op = s"dropColumn(${names.mkString(",")})", parentTs = snap.ts)
     snap.version + 1
   }
 
@@ -2232,7 +2243,7 @@ object ManifestLake {
     commit(fs, root, snap.version + 1, snap.days, snap.lastBatch,
       snap.legacyFiles, schemaJson = Some(next.json), dvs = snap.dvs,
       checks = snap.checks,
-      op = s"addColumns(${cols.fieldNames.mkString(",")})")
+      op = s"addColumns(${cols.fieldNames.mkString(",")})", parentTs = snap.ts)
     snap.version + 1
   }
 
@@ -2246,7 +2257,7 @@ object ManifestLake {
       snap.legacyFiles,
       schemaJson = Some(tableSchema(spark, path, snap).json),
       dvs = snap.dvs, checks = snap.checks.filterNot(_._1 == name),
-      op = s"dropCheck($name)")
+      op = s"dropCheck($name)", parentTs = snap.ts)
     snap.version + 1
   }
 
@@ -2522,20 +2533,34 @@ object ManifestLake {
     require(fromV <= toV,
       s"readChangesPerCommit: fromV $fromV > toV $toV")
     val (fs, root) = fsOf(spark, path)
-    // r17 (VERDICT r16 #2): commit stamps come from the `#ts` headers
-    // of the manifests this walk reads anyway — a fully stamped window
-    // pays ZERO log listings (the last O(retained-log) term on the
-    // CDF-mode trigger loop and the table_changes TVF); any pre-stamp
-    // manifest in the window falls back to the one-listing mtime
-    // resolution, which computes the identical values (commit's
-    // verified mtime mirror + running-max enforcement).
+    // r17 (VERDICT r16 #2): commit stamps come from the window
+    // manifests' own `#ts` headers — a fully stamped window pays ZERO
+    // log listings (the last O(retained-log) term on the CDF-mode
+    // trigger loop and the table_changes TVF). Cost shape: one extra
+    // kilobyte-manifest read per window version on the driver (the
+    // step subplans re-read them through readChanges; bounded by the
+    // CDF version cap per trigger, and a deep TVF backfill is chunked
+    // by the same doc'd guidance). The scan SHORT-CIRCUITS at the
+    // first pre-stamp manifest (review r17) — a mixed window pays the
+    // partial probe + the one-listing mtime fallback, which computes
+    // identical values (commit's verified mtime mirror + running-max
+    // enforcement).
     val winVs = (fromV + 1) to toV
-    val viaTs = winVs.map(v => v -> readCursorManifest(fs, root, v).ts)
-    val stamps: Map[Long, Long] =
+    val stamps: Map[Long, Long] = {
+      val b = Map.newBuilder[Long, Long]
+      var allStamped = true
+      val it = winVs.iterator
+      while (allStamped && it.hasNext) {
+        val v = it.next()
+        readCursorManifest(fs, root, v).ts match {
+          case Some(t) => b += v -> t
+          case None => allStamped = false
+        }
+      }
       if (winVs.isEmpty) Map.empty
-      else if (viaTs.forall(_._2.isDefined))
-        viaTs.map { case (v, t) => v -> t.get }.toMap
+      else if (allStamped) b.result()
       else stampedVersions(fs, root).toMap
+    }
     def step(v: Long): DataFrame = {
       val raw = readChanges(spark, path, math.max(fromV, v - 1), v)
       val paired =
@@ -2661,7 +2686,7 @@ object ManifestLake {
         carryFiles(cur, nextDays),
         schemaJson = Some(nextSchema.json),
         dvs = pruneDvs(cur.dvs, nextDays.values.flatten.toSet),
-        checks = cur.checks, op = "upsert")
+        checks = cur.checks, op = "upsert", parentTs = cur.ts)
       cur.version + 1
     } { (fresh, e) =>
       refuseIfDaysTouched(snap, fresh, days, "upsert", e)
@@ -3012,7 +3037,7 @@ object ManifestLake {
         schemaJson = Some(nextSchema.json),
         dvs = pruneDvs(cur.dvs, nextDays.values.flatten.toSet),
         checks = cur.checks,
-        op = batchId.fold("merge")(b => s"merge($b)"))
+        op = batchId.fold("merge")(b => s"merge($b)"), parentTs = cur.ts)
       cur.version + 1
     } { (fresh, e) =>
       // a racing replay of the same streaming batch id: skip, the
@@ -3085,7 +3110,7 @@ object ManifestLake {
         carryFiles(cur, nextDays),
         schemaJson = Some(nextSchema.json),
         dvs = pruneDvs(cur.dvs, nextDays.values.flatten.toSet),
-        checks = cur.checks, op = "delete")
+        checks = cur.checks, op = "delete", parentTs = cur.ts)
       cur.version + 1
     } { (fresh, e) =>
       refuseIfDaysTouched(snap, fresh, days, "deleteWhere", e)
@@ -3196,7 +3221,7 @@ object ManifestLake {
         carryFiles(cur, nextDays),
         schemaJson = Some(nextSchema.json),
         dvs = pruneDvs(cur.dvs, nextDays.values.flatten.toSet),
-        checks = cur.checks, op = "update")
+        checks = cur.checks, op = "update", parentTs = cur.ts)
       cur.version + 1
     } { (fresh, e) =>
       refuseIfDaysTouched(snap, fresh, days, "updateWhere", e)
@@ -3243,17 +3268,25 @@ object ManifestLake {
     requireOrdMatches(spark, path, ordCol, "replaceWhere")
     val snap = snapshot(spark, path)
     val hit = coalesce(predicate, lit(false))
-    val batchRows = batch
-      .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
-      .withColumn("day", dayKey)
     // the replaceWhere data constraint (Delta's rule): rows that do
-    // NOT match the predicate may not ride an overwrite scoped to it
-    val offenders = batchRows.filter(!hit).count()
+    // NOT match the predicate may not ride an overwrite scoped to it.
+    // Evaluated on the PRE-coalesce day (NULL for a NULL-ord row, the
+    // same value every read restores) — the NullPart sentinel string
+    // sorts AFTER date literals ('_' > '9'), so checking the coalesced
+    // day would let a NULL-ord batch row PASS a day-range predicate
+    // the read side can never match: a row smuggled outside the
+    // replaced region, exactly the violation this check refuses (and
+    // inversely `day IS NULL` would refuse the legitimate null-
+    // partition batch it replaces).
+    val withRawDay = batch
+      .withColumn("day", date_format(col(ordCol), "yyyy-MM-dd"))
+    val offenders = withRawDay.filter(!hit).count()
     require(offenders == 0L,
       s"replaceWhere: $offenders batch row(s) do not satisfy the " +
         "overwrite predicate — a predicate overwrite may only write " +
         "rows inside the region it replaces; widen the predicate, " +
         "filter the batch, or use append/replaceAll for unscoped writes")
+    val batchRows = withRawDay.withColumn("day", dayKey)
     val scanBase = derivedDayBound(predicate) match {
       case Some(keep) => readDays(spark, path, keep)
       case None => read(spark, path)
@@ -3293,7 +3326,7 @@ object ManifestLake {
         carryFiles(cur, nextDays),
         schemaJson = Some(nextSchema.json),
         dvs = pruneDvs(cur.dvs, nextDays.values.flatten.toSet),
-        checks = cur.checks, op = "replaceWhere")
+        checks = cur.checks, op = "replaceWhere", parentTs = cur.ts)
       cur.version + 1
     } { (fresh, e) =>
       refuseIfDaysTouched(snap, fresh, matchedDays, "replaceWhere", e)
@@ -3366,7 +3399,7 @@ object ManifestLake {
         schemaJson = Some(tableSchema(spark, path, cur).json),
         dvs = pruneDvs(cur.dvs, cur.days.values.flatten.toSet) :+
           (dvRel -> dirs),
-        checks = cur.checks, op = "deleteDV")
+        checks = cur.checks, op = "deleteDV", parentTs = cur.ts)
       cur.version + 1
     } { (fresh, e) =>
       val live = fresh.days.values.flatten.toSet
@@ -3590,7 +3623,7 @@ object ManifestLake {
         schemaJson = Some(logical.getOrElse(
           unionSchema(tableSchema(spark, path, cur), df.schema)).json),
         dvs = pruneDvs(cur.dvs, nextDays.values.flatten.toSet),
-        checks = cur.checks, op = s"compact($day)")
+        checks = cur.checks, op = s"compact($day)", parentTs = cur.ts)
       cur.version + 1
     } { (fresh, e) =>
       refuseIfDaysTouched(snap, fresh, Set(day), "compactDay", e)
@@ -3651,7 +3684,7 @@ object ManifestLake {
       commit(fs, root, base.version + 1, merged, batchId,
         base.legacyFiles,
         schemaJson = Some(nextSchema.json),
-        dvs = base.dvs, checks = base.checks, op = s"append($batchId)")
+        dvs = base.dvs, checks = base.checks, op = s"append($batchId)", parentTs = base.ts)
       base.version + 1
     } { (fresh, e) =>
       // the cursor moved past this batch id: EITHER a racing attempt
@@ -3712,7 +3745,7 @@ object ManifestLake {
       }
       commit(fs, root, base.version + 1, merged, base.lastBatch,
         base.legacyFiles, schemaJson = Some(nextSchema.json),
-        dvs = base.dvs, checks = base.checks, op = "append")
+        dvs = base.dvs, checks = base.checks, op = "append", parentTs = base.ts)
       base.version + 1
     } { (_, _) => None }
   }
@@ -3751,7 +3784,7 @@ object ManifestLake {
         newDirs.map { case (d, p) => d -> Seq(p) },
         base.lastBatch, Map.empty,
         schemaJson = Some(nextSchema.json),
-        dvs = Seq.empty, checks = base.checks, op = "overwrite")
+        dvs = Seq.empty, checks = base.checks, op = "overwrite", parentTs = base.ts)
       base.version + 1
     } { (_, e) =>
       throw new java.util.ConcurrentModificationException(

@@ -100,6 +100,31 @@ class ManifestLakeReplaceWhereSpec extends SparkSpec {
     assert(ids(dir) == Set(10L, 11L, 12L, 13L, 14L), "nothing committed")
   }
 
+  test("NULL-ord batch rows: day-range predicates refuse them; `day IS NULL` addresses the null partition") {
+    val dir = tmp("nullday")
+    def nullRow(uid: Long, eid: Long, typ: String): DataFrame =
+      Seq((uid, eid, Option.empty[java.sql.Timestamp], typ, 0.0))
+        .toDF("user_id", "event_id", "ts", "event_type", "value")
+    ManifestLake.create(spark, dir,
+      base().unionByName(nullRow(9L, 19L, "n")), "ts")
+    // a NULL-ord batch row's day is NULL on every read, so a
+    // day-range region can never contain it — the constraint must
+    // see the PRE-coalesce day (the NullPart sentinel sorts AFTER
+    // date strings, so a post-coalesce check would wave it through)
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.replaceWhere(spark, dir, nullRow(10L, 20L, "bad"),
+        col("day") >= "2024-03-01", "ts")
+    }
+    assert(e.getMessage.contains("do not satisfy"), e.getMessage)
+    assert(ids(dir) == Set(10L, 11L, 12L, 13L, 14L, 19L))
+    // and the null partition is an addressable region of its own
+    val v = ManifestLake.replaceWhere(spark, dir, nullRow(11L, 21L, "ok"),
+      col("day").isNull, "ts")
+    assert(v == 2L)
+    assert(ids(dir) == Set(10L, 11L, 12L, 13L, 14L, 21L),
+      "the null-partition row 19 must be replaced by 21")
+  }
+
   test("OCC: a concurrent append into a REPLACED day refuses; a disjoint one rebases") {
     val dir = tmp("occ")
     ManifestLake.create(spark, dir, base(), "ts")
