@@ -29,16 +29,25 @@ object BloomOps {
   private def unionKey(): Column =
     concat_ws("_", col("user_id"), unix_millis(col("ts")))
 
+  /** The probed day as a ts half-open range, NOT a date_format
+    * equality: under the pinned UTC session the two select identical
+    * rows, but only the range compare is a parquet-pushable predicate
+    * (PushedFilters gets both bounds; a function-of-column equality
+    * pushes nothing) — at 100 TB this is row-group/partition pruning
+    * on both the build and the probe scan (guide §6). */
+  private def probeDayRange: Column =
+    col("ts") >= lit(s"$ProbeDay 00:00:00").cast("timestamp") &&
+      col("ts") < lit(s"$ProbeDay 00:00:00").cast("timestamp") + expr("INTERVAL 1 DAY")
+
   def tBloomFilter(s: SparkSession, dir: String): DataFrame = {
     val agg = BloomFunctions.bloomAgg(M)
-    val keyed = Tables.events(s, dir)
-      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), unionKey().as("k"))
 
     // day filter BEFORE the aggregate: only the probed day's bitset is
     // built (one 512 KB buffer per partition, not one per day×partition)
-    // and the ts predicate pushes down to the parquet scan.
-    val blooms = keyed
-      .filter(col("day") === ProbeDay)
+    // and the ts range predicate pushes down to the parquet scan.
+    val blooms = Tables.events(s, dir)
+      .filter(probeDayRange)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), unionKey().as("k"))
       .groupBy(col("day"))
       .agg(agg(BloomFunctions.bloomPos1(col("k"), M),
         BloomFunctions.bloomPos2(col("k"), M)).as("bloom"))
@@ -51,8 +60,7 @@ object BloomOps {
     // probed per task (filter.go Exist).
     val bloomBytes = blooms.select(col("bloom")).head().getAs[Array[Byte]](0)
 
-    val dayEvents = Tables.events(s, dir)
-      .filter(date_format(col("ts"), "yyyy-MM-dd") === ProbeDay)
+    val dayEvents = Tables.events(s, dir).filter(probeDayRange)
     val probes = dayEvents.select(unionKey().as("probe_key"))
       .union(dayEvents.select(
         concat_ws("_", col("user_id"), unix_millis(col("ts")) + 1).as("probe_key")))
@@ -64,7 +72,6 @@ object BloomOps {
         expr(s"bloom_might_contain(bloom, " +
           s"pmod(cast(conv(substring(sha1(cast(probe_key as binary)), 1, 15), 16, 10) as bigint), ${M}L), " +
           s"pmod(cast(hash(probe_key) as bigint), ${M}L))").as("bloom_hit"))
-      .orderBy(col("probe_key"))
   }
 
   val queries: ListMap[String, Q] = ListMap(

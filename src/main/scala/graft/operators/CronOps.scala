@@ -64,7 +64,6 @@ object CronOps {
       .withColumn("run_timer", explode(expr(
         s"cron_times(cron, TIMESTAMP '$WinStart', TIMESTAMP '$WinEnd')")))
       .select(col("timer_id"), col("cron"), col("run_timer"))
-      .orderBy(col("timer_id"), col("run_timer"))
 
   /** Migrate: enabled timers × cron expansion → deduped task rows
     * with status NotRunned(0) — service/migrator/worker.go:73
@@ -79,7 +78,6 @@ object CronOps {
         s"cron_times(cron, TIMESTAMP '$WinStart', TIMESTAMP '$WinEnd')")))
       .dropDuplicates("timer_id", "run_timer")
       .select(col("timer_id"), col("run_timer"), lit(0).as("task_status"))
-      .orderBy(col("timer_id"), col("run_timer"))
 
   /** Fire-rate audit — THE health metric of a timer platform: did
     * every scheduled activation actually run? Expected activations =
@@ -111,7 +109,6 @@ object CronOps {
         sum(coalesce(col("fired"), lit(0L))).as("n_fired"))
       .withColumn("n_missed", col("n_expected") - col("n_fired"))
       .withColumn("miss_rate", ExactNum.ratio4(col("n_missed"), col("n_expected")))
-      .orderBy(col("timer_id"))
   }
 
   /** Observed-side scan bound: one minute past WinEnd so the trailing
@@ -156,7 +153,6 @@ object CronOps {
         unix_timestamp(col("next_fire")) - unix_timestamp(lit(Now).cast("timestamp")))
       .select(col("timer_id"), col("cron"), col("status"),
         col("next_fire"), col("wait_sec"))
-      .orderBy(col("timer_id"))
 
   val queries: ListMap[String, Q] = ListMap(
     "t_cron_expand" -> (tCronExpand _),

@@ -50,7 +50,6 @@ object DedupOps {
       .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
-      .orderBy(col("keep_id"))
 
   /** Exact word-3-gram Jaccard similarity join, τ-ADAPTIVE like
     * d_embed_cosine: below the measured τ ≈ 0.7 crossover the fused
@@ -119,7 +118,6 @@ object DedupOps {
       .filter(col("n_inter") * q >= col("uni") * p)
       .select(col("id_a"), col("id_b"),
         ExactNum.ratio4(col("n_inter"), col("uni")).as("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Prefix-filtered candidate generation (the AllPairs/PPJoin
@@ -187,7 +185,6 @@ object DedupOps {
       .filter(col("n_inter") * q >= col("uni") * p)
       .select(col("id_a"), col("id_b"),
         ExactNum.ratio4(col("n_inter"), col("uni")).as("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** MinHash(64 perms) + banded LSH (8 bands × 8 rows) candidate
@@ -309,7 +306,6 @@ object DedupOps {
 
     jaccardVerify(cands, sigs, sigs, "id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Incremental (ingest-time) dedup — the operation a DAILY pipeline
@@ -351,7 +347,6 @@ object DedupOps {
           .when(col("near_of").isNotNull, "near")
           .otherwise("new"))
       .select(col("doc_id"), col("exact_of"), col("near_of"), col("status"))
-      .orderBy(col("doc_id"))
   }
 
   /** 64-bit SimHash, hamming ≤ 3 near-dup pairs via 16-bit
@@ -379,7 +374,6 @@ object DedupOps {
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= 3)
       .select(col("id_a"), col("id_b"), col("hamming"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Measured τ crossover (SCALING.md): near-1 recall needs
@@ -444,7 +438,7 @@ object DedupOps {
             round(col("cos"), 4).as("cos"))
           .distinct()
       }
-    pairs.orderBy(col("id_a"), col("id_b"))
+    pairs
   }
 
   /** Embedding near-dup pairs at the reference-style permissive
@@ -506,7 +500,6 @@ object DedupOps {
       .filter(col("cos") >= 0.9)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(col("cos"), 4).as("cos"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Near-dup clustering: connected components over the exact
@@ -530,7 +523,6 @@ object DedupOps {
     val sizes = labels.groupBy(col("group_id")).agg(count(lit(1)).as("group_size"))
     labels.join(sizes, "group_id")
       .select(col("doc_id"), col("group_id"), col("group_size"))
-      .orderBy(col("doc_id"))
   }
 
   /** Bounded recursion depth for dCcRecursive — shared verbatim with
@@ -788,7 +780,6 @@ object DedupOps {
         countDistinct(col("url")).as("n_forms"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
-      .orderBy(col("canonical"))
   }
 
   /** The derived URL surface forms — ONE string shared verbatim with

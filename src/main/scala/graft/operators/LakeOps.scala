@@ -77,7 +77,6 @@ object LakeOps {
     ManifestLake.readWhere(s, statsLake(s, dir), PrunePredicate)
       .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"), col("value"), col("day"))
-      .orderBy(col("user_id"), col("event_id"), col("ts"))
 
   /** Point-lookup flavor: an IN-list of uids that exist at every sf.
     * This is the bloom index's oracle — the uid hash-spreads across
@@ -89,7 +88,6 @@ object LakeOps {
     ManifestLake.readWhere(s, statsLake(s, dir), "user_id IN (7, 11, 13)")
       .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"), col("value"), col("day"))
-      .orderBy(col("user_id"), col("event_id"), col("ts"))
 
   private val historyMemo = new SessionMemo[String]
 
@@ -127,7 +125,7 @@ object LakeOps {
     * loses a pre-mutation row) breaks the hash. */
   def lTimeTravel(s: SparkSession, dir: String): DataFrame =
     ManifestLake.readVersion(s, historyLake(s, dir), 1L)
-      .select(histCols.map(col): _*).orderBy(col("event_id"))
+      .select(histCols.map(col): _*)
 
   /** The MERGE+DELETE head state under the oracle: latest-wins
     * upsert semantics (ord-desc winner, cross-day key moves, drained
@@ -135,7 +133,7 @@ object LakeOps {
     * as plain SQL over the raw parquet. */
   def lMergeHead(s: SparkSession, dir: String): DataFrame =
     ManifestLake.read(s, historyLake(s, dir))
-      .select(histCols.map(col): _*).orderBy(col("event_id"))
+      .select(histCols.map(col): _*)
 
   /** The net change feed v1→head under the oracle: updates must
     * surface as delete+insert pairs, deletes as deletes, and rows
@@ -149,7 +147,6 @@ object LakeOps {
     val head = ManifestLake.snapshot(s, lake).version
     ManifestLake.readChanges(s, lake, 1L, head)
       .select((histCols :+ "_change_type").map(col): _*)
-      .orderBy(col("_change_type"), col("event_id"))
   }
 
   /** The PER-COMMIT change feed under the oracle (r15 — Delta
@@ -170,8 +167,6 @@ object LakeOps {
     ManifestLake.readChangesPerCommit(s, lake, 1L, head)
       .select((histCols :+ "_change_type" :+ "_commit_version")
         .map(col): _*)
-      .orderBy(col("_commit_version"), col("_change_type"),
-        col("event_id"))
   }
 
   private val cdfUpdateMemo = new SessionMemo[String]
@@ -224,8 +219,6 @@ object LakeOps {
         updateKeys = Seq("event_id"))
       .select((histCols :+ "_change_type" :+ "_commit_version")
         .map(col): _*)
-      .orderBy(col("_commit_version"), col("_change_type"),
-        col("event_id"))
   }
 
   /** Incremental materialized-view maintenance off the change feed —
@@ -281,7 +274,6 @@ object LakeOps {
       .filter(col("cnt") > 0)
       .select(col("user_id"), col("cnt"),
         when(col("nn") > 0, round(col("units") / 100.0, 4)).as("total"))
-      .orderBy(col("user_id"))
   }
 
   private val dvMemo = new SessionMemo[String]
@@ -306,7 +298,7 @@ object LakeOps {
     * is pinned by ManifestLakeDvSpec. */
   def lDvTakedown(s: SparkSession, dir: String): DataFrame =
     ManifestLake.read(s, dvLake(s, dir))
-      .select(histCols.map(col): _*).orderBy(col("event_id"))
+      .select(histCols.map(col): _*)
 
   /** Stats-pruned TIME TRAVEL under the oracle: the takedown-audit
     * query — readWhereAt against the PRE-delete version of the DV
@@ -317,7 +309,7 @@ object LakeOps {
     * the deleted rows and breaks the hash. */
   def lAuditTravel(s: SparkSession, dir: String): DataFrame =
     ManifestLake.readWhereAt(s, dvLake(s, dir), 1L, "user_id < 40")
-      .select(histCols.map(col): _*).orderBy(col("event_id"))
+      .select(histCols.map(col): _*)
 
   private val mergeMemo = new SessionMemo[String]
 
@@ -364,7 +356,7 @@ object LakeOps {
     * rewritten day all break the hash. */
   def lMergeClauses(s: SparkSession, dir: String): DataFrame =
     ManifestLake.read(s, mergeLake(s, dir))
-      .select(histCols.map(col): _*).orderBy(col("event_id"))
+      .select(histCols.map(col): _*)
 
   private val restoreMemo = new SessionMemo[String]
 
@@ -395,7 +387,7 @@ object LakeOps {
   /** Rollback-then-write-on-top under the oracle (see restoreLake). */
   def lRestore(s: SparkSession, dir: String): DataFrame =
     ManifestLake.read(s, restoreLake(s, dir))
-      .select(histCols.map(col): _*).orderBy(col("event_id"))
+      .select(histCols.map(col): _*)
 
   private val mappingMemo = new SessionMemo[String]
 
@@ -439,7 +431,6 @@ object LakeOps {
     ManifestLake.read(s, mappingLake(s, dir))
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("score"), col("day"))
-      .orderBy(col("event_id"))
 
   /** Time travel ACROSS the mapping edits: version 1 predates the
     * rename and the drop, so it must read under the ORIGINAL names —
@@ -449,7 +440,7 @@ object LakeOps {
     * bytes, breaks schema or hash here. */
   def lMappingTravel(s: SparkSession, dir: String): DataFrame =
     ManifestLake.readVersion(s, mappingLake(s, dir), 1L)
-      .select(histCols.map(col): _*).orderBy(col("event_id"))
+      .select(histCols.map(col): _*)
 
   /** TIMESTAMP AS OF under the oracle (r13): resolve the instant of
     * v1's commit from the lake's own history() ledger — self-timing,
@@ -463,7 +454,7 @@ object LakeOps {
       .filter(col("version") === 1L).head()
       .getAs[java.sql.Timestamp]("committed_at")
     ManifestLake.readAsOf(s, lake, t1)
-      .select(histCols.map(col): _*).orderBy(col("event_id"))
+      .select(histCols.map(col): _*)
   }
 
   /** The FRONT-DOOR routes under the oracle (VERDICT r13 #1): the
@@ -477,7 +468,7 @@ object LakeOps {
   def lFormatRead(s: SparkSession, dir: String): DataFrame =
     s.read.format("graft-lake").option("versionAsOf", "1")
       .load(historyLake(s, dir))
-      .select(histCols.map(col): _*).orderBy(col("event_id"))
+      .select(histCols.map(col): _*)
 
   /** SQL front door for time travel (VERDICT r13 #1): resolve v1's
     * commit instant from history(), then reach the snapshot through
@@ -492,8 +483,7 @@ object LakeOps {
       .getAs[java.sql.Timestamp]("committed_at")
     s.sql(
       s"""SELECT ${histCols.mkString(", ")}
-         |FROM `graft-lake`.`$lake` TIMESTAMP AS OF '$t1'
-         |ORDER BY event_id""".stripMargin)
+         |FROM `graft-lake`.`$lake` TIMESTAMP AS OF '$t1'""".stripMargin)
   }
 
   private val sqlDmlMemo = new SessionMemo[String]
@@ -532,7 +522,7 @@ object LakeOps {
   def lSqlDml(s: SparkSession, dir: String): DataFrame = {
     val lake = sqlDmlLake(s, dir)
     s.sql(s"SELECT ${histCols.mkString(", ")} " +
-      s"FROM `graft-lake`.`$lake` ORDER BY event_id")
+      s"FROM `graft-lake`.`$lake`")
   }
 
   private val sqlMergeMemo = new SessionMemo[String]
@@ -639,7 +629,7 @@ object LakeOps {
       // analysis happens inside sql() — the returned plan carries the
       // inlined pruned scan and survives the conf restore
       s.sql(s"SELECT ${histCols.mkString(", ")} " +
-        "FROM graft.oracle.events_t ORDER BY event_id")
+        "FROM graft.oracle.events_t")
     }
   }
 
@@ -647,7 +637,7 @@ object LakeOps {
   def lSqlMerge(s: SparkSession, dir: String): DataFrame = {
     val lake = sqlMergeLake(s, dir)
     s.sql(s"SELECT ${histCols.mkString(", ")} " +
-      s"FROM `graft-lake`.`$lake` ORDER BY event_id")
+      s"FROM `graft-lake`.`$lake`")
   }
 
   private val replaceMemo = new SessionMemo[String]
@@ -693,7 +683,7 @@ object LakeOps {
   def lReplaceWhere(s: SparkSession, dir: String): DataFrame = {
     val lake = replaceLake(s, dir)
     s.sql(s"SELECT ${histCols.mkString(", ")} " +
-      s"FROM `graft-lake`.`$lake` ORDER BY event_id")
+      s"FROM `graft-lake`.`$lake`")
   }
 
   val queries: ListMap[String, Q] = ListMap(

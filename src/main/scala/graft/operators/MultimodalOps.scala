@@ -69,7 +69,6 @@ object MultimodalOps {
         expr("try_variant_get(v, '$.k', 'string')").as("k_str"),
         expr("try_variant_get(v, '$.missing', 'bigint')").as("absent"))
       .withColumn("k_bucket", pmod(col("k"), lit(10L)))
-      .orderBy(col("event_id"))
 
   /** Binary payload pipeline via mapPartitions over a typed Dataset:
     * one MessageDigest per partition (not per row), rows streamed.
@@ -93,7 +92,6 @@ object MultimodalOps {
         }
       }
       .toDF()
-      .orderBy(col("doc_id"))
   }
 
   /** Frame sampling over the opaque payload — the video/audio analog
@@ -116,7 +114,6 @@ object MultimodalOps {
       .select(col("doc_id"), col("f.frame_idx"), col("f.frame_off"),
         length(col("f.frame")).as("frame_len"),
         md5(col("f.frame").cast("binary")).as("frame_md5"))
-      .orderBy(col("doc_id"), col("frame_idx"))
   }
 
   val queries: ListMap[String, Q] = ListMap(
@@ -190,7 +187,6 @@ object MultimodalOps {
       .select(col("doc_id"), col("lo"), col("hi"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_near"), lit(0L)).as("n_near"))
-      .orderBy(col("doc_id"))
   }
 
   /** Shift-tolerant tier over the aHash index (VERDICT r10 #7): the
@@ -262,7 +258,6 @@ object MultimodalOps {
         count(lit(1)).as("n_copies"),
         max(col("byte_len")).as("byte_len"), // identical within a group
         ((count(lit(1)) - 1) * max(col("byte_len"))).as("bytes_reclaimed"))
-      .orderBy(col("keep_id"))
 
   val oracles: ListMap[String, String] = ListMap(
     "m_payload_dedup" ->

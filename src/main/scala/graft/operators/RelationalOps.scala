@@ -15,9 +15,14 @@ import graft.operators.ExactNum.{avg4, cents, ratio4, ratioSql, sum4, sumUnits4}
   * gotimer_web/dao/task/option.go:40-67) generalized to a full
   * analytic operator set over the TPC-H-ish tables.
   *
-  * Every query ends in an explicit orderBy on a unique key set so the
-  * output is deterministic under any parallelism; every double output
-  * is rounded to 4dp so the DuckDB oracle hash-matches bit-for-bit.
+  * Queries return an UNORDERED result set (r17): the correctness gate
+  * sorts rows before hashing, so the former tail orderBys were purely
+  * presentational — each cost a range exchange plus a RangePartitioner
+  * sampling pass that re-executes the final stage (guide §2.4 names
+  * exactly this accidental Exchange), and at 100 TB a full-output
+  * global sort is a scale bug. Sorts that feed LIMIT/OFFSET (top-k,
+  * pagination) are semantic and stay. Every double output is rounded
+  * to 4dp so the DuckDB oracle hash-matches bit-for-bit.
   *
   * Scale notes (100 TB): dims (region, nation) are broadcast
   * explicitly; fact-fact joins shuffle on their keys with AQE; global
@@ -43,7 +48,6 @@ object RelationalOps {
         avg4(col("l_quantity")).as("avg_qty"),
         avg4(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** Global top-k: ORDER BY + LIMIT with a unique tie-break key.
     * Both engines sort on the ROUNDED price so ties around the cut
@@ -66,7 +70,6 @@ object RelationalOps {
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_orders"), sum4(col("o_totalprice")).as("revenue"))
-      .orderBy(col("r_name"), col("n_name"))
 
   /** Fact-fact shuffle join orders⋈lineitem on the order key.
     * Scale: both sides hash-partition on orderkey; AQE coalesces and
@@ -77,7 +80,6 @@ object RelationalOps {
       .groupBy(col("o_orderstatus"), col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
         sum4(col("l_extendedprice")).as("revenue"))
-      .orderBy(col("o_orderstatus"), col("l_returnflag"))
 
   /** TPC-H Q5 flavor: 6-way join with the co-nation condition
     * (customer and supplier in the same nation), one region, one year.
@@ -97,7 +99,6 @@ object RelationalOps {
         col("n_regionkey") === col("r_regionkey") && col("r_name") === lit("ASIA"))
       .groupBy(col("n_name"))
       .agg(sumUnits4(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("revenue"))
-      .orderBy(col("n_name"))
 
   /** TPC-H Q6: selective predicate + arithmetic aggregate.
     * Scale: all three predicates push to the parquet scan
@@ -118,7 +119,6 @@ object RelationalOps {
       .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      .orderBy(col("c_custkey"))
 
   /** NOT EXISTS → left-anti join: customers with no recent urgent
     * order. Scale: same shuffle shape as the semi join. */
@@ -129,7 +129,6 @@ object RelationalOps {
           col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey"))
 
   /** TPC-H Q13 flavor: left-outer join + two-level count distribution.
     * Scale: outer join shuffles on custkey; the second agg groups on
@@ -141,7 +140,6 @@ object RelationalOps {
       .agg(count(col("o_orderkey")).as("c_count"))
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
-      .orderBy(col("custdist").desc, col("c_count").desc)
 
   /** Rank-per-group top-N: top-3 orders per customer by price.
     * Scale: one shuffle on the window partition key; running state is
@@ -154,7 +152,6 @@ object RelationalOps {
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"),
         round(col("o_totalprice"), 4).as("o_totalprice"))
-      .orderBy(col("o_custkey"), col("rn"))
   }
 
   /** Running sum per key (ROWS UNBOUNDED PRECEDING..CURRENT).
@@ -168,7 +165,6 @@ object RelationalOps {
     Tables.orders(s, dir)
       .withColumn("running_total", round(sum(cents(col("o_totalprice"))).over(w) / 100.0, 4))
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("running_total"))
-      .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   /** Per-key lag() deltas over the event stream. */
@@ -179,7 +175,6 @@ object RelationalOps {
       .withColumn("delta", round(col("value") - col("prev_value"), 4))
       .select(col("event_id"), col("user_id"), round(col("value"), 4).as("value"),
         round(col("prev_value"), 4).as("prev_value"), col("delta"))
-      .orderBy(col("event_id"))
   }
 
   /** TPC-H Q17 flavor: correlated average subquery → per-part avg
@@ -209,7 +204,6 @@ object RelationalOps {
         col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"), sum4(col("o_totalprice")).as("total"))
-      .orderBy(col("o_orderpriority"))
 
   /** ROLLUP + grouping_id: hierarchical subtotals in one pass.
     * Spark expands grouping sets map-side; still one shuffle. */
@@ -218,7 +212,6 @@ object RelationalOps {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
         sum4(col("l_quantity")).as("sum_qty"))
-      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
   /** UNION ALL of two account ledgers + per-source dedup agg. */
   def q16Union(s: SparkSession, dir: String): DataFrame = {
@@ -232,7 +225,6 @@ object RelationalOps {
       .groupBy(col("src"))
       .agg(count(lit(1)).as("n_rows"), countDistinct(col("nationkey")).as("n_nations"),
         sum4(col("acctbal")).as("total_bal"))
-      .orderBy(col("src"))
   }
 
   /** Manual pivot via sum(CASE WHEN): per-user event-type matrix —
@@ -244,7 +236,6 @@ object RelationalOps {
       .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"),
         round(sum(when(col("event_type") === "purchase", cents(col("value")))
           .otherwise(lit(0L))) / 100.0, 4).as("purchase_value"))
-      .orderBy(col("user_id"))
   }
 
   /** Exact multi-column distinct counts.
@@ -262,7 +253,6 @@ object RelationalOps {
     Tables.part(s, dir)
       .filter(col("p_name").like("%re%"))
       .select(col("p_partkey"), col("p_name"), col("p_brand"))
-      .orderBy(col("p_partkey"))
 
   /** Calendar rollup (month) — utils.GetStartHour/GetMinute family
     * (gotimer_executor/common/utils/time.go). */
@@ -270,7 +260,6 @@ object RelationalOps {
     Tables.orders(s, dir)
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
       .agg(count(lit(1)).as("n_orders"), sum4(col("o_totalprice")).as("total"))
-      .orderBy(col("month"))
 
   /** ORDER BY + OFFSET + LIMIT page over a join — WithPageLimit
     * (gotimer_web/dao/timer/option.go:50). Scale: global sort is
@@ -290,7 +279,6 @@ object RelationalOps {
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"), sum4(col("o_totalprice")).as("total"))
       .filter(col("n_orders") > 15)
-      .orderBy(col("o_custkey"))
 
   /** Interval/range join: every event inside each incident's 10-min
     * window (incidents = 'error' events). A naive time-range join in
@@ -319,7 +307,6 @@ object RelationalOps {
         col("ts_ms") < col("start_ms") + winMs)
       .groupBy(col("incident_id"))
       .agg(count(lit(1)).as("n_events"))
-      .orderBy(col("incident_id"))
   }
 
   /** Full CUBE over (priority × status) — the OLAP companion to the
@@ -333,7 +320,6 @@ object RelationalOps {
       .cube(col("o_orderpriority"), col("o_orderstatus"))
       .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
         sum4(col("o_totalprice")).as("revenue"))
-      .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
 
   /** The two halves of 1996 — ONE definition shared by the INTERSECT
     * and EXCEPT queries so their bounds cannot drift apart. */
@@ -352,14 +338,14 @@ object RelationalOps {
     * full materialization of either side beyond the dedup shuffle. */
   def q25Intersect(s: SparkSession, dir: String): DataFrame = {
     val (h1, h2) = custHalves(s, dir)
-    h1.intersect(h2).orderBy(col("o_custkey"))
+    h1.intersect(h2)
   }
 
   /** EXCEPT — churn framing: customers who ordered in H1 1996 but
     * never in H2 (left-anti over distincts). */
   def q26Except(s: SparkSession, dir: String): DataFrame = {
     val (h1, h2) = custHalves(s, dir)
-    h1.except(h2).orderBy(col("o_custkey"))
+    h1.except(h2)
   }
 
   /** RANGE window frame — the VALUE-bounded frame the inventory
@@ -388,7 +374,6 @@ object RelationalOps {
       .withColumn("rev_30d", round(sum(cents(col("o_totalprice"))).over(w) / 100.0, 4))
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("n_30d"), col("rev_30d"))
-      .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   /** Correlated LATERAL top-n — the SQL-surface form of per-group
@@ -408,8 +393,7 @@ object RelationalOps {
         |FROM nation n,
         |LATERAL (SELECT c_name, c_acctbal FROM customer c
         |         WHERE c.c_nationkey = n.n_nationkey
-        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
-        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin)
   }
 
   /** UNPIVOT / melt — the inverse surface of q17's pivot: the four
@@ -434,7 +418,6 @@ object RelationalOps {
       .groupBy(col("l_returnflag"), col("measure"))
       .agg(sum(col("v")).as("sum_cents"), min(col("v")).as("min_cents"),
         max(col("v")).as("max_cents"), count(lit(1)).as("n"))
-      .orderBy(col("l_returnflag"), col("measure"))
   }
 
   /** Distribution-rank profile — the remaining rank-family window
@@ -460,7 +443,6 @@ object RelationalOps {
         col("quartile"),
         ratio4(col("rn") - 1, col("n") - 1).as("pct_rank"),
         ratio4(col("rn"), col("n")).as("cume_dist"))
-      .orderBy(col("o_orderpriority"), col("rn"))
   }
 
   /** FULL OUTER join — the one outer-join flavor the inventory still
@@ -487,7 +469,6 @@ object RelationalOps {
         when(col("n_h1").isNull, "new")
           .when(col("n_h2").isNull, "churned")
           .otherwise("retained").as("seg"))
-      .orderBy(col("o_custkey"))
   }
 
   /** NATIVE pivot — the `RelationalGroupedDataset.pivot` front door
@@ -509,7 +490,6 @@ object RelationalOps {
       .pivot("o_orderstatus", Seq("O", "F", "P"))
       .agg(count(lit(1)).as("n"),
         sum(cents(col("o_totalprice"))).as("rev_c"))
-      .orderBy(col("o_orderpriority"))
 
   val queries: ListMap[String, Q] = ListMap(
     "q1_agg" -> (q1Agg _),

@@ -46,7 +46,6 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** Radius threshold for the range query — below the d_embed dedup
@@ -72,7 +71,6 @@ object SimilarityOps {
       .withColumn("cos", expr("cosine_similarity(q_emb, embedding)"))
       .filter(col("cos") >= RangeTau)
       .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
-      .orderBy(col("q_id"), col("vec_id"))
 
   /** Maximum-inner-product top-k (MIPS) — the retrieval scoring for
     * UN-normalized embeddings (dot-product-trained two-tower and
@@ -104,7 +102,6 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id"), round(col("dot"), 4).as("dot"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** Euclidean nearest-neighbor top-k — the THIRD metric of the
@@ -131,7 +128,6 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id"), round(col("l2"), 4).as("l2"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** Candidate-pool size and selection depth for MMR. The pool is
@@ -200,7 +196,6 @@ object SimilarityOps {
       .select(col("q_id"), col("s.r").as("sel_rank"),
         expr("element_at(cands, s.i + 1).vec_id").as("vec_id"),
         col("s.sc").as("mmr_ppm"))
-      .orderBy(col("q_id"), col("sel_rank"))
 
   /** One row per (table, bucket) per vector: bucketed ONCE, reused by
     * every query — the single shuffle of the vector table. Table
@@ -230,7 +225,6 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** Multi-probe LSH (Lv et al. 2007, the memory-side of the
@@ -269,7 +263,6 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** Recall@K evaluation of the ANN tiers against exact ground truth
@@ -309,7 +302,6 @@ object SimilarityOps {
       .select(col("q_id"),
         ExactNum.ratio4(col("n_hit_lsh"), col("k")).as("recall_lsh"),
         ExactNum.ratio4(col("n_hit_multi"), col("k")).as("recall_multi"))
-      .orderBy(col("q_id"))
   }
 
   /** kNN label classification over the embedding space — the
@@ -348,7 +340,6 @@ object SimilarityOps {
       .filter(col("vr") === 1)
       .select(col("q_id"), col("true_label"), col("label").as("pred_label"),
         col("n_votes"))
-      .orderBy(col("q_id"))
   }
 
   /** Deterministic BOUNDED quantizer-training sample: every
@@ -470,7 +461,6 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** Scalar int8 quantization of the embedding column — the
@@ -504,7 +494,6 @@ object SimilarityOps {
           "((mn + qi * (mx - mn) / 255) - x) * ((mn + qi * (mx - mn) / 255) - x)), " +
           "0D, (acc, v) -> acc + v) / size(e), 4) END"))
       .select(col("vec_id"), col("q"), col("mse"))
-      .orderBy(col("vec_id"))
 
   /** Topic clustering for corpus curation — the "cluster the
     * embedding space, inspect/weight clusters" stage of a
@@ -532,7 +521,6 @@ object SimilarityOps {
       .agg(sum(col("label_n")).as("n_vecs"),
         max(when(col("rn") === 1, col("label"))).as("top_label"),
         max(when(col("rn") === 1, col("label_n"))).as("top_label_n"))
-      .orderBy(col("cluster"))
   }
 
   /** Global-codebook 4-bit scalar quantization (FAISS-SQ4 shape) —
@@ -585,7 +573,6 @@ object SimilarityOps {
            |  * ((element_at(mns, d) + element_at(qarr, d) * (element_at(mxs, d) - element_at(mns, d)) / 15) - element_at(e, d)))
            |  / $Dim, 4)""".stripMargin))
       .select(col("vec_id"), col("q"), col("mse"))
-      .orderBy(col("vec_id"))
   }
 
   // ---- product quantization (s_pq_codebook) ----
@@ -645,7 +632,6 @@ object SimilarityOps {
       .select(col("vec_id"),
         concat_ws(",", (0 until PqM).map(m => col(s"c$m").cast("string")): _*).as("codes"),
         col("mse"))
-      .orderBy(col("vec_id"))
   }
 
   /** ADC scan over the PQ codes (Jégou 2011 §IV: asymmetric distance
@@ -708,7 +694,6 @@ object SimilarityOps {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
       .select(col("q_id"), col("rnk"), col("vec_id"), round(col("adc"), 4).as("adc"))
-      .orderBy(col("q_id"), col("rnk"))
   }
 
   /** IVF-PQ — the two stages composed into the index FAISS actually
@@ -766,7 +751,6 @@ object SimilarityOps {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
       .select(col("q_id"), col("rnk"), col("vec_id"), round(col("adc"), 4).as("adc"))
-      .orderBy(col("q_id"), col("rnk"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023 shape):
@@ -800,7 +784,6 @@ object SimilarityOps {
       .withColumn("cos", expr("cosine_similarity(emb_a, emb_b)"))
       .filter(col("cos") >= SemTau)
       .select(col("cell"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   private[operators] val SemTau = 0.4

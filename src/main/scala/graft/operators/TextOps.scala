@@ -64,21 +64,22 @@ object TextOps {
       lit(100L) * nTokL * lenL)
 
   /** Marker-word language ID: per-language token-occurrence score,
-    * argmax with lexicographic tie-break (explode + row_number so the
-    * tie rule is explicit and identical in the oracle). */
-  def xLangId(s: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.documents(s, dir).select(
-      col("doc_id") +: Markers.toSeq.map { case (l, ws) => markerScore(ws).as(s"s_$l") }: _*)
-    val stackArgs = Markers.keys.map(l => s"'$l', s_$l").mkString(", ")
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand_lang"))
-    scored
+    * argmax with lexicographic tie-break. The argmax is the same
+    * sorted-struct expression langIdExpr uses (equivalence to the
+    * stack+window form is pinned in TrainingPipelineSpec), evaluated
+    * once per row inside the scan projection — r17: the former
+    * stack+row_number form exploded 5× rows through a doc_id window
+    * (one full exchange) to pick a per-row argmax; this is zero
+    * shuffles (guide §2.4), and the presentational tail sort is gone
+    * (the gate sorts rows before hashing — m_json_extract precedent). */
+  def xLangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"),
-        expr(s"stack(${Markers.size}, $stackArgs)").as(Seq("cand_lang", "score")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score"))
-      .orderBy(col("doc_id"))
-  }
+        element_at(sort_array(array(Markers.toSeq.map { case (l, ws) =>
+          struct((-markerScore(ws)).as("neg"), lit(l).as("lang"))
+        }: _*)), 1).as("best"))
+      .select(col("doc_id"), col("best.lang").as("pred_lang"),
+        (-col("best.neg")).as("score"))
 
   /** Quality features + composite score: token count, stopword ratio,
     * punctuation ratio, mean word length. Every ratio is an integer
@@ -92,7 +93,6 @@ object TextOps {
       ExactNum.ratio4(punctL, lenL).as("punct_ratio"),
       ExactNum.ratio4(chars, nTokL).as("mean_word_len"),
       quality4Expr.as("quality"))
-      .orderBy(col("doc_id"))
   }
 
   /** Whitespace + BPE-ish regex token counts, rolled up per language. */
@@ -105,7 +105,6 @@ object TextOps {
         sum(col("ws_tokens")).as("total_ws_tokens"),
         sum(col("re_tokens")).as("total_re_tokens"),
         ExactNum.ratio4(sum(col("ws_tokens")), count(lit(1))).as("avg_ws_tokens"))
-      .orderBy(col("lang"))
 
   /** THE canonical-fingerprint expression — single definition shared
     * by xFingerprint, TrainingPipeline.annotate, and (as a spec-pinned
@@ -122,7 +121,6 @@ object TextOps {
       .select(col("doc_id"), canonicalFpExpr.as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
-      .orderBy(col("keep_id"))
 
   /** Winnowing document sketches (Schleimer et al., MOSS): char
     * 8-gram Karp-Rabin rolling hashes, window-4 minima, distinct —
@@ -133,7 +131,6 @@ object TextOps {
   def xWinnowFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(expr("winnow_sketch(text, 8, 4)")).as("sketch_hash"))
-      .orderBy(col("doc_id"), col("sketch_hash"))
 
   /** Context-window chunking — the training-pipeline step that splits
     * long documents into model-context-sized pieces with overlap
@@ -153,7 +150,6 @@ object TextOps {
              |    concat_ws(' ', slice(w, i * $stride + 1, $size64)) AS chunk_text))"""
             .stripMargin)).as("c"))
       .select(col("doc_id"), col("c.chunk_idx"), col("c.n_tokens"), col("c.chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   /** Token-stream sequence packing — pretraining-style packing where
@@ -183,7 +179,6 @@ object TextOps {
         least(col("cum_before") + col("n_tok"), (col("bin_id") + 1) * budget) -
           greatest(col("cum_before"), col("bin_id") * budget))
       .select(col("shard"), col("bin_id"), col("doc_id"), col("n_tok"), col("tokens_in_bin"))
-      .orderBy(col("shard"), col("bin_id"), col("doc_id"))
   }
 
   /** The 1-shard (global-stream) packing — byte-identical to the
@@ -192,7 +187,6 @@ object TextOps {
   def xSeqPack(s: SparkSession, dir: String): DataFrame =
     xSeqPackSharded(1)(s, dir)
       .drop("shard")
-      .orderBy(col("bin_id"), col("doc_id"))
 
   /** 4-shard packing — the shape that runs at 100 TB (shard =
     * doc_id mod 4 here; any uniform key works, bins are local to the
@@ -228,7 +222,6 @@ object TextOps {
             regexp_replace(col("text"), EmailRe, "<email>"),
             PhoneRe, "<phone>"),
           IpRe, "<ip>")).as("clean_len"))
-      .orderBy(col("doc_id"))
 
   /** Repetition scoring — the Gopher-style quality rule (Rae et al.
     * 2021 §A1.1: drop documents dominated by repeated fragments):
@@ -248,7 +241,6 @@ object TextOps {
         ExactNum.ratio4(
           size(col("g")) - size(array_distinct(col("g"))), size(col("g")))
           .as("dup_gram_ratio"))
-      .orderBy(col("doc_id"))
 
   /** Corpus-level n-gram frequency — top-20 word trigrams with a
     * fully deterministic order (count desc, gram asc). The canonical
@@ -296,7 +288,6 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce(col("in_vocab"), lit(0L))).as("n_in_vocab"))
       .withColumn("coverage", ExactNum.ratio4(col("n_in_vocab"), col("n_tokens")))
-      .orderBy(col("doc_id"))
   }
 
   private[operators] val CmsDepth = 4
@@ -340,7 +331,6 @@ object TextOps {
       .groupBy(col("gram"), col("n"))
       .agg(min(col("cnt")).as("cms_est"))
       .withColumn("overcount", col("cms_est") - col("n"))
-      .orderBy(col("n").desc, col("gram"))
   }
 
   /** Chunk-level exact dedup — RefinedWeb/CCNet-style sub-document
@@ -364,7 +354,6 @@ object TextOps {
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
-      .orderBy(col("chunk_fp"))
   }
 
   /** Per-source top-K characteristic terms — the corpus-profiling
@@ -399,7 +388,6 @@ object TextOps {
       .withColumn("rnk", row_number().over(win))
       .filter(col("rnk") <= TfidfTopK)
       .select(col("source"), col("rnk"), col("term"), col("tf"), col("df"), col("score"))
-      .orderBy(col("source"), col("rnk"))
   }
 
   /** Inverted index build — term → (df, total tf, first-K posting
@@ -424,7 +412,6 @@ object TextOps {
         array_join(
           sort_array(collect_list(when(col("rn") <= PostingCap, col("doc_id")))),
           ",").as("postings"))
-      .orderBy(col("term"))
   }
 
   /** BM25 ranked retrieval (Robertson-Sparck-Jones / Okapi; the
@@ -535,7 +522,6 @@ object TextOps {
         sum(col("bucket") - col("n")).as("pad_waste"),
         ExactNum.ratio4(sum(col("bucket") - col("n")), sum(col("bucket")))
           .as("waste_frac"))
-      .orderBy(col("bucket"))
 
   /** Gopher rule thresholds (Rae et al. 2021 §A1.1) — public
     * constants, shared with the oracle by interpolation. */
@@ -578,7 +564,6 @@ object TextOps {
       .withColumn("kept",
         col("wc_ok") && col("mwl_ok") && col("sym_ok") &&
           col("alpha_ok") && col("stop_ok"))
-      .orderBy(col("doc_id"))
   }
 
   /** The five Gopher rule flags in filter order — shared by
@@ -610,7 +595,6 @@ object TextOps {
     flags.agg(aggCols.head, aggCols.tail: _*)
       .select(expr(s"stack(${GopherRuleFlags.size}, $stackArgs) AS " +
         "(rule_idx, rule, n_failed, n_first_failed, n_remaining)"))
-      .orderBy(col("rule_idx"))
   }
 
   /** Duplicate-SPAN accounting — the substring-granular member of the
@@ -661,7 +645,6 @@ object TextOps {
       .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as("dup_tokens"))
       .withColumn("dup_ratio", ExactNum.ratio4(col("dup_tokens"), col("n_tokens")))
-      .orderBy(col("doc_id"))
   }
 
   private[operators] val DupSpanK = 8
@@ -731,7 +714,6 @@ object TextOps {
         expr("abs(est_distinct - true_distinct) * 10000L div true_distinct"))
       .select(col("source"), col("est_distinct"), col("true_distinct"),
         col("err_bp"), col("zero_regs"), col("sum_scaled"))
-      .orderBy(col("source"))
   }
 
   /** Static token-position headroom for the x_dup_spans oracle
@@ -878,7 +860,6 @@ object TextOps {
     bpeTrainedMerges(s, dir).zipWithIndex
       .map { case ((a, b), i) => (i + 1, a, b, a + b) }
       .toDF("merge_idx", "left_sym", "right_sym", "merged")
-      .orderBy(col("merge_idx"))
   }
 
   /** BPE APPLY-ENCODE: segment every corpus word with the learned
@@ -935,7 +916,6 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("id_sum"), lit(0L)).as("id_sum"))
-      .orderBy(col("doc_id"))
   }
 
   private[operators] val BigramK = 64
@@ -995,7 +975,7 @@ object TextOps {
   }
 
   def xBigramLm(s: SparkSession, dir: String): DataFrame =
-    bigramScored(s, dir).orderBy(col("doc_id"))
+    bigramScored(s, dir)
 
   /** CCNet's head/middle/tail split (Wenzek 2020 §4.3): rank every
     * doc by its LM score (high lm_ppm = low perplexity = head) and
@@ -1061,7 +1041,6 @@ object TextOps {
           .when(col("rnk") <= col("r2"), "middle")
           .otherwise("tail"))
       .select(col("doc_id"), col("lm_ppm"), col("rnk"), col("ppl_bucket"))
-      .orderBy(col("doc_id"))
   }
 
   /** Per-doc character-distribution Shannon entropy — the classic
@@ -1099,7 +1078,6 @@ object TextOps {
         (round(lit(1e6) * log(col("n")), 0).cast("long") -
           round(col("sum_micronats") / col("n"), 0).cast("long"))
           .as("entropy_micronats"))
-      .orderBy(col("doc_id"))
   }
 
   // content-defined chunking constants, shared verbatim with the
@@ -1154,7 +1132,6 @@ object TextOps {
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
-      .orderBy(col("chunk_fp"))
 
   private[operators] val CollocMinCount = 5L
   private[operators] val CollocK = 30
@@ -1205,7 +1182,6 @@ object TextOps {
       .orderBy(col("pmi_unat").desc, col("bigram"))
       .limit(CollocK)
       .select(col("bigram"), col("c12").as("cnt"), col("pmi_unat"))
-      .orderBy(col("pmi_unat").desc, col("bigram"))
   }
 
   /** Flesch reading-ease scoring — the classic readability quality
@@ -1236,7 +1212,6 @@ object TextOps {
       .select(col("doc_id"), col("wn").as("n_words"), col("sn").as("n_sentences"),
         col("syl").as("n_syllables"), col("flesch_milli"),
         expr(FleschBandCase).as("band"))
-      .orderBy(col("doc_id"))
 
   /** Shared WHEN-ladder (the bucketCaseSql device): identical text in
     * Spark and DuckDB, so the band boundaries cannot drift. */
@@ -1364,7 +1339,6 @@ object TextOps {
       .withColumn("lr_keep", col("score_ppm") >= lit(thresholdPpm))
       .select(col("doc_id"), col("n_tokens"), col("w_sum"),
         col("score_ppm"), col("lr_keep"))
-      .orderBy(col("doc_id"))
 
   val queries: ListMap[String, Q] = ListMap(
     "x_lang_id" -> (xLangId _),

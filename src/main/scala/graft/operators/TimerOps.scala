@@ -69,7 +69,6 @@ object TimerOps {
     Tables.events(s, dir)
       .groupBy(minuteCol(col("ts"), zone).as("minute"))
       .agg(count(lit(1)).as("task_cnt"))
-      .orderBy(col("minute"))
 
   /** Minute × bucket shard counts — the scheduler's shard key
     * (gotimer_executor/common/utils/timer.go:29 GetSliceMsgKey:
@@ -96,7 +95,6 @@ object TimerOps {
       // count(DISTINCT user_id) both skip NULLs — count(user_id)
       // preserves that exact semantics
       .agg(sum(col("cnt")).as("task_cnt"), count(col("user_id")).as("n_timers"))
-      .orderBy(col("minute"), col("bucket"))
 
   /** [start,end) epoch-ms range scan emitting "{timer_id}_{unix_ms}"
     * union keys — the trigger's ZRANGEBYSCORE sub-minute window
@@ -109,7 +107,6 @@ object TimerOps {
       .select(col("event_id"), col("user_id").as("timer_id"),
         unix_millis(col("ts")).as("unix_ms"),
         concat_ws("_", col("user_id"), unix_millis(col("ts"))).as("union_key"))
-      .orderBy(col("event_id"))
 
   /** Split union keys back to (timer_id, unix_ms) and verify the
     * roundtrip — utils.SplitTimerIDUnix (utils/timer.go:21). */
@@ -122,7 +119,6 @@ object TimerOps {
       .select(col("event_id"), col("union_key"), col("timer_id"), col("unix_ms"),
         (col("timer_id") === col("user_id") &&
           col("unix_ms") === unix_millis(col("ts"))).as("roundtrip_ok"))
-      .orderBy(col("event_id"))
   }
 
   /** Counts + cost stats per lifecycle status — the executor's
@@ -136,7 +132,6 @@ object TimerOps {
         avg4(col("value")).as("avg_cost"),
         round(min(col("value")), 4).as("min_cost"),
         round(max(col("value")), 4).as("max_cost"))
-      .orderBy(col("status"), col("event_type"))
 
   /** Overdue/pending scan, newest-first, paginated — the admin list
     * query (dao/task/option.go WithStatus + WithRunTimer +
@@ -221,7 +216,6 @@ object TimerOps {
         col("max_cost"),
         pctlValue(50, col("n_tasks"), 10000.0).as("p50_cost"),
         pctlValue(95, col("n_tasks"), 10000.0).as("p95_cost"))
-      .orderBy(col("status"))
   }
 
   /** Prometheus-style cost_time histogram buckets (`le` upper bounds,
@@ -308,7 +302,6 @@ object TimerOps {
         col("le_95"),
         (col("num_95").cast("double") / (col("den_95") * lit(10000.0)))
           .as("p95_est"))
-      .orderBy(col("status"))
   }
 
   /** Firing-delay distribution — the executor's timer_delay Summary
@@ -340,7 +333,6 @@ object TimerOps {
         pctlValue(90, col("n_execs"), 100.0).as("p90_delay_ms"),
         pctlValue(99, col("n_execs"), 100.0).as("p99_delay_ms"),
         col("max_delay_ms"))
-      .orderBy(col("event_type"))
   }
 
   /** In-flight task concurrency — how many tasks are in the Running
@@ -404,7 +396,6 @@ object TimerOps {
         timestamp_millis(expr("t - pmod(t, 3600000)")).as("hour_start"))
       .agg(max(col("conc")).as("peak_inflight"),
         sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
-      .orderBy(col("app"), col("hour_start"))
   }
 
   /** Heartbeat coverage — the monitor's "were there minutes with no
@@ -426,7 +417,6 @@ object TimerOps {
         count(lit(1)).as("n_tasks"))
       .withColumn("coverage_frac", ratio4(col("n_active_minutes"), lit(1440L)))
       .withColumn("n_missing_minutes", lit(1440L) - col("n_active_minutes"))
-      .orderBy(col("app"), col("day"))
 
   /** Gap-fill day: mid-corpus, the same anchor day the cron window
     * uses. */
@@ -485,7 +475,6 @@ object TimerOps {
         expr("(unix_timestamp(minute) - unix_timestamp(last_obs)) div 60"))
       .select(col("app"), col("minute"), col("observed"), col("filled"),
         col("staleness_min"))
-      .orderBy(col("app"), col("minute"))
   }
 
   /** Outstanding-backlog time series — the unexeced gauge the
@@ -529,7 +518,6 @@ object TimerOps {
       .join(broadcast(carries), Seq("day"))
       .select(col("minute"), col("arrived"), col("completed"),
         (col("carry") + col("loc")).as("backlog"))
-      .orderBy(col("minute"))
   }
 
   /** Scale-NAIVE single-window form of tBacklog — NOT in the
@@ -551,7 +539,6 @@ object TimerOps {
     perMin
       .withColumn("backlog", sum(col("arrived") - col("completed")).over(w))
       .select(col("minute"), col("arrived"), col("completed"), col("backlog"))
-      .orderBy(col("minute"))
   }
 
   /** Scale-NAIVE single-window form of tConcurrency (Timeit baseline
@@ -575,7 +562,6 @@ object TimerOps {
         timestamp_millis(expr("t - pmod(t, 3600000)")).as("hour_start"))
       .agg(max(col("conc")).as("peak_inflight"),
         sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
-      .orderBy(col("app"), col("hour_start"))
   }
 
   /** Idempotent dedup on (timer_id, minute), keep earliest — the
@@ -589,7 +575,6 @@ object TimerOps {
         minuteCol(col("ts")).as("minute"), col("ts"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-      .orderBy(col("timer_id"), col("minute"))
   }
 
   /** Upsert/merge view of the task store — the OTHER half of the
@@ -625,7 +610,6 @@ object TimerOps {
       .select(col("timer_id"), col("minute"), col("created_ts"),
         col("ts").as("updated_ts"), col("event_type").as("last_status"),
         col("value").as("last_cost"), col("n_versions"))
-      .orderBy(col("timer_id"), col("minute"))
   }
 
   /** Tumbling 5-minute window counts/sums per status — batch twin of
@@ -637,7 +621,6 @@ object TimerOps {
       .groupBy(window(col("ts"), "5 minutes").getField("start").as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum4(col("value")).as("total_value"))
-      .orderBy(col("window_start"), col("event_type"))
 
   /** SLIDING-window rates — the smoothed form of the monitor's
     * per-minute gauge (a tumbling minute bucket jitters on bursty
@@ -659,7 +642,6 @@ object TimerOps {
       .groupBy(window(col("ts"), "5 minutes", "1 minute").getField("start").as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum4(col("value")).as("total_value"))
-      .orderBy(col("window_start"), col("event_type"))
 
   /** Gap-based sessionization (30-min) per timer — batch twin of
     * streaming.Sessionizer (flatMapGroupsWithState). Two windows, one
@@ -676,7 +658,6 @@ object TimerOps {
       .groupBy(col("user_id").as("timer_id"), col("session_idx"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"), sum4(col("value")).as("total_value"))
-      .orderBy(col("timer_id"), col("session_idx"))
   }
 
   /** Day-of-week × hour seasonality profile — the firing heatmap a
@@ -710,7 +691,6 @@ object TimerOps {
         countDistinct(col("user_id")).as("n_timers"),
         ratio4(sum(ExactNum.cents(col("value"))), lit(100L) * count(col("value")))
           .as("avg_cost"))
-      .orderBy(col("dow"), col("hour"))
 
   /** NATIVE session windows — `session_window()`, the engine's own
     * gap-sessionization aggregate (the one windowing API surface the
@@ -735,7 +715,6 @@ object TimerOps {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
-      .orderBy(col("timer_id"), col("session_start"))
 
   /** As-of join: for every firing, the timer DEFINITION in effect at
     * that instant — the executor re-reads the timer row at execution
@@ -777,7 +756,6 @@ object TimerOps {
       .filter(col("kind") === 1 && col("eff_ts").isNotNull)
       .select(col("event_id"), col("user_id").as("timer_id"), col("t").as("ts"),
         col("eff_ts").as("def_ts"), col("eff_value").as("def_value"))
-      .orderBy(col("event_id"))
   }
 
   val queries: ListMap[String, Q] = ListMap(

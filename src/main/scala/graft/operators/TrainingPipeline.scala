@@ -97,7 +97,6 @@ object TrainingPipeline {
       .withColumn("mix_rank", row_number().over(w))
       .filter(col("mix_rank") <= col("quota"))
       .select(col("source"), col("doc_id"), col("mix_rank"))
-      .orderBy(col("source"), col("doc_id"))
   }
 
   /** Temperature-based mixture reweighting (the multilingual /
@@ -126,7 +125,6 @@ object TrainingPipeline {
       .withColumn("target_docs", expr("si * docs_tot div s_tot"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("weight"), col("target_docs"))
-      .orderBy(col("source"))
   }
 
   /** Fixed benchmark size for decontaminate: at most EvalDocs docs in
@@ -172,7 +170,6 @@ object TrainingPipeline {
       .join(broadcast(evalGrams), "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"), min(col("eval_id")).as("first_eval_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** n-gram CONTAINMENT decontamination score — the asymmetric
@@ -201,7 +198,6 @@ object TrainingPipeline {
       .withColumn("containment", ExactNum.ratio4(col("n_shared"), col("n_eval_grams")))
       .select(col("doc_id"), col("eval_id"), col("n_shared"),
         col("n_eval_grams"), col("containment"))
-      .orderBy(col("doc_id"), col("eval_id"))
   }
 
   /** Fuzzy benchmark decontamination — the near-duplicate complement
@@ -243,7 +239,6 @@ object TrainingPipeline {
       .agg(count(lit(1)).as("n_eval_near"),
         max(when(col("rn") === 1, col("eval_id"))).as("best_eval_id"),
         max(col("jaccard")).as("max_jaccard"))
-      .orderBy(col("doc_id"))
   }
 
   /** Takedown seed set: a constant-bounded "removal request" list
@@ -314,7 +309,6 @@ object TrainingPipeline {
         lit("seed").as("reason"))
       .unionByName(exact.select(col("doc_id"), col("matched_seed"), col("reason")))
       .unionByName(near.select(col("doc_id"), col("matched_seed"), col("reason")))
-      .orderBy(col("doc_id"))
   }
 
   /** Deterministic stratified sampling to a per-stratum TARGET count
@@ -343,7 +337,6 @@ object TrainingPipeline {
       .filter(expr(
         "pmod(pmod(doc_id, 2147483648L) * 2654435761L, 2147483648L) % 10000") < col("rate_bp"))
       .select(col("source"), col("doc_id"), col("n_src"), col("rate_bp"))
-      .orderBy(col("source"), col("doc_id"))
   }
 
   /** Per-epoch multiplicative-hash constants (Knuth 2654435761 and
@@ -379,7 +372,6 @@ object TrainingPipeline {
       .withColumn("shard", col("h") % ShuffleShards) // h ≥ 0 ⇒ % ≡ pmod
       .withColumn("pos", row_number().over(w))
       .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
-      .orderBy(col("epoch"), col("shard"), col("pos"))
   }
 
   /** Curriculum assignment — order the corpus easy→hard by quality
@@ -403,7 +395,6 @@ object TrainingPipeline {
       .withColumn("shard", pmod(col("doc_id"), lit(ShuffleShards)))
       .withColumn("pos", row_number().over(w))
       .select(col("stage"), col("shard"), col("pos"), col("doc_id"), col("quality"))
-      .orderBy(col("stage"), col("shard"), col("pos"))
   }
 
   /** Holdout-split hash multiplier — murmur3's public c1 constant
@@ -435,7 +426,6 @@ object TrainingPipeline {
         when(col("h_bp") < TrainBp, "train")
           .when(col("h_bp") < ValBp, "val")
           .otherwise("test"))
-      .orderBy(col("doc_id"))
 
   /** Fixed-point scale for graphRank ranks (10¹² units ≡ rank 1.0). */
   private[operators] val RankScale = 1000000000000L
@@ -489,7 +479,6 @@ object TrainingPipeline {
     val out = pageRankOver(edges)
     edges.unpersist(false)
     out.select(col("id").as("doc_id"), col("deg"), col("rank"))
-      .orderBy(col("rank").desc, col("doc_id"))
   }
 
   /** The integer fixed-point PageRank core (damping 0.85, RankIters
@@ -593,7 +582,6 @@ object TrainingPipeline {
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_feats"),
         sum(col("cnt") * col("r_micro")).as("weight_micro"))
-      .orderBy(col("doc_id"))
   }
 
   /** Driver-visible entry. */

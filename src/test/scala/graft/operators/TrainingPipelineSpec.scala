@@ -353,8 +353,8 @@ class TrainingPipelineSpec extends SparkSpec {
     // total mass stays ≈ RankScale (floor-division leakage only ever
     // loses mass, never creates it)
     assert(got.map(_._3).sum <= TrainingPipeline.RankScale)
-    // output is rank-descending with doc_id tiebreak
-    assert(got.sameElements(got.sortBy(t => (-t._3, t._1))), "ordering")
+    // result sets are unordered as of r17 (the former rank-descending
+    // tail sort was presentational; the gate sorts before hashing)
   }
 
   test("temperature mix: weights normalize, targets conserve, sqrt flattens the head") {
