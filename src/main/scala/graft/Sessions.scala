@@ -21,6 +21,13 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r17: shuffled-hash-join preference (preferSortMergeJoin=false
+      // + AQE maxShuffledHashJoinLocalMapThreshold) was MEASURED and
+      // REJECTED — A/B Timeit showed the heavy dedup equi-joins
+      // regress under SHJ (d_ngram_jaccard 5.80 -> 6.22 s,
+      // d_minhash_lsh 1.26 -> 1.44 s: million-row per-partition hash
+      // map builds lose to tungsten sort-merge) while the small-build
+      // joins moved only noise-band. Defaults stay (OPTIMIZATION_r17).
       // NOTE: outputTimestampType stays INT96 (Spark's default): the
       // adjusted-to-UTC INT64 form reads back as TIMESTAMPTZ in
       // DuckDB, which would break the engine-wide naive-timestamp

@@ -9,8 +9,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partition pruning — see SURVEY.md §5).
   */
 object Tables {
+  /** Resolved-frame memo per (session, dir#table) — r17, guide §1/§6:
+    * a bare `spark.read.parquet` pays driver-side file listing +
+    * footer schema inference on EVERY call — measured 145-203 ms per
+    * table on this box (graft.FooterProbe; the 4 KB nation table costs
+    * the same as lineitem, so it is per-call resolution, not IO) —
+    * which for a 6-table join (q5) was ~1 s of pure metadata per
+    * invocation. Memoizing the RESOLVED DataFrame (an unexecuted
+    * plan — no data is cached; every execution still scans parquet)
+    * is the catalog-metastore discipline registerViews already
+    * documents. Contract: a table dir is immutable while a session is
+    * live (true of the driver-generated testdata and of ScaleUp,
+    * which writes each output dir once) — the same contract
+    * registerViews' (session, dir) memo has carried since r10. */
+  private val frameMemo = new graft.operators.SessionMemo[DataFrame]
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    frameMemo.getOrElseUpdate(spark, s"$dir#$name") {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   def region(s: SparkSession, dir: String): DataFrame    = load(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame    = load(s, dir, "nation")
